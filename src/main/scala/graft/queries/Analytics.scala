@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef._
+
+/** Block A — core relational/analytics coverage (SURVEY.md §2.A).
+  *
+  * Everything here is declarative DataFrame API so Catalyst does pushdown,
+  * pruning, join selection and AQE re-planning. Small dimensions are
+  * explicitly broadcast. Every aggregate that touches money is computed in
+  * DECIMAL(18,2) then emitted as DOUBLE (see QueryDef.moneySum) so results
+  * are order-independent and hash-match the DuckDB oracle exactly.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg → sort. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Predicate pushdown + column pruning: the physical scan must show
+    * PushedFilters on l_shipdate/l_discount/l_quantity and a 4-col ReadSchema.
+    */
+  def q2FilterProj(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount") > 0.05 && col("l_quantity") < 24)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+
+  val q2FilterProjSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount > 0.05 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3-style: 3-way join, agg, top-k. Revenue ties broken by key. */
+  def q3JoinTopk(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  }
+
+  val q3JoinTopkSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style 5-way join; dims broadcast, fact joins shuffle on keys. */
+  def q5Multijoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  val q5MultijoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Left semi join (EXISTS): customers with at least one big order. */
+  def qSemijoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val qSemijoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left anti join (NOT EXISTS): customers with no 'P' status orders. */
+  def qAntijoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+
+  val qAntijoinSql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left outer join + null-safe aggregation. */
+  def qOuterJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("order_count"),
+        coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(Money))
+          .cast("double").as("total_spent"))
+      .orderBy("c_custkey")
+
+  val qOuterJoinSql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS order_count,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Window functions: row_number, lag, running (decimal-exact) sum. */
+  def qWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        row_number().over(w).as("rn"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  LAG(o_orderkey, 1) OVER w AS prev_order,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Multi-level rollup aggregation. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_mktsegment", "c_acctbal")
+      // grouping cols re-aliased: works around DetectAmbiguousSelfJoin
+      // misfiring on rollup output attributes
+      .rollup(col("n_name").as("n_name"), col("c_mktsegment").as("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("c_acctbal")).as("bal"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+
+  val qRollupSql: String =
+    """SELECT n_name, c_mktsegment, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, c_mktsegment)
+      |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
+  /** Distinct aggregation (exact; the scale path would swap in HLL). */
+  def qDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  val qDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+      |  COUNT(DISTINCT l_suppkey) AS distinct_supps,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Union + dedup across heterogeneous sources. */
+  def qUnion(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+      .union(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  val qUnionSql: String =
+    """SELECT DISTINCT k FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      |  UNION ALL
+      |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+      |) ORDER BY k""".stripMargin
+
+  /** Scalar subquery: orders within 10% of the global max price.
+    * Spark side: single-row agg broadcast-crossed into the scan (no collect).
+    */
+  def qScalarSubq(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val mx = o.agg(max(col("o_totalprice")).as("mx"))
+    o.crossJoin(broadcast(mx))
+      .filter(col("o_totalprice") > col("mx") * 0.9)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val qScalarSubqSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Conditional (pivot-style) aggregation. */
+  def qCaseagg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+        moneySum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+
+  val qCaseaggSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Top-N per group via ranked window. */
+  def qTopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1Agg, Some(q1AggSql)),
+    QueryDef("q2_filter_proj", q2FilterProj, Some(q2FilterProjSql)),
+    QueryDef("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),
+    QueryDef("q5_multijoin", q5Multijoin, Some(q5MultijoinSql)),
+    QueryDef("q_semijoin", qSemijoin, Some(qSemijoinSql)),
+    QueryDef("q_antijoin", qAntijoin, Some(qAntijoinSql)),
+    QueryDef("q_outer_join", qOuterJoin, Some(qOuterJoinSql)),
+    QueryDef("q_window", qWindow, Some(qWindowSql)),
+    QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_distinct", qDistinct, Some(qDistinctSql)),
+    QueryDef("q_union", qUnion, Some(qUnionSql)),
+    QueryDef("q_scalar_subq", qScalarSubq, Some(qScalarSubqSql)),
+    QueryDef("q_caseagg", qCaseagg, Some(qCaseaggSql)),
+    QueryDef("q_topk_per_group", qTopkPerGroup, Some(qTopkPerGroupSql)),
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("every Block A query runs and returns rows at sf0.001") {
+    Analytics.all.foreach { q =>
+      val n = q.fn(spark, sfDir).count()
+      assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q1_agg groups are the 6 returnflag/linestatus combos with exact counts") {
+    val rows = Analytics.q1Agg(spark, sfDir).collect()
+    assert(rows.length === 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sfDir)
+      .filter("l_shipdate <= timestamp '1998-09-02'").count()
+    assert(total === expected)
+  }
+
+  test("q3_join_topk returns exactly 10 rows sorted by revenue desc") {
+    val r = Analytics.q3JoinTopk(spark, sfDir).collect()
+    assert(r.length === 10)
+    val revs = r.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("semi + anti join partition the customer set w.r.t. matching orders") {
+    import org.apache.spark.sql.functions.col
+    val big = Tables.orders(spark, sfDir).filter("o_totalprice > 300000")
+      .select("o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+    val semi = cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = cust.join(big, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(semi + anti === cust.count())
+    assert(semi === Analytics.qSemijoin(spark, sfDir).count())
+  }
+
+  test("q_outer_join keeps every customer") {
+    assert(Analytics.qOuterJoin(spark, sfDir).count()
+      === Tables.customer(spark, sfDir).count())
+  }
+
+  test("q_window running_spend is monotone per customer") {
+    val rows = Analytics.qWindow(spark, sfDir)
+      .select("o_custkey", "rn", "running_spend").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val spend = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(spend.sameElements(spend.sorted))
+    }
+  }
+
+  test("q_rollup contains grand total row equal to customer count") {
+    val rows = Analytics.qRollup(spark, sfDir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("cnt") === Tables.customer(spark, sfDir).count())
+  }
+
+  test("q_topk_per_group yields at most 3 per segment, rank-ordered") {
+    val rows = Analytics.qTopkPerGroup(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val prices = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sortBy(-_)))
+    }
+  }
+}
