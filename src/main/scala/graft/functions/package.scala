@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.ColumnBridge.{column => toCol, expression => toExpr}
+
+/** Public column-builder surface for graft's custom expressions, mirroring
+  * org.apache.spark.sql.functions style.
+  */
+package object functions {
+
+  /** AES-CTR decrypt: base64 ciphertext × base64 key × base64 iv → utf8. */
+  def aes_ctr_decrypt(data: Column, key: Column, iv: Column): Column =
+    toCol(AesCtrDecrypt(toExpr(data), toExpr(key), toExpr(iv)))
+
+  /** AES-CTR encrypt (fixture/test path). */
+  def aes_ctr_encrypt(data: Column, key: Column, iv: Column): Column =
+    toCol(AesCtrEncrypt(toExpr(data), toExpr(key), toExpr(iv)))
+
+  /** UCMessage.validate: date/id wrapping + last-modified priority.
+    * Returns struct<json string, is_delete boolean>.
+    */
+  def uc_validate(decrypted: Column): Column =
+    toCol(UcValidate(toExpr(decrypted)))
+
+  /** UCMessage.transform for data:businessAudit. */
+  def uc_transform_audit(decrypted: Column, envelopeLastModified: Column): Column =
+    toCol(UcTransformAudit(toExpr(decrypted), toExpr(envelopeLastModified)))
+
+  /** UCMessage.sanitise (data.py:150-161): dumb find/replace on the
+    * serialized record — composed from built-in (codegen'd) functions.
+    * NB the $→d_ pass intentionally rewrites the "$date"/"$oid" wrappers
+    * to "d_date"/"d_oid" (see reference docs/message-transformation.md).
+    */
+  def uc_sanitise(json: Column): Column = {
+    val s1 = replace(json, lit("$"), lit("d_"))
+    val s2 = replace(s1, lit("\\u0000"), lit(""))
+    val s3 = replace(s2, lit("_archivedDateTime"), lit("_removedDateTime"))
+    replace(s3, lit("_archived"), lit("_removed"))
+  }
+
+  /** Final output form: compact, sorted keys, non-ascii raw
+    * (UCMessage.utf8_decrypted_record).
+    */
+  def json_canonicalize(json: Column): Column =
+    toCol(JsonCanonicalize(toExpr(json)))
+
+  /** UCMessage.id: primitive ids pass through, object ids canonicalized. */
+  def uc_id(rawId: Column): Column =
+    toCol(UcCanonicalId(toExpr(rawId)))
+
+  /** 2-char partition prefix of the (inner) id. */
+  def uc_id_part(id: Column): Column =
+    toCol(UcIdPart(toExpr(id)))
+}
