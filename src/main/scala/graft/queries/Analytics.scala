@@ -94,7 +94,10 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
         && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, d)),
+      // supplier scales with the data (SF×10k rows) — no explicit broadcast;
+      // AQE decides at runtime from actual sizes. nation/region are
+      // fixed-size dims, safe to force.
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey")
           && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
@@ -126,7 +129,6 @@ object Analytics {
         .select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name", "c_mktsegment")
-      .orderBy("c_custkey")
 
   val qSemijoinSql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -140,7 +142,6 @@ object Analytics {
         .select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_acctbal")
-      .orderBy("c_custkey")
 
   val qAntijoinSql: String =
     """SELECT c_custkey, c_acctbal FROM customer
@@ -156,7 +157,6 @@ object Analytics {
         count(col("o_orderkey")).as("order_count"),
         coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(Money))
           .cast("double").as("total_spent"))
-      .orderBy("c_custkey")
 
   val qOuterJoinSql: String =
     """SELECT c_custkey, COUNT(o_orderkey) AS order_count,
@@ -172,7 +172,6 @@ object Analytics {
         row_number().over(w).as("rn"),
         lag(col("o_orderkey"), 1).over(w).as("prev_order"),
         sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
-      .orderBy("o_custkey", "rn")
   }
 
   val qWindowSql: String =
@@ -226,7 +225,6 @@ object Analytics {
       .union(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
         .select(col("o_custkey").as("k")))
       .distinct()
-      .orderBy("k")
 
   val qUnionSql: String =
     """SELECT DISTINCT k FROM (
@@ -244,7 +242,6 @@ object Analytics {
     o.crossJoin(broadcast(mx))
       .filter(col("o_totalprice") > col("mx") * 0.9)
       .select("o_orderkey", "o_totalprice")
-      .orderBy("o_orderkey")
   }
 
   val qScalarSubqSql: String =
