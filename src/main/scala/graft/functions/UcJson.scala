@@ -61,12 +61,18 @@ object UcJson {
   def isDateString(s: String): Boolean = dateMatcher.matcher(s).matches()
 
   def parseIncoming(s: String): Instant = {
+    // NB: no `return` inside the loop body — a non-local return throws
+    // ControlThrowable, which a broad catch would swallow
+    var result: Instant = null
     var err: Throwable = null
-    incoming.foreach { f =>
-      try return OffsetDateTime.parse(s, f).toInstant
-      catch { case e: Throwable => err = e }
+    val it = incoming.iterator
+    while (result == null && it.hasNext) {
+      try result = OffsetDateTime.parse(s, it.next()).toInstant
+      catch { case e: java.time.format.DateTimeParseException => err = e }
     }
-    throw new IllegalArgumentException(s"time data '$s' does not match UC format", err)
+    if (result == null)
+      throw new IllegalArgumentException(s"time data '$s' does not match UC format", err)
+    result
   }
 
   /** UTC, milliseconds truncated (python renders 6 digits then drops 3), Z. */
@@ -104,7 +110,9 @@ object UcJson {
     val names = obj.fieldNames().asScala.toVector
     names.foreach { key =>
       if (includeLastModified || key != "_lastModifiedDateTime")
-        processElement(obj.get(key), v => obj.set(key, v))
+        // explicit type arg: ObjectNode.set is generic and bare obj.set(...)
+        // infers Nothing, which blows up with a runtime ClassCastException
+        processElement(obj.get(key), v => { obj.set[JsonNode](key, v); () })
     }
   }
 
@@ -214,6 +222,34 @@ object UcJson {
     */
   def canonicalize(json: String): String =
     serializeCanonical(mapper.readTree(json))
+
+  /** UCMessage.sanitise (data.py:150-161): dumb find/replace on the
+    * serialized record. NB `\\u0000` is the 6-char escape sequence (the
+    * serialized form of a NUL char), not the NUL char itself. The column
+    * version in graft.functions.uc_sanitise composes the same chain from
+    * built-in replace() calls; this pure form backs the parity spec.
+    */
+  def sanitise(serialized: String): String =
+    serialized
+      .replace("$", "d_")
+      .replace("\\u0000", "")
+      .replace("_archivedDateTime", "_removedDateTime")
+      .replace("_archived", "_removed")
+
+  /** Collections the reference refuses to sanitise generically
+    * (data.py:167-177 raises NotImplementedError). Callers gate on this
+    * before the generic sanitise chain.
+    */
+  val requiresSpecificSanitising: Set[(String, String)] = Set(
+    ("penalties-and-deductions", "sanction"),
+    ("core", "healthAndDisabilityDeclaration"),
+    ("accepted-data", "healthAndDisabilityCircumstances"))
+
+  def checkSanitisable(db: String, collection: String): Unit =
+    if (requiresSpecificSanitising((db, collection)))
+      throw new UnsupportedOperationException(
+        s"Collection $db:$collection requires specific sanitising which has " +
+          "not been implemented (mirrors reference NotImplementedError)")
 
   /** UCMessage.id (data.py:72-77): primitive ids pass through, object ids
     * render compact+sorted. Input is the raw `$.message._id` as text
