@@ -9,7 +9,7 @@ object SparkEntry {
 
   /** Query blocks, in SURVEY §2 order. */
   private def blocks: Seq[QueryDef] =
-    Analytics.all
+    Analytics.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

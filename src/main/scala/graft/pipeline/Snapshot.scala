@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Latest-record snapshot logic (reference: steps/ingesters.py:341-460).
+  *
+  * The reference keeps one latest record per (id_part, id) with
+  * `row_number().over(Window.partitionBy(...).orderBy(...)) == 1` — a
+  * full shuffle + SORT of every record. The production path here is
+  * `groupBy(keys).agg(max_by(struct(cols), orderKey))`: same semantics,
+  * but a hash aggregate with map-side partial aggregation — one shuffle
+  * of pre-combined partials and no sort. At 100 TB the difference is the
+  * sort spill of the entire dataset. The window variant is kept for
+  * oracle/spec cross-checking.
+  */
+object Snapshot {
+
+  /** One latest row per key group, production shape (max_by partial agg).
+    * Highest `order` wins; ties broken by the struct's later fields.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], order: Column): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains).map(col).toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload: _*), order).as("latest"))
+      .select(keys.map(col) :+ col("latest.*"): _*)
+  }
+
+  /** Reference-shaped twin: window row_number == 1 (shuffle + sort). */
+  def latestByKeyWindow(df: DataFrame, keys: Seq[String], order: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Merge a previous full export with daily increments taken since it
+    * (reference: ingesters.py:429-460 — union, then latest per key).
+    * The dailies side must already be partition-pruned by the caller's
+    * date predicate (ingesters.py:432-439).
+    */
+  def merge(export: DataFrame, dailies: DataFrame, keys: Seq[String], order: Column): DataFrame =
+    latestByKey(export.unionByName(dailies), keys, order)
+
+  /** The reference's snapshot write layout (ingesters.py:450-458):
+    * range-partitioned on (id_part, id) — numPartitions left to AQE
+    * locally; a cluster deployment would size it (reference hardcodes
+    * 4096) — written partitioned by id_part so downstream reads prune.
+    */
+  def writeSnapshot(snapshot: DataFrame, path: String): Unit =
+    snapshot
+      .repartitionByRange(col("id_part"), col("id"))
+      .write
+      .partitionBy("id_part")
+      .mode("overwrite")
+      .parquet(path)
+}

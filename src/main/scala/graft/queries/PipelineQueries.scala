@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Envelope, HiveExport, Ingest, KeyService, Snapshot}
+
+/** Block B — the reference CDI pipeline re-expressed (SURVEY.md §2.B).
+  *
+  * Every query runs the REAL pipeline over deterministic encrypted
+  * fixtures synthesized from `documents` (Envelope.synthesize), then
+  * projects values a DuckDB oracle can reconstruct in plain SQL from the
+  * same table — so decrypt/validate/sanitise must all be byte-correct
+  * for the hashes to match. No rows-only checks in this block.
+  */
+object PipelineQueries {
+
+  private val ExportDate = "2021-06-15"
+  private val Cutoff = "2024-01-15 00:00:00"
+
+  /** Shared oracle fragments mirroring Envelope's fixture columns. */
+  private val OracleLmZ =
+    """printf('2021-%02d-%02dT%02d:%02d:%02d.%03dZ',
+      |  doc_id % 12 + 1, doc_id % 28 + 1, doc_id % 24, doc_id % 60,
+      |  (doc_id * 7) % 60, doc_id % 1000)""".stripMargin
+  private val OracleLmIncoming =
+    """printf('2021-%02d-%02dT%02d:%02d:%02d.%03d+0000',
+      |  doc_id % 12 + 1, doc_id % 28 + 1, doc_id % 24, doc_id % 60,
+      |  (doc_id * 7) % 60, doc_id % 1000)""".stripMargin
+
+  private def pipelined(s: SparkSession, d: String): DataFrame =
+    Ingest.pipeline(Envelope.synthesize(s, d))
+
+  /** B1: envelope JSONL → typed columns; every parsed field checked
+    * against its SQL reconstruction.
+    */
+  def pEnvelopeParse(s: SparkSession, d: String): DataFrame =
+    Envelope.parse(Envelope.synthesize(s, d))
+      .select(
+        get_json_object(col("raw_id"), "$.id").cast("long").as("id"),
+        col("db"), col("collection"), col("key_enc"), col("iv"),
+        col("envelope_lm"))
+
+  val pEnvelopeParseSql: String =
+    s"""SELECT doc_id AS id, 'corp' AS db, 'documents' AS collection,
+       |  to_base64(unhex(md5('key' || (doc_id % 5)))) AS key_enc,
+       |  to_base64(unhex(md5('iv' || doc_id))) AS iv,
+       |  $OracleLmIncoming AS envelope_lm
+       |FROM documents""".stripMargin
+
+  /** B2: AES-CTR decrypt — payload fields only reachable through a
+    * correct decrypt under the resolved data key.
+    */
+  def pDecrypt(s: SparkSession, d: String): DataFrame =
+    Ingest.decrypt(KeyService.identity.withDataKeys(
+        Envelope.parse(Envelope.synthesize(s, d))))
+      .select(
+        get_json_object(col("raw_id"), "$.id").cast("long").as("id"),
+        get_json_object(col("decrypted"), "$.n_chars").cast("long").as("n_chars"),
+        get_json_object(col("decrypted"), "$.lang").as("lang"))
+
+  val pDecryptSql: String =
+    "SELECT doc_id AS id, n_chars, lang FROM documents"
+
+  /** B3: validate — last-modified reformat (wrapped as {$date: Z-form},
+    * sanitised to d_date) + delete flagging.
+    */
+  def pValidateWrap(s: SparkSession, d: String): DataFrame =
+    pipelined(s, d).select(
+      get_json_object(col("raw_id"), "$.id").cast("long").as("id"),
+      col("is_delete"),
+      get_json_object(col("val"), "$._lastModifiedDateTime.d_date").as("lm"))
+
+  val pValidateWrapSql: String =
+    s"""SELECT doc_id AS id, (doc_id % 10 = 0) AS is_delete,
+       |  $OracleLmZ AS lm
+       |FROM documents""".stripMargin
+
+  /** B4: sanitise replace chain ($→d_, archived→removed renames) as a
+    * column op, vs DuckDB's identical replace chain.
+    */
+  def pSanitise(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("{\"$doc\":\""), col("doc_id").cast("string"),
+          lit("\",\"source\":\""), col("source"),
+          lit("\",\"_archivedDateTime\":\"a\",\"_archived\":\"b\"}")).as("raw"))
+      .select(col("doc_id"), graft.functions.uc_sanitise(col("raw")).as("sanitised"))
+
+  val pSanitiseSql: String =
+    """SELECT doc_id,
+      |  replace(replace(replace(
+      |    '{"$doc":"' || doc_id || '","source":"' || source ||
+      |    '","_archivedDateTime":"a","_archived":"b"}',
+      |    '$', 'd_'), '_archivedDateTime', '_removedDateTime'),
+      |    '_archived', '_removed') AS sanitised
+      |FROM documents""".stripMargin
+
+  /** B5: businessAudit transform — context unwrap + TIME_STAMP
+    * injection, run through the full pipeline (transform → validate →
+    * sanitise).
+    */
+  def pTransformAudit(s: SparkSession, d: String): DataFrame =
+    Ingest.pipeline(Envelope.synthesizeAudit(s, d))
+      .select(
+        get_json_object(col("val"), "$.AUDIT_ID").cast("long").as("audit_id"),
+        get_json_object(col("val"), "$.AUDIT_EVENT").as("audit_event"),
+        get_json_object(col("val"), "$.TIME_STAMP.d_date").as("time_stamp"))
+
+  val pTransformAuditSql: String =
+    s"""SELECT doc_id AS audit_id, source AS audit_event,
+       |  $OracleLmZ AS time_stamp
+       |FROM documents""".stripMargin
+
+  /** B6: latest record per key — max_by partial agg (one shuffle, no
+    * sort) vs the oracle's window row_number.
+    */
+  def pLatestByKey(s: SparkSession, d: String): DataFrame =
+    Snapshot.latestByKey(
+      Tables.events(s, d).select("user_id", "event_id", "ts", "event_type", "value"),
+      Seq("user_id"), struct(col("ts"), col("event_id")))
+
+  val pLatestByKeySql: String =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** B7: daily-increment derived columns (id_part, export y/m/d,
+    * db_type) — the partitioned-layout accounting of ingesters.py:505-539.
+    */
+  def pDailyIncrement(s: SparkSession, d: String): DataFrame =
+    Ingest.dailyIncrement(pipelined(s, d), ExportDate)
+      .groupBy("id_part", "export_year", "export_month", "export_day", "db_type")
+      .agg(count(lit(1)).as("cnt"))
+
+  val pDailyIncrementSql: String =
+    """SELECT substr(CAST(doc_id AS VARCHAR), 1, 2) AS id_part,
+      |  2021 AS export_year, 6 AS export_month, 15 AS export_day,
+      |  CASE WHEN doc_id % 10 = 0 THEN 'DELETE' ELSE 'INSERT' END AS db_type,
+      |  COUNT(*) AS cnt
+      |FROM documents GROUP BY 1, 5""".stripMargin
+
+  /** B8: merge a prior export with post-cutoff dailies → one latest
+    * record per key (ingesters.py:341-460 re-expressed as max_by).
+    */
+  def pMergeSnapshot(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_id", "ts", "event_type")
+    val cutoff = lit(Cutoff).cast("timestamp")
+    val export = Snapshot.latestByKey(
+        ev.filter(col("ts") < cutoff), Seq("user_id"), struct(col("ts"), col("event_id")))
+      .withColumn("db_type", lit("INSERT"))
+    val dailies = ev.filter(col("ts") >= cutoff)
+      .withColumn("db_type",
+        when(col("event_type") === "error", "DELETE").otherwise("INSERT"))
+    Snapshot.merge(export, dailies, Seq("user_id"), struct(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "db_type")
+  }
+
+  val pMergeSnapshotSql: String =
+    """SELECT user_id, event_id,
+      |  CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'error'
+      |       THEN 'DELETE' ELSE 'INSERT' END AS db_type
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** B9: payload extraction — the Hive-export shape (from_json(ddl) →
+    * select val.*) + aggregation over extracted fields.
+    */
+  def pJsonExtract(s: SparkSession, d: String): DataFrame =
+    HiveExport.exportShape(pipelined(s, d),
+        "text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"), sum("n_chars").as("total_chars"))
+
+  val pJsonExtractSql: String =
+    """SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** B10: INSERT/DELETE classification + delete filtering accounting. */
+  def pDeleteFlag(s: SparkSession, d: String): DataFrame =
+    pipelined(s, d)
+      .groupBy("db_type")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("id_part")).as("distinct_parts"))
+
+  val pDeleteFlagSql: String =
+    """SELECT CASE WHEN doc_id % 10 = 0 THEN 'DELETE' ELSE 'INSERT' END AS db_type,
+      |  COUNT(*) AS cnt,
+      |  COUNT(DISTINCT substr(CAST(doc_id AS VARCHAR), 1, 2)) AS distinct_parts
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("p_envelope_parse", pEnvelopeParse, Some(pEnvelopeParseSql)),
+    QueryDef("p_decrypt", pDecrypt, Some(pDecryptSql)),
+    QueryDef("p_validate_wrap", pValidateWrap, Some(pValidateWrapSql)),
+    QueryDef("p_sanitise", pSanitise, Some(pSanitiseSql)),
+    QueryDef("p_transform_audit", pTransformAudit, Some(pTransformAuditSql)),
+    QueryDef("p_latest_by_key", pLatestByKey, Some(pLatestByKeySql)),
+    QueryDef("p_daily_increment", pDailyIncrement, Some(pDailyIncrementSql)),
+    QueryDef("p_merge_snapshot", pMergeSnapshot, Some(pMergeSnapshotSql)),
+    QueryDef("p_json_extract", pJsonExtract, Some(pJsonExtractSql)),
+    QueryDef("p_delete_flag", pDeleteFlag, Some(pDeleteFlagSql)),
+  )
+}

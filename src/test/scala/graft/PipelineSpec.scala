@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/** End-to-end pipeline specs over the deterministic encrypted fixtures:
+  * key-service plumbing, partitioned write layouts, and the export shape.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("KeyService resolves each distinct key exactly once (dks cache parity)") {
+    var calls = 0
+    val counting = new KeyService(k => { calls += 1; k })
+    val parsed = Envelope.parse(Envelope.synthesize(spark, dir))
+    val withKeys = counting.withDataKeys(parsed)
+    assert(withKeys.count() === parsed.count())
+    // 5 distinct data keys in the fixture (doc_id % 5)
+    assert(counting.lastResolvedCount === 5)
+    assert(calls === 5)
+  }
+
+  test("pipeline decrypt roundtrip recovers every record") {
+    val out = Ingest.pipeline(Envelope.synthesize(spark, dir))
+    val docs = Tables.documents(spark, dir).count()
+    assert(out.count() === docs)
+    // every val is valid canonical JSON with the expected fields
+    val bad = out.filter(
+      get_json_object(col("val"), "$.n_chars").isNull ||
+      get_json_object(col("val"), "$.lang").isNull).count()
+    assert(bad === 0)
+  }
+
+  test("writeDaily produces dynamic-partition layout partitioned by date + id_part") {
+    val tmp = Files.createTempDirectory("graft_daily").toString
+    val daily = Ingest.dailyIncrement(
+      Ingest.pipeline(Envelope.synthesize(spark, dir)), "2021-06-15")
+    Ingest.writeDaily(daily, tmp)
+    val root = new java.io.File(tmp)
+    val yearDirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(yearDirs.contains("export_year=2021"))
+    val partDirs = new java.io.File(
+      s"$tmp/export_year=2021/export_month=6/export_day=15")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(partDirs.nonEmpty && partDirs.forall(_.startsWith("id_part=")))
+    // read-back equals what went in
+    val back = spark.read.parquet(tmp)
+    assert(back.count() === daily.count())
+  }
+
+  test("writeSnapshot layout + merge keeps one latest row per key") {
+    val tmp = Files.createTempDirectory("graft_snap").toString
+    val processed = Ingest.pipeline(Envelope.synthesize(spark, dir))
+      .select("id", "id_part", "db_type", "val")
+    Snapshot.writeSnapshot(
+      Snapshot.latestByKey(processed, Seq("id_part", "id"), col("db_type")), tmp)
+    val back = spark.read.parquet(tmp)
+    assert(back.groupBy("id_part", "id").count().filter(col("count") > 1).count() === 0)
+    val partDirs = new java.io.File(tmp).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(partDirs.nonEmpty && partDirs.forall(_.startsWith("id_part=")))
+  }
+
+  test("latestByKey (max_by) matches the reference-shaped window twin") {
+    val ev = Tables.events(spark, dir).select("user_id", "event_id", "ts", "event_type")
+    val prod = Snapshot.latestByKey(ev, Seq("user_id"), struct(col("ts"), col("event_id")))
+    val twin = Snapshot.latestByKeyWindow(ev, Seq("user_id"), struct(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "ts", "event_type")
+    assert(prod.exceptAll(twin.select(prod.columns.map(col).toSeq: _*)).count() === 0)
+    assert(twin.count() === prod.count())
+  }
+
+  test("sanitise guard raises for collection-specific collections") {
+    import spark.implicits._
+    val line = Envelope.synthesize(spark, dir).limit(1)
+      .as[String].collect()(0)
+      .replace("\"db\":\"corp\"", "\"db\":\"penalties-and-deductions\"")
+      .replace("\"collection\":\"documents\"", "\"collection\":\"sanction\"")
+    val df = Ingest.pipeline(Seq(line).toDF("value"))
+    val e = intercept[Exception] { df.collect() }
+    assert(e.getMessage != null)
+  }
+
+  test("hive export shape prunes to the DDL columns") {
+    val shaped = HiveExport.exportShape(
+      Ingest.pipeline(Envelope.synthesize(spark, dir)),
+      "lang STRING, n_chars BIGINT")
+    assert(shaped.columns.toSeq === Seq("lang", "n_chars"))
+    assert(shaped.filter(col("lang").isNull).count() === 0)
+  }
+}
