@@ -9,7 +9,8 @@ object SparkEntry {
 
   /** Query blocks, in SURVEY §2 order. */
   private def blocks: Seq[QueryDef] =
-    Analytics.all ++ PipelineQueries.all
+    Analytics.all ++ PipelineQueries.all ++
+      graft.operators.Dedup.all ++ graft.operators.Ann.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QueryDef
+
+/** Block D — approximate-nearest-neighbor search over the embedding
+  * column (SURVEY.md §2.D).
+  *
+  * s_ann_brute is the correctness baseline: a BOUNDED query set is
+  * broadcast against the corpus (Q×N with Q small — the corpus is
+  * streamed once, never self-joined). s_ann_lsh is the scale path:
+  * random-hyperplane signatures put corpus and queries into buckets, the
+  * candidate join shuffles on the bucket key, and cosine is computed
+  * within buckets only. Both rank with one window over the (small)
+  * candidate set per query.
+  */
+object Ann {
+
+  private val NumQueries = 8
+  private val TopK = 10
+  // L tables × H hyperplanes each: 4×6 → 64 buckets/table, candidates
+  // from any table agreeing on all 6 signs.
+  private val Tables_ = 4
+  private val Hyper = 6
+  private val Dim = 64
+
+  /** Seeded deterministic hyperplanes, as literal array columns. */
+  private val planes: IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    IndexedSeq.fill(Tables_)(IndexedSeq.fill(Hyper)(Array.fill(Dim)(rnd.nextGaussian())))
+  }
+
+  private def vecCol: Column = col("embedding").cast("array<double>")
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), vecCol.as("v"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
+
+  private def queries(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+
+  private def ranked(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** D1: brute-force cosine top-k — broadcast the bounded query set,
+    * one streaming pass over the corpus, window-rank per query.
+    */
+  def sAnnBrute(s: SparkSession, d: String): DataFrame = {
+    val scored = corpus(s, d)
+      .crossJoin(broadcast(queries(s, d)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        Dedup.cosine(col("v"), col("qv"), col("nrm"), col("qnrm")))
+    ranked(scored)
+  }
+
+  /** signature bucket per table t: Hyper sign bits packed into an int. */
+  private def bucketCol(v: Column, t: Int): Column =
+    (0 until Hyper).map { h =>
+      val plane = array(planes(t)(h).map(lit(_)).toSeq: _*)
+      when(Dedup.dot(v, plane) > 0, 1 << h).otherwise(0)
+    }.reduce(_ + _)
+
+  /** (row, table, bucket) — L rows per vector (constant factor). */
+  private def withBuckets(df: DataFrame, v: Column): DataFrame =
+    df.select(df.columns.map(col).toSeq :+
+      explode(array((0 until Tables_).map(t =>
+        struct(lit(t).as("t"), bucketCol(v, t).as("bucket"))): _*)).as("tb"): _*)
+      .select(df.columns.map(col).toSeq :+ col("tb.t") :+ col("tb.bucket"): _*)
+
+  /** D2: random-hyperplane LSH ANN — the scale path. Candidates come
+    * from a shuffle join on (table, bucket); a 100 TB corpus never meets
+    * the queries outside shared buckets.
+    */
+  def sAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val c = withBuckets(corpus(s, d), col("v"))
+    val q = withBuckets(queries(s, d), col("qv"))
+    val candidates = c.join(q, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+      .dropDuplicates("query_id", "vec_id")
+    ranked(candidates.withColumn("cos",
+      Dedup.cosine(col("v"), col("qv"), col("nrm"), col("qnrm"))))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("s_ann_brute", sAnnBrute, None),
+    QueryDef("s_ann_lsh", sAnnLsh, None),
+  )
+}
