@@ -10,7 +10,9 @@ object SparkEntry {
   /** Query blocks, in SURVEY §2 order. */
   private def blocks: Seq[QueryDef] =
     Analytics.all ++ PipelineQueries.all ++
-      graft.operators.Dedup.all ++ graft.operators.Ann.all
+      graft.operators.Dedup.all ++ graft.operators.Ann.all ++
+      graft.operators.Text.all ++ graft.multimodal.Multimodal.all ++
+      graft.streaming.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

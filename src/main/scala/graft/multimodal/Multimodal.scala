@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QueryDef
+
+/** Block F — multimodal plumbing (SURVEY.md §2.F): media payloads
+  * travel as opaque `binary` columns with typed metadata alongside, and
+  * decode/feature-extraction runs batched per partition.
+  *
+  * The binary fixtures are the documents' UTF-8 bytes (this container
+  * has no image/audio codecs); the DECODE step is a clearly-marked
+  * deterministic stub. Everything Spark-side is real: schema, typed
+  * Dataset encoders, partition-preserving mapPartitions, and the
+  * batch-at-a-time shape a vectorized decoder (ONNX session, JNI codec)
+  * needs — `decodeBatch` is the single seam where a real model drops in.
+  */
+object Multimodal {
+
+  /** F1: binary columns + typed metadata — byte length and sha256 digest
+    * computed on the binary payload (codegen'd, SQL-oracled).
+    */
+  def mBinaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha"),
+        col("source"))
+
+  val mBinaryMetaSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |  sha256(text) AS sha, source
+      |FROM documents""".stripMargin
+
+  final case class BinaryRow(doc_id: Long, payload: Array[Byte])
+  final case class FeatureRow(doc_id: Long, n_bytes: Long, features: Array[Double])
+
+  /** STUB decode/feature-extract for one batch of payloads. A real
+    * implementation would hand `batch.map(_.payload)` to a vectorized
+    * decoder in one call; this fake derives 4 deterministic features
+    * from the bytes so the plumbing is testable end-to-end.
+    */
+  def decodeBatch(batch: Seq[BinaryRow]): Seq[FeatureRow] =
+    batch.map { r =>
+      val b = r.payload
+      FeatureRow(r.doc_id, b.length.toLong, Array(
+        b.length.toDouble,
+        if (b.nonEmpty) (b.head & 0xFF).toDouble else 0.0,
+        if (b.nonEmpty) (b.last & 0xFF).toDouble else 0.0,
+        b.foldLeft(0L)((a, x) => a + (x & 0xFF)).toDouble % 997))
+    }
+
+  val BatchSize = 64
+
+  /** F2: batched feature extraction over binary payloads — typed
+    * mapPartitions, `BatchSize` rows per decoder call, no shuffle
+    * (partition-preserving; parallelism = input partitioning).
+    */
+  def mFeatureStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => decodeBatch(g.toSeq)))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        round(element_at(col("features"), 4), 1).as("f_checksum"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
+    QueryDef("m_feature_stub", mFeatureStub, None),
+  )
+}

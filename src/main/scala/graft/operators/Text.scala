@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QueryDef
+
+/** Block E — text analysis for LLM-training pipelines (SURVEY.md §2.E).
+  * Everything is built-in-function columns (codegen'd, one pass over the
+  * scan); no UDFs. t_tokens/t_quality carry exact DuckDB SQL oracles;
+  * langid/fingerprint are rows-only (verified in OperatorsSpec instead).
+  */
+object Text {
+
+  private val Stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "for", "on", "with", "as")
+
+  private def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** E1: token counting — whitespace tokens + a BPE-ish pre-tokenizer
+    * regex (letter runs | digit runs | single non-alnum marks).
+    */
+  def tTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(words(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("re_tokens"),
+      length(col("text")).as("chars"))
+
+  val tTokensSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(text, '\s+'), w -> w != '')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+      |  length(text) AS chars
+      |FROM documents""".stripMargin
+
+  /** E2: quality scoring — length, punctuation density, stopword ratio,
+    * folded into one [0,1] score. Identical double arithmetic on both
+    * sides (same ops, same order), rounded to 6dp as a guard.
+    */
+  def tQuality(s: SparkSession, d: String): DataFrame = {
+    val w = words(lower(col("text")))
+    val nWords = size(w)
+    val stopHits = size(filter(w, x => x.isin(Stopwords: _*)))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      stopHits.as("stop_hits"),
+      punct.as("n_punct"),
+      round(
+        lit(0.4) * (stopHits.cast("double") / greatest(nWords, lit(1)))
+          + lit(0.3) * (lit(1.0) - punct.cast("double") / greatest(length(col("text")), lit(1)))
+          + lit(0.3) * least(lit(1.0), nWords.cast("double") / lit(100.0)),
+        6).as("quality"))
+  }
+
+  val tQualitySql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS n_words,
+      |  len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    w -> list_contains(['the','a','of','and','to','in','for','on','with','as'], w))) AS stop_hits,
+      |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+      |  round(
+      |    0.4 * (CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      w -> list_contains(['the','a','of','and','to','in','for','on','with','as'], w))) AS DOUBLE)
+      |      / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')), 1))
+      |    + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1))
+      |    + 0.3 * least(1.0, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS DOUBLE) / 100.0),
+      |  6) AS quality
+      |FROM documents""".stripMargin
+
+  /** char trigram hash set of a document (over a materialized codepoint
+    * array — same O(len) shape as Dedup.charGramHashes).
+    */
+  private def trigrams(chars: Column): Column =
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(chars) - 3, lit(0))),
+        i => xxhash64(concat(
+          element_at(chars, i + 1), element_at(chars, i + 2), element_at(chars, i + 3)))))
+
+  /** E3: language ID — per-language trigram profiles built FROM the
+    * corpus (top-64 trigrams by doc frequency per lang), each doc scored
+    * against every profile by trigram overlap, argmax wins. The profile
+    * side is tiny (langs × 64) and broadcast; the corpus is scanned
+    * twice (build + score), never joined to itself.
+    */
+  def tLangid(s: SparkSession, d: String): DataFrame = {
+    // RDD roundtrip = hard optimizer boundary. A mere repartition is NOT
+    // enough here: Catalyst pushes projections through exchanges and the
+    // trigram expression ends up inlined under the explode() below,
+    // where Generate re-evaluates it per OUTPUT row (measured 66s → 2.6s
+    // at sf0.1 with the boundary).
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), "").as("chars"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), trigrams(col("chars")).as("tris"))
+    val docs = s.createDataFrame(staged.rdd, staged.schema)
+
+    val profiles = docs
+      .select(col("lang"), explode(col("tris")).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("df").desc, col("tri"))))
+      .filter(col("rk") <= 64)
+      .groupBy(col("lang").as("cand_lang"))
+      .agg(collect_list(col("tri")).as("profile"))
+
+    val scored = docs.crossJoin(broadcast(profiles))
+      .select(col("doc_id"), col("lang"), col("cand_lang"),
+        size(array_intersect(col("tris"), col("profile"))).as("overlap"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("overlap").desc, col("cand_lang"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"),
+        col("cand_lang").as("predicted"),
+        (col("cand_lang") === col("lang")).as("hit"))
+  }
+
+  /** E4: document fingerprint — order-sensitive rolling hash chained as
+    * h' = xxhash64(h, word) in a single fold (no overflow under ANSI,
+    * one pass, pure projection).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(words(text), lit(0L), (acc, w) => xxhash64(acc, w))
+
+  def tFingerprint(s: SparkSession, d: String): DataFrame =
+    Dedup.corpusWithExactDups(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("t_tokens", tTokens, Some(tTokensSql)),
+    QueryDef("t_quality", tQuality, Some(tQualitySql)),
+    QueryDef("t_langid", tLangid, None),
+    QueryDef("t_fingerprint", tFingerprint, None),
+  )
+}

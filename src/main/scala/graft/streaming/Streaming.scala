@@ -1,0 +1,173 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+import graft.queries.QueryDef
+import graft.queries.QueryDef.dec
+
+/** Block G — Structured Streaming (SURVEY.md §2.G).
+  *
+  * Both operators run as real streaming queries (file source →
+  * Trigger.AvailableNow → memory sink) and have exact batch twins; the
+  * driver's DuckDB oracle checks the batch-equivalent SQL, and the
+  * ScalaTest specs check streaming == batch on the same input. Event
+  * time comes from the data (watermark declared; AvailableNow processes
+  * the backlog in one pass).
+  */
+object Streaming {
+
+  /** events.parquet as a stream: explicit schema (streams can't infer),
+    * TIMESTAMP(NANOS) read as long and truncated to micros — same
+    * contract as Tables.events.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // the streaming file source monitors a DIRECTORY; the fixture is a
+    // single file, so expose it through a stable symlink directory
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_events_" + math.abs(d.hashCode).toString)
+    if (!java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    }
+    s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToMemory(streamed: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamed.sparkSession.table(name)
+  }
+
+  /** Tumbling-window transform shared by the stream and its batch twin. */
+  def windowAggTransform(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("double").as("total"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("cnt"), col("total"))
+
+  /** G1: tumbling-window event counts, run as a real streaming query. */
+  def stWindowAgg(s: SparkSession, d: String): DataFrame =
+    runToMemory(windowAggTransform(eventsStream(s, d)),
+      "st_window_agg_mem", OutputMode.Complete())
+
+  val stWindowAggSql: String =
+    """SELECT date_trunc('hour', ts) AS ws, event_type,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** G2 batch twin: gap-based sessionization (30 min) via lag + running
+    * sum of session starts — integer microsecond math on both sides so
+    * the DuckDB oracle is exact.
+    */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  def stSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) > SessionGapUs
+          || lag(col("us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+
+  }
+
+  val stSessionizeSql: String =
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM (
+      |  SELECT user_id, ts, SUM(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+      |             PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |           OR LAG(epoch_us(ts), 1) OVER (
+      |             PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  // ---- streaming sessionize (flatMapGroupsWithState) — spec twin ----
+
+  final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp)
+
+  /** Timestamp → epoch micros (getTime is ms-precision; the sub-second
+    * part lives in getNanos — events carry real microseconds).
+    */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  /** Per-user custom state: carries the session counter and last seen
+    * event time across invocations; emits closed sessions. With
+    * AvailableNow on a bounded source every group arrives in one batch,
+    * so all sessions close at the end of it — the state handling is
+    * still the real production shape for an unbounded stream.
+    */
+  def sessionizeStreaming(s: SparkSession, d: String): Dataset[SessionRow] = {
+    import s.implicits._
+    eventsStream(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), SessionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, events: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var (sessionId, lastUs) = state.getOption.getOrElse((0L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Ev])]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            // lastUs == -1 marks fresh state (a sentinel subtraction of
+            // Long.MinValue would overflow)
+            if (lastUs < 0 || us - lastUs > SessionGapUs) {
+              sessionId += 1
+              out += ((sessionId, Seq(e)))
+            } else {
+              out(out.length - 1) = (sessionId, out.last._2 :+ e)
+            }
+            lastUs = us
+          }
+          state.update((sessionId, lastUs))
+          out.iterator.map { case (sid, evs) =>
+            SessionRow(user, sid, evs.length,
+              evs.map(_.ts).min(Ordering.by(micros)),
+              evs.map(_.ts).max(Ordering.by(micros)))
+          }
+      }
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
+    QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
+  )
+}

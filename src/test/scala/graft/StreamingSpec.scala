@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.operators.Text
+import graft.streaming.Streaming
+
+/** Blocks E/F/G specs: streaming results equal their batch twins; text
+  * and multimodal operators behave deterministically.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("st_window_agg streaming result equals batch twin") {
+    val streamed = Streaming.stWindowAgg(spark, sfDir)
+    val batch = Streaming.windowAggTransform(Tables.events(spark, sfDir))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.count() > 0)
+  }
+
+  test("st_sessionize flatMapGroupsWithState equals the window-cumsum batch twin") {
+    import spark.implicits._
+    val streamedDs = Streaming.sessionizeStreaming(spark, sfDir)
+    val q = streamedDs.writeStream.format("memory")
+      .queryName("sessionize_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sessionize_mem")
+      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+    val batch = Streaming.stSessionize(spark, sfDir)
+      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(batch.count() > 0)
+  }
+
+  test("t_fingerprint: byte-identical docs share a fingerprint, others don't collide") {
+    val fps = Text.tFingerprint(spark, sfDir)
+    val dups = fps.filter(col("doc_id") >= 1000000L)
+      .withColumn("orig_id", col("doc_id") - 1000000L)
+    val joined = dups.as("d").join(fps.as("o"),
+      col("d.orig_id") === col("o.doc_id"))
+    assert(joined.filter(col("d.fp") =!= col("o.fp")).count() === 0)
+    // distinct docs should essentially never collide (64-bit chain hash)
+    val base = fps.filter(col("doc_id") < 1000000L)
+    assert(base.select("fp").distinct().count() === base.count())
+  }
+
+  test("t_langid emits one prediction per doc from the candidate set") {
+    val out = Text.tLangid(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.count() === docs.count())
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(out.select("predicted").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(langs))
+  }
+
+  test("m_feature_stub: deterministic features, every doc exactly once") {
+    val a = Multimodal.mFeatureStub(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = Multimodal.mFeatureStub(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === Tables.documents(spark, sfDir).count())
+    // n_bytes matches the payload length contract
+    assert(a.forall(_._2 > 0))
+  }
+
+  test("decodeBatch batch shape: grouped(64) never exceeds the batch size") {
+    val rows = (1 to 150).map(i =>
+      Multimodal.BinaryRow(i.toLong, Array.fill(8)(i.toByte)))
+    val batches = rows.grouped(Multimodal.BatchSize).toSeq
+    assert(batches.forall(_.length <= Multimodal.BatchSize))
+    assert(batches.map(_.length).sum === 150)
+    val out = batches.flatMap(Multimodal.decodeBatch)
+    assert(out.length === 150)
+    assert(out.map(_.doc_id) === rows.map(_.doc_id))
+  }
+}
