@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * The reference keeps one latest record per (id_part, id) with
   * `row_number().over(Window.partitionBy(...).orderBy(...)) == 1` — a
-  * full shuffle + SORT of every record. The production path here is
-  * `groupBy(keys).agg(max_by(struct(cols), orderKey))`: same semantics,
-  * but a hash aggregate with map-side partial aggregation — one shuffle
-  * of pre-combined partials and no sort. At 100 TB the difference is the
-  * sort spill of the entire dataset. The window variant is kept for
-  * oracle/spec cross-checking.
+  * full shuffle of every record followed by a per-partition sort on
+  * (key, order). The production path here is
+  * `groupBy(keys).agg(max_by(struct(cols), orderKey))`: same semantics
+  * with map-side PARTIAL aggregation — the shuffle carries one
+  * pre-combined row per key per input partition instead of every
+  * record. (Spark plans it as SortAggregate because the max_by buffer
+  * is a struct; the sort is by grouping key only, on the already-
+  * collapsed partials — at 100 TB the win is the shuffle volume.) The
+  * window variant is kept for oracle/spec cross-checking.
   */
 object Snapshot {
 
