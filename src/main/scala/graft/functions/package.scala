@@ -52,4 +52,12 @@ package object functions {
   /** 2-char partition prefix of the (inner) id. */
   def uc_id_part(id: Column): Column =
     toCol(UcIdPart(toExpr(id)))
+
+  /** Single-pass dot product over two array<double> columns. */
+  def vec_dot(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** Single-pass fused cosine similarity over two array<double> columns. */
+  def vec_cosine(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
 }

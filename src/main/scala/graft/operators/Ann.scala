@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{vec_cosine, vec_dot}
 import graft.queries.QueryDef
 
 /** Block D — approximate-nearest-neighbor search over the embedding
@@ -39,11 +40,10 @@ object Ann {
   private def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), vecCol.as("v"))
-      .withColumn("nrm", sqrt(Dedup.dot(col("v"), col("v"))))
 
   private def queries(s: SparkSession, d: String): DataFrame =
     corpus(s, d).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   private def ranked(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
@@ -62,8 +62,7 @@ object Ann {
     val scored = corpus(s, d)
       .crossJoin(broadcast(queries(s, d)))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        Dedup.cosine(col("v"), col("qv"), col("nrm"), col("qnrm")))
+      .withColumn("cos", vec_cosine(col("v"), col("qv")))
     ranked(scored)
   }
 
@@ -71,7 +70,7 @@ object Ann {
   private def bucketCol(v: Column, t: Int): Column =
     (0 until Hyper).map { h =>
       val plane = array(planes(t)(h).map(lit(_)).toSeq: _*)
-      when(Dedup.dot(v, plane) > 0, 1 << h).otherwise(0)
+      when(vec_dot(v, plane) > 0, 1 << h).otherwise(0)
     }.reduce(_ + _)
 
   /** (row, table, bucket) — L rows per vector (constant factor). */
@@ -90,10 +89,9 @@ object Ann {
     val q = withBuckets(queries(s, d), col("qv"))
     val candidates = c.join(q, Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+      .select("query_id", "qv", "vec_id", "v")
       .dropDuplicates("query_id", "vec_id")
-    ranked(candidates.withColumn("cos",
-      Dedup.cosine(col("v"), col("qv"), col("nrm"), col("qnrm"))))
+    ranked(candidates.withColumn("cos", vec_cosine(col("v"), col("qv"))))
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -236,23 +236,18 @@ object Dedup {
           (x, i) => when(i === 0, x + lit(0.05)).otherwise(x))))
   }
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
-
   /** C5: embedding-cosine near-dup pairs, label-blocked (the shuffle key
     * is the block; an unblocked corpus would use s_ann_lsh buckets).
+    * Cosine is the fused codegen'd expression (graft.functions
+    * .vec_cosine) — one allocation-free pass per pair.
     */
   def dEmbedCos(s: SparkSession, d: String): DataFrame = {
     val emb = corpusWithNearVectors(s, d)
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     emb.as("x")
       .join(emb.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        round(cosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")), 4).as("cos"))
+        round(graft.functions.vec_cosine(col("x.v"), col("y.v")), 4).as("cos"))
       .filter(col("cos") >= 0.95)
   }
 
