@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL orchestration — the reference's HiveService (steps/hive.py):
+  * skip-blank query execution, CREATE DATABASE IF NOT EXISTS, and
+  * `#{hivevar:...}`-style interpolation with multi-statement split.
+  * Statements run through the session's native catalog (`USING` table
+  * syntax rather than Hive `STORED AS` — orchestration shape is the
+  * contract, serde is deployment detail).
+  */
+final class SqlRunner(spark: SparkSession) {
+  def executeQueries(queries: Seq[String]): Unit =
+    queries.foreach { q => if (q != null && q.trim.nonEmpty) spark.sql(q) }
+
+  def createDatabaseIfNotExist(db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+
+  /** Interpolate `#{key}` placeholders then execute (splitting on ';'
+    * when the text holds multiple statements — hive.py:33-50).
+    */
+  def executeWithInterpolation(sql: String, interpolation: Map[String, String] = Map.empty): Unit = {
+    val content = interpolation.foldLeft(sql) { case (acc, (k, v)) => acc.replace(k, v) }
+    if (content.count(_ == ';') > 1) executeQueries(content.split(";").toSeq)
+    else spark.sql(content)
+  }
+}
+
+/** Run-status bookkeeping — the reference's DynamoDBHelper
+  * (steps/dynamodb.py): one row per (correlation_id, data_product) with
+  * IN_PROGRESS/COMPLETED/FAILED transitions, created on first write and
+  * updated in place afterwards. The store is pluggable (the deployment
+  * would back it with a KV service); the in-memory impl keeps the same
+  * create-then-update semantics and field shape for specs.
+  */
+object StatusStore {
+  val InProgress = "IN_PROGRESS"
+  val Completed = "COMPLETED"
+  val Failed = "FAILED"
+}
+
+trait StatusStore {
+  def getStatus(correlationId: String, dataProduct: String): Option[String]
+  def updateStatus(correlationId: String, dataProduct: String, status: String,
+      exportDate: String, extra: Map[String, String] = Map.empty): Unit
+}
+
+final class InMemoryStatusStore extends StatusStore {
+  final case class Entry(status: String, exportDate: String, extra: Map[String, String])
+  val rows: mutable.LinkedHashMap[(String, String), Entry] = mutable.LinkedHashMap.empty
+  val history: mutable.ArrayBuffer[(String, String, String)] = mutable.ArrayBuffer.empty
+
+  override def getStatus(correlationId: String, dataProduct: String): Option[String] =
+    rows.get((correlationId, dataProduct)).map(_.status)
+      .filter(Set(StatusStore.InProgress, StatusStore.Completed, StatusStore.Failed))
+
+  override def updateStatus(correlationId: String, dataProduct: String, status: String,
+      exportDate: String, extra: Map[String, String] = Map.empty): Unit = {
+    val key = (correlationId, dataProduct)
+    val merged = rows.get(key) match {
+      case Some(e) => e.copy(status = status, extra = e.extra ++ extra)
+      case None => Entry(status, exportDate, extra)
+    }
+    rows.update(key, merged)
+    history += ((dataProduct, exportDate, status))
+  }
+}
+
+/** The reference's driver loop (corporate_data_ingestion.py:80-117):
+  * iterate the export-date range; per date mark IN_PROGRESS, read the
+  * layout-addressed source prefix
+  * `<root>/<YYYY>/<MM>/<DD>/<db>/<collection>/` (for export date D the
+  * data prefix is D-1 — ingesters.py:63-72), run the pipeline, mark
+  * COMPLETED, or mark FAILED and rethrow.
+  */
+final class Runner(
+    spark: SparkSession,
+    status: StatusStore,
+    keys: KeyService = KeyService.identity,
+    correlationId: String = "local") {
+
+  /** corporate_storage layout prefix for one export date's data. */
+  def sourcePrefix(root: String, exportDate: String, db: String, collection: String): String = {
+    val prev = java.time.LocalDate.parse(exportDate).minusDays(1)
+    f"$root/${prev.getYear}%04d/${prev.getMonthValue}%02d/${prev.getDayOfMonth}%02d/$db/$collection"
+  }
+
+  /** Process one export date end-to-end: envelope JSONL → processed
+    * records with daily-increment columns.
+    */
+  def runDate(root: String, exportDate: String, db: String, collection: String): DataFrame = {
+    val lines = spark.read.text(sourcePrefix(root, exportDate, db, collection))
+    Ingest.dailyIncrement(Ingest.pipeline(lines, keys), exportDate)
+  }
+
+  /** Date-range loop with status transitions; failures mark FAILED for
+    * the failing date and propagate (same contract as the reference).
+    */
+  def runRange(root: String, startDate: String, endDate: String,
+      db: String, collection: String, outRoot: String): Unit = {
+    val dataProduct = s"CDI-$db:$collection"
+    val start = java.time.LocalDate.parse(startDate)
+    val end = java.time.LocalDate.parse(endDate)
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end)).foreach { d =>
+      val exportDate = d.toString
+      status.updateStatus(correlationId, dataProduct, StatusStore.InProgress, exportDate)
+      try {
+        Ingest.writeDaily(runDate(root, exportDate, db, collection), outRoot)
+        status.updateStatus(correlationId, dataProduct, StatusStore.Completed, exportDate)
+      } catch {
+        case e: Throwable =>
+          status.updateStatus(correlationId, dataProduct, StatusStore.Failed, exportDate)
+          throw e
+      }
+    }
+  }
+}
+
+/** businessAudit Hive publication (ingesters.py:140-205 distilled):
+  * daily JSONL lands as text; a raw external table is declared over it,
+  * INSERT OVERWRITE copies the partition into the managed raw table,
+  * and the external table is dropped — re-expressed against the native
+  * catalog.
+  */
+object AuditPublish {
+  def writeAuditDaily(processed: DataFrame, path: String): Unit =
+    processed.select(col("val")).write.mode("overwrite").text(path)
+
+  def publishRaw(spark: SparkSession, db: String, dailyPath: String, exportDate: String): Unit = {
+    val sql = new SqlRunner(spark)
+    sql.createDatabaseIfNotExist(db)
+    sql.executeWithInterpolation(
+      s"""CREATE TABLE IF NOT EXISTS $db.auditlog_raw (val STRING, date_str STRING)
+         |USING PARQUET PARTITIONED BY (date_str)""".stripMargin)
+    val ext = s"auditlog_raw_${exportDate.replace("-", "_")}"
+    sql.executeWithInterpolation(
+      s"""DROP TABLE IF EXISTS $db.$ext;
+         |CREATE TABLE $db.$ext (val STRING) USING TEXT LOCATION '#{location}';
+         |INSERT OVERWRITE TABLE $db.auditlog_raw PARTITION (date_str = '#{date}')
+         |  SELECT val FROM $db.$ext;
+         |DROP TABLE IF EXISTS $db.$ext""".stripMargin,
+      Map("#{location}" -> dailyPath, "#{date}" -> exportDate))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/** Driver-loop, status-store and audit-publication specs (reference:
+  * corporate_data_ingestion.py:80-117, dynamodb.py, hive.py,
+  * ingesters.py:140-205).
+  */
+class OrchestrationSpec extends SparkSpec {
+
+  /** Write envelope fixtures into the corporate_storage layout for the
+    * data date PRECEDING each export date.
+    */
+  private def layoutFixtures(root: String, exportDates: Seq[String]): Unit =
+    exportDates.foreach { ed =>
+      val prev = java.time.LocalDate.parse(ed).minusDays(1)
+      val dir = f"$root/${prev.getYear}%04d/${prev.getMonthValue}%02d/${prev.getDayOfMonth}%02d/corp/documents"
+      Envelope.synthesize(spark, sfDir).write.mode("overwrite").text(dir)
+    }
+
+  test("runRange processes each date, tracks IN_PROGRESS→COMPLETED, writes daily layout") {
+    val root = Files.createTempDirectory("graft_corp").toString
+    val out = Files.createTempDirectory("graft_daily_out").toString
+    layoutFixtures(root, Seq("2021-06-15", "2021-06-16"))
+
+    val store = new InMemoryStatusStore
+    new Runner(spark, store).runRange(root, "2021-06-15", "2021-06-16",
+      "corp", "documents", out)
+
+    assert(store.getStatus("local", "CDI-corp:documents") === Some(StatusStore.Completed))
+    assert(store.history.toSeq === Seq(
+      ("CDI-corp:documents", "2021-06-15", StatusStore.InProgress),
+      ("CDI-corp:documents", "2021-06-15", StatusStore.Completed),
+      ("CDI-corp:documents", "2021-06-16", StatusStore.InProgress),
+      ("CDI-corp:documents", "2021-06-16", StatusStore.Completed)))
+
+    // dynamic-partition layout holds both dates
+    val back = spark.read.parquet(out)
+    val days = back.select("export_day").distinct().collect().map(_.getInt(0)).toSet
+    assert(days === Set(15, 16))
+    assert(back.count() === Tables.documents(spark, sfDir).count() * 2)
+  }
+
+  test("runRange marks FAILED and rethrows when a date's data is missing") {
+    val root = Files.createTempDirectory("graft_corp_fail").toString
+    val out = Files.createTempDirectory("graft_daily_fail").toString
+    layoutFixtures(root, Seq("2021-06-15")) // 16th missing
+
+    val store = new InMemoryStatusStore
+    intercept[Exception] {
+      new Runner(spark, store).runRange(root, "2021-06-15", "2021-06-16",
+        "corp", "documents", out)
+    }
+    assert(store.history.last === ("CDI-corp:documents", "2021-06-16", StatusStore.Failed))
+    assert(store.getStatus("local", "CDI-corp:documents") === Some(StatusStore.Failed))
+  }
+
+  test("status store keeps create-then-update semantics with extra fields") {
+    val store = new InMemoryStatusStore
+    assert(store.getStatus("c", "p") === None)
+    store.updateStatus("c", "p", StatusStore.InProgress, "2021-01-01",
+      Map("S3_Prefix_CDI_Export" -> "exports/x"))
+    store.updateStatus("c", "p", StatusStore.Completed, "2021-01-01")
+    val entry = store.rows(("c", "p"))
+    assert(entry.status === StatusStore.Completed)
+    // extras survive later updates (dynamodb.py AttributeUpdates semantics)
+    assert(entry.extra("S3_Prefix_CDI_Export") === "exports/x")
+    assert(entry.exportDate === "2021-01-01")
+  }
+
+  test("audit publish: external-over-text → INSERT OVERWRITE managed raw → drop") {
+    // fresh session + leftover warehouse dir from a prior JVM → clean both
+    spark.sql("DROP DATABASE IF EXISTS uc_dw_auditlog_test CASCADE")
+    val leftover = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        + "/uc_dw_auditlog_test.db")
+    if (leftover.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(leftover)
+    }
+    val daily = Files.createTempDirectory("graft_audit_daily").toString
+    val processed = Ingest.pipeline(Envelope.synthesizeAudit(spark, sfDir))
+    AuditPublish.writeAuditDaily(processed, daily)
+
+    AuditPublish.publishRaw(spark, "uc_dw_auditlog_test", daily, "2021-06-15")
+    val raw = spark.table("uc_dw_auditlog_test.auditlog_raw")
+    assert(raw.filter(col("date_str") === "2021-06-15").count() === processed.count())
+    // the dated external table was dropped after the copy
+    assert(!spark.catalog.tableExists("uc_dw_auditlog_test.auditlog_raw_2021_06_15"))
+    // publish is idempotent per partition (INSERT OVERWRITE)
+    AuditPublish.publishRaw(spark, "uc_dw_auditlog_test", daily, "2021-06-15")
+    assert(spark.table("uc_dw_auditlog_test.auditlog_raw")
+      .filter(col("date_str") === "2021-06-15").count() === processed.count())
+  }
+}
