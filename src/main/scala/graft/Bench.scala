@@ -22,6 +22,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session/codegen warmup so the first measured query isn't charged
+    // for JVM startup, codegen compilation and FS metadata priming
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").write
+        .format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
