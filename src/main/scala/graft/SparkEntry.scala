@@ -14,9 +14,16 @@ object SparkEntry {
       graft.operators.Text.all ++ graft.multimodal.Multimodal.all ++
       graft.streaming.Streaming.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full CDI read path: synthesize encrypted envelopes → parse →
+    * key-resolve → AES-CTR decrypt → validate → sanitise → derived
+    * daily-increment columns.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q3JoinTopk(spark, "/root/testdata/sf0.001")
+    graft.pipeline.Ingest.dailyIncrement(
+      graft.pipeline.Ingest.pipeline(
+        graft.pipeline.Envelope.synthesize(spark, "/root/testdata/sf0.001")),
+      "2021-06-15")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

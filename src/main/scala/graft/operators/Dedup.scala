@@ -83,12 +83,13 @@ object Dedup {
       (acc, h) => zip_with(acc, sequence(lit(0), lit(NumPerm - 1)),
         (m, j) => least(m, xxhash64(h, j))))
 
-  /** Exchange barrier. CollapseProject re-inlines an aliased expression
-    * into EVERY downstream reference — for a 32-wide signature referenced
-    * 32 times that turns a linear computation into a multiplicative
-    * blowup (measured 238s vs 2s on 5k docs). A repartition materializes
-    * the projection exactly once per row; the shuffled payload is just
-    * (id, signature), and the rows were headed into a shuffle join anyway.
+  /** Exchange barrier after signature projections: materializes the
+    * projection once per row (the alternative — inline expressions —
+    * gets re-inlined into every downstream reference and re-evaluated
+    * per lambda/Generate element; d_minhash_lsh measured 538s vs 2.9s
+    * at sf0.1). Where join-null-filter pushdown still substitutes the
+    * expression below this exchange, use graft.Stage.barrier instead
+    * (hard boundary, at the price of a row ser/deser).
     */
   private def materialized(df: DataFrame): DataFrame =
     df.repartition(col(df.columns.head))
@@ -161,7 +162,7 @@ object Dedup {
     * multi-probe instead of paying 8× bucket rows this coarse.
     */
   def dSimhash(s: SparkSession, d: String): DataFrame = {
-    val sh = materialized(Tables.documents(s, d)
+    val sh = graft.Stage.barrier(Tables.documents(s, d)
       .select(col("doc_id"), simhashExpr("text").as("simhash")))
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 8).map(b =>
