@@ -94,8 +94,74 @@ object Ann {
     ranked(candidates.withColumn("cos", vec_cosine(col("v"), col("qv"))))
   }
 
+  // ---- IVF (inverted-file) ANN: coarse k-means quantizer ----
+
+  private val Cells = 16
+  private val LloydIters = 3
+  private val Probes = 3
+
+  /** Train the coarse quantizer with a few Lloyd iterations, entirely
+    * as DataFrame ops: assignment is a broadcast of the (tiny) centroid
+    * set + argmin over cells; the update is one groupBy-avg per
+    * dimension. Init is deterministic (first `Cells` vectors by id).
+    * Centroids come back to the driver — k×dim doubles, bounded.
+    */
+  private def trainCentroids(c: DataFrame): Array[(Int, Seq[Double])] = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    var centroids = c.orderBy("vec_id").limit(Cells).select("v")
+      .as[Seq[Double]].collect().zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+    (1 to LloydIters).foreach { _ =>
+      val assigned = assignCells(c, centroids, probes = 1)
+      centroids = assigned
+        .groupBy(col("cell"))
+        .agg(array((0 until Dim).map(i =>
+          avg(element_at(col("v"), i + 1))): _*).as("centroid"))
+        .select(col("cell"), col("centroid"))
+        .as[(Int, Seq[Double])].collect()
+    }
+    centroids
+  }
+
+  /** Assign each row to its `probes` nearest cells (L2 on the
+    * broadcast-literal centroids). probes=1 for corpus build, >1 for
+    * query-side multi-probe.
+    */
+  private def assignCells(df: DataFrame, centroids: Array[(Int, Seq[Double])],
+      probes: Int): DataFrame = {
+    val dists = array(centroids.sortBy(_._1).map { case (i, cv) =>
+      val c = array(cv.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        lit(i).as("cell"))
+    }.toSeq: _*)
+    val probed = slice(array_sort(dists), 1, probes)
+    df.withColumn("cell", explode(transform(probed, p => p.getField("cell"))))
+  }
+
+  /** D2b: IVF ANN — the other scale path. The corpus is bucketed by its
+    * nearest centroid (one pass, stored that way in production); queries
+    * probe their `Probes` nearest cells; cosine runs only within probed
+    * cells via a shuffle join on the cell id.
+    */
+  def sAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val centroids = trainCentroids(c)
+    val bucketed = assignCells(c, centroids, probes = 1)
+    val probedQueries = assignCells(
+      queries(s, d).withColumnRenamed("qv", "v"), centroids, Probes)
+      .withColumnRenamed("v", "qv")
+    val candidates = bucketed.join(probedQueries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qv", "vec_id", "v")
+      .dropDuplicates("query_id", "vec_id")
+    ranked(candidates.withColumn("cos", vec_cosine(col("v"), col("qv"))))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_ann_brute", sAnnBrute, None),
     QueryDef("s_ann_lsh", sAnnLsh, None),
+    QueryDef("s_ann_ivf", sAnnIvf, None),
   )
 }

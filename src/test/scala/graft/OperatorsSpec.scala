@@ -80,6 +80,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s_ann_ivf: valid ranks, overlaps brute-force top-k") {
+    val brute = Ann.sAnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.sAnnIvf(spark, sfDir)
+      .select("query_id", "rank", "neighbor_id").collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+    }
+    val pairs = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((pairs & brute).nonEmpty, "IVF shares no neighbors with brute force")
+  }
+
   test("s_ann_lsh: candidates only, overlaps brute-force top-k") {
     val brute = Ann.sAnnBrute(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
