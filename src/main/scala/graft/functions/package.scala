@@ -60,4 +60,10 @@ package object functions {
   /** Single-pass fused cosine similarity over two array<double> columns. */
   def vec_cosine(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  /** |A ∩ B| for two SORTED distinct array<bigint> columns (linear
+    * merge, no per-call hash set — jaccard verify at pair volume).
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
 }

@@ -59,7 +59,7 @@ object Dedup {
     * sliding window lives in the accumulator.
     */
   private def shingleHashes(textCol: String): Column = expr(
-    s"""array_distinct(aggregate(
+    s"""array_sort(array_distinct(aggregate(
        |  filter(split($textCol, '\\\\s+'), w -> w != ''),
        |  struct(CAST('' AS STRING) AS w1, CAST('' AS STRING) AS w2,
        |         CAST(array() AS ARRAY<BIGINT>) AS hs, 0 AS n),
@@ -68,7 +68,7 @@ object Dedup {
        |         THEN array_append(acc.hs, xxhash64(concat_ws(' ', acc.w2, acc.w1, w)))
        |         ELSE acc.hs END AS hs,
        |    acc.n + 1 AS n),
-       |  acc -> acc.hs))""".stripMargin)
+       |  acc -> acc.hs)))""".stripMargin)
 
   /** 32-wide MinHash signature over the shingle-hash array: permutation
     * family is xxhash64(shingleHash, permIndex) — independent 64-bit
@@ -127,9 +127,13 @@ object Dedup {
     candidates
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // shingle sets are sorted+distinct: linear-merge intersection,
+      // |A∪B| = |A|+|B|-|A∩B| (no per-pair hash set allocs)
+      .withColumn("inter",
+        graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 3))
+        round(col("inter").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 3))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
   }
@@ -189,12 +193,12 @@ object Dedup {
     * indexing with element_at is O(len).
     */
   private def charGramHashes(chars: Column): Column =
-    array_distinct(
+    array_sort(array_distinct(
       transform(sequence(lit(0), greatest(size(chars) - 5, lit(0))),
         i => xxhash64(concat(
           element_at(chars, i + 1), element_at(chars, i + 2),
           element_at(chars, i + 3), element_at(chars, i + 4),
-          element_at(chars, i + 5)))))
+          element_at(chars, i + 5))))))
 
   /** C4: n-gram jaccard within (lang, source) blocks — block join keeps
     * candidate generation off the full cross product; at corpus scale the
@@ -216,8 +220,12 @@ object Dedup {
           && least(col("x.ng"), col("y.ng")).cast("double")
             / greatest(col("x.ng"), col("y.ng")) >= 0.6)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        round(size(array_intersect(col("x.grams"), col("y.grams"))).cast("double")
-          / size(array_union(col("x.grams"), col("y.grams"))), 3).as("jaccard"))
+        graft.functions.sorted_intersect_count(col("x.grams"), col("y.grams"))
+          .as("inter"),
+        col("x.ng").as("ng_a"), col("y.ng").as("ng_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double")
+          / (col("ng_a") + col("ng_b") - col("inter")), 3).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
   }
 
