@@ -13,6 +13,13 @@ class PipelineSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("SparkEntry.entry flagship returns rows (driver smoke contract)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq === Seq("id", "id_part", "export_year",
+      "export_month", "export_day", "db_type", "val"))
+  }
+
   test("KeyService resolves each distinct key exactly once (dks cache parity)") {
     var calls = 0
     val counting = new KeyService(k => { calls += 1; k })
