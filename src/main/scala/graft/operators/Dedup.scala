@@ -260,8 +260,33 @@ object Dedup {
       .filter(col("cos") >= 0.95)
   }
 
+  /** C1b: the APPLICATION of exact dedup — the surviving corpus (keeper
+    * row per content group), i.e. what a training pipeline feeds
+    * downstream. Left-semi join of the corpus against the keeper set.
+    */
+  def dExactKeep(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusWithExactDups(s, d)
+    val keepers = corpus
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    corpus.join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  val dExactKeepSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 7 = 0
+      |)
+      |SELECT doc_id, lang, source, n_chars FROM corpus
+      |WHERE doc_id IN (SELECT MIN(doc_id) FROM corpus GROUP BY md5(text))""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
+    QueryDef("d_exact_keep", dExactKeep, Some(dExactKeepSql)),
     QueryDef("d_minhash_lsh", dMinhashLsh, None),
     QueryDef("d_simhash", dSimhash, None),
     QueryDef("d_ngram_jaccard", dNgramJaccard, None),

@@ -148,7 +148,45 @@ object Text {
     Dedup.corpusWithExactDups(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** E5: the composed training-data prep flow — quality gate → exact
+    * dedup (keep-min) → per-language corpus accounting. Each stage is
+    * the same logic as its standalone operator; the point is that the
+    * whole chain stays one declarative plan (scan → project → filter →
+    * two hash aggs) with no materialization between stages.
+    */
+  def tCorpusPrep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_words",
+        size(filter(split(lower(col("text")), "\\s+"), w => w =!= "")))
+      .filter(col("n_words") >= 20)
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
+  val tCorpusPrepSql: String =
+    """WITH gated AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, text, lang, n_chars,
+      |      len(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS n_words
+      |    FROM documents
+      |  ) WHERE n_words >= 20
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM gated
+      |WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))
+      |GROUP BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
     QueryDef("t_tokens", tTokens, Some(tTokensSql)),
     QueryDef("t_quality", tQuality, Some(tQualitySql)),
     QueryDef("t_langid", tLangid, None),
