@@ -28,6 +28,13 @@ import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectM
   *  - canonical output: compact separators, keys sorted, non-ASCII kept
   *    raw (python json.dumps(..., ensure_ascii=False, separators=(',',':'),
   *    sort_keys=True)).
+  *
+  * Known parity limitation: float literals in EXPONENT form ("1e9")
+  * re-render as parsed BigDecimal text ("1E+9"), while python would
+  * render repr(float) ("1000000000.0"). Plain decimal literals —
+  * everything the reference's business records contain — round-trip
+  * byte-exact; replicating python's shortest-round-trip float repr is
+  * out of scope until a collection needs it.
   */
 object UcJson {
   private val F = JsonNodeFactory.instance

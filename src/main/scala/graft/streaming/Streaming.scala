@@ -166,8 +166,29 @@ object Streaming {
       }
   }
 
+  /** G3: streaming exact dedup — dropDuplicates on the content key
+    * inside the stream (state-backed; a production deployment bounds
+    * state with dropDuplicatesWithinWatermark), then a running count per
+    * event_type. Run as a real streaming query; the oracle is the exact
+    * batch-distinct twin.
+    */
+  def stDedup(s: SparkSession, d: String): DataFrame = {
+    val streamed = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users"))
+    runToMemory(streamed, "st_dedup_mem", OutputMode.Complete())
+  }
+
+  val stDedupSql: String =
+    """SELECT event_type, COUNT(*) AS n_unique_users
+      |FROM (SELECT DISTINCT user_id, event_type FROM events)
+      |GROUP BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
+    QueryDef("st_dedup", stDedup, Some(stDedupSql)),
   )
 }
