@@ -37,6 +37,15 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("streaming queries are rerunnable within one session (memory sink name reuse)") {
+    val a = Streaming.stWindowAgg(spark, sfDir).count()
+    val b = Streaming.stWindowAgg(spark, sfDir).count()
+    assert(a === b && a > 0)
+    val c = Streaming.stDedup(spark, sfDir).count()
+    val e = Streaming.stDedup(spark, sfDir).count()
+    assert(c === e && c > 0)
+  }
+
   test("t_fingerprint: byte-identical docs share a fingerprint, others don't collide") {
     val fps = Text.tFingerprint(spark, sfDir)
     val dups = fps.filter(col("doc_id") >= 1000000L)
