@@ -185,8 +185,56 @@ object Text {
       |WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))
       |GROUP BY lang""".stripMargin
 
+  /** E6: winnowing fingerprints (MOSS-style) — positional word-k-gram
+    * hashes, minimum per sliding window of `WinnowWindow`, distinct
+    * selected hashes form the document fingerprint set. Pairs sharing
+    * ≥ `SharedFpThreshold` RARE fingerprints (document-frequency cap
+    * filters boilerplate) surface through a fingerprint-bucket join
+    * (same candidate-generation shape as LSH — never all-pairs).
+    * Detection contract: overlapping runs of ≥ WinnowWindow+WinnowK-1
+    * tokens; documents shorter than ~2× that guarantee can evade (too
+    * few selected fingerprints) — inherent to winnowing with df-capping.
+    */
+  private val WinnowK = 3 // word 3-grams: discriminative even on a small vocab
+  private val WinnowWindow = 8
+  private val SharedFpThreshold = 2
+  private val MaxFpDf = 10
+
+  private def positionalGramHashes(ws: Column): Column =
+    transform(sequence(lit(0), greatest(size(ws) - WinnowK, lit(0))),
+      i => xxhash64(concat_ws(" ",
+        (0 until WinnowK).map(k => element_at(ws, i + k + 1)): _*)))
+
+  def tWinnow(s: SparkSession, d: String): DataFrame = {
+    // stage 1: positional word-3-gram hashes behind a hard barrier (the
+    // window min below references the array per element)
+    val grams = graft.Stage.barrier(
+      Dedup.corpusWithExactDups(s, d)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), positionalGramHashes(col("ws")).as("g")))
+    val fps = grams.select(col("doc_id"),
+      explode(array_distinct(
+        transform(sequence(lit(0), greatest(size(col("g")) - WinnowWindow, lit(0))),
+          i => array_min(slice(col("g"), i + 1, lit(WinnowWindow)))))).as("fp"))
+    // drop overly-common fingerprints (document-frequency cap): a
+    // fingerprint shared by half the corpus is vocabulary, not
+    // contamination — and its bucket would pair O(df²) docs
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxFpDf).select("fp")
+    val rareFps = fps.join(rare, Seq("fp"))
+    // candidate pairs via the shared-fingerprint bucket join
+    rareFps.as("x")
+      .join(rareFps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= SharedFpThreshold)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
+    QueryDef("t_winnow", tWinnow, None),
     QueryDef("t_tokens", tTokens, Some(tTokensSql)),
     QueryDef("t_quality", tQuality, Some(tQualitySql)),
     QueryDef("t_langid", tLangid, None),

@@ -58,6 +58,20 @@ class StreamingSpec extends SparkSpec {
     assert(base.select("fp").distinct().count() === base.count())
   }
 
+  test("t_winnow surfaces every exact-duplicate pair within its length contract") {
+    // winnowing guarantees matches of >= window+k-1 tokens; gate the
+    // expectation on docs long enough to produce >= 2 fingerprints
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0
+        && size(split(col("text"), "\\s+")) >= 20)
+      .select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    val found = Text.tWinnow(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(found), s"missed: ${expected -- found}")
+  }
+
   test("t_langid emits one prediction per doc from the candidate set") {
     val out = Text.tLangid(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
