@@ -88,6 +88,7 @@ object Ingest {
       .sortWithinPartitions("id")
       .write
       .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
       .partitionBy("export_year", "export_month", "export_day", "id_part")
       .mode("overwrite")
       .parquet(path)

@@ -48,8 +48,12 @@ trait StatusStore {
       exportDate: String, extra: Map[String, String] = Map.empty): Unit
 }
 
-final class InMemoryStatusStore extends StatusStore {
+object InMemoryStatusStore {
   final case class Entry(status: String, exportDate: String, extra: Map[String, String])
+}
+
+final class InMemoryStatusStore extends StatusStore {
+  import InMemoryStatusStore.Entry
   val rows: mutable.LinkedHashMap[(String, String), Entry] = mutable.LinkedHashMap.empty
   val history: mutable.ArrayBuffer[(String, String, String)] = mutable.ArrayBuffer.empty
 
