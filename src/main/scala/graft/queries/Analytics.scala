@@ -287,6 +287,75 @@ object Analytics {
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** Grouping sets: independent aggregation granularities in one pass. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
+
+  /** Exact percentiles (percentile_cont, standard interpolation both
+    * engines). The 100 TB variant swaps in approx_percentile — see
+    * q_distinct_approx for the sketch-based pattern.
+    */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"),
+        expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"))
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Sketch-based distinct counting — the scale path for q_distinct
+    * (HLL++, mergeable, no exact-distinct shuffle explosion). rows-only:
+    * the sketch estimate is engine-specific; the spec bounds its error
+    * against the exact count instead.
+    */
+  def qDistinctApprox(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+
+  /** Pivot: event counts per user segment × event_type (dynamic column
+    * creation; oracle is the conditional-aggregation twin).
+    */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("segment", (col("user_id") % 4).cast("int"))
+      .groupBy("segment")
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val qPivotSql: String =
+    """SELECT CAST(user_id % 4 AS INTEGER) AS segment,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1AggSql)),
     QueryDef("q2_filter_proj", q2FilterProj, Some(q2FilterProjSql)),
@@ -302,5 +371,9 @@ object Analytics {
     QueryDef("q_scalar_subq", qScalarSubq, Some(qScalarSubqSql)),
     QueryDef("q_caseagg", qCaseagg, Some(qCaseaggSql)),
     QueryDef("q_topk_per_group", qTopkPerGroup, Some(qTopkPerGroupSql)),
+    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
+    QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
+    QueryDef("q_distinct_approx", qDistinctApprox, None),
+    QueryDef("q_pivot", qPivot, Some(qPivotSql)),
   )
 }

@@ -11,6 +11,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_distinct_approx estimates within the configured 1% rsd of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = Analytics.qDistinctApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (p, sCnt)) =>
+      val (ap, as_) = approx(k)
+      assert(math.abs(ap - p).toDouble / p < 0.05, s"$k parts: $ap vs $p")
+      assert(math.abs(as_ - sCnt).toDouble / sCnt < 0.05, s"$k supps: $as_ vs $sCnt")
+    }
+  }
+
   test("q1_agg groups are the 6 returnflag/linestatus combos with exact counts") {
     val rows = Analytics.q1Agg(spark, sfDir).collect()
     assert(rows.length === 6)
