@@ -186,9 +186,33 @@ object Streaming {
       |FROM (SELECT DISTINCT user_id, event_type FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** G4: stream-static enrichment — the streaming side joins a static
+    * dimension (broadcast per microbatch; no state), then aggregates per
+    * enriched key. The standard shape for decorating an event stream
+    * with reference data.
+    */
+  def stEnrich(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg_"), (col("user_id") % 4).cast("string")))
+    val streamed = eventsStream(s, d)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("double").as("total"))
+    runToMemory(streamed, "st_enrich_mem", OutputMode.Complete())
+  }
+
+  val stEnrichSql: String =
+    """SELECT 'seg_' || CAST(user_id % 4 AS VARCHAR) AS segment, event_type,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
+    QueryDef("st_enrich", stEnrich, Some(stEnrichSql)),
   )
 }

@@ -56,6 +56,26 @@ class EndToEndSpec extends SparkSpec {
     assert(typed.agg(sum("n_chars")).collect()(0).getLong(0) === srcChars)
   }
 
+  test("daily layout enables partition pruning on the date predicate") {
+    val out = Files.createTempDirectory("graft_prune").toString
+    Ingest.writeDaily(Ingest.dailyIncrement(
+      Ingest.pipeline(Envelope.synthesize(spark, sfDir)), "2021-06-15"), out)
+    Ingest.writeDaily(Ingest.dailyIncrement(
+      Ingest.pipeline(Envelope.synthesize(spark, sfDir)), "2021-06-16")
+      .filter(col("id_part") =!= "9"), out)
+
+    val pruned = spark.read.parquet(out)
+      .filter(col("export_day") === 16)
+    // the physical scan must carry the date as a PartitionFilter (no
+    // data files of day 15 are touched)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("export_day"),
+      s"no partition filter in scan:\n$scan")
+    val expected = Tables.documents(spark, sfDir)
+      .filter(substring(col("doc_id").cast("string"), 1, 2) =!= "9").count()
+    assert(pruned.count() === expected)
+  }
+
   test("merge prefers DELETE over INSERT per the reference's db_type ordering") {
     import spark.implicits._
     val export = Seq(("a", "aa", "INSERT", "v1")).toDF("id", "id_part", "db_type", "val")
