@@ -37,7 +37,15 @@ object Envelope {
         StructField("keyEncryptionKeyId", StringType)))),
       StructField("_lastModifiedDateTime", StringType))))))
 
-  /** Envelope lines → typed columns. Column `value` must hold the JSONL. */
+  /** Envelope lines → typed columns. Column `value` must hold the JSONL.
+    * Lines that don't parse to an envelope (or lack the fields the
+    * decrypt needs) are flagged `malformed` rather than nulled through
+    * the pipeline — the reference fails the whole task on the first bad
+    * line (json.loads in UCMessage.__init__); at corpus scale the right
+    * contract is quarantine-and-continue, so callers filter or count on
+    * the flag (Ingest.pipeline drops them; Ingest.malformedLines
+    * quarantines them).
+    */
   def parse(lines: DataFrame): DataFrame =
     lines
       .withColumn("m", from_json(col("value"), schema).getField("message"))
@@ -48,7 +56,11 @@ object Envelope {
         col("m.dbObject").as("db_object"),
         col("m.encryption.encryptedEncryptionKey").as("key_enc"),
         col("m.encryption.initialisationVector").as("iv"),
-        col("m._lastModifiedDateTime").as("envelope_lm"))
+        col("m._lastModifiedDateTime").as("envelope_lm"),
+        (col("m").isNull || col("m.dbObject").isNull
+          || col("m.encryption.encryptedEncryptionKey").isNull
+          || col("m.encryption.initialisationVector").isNull).as("malformed"),
+        col("value"))
 
   // ---- deterministic fixture synthesis (all SQL-reconstructible) ----
 

@@ -58,9 +58,18 @@ object Ingest {
       .withColumn("id_part", uc_id_part(col("id")))
   }
 
-  /** Envelope lines → fully processed records (the whole read path). */
+  /** Envelope lines → fully processed records (the whole read path).
+    * Malformed lines are dropped here (quarantine them separately with
+    * [[malformedLines]]); the reference instead fails the task on the
+    * first bad line.
+    */
   def pipeline(lines: DataFrame, keys: KeyService = KeyService.identity): DataFrame =
-    process(decrypt(keys.withDataKeys(Envelope.parse(lines))))
+    process(decrypt(keys.withDataKeys(
+      Envelope.parse(lines).filter(!col("malformed")).drop("malformed", "value"))))
+
+  /** The quarantine side: raw lines that failed envelope parsing. */
+  def malformedLines(lines: DataFrame): DataFrame =
+    Envelope.parse(lines).filter(col("malformed")).select("value")
 
   /** Daily-increment derived columns for a given export date
     * (reference: ingesters.py:505-530 to_row).

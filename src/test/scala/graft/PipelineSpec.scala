@@ -81,6 +81,19 @@ class PipelineSpec extends SparkSpec {
     assert(twin.count() === prod.count())
   }
 
+  test("malformed envelope lines are quarantined, not nulled through") {
+    import spark.implicits._
+    val good = Envelope.synthesize(spark, dir)
+    val garbage = Seq("not json at all", """{"message": {"db": "x"}}""", "{}")
+      .toDF("value")
+    val mixed = good.unionByName(garbage)
+    val processed = Ingest.pipeline(mixed)
+    assert(processed.count() === good.count())
+    assert(processed.filter(col("val").isNull).count() === 0)
+    val quarantined = Ingest.malformedLines(mixed)
+    assert(quarantined.count() === 3)
+  }
+
   test("sanitise guard raises for collection-specific collections") {
     import spark.implicits._
     val line = Envelope.synthesize(spark, dir).limit(1)
