@@ -71,6 +71,19 @@ object Ingest {
   def malformedLines(lines: DataFrame): DataFrame =
     Envelope.parse(lines).filter(col("malformed")).select("value")
 
+  /** Pipeline with ingest metrics attached via `observe` — the
+    * Spark-first replacement for the reference's driver accumulators
+    * (dks.py hit/miss counters, record counts): metrics ride the
+    * existing action, no second pass, and surface through
+    * `Observation.get` / the listener bus.
+    */
+  def pipelineObserved(lines: DataFrame, obs: org.apache.spark.sql.Observation,
+      keys: KeyService = KeyService.identity): DataFrame =
+    pipeline(lines, keys).observe(obs,
+      count(lit(1)).as("records"),
+      sum(when(col("is_delete"), 1L).otherwise(0L)).as("deletes"),
+      approx_count_distinct(col("id_part")).as("id_parts"))
+
   /** Daily-increment derived columns for a given export date
     * (reference: ingesters.py:505-530 to_row).
     */

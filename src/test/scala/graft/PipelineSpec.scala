@@ -81,6 +81,26 @@ class PipelineSpec extends SparkSpec {
     assert(twin.count() === prod.count())
   }
 
+  test("observe metrics ride the ingest action (accumulator parity)") {
+    val obs = new org.apache.spark.sql.Observation("ingest_spec")
+    val out = Ingest.pipelineObserved(Envelope.synthesize(spark, dir), obs)
+    out.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val docs = Tables.documents(spark, dir)
+    assert(m("records") === docs.count())
+    assert(m("deletes") === docs.filter(col("doc_id") % 10 === 0).count())
+  }
+
+  test("gzip JSONL input reads transparently (reference's .jsonl.gz format)") {
+    import spark.implicits._
+    val dirGz = java.nio.file.Files.createTempDirectory("graft_gz").toString
+    Envelope.synthesize(spark, dir)
+      .write.mode("overwrite").option("compression", "gzip").text(dirGz)
+    assert(new java.io.File(dirGz).listFiles().exists(_.getName.endsWith(".gz")))
+    val processed = Ingest.pipeline(spark.read.text(dirGz))
+    assert(processed.count() === Tables.documents(spark, dir).count())
+  }
+
   test("malformed envelope lines are quarantined, not nulled through") {
     import spark.implicits._
     val good = Envelope.synthesize(spark, dir)
