@@ -106,13 +106,19 @@ object Ann {
     * dimension. Init is deterministic (first `Cells` vectors by id).
     * Centroids come back to the driver — k×dim doubles, bounded.
     */
+  private val TrainSample = 1024
+
   private def trainCentroids(c: DataFrame): Array[(Int, Seq[Double])] = {
     val spark = c.sparkSession
     import spark.implicits._
-    var centroids = c.orderBy("vec_id").limit(Cells).select("v")
+    // train on a bounded deterministic sample — quantizer quality needs
+    // a representative subset, not the corpus (production IVF trains
+    // offline on a sample of a 100 TB collection)
+    val train = c.orderBy("vec_id").limit(TrainSample)
+    var centroids = train.limit(Cells).select("v")
       .as[Seq[Double]].collect().zipWithIndex.map { case (v, i) => (i, v.toSeq) }
     (1 to LloydIters).foreach { _ =>
-      val assigned = assignCells(c, centroids, probes = 1)
+      val assigned = assignCells(train, centroids, probes = 1)
       centroids = assigned
         .groupBy(col("cell"))
         .agg(array((0 until Dim).map(i =>
