@@ -43,4 +43,27 @@ object KeyService {
     * decrypted key == encrypted key (steps/tests.py:64-76).
     */
   val identity: KeyService = new KeyService(k => k)
+
+  /** Retry wrapper for the resolver — the reference's RetryConfig
+    * (dks.py:23-40: bounded retries with backoff on the DKS call).
+    * Because resolution is a bounded driver-side pass over DISTINCT
+    * keys, retrying is per-key and cheap — no per-record retry storms.
+    */
+  def withRetry(maxRetries: Int, backoffMs: Long = 50)(resolve: String => String): String => String =
+    key => {
+      var attempt = 0
+      var result: Option[String] = None
+      var last: Throwable = null
+      while (result.isEmpty && attempt <= maxRetries) {
+        try result = Some(resolve(key))
+        catch {
+          case e: Throwable =>
+            last = e
+            attempt += 1
+            if (attempt <= maxRetries) Thread.sleep(backoffMs * attempt)
+        }
+      }
+      result.getOrElse(throw new RuntimeException(
+        s"key resolution failed after ${maxRetries + 1} attempts", last))
+    }
 }

@@ -31,6 +31,21 @@ class PipelineSpec extends SparkSpec {
     assert(calls === 5)
   }
 
+  test("key resolution retries transient failures then succeeds (RetryConfig parity)") {
+    var calls = 0
+    val flaky = KeyService.withRetry(maxRetries = 3, backoffMs = 1) { k =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient") else k
+    }
+    assert(flaky("abc") === "abc")
+    assert(calls === 3)
+    val alwaysFails = KeyService.withRetry(maxRetries = 2, backoffMs = 1) { _ =>
+      throw new RuntimeException("down")
+    }
+    val e = intercept[RuntimeException] { alwaysFails("k") }
+    assert(e.getMessage.contains("after 3 attempts"))
+  }
+
   test("pipeline decrypt roundtrip recovers every record") {
     val out = Ingest.pipeline(Envelope.synthesize(spark, dir))
     val docs = Tables.documents(spark, dir).count()

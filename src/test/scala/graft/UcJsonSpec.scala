@@ -281,6 +281,19 @@ class UcJsonSpec extends AnyFunSuite {
     assert(UcJson.reformat("2019-12-14T15:01:02.000-0100") === "2019-12-14T16:01:02.000Z")
   }
 
+  test("fraction digits: python %f accepts 1-6 digits, renders 3 (truncated)") {
+    // these arrive via the priority read (lm values can have any %f width);
+    // the wrap matcher itself only fires on exactly 3 digits
+    assert(UcJson.reformat("2019-12-14T15:01:02.1+0000") === "2019-12-14T15:01:02.100Z")
+    assert(UcJson.reformat("2019-12-14T15:01:02.123456+0000") === "2019-12-14T15:01:02.123Z")
+    assert(!UcJson.isDateString("2019-12-14T15:01:02.1+0000"))
+    assert(!UcJson.isDateString("2019-12-14T15:01:02.123456+0000"))
+  }
+
+  test("colon-form offsets parse for the priority read (python %z accepts +HH:MM)") {
+    assert(UcJson.reformat("2019-12-14T15:01:02.000+01:00") === "2019-12-14T14:01:02.000Z")
+  }
+
   test("date matcher: only Z or +offset forms count (data.py date_matcher)") {
     assert(UcJson.isDateString("2019-12-14T15:01:02.000Z"))
     assert(UcJson.isDateString("2019-12-14T15:01:02.000+0100"))
