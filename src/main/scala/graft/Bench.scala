@@ -23,10 +23,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session/codegen warmup so the first measured query isn't charged
-    // for JVM startup, codegen compilation and FS metadata priming
+    // for JVM startup, codegen compilation, Jackson/crypto class init
+    // and FS metadata priming
     try {
       spark.read.parquet(s"$sfDir/region.parquet").write
         .format("noop").mode("overwrite").save()
+      graft.pipeline.Ingest.pipeline(
+          graft.pipeline.Envelope.synthesize(spark, sfDir).limit(8))
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
