@@ -119,10 +119,14 @@ object Ann {
       .as[Seq[Double]].collect().zipWithIndex.map { case (v, i) => (i, v.toSeq) }
     (1 to LloydIters).foreach { _ =>
       val assigned = assignCells(train, centroids, probes = 1)
+      // decimal-exact mean: a double avg over shuffled partials is
+      // order-dependent, which would make centroids (and thus cells and
+      // candidates) vary run to run
       centroids = assigned
         .groupBy(col("cell"))
         .agg(array((0 until Dim).map(i =>
-          avg(element_at(col("v"), i + 1))): _*).as("centroid"))
+          avg(element_at(col("v"), i + 1).cast("decimal(28,14)"))
+            .cast("double")): _*).as("centroid"))
         .select(col("cell"), col("centroid"))
         .as[(Int, Seq[Double])].collect()
     }
