@@ -101,17 +101,19 @@ object Ingest {
     * range-partition on (id_part, id) so each output task owns a
     * contiguous key range, sort within partitions, dynamic partition
     * overwrite on (export_year, export_month, export_day, id_part).
-    * Parquet+zstd here (ORC+zlib in the reference — format is
-    * deployment detail, layout contract is the point).
+    * Default parquet+zstd; pass ("orc", "zlib") for the reference's
+    * exact storage format — the layout contract is identical.
     */
-  def writeDaily(daily: DataFrame, path: String): Unit =
+  def writeDaily(daily: DataFrame, path: String,
+      format: String = "parquet", compression: String = "zstd"): Unit =
     daily
       .repartitionByRange(col("id_part"), col("id"))
       .sortWithinPartitions("id")
       .write
       .option("partitionOverwriteMode", "dynamic")
-      .option("compression", "zstd")
+      .option("compression", compression)
       .partitionBy("export_year", "export_month", "export_day", "id_part")
       .mode("overwrite")
-      .parquet(path)
+      .format(format)
+      .save(path)
 }

@@ -51,11 +51,14 @@ object Snapshot {
     * locally; a cluster deployment would size it (reference hardcodes
     * 4096) — written partitioned by id_part so downstream reads prune.
     */
-  def writeSnapshot(snapshot: DataFrame, path: String): Unit =
+  def writeSnapshot(snapshot: DataFrame, path: String,
+      format: String = "parquet", compression: String = "zstd"): Unit =
     snapshot
       .repartitionByRange(col("id_part"), col("id"))
       .write
       .partitionBy("id_part")
+      .option("compression", compression)
       .mode("overwrite")
-      .parquet(path)
+      .format(format)
+      .save(path)
 }

@@ -87,6 +87,19 @@ class PipelineSpec extends SparkSpec {
     assert(partDirs.nonEmpty && partDirs.forall(_.startsWith("id_part=")))
   }
 
+  test("ORC+zlib output (the reference's exact storage format) roundtrips") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    val processed = Ingest.pipeline(Envelope.synthesize(spark, dir))
+      .select("id", "id_part", "db_type", "val")
+    Snapshot.writeSnapshot(
+      Snapshot.latestByKey(processed, Seq("id_part", "id"), col("db_type")),
+      tmp, format = "orc", compression = "zlib")
+    assert(new java.io.File(tmp).listFiles().exists(_.getName.startsWith("id_part=")))
+    val back = spark.read.orc(tmp)
+    assert(back.count() === processed.count())
+    assert(back.columns.toSet === Set("id", "id_part", "db_type", "val"))
+  }
+
   test("latestByKey (max_by) matches the reference-shaped window twin") {
     val ev = Tables.events(spark, dir).select("user_id", "event_id", "ts", "event_type")
     val prod = Snapshot.latestByKey(ev, Seq("user_id"), struct(col("ts"), col("event_id")))
