@@ -72,8 +72,44 @@ object Multimodal {
         round(element_at(col("features"), 4), 1).as("f_checksum"))
   }
 
+  final case class FrameSampleRow(doc_id: Long, n_frames: Long, n_sampled: Long,
+      sample_digest: Long)
+
+  val FrameBytes = 256
+  val SampleEvery = 4
+
+  /** STUB frame extraction: treat the payload as fixed-size frames and
+    * keep every `SampleEvery`-th — the temporal-sampling shape for
+    * video/audio payloads (a real decoder would produce frames from the
+    * container format; the chunking/sampling/digest plumbing is what's
+    * under test). Digest is order-sensitive over sampled frames.
+    */
+  def sampleFrames(r: BinaryRow): FrameSampleRow = {
+    val frames = r.payload.grouped(FrameBytes).toArray
+    val sampled = frames.zipWithIndex.collect {
+      case (f, i) if i % SampleEvery == 0 => f
+    }
+    val digest = sampled.foldLeft(17L) { (acc, f) =>
+      f.foldLeft(acc * 31L)((a, b) => a * 131L + (b & 0xFF))
+    }
+    FrameSampleRow(r.doc_id, frames.length.toLong, sampled.length.toLong, digest)
+  }
+
+  /** F3: frame sampling over binary payloads — typed mapPartitions,
+    * batched like mFeatureStub, partition-preserving.
+    */
+  def mFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(sampleFrames)))
+      .toDF()
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_feature_stub", mFeatureStub, None),
+    QueryDef("m_frame_sample", mFrameSample, None),
   )
 }

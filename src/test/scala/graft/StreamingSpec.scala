@@ -92,6 +92,22 @@ class StreamingSpec extends SparkSpec {
     assert(a.forall(_._2 > 0))
   }
 
+  test("m_frame_sample: frame counts and sampling ratio are exact") {
+    val rows = Multimodal.mFrameSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length === Tables.documents(spark, sfDir).count())
+    rows.foreach { case (_, frames, sampled) =>
+      // ceil(frames / SampleEvery) frames survive sampling
+      assert(sampled === (frames + Multimodal.SampleEvery - 1) / Multimodal.SampleEvery)
+    }
+    // digest is deterministic across runs
+    val again = Multimodal.mFrameSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    val first = Multimodal.mFrameSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(again.toSeq === first.toSeq)
+  }
+
   test("decodeBatch batch shape: grouped(64) never exceeds the batch size") {
     val rows = (1 to 150).map(i =>
       Multimodal.BinaryRow(i.toLong, Array.fill(8)(i.toByte)))
