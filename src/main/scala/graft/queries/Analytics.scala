@@ -287,6 +287,32 @@ object Analytics {
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** TPC-H Q4-style: left-semi join (EXISTS with correlated predicate)
+    * feeding an aggregation — order-priority counts for orders with at
+    * least one qualifying lineitem (the synthetic schema has no
+    * commit/receipt dates; the predicate differs, the shape doesn't).
+    */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
+          .select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45 AND l_discount < 0.02)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Grouping sets: independent aggregation granularities in one pass. */
   def qGroupingSets(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
@@ -371,6 +397,7 @@ object Analytics {
     QueryDef("q_scalar_subq", qScalarSubq, Some(qScalarSubqSql)),
     QueryDef("q_caseagg", qCaseagg, Some(qCaseaggSql)),
     QueryDef("q_topk_per_group", qTopkPerGroup, Some(qTopkPerGroupSql)),
+    QueryDef("q4_order_priority", q4OrderPriority, Some(q4OrderPrioritySql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     QueryDef("q_distinct_approx", qDistinctApprox, None),
