@@ -32,8 +32,13 @@ object Bench {
           graft.pipeline.Envelope.synthesize(spark, sfDir).limit(8))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // optional comma-separated name filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -9,7 +9,7 @@ object SparkEntry {
 
   /** Query blocks, in SURVEY §2 order. */
   private def blocks: Seq[QueryDef] =
-    Analytics.all ++ PipelineQueries.all ++
+    Analytics.all ++ Temporal.all ++ PipelineQueries.all ++
       graft.operators.Dedup.all ++ graft.operators.Ann.all ++
       graft.operators.Text.all ++ graft.multimodal.Multimodal.all ++
       graft.streaming.Streaming.all

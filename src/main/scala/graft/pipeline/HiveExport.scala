@@ -13,11 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object HiveExport {
 
-  /** `val`-holding DataFrame + DDL schema → typed columns. */
+  /** `val`-holding DataFrame + DDL schema → typed columns. The JSON
+    * parse happens AFTER the range exchange: the RangePartitioner's
+    * sampling pass and the shuffle itself then move compact (id, val)
+    * strings, and the parse runs exactly once per row on the
+    * post-exchange side instead of being range-sampled and re-inlined
+    * per projected field.
+    */
   def exportShape(snapshot: DataFrame, ddl: String): DataFrame =
     snapshot
-      .select(from_json(col("val"), org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        .as("val"), col("id_part"), col("id"))
+      .select(col("val"), col("id_part"), col("id"))
       .repartitionByRange(col("id_part"), col("id"))
+      .select(from_json(col("val"), org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .as("val"))
       .select(col("val.*"))
 }

@@ -43,16 +43,28 @@ object Ingest {
     */
   def process(decrypted: DataFrame): DataFrame = {
     val isAudit = col("db") === "data" && col("collection") === "businessAudit"
-    decrypted
-      .withColumn("transformed",
-        when(isAudit,
-          uc_transform_audit(col("decrypted"), coalesce(col("envelope_lm"), lit(""))))
-          .otherwise(col("decrypted")))
-      .withColumn("validated", uc_validate(col("transformed")))
-      .withColumn("is_delete", col("validated.is_delete"))
+    // decrypt+transform+validate materialized ONCE behind a hard barrier:
+    // after CollapseProject, every downstream reference to
+    // `validated.json` / `validated.is_delete` (val, db_type, group keys
+    // above an exchange) would otherwise re-inline the whole
+    // AES+Jackson chain — measured 5.2s → 2.1s for p_daily_increment at
+    // sf0.1. The barrier payload is narrow (envelope keys + one record
+    // string); sanitise/canonicalize stay lazy above it so queries that
+    // only need keys still prune them.
+    val validated = graft.Stage.barrier(
+      decrypted
+        .withColumn("transformed",
+          when(isAudit,
+            uc_transform_audit(col("decrypted"), coalesce(col("envelope_lm"), lit(""))))
+            .otherwise(col("decrypted")))
+        .withColumn("validated", uc_validate(col("transformed")))
+        .select(col("db"), col("collection"), col("raw_id"),
+          col("validated.json").as("vjson"),
+          col("validated.is_delete").as("is_delete")))
+    validated
       .withColumn("val",
         json_canonicalize(
-          sanitiseGuard(col("db"), col("collection"), uc_sanitise(col("validated.json")))))
+          sanitiseGuard(col("db"), col("collection"), uc_sanitise(col("vjson")))))
       .withColumn("db_type", when(col("is_delete"), "DELETE").otherwise("INSERT"))
       .withColumn("id", uc_id(col("raw_id")))
       .withColumn("id_part", uc_id_part(col("id")))

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Block A extension — temporal joins Spark has no built-in operator for:
+  * as-of join and interval (range) join. Both are re-expressed as
+  * shuffle-friendly compositions (the preference order of SURVEY §4:
+  * compose existing ops before dropping to custom plans):
+  *
+  *  - as-of join = union both sides tagged, one window sort per key,
+  *    running "last right-side value" — ONE shuffle+sort total,
+  *    independent of how many left rows match each right row. The naive
+  *    formulation (theta-join on ts ranges, or per-left-row subquery)
+  *    is quadratic per key and unusable at 100 TB.
+  *  - range join = explode each interval into the fixed-width time
+  *    buckets it covers, equi-join on the bucket key, then apply the
+  *    exact range predicate as a residual filter. Turns a non-equi join
+  *    (nested-loop in Spark) into a hash join whose cost is
+  *    |events| + Σ interval_width/bucket_width.
+  *
+  * All timestamp math happens in epoch microseconds (BIGINT) on both the
+  * Spark and DuckDB sides: integer µs floor identically everywhere,
+  * whereas raw TIMESTAMP comparisons depend on the oracle engine's
+  * parquet ns→µs conversion.
+  */
+object Temporal {
+
+  /** For each event: the most recent purchase time of the same user at or
+    * before the event (classic as-of / point-in-time join — e.g. "join
+    * each reading to the latest calibration before it").
+    *
+    * side ordering at equal ts: right (0) sorts before left (1), so a
+    * purchase AT the event's own timestamp is visible to it — matching
+    * ASOF JOIN's `l.ts >= r.ts` contract.
+    */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val left = ev.select(col("user_id"), col("us"),
+      col("event_id"), lit(1).as("side"))
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us")).distinct()
+      .select(col("user_id"), col("us"),
+        lit(null).cast("long").as("event_id"), lit(0).as("side"))
+    val w = Window.partitionBy("user_id").orderBy("us", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    right.union(left)
+      .withColumn("last_purchase_us",
+        max(when(col("side") === 0, col("us"))).over(w))
+      .filter(col("side") === 1)
+      .select("event_id", "user_id", "us", "last_purchase_us")
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT l.event_id, l.user_id, l.us, r.us AS last_purchase_us
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events) l
+      |ASOF LEFT JOIN (
+      |  SELECT DISTINCT user_id, epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'purchase') r
+      |ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin
+
+  /** Interval join: hour-aligned 30-minute windows (generated from the
+    * data's own time span) joined to the events falling inside each.
+    * The window set is small here and gets broadcast, but the bucket
+    * explode + equi-join shape is the one that survives when BOTH sides
+    * are large: each interval lands in every hour bucket it overlaps,
+    * the join is hash-on-bucket, and the exact [ws, we) predicate runs
+    * as a residual filter.
+    */
+  private val BucketUs: Long = 3600L * 1000000 // 1-hour buckets
+
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+    // windows from the data's own span: every hour from trunc(min) to max
+    val windows = ev
+      .agg(unix_micros(date_trunc("hour", min(col("ts")))).as("lo"),
+        unix_micros(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(BucketUs))).as("ws_us"))
+      .select(col("ws_us"), (col("ws_us") + BucketUs / 2).as("we_us"))
+    // general interval→bucket explode (here each 30-min window covers one
+    // bucket; intervals wider than BucketUs would land in several)
+    val winBuckets = windows.select(col("ws_us"), col("we_us"),
+      explode(sequence(expr(s"ws_us div ${BucketUs}L"),
+        expr(s"(we_us - 1) div ${BucketUs}L"))).as("bkt"))
+    ev.withColumn("bkt", expr(s"us div ${BucketUs}L"))
+      .join(broadcast(winBuckets), Seq("bkt"))
+      .filter(col("us") >= col("ws_us") && col("us") < col("we_us"))
+      .groupBy("ws_us")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH bounds AS (
+      |  SELECT epoch_us(date_trunc('hour', MIN(ts))) AS lo, epoch_us(MAX(ts)) AS hi
+      |  FROM events),
+      |wins AS (
+      |  SELECT unnest(generate_series(lo, hi, 3600000000)) AS ws_us FROM bounds)
+      |SELECT w.ws_us, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+      |FROM wins w JOIN (SELECT user_id, epoch_us(ts) AS us FROM events) e
+      |  ON e.us >= w.ws_us AND e.us < w.ws_us + 1800000000
+      |GROUP BY w.ws_us""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
+  )
+}

@@ -93,20 +93,26 @@ object Streaming {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"))
+        // session bounds as epoch-µs BIGINT, not TIMESTAMP: a raw event
+        // timestamp is the one output whose text form depends on how the
+        // oracle's parquet reader maps TIMESTAMP(NANOS) (µs vs ns
+        // precision varies across DuckDB versions); integer microseconds
+        // floor identically everywhere
+        min(col("us")).as("session_start_us"),
+        max(col("us")).as("session_end_us"))
 
   }
 
   val stSessionizeSql: String =
-    """SELECT user_id, session_id, COUNT(*) AS n_events,
-      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
+      |  MIN(us) AS session_start_us, MAX(us) AS session_end_us
       |FROM (
-      |  SELECT user_id, ts, SUM(new_session) OVER (
+      |  SELECT user_id, us, SUM(new_session) OVER (
       |      PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM (
-      |    SELECT user_id, event_id, ts,
+      |    SELECT user_id, event_id, ts, epoch_us(ts) AS us,
       |      CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
       |             PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
       |           OR LAG(epoch_us(ts), 1) OVER (
@@ -119,7 +125,7 @@ object Streaming {
 
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
   final case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
-      session_start: Timestamp, session_end: Timestamp)
+      session_start_us: Long, session_end_us: Long)
 
   /** Timestamp → epoch micros (getTime is ms-precision; the sub-second
     * part lives in getNanos — events carry real microseconds).
@@ -160,8 +166,8 @@ object Streaming {
           state.update((sessionId, lastUs))
           out.iterator.map { case (sid, evs) =>
             SessionRow(user, sid, evs.length,
-              evs.map(_.ts).min(Ordering.by(micros)),
-              evs.map(_.ts).max(Ordering.by(micros)))
+              evs.map(e => micros(e.ts)).min,
+              evs.map(e => micros(e.ts)).max)
           }
       }
   }

@@ -29,9 +29,9 @@ class StreamingSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     val streamed = spark.table("sessionize_mem")
-      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+      .select("user_id", "session_id", "n_events", "session_start_us", "session_end_us")
     val batch = Streaming.stSessionize(spark, sfDir)
-      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+      .select("user_id", "session_id", "n_events", "session_start_us", "session_end_us")
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
     assert(batch.count() > 0)

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Temporal
+
+/** As-of and range join: the composed shuffle-friendly plans must equal
+  * brute-force ground truth computed row-at-a-time on the driver.
+  */
+class TemporalSpec extends SparkSpec {
+
+  test("q_asof_join equals brute-force latest-purchase-at-or-before") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchasesByUser = ev.filter(_._3 == "purchase")
+      .groupBy(_._2).map { case (u, rows) => u -> rows.map(_._4).sorted }
+    val expected = ev.map { case (eid, u, _, us) =>
+      val lp = purchasesByUser.get(u)
+        .flatMap(ts => ts.takeWhile(_ <= us).lastOption)
+      (eid, u, us, lp)
+    }.toSet
+
+    val got = Temporal.qAsofJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_range_join equals brute-force window membership counts") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hourUs = 3600L * 1000000
+    val lo = (ev.map(_._2).min / hourUs) * hourUs
+    val hi = ev.map(_._2).max
+    val expected = (lo to hi by hourUs).flatMap { ws =>
+      val in = ev.filter { case (_, us) => us >= ws && us < ws + hourUs / 2 }
+      if (in.isEmpty) None
+      else Some((ws, in.length.toLong, in.map(_._1).distinct.length.toLong))
+    }.toSet
+
+    val got = Temporal.qRangeJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("as-of join plan is one window sort, not a theta join") {
+    val plan = Temporal.qAsofJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("Window"))
+  }
+
+  test("range join is an equi-join on the bucket key") {
+    val plan = Temporal.qRangeJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
