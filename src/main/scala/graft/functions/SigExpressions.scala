@@ -1,0 +1,261 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dedup signature kernels as native expressions.
+  *
+  * Both signatures are per-ROW loops over a hash array. Expressed as
+  * higher-order-function lambdas they cost one interpreted closure
+  * invocation per (element × permutation/bit) — ~50M invocations at
+  * sf0.1 dominated the dedup queries. A native eval is one JVM call per
+  * row with a tight primitive loop (and stays codegen-friendly through
+  * the static-call defineCodeGen, like the other graft expressions).
+  */
+object SigOps {
+
+  /** numPerm-wide MinHash signature over a hash array. The permutation
+    * family is the same chain SQL `xxhash64(h, j)` produces: seed 42 →
+    * fold children left to right with XXH64.hashLong.
+    */
+  def minhash(sh: ArrayData, numPerm: Int): ArrayData = {
+    val n = sh.numElements()
+    val out = new Array[Long](numPerm)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val seeded = XXH64.hashLong(sh.getLong(i), 42L)
+      var j = 0
+      while (j < numPerm) {
+        val v = XXH64.hashLong(j.toLong, seeded)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted distinct xxhash64 values of every n-codepoint window of a
+    * string, computed over the raw UTF-8 bytes: a window's bytes are
+    * exactly the concatenation of its codepoints, so values equal
+    * `xxhash64(concat(c_i..c_{i+n-1}))` (seed 42) over a split("")
+    * array — without materializing the char array or any per-gram
+    * string. Strings shorter than n codepoints hash as one whole-string
+    * gram.
+    */
+  def charGrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var cnt = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xC0) != 0x80) cnt += 1; i += 1 }
+    val offs = new Array[Int](cnt + 1)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(k) = i; k += 1 }
+      i += 1
+    }
+    offs(cnt) = len
+    val ng = if (cnt >= n) cnt - n + 1 else 1
+    val out = new Array[Long](ng)
+    if (cnt >= n) {
+      i = 0
+      while (i < ng) {
+        out(i) = XXH64.hashUnsafeBytes(bytes,
+          Platform.BYTE_ARRAY_OFFSET + offs(i), offs(i + n) - offs(i), 42L)
+        i += 1
+      }
+    } else {
+      out(0) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted array
+    var w = 0
+    i = 0
+    while (i < ng) {
+      if (i == 0 || out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == ng) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Positional xxhash64 values of every n-word window of a string
+    * (words = maximal runs of non-\s bytes, same token boundaries as
+    * `split(text, '\\s+')`; the hashed bytes are the window's words
+    * joined by single spaces, so values equal
+    * `xxhash64(concat_ws(' ', w_i..w_{i+n-1}))` with seed 42). Fewer
+    * than n words → empty. One scratch buffer per row, no per-window
+    * allocation.
+    */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    var w = 0
+    var i = 0
+    var inWord = false
+    while (i < len) {
+      if (!isWs(bytes(i))) { if (!inWord) w += 1; inWord = true }
+      else inWord = false
+      i += 1
+    }
+    if (w < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](w)
+    val ends = new Array[Int](w)
+    var k = 0
+    i = 0
+    inWord = false
+    while (i < len) {
+      if (!isWs(bytes(i))) {
+        if (!inWord) { starts(k) = i; k += 1 }
+        inWord = true
+      } else {
+        if (inWord) ends(k - 1) = i
+        inWord = false
+      }
+      i += 1
+    }
+    if (inWord) ends(k - 1) = len
+    val buf = new Array[Byte](len + n) // upper bound on any window's bytes
+    val out = new Array[Long](w - n + 1)
+    i = 0
+    while (i <= w - n) {
+      var p = 0
+      var j = 0
+      while (j < n) {
+        if (j > 0) { buf(p) = ' '; p += 1 }
+        val wl = ends(i + j) - starts(i + j)
+        System.arraycopy(bytes, starts(i + j), buf, p, wl)
+        p += wl
+        j += 1
+      }
+      out(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, p, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing selection: sorted distinct minima of every w-wide sliding
+    * window over a positional hash array (windows clamp at the tail; an
+    * array shorter than w yields its single global min).
+    */
+  def winnowSelect(g: ArrayData, w: Int): ArrayData = {
+    val ng = g.numElements()
+    if (ng == 0) return new GenericArrayData(Array.emptyLongArray)
+    val nw = math.max(ng - w + 1, 1)
+    val out = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, ng)
+      while (j < end) { val v = g.getLong(j); if (v < m) m = v; j += 1 }
+      out(i) = m
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var wr = 0
+    i = 0
+    while (i < nw) {
+      if (i == 0 || out(i) != out(i - 1)) { out(wr) = out(i); wr += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (wr == nw) out else java.util.Arrays.copyOf(out, wr))
+  }
+
+  /** 64-bit SimHash over a token-hash array: per-bit majority vote. */
+  def simhash(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** array<bigint> hash set → numPerm-wide MinHash signature. */
+
+case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.minhash(a.asInstanceOf[ArrayData], numPerm)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.minhash($c, $numPerm)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string → sorted distinct xxhash64 values of its n-codepoint windows. */
+case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_gram_hashes"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.charGrams(a.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.charGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string → positional xxhash64 values of its n-word windows. */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingle_hashes"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.wordShingles(a.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** positional hash array → sorted distinct sliding-window minima. */
+case class WinnowSelect(child: Expression, window: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_select"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.winnowSelect(a.asInstanceOf[ArrayData], window)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.winnowSelect($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<bigint> token hashes → 64-bit SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.simhash(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

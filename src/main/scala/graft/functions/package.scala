@@ -66,4 +66,34 @@ package object functions {
     */
   def sorted_intersect_count(a: Column, b: Column): Column =
     toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
+
+  /** numPerm-wide MinHash signature over an array<bigint> hash set
+    * (native per-row loop; permutation j is the xxhash64(h, j) chain).
+    */
+  def minhash_sig(hashes: Column, numPerm: Int): Column =
+    toCol(MinHashSig(toExpr(hashes), numPerm))
+
+  /** 64-bit SimHash (per-bit majority) over an array<bigint> of token
+    * hashes.
+    */
+  def simhash64(tokenHashes: Column): Column =
+    toCol(SimHash64(toExpr(tokenHashes)))
+
+  /** Sorted distinct xxhash64 of every n-codepoint window of a string
+    * (native rolling scan over the UTF-8 bytes).
+    */
+  def char_gram_hashes(text: Column, n: Int): Column =
+    toCol(CharGramHashes(toExpr(text), n))
+
+  /** Positional xxhash64 of every n-word window of a string (tokens =
+    * \s+ runs; hashes match xxhash64(concat_ws(' ', window words))).
+    */
+  def word_shingle_hashes(text: Column, n: Int): Column =
+    toCol(WordShingleHashes(toExpr(text), n))
+
+  /** Winnowing fingerprint selection: sorted distinct window-minima of
+    * a positional hash array.
+    */
+  def winnow_select(hashes: Column, window: Int): Column =
+    toCol(WinnowSelect(toExpr(hashes), window))
 }

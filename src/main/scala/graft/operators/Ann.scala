@@ -100,37 +100,49 @@ object Ann {
   private val LloydIters = 3
   private val Probes = 3
 
-  /** Train the coarse quantizer with a few Lloyd iterations, entirely
-    * as DataFrame ops: assignment is a broadcast of the (tiny) centroid
-    * set + argmin over cells; the update is one groupBy-avg per
-    * dimension. Init is deterministic (first `Cells` vectors by id).
-    * Centroids come back to the driver — k×dim doubles, bounded.
+  /** Train the coarse quantizer on a bounded deterministic sample
+    * COLLECTED to the driver, then run Lloyd there: quantizer quality
+    * needs a representative subset, not the corpus (production IVF
+    * trains offline on a sample of a 100 TB collection), and the
+    * sample is k-bounded tiny (TrainSample × Dim doubles). Running the
+    * iterations as Spark jobs spent more time planning/codegen'ing the
+    * 16×64-literal distance expressions than computing (3 jobs ×
+    * ~1s each at any SF); driver Lloyd on the same sample is
+    * sub-millisecond, sequentially deterministic, and leaves only two
+    * distributed assignment passes (corpus + queries) in the plan.
     */
   private val TrainSample = 1024
 
   private def trainCentroids(c: DataFrame): Array[(Int, Seq[Double])] = {
     val spark = c.sparkSession
     import spark.implicits._
-    // train on a bounded deterministic sample — quantizer quality needs
-    // a representative subset, not the corpus (production IVF trains
-    // offline on a sample of a 100 TB collection)
-    val train = c.orderBy("vec_id").limit(TrainSample)
-    var centroids = train.limit(Cells).select("v")
-      .as[Seq[Double]].collect().zipWithIndex.map { case (v, i) => (i, v.toSeq) }
-    (1 to LloydIters).foreach { _ =>
-      val assigned = assignCells(train, centroids, probes = 1)
-      // decimal-exact mean: a double avg over shuffled partials is
-      // order-dependent, which would make centroids (and thus cells and
-      // candidates) vary run to run
-      centroids = assigned
-        .groupBy(col("cell"))
-        .agg(array((0 until Dim).map(i =>
-          avg(element_at(col("v"), i + 1).cast("decimal(28,14)"))
-            .cast("double")): _*).as("centroid"))
-        .select(col("cell"), col("centroid"))
-        .as[(Int, Seq[Double])].collect()
+    val train: Array[Array[Double]] = c.orderBy("vec_id").limit(TrainSample)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+    var centroids: Array[Array[Double]] = train.take(Cells).map(_.clone())
+    for (_ <- 1 to LloydIters) {
+      val sums = Array.fill(Cells)(new Array[Double](Dim))
+      val counts = new Array[Long](Cells)
+      train.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var k = 0
+        while (k < Cells) {
+          var dist = 0.0
+          var i = 0
+          while (i < Dim) { val dx = v(i) - centroids(k)(i); dist += dx * dx; i += 1 }
+          if (dist < bestD) { bestD = dist; best = k } // tie → lowest cell
+          k += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < Dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(Cells) { k =>
+        if (counts(k) == 0) centroids(k) // empty cell keeps its centroid
+        else Array.tabulate(Dim)(i => sums(k)(i) / counts(k))
+      }
     }
-    centroids
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
   }
 
   /** Assign each row to its `probes` nearest cells (L2 on the

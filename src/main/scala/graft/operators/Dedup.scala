@@ -49,57 +49,34 @@ object Dedup {
   private val NumPerm = 32
   private val Bands = 8 // × 4 rows per band
 
-  /** word 3-gram shingle hash set (distinct xxhash64 values).
-    *
-    * Written as ONE fold over the word array. The tempting
-    * `transform(indices, i -> hash(words[i], words[i+1], words[i+2]))`
-    * re-evaluates the `words` EXPRESSION per lambda element once the
-    * optimizer inlines it — O(n²) splits of the text per row (measured:
-    * 100× slowdown). A fold's input is evaluated exactly once; the
-    * sliding window lives in the accumulator.
+  /** (doc_id, sh): sorted distinct word-3-gram shingle hashes via the
+    * native rolling kernel (graft.functions.WordShingleHashes — one
+    * pass over the UTF-8 bytes, no per-window allocation), materialized
+    * behind a hard barrier so the signature lambda, the banding
+    * Generate and the verify joins all read an attribute.
     */
-  private def shingleHashes(textCol: String): Column = expr(
-    s"""array_sort(array_distinct(aggregate(
-       |  filter(split($textCol, '\\\\s+'), w -> w != ''),
-       |  struct(CAST('' AS STRING) AS w1, CAST('' AS STRING) AS w2,
-       |         CAST(array() AS ARRAY<BIGINT>) AS hs, 0 AS n),
-       |  (acc, w) -> struct(w AS w1, acc.w1 AS w2,
-       |    CASE WHEN acc.n >= 2
-       |         THEN array_append(acc.hs, xxhash64(concat_ws(' ', acc.w2, acc.w1, w)))
-       |         ELSE acc.hs END AS hs,
-       |    acc.n + 1 AS n),
-       |  acc -> acc.hs)))""".stripMargin)
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    graft.Stage.barrier(Tables.documents(s, d).select(col("doc_id"),
+      array_sort(array_distinct(
+        graft.functions.word_shingle_hashes(col("text"), 3))).as("sh")))
 
-  /** 32-wide MinHash signature over the shingle-hash array: permutation
-    * family is xxhash64(shingleHash, permIndex) — independent 64-bit
-    * mixes with no overflow under ANSI mode. Also a single fold (input
-    * evaluated once, 32 running minima in the accumulator) — a pure
-    * projection, no shuffle.
+  /** 32-wide MinHash signature: native per-row kernel
+    * (graft.functions.MinHashSig) — the lambda formulations cost one
+    * interpreted closure call per (shingle × permutation), ~25M
+    * invocations at sf0.1.
     */
-  private def minhashSig(hashes: Column): Column =
-    aggregate(
-      hashes,
-      array_repeat(lit(Long.MaxValue), NumPerm),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(NumPerm - 1)),
-        (m, j) => least(m, xxhash64(h, j))))
-
-  /** Exchange barrier after signature projections: materializes the
-    * projection once per row (the alternative — inline expressions —
-    * gets re-inlined into every downstream reference and re-evaluated
-    * per lambda/Generate element; d_minhash_lsh measured 538s vs 2.9s
-    * at sf0.1). Where join-null-filter pushdown still substitutes the
-    * expression below this exchange, use graft.Stage.barrier instead
-    * (hard boundary, at the price of a row ser/deser).
-    */
-  private def materialized(df: DataFrame): DataFrame =
-    df.repartition(col(df.columns.head))
+  private def minhashSig(sh: Column): Column =
+    graft.functions.minhash_sig(sh, NumPerm)
 
   /** (doc_id, band, bucket) rows — Bands rows per doc (constant factor,
     * not a join explosion). Bucket key mixes the band's 4 signature rows.
     */
-  private def bandBuckets(s: SparkSession, d: String): DataFrame = {
-    val docs = materialized(Tables.documents(s, d)
-      .select(col("doc_id"), minhashSig(shingleHashes("text")).as("sig")))
+  private def bandBuckets(shingles: DataFrame): DataFrame = {
+    // hard barrier, not just an exchange: the posexplode below is a
+    // Generate, which re-evaluates projections in its child once per
+    // OUTPUT row (8× the signature here) — only an RDD roundtrip pins it
+    val docs = graft.Stage.barrier(shingles
+      .select(col("doc_id"), minhashSig(col("sh")).as("sig")))
     def sigAt(i: Column): Column = element_at(col("sig"), i + 1)
     docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), b => {
@@ -115,15 +92,18 @@ object Dedup {
     * jaccard ≥ 0.5 verification within candidates only.
     */
   def dMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val buckets = bandBuckets(s, d)
+    // ONE shingleSets instance feeds both the signature path and the
+    // verify probes: shared attribute ids keep the generated code
+    // identical across the three uses (codegen cache hits instead of
+    // three recompiles of the same projection)
+    val sh = shingleSets(s, d)
+    val buckets = bandBuckets(sh)
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), shingleHashes("text").as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -140,24 +120,6 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit word-level SimHash as a pure fold over the token-hash array:
-    * per-bit ±1 counters (aggregate + zip_with over a bit-index array),
-    * then sign → bit. No shuffle, no UDF, stays in codegen. Expressed as
-    * a SQL lambda because shiftright with a non-literal distance is only
-    * exposed in SQL.
-    */
-  def simhashExpr(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(filter(split($textCol, '\\\\s+'), w -> w != ''), w -> xxhash64(w)),
-       |  array_repeat(CAST(0 AS BIGINT), 64),
-       |  (acc, h) -> zip_with(acc, sequence(0, 63),
-       |    (v, i) -> v + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END),
-       |  counters -> aggregate(
-       |    zip_with(counters, sequence(0, 63),
-       |      (c, i) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
-       |                ELSE CAST(0 AS BIGINT) END),
-       |    CAST(0 AS BIGINT), (a, x) -> a + x))""".stripMargin)
-
   /** C3: SimHash near-dup pairs: 8 bands × 8 bits for candidates
     * (bucket join — a pair surfaces iff some byte of the signature
     * matches exactly, near-certain at hamming ≤ 8), verify
@@ -166,8 +128,13 @@ object Dedup {
     * multi-probe instead of paying 8× bucket rows this coarse.
     */
   def dSimhash(s: SparkSession, d: String): DataFrame = {
+    // token hashes (1-word shingles) and the signature both via native
+    // per-row kernels; behind a barrier so the banding Generate reads
+    // the materialized column
     val sh = graft.Stage.barrier(Tables.documents(s, d)
-      .select(col("doc_id"), simhashExpr("text").as("simhash")))
+      .select(col("doc_id"),
+        graft.functions.simhash64(
+          graft.functions.word_shingle_hashes(col("text"), 1)).as("simhash")))
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
@@ -186,30 +153,22 @@ object Dedup {
 
   // ---- n-gram jaccard ----
 
-  /** char 5-gram hash set over a materialized codepoint array.
-    * `substring(text, i, 5)` is O(i) on UTF8 strings (codepoint scan
-    * from the start — no ASCII shortcut with zh docs in the corpus), so
-    * sliding it is O(len²) per doc. Splitting to a chars array once and
-    * indexing with element_at is O(len).
-    */
-  private def charGramHashes(chars: Column): Column =
-    array_sort(array_distinct(
-      transform(sequence(lit(0), greatest(size(chars) - 5, lit(0))),
-        i => xxhash64(concat(
-          element_at(chars, i + 1), element_at(chars, i + 2),
-          element_at(chars, i + 3), element_at(chars, i + 4),
-          element_at(chars, i + 5))))))
-
   /** C4: n-gram jaccard within (lang, source) blocks — block join keeps
     * candidate generation off the full cross product; at corpus scale the
     * blocking key would be an LSH bucket (C2) instead of metadata.
+    *
+    * Char 5-grams come from the native rolling scan
+    * (graft.functions.CharGramHashes): `substring(text, i, 5)` is O(i)
+    * on UTF8 strings (codepoint scan from the start — no ASCII shortcut
+    * with zh docs in the corpus) and chars-array HOF indexing pays one
+    * interpreted lambda call per gram; the native kernel is one pass
+    * over the UTF-8 bytes. Barrier so the self-join's two sides, the
+    * size prefilter and the intersection all read the materialized set.
     */
   def dNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = materialized(Tables.documents(s, d)
+    val docs = graft.Stage.barrier(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
-          split(col("text"), "").as("chars")))
-      .select(col("doc_id"), col("lang"), col("source"),
-        charGramHashes(col("chars")).as("grams"))
+          graft.functions.char_gram_hashes(col("text"), 5).as("grams")))
       .withColumn("ng", size(col("grams")))
     docs.as("x")
       .join(docs.as("y"),

@@ -89,32 +89,21 @@ object Text {
       |  6) AS quality
       |FROM documents""".stripMargin
 
-  /** char trigram hash set of a document (over a materialized codepoint
-    * array — same O(len) shape as Dedup.charGramHashes).
-    */
-  private def trigrams(chars: Column): Column =
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(chars) - 3, lit(0))),
-        i => xxhash64(concat(
-          element_at(chars, i + 1), element_at(chars, i + 2), element_at(chars, i + 3)))))
-
   /** E3: language ID — per-language trigram profiles built FROM the
     * corpus (top-64 trigrams by doc frequency per lang), each doc scored
     * against every profile by trigram overlap, argmax wins. The profile
     * side is tiny (langs × 64) and broadcast; the corpus is scanned
-    * twice (build + score), never joined to itself.
+    * twice (build + score), never joined to itself. Trigram sets come
+    * from the native UTF-8 rolling scan (graft.functions.CharGramHashes).
     */
   def tLangid(s: SparkSession, d: String): DataFrame = {
-    // RDD roundtrip = hard optimizer boundary. A mere repartition is NOT
-    // enough here: Catalyst pushes projections through exchanges and the
-    // trigram expression ends up inlined under the explode() below,
-    // where Generate re-evaluates it per OUTPUT row (measured 66s → 2.6s
-    // at sf0.1 with the boundary).
-    val staged = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), split(col("text"), "").as("chars"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), col("lang"), trigrams(col("chars")).as("tris"))
-    val docs = s.createDataFrame(staged.rdd, staged.schema)
+    // RDD roundtrip = hard optimizer boundary: Catalyst pushes
+    // projections through exchanges and the trigram expression would end
+    // up inlined under the explode() below, where Generate re-evaluates
+    // it per OUTPUT row (measured 66s → 2.6s at sf0.1 with the boundary).
+    val docs = graft.Stage.barrier(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.char_gram_hashes(col("text"), 3).as("tris")))
 
     val profiles = docs
       .select(col("lang"), explode(col("tris")).as("tri"))
@@ -200,23 +189,17 @@ object Text {
   private val SharedFpThreshold = 2
   private val MaxFpDf = 10
 
-  private def positionalGramHashes(ws: Column): Column =
-    transform(sequence(lit(0), greatest(size(ws) - WinnowK, lit(0))),
-      i => xxhash64(concat_ws(" ",
-        (0 until WinnowK).map(k => element_at(ws, i + k + 1)): _*)))
-
   def tWinnow(s: SparkSession, d: String): DataFrame = {
-    // stage 1: positional word-3-gram hashes behind a hard barrier (the
-    // window min below references the array per element)
-    val grams = graft.Stage.barrier(
+    // positional word-3-gram hashes and window-min selection both via
+    // native per-row kernels; barrier so the explode's Generate reads a
+    // materialized fingerprint array
+    val fps = graft.Stage.barrier(
       Dedup.corpusWithExactDups(s, d)
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), positionalGramHashes(col("ws")).as("g")))
-    val fps = grams.select(col("doc_id"),
-      explode(array_distinct(
-        transform(sequence(lit(0), greatest(size(col("g")) - WinnowWindow, lit(0))),
-          i => array_min(slice(col("g"), i + 1, lit(WinnowWindow)))))).as("fp"))
+        .select(col("doc_id"),
+          graft.functions.winnow_select(
+            graft.functions.word_shingle_hashes(col("text"), WinnowK),
+            WinnowWindow).as("fps")))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
     // drop overly-common fingerprints (document-frequency cap): a
     // fingerprint shared by half the corpus is vocabulary, not
     // contamination — and its bucket would pair O(df²) docs
