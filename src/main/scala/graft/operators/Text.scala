@@ -144,9 +144,12 @@ object Text {
     * two hash aggs) with no materialization between stages.
     */
   def tCorpusPrep(s: SparkSession, d: String): DataFrame = {
+    // word count = size of the native 1-word-shingle array (same \s+
+    // token boundaries); the filter pushes into both join branches, so
+    // the cheap kernel is evaluated instead of a split+filter HOF chain
     val docs = Tables.documents(s, d)
       .withColumn("n_words",
-        size(filter(split(lower(col("text")), "\\s+"), w => w =!= "")))
+        size(graft.functions.word_shingle_hashes(col("text"), 1)))
       .filter(col("n_words") >= 20)
     val keepers = docs
       .groupBy(md5(col("text").cast("binary")).as("h"))
@@ -215,8 +218,46 @@ object Text {
       .filter(col("shared_fps") >= SharedFpThreshold)
   }
 
+  /** E7: deterministic stratified sampling + train/test split — the
+    * reproducible way to sample a 100 TB corpus: the keep/split decision
+    * is a pure function of the stable document id (hex prefix of
+    * md5(id) against a per-stratum threshold), so re-runs, retries and
+    * engine changes select the SAME sample — no RNG state, no seed
+    * coordination across executors, exactly reproducible in SQL.
+    * Thresholds are 16-bit hex strings (rate ≈ threshold/65536):
+    * en 0x8000 ≈ 50%, zh 0x4000 ≈ 25%, others ~100%; the surviving
+    * sample splits 80/20 train/test on the NEXT 4 hex chars
+    * (independent of the keep decision).
+    */
+  def tSample(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val keepThreshold = when(col("lang") === "en", "8000")
+      .when(col("lang") === "zh", "4000").otherwise("ffff")
+    Tables.documents(s, d)
+      .withColumn("h", h)
+      .filter(substring(col("h"), 1, 4) < keepThreshold)
+      .withColumn("split",
+        when(substring(col("h"), 5, 4) < "cccc", "train").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
+  val tSampleSql: String =
+    """SELECT lang, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 5, 4) < 'cccc'
+      |         THEN 'train' ELSE 'test' END AS split
+      |  FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |    CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000' ELSE 'ffff' END)
+      |GROUP BY lang, split""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
+    QueryDef("t_sample", tSample, Some(tSampleSql)),
     QueryDef("t_winnow", tWinnow, None),
     QueryDef("t_tokens", tTokens, Some(tTokensSql)),
     QueryDef("t_quality", tQuality, Some(tQualitySql)),

@@ -363,6 +363,23 @@ object Analytics {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
 
+  /** Cube: all 2^k grouping combinations in one pass (completes the
+    * rollup / grouping-sets family).
+    */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      // grouping cols re-aliased: same DetectAmbiguousSelfJoin
+      // workaround as q_rollup
+      .cube(col("o_orderpriority").as("o_orderpriority"),
+        col("o_orderstatus").as("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total"))
+
+  val qCubeSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
+
   /** Pivot: event counts per user segment × event_type (dynamic column
     * creation; oracle is the conditional-aggregation twin).
     */
@@ -401,6 +418,7 @@ object Analytics {
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     QueryDef("q_distinct_approx", qDistinctApprox, None),
+    QueryDef("q_cube", qCube, Some(qCubeSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
   )
 }

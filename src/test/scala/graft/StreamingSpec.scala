@@ -72,6 +72,16 @@ class StreamingSpec extends SparkSpec {
     assert(expected.subsetOf(found), s"missed: ${expected -- found}")
   }
 
+  test("t_sample: deterministic across runs, sane strata") {
+    val a = Text.tSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    val b = Text.tSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+    assert(a.forall { case (_, split, n, _) => (split == "train" || split == "test") && n > 0 })
+  }
+
   test("t_langid emits one prediction per doc from the candidate set") {
     val out = Text.tLangid(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
