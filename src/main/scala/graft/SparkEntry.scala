@@ -11,7 +11,8 @@ object SparkEntry {
   private def blocks: Seq[QueryDef] =
     Analytics.all ++ Temporal.all ++ PipelineQueries.all ++
       graft.operators.Dedup.all ++ graft.operators.Ann.all ++
-      graft.operators.Text.all ++ graft.multimodal.Multimodal.all ++
+      graft.operators.Text.all ++ graft.operators.Skew.all ++
+      graft.multimodal.Multimodal.all ++
       graft.streaming.Streaming.all
 
   /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.

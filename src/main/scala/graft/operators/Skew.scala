@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QueryDef
+import graft.queries.QueryDef.{dec, moneySum}
 
 /** Explicit skew mitigation (SURVEY §5).
   *
@@ -31,4 +35,29 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     left.join(right, keys :+ "__salt").drop("__salt")
   }
+
+  /** Registered query: the salted join must produce exactly the plain
+    * join's result (the oracle is the unsalted SQL join) — orders
+    * treated as the skewed side, customer replicated 8×, revenue per
+    * market segment aggregated above the fanned-out join.
+    */
+  def qSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .withColumnRenamed("o_custkey", "custkey")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    saltedJoin(orders, cust, Seq("custkey"), salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total"))
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_skew_join", qSkewJoin, Some(qSkewJoinSql)),
+  )
 }

@@ -172,6 +172,14 @@ object Streaming {
       }
   }
 
+  /** G2b: the PRODUCTION sessionizer as a registered query — custom
+    * per-user state via flatMapGroupsWithState run as a real streaming
+    * query, checked against the same SQL oracle as the batch twin.
+    */
+  def stSessionizeStream(s: SparkSession, d: String): DataFrame =
+    runToMemory(sessionizeStreaming(s, d).toDF(),
+      "st_sessionize_fmgs_mem", OutputMode.Append())
+
   /** G3: streaming exact dedup — dropDuplicates on the content key
     * inside the stream (state-backed; a production deployment bounds
     * state with dropDuplicatesWithinWatermark), then a running count per
@@ -218,6 +226,7 @@ object Streaming {
   val all: Seq[QueryDef] = Seq(
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
+    QueryDef("st_sessionize_stream", stSessionizeStream, Some(stSessionizeSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
     QueryDef("st_enrich", stEnrich, Some(stEnrichSql)),
   )
