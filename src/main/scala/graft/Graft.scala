@@ -42,6 +42,9 @@ object Graft {
   /** Skew mitigation (salted join). */
   val skew: operators.Skew.type = operators.Skew
 
+  /** Temporal joins: as-of (point-in-time) and interval/range join. */
+  val temporal: queries.Temporal.type = queries.Temporal
+
   /** Multimodal plumbing: binary metadata, batched feature extraction. */
   val multimodal: graft.multimodal.Multimodal.type = graft.multimodal.Multimodal
 
