@@ -255,9 +255,66 @@ object Text {
       |    CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000' ELSE 'ffff' END)
       |GROUP BY lang, split""".stripMargin
 
+  /** E8: PII-style scrubbing — emails and long digit runs replaced with
+    * stable placeholder tokens, match counts kept for audit. Same
+    * regexes run in the oracle (simple character-class patterns whose
+    * semantics agree between Java regex and RE2).
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val DigitsRe = "[0-9]{6,}"
+
+  def tRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(DigitsRe), lit(0))).as("n_digit_runs"),
+      length(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        DigitsRe, "<NUM>")).as("redacted_len"))
+
+  val tRedactSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digit_runs,
+      |  length(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g')) AS redacted_len
+      |FROM documents""".stripMargin
+
+  /** E9: sequence packing — documents packed into fixed token-budget
+    * bins (training context windows). Deterministic: shard by id (so
+    * packing distributes — a global cumsum would serialize 100 TB
+    * through one partition), order by id within shard, running token
+    * count, bin = tokens-before / budget. The same window cumsum runs
+    * in the oracle.
+    */
+  private val PackBudget = 8192L
+
+  def tPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div ${PackBudget}L"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tokens"))
+  }
+
+  val tPackSql: String =
+    s"""SELECT shard, (cum - n_chars) // $PackBudget AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS tokens
+       |FROM (
+       |  SELECT doc_id, doc_id % 8 AS shard, n_chars,
+       |    SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents)
+       |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
     QueryDef("t_sample", tSample, Some(tSampleSql)),
+    QueryDef("t_redact", tRedact, Some(tRedactSql)),
+    QueryDef("t_pack", tPack, Some(tPackSql)),
     QueryDef("t_winnow", tWinnow, None),
     QueryDef("t_tokens", tTokens, Some(tTokensSql)),
     QueryDef("t_quality", tQuality, Some(tQualitySql)),
