@@ -182,11 +182,28 @@ object Dedup {
         graft.functions.sorted_intersect_count(col("x.grams"), col("y.grams"))
           .as("inter"),
         col("x.ng").as("ng_a"), col("y.ng").as("ng_b"))
-      .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double")
-          / (col("ng_a") + col("ng_b") - col("inter")), 3).as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("ng_a") + col("ng_b") - col("inter")).cast("long").as("uni"))
+      // jaccard ≥ 0.6 as exact integer arithmetic (5·inter ≥ 3·union):
+      // the output stays in integers, so the DuckDB oracle — which
+      // builds the same codepoint 5-gram SETS with substr and
+      // intersects them directly — compares exactly, no float rounding
+      .filter(col("inter") * 5 >= col("uni") * 3)
   }
+
+  val dNgramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, greatest(length(text) - 5, 0) + 2),
+      |      i -> substr(text, i, 5))) AS grams
+      |  FROM documents)
+      |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |  len(list_intersect(x.grams, y.grams)) AS inter,
+      |  len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)) AS uni
+      |FROM g x JOIN g y
+      |  ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+      |WHERE 5 * len(list_intersect(x.grams, y.grams)) >=
+      |      3 * (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))""".stripMargin
 
   // ---- embedding cosine ----
 
@@ -248,7 +265,7 @@ object Dedup {
     QueryDef("d_exact_keep", dExactKeep, Some(dExactKeepSql)),
     QueryDef("d_minhash_lsh", dMinhashLsh, None),
     QueryDef("d_simhash", dSimhash, None),
-    QueryDef("d_ngram_jaccard", dNgramJaccard, None),
+    QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_embed_cos", dEmbedCos, None),
   )
 }

@@ -55,7 +55,9 @@ class OperatorsSpec extends SparkSpec {
     val rows = Dedup.dNgramJaccard(spark, sfDir).collect()
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDouble(2) >= 0.6)
+      // jaccard = inter/uni >= 0.6, kept exact in integers
+      assert(r.getLong(2) * 5 >= r.getLong(3) * 3)
+      assert(r.getLong(2) <= r.getLong(3))
     }
   }
 
