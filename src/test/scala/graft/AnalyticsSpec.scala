@@ -11,7 +11,7 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("q_distinct_approx estimates within the configured 1% rsd of exact") {
+  test("q_distinct_approx estimates within tolerance of exact") {
     import org.apache.spark.sql.functions._
     val approx = Analytics.qDistinctApprox(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
