@@ -301,7 +301,10 @@ object Text {
   }
 
   val tPackSql: String =
-    s"""SELECT shard, (cum - n_chars) // $PackBudget AS bin,
+    // CAST the bin: `cum` is a window SUM, which DuckDB widens to
+    // HUGEINT — a bare HUGEINT output column can stringify differently
+    // from Spark's BIGINT in the driver's comparer
+    s"""SELECT shard, CAST((cum - n_chars) // $PackBudget AS BIGINT) AS bin,
        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS tokens
        |FROM (
        |  SELECT doc_id, doc_id % 8 AS shard, n_chars,
