@@ -120,32 +120,52 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** C3: SimHash near-dup pairs: 8 bands × 8 bits for candidates
-    * (bucket join — a pair surfaces iff some byte of the signature
-    * matches exactly, near-certain at hamming ≤ 8), verify
-    * hamming ≤ 8 via bit_count(xor). Band width is the recall/candidate
-    * -volume dial: a billion-doc corpus would widen bands (16 bits) and
-    * multi-probe instead of paying 8× bucket rows this coarse.
+  /** C3: SimHash near-dup pairs: 4 bands × 16 bits + 1-bit multiprobe
+    * for candidates, verify hamming ≤ 8 via bit_count(xor).
+    *
+    * Scale math: band width must GROW with the corpus — 8-bit bands
+    * (256 buckets) measured quadratic at a 10× corpus (avg bucket ≈
+    * n/256 → pairs ≈ n²), while 16-bit bands keep buckets
+    * near-singleton and the join linear. Recall is restored by probing:
+    * one side also posts every single-bit variant of each band chunk
+    * (4×17 rows/doc), so by pigeonhole any pair within hamming ≤ 7 has
+    * some band with ≤ 1 differing bit and is guaranteed to collide —
+    * the same guarantee 8 coarse bands gave, at linear candidate
+    * volume.
     */
+  private val SimHashBands = 4 // × 16 bits each over the 64-bit signature
   def dSimhash(s: SparkSession, d: String): DataFrame = {
     // token hashes (1-word shingles) and the signature both via native
-    // per-row kernels; behind a barrier so the banding Generate reads
+    // per-row kernels; behind a barrier so the banding Generates read
     // the materialized column
     val sh = graft.Stage.barrier(Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.simhash64(
           graft.functions.word_shingle_hashes(col("text"), 1)).as("simhash")))
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL)).as("bucket"))): _*))
-        .as("bb"))
+    def chunk(b: Int): Column =
+      shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))
+    val posted = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimHashBands).map(b =>
+        struct(lit(b).as("band"), chunk(b).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
-    banded.as("x")
-      .join(banded.as("y"),
+    // probe side: exact chunk + all 16 single-bit flips per band
+    val probed = sh.select(col("doc_id"), col("simhash"),
+      explode(array((for {
+        b <- 0 until SimHashBands
+        f <- -1 until 16
+      } yield {
+        val bucket = if (f < 0) chunk(b)
+        else chunk(b).bitwiseXOR(lit(1L << f))
+        struct(lit(b).as("band"), bucket.as("bucket"))
+      }): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    probed.as("x")
+      .join(posted.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
