@@ -29,11 +29,15 @@ object Ann {
   private val Hyper = 6
   private val Dim = 64
 
-  /** Seeded deterministic hyperplanes, as literal array columns. */
-  private val planes: IndexedSeq[IndexedSeq[Array[Double]]] = {
-    val rnd = new scala.util.Random(7)
-    IndexedSeq.fill(Tables_)(IndexedSeq.fill(Hyper)(Array.fill(Dim)(rnd.nextGaussian())))
+  /** Seeded deterministic hyperplane family: `tables` bucket tables ×
+    * `hyper` sign bits each.
+    */
+  def hyperplanes(tables: Int, hyper: Int, seed: Long): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(tables)(IndexedSeq.fill(hyper)(Array.fill(Dim)(rnd.nextGaussian())))
   }
+
+  private val planes = hyperplanes(Tables_, Hyper, seed = 7)
 
   private def vecCol: Column = col("embedding").cast("array<double>")
 
@@ -66,19 +70,38 @@ object Ann {
     ranked(scored)
   }
 
-  /** signature bucket per table t: Hyper sign bits packed into an int. */
-  private def bucketCol(v: Column, t: Int): Column =
-    (0 until Hyper).map { h =>
-      val plane = array(planes(t)(h).map(lit(_)).toSeq: _*)
-      when(vec_dot(v, plane) > 0, 1 << h).otherwise(0)
+  /** signature bucket per table t: sign bits packed into an int. The
+    * plane is a typedlit CONSTANT array — `array(lit, lit, …)` is a
+    * CreateArray that rebuilds the 64-element array per row per plane
+    * (measured: the bucketing dominated the bucketed join it feeds).
+    */
+  private def bucketColFor(family: IndexedSeq[IndexedSeq[Array[Double]]],
+      v: Column, t: Int): Column =
+    family(t).zipWithIndex.map { case (p, h) =>
+      when(vec_dot(v, typedlit(p.toSeq)) > 0, 1 << h).otherwise(0)
     }.reduce(_ + _)
 
-  /** (row, table, bucket) — L rows per vector (constant factor). */
+  /** (row, table, bucket) — one row per table per vector (constant
+    * factor, not a join explosion). Shared by the ANN queries and the
+    * embedding near-dup candidate generation (Dedup.dEmbedCos).
+    *
+    * The bucket array is materialized behind a hard barrier BEFORE the
+    * explode: Generate re-evaluates its child per OUTPUT row, so an
+    * inline bucket expression would be computed `tables`× per vector
+    * (measured ~8× the whole hyperplane dot work at 8 tables).
+    */
+  def withBucketsFor(df: DataFrame, v: Column,
+      family: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val staged = graft.Stage.barrier(df.withColumn("_buckets",
+      array(family.indices.map(t => bucketColFor(family, v, t)): _*)))
+    staged
+      .select(df.columns.map(col).toSeq :+ posexplode(col("_buckets")): _*)
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "bucket")
+  }
+
   private def withBuckets(df: DataFrame, v: Column): DataFrame =
-    df.select(df.columns.map(col).toSeq :+
-      explode(array((0 until Tables_).map(t =>
-        struct(lit(t).as("t"), bucketCol(v, t).as("bucket"))): _*)).as("tb"): _*)
-      .select(df.columns.map(col).toSeq :+ col("tb.t") :+ col("tb.bucket"): _*)
+    withBucketsFor(df, v, planes)
 
   /** D2: random-hyperplane LSH ANN — the scale path. Candidates come
     * from a shuffle join on (table, bucket); a 100 TB corpus never meets
@@ -152,7 +175,7 @@ object Ann {
   private def assignCells(df: DataFrame, centroids: Array[(Int, Seq[Double])],
       probes: Int): DataFrame = {
     val dists = array(centroids.sortBy(_._1).map { case (i, cv) =>
-      val c = array(cv.map(lit(_)): _*)
+      val c = typedlit(cv) // constant array, not per-row CreateArray
       struct(
         aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x).as("dist"),

@@ -241,18 +241,27 @@ object Dedup {
           (x, i) => when(i === 0, x + lit(0.05)).otherwise(x))))
   }
 
-  /** C5: embedding-cosine near-dup pairs, label-blocked (the shuffle key
-    * is the block; an unblocked corpus would use s_ann_lsh buckets).
-    * Cosine is the fused codegen'd expression (graft.functions
-    * .vec_cosine) — one allocation-free pass per pair.
+  /** C5: embedding-cosine near-dup pairs. Candidates come from
+    * random-hyperplane LSH buckets (8 tables × 12 sign bits — dedup
+    * targets near-identical vectors, so narrower buckets than the ANN
+    * queries' recall-oriented 4×6), cosine ≥ 0.95 verified within
+    * buckets only. The earlier label-blocked join was quadratic within
+    * blocks (6.3s at a 10× corpus → n²/labels pairs); bucketed
+    * candidates stay linear. Cosine is the fused codegen'd expression
+    * (graft.functions.vec_cosine) — one allocation-free pass per pair.
     */
+  private lazy val EmbedDedupPlanes = Ann.hyperplanes(tables = 8, hyper = 12, seed = 13)
+
   def dEmbedCos(s: SparkSession, d: String): DataFrame = {
-    val emb = corpusWithNearVectors(s, d)
-    emb.as("x")
-      .join(emb.as("y"),
-        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+    val emb = corpusWithNearVectors(s, d).select("vec_id", "v")
+    val b = Ann.withBucketsFor(emb, col("v"), EmbedDedupPlanes)
+    b.as("x")
+      .join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         round(graft.functions.vec_cosine(col("x.v"), col("y.v")), 4).as("cos"))
+      .dropDuplicates("id_a", "id_b")
       .filter(col("cos") >= 0.95)
   }
 

@@ -112,11 +112,15 @@ object Text {
         Window.partitionBy("lang").orderBy(col("df").desc, col("tri"))))
       .filter(col("rk") <= 64)
       .groupBy(col("lang").as("cand_lang"))
-      .agg(collect_list(col("tri")).as("profile"))
+      // sorted so scoring can merge-intersect (tris is already sorted
+      // from the native gram kernel; array_intersect would build a hash
+      // set per doc×lang row)
+      .agg(array_sort(collect_list(col("tri"))).as("profile"))
 
     val scored = docs.crossJoin(broadcast(profiles))
       .select(col("doc_id"), col("lang"), col("cand_lang"),
-        size(array_intersect(col("tris"), col("profile"))).as("overlap"))
+        graft.functions.sorted_intersect_count(col("tris"), col("profile"))
+          .as("overlap"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("overlap").desc, col("cand_lang"))
     scored.withColumn("rk", row_number().over(w))
