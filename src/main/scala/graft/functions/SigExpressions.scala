@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -170,6 +171,57 @@ object SigOps {
     new GenericArrayData(if (wr == nw) out else java.util.Arrays.copyOf(out, wr))
   }
 
+  /** The quality-score stopword list (shared with the t_quality oracle
+    * SQL — keep in sync).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "for", "on", "with", "as")
+  private val StopwordBytes: Array[Array[Byte]] =
+    Stopwords.map(_.getBytes("UTF-8")).toArray
+
+  /** (n_words, stop_hits) in one pass over the UTF-8 bytes: tokens are
+    * \s+ runs; a token counts as a stopword hit when it equals a list
+    * entry after ASCII case-folding (the list is pure ASCII, so this
+    * matches `lower(text)` tokenization for any input).
+    */
+  def wordStats(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    var nw = 0L
+    var sh = 0L
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        nw += 1
+        val wl = i - start
+        var k = 0
+        var hit = false
+        while (k < StopwordBytes.length && !hit) {
+          val sw = StopwordBytes(k)
+          if (sw.length == wl) {
+            var j = 0
+            var eq = true
+            while (eq && j < wl) {
+              var b = bytes(start + j)
+              if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+              if (b != sw(j)) eq = false
+              j += 1
+            }
+            hit = eq
+          }
+          k += 1
+        }
+        if (hit) sh += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](nw, sh))
+  }
+
   /** 64-bit SimHash over a token-hash array: per-bit majority vote. */
   def simhash(hs: ArrayData): Long = {
     val n = hs.numElements()
@@ -217,6 +269,21 @@ case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
     SigOps.charGrams(a.asInstanceOf[UTF8String], n)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.charGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string → struct(n_words, stop_hits) in one byte scan. */
+case class WordStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("nw", LongType, nullable = false),
+    StructField("sh", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_stats"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.wordStats(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.wordStats($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -96,4 +96,10 @@ package object functions {
     */
   def winnow_select(hashes: Column, window: Int): Column =
     toCol(WinnowSelect(toExpr(hashes), window))
+
+  /** struct(nw = \s+ token count, sh = stopword hits) in one byte scan
+    * (stopword list: SigOps.Stopwords).
+    */
+  def word_stats(text: Column): Column =
+    toCol(WordStats(toExpr(text)))
 }

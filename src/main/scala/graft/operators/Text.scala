@@ -14,9 +14,6 @@ import graft.queries.QueryDef
   */
 object Text {
 
-  private val Stopwords =
-    Seq("the", "a", "of", "and", "to", "in", "for", "on", "with", "as")
-
   private def words(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= "")
 
@@ -43,24 +40,16 @@ object Text {
     * sides (same ops, same order), rounded to 6dp as a guard.
     */
   def tQuality(s: SparkSession, d: String): DataFrame = {
-    // one fold computes n_words and stop_hits together (the split is
-    // evaluated once; separate size/filter columns would each re-inline
-    // it — measured 3.0s → ~1s at sf0.1); the score formula then reads
-    // materialized attributes behind a barrier
-    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
-    val wordStats = expr(
-      s"""aggregate(
-         |  filter(split(lower(text), '\\\\s+'), w -> w != ''),
-         |  struct(0L AS nw, 0L AS sh),
-         |  (acc, w) -> struct(acc.nw + 1L AS nw,
-         |    acc.sh + CASE WHEN w IN ($stopList) THEN 1L ELSE 0L END AS sh))""".stripMargin)
-    val staged = Tables.documents(s, d).select(
+    // n_words and stop_hits in one native byte scan (word_stats kernel;
+    // the earlier HOF fold paid an interpreted closure call per token);
+    // the score formula then reads materialized attributes behind a
+    // barrier
+    val staged = graft.Stage.barrier(Tables.documents(s, d).select(
       col("doc_id"),
-      wordStats.as("ws"),
+      graft.functions.word_stats(col("text")).as("ws"),
       (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
         .as("n_punct"),
-      length(col("text")).as("text_len"))
-      .repartition(col("doc_id"))
+      length(col("text")).as("text_len")))
       .select(col("doc_id"), col("ws.nw").as("n_words"),
         col("ws.sh").as("stop_hits"), col("n_punct"), col("text_len"))
     staged.select(
