@@ -383,6 +383,46 @@ object Analytics {
       |FROM orders
       |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
 
+  /** Set operations (INTERSECT / EXCEPT): high-balance customers who
+    * also placed a big order, minus those with any 'P'-status order.
+    */
+  def qSetops(s: SparkSession, d: String): DataFrame = {
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+    val bigOrder = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("k"))
+    val pStatus = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("k"))
+    rich.intersect(bigOrder).except(pStatus)
+  }
+
+  val qSetopsSql: String =
+    """SELECT k FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      |  INTERSECT
+      |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+      |)
+      |EXCEPT
+      |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'""".stripMargin
+
+  /** Explode / lateral: one row per token (Generate as a relational
+    * operator), re-aggregated to the 20 most frequent words.
+    */
+  def qExplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(20)
+
+  val qExplodeSql: String =
+    """SELECT w, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+      |) WHERE w != ''
+      |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin
+
   /** Pivot: event counts per user segment × event_type (dynamic column
     * creation; oracle is the conditional-aggregation twin).
     */
@@ -422,6 +462,8 @@ object Analytics {
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     QueryDef("q_distinct_approx", qDistinctApprox, None),
     QueryDef("q_cube", qCube, Some(qCubeSql)),
+    QueryDef("q_setops", qSetops, Some(qSetopsSql)),
+    QueryDef("q_explode", qExplode, Some(qExplodeSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
   )
 }
