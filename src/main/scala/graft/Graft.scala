@@ -56,6 +56,13 @@ object Graft {
   /** Custom column functions (crypto, UC JSON normalization, vector and
     * sorted-set math) — see graft.functions package object.
     */
+  /** Register every graft function into a session's SQL surface
+    * (alternative: ship `graft.functions.GraftExtensions` via
+    * `spark.sql.extensions`).
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    functions.GraftFunctions.registerAll(spark)
+
   def aesCtrDecrypt(data: Column, key: Column, iv: Column): Column =
     functions.aes_ctr_decrypt(data, key, iv)
   def ucValidate(c: Column): Column = functions.uc_validate(c)

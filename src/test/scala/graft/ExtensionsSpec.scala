@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+
+/** SQL-surface registration: every custom kernel callable from
+  * spark.sql after registry injection, with results identical to the
+  * Column-builder API.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("registerAll makes every graft function callable from SQL") {
+    GraftFunctions.registerAll(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("docs_ext")
+
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  simhash64(word_shingle_hashes(text, 1)) AS sh,
+        |  size(char_gram_hashes(text, 5)) AS ng,
+        |  word_stats(text).nw AS nw,
+        |  minhash_sig(char_gram_hashes(text, 3), 8) AS sig
+        |FROM docs_ext""".stripMargin)
+    val viaApi = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      graft.functions.simhash64(
+        graft.functions.word_shingle_hashes(col("text"), 1)).as("sh"),
+      size(graft.functions.char_gram_hashes(col("text"), 5)).as("ng"),
+      graft.functions.word_stats(col("text")).getField("nw").as("nw"),
+      graft.functions.minhash_sig(
+        graft.functions.char_gram_hashes(col("text"), 3), 8).as("sig"))
+
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+    assert(viaSql.count() > 0)
+  }
+
+  test("crypto + normalization round-trips through the SQL surface") {
+    GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT aes_ctr_decrypt(
+        |    aes_ctr_encrypt('{"a": 1}', base64(unhex(md5('k'))), base64(unhex(md5('iv')))),
+        |    base64(unhex(md5('k'))), base64(unhex(md5('iv')))) AS back,
+        |  json_canonicalize('{"b": 2, "a": 1}') AS canon,
+        |  uc_id('42') AS prim_id,
+        |  uc_id('{"b": 1, "a": 2}') AS obj_id""".stripMargin).head()
+    assert(row.getString(0) === """{"a": 1}""")
+    assert(row.getString(1) === """{"a":1,"b":2}""")
+    assert(row.getString(2) === "42")
+    assert(row.getString(3) === """{"a":2,"b":1}""")
+  }
+
+  test("GraftExtensions injects the full function table") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; table is shared
+    assert(GraftFunctions.all.map(_._1).distinct.size === GraftFunctions.all.size)
+  }
+}
