@@ -180,6 +180,43 @@ object Streaming {
     runToMemory(sessionizeStreaming(s, d).toDF(),
       "st_sessionize_fmgs_mem", OutputMode.Append())
 
+  /** G5: stream-stream inner join — purchases correlated with the same
+    * user's views in the preceding hour. Both sides carry watermarks
+    * and the join has a time-range condition, so state is bounded and
+    * cleaned as event time advances (the production contract for
+    * unbounded streams; AvailableNow drains the backlog in one pass).
+    * The joined pairs land in the memory sink (append — the only mode
+    * stream-stream joins support), then aggregate per user; the oracle
+    * is the identical batch join in SQL.
+    */
+  def stStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val views = eventsStream(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user")
+        && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR")
+        && col("vts") <= col("pts"))
+      .select(col("p_user").as("user_id"),
+        unix_micros(col("pts")).as("pus"), unix_micros(col("vts")).as("vus"))
+    runToMemory(joined, "st_stream_join_mem", OutputMode.Append())
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val stStreamJoinSql: String =
+    """SELECT p.user_id, COUNT(*) AS n_pairs
+      |FROM (SELECT user_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, epoch_us(ts) AS vus FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id
+      |  AND v.vus BETWEEN p.pus - 3600000000 AND p.pus
+      |GROUP BY p.user_id""".stripMargin
+
   /** G3: streaming exact dedup — dropDuplicates on the content key
     * inside the stream (state-backed; a production deployment bounds
     * state with dropDuplicatesWithinWatermark), then a running count per
@@ -227,6 +264,7 @@ object Streaming {
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_sessionize_stream", stSessionizeStream, Some(stSessionizeSql)),
+    QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
     QueryDef("st_enrich", stEnrich, Some(stEnrichSql)),
   )

@@ -37,6 +37,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("st_stream_join equals the batch time-bounded join twin") {
+    val streamed = Streaming.stStreamJoin(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("pus"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("vus"))
+    val batch = p.join(v, col("p_user") === col("v_user")
+        && col("vus") >= col("pus") - 3600000000L && col("vus") <= col("pus"))
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(batch.count() > 0)
+  }
+
   test("streaming queries are rerunnable within one session (memory sink name reuse)") {
     val a = Streaming.stWindowAgg(spark, sfDir).count()
     val b = Streaming.stWindowAgg(spark, sfDir).count()
