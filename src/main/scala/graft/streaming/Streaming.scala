@@ -43,15 +43,33 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stateful-operator partition count for these queries. Stream state
+    * partitioning is fixed at the FIRST run of a query (it's the
+    * checkpointed layout, not a runtime knob) and should be sized to
+    * expected state volume: per-partition state-store commit overhead
+    * dominates below ~millions of state rows per trigger. A large
+    * deployment raises this before first start; the bench/test scale
+    * runs 8 (a stream-stream join commits 4 stores per partition per
+    * side — 32 partitions measured 2× slower on identical input).
+    */
+  val StatePartitions = 8
+
   private def runToMemory(streamed: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    streamed.sparkSession.table(name)
+    val spark = streamed.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // scoped to planning: the streaming query captures the value at
+    // start(); batch queries planned afterwards see the restored conf
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** Tumbling-window transform shared by the stream and its batch twin. */
