@@ -33,10 +33,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       // streaming machinery warmup (MicroBatchExecution, state store,
       // memory sink classes) over the 5-row region table — the first
-      // streaming query otherwise pays ~2.5s of one-time init
+      // streaming query otherwise pays ~2.5s of one-time init. The
+      // file stream source requires a DIRECTORY (same constraint
+      // Streaming.eventsStream works around), so expose the single
+      // parquet file through a symlink dir.
       val regionSchema = spark.read.parquet(s"$sfDir/region.parquet").schema
+      val dir = java.nio.file.Paths.get("/tmp/graft_bench_warmup_region")
+      if (!java.nio.file.Files.exists(dir)) {
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("region.parquet"),
+          java.nio.file.Paths.get(s"$sfDir/region.parquet"))
+      }
       val q = spark.readStream.schema(regionSchema)
-        .parquet(s"$sfDir/region.parquet")
+        .parquet(dir.toString)
         .dropDuplicates("r_regionkey") // primes the dedup state operator
         .groupBy("r_name").count()
         .writeStream.format("memory").queryName("bench_warmup_stream")
@@ -44,7 +54,9 @@ object Bench {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
+    }
     // optional comma-separated name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -62,8 +74,10 @@ object Bench {
           val t1 = run()
           // a single shared-JVM run can catch a GC pause or codegen
           // compile burst; re-measure outliers once and report the
-          // better of the two (steady-state) timings
-          if (t1 > 2.5) math.min(t1, run()) else t1
+          // better of the two (steady-state) timings. A failure in the
+          // RE-measure must not discard the valid first timing.
+          if (t1 > 2.5) scala.util.Try(run()).toOption.fold(t1)(math.min(t1, _))
+          else t1
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name

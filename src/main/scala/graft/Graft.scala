@@ -53,12 +53,10 @@ object Graft {
     */
   val streaming: graft.streaming.Streaming.type = graft.streaming.Streaming
 
-  /** Custom column functions (crypto, UC JSON normalization, vector and
-    * sorted-set math) — see graft.functions package object.
-    */
-  /** Register every graft function into a session's SQL surface
-    * (alternative: ship `graft.functions.GraftExtensions` via
-    * `spark.sql.extensions`).
+  /** Register every custom column function (crypto, UC JSON
+    * normalization, vector and sorted-set math — see graft.functions)
+    * into a session's SQL surface (alternative: ship
+    * `graft.functions.GraftExtensions` via `spark.sql.extensions`).
     */
   def registerFunctions(spark: SparkSession): Unit =
     functions.GraftFunctions.registerAll(spark)

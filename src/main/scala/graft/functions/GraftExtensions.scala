@@ -27,65 +27,77 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  // ExpressionInfo's 3-arg constructor is (className, DB, name) — use
+  // the 5-arg form so `name` is the name and `usage` the usage
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions", name, usage)
+    new ExpressionInfo("graft.functions", null, name, usage, "")
 
   private def intArg(name: String, e: Expression): Int = e match {
-    case IntegerLiteral(n) => n
+    case IntegerLiteral(n) if n > 0 => n
     case other => throw new IllegalArgumentException(
-      s"$name expects a literal INT, got: $other")
+      s"$name expects a positive literal INT, got: $other")
   }
+
+  /** Total builder: wrong argument counts get a named arity error, not
+    * a bare MatchError from a partial function.
+    */
+  private def arity(name: String, n: Int)(
+      f: PartialFunction[Seq[Expression], Expression]): Seq[Expression] => Expression =
+    args =>
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
+      else f(args)
 
   /** (name, info, builder) for every graft SQL function. */
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("aes_ctr_decrypt",
       info("aes_ctr_decrypt", "aes_ctr_decrypt(b64data, b64key, b64iv) - AES-CTR decrypt to utf8"),
-      { case Seq(d, k, iv) => AesCtrDecrypt(d, k, iv) }: Seq[Expression] => Expression),
+      arity("aes_ctr_decrypt", 3) { case Seq(d, k, iv) => AesCtrDecrypt(d, k, iv) }),
     ("aes_ctr_encrypt",
       info("aes_ctr_encrypt", "aes_ctr_encrypt(utf8, b64key, b64iv) - AES-CTR encrypt to base64"),
-      { case Seq(d, k, iv) => AesCtrEncrypt(d, k, iv) }),
+      arity("aes_ctr_encrypt", 3) { case Seq(d, k, iv) => AesCtrEncrypt(d, k, iv) }),
     ("uc_validate",
       info("uc_validate", "uc_validate(json) - date/id wrapping; returns struct<json, is_delete>"),
-      { case Seq(j) => UcValidate(j) }),
+      arity("uc_validate", 1) { case Seq(j) => UcValidate(j) }),
     ("uc_transform_audit",
       info("uc_transform_audit", "uc_transform_audit(json, envelope_lm) - businessAudit context unwrap"),
-      { case Seq(j, lm) => UcTransformAudit(j, lm) }),
+      arity("uc_transform_audit", 2) { case Seq(j, lm) => UcTransformAudit(j, lm) }),
     ("json_canonicalize",
       info("json_canonicalize", "json_canonicalize(json) - compact, sorted keys, python-parity floats"),
-      { case Seq(j) => JsonCanonicalize(j) }),
+      arity("json_canonicalize", 1) { case Seq(j) => JsonCanonicalize(j) }),
     ("uc_id",
       info("uc_id", "uc_id(raw_id) - canonical record id"),
-      { case Seq(j) => UcCanonicalId(j) }),
+      arity("uc_id", 1) { case Seq(j) => UcCanonicalId(j) }),
     ("uc_id_part",
       info("uc_id_part", "uc_id_part(id) - 2-char partition prefix"),
-      { case Seq(j) => UcIdPart(j) }),
+      arity("uc_id_part", 1) { case Seq(j) => UcIdPart(j) }),
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - dot product over array<double>"),
-      { case Seq(a, b) => DotProduct(a, b) }),
+      arity("vec_dot", 2) { case Seq(a, b) => DotProduct(a, b) }),
     ("vec_cosine",
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity over array<double>"),
-      { case Seq(a, b) => CosineSimilarity(a, b) }),
+      arity("vec_cosine", 2) { case Seq(a, b) => CosineSimilarity(a, b) }),
     ("sorted_intersect_count",
       info("sorted_intersect_count", "sorted_intersect_count(a, b) - |A∩B| of sorted bigint arrays"),
-      { case Seq(a, b) => SortedIntersectCount(a, b) }),
+      arity("sorted_intersect_count", 2) { case Seq(a, b) => SortedIntersectCount(a, b) }),
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(hashes, numPerm) - MinHash signature"),
-      { case Seq(h, n) => MinHashSig(h, intArg("minhash_sig", n)) }),
+      arity("minhash_sig", 2) { case Seq(h, n) => MinHashSig(h, intArg("minhash_sig", n)) }),
     ("simhash64",
       info("simhash64", "simhash64(token_hashes) - 64-bit SimHash"),
-      { case Seq(h) => SimHash64(h) }),
+      arity("simhash64", 1) { case Seq(h) => SimHash64(h) }),
     ("char_gram_hashes",
       info("char_gram_hashes", "char_gram_hashes(text, n) - sorted distinct n-codepoint-gram hashes"),
-      { case Seq(t, n) => CharGramHashes(t, intArg("char_gram_hashes", n)) }),
+      arity("char_gram_hashes", 2) { case Seq(t, n) => CharGramHashes(t, intArg("char_gram_hashes", n)) }),
     ("word_shingle_hashes",
       info("word_shingle_hashes", "word_shingle_hashes(text, n) - positional n-word-shingle hashes"),
-      { case Seq(t, n) => WordShingleHashes(t, intArg("word_shingle_hashes", n)) }),
+      arity("word_shingle_hashes", 2) { case Seq(t, n) => WordShingleHashes(t, intArg("word_shingle_hashes", n)) }),
     ("winnow_select",
       info("winnow_select", "winnow_select(hashes, window) - winnowing fingerprint selection"),
-      { case Seq(h, w) => WinnowSelect(h, intArg("winnow_select", w)) }),
+      arity("winnow_select", 2) { case Seq(h, w) => WinnowSelect(h, intArg("winnow_select", w)) }),
     ("word_stats",
       info("word_stats", "word_stats(text) - struct<nw: token count, sh: stopword hits>"),
-      { case Seq(t) => WordStats(t) }),
+      arity("word_stats", 1) { case Seq(t) => WordStats(t) }),
   )
 
   /** Register into an existing session's function registry. */

@@ -220,8 +220,9 @@ object Streaming {
       col("p_user") === col("v_user")
         && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR")
         && col("vts") <= col("pts"))
-      .select(col("p_user").as("user_id"),
-        unix_micros(col("pts")).as("pus"), unix_micros(col("vts")).as("vus"))
+      // only user_id survives to the post-sink agg — don't ship the
+      // timestamps through the memory sink
+      .select(col("p_user").as("user_id"))
     runToMemory(joined, "st_stream_join_mem", OutputMode.Append())
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"))

@@ -56,4 +56,15 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; table is shared
     assert(GraftFunctions.all.map(_._1).distinct.size === GraftFunctions.all.size)
   }
+
+  test("extension injection is live in a fresh session state") {
+    // newSession() rebuilds sessionState from the session's injected
+    // extensions and DROPS registerAll-registered functions — so this
+    // only passes if spark.sql.extensions=GraftExtensions really took
+    val fresh = spark.newSession()
+    val row = fresh.sql(
+      "SELECT uc_id('7') AS i, vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(row.getString(0) === "7")
+    assert(row.getDouble(1) === 11.0)
+  }
 }

@@ -18,6 +18,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false)
       .config("spark.sql.adaptive.enabled", true)
+      // the production registration path — specs exercise the real
+      // extension injection, not just registerAll
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
