@@ -289,8 +289,128 @@ object Dedup {
       |SELECT doc_id, lang, source, n_chars FROM corpus
       |WHERE doc_id IN (SELECT MIN(doc_id) FROM corpus GROUP BY md5(text))""".stripMargin
 
+  // ---- near-dup clustering (connected components) ----
+
+  /** C6: near-duplicate CLUSTERING — pair lists (C1–C5) only say "a
+    * matches b"; a dedup pipeline needs transitive groups to pick one
+    * keeper per cluster. Components are computed with distributed
+    * hash-min label propagation plus pointer jumping: each round every
+    * node takes the min label over its neighborhood (one shuffle join +
+    * one partial agg), then labels compress through themselves
+    * (label ← label(label)), giving O(log diameter) rounds — near-dup
+    * clusters are shallow (dup groups are near-cliques), so this
+    * converges in 2–3 rounds regardless of corpus size and never
+    * materializes anything bigger than the edge list. The driver loop
+    * only orchestrates; every step is a distributed join/agg, and each
+    * round is barriered so lineage (and the plan) stays constant-size.
+    *
+    * Edges: exact-duplicate star edges (md5 groups of the dup corpus)
+    * ∪ n-gram-jaccard near-dup pairs — both SQL-reproducible, so the
+    * oracle recomputes the same components with a recursive CTE.
+    * Output: every doc with its cluster id (min doc_id in component)
+    * and cluster size.
+    */
+  /** Distributed connected components: hash-min label propagation with
+    * pointer jumping. `nodes` has column `id`; `edges` has `(id_a,
+    * id_b)` (symmetrized internally). Returns `(id, comp)` where comp
+    * is the component's minimum id. Each round is one shuffle join +
+    * one partial agg + one self-join; rounds are O(log diameter), and
+    * every round is barriered so lineage (and the analyzed plan) stays
+    * constant-size across iterations.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = graft.Stage.barrier(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = graft.Stage.barrier(
+      nodes.select(col("id"), col("id").as("comp")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 16) {
+      // min over self ∪ neighbors' labels
+      val stepped = labels.select("id", "comp")
+        .union(labels.join(sym, col("id") === col("src"))
+          .select(col("dst").as("id"), col("comp")))
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+      // pointer jumping: comp ← comp(comp) — collapses label chains so
+      // long paths converge logarithmically
+      val jumped = graft.Stage.barrier(stepped.as("l")
+        .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")).as("j"),
+          col("l.comp") === col("j.jid"))
+        .select(col("l.id").as("id"), col("j.jcomp").as("comp")))
+      changed = jumped.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = jumped
+      rounds += 1
+    }
+    labels
+  }
+
+  def dCluster(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusWithExactDups(s, d)
+    val exactEdges = corpus
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .withColumn("keeper", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("doc_id").as("id_b"))
+    val ngramEdges = dNgramJaccard(s, d).select(col("id_a"), col("id_b"))
+    connectedComponents(
+      corpus.select(col("doc_id").as("id")),
+      exactEdges.union(ngramEdges))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  val dClusterSql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source
+      |  FROM documents WHERE doc_id % 7 = 0
+      |),
+      |exact_edges AS (
+      |  SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
+      |  FROM corpus
+      |  QUALIFY doc_id != id_a
+      |),
+      |g AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, greatest(length(text) - 5, 0) + 2),
+      |      i -> substr(text, i, 5))) AS grams
+      |  FROM documents),
+      |ngram_edges AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM g x JOIN g y
+      |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+      |  WHERE 5 * len(list_intersect(x.grams, y.grams)) >=
+      |        3 * (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
+      |),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM exact_edges
+      |  UNION SELECT id_b, id_a FROM exact_edges
+      |  UNION SELECT id_a, id_b FROM ngram_edges
+      |  UNION SELECT id_b, id_a FROM ngram_edges
+      |),
+      |walk(id, r) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+      |),
+      |comp AS (
+      |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id
+      |)
+      |SELECT doc_id, cluster_id,
+      |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM comp""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
+    QueryDef("d_cluster", dCluster, Some(dClusterSql)),
     QueryDef("d_exact_keep", dExactKeep, Some(dExactKeepSql)),
     QueryDef("d_minhash_lsh", dMinhashLsh, None),
     QueryDef("d_simhash", dSimhash, None),

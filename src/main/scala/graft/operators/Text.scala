@@ -306,8 +306,106 @@ object Text {
        |  FROM documents)
        |GROUP BY 1, 2""".stripMargin
 
+  /** E10: repetition stats (Gopher-style quality signals) — duplicate
+    * word fraction and the most-frequent word-bigram's share, per doc.
+    * The repetitive flag is exact integer arithmetic (max·5 ≥ total ⇔
+    * top bigram covers ≥ 20%), so the oracle compares exactly. Shape:
+    * explode bigrams → two hash aggs keyed on doc_id — the per-doc
+    * group is bounded by document length, so the shuffle volume is the
+    * token stream itself (the same contract as q_explode) and no group
+    * can skew beyond one document.
+    */
+  def tRepetition(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Stage.barrier(Tables.documents(s, d)
+      .select(col("doc_id"), words(lower(col("text"))).as("w")))
+    val stats = docs.select(col("doc_id"),
+      size(col("w")).as("n_words"),
+      size(array_distinct(col("w"))).as("n_distinct"))
+    // sequence(1, n) REQUIRES n ≥ 1 (start > stop flips the step sign);
+    // guard short docs to an empty bigram list
+    val bigrams = docs.select(col("doc_id"),
+      explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1))))
+        .otherwise(array())).as("bg"))
+    val perDoc = bigrams
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(col("cnt")).as("max_bigram_cnt"), sum(col("cnt")).as("n_bigrams"))
+    stats.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("max_bigram_cnt"), lit(0L)).as("max_bigram_cnt"),
+        (coalesce(col("max_bigram_cnt"), lit(0L)) * 5 >=
+          coalesce(col("n_bigrams"), lit(0L))
+          && coalesce(col("n_bigrams"), lit(0L)) > 0).as("repetitive"))
+  }
+
+  val tRepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+      |    CASE WHEN len(ws) >= 2
+      |         THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      |         ELSE [] END AS bgs
+      |  FROM w),
+      |c AS (
+      |  SELECT doc_id, bg, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY 1, 2),
+      |m AS (
+      |  SELECT doc_id, MAX(cnt) AS mx, CAST(SUM(cnt) AS BIGINT) AS nb
+      |  FROM c GROUP BY 1)
+      |SELECT b.doc_id, n_words, n_distinct,
+      |  COALESCE(nb, 0) AS n_bigrams,
+      |  COALESCE(mx, 0) AS max_bigram_cnt,
+      |  COALESCE(mx * 5 >= nb AND nb > 0, FALSE) AS repetitive
+      |FROM b LEFT JOIN m ON b.doc_id = m.doc_id""".stripMargin
+
+  /** E11: deterministic domain mixing — per-language sampling weights
+    * applied as epoch-style repetition (floor(w) copies plus one more
+    * with probability frac(w)). The fractional coin is a pure function
+    * of the stable id (md5 hex prefix vs a 16-bit threshold, same
+    * contract as t_sample), so a 100 TB mix is reproducible across
+    * retries, engines and partitionings — and the oracle materializes
+    * the identical mix in SQL. Weights: en 0.5×, zh 2.5×, fr 2×,
+    * es 1.25×, de 1×.
+    */
+  def tMix(s: SparkSession, d: String): DataFrame = {
+    val baseCopies = when(col("lang") === "en", 0L)
+      .when(col("lang") === "zh", 2L)
+      .when(col("lang") === "fr", 2L).otherwise(1L)
+    val fracThreshold = when(col("lang") === "en", "8000")
+      .when(col("lang") === "zh", "8000")
+      .when(col("lang") === "es", "4000").otherwise("0000")
+    Tables.documents(s, d)
+      .withColumn("repeats", baseCopies +
+        when(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 4) < fracThreshold, 1L).otherwise(0L))
+      .filter(col("repeats") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("repeats"))).as("copy"))
+  }
+
+  val tMixSql: String =
+    """SELECT doc_id, lang, unnest(range(1, repeats + 1)) AS copy
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 WHEN 'fr' THEN 2 ELSE 1 END
+      |    + CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) <
+      |        CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '8000'
+      |                  WHEN 'es' THEN '4000' ELSE '0000' END
+      |      THEN 1 ELSE 0 END AS repeats
+      |  FROM documents)
+      |WHERE repeats > 0""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
+    QueryDef("t_repetition", tRepetition, Some(tRepetitionSql)),
+    QueryDef("t_mix", tMix, Some(tMixSql)),
     QueryDef("t_sample", tSample, Some(tSampleSql)),
     QueryDef("t_redact", tRedact, Some(tRedactSql)),
     QueryDef("t_pack", tPack, Some(tPackSql)),

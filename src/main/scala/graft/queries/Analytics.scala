@@ -332,17 +332,22 @@ object Analytics {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
 
-  /** Exact percentiles (percentile_cont, standard interpolation both
-    * engines). The 100 TB variant swaps in approx_percentile — see
-    * q_distinct_approx for the sketch-based pattern.
+  /** Exact percentiles (linear interpolation at rank p·(n-1), the
+    * percentile_cont definition both engines implement). One
+    * `percentile(col, array(...))` aggregate instead of three
+    * percentile_cont calls: all three quantiles share a single
+    * per-group value buffer and one sort, instead of each aggregate
+    * maintaining (and merging) its own. The 100 TB variant swaps in
+    * approx_percentile — see q_distinct_approx for the sketch pattern.
     */
   def qPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(
-        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
-        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"),
-        expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p90"),
+        element_at(col("ps"), 3).as("p99"))
 
   val qPercentilesSql: String =
     """SELECT l_returnflag,

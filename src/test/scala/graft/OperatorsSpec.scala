@@ -70,6 +70,86 @@ class OperatorsSpec extends SparkSpec {
     assert(found === planted)
   }
 
+  test("d_cluster: components match a union-find over the same edges") {
+    // ground truth: union-find over exact-dup + ngram-jaccard edges
+    val corpus = Dedup.corpusWithExactDups(spark, sfDir)
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0))
+    val byText = corpus.select("doc_id", "text").collect()
+      .groupBy(_.getString(1)).values
+      .flatMap(g => g.map(_.getLong(0)).sorted.sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))))
+    val ngram = Dedup.dNgramJaccard(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    (byText ++ ngram).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.dCluster(spark, sfDir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("d_cluster convergence: hash-min + pointer jumping closes a long chain") {
+    // a path graph is the worst case for label propagation (diameter =
+    // n-1); pointer jumping must still close it in logarithmic rounds
+    import spark.implicits._
+    val n = 64L
+    val nodes = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(nodes, chain)
+    assert(labels.select("comp").distinct().count() === 1)
+    assert(labels.count() === n)
+  }
+
+  test("t_repetition: matches a brute-force recount") {
+    val expected = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map { r =>
+        val w = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val bgs = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        val mx = if (bgs.isEmpty) 0L else bgs.groupBy(identity).values.map(_.size).max.toLong
+        (r.getLong(0), (w.size.toLong, w.distinct.size.toLong, bgs.size.toLong, mx))
+      }.toMap
+    graft.operators.Text.tRepetition(spark, sfDir).collect().foreach { r =>
+      val (nw, nd, nb, mx) = expected(r.getLong(0))
+      assert((r.getInt(1).toLong, r.getInt(2).toLong, r.getLong(3), r.getLong(4)) === ((nw, nd, nb, mx)))
+      assert(r.getBoolean(5) === (mx * 5 >= nb && nb > 0))
+    }
+  }
+
+  test("t_mix: deterministic, per-lang copy counts within weight bounds") {
+    val a = graft.operators.Text.tMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val b = graft.operators.Text.tMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(a === b, "mix must be identical across runs")
+    val perDoc = graft.operators.Text.tMix(spark, sfDir)
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("copies"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    perDoc.foreach { case (lang, copies) =>
+      val (lo, hi) = lang match {
+        case "en" => (1L, 1L) // surviving en docs have exactly 1 copy
+        case "zh" => (2L, 3L)
+        case "fr" => (2L, 2L)
+        case "es" => (1L, 2L)
+        case _    => (1L, 1L)
+      }
+      assert(copies >= lo && copies <= hi, s"$lang: $copies copies")
+    }
+  }
+
+  test("p_formats_roundtrip: csv/json/orc all preserve the payload exactly") {
+    val rows = graft.sources.Formats.pFormatsRoundtrip(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("csv", "json", "orc"))
+    val triples = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(triples.size === 1, s"formats disagree: $triples")
+  }
+
   test("s_ann_brute: ranks are 1..k per query, self excluded, cos descending") {
     val rows = Ann.sAnnBrute(spark, sfDir)
       .orderBy("query_id", "rank").collect()
