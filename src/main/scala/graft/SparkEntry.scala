@@ -12,7 +12,7 @@ object SparkEntry {
     Analytics.all ++ Temporal.all ++ PipelineQueries.all ++
       graft.operators.Dedup.all ++ graft.operators.Ann.all ++
       graft.operators.Text.all ++ graft.operators.Skew.all ++
-      graft.sources.Formats.all ++
+      graft.sources.Formats.all ++ graft.pipeline.Bucketing.all ++
       graft.multimodal.Multimodal.all ++
       graft.streaming.Streaming.all
 

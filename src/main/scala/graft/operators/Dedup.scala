@@ -319,12 +319,16 @@ object Dedup {
     * constant-size across iterations.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // persist both iteration inputs: every round runs a distributed
+    // action (the convergence count), and without materialization each
+    // action would recompute the whole lineage — edge generation
+    // included — making the loop quadratic in rounds
     val sym = graft.Stage.barrier(
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .distinct())
+        .distinct()).persist()
     var labels = graft.Stage.barrier(
-      nodes.select(col("id"), col("id").as("comp")))
+      nodes.select(col("id"), col("id").as("comp"))).persist()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 16) {
@@ -339,12 +343,15 @@ object Dedup {
         .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")).as("j"),
           col("l.comp") === col("j.jid"))
         .select(col("l.id").as("id"), col("j.jcomp").as("comp")))
+        .persist()
       changed = jumped.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.comp") =!= col("o.comp")).count()
+      labels.unpersist() // jumped is materialized by the count above
       labels = jumped
       rounds += 1
     }
+    sym.unpersist()
     labels
   }
 
