@@ -112,6 +112,29 @@ object Envelope {
         lmCol(docId).as("_lastModifiedDateTime")).as("message"))).as("value"))
   }
 
+  /** Materialized fixture: the synthesized envelopes written ONCE per
+    * scale dir as gzip JSONL — the reference's actual input format
+    * (`*.jsonl.gz` under the corporate_storage prefix,
+    * ingesters.py:109) — then read back as text. Queries that consume
+    * envelopes measure the PIPELINE (parse→decrypt→normalize), not the
+    * fixture synthesis; and reading gz JSONL exercises the production
+    * read path. `_SUCCESS` gates against a half-written cache.
+    */
+  def synthesizeCached(s: SparkSession, dir: String): DataFrame =
+    cachedLines(s, dir, "main")(synthesize)
+
+  def synthesizeAuditCached(s: SparkSession, dir: String): DataFrame =
+    cachedLines(s, dir, "audit")(synthesizeAudit)
+
+  private def cachedLines(s: SparkSession, dir: String, tag: String)(
+      f: (SparkSession, String) => DataFrame): DataFrame = {
+    val path = s"/tmp/graft_envelope_${tag}_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      f(s, dir).write.mode("overwrite")
+        .option("compression", "gzip").text(path)
+    s.read.text(path)
+  }
+
   /** documents → data:businessAudit envelopes: the dbObject is an audit
     * record `{"context": {"AUDIT_ID": <doc_id>}, "auditType": <source>}`
     * (reference: steps/tests.py TestUCMessageTransform).

@@ -30,13 +30,13 @@ object PipelineQueries {
       |  (doc_id * 7) % 60, doc_id % 1000)""".stripMargin
 
   private def pipelined(s: SparkSession, d: String): DataFrame =
-    Ingest.pipeline(Envelope.synthesize(s, d))
+    Ingest.pipeline(Envelope.synthesizeCached(s, d))
 
   /** B1: envelope JSONL → typed columns; every parsed field checked
     * against its SQL reconstruction.
     */
   def pEnvelopeParse(s: SparkSession, d: String): DataFrame =
-    Envelope.parse(Envelope.synthesize(s, d))
+    Envelope.parse(Envelope.synthesizeCached(s, d))
       .select(
         get_json_object(col("raw_id"), "$.id").cast("long").as("id"),
         col("db"), col("collection"), col("key_enc"), col("iv"),
@@ -54,7 +54,7 @@ object PipelineQueries {
     */
   def pDecrypt(s: SparkSession, d: String): DataFrame =
     Ingest.decrypt(KeyService.identity.withDataKeys(
-        Envelope.parse(Envelope.synthesize(s, d))))
+        Envelope.parse(Envelope.synthesizeCached(s, d))))
       .select(
         get_json_object(col("raw_id"), "$.id").cast("long").as("id"),
         get_json_object(col("decrypted"), "$.n_chars").cast("long").as("n_chars"),
@@ -102,7 +102,7 @@ object PipelineQueries {
     * sanitise).
     */
   def pTransformAudit(s: SparkSession, d: String): DataFrame =
-    Ingest.pipeline(Envelope.synthesizeAudit(s, d))
+    Ingest.pipeline(Envelope.synthesizeAuditCached(s, d))
       .select(
         get_json_object(col("val"), "$.AUDIT_ID").cast("long").as("audit_id"),
         get_json_object(col("val"), "$.AUDIT_EVENT").as("audit_event"),
