@@ -107,9 +107,59 @@ object Multimodal {
       .toDF()
   }
 
+  /** F4: modality routing by magic bytes — mixed binary payloads
+    * dispatched by their file-signature prefix (PNG/JPEG/RIFF/other),
+    * the gateway step before any modality-specific decoder. Detection
+    * reads the BYTES (hex prefix compare on the binary column, one
+    * codegen'd pass), not metadata; the fixture plants real magic
+    * headers deterministically so the DuckDB oracle reconstructs the
+    * same mixed corpus and routes it with the same prefix tests.
+    */
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+  private val JpegMagic = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+  private val RiffMagic = "RIFF".getBytes("UTF-8")
+
+  def mMagicRoute(s: SparkSession, d: String): DataFrame = {
+    val magic = when(col("doc_id") % 4 === 0, lit(PngMagic))
+      .when(col("doc_id") % 4 === 1, lit(JpegMagic))
+      .when(col("doc_id") % 4 === 2, lit(RiffMagic))
+      .otherwise(lit(Array.empty[Byte]))
+    val payload = concat(magic, col("text").cast("binary"))
+    val prefix = hex(substring(col("payload"), 1, 4))
+    Tables.documents(s, d)
+      .select(col("doc_id"), payload.as("payload"))
+      .select(col("payload"),
+        when(substring(prefix, 1, 8) === "89504E47", "image/png")
+          .when(substring(prefix, 1, 6) === "FFD8FF", "image/jpeg")
+          .when(substring(prefix, 1, 8) === "52494646", "audio/riff")
+          .otherwise("text/plain").as("modality"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("payload"))).as("total_bytes"))
+  }
+
+  val mMagicRouteSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    (CASE CAST(doc_id % 4 AS INTEGER)
+      |       WHEN 0 THEN '\x89PNG'::BLOB
+      |       WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+      |       WHEN 2 THEN 'RIFF'::BLOB
+      |       ELSE ''::BLOB END) || encode(text) AS payload
+      |  FROM documents)
+      |SELECT CASE
+      |    WHEN hex(payload)[1:8] = '89504E47' THEN 'image/png'
+      |    WHEN hex(payload)[1:6] = 'FFD8FF' THEN 'image/jpeg'
+      |    WHEN hex(payload)[1:8] = '52494646' THEN 'audio/riff'
+      |    ELSE 'text/plain' END AS modality,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+      |FROM p GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_feature_stub", mFeatureStub, None),
     QueryDef("m_frame_sample", mFrameSample, None),
+    QueryDef("m_magic_route", mMagicRoute, Some(mMagicRouteSql)),
   )
 }

@@ -279,8 +279,50 @@ object Streaming {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** G6: streaming partitioned sink — the stream lands in a
+    * partitioned parquet layout via foreachBatch (per-batch exactly
+    * the reference's daily-increment write: derived partition column,
+    * dynamic layout on disk), then the landed files are read back and
+    * aggregated. foreachBatch is the production seam for sinks Spark
+    * doesn't ship natively (JDBC upserts, MERGE INTO, multi-table
+    * fanout); AvailableNow drains the backlog through the same code an
+    * unbounded deployment would run per microbatch.
+    */
+  def stSink(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_stream_sink_${math.abs(d.hashCode)}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val streamed = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val q = streamed.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append")
+          .partitionBy("event_type")
+          .parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("us")).as("us_min"), max(col("us")).as("us_max"),
+        sum(dec(col("value"))).cast("double").as("total"))
+  }
+
+  val stSinkSql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |  MIN(epoch_us(ts)) AS us_min, MAX(epoch_us(ts)) AS us_max,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
+    QueryDef("st_sink", stSink, Some(stSinkSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_sessionize_stream", stSessionizeStream, Some(stSessionizeSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),
