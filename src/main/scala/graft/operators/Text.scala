@@ -402,8 +402,62 @@ object Text {
       |  FROM documents)
       |WHERE repeats > 0""".stripMargin
 
+  /** E12: benchmark decontamination — the standard LLM-training hygiene
+    * step: drop training docs sharing any complete word-shingle with
+    * the held-out eval set. The "benchmark" here is the deterministic
+    * doc_id % 50 == 0 slice; 4-word shingles at demo scale (production
+    * uses 8–13-gram windows — same plan shape). Scale shape: the
+    * benchmark's shingle set is SMALL (eval sets are MBs) and is
+    * broadcast, so the train side never shuffles — one scan to
+    * shingle, one broadcast semi-probe, one agg.
+    */
+  private val DecontamN = 4
+
+  def tDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Stage.barrier(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), words(lower(col("text"))).as("w")))
+    val shingles = docs.select(col("doc_id"), explode(
+      when(size(col("w")) >= DecontamN,
+        transform(sequence(lit(1), size(col("w")) - (DecontamN - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(DecontamN)))))
+        .otherwise(array())).as("g"))
+    val benchShingles = shingles.filter(col("doc_id") % 50 === 0)
+      .select("g").distinct()
+    val flagged = shingles.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(benchShingles), Seq("g"))
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .join(flagged.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(when(col("hit").isNull, 1)).as("n_clean"),
+        count(col("hit")).as("n_flagged"))
+  }
+
+  val tDecontaminateSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(ws) >= 4
+      |         THEN list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))
+      |         ELSE [] END) AS g
+      |  FROM w),
+      |bench_grams AS (
+      |  SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+      |flagged AS (
+      |  SELECT DISTINCT sh.doc_id FROM sh JOIN bench_grams USING (g)
+      |  WHERE sh.doc_id % 50 != 0)
+      |SELECT lang,
+      |  COUNT(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM flagged)) AS n_clean,
+      |  COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM flagged)) AS n_flagged
+      |FROM w WHERE doc_id % 50 != 0
+      |GROUP BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
+    QueryDef("t_decontaminate", tDecontaminate, Some(tDecontaminateSql)),
     QueryDef("t_repetition", tRepetition, Some(tRepetitionSql)),
     QueryDef("t_mix", tMix, Some(tMixSql)),
     QueryDef("t_sample", tSample, Some(tSampleSql)),
