@@ -455,8 +455,63 @@ object Text {
       |FROM w WHERE doc_id % 50 != 0
       |GROUP BY lang""".stripMargin
 
+  /** E13: corpus n-gram count tables — the classic MapReduce LM-data
+    * job: top-K word bigrams per language with counts. Scale shape:
+    * bigram counting is ONE hash aggregate keyed (lang, bigram) —
+    * map-side partial agg combines within each scan partition, so the
+    * shuffle carries distinct bigrams, not the token stream. The top-K
+    * is then two-phase: a first window over (lang, salt-of-bigram)
+    * keeps each bucket's local top-K (the global top-K is necessarily
+    * in its bucket's top-K), so the final per-lang window sorts
+    * K×buckets rows instead of every distinct bigram — a per-lang sort
+    * of the full vocabulary would funnel 100 TB of distinct n-grams
+    * through a handful of partitions.
+    */
+  private val NgramTopK = 10
+
+  def tNgramCounts(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Stage.barrier(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), words(lower(col("text"))).as("w")))
+    val counts = docs.select(col("lang"),
+      explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1))))
+        .otherwise(array())).as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+    val local = counts
+      .withColumn("rk0", row_number().over(
+        Window.partitionBy(col("lang"), pmod(xxhash64(col("bg")), lit(64)))
+          .orderBy(col("cnt").desc, col("bg"))))
+      .filter(col("rk0") <= NgramTopK)
+    local
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("bg"))))
+      .filter(col("rk") <= NgramTopK)
+      .select("lang", "rk", "bg", "cnt")
+  }
+
+  val tNgramCountsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+       |  FROM documents),
+       |b AS (
+       |  SELECT lang, unnest(
+       |    CASE WHEN len(ws) >= 2
+       |         THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+       |         ELSE [] END) AS bg
+       |  FROM w),
+       |c AS (SELECT lang, bg, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
+       |SELECT lang, rk, bg, cnt FROM (
+       |  SELECT lang, bg, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bg) AS rk
+       |  FROM c)
+       |WHERE rk <= $NgramTopK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
+    QueryDef("t_ngram_counts", tNgramCounts, Some(tNgramCountsSql)),
     QueryDef("t_decontaminate", tDecontaminate, Some(tDecontaminateSql)),
     QueryDef("t_repetition", tRepetition, Some(tRepetitionSql)),
     QueryDef("t_mix", tMix, Some(tMixSql)),

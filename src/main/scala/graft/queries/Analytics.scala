@@ -447,8 +447,38 @@ object Analytics {
       |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Correlated scalar subquery: orders strictly below their own
+    * customer's max order value. Expressed as the correlated SQL itself
+    * — Catalyst's decorrelation (RewriteCorrelatedScalarSubquery) turns
+    * the per-row subquery into one aggregate + equi-join, so the plan
+    * is two scans + hash agg + join, never a per-row re-execution. MAX
+    * (exact) rather than AVG keeps the threshold comparison
+    * float-order-independent, so the oracle hash-matches.
+    */
+  def qCorrelatedSubq(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_corr")
+    s.sql(
+      """SELECT o_custkey, COUNT(*) AS n_below,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_below
+        |FROM orders_corr o
+        |WHERE o_totalprice < (SELECT MAX(o2.o_totalprice)
+        |                      FROM orders_corr o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey""".stripMargin)
+  }
+
+  val qCorrelatedSubqSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_below,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_below
+      |FROM orders o
+      |WHERE o_totalprice < (SELECT MAX(o2.o_totalprice)
+      |                      FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1AggSql)),
+    QueryDef("q_correlated_subq", qCorrelatedSubq, Some(qCorrelatedSubqSql)),
     QueryDef("q2_filter_proj", q2FilterProj, Some(q2FilterProjSql)),
     QueryDef("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),
     QueryDef("q5_multijoin", q5Multijoin, Some(q5MultijoinSql)),

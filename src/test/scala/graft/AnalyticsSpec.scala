@@ -74,6 +74,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("cnt") === Tables.customer(spark, sfDir).count())
   }
 
+  test("q_correlated_subq decorrelates to a join and matches manual rewrite") {
+    import org.apache.spark.sql.functions._
+    val result = Analytics.qCorrelatedSubq(spark, sfDir)
+    // Catalyst must rewrite the per-row subquery into agg + join: the
+    // physical plan has a join and NO surviving subquery node
+    val physical = result.queryExecution.executedPlan.toString
+    assert(physical.contains("Join"), physical.take(500))
+    assert(!physical.contains("Subquery"), "subquery survived decorrelation")
+    val o = Tables.orders(spark, sfDir)
+    val mx = o.groupBy(col("o_custkey").as("k")).agg(max("o_totalprice").as("mx"))
+    val manual = o.join(mx, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") < col("mx"))
+      .groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === manual)
+  }
+
   test("q_topk_per_group yields at most 3 per segment, rank-ordered") {
     val rows = Analytics.qTopkPerGroup(spark, sfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (_, rs) =>

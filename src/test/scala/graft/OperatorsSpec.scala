@@ -121,6 +121,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t_ngram_counts: two-phase top-k equals brute-force per-lang top-k") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = docs.flatMap { case (lang, text) =>
+        val w = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        w.sliding(2).filter(_.length == 2).map(bg => (lang, bg.mkString(" ")))
+      }.groupBy(identity).map { case ((lang, bg), v) => (lang, bg, v.size.toLong) }
+    val expected = counts.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.toSeq.sortBy(r => (-r._3, r._2)).take(10).zipWithIndex
+        .map { case ((lang, bg, cnt), i) => (lang, i + 1L, bg, cnt) }
+    }.toSet
+    val got = graft.operators.Text.tNgramCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getString(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
   test("t_mix: deterministic, per-lang copy counts within weight bounds") {
     val a = graft.operators.Text.tMix(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
