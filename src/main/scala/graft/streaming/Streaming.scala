@@ -320,8 +320,99 @@ object Streaming {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Three-file fixture for late-data semantics: events split by
+    * event_id residue (b0 = even ids, b1 = ids ≡ 1 mod 4, b2 = ids ≡ 3
+    * mod 4) into single-file parquet batches with staggered mtimes, so
+    * the file source under maxFilesPerTrigger=1 processes them in that
+    * order. Each slice interleaves in event time, so batch 2 delivers
+    * rows that are genuinely late against the watermark batch 0
+    * established. Three batches, not two, because Spark's late filter
+    * LAGS eviction by one batch: batch N drops rows against the
+    * watermark that was active during batch N−1 (the filter is planned
+    * before the batch's own watermark update), while emission/eviction
+    * at the end of batch N uses batch N's watermark — measured on this
+    * exact query shape; a 2-batch split therefore never drops anything.
+    * ts ships as epoch-µs BIGINT — no TIMESTAMP(NANOS) in the fixture.
+    * Built once per scale dir under a temp name and moved into place
+    * last, so a crashed half-build is never mistaken for a complete
+    * fixture.
+    */
+  private[graft] def lateFixtureDir(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(s"/tmp/graft_stream_late3_${math.abs(d.hashCode)}")
+    if (!dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val tmp = new java.io.File(dir.getPath + ".build")
+      rm(tmp)
+      tmp.mkdirs()
+      val slices = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        id => id % 2 === 0, id => id % 4 === 1, id => id % 4 === 3)
+      slices.zipWithIndex.foreach { case (pred, i) =>
+        val stage = new java.io.File(tmp, s"stage$i")
+        Tables.events(s, d)
+          .filter(pred(col("event_id")))
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val target = new java.io.File(tmp, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        // the file source orders by modification time: b0 < b1 < b2
+        target.setLastModified(1600000000000L + i * 60000L)
+        rm(stage)
+      }
+      if (!tmp.renameTo(dir)) rm(tmp)
+    }
+    dir.getPath
+  }
+
+  /** G7: watermark late-data semantics — tumbling-window counts in
+    * APPEND mode over three file-source microbatches. Batch 0 (even
+    * ids) establishes the watermark; batch 2's rows (ids ≡ 3 mod 4)
+    * facing windows that watermark already closed are DROPPED
+    * (numRowsDroppedByWatermark > 0), and only windows the final
+    * watermark passes are emitted at all. This is the state contract
+    * that bounds memory on an unbounded 100 TB/day stream — without
+    * the watermark, window state grows forever. The oracle models the
+    * measured rule exactly in SQL: watermark floors to milliseconds;
+    * batch 2 drops iff window_end ≤ wm(batch 0 max); a window is
+    * emitted iff window_end ≤ wm(global max); surviving late rows
+    * merge into their still-live windows.
+    */
+  def stLateData(s: SparkSession, d: String): DataFrame = {
+    val dir = lateFixtureDir(s, d)
+    val schema = s.read.parquet(dir).schema
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+    runToMemory(streamed, "st_late_data_mem", OutputMode.Append())
+  }
+
+  val stLateDataSql: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS us,
+      |    epoch_us(date_trunc('hour', ts)) AS ws_us
+      |  FROM events),
+      |wma AS (SELECT max(us) // 1000 - 3600000 AS ms FROM e WHERE event_id % 2 = 0),
+      |wmc AS (SELECT max(us) // 1000 - 3600000 AS ms FROM e),
+      |kept AS (
+      |  SELECT * FROM e
+      |  WHERE NOT (event_id % 4 = 3
+      |             AND ws_us + 3600000000 <= (SELECT ms FROM wma) * 1000))
+      |SELECT ws_us, COUNT(*) AS cnt
+      |FROM kept
+      |WHERE ws_us + 3600000000 <= (SELECT ms FROM wmc) * 1000
+      |GROUP BY ws_us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
+    QueryDef("st_late_data", stLateData, Some(stLateDataSql)),
     QueryDef("st_sink", stSink, Some(stSinkSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_sessionize_stream", stSessionizeStream, Some(stSessionizeSql)),

@@ -19,6 +19,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("st_late_data drops late rows and matches the modeled batch twin") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // run the same stream by hand to read the per-batch drop counters
+    val dir = Streaming.lateFixtureDir(spark, sfDir)
+    val schema = spark.read.parquet(dir).schema
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+    val q = streamed.writeStream.format("memory").queryName("late_spec_mem")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped > 0, "watermark never dropped a late row — fixture is not exercising lateness")
+
+    // modeled twin: batch-2 rows (ids ≡ 3 mod 4) to windows closed by
+    // the batch-0 watermark are dropped; emitted windows end ≤ final wm
+    val e = Tables.events(spark, sfDir).select(col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      unix_micros(date_trunc("hour", col("ts"))).as("ws_us"))
+    val wmA = e.filter(col("event_id") % 2 === 0)
+      .agg((max(col("us")) / 1000).cast("long") - 3600000L).head.getLong(0)
+    val wmC = e.agg((max(col("us")) / 1000).cast("long") - 3600000L).head.getLong(0)
+    val twin = e.filter(!(col("event_id") % 4 === 3
+        && col("ws_us") + 3600000000L <= wmA * 1000L))
+      .filter(col("ws_us") + 3600000000L <= wmC * 1000L)
+      .groupBy("ws_us").agg(count(lit(1)).as("cnt"))
+    val got = spark.table("late_spec_mem")
+    assert(got.exceptAll(twin).count() === 0)
+    assert(twin.exceptAll(got).count() === 0)
+    assert(got.count() > 0)
+  }
+
   test("st_sessionize flatMapGroupsWithState equals the window-cumsum batch twin") {
     import spark.implicits._
     val streamedDs = Streaming.sessionizeStreaming(spark, sfDir)
