@@ -136,7 +136,7 @@ object Ann {
     */
   private val TrainSample = 1024
 
-  private def trainCentroids(c: DataFrame): Array[(Int, Seq[Double])] = {
+  private[operators] def trainCentroids(c: DataFrame): Array[(Int, Seq[Double])] = {
     val spark = c.sparkSession
     import spark.implicits._
     val train: Array[Array[Double]] = c.orderBy("vec_id").limit(TrainSample)
@@ -172,7 +172,7 @@ object Ann {
     * broadcast-literal centroids). probes=1 for corpus build, >1 for
     * query-side multi-probe.
     */
-  private def assignCells(df: DataFrame, centroids: Array[(Int, Seq[Double])],
+  private[operators] def assignCells(df: DataFrame, centroids: Array[(Int, Seq[Double])],
       probes: Int): DataFrame = {
     val dists = array(centroids.sortBy(_._1).map { case (i, cv) =>
       val c = typedlit(cv) // constant array, not per-row CreateArray

@@ -265,6 +265,42 @@ object Dedup {
       .filter(col("cos") >= 0.95)
   }
 
+  /** C6: SemDeDup — semantic deduplication in embedding space (Abbas
+    * et al. 2023): cluster the corpus with the coarse k-means quantizer
+    * (same IVF machinery as s_ann_ivf — production stores the corpus
+    * cell-bucketed anyway), then verify pairwise cosine ONLY within
+    * cells and drop the higher-id member of every pair ≥ τ. Scale
+    * shape: cells bound the quadratic verify to (N/k)² per cell, and k
+    * grows with the corpus so cell size stays bounded; pairs split
+    * across a cell boundary are missed — the documented SemDeDup recall
+    * tradeoff (multi-probe assignment narrows it). The keep-lowest-id
+    * rule is the same deterministic contract as d_exact; cosine is
+    * rounded to 6 dp before the threshold so the drop decision is
+    * reproducible across engines.
+    */
+  private val SemTau = 0.95
+
+  def semdedupFlags(s: SparkSession, d: String): DataFrame = {
+    val emb = corpusWithNearVectors(s, d)
+    val centroids = Ann.trainCentroids(emb.select(col("vec_id"), col("v")))
+    val cells = graft.Stage.barrier(Ann.assignCells(emb, centroids, probes = 1))
+    val x = cells.select(col("cell"), col("vec_id"), col("v"))
+    val dropped = x.as("a").join(x.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .filter(round(graft.functions.vec_cosine(col("a.v"), col("b.v")), 6) >= SemTau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    cells.join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cell"),
+        coalesce(col("_drop"), lit(false)).as("dropped"))
+  }
+
+  def dSemdedup(s: SparkSession, d: String): DataFrame =
+    semdedupFlags(s, d)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(!col("dropped"), 1)).as("n_kept"),
+        count(when(col("dropped"), 1)).as("n_dropped"))
+
   /** C1b: the APPLICATION of exact dedup — the surviving corpus (keeper
     * row per content group), i.e. what a training pipeline feeds
     * downstream. Left-semi join of the corpus against the keeper set.
@@ -423,5 +459,6 @@ object Dedup {
     QueryDef("d_simhash", dSimhash, None),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_embed_cos", dEmbedCos, None),
+    QueryDef("d_semdedup", dSemdedup, None),
   )
 }

@@ -121,6 +121,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d_semdedup: drop flags match a brute-force within-cell recount") {
+    val flags = Dedup.semdedupFlags(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3)))
+    val vecs = Dedup.corpusWithNearVectors(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // identical loop order to VectorMath.cosine → bit-identical doubles
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i); dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byCell = flags.groupBy(_._2)
+    flags.foreach { case (id, cell, dropped) =>
+      val expected = byCell(cell).exists { case (other, _, _) =>
+        other < id && r6(cos(vecs(id), vecs(other))) >= 0.95
+      }
+      assert(dropped === expected, s"vec $id in cell $cell")
+    }
+    // the perturbed twins are genuine near-dups: most must be dropped
+    // (a twin can only escape by landing in a different cell)
+    val twins = flags.filter(_._1 >= 1000000L)
+    assert(twins.nonEmpty)
+    assert(twins.count(_._3) * 10 >= twins.length * 9,
+      s"only ${twins.count(_._3)}/${twins.length} twins dropped")
+  }
+
   test("t_ngram_counts: two-phase top-k equals brute-force per-lang top-k") {
     val docs = Tables.documents(spark, sfDir)
       .select("lang", "text").collect()
