@@ -204,9 +204,50 @@ object Ann {
     ranked(candidates.withColumn("cos", vec_cosine(col("v"), col("qv"))))
   }
 
+  private val KnnK = 5
+  // the graph build probes wider than the point-query path: recall on
+  // an isotropic corpus at 3/16 cells is ~0.5; 5/16 buys ~0.65 for a
+  // 1.7× candidate volume — still cell-local, still ~N^1.5 when the
+  // cell count scales with √N
+  private val KnnProbes = 5
+
+  /** D4: k-NN join — EVERY corpus vector finds its K nearest neighbors
+    * (the kNN-graph primitive behind SemDeDup, kNN-LM and
+    * retrieval-based data curation). IVF shape, corpus vs corpus: one
+    * side is bucketed by its nearest cell (probes=1, how production
+    * stores the collection anyway), the probe side visits its `Probes`
+    * nearest cells, so cosine runs cell-locally — per-cell work is
+    * (N/k)·(Probes·N/k) and the cell count k grows with the corpus
+    * (k ≈ √N holds total work at ~N^1.5, the standard IVF curve, vs N²
+    * for a brute-force self-join). True neighbors outside the probed
+    * cells are missed — the documented IVF recall tradeoff; the spec
+    * pins recall@K against brute force.
+    */
+  def sKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val centroids = trainCentroids(c)
+    // barrier both sides: the 16×64-literal distance expressions would
+    // otherwise re-evaluate under the probe explode (Generate runs its
+    // child per OUTPUT row) and again under the join's projections
+    val bucketed = graft.Stage.barrier(assignCells(c, centroids, probes = 1)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("v").as("nv")))
+    val probing = graft.Stage.barrier(assignCells(c, centroids, KnnProbes))
+    // no dropDuplicates: a (vec, neighbor) pair meets exactly once —
+    // the neighbor side holds ONE cell per vector and the probe cells
+    // are distinct, so candidate generation is already duplicate-free
+    val candidates = probing.join(bucketed, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(vec_cosine(col("v"), col("nv")), 4))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_ann_brute", sAnnBrute, None),
     QueryDef("s_ann_lsh", sAnnLsh, None),
     QueryDef("s_ann_ivf", sAnnIvf, None),
+    QueryDef("s_knn_join", sKnnJoin, None),
   )
 }

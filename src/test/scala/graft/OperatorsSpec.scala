@@ -121,6 +121,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s_knn_join: cosines exact, ranks ordered, recall@5 vs brute force") {
+    import graft.operators.Ann
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i); dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Ann.sKnnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every vector present, ranks 1..k contiguous and cos-ordered,
+    // reported cosine equals the brute-force value for that pair
+    val byVec = rows.groupBy(_._1)
+    assert(byVec.keySet === vecs.keySet)
+    byVec.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      val cs = sorted.map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"vec $id not cos-ordered")
+      rs.foreach { case (_, _, nb, c) => assert(c === r4(cos(vecs(id), vecs(nb)))) }
+    }
+    // recall@5 against exact brute-force top-5
+    val hits = vecs.keys.toSeq.map { id =>
+      val truth = (vecs.keySet - id).toSeq
+        .map(o => (r4(cos(vecs(id), vecs(o))), o)).sortBy(t => (-t._1, t._2))
+        .take(5).map(_._2).toSet
+      byVec(id).map(_._3).count(truth)
+    }
+    val recall = hits.sum.toDouble / (vecs.size * 5)
+    info(f"s_knn_join recall@5 = $recall%.3f")
+    assert(recall >= 0.5, f"recall@5 $recall%.3f below floor")
+  }
+
   test("d_semdedup: drop flags match a brute-force within-cell recount") {
     val flags = Dedup.semdedupFlags(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3)))
