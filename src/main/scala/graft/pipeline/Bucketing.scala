@@ -80,6 +80,58 @@ object Bucketing {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY o_custkey, c_mktsegment""".stripMargin
 
+  /** A25: dynamic partition pruning — the fact table is laid out
+    * partitioned by a derived key (order year); joining it to a dim
+    * filtered on a NON-key attribute prunes fact partitions at RUNTIME:
+    * the broadcast dim's surviving key set becomes a partition filter
+    * on the fact scan (`dynamicpruning` subquery in the plan). Static
+    * pruning can't do this — the surviving years only exist once the
+    * dim filter has run. At 100 TB with date-partitioned facts this is
+    * the difference between scanning every partition and only the ones
+    * the dim selects. The query self-checks the pruning filter is in
+    * the plan. Fixture: orders written once per scale dir partitioned
+    * by year, plus a tiny years dim, built under a temp name and moved
+    * into place last.
+    */
+  def qDpp(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(s"/tmp/graft_dpp_${math.abs(d.hashCode)}")
+    if (!base.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val tmp = new java.io.File(base.getPath + ".build")
+      rm(tmp)
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").parquet(s"${tmp.getPath}/orders_by_year")
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("o_year")).distinct()
+        .withColumn("y_mod", col("o_year") % 2)
+        .coalesce(1).write.parquet(s"${tmp.getPath}/years")
+      if (!tmp.renameTo(base)) rm(tmp)
+    }
+    val fact = s.read.parquet(s"${base.getPath}/orders_by_year")
+    // the dim filter must be a COMPARISON: PartitionPruning gates on
+    // isLikelySelective(), which matches BinaryComparison/In/Like — a
+    // bare boolean attribute is not on the list and silently disables
+    // the whole rewrite
+    val dim = s.read.parquet(s"${base.getPath}/years").filter(col("y_mod") === 0)
+    val joined = fact.join(broadcast(dim), Seq("o_year"))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
+    require(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "plan lost the dynamic partition pruning filter")
+    joined
+  }
+
+  val qDppSql: String =
+    """SELECT year(o_orderdate) AS o_year, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE year(o_orderdate) % 2 = 0
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q_bucket_join", qBucketJoin, Some(qBucketJoinSql)))
+    QueryDef("q_bucket_join", qBucketJoin, Some(qBucketJoinSql)),
+    QueryDef("q_dpp", qDpp, Some(qDppSql)))
 }

@@ -108,8 +108,70 @@ object Temporal {
       |  ON e.us >= w.ws_us AND e.us < w.ws_us + 1800000000
       |GROUP BY w.ws_us""".stripMargin
 
+  /** RANGE-frame window: per user, how many events and how much value
+    * landed in the trailing 30 minutes of EVENT TIME at each event —
+    * a physical-time frame (rangeBetween on epoch-µs), not a row-count
+    * frame: peers with the same timestamp all see the same frame, and
+    * the frame width is data-dependent. One shuffle+sort per user key,
+    * same as any window — the frame bound changes per-row evaluation,
+    * not the exchange.
+    */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-1800000000L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("n_30m", count(lit(1)).over(w))
+      .withColumn("sum_30m",
+        sum(QueryDef.dec(col("value"))).over(w).cast("double"))
+      .select("event_id", "user_id", "us", "n_30m", "sum_30m")
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT event_id, user_id, us,
+      |  COUNT(*) OVER w AS n_30m,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30m
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** SCD type-2 build — each order is a "version" of its customer's
+    * state; lead() over (orderdate, orderkey) closes every version's
+    * validity interval, the last version stays open (NULL valid_to).
+    * This is the standard warehouse-dimension construction the
+    * reference's latest-by-key snapshot is the degenerate (keep only
+    * current) case of. One window per customer key — no self-join; the
+    * naive "join each version to the next" formulation shuffles twice
+    * and breaks on duplicate dates.
+    */
+  def pScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("valid_from_us", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        // o_orderdate reads as TIMESTAMP_NTZ; the session tz is pinned
+        // UTC, so the cast matches DuckDB's epoch_us on the naive value
+        unix_micros(col("o_orderdate").cast("timestamp")).as("valid_from_us"),
+        col("o_totalprice"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  val pScd2Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  epoch_us(o_orderdate) AS valid_from_us, o_totalprice,
+      |  LEAD(epoch_us(o_orderdate), 1) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY epoch_us(o_orderdate), o_orderkey) AS valid_to_us,
+      |  LEAD(epoch_us(o_orderdate), 1) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY epoch_us(o_orderdate), o_orderkey) IS NULL AS is_current
+      |FROM orders""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
+    QueryDef("q_window_range", qWindowRange, Some(qWindowRangeSql)),
+    QueryDef("p_scd2", pScd2, Some(pScd2Sql)),
   )
 }

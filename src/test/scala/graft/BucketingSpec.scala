@@ -72,4 +72,17 @@ class BucketingSpec extends SparkSpec {
       .select("l_orderkey").distinct().count())
     spark.sql("DROP TABLE IF EXISTS bspec_li_agg")
   }
+
+  test("q_dpp carries a runtime partition-pruning filter and matches the direct result") {
+    import org.apache.spark.sql.functions._
+    val df = graft.pipeline.Bucketing.qDpp(spark, sfDir)
+    // the query itself require()s the dynamicpruning filter; check results
+    val got = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = Tables.orders(spark, sfDir)
+      .withColumn("y", year(col("o_orderdate")))
+      .filter(col("y") % 2 === 0)
+      .groupBy("y").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
 }

@@ -63,4 +63,32 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_window_range: trailing-30min counts match a brute-force recount") {
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    val got = Temporal.qWindowRange(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    events.foreach { case (u, id, us) =>
+      val expected = byUser(u).count(e => e._3 >= us - 1800000000L && e._3 <= us)
+      assert(got(id) === expected.toLong, s"event $id user $u")
+    }
+  }
+
+  test("p_scd2: one open version per customer, intervals chain without gaps") {
+    val rows = Temporal.pScd2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      assert(vs.count(_._5) === 1, s"customer $cust open versions")
+      val sorted = vs.sortBy(v => (v._3, v._2))
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4 === Some(b._3), s"customer $cust interval gap")
+      }
+      assert(sorted.last._4.isEmpty)
+    }
+    assert(rows.length === Tables.orders(spark, sfDir).count())
+  }
 }
