@@ -509,8 +509,55 @@ object Text {
        |  FROM c)
        |WHERE rk <= $NgramTopK""".stripMargin
 
+  /** E14: tf-idf-style term scoring — every doc's top-3 most
+    * characteristic terms, weighting term frequency by corpus-level
+    * rarity. Plan shape: one (doc, term) hash agg for tf, a second
+    * (small, vocabulary-sized) agg for document frequency, a join back
+    * on the term key, one window per doc for the top-3 — the standard
+    * corpus-statistics-join-back pattern; every stage is a hash agg or
+    * equi-join, nothing is quadratic in the corpus. The rarity weight
+    * is the plain ratio N/df rather than ln(N/df): +,×,/ are IEEE
+    * correctly-rounded and therefore bit-identical across engines,
+    * while libm `ln` is not — the ranking contract is what matters and
+    * it is preserved for any monotone weight.
+    */
+  private val TfidfTopK = 3
+
+  def tTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfTopK)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+  }
+
+  val tTfidfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+       |  FROM documents),
+       |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+       |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, rk, term, tf, df, score FROM (
+       |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+       |    CAST(tfc.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE)) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY tfc.doc_id
+       |      ORDER BY CAST(tfc.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE)) DESC,
+       |               tfc.term) AS rk
+       |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+       |WHERE rk <= $TfidfTopK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
+    QueryDef("t_tfidf", tTfidf, Some(tTfidfSql)),
     QueryDef("t_ngram_counts", tNgramCounts, Some(tNgramCountsSql)),
     QueryDef("t_decontaminate", tDecontaminate, Some(tDecontaminateSql)),
     QueryDef("t_repetition", tRepetition, Some(tRepetitionSql)),

@@ -447,6 +447,29 @@ object Analytics {
       |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Unpivot (melt) — the inverse of q_pivot: the wide per-segment
+    * counts fold back into (segment, event_type, cnt) rows via the
+    * native unpivot operator (an Expand node — one pass, no join, no
+    * shuffle beyond the pivot's own agg). Wide→long reshaping is how
+    * per-metric columns become a metrics table at scale.
+    */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    qPivot(s, d).unpivot(
+      Array(col("segment")),
+      Array(col("click"), col("view"), col("purchase"), col("error")),
+      "event_type", "cnt")
+
+  val qUnpivotSql: String =
+    """WITH wide AS (
+      |  SELECT CAST(user_id % 4 AS INTEGER) AS segment,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |    COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      |  FROM events GROUP BY 1)
+      |SELECT segment, event_type, cnt
+      |FROM wide UNPIVOT (cnt FOR event_type IN (click, view, purchase, error))""".stripMargin
+
   /** Correlated scalar subquery: orders strictly below their own
     * customer's max order value. Expressed as the correlated SQL itself
     * — Catalyst's decorrelation (RewriteCorrelatedScalarSubquery) turns
@@ -500,5 +523,6 @@ object Analytics {
     QueryDef("q_setops", qSetops, Some(qSetopsSql)),
     QueryDef("q_explode", qExplode, Some(qExplodeSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
+    QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
   )
 }

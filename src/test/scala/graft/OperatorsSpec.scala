@@ -190,6 +190,43 @@ class OperatorsSpec extends SparkSpec {
       s"only ${twins.count(_._3)}/${twins.length} twins dropped")
   }
 
+  test("t_tfidf: scores and top-3 match a brute-force recount") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+    val n = docs.length.toDouble
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (t, v) => ((id, t), v.size.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size.toLong }
+    val expected = docs.flatMap { case (id, ws) =>
+      ws.distinct.map { t =>
+        (id, t, tf((id, t)), df(t), tf((id, t)).toDouble * (n / df(t).toDouble))
+      }.sortBy(r => (-r._5, r._2)).take(3).zipWithIndex
+        .map { case ((i, t, f, d2, sc), k) => (i, k + 1, t, f, d2, sc) }
+    }.toSet
+    val got = graft.operators.Text.tTfidf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got === expected)
+  }
+
+  test("q_unpivot folds the pivot back to long form exactly") {
+    val long = graft.queries.Analytics.qUnpivot(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pivoted = Seq("click", "view", "purchase", "error")
+    val direct = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(pivoted: _*))
+      .groupBy(((col("user_id") % 4).cast("int")).as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    direct.foreach { case (k, v) => assert(long(k) === v, s"$k") }
+    // pivoted zeros appear as 0-count rows in the long form
+    assert(long.size === 16)
+    assert(long.values.sum === Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(pivoted: _*)).count())
+  }
+
   test("t_ngram_counts: two-phase top-k equals brute-force per-lang top-k") {
     val docs = Tables.documents(spark, sfDir)
       .select("lang", "text").collect()
