@@ -89,7 +89,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // under a non-forked sbt runMain, println routes through sbt's
+    // logger and lands with an "[info] " prefix, which a strict
+    // line-parser chokes on — also emit the bare line straight to fd 1
+    // and to a stable file
+    new java.io.PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+      .println(line)
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
