@@ -156,8 +156,49 @@ object Multimodal {
       |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
       |FROM p GROUP BY 1""".stripMargin
 
+  /** F5: shard manifest (WebDataset-style) — samples are packed into
+    * byte-budgeted shard files and the manifest records where each
+    * payload lands: (shard, file_idx, offset, byte_len). This is the
+    * bookkeeping a training dataloader seeks by. Deterministic AND
+    * distributed: shard = hash of the stable id (so packing
+    * parallelizes — a global byte cumsum would serialize the corpus
+    * through one partition), order by id within shard, running byte
+    * count, file/offset derived from the bytes-before-this-sample.
+    * A sample larger than the budget starts in its computed file and
+    * overflows it — same contract as t_pack's token bins.
+    */
+  private val ShardBudget = 16384L
+
+  def mShardPack(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        length(col("text").cast("binary")).as("byte_len"))
+      .withColumn("cum", sum(col("byte_len")).over(w))
+      .withColumn("file_idx", expr(s"(cum - byte_len) div ${ShardBudget}L"))
+      .withColumn("offset",
+        col("cum") - col("byte_len") - col("file_idx") * ShardBudget)
+      .select("doc_id", "shard", "file_idx", "offset", "byte_len")
+  }
+
+  val mShardPackSql: String =
+    s"""SELECT doc_id, shard,
+       |  CAST((cum - byte_len) // $ShardBudget AS BIGINT) AS file_idx,
+       |  CAST(cum - byte_len - ((cum - byte_len) // $ShardBudget) * $ShardBudget AS BIGINT) AS offset,
+       |  byte_len
+       |FROM (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |    octet_length(encode(text)) AS byte_len,
+       |    SUM(octet_length(encode(text))) OVER (PARTITION BY doc_id % 8
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
+    QueryDef("m_shard_pack", mShardPack, Some(mShardPackSql)),
     QueryDef("m_feature_stub", mFeatureStub, None),
     QueryDef("m_frame_sample", mFrameSample, None),
     QueryDef("m_magic_route", mMagicRoute, Some(mMagicRouteSql)),

@@ -172,6 +172,25 @@ class StreamingSpec extends SparkSpec {
     assert(again.toSeq === first.toSeq)
   }
 
+  test("m_shard_pack: manifest matches a brute-force sequential pack") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8").length.toLong))
+    val expected = docs.groupBy(_._1 % 8).toSeq.flatMap { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).toSeq.map { case (id, len) =>
+        val before = cum
+        cum += len
+        val fileIdx = before / 16384L
+        (id, shard, fileIdx, before - fileIdx * 16384L, len)
+      }
+    }.toSet
+    val got = Multimodal.mShardPack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4).toLong)).toSet
+    assert(got === expected)
+  }
+
   test("decodeBatch batch shape: grouped(64) never exceeds the batch size") {
     val rows = (1 to 150).map(i =>
       Multimodal.BinaryRow(i.toLong, Array.fill(8)(i.toByte)))
