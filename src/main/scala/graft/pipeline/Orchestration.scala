@@ -148,4 +148,34 @@ object AuditPublish {
          |DROP TABLE IF EXISTS $db.$ext""".stripMargin,
       Map("#{location}" -> dailyPath, "#{date}" -> exportDate))
   }
+
+  /** Secured/redacted "view-like" publication (ingesters.py:209-266
+    * distilled): the raw JSONL partition is EXPANDED via from_json
+    * over the audit DDL — the reference declares a JsonSerDe external
+    * table and interpolates sec/red column lists from files bundled on
+    * the EMR image (not in its repo), so what is re-expressed here is
+    * the SHAPE: the same expanded rows published twice, auditlog_sec_v
+    * with the full column list and auditlog_red_v with the redacted
+    * subset, each a partitioned managed table with per-export-date
+    * dynamic partition overwrite (idempotent re-publication).
+    */
+  def publishViews(spark: SparkSession, db: String, exportDate: String,
+      ddl: String, secCols: Seq[String], redCols: Seq[String]): Unit = {
+    new SqlRunner(spark).createDatabaseIfNotExist(db)
+    val expanded = spark.table(s"$db.auditlog_raw")
+      .filter(col("date_str") === exportDate)
+      .select(from_json(col("val"),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)).as("j"))
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try Seq(("auditlog_sec_v", secCols), ("auditlog_red_v", redCols)).foreach {
+      case (table, cols) =>
+        val out = expanded.select(
+          cols.map(c => col(s"j.$c").as(c)) :+ lit(exportDate).as("date_str"): _*)
+        if (!spark.catalog.tableExists(s"$db.$table"))
+          out.write.partitionBy("date_str").format("parquet")
+            .saveAsTable(s"$db.$table")
+        else out.write.mode("overwrite").insertInto(s"$db.$table")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
 }

@@ -98,5 +98,25 @@ class OrchestrationSpec extends SparkSpec {
     AuditPublish.publishRaw(spark, "uc_dw_auditlog_test", daily, "2021-06-15")
     assert(spark.table("uc_dw_auditlog_test.auditlog_raw")
       .filter(col("date_str") === "2021-06-15").count() === processed.count())
+
+    // sec/red view-like publication: full columns vs redacted subset
+    val ddl = "AUDIT_ID STRING, AUDIT_EVENT STRING, TIME_STAMP STRING, TIME_STAMP_ORIG STRING"
+    val secCols = Seq("AUDIT_ID", "AUDIT_EVENT", "TIME_STAMP", "TIME_STAMP_ORIG")
+    val redCols = Seq("AUDIT_EVENT", "TIME_STAMP", "TIME_STAMP_ORIG")
+    AuditPublish.publishViews(spark, "uc_dw_auditlog_test", "2021-06-15",
+      ddl, secCols, redCols)
+    val sec = spark.table("uc_dw_auditlog_test.auditlog_sec_v")
+    val red = spark.table("uc_dw_auditlog_test.auditlog_red_v")
+    assert(sec.columns.toSeq === secCols :+ "date_str")
+    assert(red.columns.toSeq === redCols :+ "date_str")
+    assert(sec.count() === processed.count())
+    assert(red.count() === processed.count())
+    // the identifying column is genuinely absent from red, present in sec
+    assert(sec.filter(col("AUDIT_ID").isNotNull).count() === processed.count())
+    assert(!red.columns.contains("AUDIT_ID"))
+    // re-publication overwrites the partition, not duplicates it
+    AuditPublish.publishViews(spark, "uc_dw_auditlog_test", "2021-06-15",
+      ddl, secCols, redCols)
+    assert(spark.table("uc_dw_auditlog_test.auditlog_sec_v").count() === processed.count())
   }
 }
