@@ -555,8 +555,31 @@ object Text {
        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
        |WHERE rk <= $TfidfTopK""".stripMargin
 
+  /** E15: character-entropy quality signal (a standard low-quality /
+    * gibberish detector): Shannon entropy of the lowercase character
+    * distribution per doc. Shape: explode chars → (doc, char) hash agg
+    * → per-doc fold — the same bounded-group contract as t_repetition
+    * (no group outlives its document). Registered rows-only: entropy
+    * needs ln(), whose last-ulp rounding is libm-specific, so the
+    * exactness check lives in the same-JVM spec instead of the DuckDB
+    * oracle.
+    */
+  def tEntropy(s: SparkSession, d: String): DataFrame = {
+    val chars = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), ""), c => c =!= "")).as("ch"))
+    chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(max(col("total")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(-sum((col("cnt") / col("total"))
+          * log(col("cnt") / col("total"))), 6).as("entropy"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
+    QueryDef("t_entropy", tEntropy, None),
     QueryDef("t_tfidf", tTfidf, Some(tTfidfSql)),
     QueryDef("t_ngram_counts", tNgramCounts, Some(tNgramCountsSql)),
     QueryDef("t_decontaminate", tDecontaminate, Some(tDecontaminateSql)),

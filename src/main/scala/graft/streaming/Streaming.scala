@@ -93,6 +93,30 @@ object Streaming {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** G1b: SLIDING-window counts (1 h window, 30 min slide) — each event
+    * lands in exactly window/slide = 2 overlapping windows; state is
+    * 2× the tumbling case, still bounded by the watermark. The oracle
+    * materializes the same overlap by exploding each event into its
+    * two epoch-aligned window starts.
+    */
+  def stWindowSliding(s: SparkSession, d: String): DataFrame =
+    runToMemory(eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("cnt")),
+      "st_window_sliding_mem", OutputMode.Complete())
+
+  val stWindowSlidingSql: String =
+    """SELECT ws_us, event_type, COUNT(*) AS cnt
+      |FROM (
+      |  SELECT event_type, unnest([
+      |      (us // 1800000000) * 1800000000,
+      |      (us // 1800000000) * 1800000000 - 1800000000]) AS ws_us
+      |  FROM (SELECT event_type, epoch_us(ts) AS us FROM events))
+      |GROUP BY 1, 2""".stripMargin
+
   /** G2 batch twin: gap-based sessionization (30 min) via lag + running
     * sum of session starts — integer microsecond math on both sides so
     * the DuckDB oracle is exact.
@@ -412,6 +436,7 @@ object Streaming {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
+    QueryDef("st_window_sliding", stWindowSliding, Some(stWindowSlidingSql)),
     QueryDef("st_late_data", stLateData, Some(stLateDataSql)),
     QueryDef("st_sink", stSink, Some(stSinkSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),

@@ -19,6 +19,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("st_window_sliding: every event lands in exactly 2 windows") {
+    val streamed = Streaming.stWindowSliding(spark, sfDir)
+    val total = streamed.agg(sum(col("cnt"))).head.getLong(0)
+    assert(total === 2 * Tables.events(spark, sfDir).count())
+    // batch twin: explode each event into its two aligned window starts
+    val twin = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .select(col("event_type"), explode(array(
+        expr("(us div 1800000000L) * 1800000000L"),
+        expr("(us div 1800000000L) * 1800000000L - 1800000000L"))).as("ws_us"))
+      .groupBy("ws_us", "event_type").agg(count(lit(1)).as("cnt"))
+    assert(streamed.exceptAll(twin).count() === 0)
+    assert(twin.exceptAll(streamed).count() === 0)
+  }
+
+  test("t_entropy matches an exact same-JVM recount") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase))
+    val got = graft.operators.Text.tEntropy(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    docs.foreach { case (id, text) =>
+      val counts = text.split("").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = counts.values.sum.toDouble
+      val h = -counts.values.map(c => (c / n) * math.log(c / n)).sum
+      val hr = BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nc, nd, e) = got(id)
+      assert(nc === counts.values.sum)
+      assert(nd === counts.size.toLong)
+      assert(math.abs(e - hr) < 1e-9, s"doc $id: $e vs $hr")
+    }
+  }
+
   test("st_late_data drops late rows and matches the modeled batch twin") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // run the same stream by hand to read the per-batch drop counters
