@@ -451,8 +451,74 @@ object Dedup {
       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM comp""".stripMargin
 
+  /** C7b: the APPLICATION of near-dup clustering — the surviving
+    * corpus after keeping one canonical representative (lowest id) per
+    * connected component, reported per language. This is the step that
+    * actually shrinks the training set; d_exact_keep is its exact-dup
+    * counterpart. One extra semi-join over d_cluster's labels — the
+    * component labels are vastly smaller than the corpus, so the join
+    * broadcasts at scale.
+    */
+  def dClusterApply(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusWithExactDups(s, d)
+    val keepers = dCluster(s, d)
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").withColumn("k", lit(1))
+    corpus.join(keepers, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(when(col("k").isNotNull, 1)).as("n_kept"),
+        count(when(col("k").isNull, 1)).as("n_removed"))
+  }
+
+  val dClusterApplySql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source
+      |  FROM documents WHERE doc_id % 7 = 0
+      |),
+      |exact_edges AS (
+      |  SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
+      |  FROM corpus
+      |  QUALIFY doc_id != id_a
+      |),
+      |g AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, greatest(length(text) - 5, 0) + 2),
+      |      i -> substr(text, i, 5))) AS grams
+      |  FROM documents),
+      |ngram_edges AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM g x JOIN g y
+      |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+      |  WHERE 5 * len(list_intersect(x.grams, y.grams)) >=
+      |        3 * (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
+      |),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM exact_edges
+      |  UNION SELECT id_b, id_a FROM exact_edges
+      |  UNION SELECT id_a, id_b FROM ngram_edges
+      |  UNION SELECT id_b, id_a FROM ngram_edges
+      |),
+      |walk(id, r) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+      |),
+      |comp AS (
+      |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id
+      |),
+      |keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM comp GROUP BY cluster_id
+      |)
+      |SELECT lang,
+      |  COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM keep)) AS n_kept,
+      |  COUNT(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM keep)) AS n_removed
+      |FROM corpus GROUP BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
+    QueryDef("d_cluster_apply", dClusterApply, Some(dClusterApplySql)),
     QueryDef("d_cluster", dCluster, Some(dClusterSql)),
     QueryDef("d_exact_keep", dExactKeep, Some(dExactKeepSql)),
     QueryDef("d_minhash_lsh", dMinhashLsh, None),

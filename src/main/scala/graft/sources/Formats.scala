@@ -79,6 +79,46 @@ object Formats {
       |  FROM events
       |)""".stripMargin
 
+  /** B12: schema evolution across partition generations — the 100 TB
+    * reality that old partitions were written before a column existed.
+    * Generation 1 (even order keys) lacks o_orderpriority; generation 2
+    * carries it. A mergeSchema read unifies the layouts, old rows
+    * surface the new column as NULL, and the aggregation accounts for
+    * both. The fixture is written once per scale dir under a temp name
+    * and moved into place last.
+    */
+  def pSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(s"/tmp/graft_evo_${math.abs(d.hashCode)}")
+    if (!base.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val tmp = new java.io.File(base.getPath + ".build")
+      rm(tmp)
+      val orders = Tables.orders(s, d)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.parquet(s"${tmp.getPath}/gen=1")
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.parquet(s"${tmp.getPath}/gen=2")
+      if (!tmp.renameTo(base)) rm(tmp)
+    }
+    s.read.option("mergeSchema", "true").parquet(base.getPath)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        QueryDef.moneySum(col("o_totalprice")).as("total"))
+  }
+
+  val pSchemaEvolutionSql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+      |            ELSE o_orderpriority END AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("p_formats_roundtrip", pFormatsRoundtrip, Some(pFormatsRoundtripSql)))
+    QueryDef("p_formats_roundtrip", pFormatsRoundtrip, Some(pFormatsRoundtripSql)),
+    QueryDef("p_schema_evolution", pSchemaEvolution, Some(pSchemaEvolutionSql)))
 }

@@ -190,6 +190,30 @@ class OperatorsSpec extends SparkSpec {
       s"only ${twins.count(_._3)}/${twins.length} twins dropped")
   }
 
+  test("d_cluster_apply: per-lang kept+removed equals the dup'd corpus; one keeper per cluster") {
+    val rows = graft.operators.Dedup.dClusterApply(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val corpusPerLang = Dedup.corpusWithExactDups(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (lang, kept, removed) =>
+      assert(kept + removed === corpusPerLang(lang), lang)
+      assert(kept >= 1, lang)
+    }
+    val totalKept = rows.map(_._2).sum
+    val nClusters = graft.operators.Dedup.dCluster(spark, sfDir)
+      .select("cluster_id").distinct().count()
+    assert(totalKept === nClusters, "exactly one keeper per cluster")
+  }
+
+  test("p_schema_evolution: pre-schema rows equal the generation-1 slice") {
+    val rows = graft.sources.Formats.pSchemaEvolution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val evens = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 2 === 0).count()
+    assert(rows("<pre-schema>") === evens)
+    assert(rows.values.sum === Tables.orders(spark, sfDir).count())
+  }
+
   test("t_tfidf: scores and top-3 match a brute-force recount") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
