@@ -470,6 +470,51 @@ object Analytics {
       |SELECT segment, event_type, cnt
       |FROM wide UNPIVOT (cnt FOR event_type IN (click, view, purchase, error))""".stripMargin
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of silently dropping — the semantics a
+    * dimension join needs when the key is legitimately absent. A plain
+    * equi-join would lose every nullified row; the null-safe operator
+    * still plans as a hash join (the null bucket is just another key).
+    */
+  def qNullSemantics(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg"))
+    val b = a.select("seg").distinct()
+      .select(col("seg").as("bseg"), coalesce(col("seg"), lit("<null>")).as("seg_tag"))
+    a.join(b, col("seg") <=> col("bseg"))
+      .groupBy("seg_tag")
+      .agg(count(lit(1)).as("n_customers"), moneySum(col("c_acctbal")).as("balance"))
+  }
+
+  val qNullSemanticsSql: String =
+    """WITH a AS (
+      |  SELECT c_custkey, c_acctbal, nullif(c_mktsegment, 'BUILDING') AS seg
+      |  FROM customer),
+      |b AS (SELECT DISTINCT seg, COALESCE(seg, '<null>') AS seg_tag FROM a)
+      |SELECT seg_tag, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+      |FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+      |GROUP BY 1""".stripMargin
+
+  /** Ordered array aggregation — collect per group, sort for
+    * determinism (collect_list order is partition-arrival order, never
+    * stable under parallelism), emit as a joined string so the oracle
+    * compares byte-exactly across engines.
+    */
+  def qArrayAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+        count(lit(1)).as("n_orders"))
+
+  val qArrayAggSql: String =
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Correlated scalar subquery: orders strictly below their own
     * customer's max order value. Expressed as the correlated SQL itself
     * — Catalyst's decorrelation (RewriteCorrelatedScalarSubquery) turns
@@ -524,5 +569,7 @@ object Analytics {
     QueryDef("q_explode", qExplode, Some(qExplodeSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
+    QueryDef("q_null_semantics", qNullSemantics, Some(qNullSemanticsSql)),
+    QueryDef("q_array_agg", qArrayAgg, Some(qArrayAggSql)),
   )
 }

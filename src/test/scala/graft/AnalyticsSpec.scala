@@ -74,6 +74,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("cnt") === Tables.customer(spark, sfDir).count())
   }
 
+  test("SURVEY.md §2 inventory and SparkEntry.queries never diverge") {
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val lines = try survey.getLines().toVector finally survey.close()
+    val sec2 = lines
+      .dropWhile(!_.startsWith("## §2"))
+      .takeWhile(l => !l.startsWith("## §3"))
+    val tableKeys = sec2
+      .filter(l => l.startsWith("| ") && !l.startsWith("| ---") && !l.startsWith("| key"))
+      .map(_.split("\\|")(1).trim)
+      .filter(_.matches("[a-z0-9_]+"))
+      .toSet
+    val registered = SparkEntry.queries.keySet
+    val missingFromSurvey = registered -- tableKeys
+    val missingFromRegistry = tableKeys -- registered
+    assert(missingFromSurvey.isEmpty, s"registered but not in SURVEY §2: $missingFromSurvey")
+    assert(missingFromRegistry.isEmpty, s"in SURVEY §2 but not registered: $missingFromRegistry")
+  }
+
   test("q_correlated_subq decorrelates to a join and matches manual rewrite") {
     import org.apache.spark.sql.functions._
     val result = Analytics.qCorrelatedSubq(spark, sfDir)
