@@ -160,6 +160,42 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 $recall%.3f below floor")
   }
 
+  test("s_ann_pq: compressed-code ranking recalls true L2 neighbors") {
+    import graft.operators.Ann
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val dx = a(i) - b(i); acc += dx * dx; i += 1 }
+      acc
+    }
+    val rows = Ann.sAnnPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // the re-ranked distance is the exact L2 — check a few against truth
+    Ann.sAnnPq(spark, sfDir).collect().take(20).foreach { r =>
+      val expected = l2(vecs(r.getLong(0)), vecs(r.getLong(2)))
+      val er = BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - er) < 1e-9)
+    }
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.keySet === (0L until 8L).toSet)
+    val hits = byQuery.toSeq.map { case (qid, rs) =>
+      assert(rs.sortBy(_._2).map(_._2).toSeq === (1 to rs.length))
+      // approx distances are non-negative and rank-consistent
+      val sorted = rs.sortBy(_._2).map(_._4)
+      assert(sorted.forall(_ >= 0.0))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+      val truth = (vecs.keySet - qid).toSeq
+        .map(o => (l2(vecs(qid), vecs(o)), o)).sortBy(t => (t._1, t._2))
+        .take(10).map(_._2).toSet
+      rs.map(_._3).count(truth)
+    }
+    val recall = hits.sum.toDouble / (8 * 10)
+    info(f"s_ann_pq recall@10 = $recall%.3f")
+    assert(recall >= 0.4, f"recall@10 $recall%.3f below floor")
+  }
+
   test("d_semdedup: drop flags match a brute-force within-cell recount") {
     val flags = Dedup.semdedupFlags(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3)))
