@@ -61,6 +61,28 @@ package object functions {
   def vec_cosine(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
 
+  /** The `probes` nearest centroid indices (squared L2, ties → lower
+    * index) of an array<double> vector against a trained codebook held
+    * as one JVM reference object (constant-size plan vs a K×dim-literal
+    * expression tree).
+    */
+  def nearest_cells(v: Column, cents: Array[Array[Double]], probes: Int): Column =
+    toCol(NearestCells(toExpr(v), cents, probes))
+
+  /** Product-quantization encode: 1-based nearest-centroid index per
+    * subspace codebook.
+    */
+  def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    toCol(PqEncode(toExpr(v), books))
+
+  /** Flattened ADC lookup tables (M*K doubles) for a query vector. */
+  def pq_luts(qv: Column, books: Array[Array[Array[Double]]]): Column =
+    toCol(PqLuts(toExpr(qv), books))
+
+  /** ADC distance: sum of per-subspace LUT entries selected by codes. */
+  def pq_adc(luts: Column, codes: Column, k: Int): Column =
+    toCol(PqAdc(toExpr(luts), toExpr(codes), k))
+
   /** |A ∩ B| for two SORTED distinct array<bigint> columns (linear
     * merge, no per-call hash set — jaccard verify at pair volume).
     */

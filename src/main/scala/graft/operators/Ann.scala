@@ -174,15 +174,13 @@ object Ann {
     */
   private[operators] def assignCells(df: DataFrame, centroids: Array[(Int, Seq[Double])],
       probes: Int): DataFrame = {
-    val dists = array(centroids.sortBy(_._1).map { case (i, cv) =>
-      val c = typedlit(cv) // constant array, not per-row CreateArray
-      struct(
-        aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x).as("dist"),
-        lit(i).as("cell"))
-    }.toSeq: _*)
-    val probed = slice(array_sort(dists), 1, probes)
-    df.withColumn("cell", explode(transform(probed, p => p.getField("cell"))))
+    // one native kernel holding the codebook as a reference object —
+    // the equivalent sort(array(struct(dist, cell)...)) form is a
+    // Cells×Dim-literal expression tree whose analysis/codegen
+    // dominates the query (SURVEY §8 lesson 12)
+    val cents: Array[Array[Double]] = centroids.sortBy(_._1).map(_._2.toArray)
+    df.withColumn("cell",
+      explode(graft.functions.nearest_cells(col("v"), cents, probes)))
   }
 
   /** D2b: IVF ANN — the other scale path. The corpus is bucketed by its
@@ -280,17 +278,6 @@ object Ann {
     centroids
   }
 
-  /** The 16 squared-L2 distances of `sub` (an 8-dim slice column) to a
-    * subspace's centroids, as an array column — used both to ENCODE
-    * (argmin index) and to build a query's ADC lookup table (the raw
-    * distances).
-    */
-  private def subDists(sub: Column, cents: Array[Array[Double]]): Column =
-    array(cents.map { c =>
-      aggregate(zip_with(sub, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    }.toSeq: _*)
-
   /** D5: product-quantization ANN — the memory-bound scale path: each
     * vector is compressed to PqM 4-bit codes (64 dims × 8 bytes →
     * 4 bytes), and queries score candidates with ASYMMETRIC DISTANCE
@@ -317,32 +304,25 @@ object Ann {
     val c = corpus(s, d)
     val train: Array[Array[Double]] = c.orderBy("vec_id").limit(TrainSample)
       .select("v").as[Seq[Double]].collect().map(_.toArray)
-    val subCents: IndexedSeq[Array[Array[Double]]] =
-      (0 until PqM).map(m => lloyd(train.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, LloydIters))
+    val books: Array[Array[Array[Double]]] =
+      (0 until PqM).map(m => lloyd(train.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, LloydIters)).toArray
 
     // encode the corpus: argmin centroid per subspace → PqM small codes
-    val codeCols = (0 until PqM).map { m =>
-      val sub = slice(col("v"), m * PqSub + 1, PqSub)
-      // array_position of the min distance = 1-based code
-      val dists = subDists(sub, subCents(m))
-      array_position(dists, array_min(dists)).cast("int").as(s"c$m")
-    }
+    // (native kernel over the codebook reference object — the
+    // composable per-centroid-HOF form is 8×16 aggregate(zip_with)
+    // trees and its analysis/codegen dominated the query)
     val codes = graft.Stage.barrier(
-      c.select(col("vec_id") +: codeCols: _*))
+      c.select(col("vec_id"), graft.functions.pq_encode(col("v"), books).as("codes")))
 
-    // queries carry one ADC lookup table per subspace
-    val lutCols = (0 until PqM).map { m =>
-      subDists(slice(col("qv"), m * PqSub + 1, PqSub), subCents(m)).as(s"lut$m")
-    }
+    // queries carry their flattened ADC lookup tables (PqM*PqK doubles)
     val q = graft.Stage.barrier(
-      queries(s, d).select(col("query_id") +: lutCols: _*))
+      queries(s, d).select(col("query_id"),
+        graft.functions.pq_luts(col("qv"), books).as("luts")))
 
-    val approx = (0 until PqM)
-      .map(m => element_at(col(s"lut$m"), col(s"c$m")))
-      .reduce(_ + _)
     val scored = codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), round(approx, 6).as("approx_dist"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.pq_adc(col("luts"), col("codes"), PqK), 6).as("approx_dist"))
     val wApprox = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("vec_id"))
     val shortlist = scored.withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= PqShortlist)
