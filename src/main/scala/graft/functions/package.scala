@@ -83,6 +83,12 @@ package object functions {
   def pq_adc(luts: Column, codes: Column, k: Int): Column =
     toCol(PqAdc(toExpr(luts), toExpr(codes), k))
 
+  /** Membership probe of a bigint hash column against a pre-built
+    * Bloom filter (scan-local, no shuffle of the probed side).
+    */
+  def bloom_might_contain(h: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    toCol(BloomMightContain(toExpr(h), bloom))
+
   /** |A ∩ B| for two SORTED distinct array<bigint> columns (linear
     * merge, no per-call hash set — jaccard verify at pair volume).
     */

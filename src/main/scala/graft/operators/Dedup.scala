@@ -516,8 +516,49 @@ object Dedup {
       |  COUNT(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM keep)) AS n_removed
       |FROM corpus GROUP BY lang""".stripMargin
 
+  /** C8: dedup against a PRIOR RELEASE via a Bloom pre-filter — the
+    * cross-release primitive ("drop everything already in corpus v1")
+    * that exact dedup can't cover without joining the full new crawl
+    * against the full old corpus. The bounded side (here: every 10th
+    * doc, standing in for the previous release's content hashes) is
+    * folded into one Bloom filter (`df.stat.bloomFilter`: distributed
+    * treeAggregate, driver merge — the filter is MBs for billions of
+    * keys at 1% fpp); the new crawl probes it scan-locally. Only Bloom
+    * HITS (true dups + ~1% false positives) reach the exact anti-join;
+    * the clean pass-through never shuffles. Result is EXACT — the FP
+    * candidates are rescued by the text-equality anti-join — so the
+    * oracle is plain NOT IN.
+    */
+  def dBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .withColumn("h", xxhash64(col("text")))
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val bloom = ref.stat.bloomFilter(col("h"), 1 << 20, 0.01)
+    val hit = graft.functions.bloom_might_contain(col("h"), bloom)
+    // clean pass-through: scan-local probe, no shuffle, no join
+    val clean = docs.filter(!hit)
+      .select("doc_id", "lang", "n_chars")
+    // Bloom hits only: exact verify (false positives survive the anti)
+    val rescued = docs.filter(hit)
+      .join(ref.select(col("text")).distinct(), Seq("text"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+    clean.unionByName(rescued)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+  }
+
+  val dBloomSql: String =
+    """SELECT lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      |FROM documents
+      |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)
+      |GROUP BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
+    QueryDef("d_bloom", dBloom, Some(dBloomSql)),
     QueryDef("d_cluster_apply", dClusterApply, Some(dClusterApplySql)),
     QueryDef("d_cluster", dCluster, Some(dClusterSql)),
     QueryDef("d_exact_keep", dExactKeep, Some(dExactKeepSql)),

@@ -356,6 +356,24 @@ object Analytics {
       |  quantile_cont(l_extendedprice, 0.99) AS p99
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Sketch-based percentiles — the scale path for q_percentiles.
+    * Exact `percentile` buffers every value per group (an OOM at 100 TB
+    * group sizes); approx_percentile is a bounded mergeable sketch
+    * (map-side partial agg, fixed memory at any group size). rows-only:
+    * the sketch picks an actual member near the rank, which is
+    * engine-specific; the spec bounds it between the group's exact p25
+    * and max instead.
+    */
+  def qApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 1000)").as("ps"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p90"),
+        element_at(col("ps"), 3).as("p99"))
+
   /** Sketch-based distinct counting — the scale path for q_distinct
     * (HLL++, mergeable, no exact-distinct shuffle explosion). rows-only:
     * the sketch estimate is engine-specific; the spec bounds its error
@@ -563,6 +581,7 @@ object Analytics {
     QueryDef("q4_order_priority", q4OrderPriority, Some(q4OrderPrioritySql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),
+    QueryDef("q_approx_percentile", qApproxPercentile, None),
     QueryDef("q_distinct_approx", qDistinctApprox, None),
     QueryDef("q_cube", qCube, Some(qCubeSql)),
     QueryDef("q_setops", qSetops, Some(qSetopsSql)),

@@ -193,8 +193,43 @@ object PipelineQueries {
       |  COUNT(DISTINCT substr(CAST(doc_id AS VARCHAR), 1, 2)) AS distinct_parts
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** B11: incremental aggregate maintenance — the daily-report pattern
+    * at 100 TB: never re-scan history. "Yesterday's" stored state is a
+    * table of MERGEABLE partials (count + decimal sum per group); the
+    * new day contributes its own partials; the published aggregate is
+    * one re-aggregation of state ∪ delta — history is read zero times.
+    * avg is derived from (sum, count) at publish, never stored (it
+    * doesn't merge). Oracle: the same aggregate computed from scratch —
+    * proving state-merge ≡ full recompute.
+    */
+  def pIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.QueryDef.dec
+    val cutoff = lit("1996-01-01")
+    val orders = Tables.orders(s, d)
+    def partials(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("rev"))
+    val state = partials(orders.filter(col("o_orderdate") < cutoff))
+    val delta = partials(orders.filter(col("o_orderdate") >= cutoff))
+    state.unionByName(delta)
+      .groupBy("o_orderpriority", "month")
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .withColumn("avg_price",
+        (col("revenue") / col("n_orders")).cast("double"))
+  }
+
+  val pIncrementalAggSql: String =
+    """SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("p_envelope_parse", pEnvelopeParse, Some(pEnvelopeParseSql)),
+    QueryDef("p_incremental_agg", pIncrementalAgg, Some(pIncrementalAggSql)),
     QueryDef("p_decrypt", pDecrypt, Some(pDecryptSql)),
     QueryDef("p_validate_wrap", pValidateWrap, Some(pValidateWrapSql)),
     QueryDef("p_sanitise", pSanitise, Some(pSanitiseSql)),

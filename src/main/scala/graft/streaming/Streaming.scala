@@ -280,6 +280,30 @@ object Streaming {
       |FROM (SELECT DISTINCT user_id, event_type FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** G3b: BOUNDED-STATE streaming dedup — the scale path.
+    * `dropDuplicates` state grows forever (every key ever seen);
+    * `dropDuplicatesWithinWatermark` evicts keys once the watermark
+    * passes them, which is the only viable contract for an unbounded
+    * at-least-once source (Kafka redeliveries arrive within seconds,
+    * not days). Fixture: the stream unioned with itself — every event
+    * delivered exactly twice, the canonical at-least-once shape; the
+    * 2-hour watermark covers any redelivery gap, so the dedup is exact
+    * and the oracle is the plain per-type count of the base table.
+    */
+  def stDedupWatermark(s: SparkSession, d: String): DataFrame = {
+    val once = eventsStream(s, d).select(col("event_id"), col("ts"), col("event_type"))
+    val atLeastOnce = once.unionByName(once)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(atLeastOnce, "st_dedup_watermark_mem", OutputMode.Complete())
+  }
+
+  val stDedupWatermarkSql: String =
+    """SELECT event_type, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** G4: stream-static enrichment — the streaming side joins a static
     * dimension (broadcast per microbatch; no state), then aggregates per
     * enriched key. The standard shape for decorating an event stream
@@ -443,6 +467,7 @@ object Streaming {
     QueryDef("st_sessionize_stream", stSessionizeStream, Some(stSessionizeSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
+    QueryDef("st_dedup_watermark", stDedupWatermark, Some(stDedupWatermarkSql)),
     QueryDef("st_enrich", stEnrich, Some(stEnrichSql)),
   )
 }

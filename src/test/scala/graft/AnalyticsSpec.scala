@@ -118,4 +118,20 @@ class AnalyticsSpec extends SparkSpec {
       assert(prices.sameElements(prices.sortBy(-_)))
     }
   }
+
+  test("q_approx_percentile: sketch quantiles ordered and inside exact bounds") {
+    import org.apache.spark.sql.functions._
+    val exact = Analytics.qPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Analytics.qApproxPercentile(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p90 && p90 <= p99)
+      val (e50, _, e99) = exact(r.getString(0))
+      // GK sketch at accuracy 1000: rank error ≤ n/1000, generous bounds
+      assert(p50 >= e50 * 0.5 && p50 <= e50 * 1.5, s"p50 $p50 vs exact $e50")
+      assert(p99 <= e99 * 1.001, s"p99 $p99 above exact max-side bound $e99")
+    }
+  }
 }

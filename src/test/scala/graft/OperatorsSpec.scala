@@ -370,4 +370,17 @@ class OperatorsSpec extends SparkSpec {
     // probabilistic structure, deterministic seed: some overlap must exist
     assert((lsh & brute).nonEmpty, "LSH shares no neighbors with brute force")
   }
+
+  test("d_bloom: Bloom pre-filter result is EXACT (equals plain anti-join)") {
+    val docs = Tables.documents(spark, sfDir)
+    val ref = docs.filter(col("doc_id") % 10 === 0).select("text").distinct()
+    val expected = docs.join(ref, Seq("text"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Dedup.dBloom(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
 }

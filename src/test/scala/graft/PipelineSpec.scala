@@ -160,4 +160,24 @@ class PipelineSpec extends SparkSpec {
     assert(shaped.columns.toSeq === Seq("lang", "n_chars"))
     assert(shaped.filter(col("lang").isNull).count() === 0)
   }
+
+  test("p_incremental_agg: state ∪ delta merge equals full recompute") {
+    import graft.queries.QueryDef.dec
+    val full = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val merged = graft.queries.PipelineQueries.pIncrementalAgg(spark, dir).collect()
+    assert(merged.nonEmpty)
+    merged.foreach { r =>
+      val k = (r.getString(0), r.getDate(1).toString)
+      assert(full(k) === ((r.getLong(2), r.getDouble(3))))
+      assert(r.getDouble(4) === r.getDouble(3) / r.getLong(2))
+    }
+    assert(merged.length === full.size)
+  }
 }

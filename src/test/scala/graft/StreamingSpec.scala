@@ -19,6 +19,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("st_dedup_watermark: doubled delivery dedups back to exact counts") {
+    val streamed = Streaming.stDedupWatermark(spark, sfDir)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.count() > 0)
+  }
+
   test("st_window_sliding: every event lands in exactly 2 windows") {
     val streamed = Streaming.stWindowSliding(spark, sfDir)
     val total = streamed.agg(sum(col("cnt"))).head.getLong(0)
