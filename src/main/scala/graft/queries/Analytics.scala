@@ -183,6 +183,69 @@ object Analytics {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** The rest of the ranking/distribution window family in one pass:
+    * dense_rank, ntile, percent_rank, cume_dist, first/last value over
+    * one shared (partition, order) — one shuffle + one sort serves all
+    * six (WindowExec evaluates co-partitioned frames together). The
+    * ordering key is made total (date, orderkey) so rank families are
+    * deterministic and peer-sensitive functions (cume_dist) agree
+    * across engines.
+    */
+  def qWindowFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"),
+        first_value(col("o_orderkey")).over(whole).as("first_order"),
+        last_value(col("o_orderkey")).over(whole).as("last_order"))
+  }
+
+  val qWindowFamilySql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  DENSE_RANK() OVER w AS drk,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS prk,
+      |  CUME_DIST() OVER w AS cd,
+      |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+      |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** Calendar gap-fill: densify a sparse per-day aggregate so every day
+    * in each series' span is present (missing days → 0). The dense axis
+    * is GENERATED (sequence + explode per series), never joined from a
+    * calendar table scan; volume is bounded by series × span-days, and
+    * the fill join shuffles on (series, day) — both independent of the
+    * fact-table size once the first aggregate has reduced it.
+    */
+  def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.groupBy("event_type")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    days.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  val qGapFillSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (
+      |  SELECT event_type, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1))
+      |SELECT d.event_type, d.day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+      |FROM days d LEFT JOIN daily USING (event_type, day)""".stripMargin
+
   /** Multi-level rollup aggregation. */
   def qRollup(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -572,6 +635,8 @@ object Analytics {
     QueryDef("q_antijoin", qAntijoin, Some(qAntijoinSql)),
     QueryDef("q_outer_join", qOuterJoin, Some(qOuterJoinSql)),
     QueryDef("q_window", qWindow, Some(qWindowSql)),
+    QueryDef("q_window_family", qWindowFamily, Some(qWindowFamilySql)),
+    QueryDef("q_gap_fill", qGapFill, Some(qGapFillSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
     QueryDef("q_distinct", qDistinct, Some(qDistinctSql)),
     QueryDef("q_union", qUnion, Some(qUnionSql)),

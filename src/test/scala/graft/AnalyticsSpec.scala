@@ -119,6 +119,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_gap_fill: every series is a dense day range") {
+    val rows = Analytics.qGapFill(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val days = rs.map(_._2).sortBy(_.toEpochDay)
+      val span = days.last.toEpochDay - days.head.toEpochDay + 1
+      assert(days.distinct.length.toLong === span, "missing days in filled series")
+    }
+  }
+
+  test("q_window_family: ranks bounded, distributions in [0,1], frame ends correct") {
+    val rows = Analytics.qWindowFamily(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 4) // quartile
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // percent_rank
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0) // cume_dist
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(6)).distinct.length === 1) // one first per key
+      assert(rs.map(_.getLong(7)).distinct.length === 1) // one last per key
+    }
+  }
+
   test("q_approx_percentile: sketch quantiles ordered and inside exact bounds") {
     import org.apache.spark.sql.functions._
     val exact = Analytics.qPercentiles(spark, sfDir).collect()
