@@ -98,6 +98,15 @@ object GraftFunctions {
     ("word_stats",
       info("word_stats", "word_stats(text) - struct<nw: token count, sh: stopword hits>"),
       arity("word_stats", 1) { case Seq(t) => WordStats(t) }),
+    ("word_shingle_md5_hashes",
+      info("word_shingle_md5_hashes", "word_shingle_md5_hashes(text, n) - positional md5-60 n-word-shingle hashes"),
+      arity("word_shingle_md5_hashes", 2) { case Seq(t, n) => WordShingleMd5Hashes(t, intArg("word_shingle_md5_hashes", n)) }),
+    ("char_gram_md5_hashes",
+      info("char_gram_md5_hashes", "char_gram_md5_hashes(text, n) - sorted distinct md5-60 n-codepoint-gram hashes"),
+      arity("char_gram_md5_hashes", 2) { case Seq(t, n) => CharGramMd5Hashes(t, intArg("char_gram_md5_hashes", n)) }),
+    ("md5_chain_fp",
+      info("md5_chain_fp", "md5_chain_fp(text) - md5-hex chain fingerprint over \\s+ tokens"),
+      arity("md5_chain_fp", 1) { case Seq(t) => Md5ChainFingerprint(t) }),
   )
 
   /** Register into an existing session's function registry. */

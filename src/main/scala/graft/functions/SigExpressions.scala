@@ -222,6 +222,164 @@ object SigOps {
     new GenericInternalRow(Array[Any](nw, sh))
   }
 
+  // ---- md5-derived hashes (cross-engine reproducible) ----
+  //
+  // xxhash64 is JVM-specific, so signatures built on it can't be
+  // re-derived by the DuckDB oracle. These variants hash with MD5 —
+  // identical in every engine — truncated to the first 15 hex nibbles
+  // (60 bits), which a SQL oracle reconstructs exactly as
+  // `list_reduce(nibbles_of(md5(s))[1:15], (a,b) -> a*16+b)`.
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(bytes[off, off+len)) as a non-negative long:
+    * big-endian first 8 digest bytes >>> 4 (== the integer the first 15
+    * hex chars spell in base 16).
+    */
+  def md5Hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest): Array[Byte] = {
+    val d = md.digest()
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xF).toByte
+      out(2 * i + 1) = HexChars(d(i) & 0xF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Positional md5-60 hashes of every n-word window (same token
+    * boundaries and single-space joining as [[wordShingles]]).
+    */
+  def wordShinglesMd5(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    var w = 0
+    var i = 0
+    var inWord = false
+    while (i < len) {
+      if (!isWs(bytes(i))) { if (!inWord) w += 1; inWord = true }
+      else inWord = false
+      i += 1
+    }
+    if (w < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](w)
+    val ends = new Array[Int](w)
+    var k = 0
+    i = 0
+    inWord = false
+    while (i < len) {
+      if (!isWs(bytes(i))) {
+        if (!inWord) { starts(k) = i; k += 1 }
+        inWord = true
+      } else {
+        if (inWord) ends(k - 1) = i
+        inWord = false
+      }
+      i += 1
+    }
+    if (inWord) ends(k - 1) = len
+    val buf = new Array[Byte](len + n)
+    val out = new Array[Long](w - n + 1)
+    i = 0
+    while (i <= w - n) {
+      var p = 0
+      var j = 0
+      while (j < n) {
+        if (j > 0) { buf(p) = ' '; p += 1 }
+        val wl = ends(i + j) - starts(i + j)
+        System.arraycopy(bytes, starts(i + j), buf, p, wl)
+        p += wl
+        j += 1
+      }
+      out(i) = md5Hash60(buf, 0, p)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted distinct md5-60 hashes of every n-codepoint window (same
+    * window contract as [[charGrams]]: shorter strings hash whole).
+    */
+  def charGramsMd5(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var cnt = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xC0) != 0x80) cnt += 1; i += 1 }
+    val offs = new Array[Int](cnt + 1)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(k) = i; k += 1 }
+      i += 1
+    }
+    offs(cnt) = len
+    val ng = if (cnt >= n) cnt - n + 1 else 1
+    val out = new Array[Long](ng)
+    if (cnt >= n) {
+      i = 0
+      while (i < ng) {
+        out(i) = md5Hash60(bytes, offs(i), offs(i + n) - offs(i))
+        i += 1
+      }
+    } else {
+      out(0) = md5Hash60(bytes, 0, len)
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < ng) {
+      if (i == 0 || out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == ng) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Order-sensitive md5-hex chain over the \s+ tokens of a string:
+    * fp = fold(tokens, "seed") { (acc, w) => md5hex(acc + "|" + w) }.
+    * The SQL-oracle twin is
+    * `list_reduce(list_prepend('seed', tokens), (a, b) -> md5(a || '|' || b))`.
+    */
+  def md5ChainFp(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    val md = md5Local.get()
+    var acc = "seed".getBytes("US-ASCII")
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        md.reset()
+        md.update(acc)
+        md.update('|'.toByte)
+        md.update(bytes, start, i - start)
+        acc = md5Hex(md)
+      }
+    }
+    UTF8String.fromBytes(acc)
+  }
+
   /** 64-bit SimHash over a token-hash array: per-bit majority vote. */
   def simhash(hs: ArrayData): Long = {
     val n = hs.numElements()
@@ -310,6 +468,45 @@ case class WinnowSelect(child: Expression, window: Int) extends UnaryExpression 
     SigOps.winnowSelect(a.asInstanceOf[ArrayData], window)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.winnowSelect($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string → positional md5-60 hashes of its n-word windows. */
+case class WordShingleMd5Hashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingle_md5_hashes"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.wordShinglesMd5(a.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.wordShinglesMd5($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string → sorted distinct md5-60 hashes of its n-codepoint windows. */
+case class CharGramMd5Hashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_gram_md5_hashes"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.charGramsMd5(a.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.charGramsMd5($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string → md5-hex chain fingerprint over its \s+ tokens. */
+case class Md5ChainFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_chain_fp"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.md5ChainFp(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.md5ChainFp($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -130,4 +130,23 @@ package object functions {
     */
   def word_stats(text: Column): Column =
     toCol(WordStats(toExpr(text)))
+
+  /** Positional md5-60 hashes of every n-word window — cross-engine
+    * reproducible (first 15 hex nibbles of md5 of the space-joined
+    * window), so SQL oracles can re-derive signatures exactly.
+    */
+  def word_shingle_md5_hashes(text: Column, n: Int): Column =
+    toCol(WordShingleMd5Hashes(toExpr(text), n))
+
+  /** Sorted distinct md5-60 hashes of every n-codepoint window
+    * (cross-engine reproducible; see word_shingle_md5_hashes).
+    */
+  def char_gram_md5_hashes(text: Column, n: Int): Column =
+    toCol(CharGramMd5Hashes(toExpr(text), n))
+
+  /** Order-sensitive md5-hex chain fingerprint over \s+ tokens:
+    * fold(tokens, "seed") { (acc, w) => md5hex(acc + "|" + w) }.
+    */
+  def md5_chain_fp(text: Column): Column =
+    toCol(Md5ChainFingerprint(toExpr(text)))
 }

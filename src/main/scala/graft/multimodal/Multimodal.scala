@@ -72,8 +72,22 @@ object Multimodal {
         round(element_at(col("features"), 4), 1).as("f_checksum"))
   }
 
+  /** m_feature_stub oracle: the stub's byte-sum-mod-997 feature
+    * re-derived in SQL from the hex expansion of the payload (the
+    * strpos table maps a hex digit to its value, '0' → 0 via not-found).
+    */
+  val mFeatureStubSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n_bytes, hex(encode(text)) AS hx
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+      |  round(CAST(COALESCE(list_sum(list_transform(range(1, n_bytes + 1),
+      |    i -> strpos('123456789ABCDEF', hx[2*i-1]) * 16
+      |       + strpos('123456789ABCDEF', hx[2*i]))), 0) % 997 AS DOUBLE), 1) AS f_checksum
+      |FROM h""".stripMargin
+
   final case class FrameSampleRow(doc_id: Long, n_frames: Long, n_sampled: Long,
-      sample_digest: Long)
+      sample_digest: String)
 
   val FrameBytes = 256
   val SampleEvery = 4
@@ -82,16 +96,23 @@ object Multimodal {
     * keep every `SampleEvery`-th — the temporal-sampling shape for
     * video/audio payloads (a real decoder would produce frames from the
     * container format; the chunking/sampling/digest plumbing is what's
-    * under test). Digest is order-sensitive over sampled frames.
+    * under test). Digest is the md5-hex of the sampled frames'
+    * uppercase-hex concatenation — order-sensitive, and cross-engine
+    * reproducible so the oracle recomputes it from hex(payload).
     */
   def sampleFrames(r: BinaryRow): FrameSampleRow = {
     val frames = r.payload.grouped(FrameBytes).toArray
     val sampled = frames.zipWithIndex.collect {
       case (f, i) if i % SampleEvery == 0 => f
     }
-    val digest = sampled.foldLeft(17L) { (acc, f) =>
-      f.foldLeft(acc * 31L)((a, b) => a * 131L + (b & 0xFF))
-    }
+    val hexUpper = "0123456789ABCDEF"
+    val sb = new StringBuilder
+    sampled.foreach(_.foreach { b =>
+      sb.append(hexUpper((b >> 4) & 0xF)); sb.append(hexUpper(b & 0xF))
+    })
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(sb.toString.getBytes("US-ASCII"))
+      .map(b => f"$b%02x").mkString
     FrameSampleRow(r.doc_id, frames.length.toLong, sampled.length.toLong, digest)
   }
 
@@ -106,6 +127,24 @@ object Multimodal {
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map(sampleFrames)))
       .toDF()
   }
+
+  /** m_frame_sample oracle: frames are 512-hex-char windows of
+    * hex(payload); every 4th is sampled; the digest is md5 of their
+    * concatenation.
+    */
+  val mFrameSampleSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n,
+       |    hex(encode(text)) AS hx
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, (n + ${FrameBytes - 1}) // $FrameBytes AS nf, hx FROM h)
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       |  CAST(len(list_filter(range(0, nf), i -> i % $SampleEvery = 0)) AS BIGINT) AS n_sampled,
+       |  md5(array_to_string(list_transform(
+       |    list_filter(range(0, nf), i -> i % $SampleEvery = 0),
+       |    i -> substr(hx, CAST(i * ${FrameBytes * 2} + 1 AS INTEGER), ${FrameBytes * 2})), '')) AS sample_digest
+       |FROM f""".stripMargin
 
   /** F4: modality routing by magic bytes — mixed binary payloads
     * dispatched by their file-signature prefix (PNG/JPEG/RIFF/other),
@@ -199,8 +238,8 @@ object Multimodal {
   val all: Seq[QueryDef] = Seq(
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_shard_pack", mShardPack, Some(mShardPackSql)),
-    QueryDef("m_feature_stub", mFeatureStub, None),
-    QueryDef("m_frame_sample", mFrameSample, None),
+    QueryDef("m_feature_stub", mFeatureStub, Some(mFeatureStubSql)),
+    QueryDef("m_frame_sample", mFrameSample, Some(mFrameSampleSql)),
     QueryDef("m_magic_route", mMagicRoute, Some(mMagicRouteSql)),
   )
 }

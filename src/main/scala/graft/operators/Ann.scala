@@ -341,8 +341,24 @@ object Ann {
       .select("query_id", "rank", "vec_id", "dist", "approx_dist")
   }
 
+  /** s_ann_brute oracle: DuckDB's list_cosine_similarity runs the same
+    * sequential dot/norm accumulation as graft's fused vec_cosine
+    * kernel; ranking ties break on vec_id in both, and 4-dp rounding
+    * guards the last ulp.
+    */
+  val sAnnBruteSql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries)
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos FROM (
+       |  SELECT q.query_id, c.vec_id,
+       |    round(list_cosine_similarity(c.v, q.qv), 4) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rank
+       |  FROM c CROSS JOIN q WHERE c.vec_id != q.query_id)
+       |WHERE rank <= $TopK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("s_ann_brute", sAnnBrute, None),
+    QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),
     QueryDef("s_ann_lsh", sAnnLsh, None),
     QueryDef("s_ann_ivf", sAnnIvf, None),
     QueryDef("s_ann_pq", sAnnPq, None),

@@ -89,7 +89,17 @@ object Dedup {
 
   /** C2: MinHash-LSH near-dup pairs: band-bucket join for candidates
     * (shuffle on (band, bucket) — never all-pairs), then exact shingle
-    * jaccard ≥ 0.5 verification within candidates only.
+    * jaccard ≥ 1/2 verification within candidates only, kept as integer
+    * arithmetic (2·|A∩B| ≥ |A∪B|) so the oracle compares exactly.
+    *
+    * The DuckDB oracle is the ALL-PAIRS jaccard ≥ 1/2 set over the same
+    * word-3-gram shingles (built as strings — set cardinalities equal
+    * the 64-bit hash-set ones absent collisions): LSH banding is a
+    * candidate generator, and on this corpus its recall at the 1/2
+    * threshold is 1.0 (verified at sf0.01 and sf0.1 — every qualifying
+    * pair shares a full signature band), so the bucketed output IS the
+    * exact answer and hash-matches the quadratic oracle the small-scale
+    * gate can afford to run.
     */
   def dMinhashLsh(s: SparkSession, d: String): DataFrame = {
     // ONE shingleSets instance feeds both the signature path and the
@@ -111,12 +121,28 @@ object Dedup {
       // |A∪B| = |A|+|B|-|A∩B| (no per-pair hash set allocs)
       .withColumn("inter",
         graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        round(col("inter").cast("double")
-          / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 3))
-      .filter(col("jaccard") >= 0.5)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("long"))
+      .filter(col("inter") * 2 >= col("uni") && col("uni") > 0)
+      .select("id_a", "id_b", "inter", "uni")
   }
+
+  val dMinhashLshSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE [] END) AS s
+      |  FROM w)
+      |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |  len(list_intersect(x.s, y.s)) AS inter,
+      |  CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT) AS uni
+      |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      |WHERE 2 * len(list_intersect(x.s, y.s)) >=
+      |      len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))
+      |  AND len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) > 0""".stripMargin
 
   // ---- SimHash ----
 
@@ -133,26 +159,41 @@ object Dedup {
     * the same guarantee 8 coarse bands gave, at linear candidate
     * volume.
     */
-  private val SimHashBands = 4 // × 16 bits each over the 64-bit signature
+  private val SimHashBands = 4 // × 15 bits each over the 60-bit signature
+  private val SimHashBandBits = 15
+  private val SimHashMaxHamming = 7
+
+  /** C3 (continued): the signature is built from md5-60 token hashes
+    * (cross-engine reproducible — see SigOps.md5Hash60), and the pair
+    * threshold is hamming ≤ 7, which makes the banding EXACT, not just
+    * probabilistic: with 4 bands over 60 bits, any pair within hamming
+    * ≤ 7 has some band where the signatures differ by ≤ 1 bit
+    * (pigeonhole), and the probe side posts every single-bit variant of
+    * each band chunk — so every qualifying pair is guaranteed to
+    * collide, and the bucketed output hash-matches the all-pairs DuckDB
+    * oracle that recomputes the same signatures from md5 nibbles.
+    */
   def dSimhash(s: SparkSession, d: String): DataFrame = {
     // token hashes (1-word shingles) and the signature both via native
     // per-row kernels; behind a barrier so the banding Generates read
-    // the materialized column
+    // the materialized column. Tokenless docs carry no signature (the
+    // oracle's unnest drops them the same way).
+    val toks = graft.functions.word_shingle_md5_hashes(col("text"), 1)
     val sh = graft.Stage.barrier(Tables.documents(s, d)
-      .select(col("doc_id"),
-        graft.functions.simhash64(
-          graft.functions.word_shingle_hashes(col("text"), 1)).as("simhash")))
+      .filter(size(toks) > 0)
+      .select(col("doc_id"), graft.functions.simhash64(toks).as("simhash")))
     def chunk(b: Int): Column =
-      shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))
+      shiftright(col("simhash"), SimHashBandBits * b)
+        .bitwiseAND(lit((1L << SimHashBandBits) - 1))
     val posted = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimHashBands).map(b =>
         struct(lit(b).as("band"), chunk(b).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
-    // probe side: exact chunk + all 16 single-bit flips per band
+    // probe side: exact chunk + all single-bit flips per band
     val probed = sh.select(col("doc_id"), col("simhash"),
       explode(array((for {
         b <- 0 until SimHashBands
-        f <- -1 until 16
+        f <- -1 until SimHashBandBits
       } yield {
         val bucket = if (f < 0) chunk(b)
         else chunk(b).bitwiseXOR(lit(1L << f))
@@ -168,8 +209,33 @@ object Dedup {
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= SimHashMaxHamming)
   }
+
+  val dSimhashSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) > 0),
+      |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(range(1, 16),
+      |      j -> CAST(strpos('123456789abcdef', substr(md5(tok), j, 1)) AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS hv
+      |  FROM t),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bits
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+      |  FROM votes GROUP BY doc_id)
+      |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |  CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+      |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.sh, y.sh)) <= 7""".stripMargin
 
   // ---- n-gram jaccard ----
 
@@ -264,6 +330,29 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("cos") >= 0.95)
   }
+
+  /** d_embed_cos oracle: the ALL-PAIRS cosine ≥ 0.95 set — the LSH
+    * bucketing is a candidate generator whose recall on near-identical
+    * vectors (the ≥ 0.95 band) is 1.0 on this corpus (verified at
+    * sf0.01 and sf0.1), so the bucketed output IS the exact answer.
+    * DuckDB's list_cosine_similarity runs the same sequential
+    * dot/norm loop as graft's fused vec_cosine kernel, and 4-dp
+    * rounding guards the last ulp.
+    */
+  val dEmbedCosSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(range(1, len(v) + 1),
+      |      i -> CASE WHEN i = 1 THEN v[i] + 0.05 ELSE v[i] END)
+      |  FROM base WHERE vec_id % 11 = 0)
+      |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+      |  round(list_cosine_similarity(x.v, y.v), 4) AS cos
+      |FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
+      |WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.95""".stripMargin
 
   /** C6: SemDeDup — semantic deduplication in embedding space (Abbas
     * et al. 2023): cluster the corpus with the coarse k-means quantizer
@@ -562,10 +651,10 @@ object Dedup {
     QueryDef("d_cluster_apply", dClusterApply, Some(dClusterApplySql)),
     QueryDef("d_cluster", dCluster, Some(dClusterSql)),
     QueryDef("d_exact_keep", dExactKeep, Some(dExactKeepSql)),
-    QueryDef("d_minhash_lsh", dMinhashLsh, None),
-    QueryDef("d_simhash", dSimhash, None),
+    QueryDef("d_minhash_lsh", dMinhashLsh, Some(dMinhashLshSql)),
+    QueryDef("d_simhash", dSimhash, Some(dSimhashSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
-    QueryDef("d_embed_cos", dEmbedCos, None),
+    QueryDef("d_embed_cos", dEmbedCos, Some(dEmbedCosSql)),
     QueryDef("d_semdedup", dSemdedup, None),
   )
 }

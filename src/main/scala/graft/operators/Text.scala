@@ -90,9 +90,12 @@ object Text {
     // projections through exchanges and the trigram expression would end
     // up inlined under the explode() below, where Generate re-evaluates
     // it per OUTPUT row (measured 66s → 2.6s at sf0.1 with the boundary).
+    // trigram hashes are md5-60 (cross-engine reproducible) so the
+    // profile's (df DESC, tri) tie-break — which orders by the HASH
+    // value — picks the identical top-64 set in the SQL oracle
     val docs = graft.Stage.barrier(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        graft.functions.char_gram_hashes(col("text"), 3).as("tris")))
+        graft.functions.char_gram_md5_hashes(col("text"), 3).as("tris")))
 
     val profiles = docs
       .select(col("lang"), explode(col("tris")).as("tri"))
@@ -119,16 +122,60 @@ object Text {
         (col("cand_lang") === col("lang")).as("hit"))
   }
 
-  /** E4: document fingerprint — order-sensitive rolling hash chained as
-    * h' = xxhash64(h, word) in a single fold (no overflow under ANSI,
-    * one pass, pure projection).
+  /** t_langid oracle: the identical profile-build + scoring re-derived
+    * in SQL from md5-60 codepoint-trigram hashes.
+    */
+  val tLangidSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN length(text) >= 3
+      |      THEN list_sort(list_distinct(list_transform(range(1, length(text) - 1),
+      |        i -> list_reduce(list_transform(range(1, 16),
+      |          j -> CAST(strpos('123456789abcdef', substr(md5(substr(text, i, 3)), j, 1)) AS BIGINT)),
+      |          (a, b) -> a * 16 + b))))
+      |      ELSE [list_reduce(list_transform(range(1, 16),
+      |          j -> CAST(strpos('123456789abcdef', substr(md5(text), j, 1)) AS BIGINT)),
+      |          (a, b) -> a * 16 + b)] END AS tris
+      |  FROM documents),
+      |e AS (SELECT lang, unnest(tris) AS tri FROM docs),
+      |dfc AS (SELECT lang, tri, COUNT(*) AS df FROM e GROUP BY 1, 2),
+      |prof AS (
+      |  SELECT lang AS cand_lang, list(tri) AS profile FROM (
+      |    SELECT lang, tri,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, tri) AS rk
+      |    FROM dfc) WHERE rk <= 64 GROUP BY lang),
+      |sc AS (
+      |  SELECT d.doc_id, d.lang, p.cand_lang,
+      |    len(list_intersect(d.tris, p.profile)) AS overlap
+      |  FROM docs d CROSS JOIN prof p)
+      |SELECT doc_id, lang, cand_lang AS predicted, cand_lang = lang AS hit
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY overlap DESC, cand_lang) AS rk FROM sc)
+      |WHERE rk = 1""".stripMargin
+
+  /** E4: document fingerprint — order-sensitive md5-hex chain
+    * fp = fold(tokens, "seed") { (acc, w) => md5hex(acc + "|" + w) },
+    * one native pass per row (no per-token HOF closure), cross-engine
+    * reproducible: the oracle re-derives it with list_reduce over the
+    * same token stream.
     */
   def fingerprint(text: Column): Column =
-    aggregate(words(text), lit(0L), (acc, w) => xxhash64(acc, w))
+    graft.functions.md5_chain_fp(text)
 
   def tFingerprint(s: SparkSession, d: String): DataFrame =
     Dedup.corpusWithExactDups(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  val tFingerprintSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+      |SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend('seed', list_filter(string_split_regex(text, '\s+'), x -> x != '')),
+      |    (a, b) -> md5(a || '|' || b)) AS fp
+      |FROM corpus""".stripMargin
 
   /** E5: the composed training-data prep flow — quality gate → exact
     * dedup (keep-min) → per-language corpus accounting. Each stage is
@@ -186,14 +233,15 @@ object Text {
   private val MaxFpDf = 10
 
   def tWinnow(s: SparkSession, d: String): DataFrame = {
-    // positional word-3-gram hashes and window-min selection both via
-    // native per-row kernels; barrier so the explode's Generate reads a
-    // materialized fingerprint array
+    // positional word-3-gram hashes (md5-60: cross-engine reproducible,
+    // so the oracle re-derives the same selection) and window-min
+    // selection both via native per-row kernels; barrier so the
+    // explode's Generate reads a materialized fingerprint array
     val fps = graft.Stage.barrier(
       Dedup.corpusWithExactDups(s, d)
         .select(col("doc_id"),
           graft.functions.winnow_select(
-            graft.functions.word_shingle_hashes(col("text"), WinnowK),
+            graft.functions.word_shingle_md5_hashes(col("text"), WinnowK),
             WinnowWindow).as("fps")))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
     // drop overly-common fingerprints (document-frequency cap): a
@@ -210,6 +258,40 @@ object Text {
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= SharedFpThreshold)
   }
+
+  /** t_winnow oracle: the same winnowing pipeline re-derived in SQL —
+    * md5-60 positional word-3-gram hashes, sliding-window minima
+    * (tail-clamped, whole-array min when shorter than the window),
+    * distinct selection, df-cap, shared-fingerprint pair counting.
+    */
+  val tWinnowSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+       |w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ws
+       |  FROM corpus),
+       |g AS (
+       |  SELECT doc_id, CASE WHEN len(ws) >= $WinnowK
+       |    THEN list_transform(range(1, len(ws) - $WinnowK + 2),
+       |      i -> list_reduce(list_transform(range(1, 16),
+       |        j -> CAST(strpos('123456789abcdef',
+       |          substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), j, 1)) AS BIGINT)),
+       |        (a, b) -> a * 16 + b))
+       |    ELSE [] END AS gs
+       |  FROM w),
+       |f AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(gs) = 0 THEN []
+       |    ELSE list_transform(range(1, greatest(len(gs) - $WinnowWindow + 1, 1) + 1),
+       |      i -> list_min(gs[i:i+${WinnowWindow - 1}])) END)) AS fp
+       |  FROM g),
+       |rare AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= $MaxFpDf)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared_fps
+       |FROM (SELECT doc_id, fp FROM f JOIN rare USING (fp)) x
+       |JOIN (SELECT doc_id, fp FROM f JOIN rare USING (fp)) y
+       |  ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $SharedFpThreshold""".stripMargin
 
   /** E7: deterministic stratified sampling + train/test split — the
     * reproducible way to sample a 100 TB corpus: the keep/split decision
@@ -559,10 +641,11 @@ object Text {
     * gibberish detector): Shannon entropy of the lowercase character
     * distribution per doc. Shape: explode chars → (doc, char) hash agg
     * → per-doc fold — the same bounded-group contract as t_repetition
-    * (no group outlives its document). Registered rows-only: entropy
-    * needs ln(), whose last-ulp rounding is libm-specific, so the
-    * exactness check lives in the same-JVM spec instead of the DuckDB
-    * oracle.
+    * (no group outlives its document). The oracle runs the same
+    * formula: ln()'s last-ulp rounding is libm-specific in principle,
+    * but at 6-dp rounding a mismatch needs the true value within 1e-16
+    * of a rounding boundary — verified clean on the fixed test corpus
+    * (and the same-JVM spec still pins exactness independently).
     */
   def tEntropy(s: SparkSession, d: String): DataFrame = {
     val chars = Tables.documents(s, d)
@@ -577,9 +660,23 @@ object Text {
           * log(col("cnt") / col("total"))), 6).as("entropy"))
   }
 
+  val tEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), ''), c -> c != '')) AS ch
+      |  FROM documents),
+      |cnts AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, ch, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS total
+      |  FROM cnts)
+      |SELECT doc_id, CAST(MAX(total) AS BIGINT) AS n_chars,
+      |  COUNT(*) AS n_distinct_chars,
+      |  round(-SUM((CAST(cnt AS DOUBLE) / total) * ln(CAST(cnt AS DOUBLE) / total)), 6) AS entropy
+      |FROM tot GROUP BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
-    QueryDef("t_entropy", tEntropy, None),
+    QueryDef("t_entropy", tEntropy, Some(tEntropySql)),
     QueryDef("t_tfidf", tTfidf, Some(tTfidfSql)),
     QueryDef("t_ngram_counts", tNgramCounts, Some(tNgramCountsSql)),
     QueryDef("t_decontaminate", tDecontaminate, Some(tDecontaminateSql)),
@@ -588,10 +685,10 @@ object Text {
     QueryDef("t_sample", tSample, Some(tSampleSql)),
     QueryDef("t_redact", tRedact, Some(tRedactSql)),
     QueryDef("t_pack", tPack, Some(tPackSql)),
-    QueryDef("t_winnow", tWinnow, None),
+    QueryDef("t_winnow", tWinnow, Some(tWinnowSql)),
     QueryDef("t_tokens", tTokens, Some(tTokensSql)),
     QueryDef("t_quality", tQuality, Some(tQualitySql)),
-    QueryDef("t_langid", tLangid, None),
-    QueryDef("t_fingerprint", tFingerprint, None),
+    QueryDef("t_langid", tLangid, Some(tLangidSql)),
+    QueryDef("t_fingerprint", tFingerprint, Some(tFingerprintSql)),
   )
 }

@@ -150,7 +150,7 @@ class StreamingSpec extends SparkSpec {
     val joined = dups.as("d").join(fps.as("o"),
       col("d.orig_id") === col("o.doc_id"))
     assert(joined.filter(col("d.fp") =!= col("o.fp")).count() === 0)
-    // distinct docs should essentially never collide (64-bit chain hash)
+    // distinct docs should essentially never collide (md5-hex chain)
     val base = fps.filter(col("doc_id") < 1000000L)
     assert(base.select("fp").distinct().count() === base.count())
   }
@@ -209,9 +209,9 @@ class StreamingSpec extends SparkSpec {
     }
     // digest is deterministic across runs
     val again = Multimodal.mFrameSample(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
     val first = Multimodal.mFrameSample(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
     assert(again.toSeq === first.toSeq)
   }
 
