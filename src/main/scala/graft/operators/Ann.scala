@@ -357,11 +357,69 @@ object Ann {
        |  FROM c CROSS JOIN q WHERE c.vec_id != q.query_id)
        |WHERE rank <= $TopK""".stripMargin
 
+  /** D6: kNN label classification — the inference pattern over a
+    * labeled corpus: a BOUNDED batch of incoming vectors (vec_id % 97
+    * == 0, standing in for new arrivals) is broadcast against the
+    * corpus, each takes the majority label of its 5 nearest neighbors
+    * (self excluded; ties → cosine then vec_id, label ties → smaller
+    * label). Linear in the corpus — one streamed scan per batch, a
+    * window over the per-query candidate set, a vote agg. The oracle
+    * recomputes the identical vote with list_cosine_similarity.
+    */
+  private val KnnClassifyK = 5
+
+  def sKnnClassify(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.embeddings(s, d)
+      .select(col("vec_id"), vecCol.as("v"), col("label"))
+    val batch = c.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("true_label"))
+    val scored = c.crossJoin(broadcast(batch))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vec_cosine(col("v"), col("qv")))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val votes = scored.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= KnnClassifyK)
+      .groupBy("query_id", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("vrk", row_number().over(wVote))
+      .filter(col("vrk") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("predicted"), col("votes"),
+        (col("label") === col("true_label")).as("hit"))
+  }
+
+  val sKnnClassifySql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, label AS true_label
+       |  FROM c WHERE vec_id % 97 = 0),
+       |top AS (
+       |  SELECT query_id, true_label, label FROM (
+       |    SELECT q.query_id, q.true_label, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rk
+       |    FROM c CROSS JOIN q WHERE c.vec_id != q.query_id)
+       |  WHERE rk <= $KnnClassifyK),
+       |votes AS (
+       |  SELECT query_id, true_label, label, COUNT(*) AS votes
+       |  FROM top GROUP BY 1, 2, 3)
+       |SELECT query_id, true_label, label AS predicted, votes,
+       |  label = true_label AS hit
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY votes DESC, label) AS vrk FROM votes)
+       |WHERE vrk = 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),
     QueryDef("s_ann_lsh", sAnnLsh, None),
     QueryDef("s_ann_ivf", sAnnIvf, None),
     QueryDef("s_ann_pq", sAnnPq, None),
     QueryDef("s_knn_join", sKnnJoin, None),
+    QueryDef("s_knn_classify", sKnnClassify, Some(sKnnClassifySql)),
   )
 }

@@ -469,10 +469,15 @@ object Dedup {
           col("l.comp") === col("j.jid"))
         .select(col("l.id").as("id"), col("j.jcomp").as("comp")))
         .persist()
-      changed = jumped.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels.unpersist() // jumped is materialized by the count above
+      // the first round always changes labels (every non-isolated node
+      // adopts a neighborhood min) — skip its convergence count and
+      // spend the action materializing the new labels instead
+      changed =
+        if (rounds == 0) { jumped.count(); 1L }
+        else jumped.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.comp") =!= col("o.comp")).count()
+      labels.unpersist() // jumped is materialized by the action above
       labels = jumped
       rounds += 1
     }
@@ -645,6 +650,63 @@ object Dedup {
       |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)
       |GROUP BY lang""".stripMargin
 
+  /** C9: cross-document repeated-SPAN detection (the ExactSubstr idea
+    * from Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", word-window-shaped for Spark): a span is a
+    * 16-word window; a span is duplicated when the same window text
+    * occurs in ≥ 2 distinct documents. Per doc: total spans and
+    * duplicated spans — the signal span-level dedup cuts on (full
+    * suffix-array dedup would splice the spans out; the detection scan
+    * is the distributed part). Plan shape: positional md5-60 window
+    * hashes (one kernel pass), one (hash → distinct-doc count) agg, a
+    * semi-join back — the shuffle carries the window-hash stream, no
+    * pair join anywhere. The oracle re-derives the same windows as
+    * strings.
+    */
+  private val SpanWords = 16
+
+  def dSubstring(s: SparkSession, d: String): DataFrame = {
+    val corpus = graft.Stage.barrier(corpusWithExactDups(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.word_shingle_md5_hashes(col("text"), SpanWords).as("gs")))
+    val spans = corpus.select(col("doc_id"), explode(col("gs")).as("g"))
+    val dup = spans.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val dupCounts = spans.join(dup, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    corpus.select(col("doc_id"), col("lang"), size(col("gs")).as("n_spans"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_spans").cast("long").as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
+  val dSubstringSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0),
+       |w AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ws
+       |  FROM corpus),
+       |g AS (
+       |  SELECT doc_id, lang, CASE WHEN len(ws) >= $SpanWords
+       |    THEN list_transform(range(1, len(ws) - $SpanWords + 2),
+       |      i -> array_to_string(ws[i:i+${SpanWords - 1}], ' '))
+       |    ELSE [] END AS gs
+       |  FROM w),
+       |spans AS (SELECT doc_id, unnest(gs) AS sp FROM g),
+       |dup AS (
+       |  SELECT sp FROM spans GROUP BY sp HAVING COUNT(DISTINCT doc_id) >= 2),
+       |dc AS (
+       |  SELECT doc_id, COUNT(*) AS n_dup_spans
+       |  FROM spans JOIN dup USING (sp) GROUP BY doc_id)
+       |SELECT g.doc_id, g.lang, CAST(len(gs) AS BIGINT) AS n_spans,
+       |  COALESCE(n_dup_spans, 0) AS n_dup_spans
+       |FROM g LEFT JOIN dc ON g.doc_id = dc.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_bloom", dBloom, Some(dBloomSql)),
@@ -656,5 +718,6 @@ object Dedup {
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_embed_cos", dEmbedCos, Some(dEmbedCosSql)),
     QueryDef("d_semdedup", dSemdedup, None),
+    QueryDef("d_substring", dSubstring, Some(dSubstringSql)),
   )
 }

@@ -674,6 +674,97 @@ object Text {
       |  round(-SUM((CAST(cnt AS DOUBLE) / total) * ln(CAST(cnt AS DOUBLE) / total)), 6) AS entropy
       |FROM tot GROUP BY doc_id""".stripMargin
 
+  /** E16: unigram-LM perplexity proxy (CCNet-style quality filter) —
+    * each doc scored by the average negative log-likelihood of its
+    * tokens under the corpus's own unigram distribution: low = stuffed
+    * with common words, high = rare-token-heavy/gibberish. Plan shape:
+    * one (term) hash agg for the LM, a scalar token total, a join back
+    * on the term key, one (doc) hash agg — all linear, the LM table is
+    * vocabulary-sized. The score rounds to 6 dp; the oracle recomputes
+    * the identical expression.
+    */
+  def tPerplexity(s: SparkSession, d: String): DataFrame = {
+    val terms = graft.Stage.barrier(Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term")))
+    val lm = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val n = terms.agg(count(lit(1)).as("n_tokens"))
+    terms.join(lm, Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(-avg(log(col("cnt").cast("double") / col("n_tokens"))), 6)
+          .as("avg_nll"))
+  }
+
+  val tPerplexitySql: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+      |  FROM documents),
+      |lm AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_tokens FROM terms)
+      |SELECT doc_id, COUNT(*) AS n_words,
+      |  round(-AVG(ln(CAST(cnt AS DOUBLE) / n_tokens)), 6) AS avg_nll
+      |FROM terms JOIN lm USING (term) CROSS JOIN n
+      |GROUP BY doc_id""".stripMargin
+
+  /** E17: staged filter funnel — the accounting table a production
+    * data-prep pipeline reports: how many documents survive each
+    * cumulative quality gate (length → stopword ratio → non-repetitive
+    * → no long digit runs). One scan, conditional counts, all integer
+    * arithmetic so the oracle compares exactly.
+    */
+  def tFilterFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Stage.barrier(Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.word_stats(col("text")).as("ws"),
+      size(regexp_extract_all(col("text"), lit("[0-9]{6,}"), lit(0))).as("digit_runs"),
+      words(lower(col("text"))).as("w")))
+      .select(col("doc_id"), col("ws.nw").as("nw"), col("ws.sh").as("sh"),
+        col("digit_runs"),
+        size(array_distinct(col("w"))).as("n_distinct"), size(col("w")).as("n_words"))
+    val s1 = col("nw") >= 20
+    val s2 = s1 && col("sh") * 10 >= col("nw")
+    val s3 = s2 && col("n_distinct") * 4 >= col("n_words")
+    val s4 = s3 && col("digit_runs") === 0
+    val agg = docs.agg(
+      count(lit(1)).as("n0"),
+      count(when(s1, 1)).as("n1"),
+      count(when(s2, 1)).as("n2"),
+      count(when(s3, 1)).as("n3"),
+      count(when(s4, 1)).as("n4"))
+    agg.selectExpr(
+      """stack(4,
+        |  'len_ge_20', n0, n1,
+        |  'stopword_ratio', n1, n2,
+        |  'distinct_ratio', n2, n3,
+        |  'no_digit_runs', n3, n4) AS (stage, n_in, n_out)""".stripMargin)
+  }
+
+  val tFilterFunnelSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS nw,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      w -> list_contains(['the','a','of','and','to','in','for','on','with','as'], w))) AS sh,
+      |    len(regexp_extract_all(text, '[0-9]{6,}')) AS digit_runs,
+      |    len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''))) AS n_distinct,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS n_words
+      |  FROM documents),
+      |g AS (
+      |  SELECT COUNT(*) AS n0,
+      |    COUNT(*) FILTER (WHERE nw >= 20) AS n1,
+      |    COUNT(*) FILTER (WHERE nw >= 20 AND sh * 10 >= nw) AS n2,
+      |    COUNT(*) FILTER (WHERE nw >= 20 AND sh * 10 >= nw
+      |      AND n_distinct * 4 >= n_words) AS n3,
+      |    COUNT(*) FILTER (WHERE nw >= 20 AND sh * 10 >= nw
+      |      AND n_distinct * 4 >= n_words AND digit_runs = 0) AS n4
+      |  FROM f)
+      |SELECT 'len_ge_20' AS stage, n0 AS n_in, n1 AS n_out FROM g
+      |UNION ALL SELECT 'stopword_ratio', n1, n2 FROM g
+      |UNION ALL SELECT 'distinct_ratio', n2, n3 FROM g
+      |UNION ALL SELECT 'no_digit_runs', n3, n4 FROM g""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
     QueryDef("t_entropy", tEntropy, Some(tEntropySql)),
@@ -690,5 +781,7 @@ object Text {
     QueryDef("t_quality", tQuality, Some(tQualitySql)),
     QueryDef("t_langid", tLangid, Some(tLangidSql)),
     QueryDef("t_fingerprint", tFingerprint, Some(tFingerprintSql)),
+    QueryDef("t_perplexity", tPerplexity, Some(tPerplexitySql)),
+    QueryDef("t_filter_funnel", tFilterFunnel, Some(tFilterFunnelSql)),
   )
 }

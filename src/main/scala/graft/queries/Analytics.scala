@@ -625,8 +625,28 @@ object Analytics {
       |                      WHERE o2.o_custkey = o.o_custkey)
       |GROUP BY o_custkey""".stripMargin
 
+  /** Fixed-width histogram — the profiling primitive behind data
+    * skew/quality dashboards: order totals bucketed at 50k, count +
+    * decimal-exact sum per (priority, bucket). One hash agg, bucket
+    * arithmetic on DECIMAL so both engines truncate identically.
+    */
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        floor(dec(col("o_totalprice")) / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        moneySum(col("o_totalprice")).as("total"))
+
+  val qHistogramSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 50000) AS BIGINT) AS bucket,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1AggSql)),
+    QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
     QueryDef("q_correlated_subq", qCorrelatedSubq, Some(qCorrelatedSubqSql)),
     QueryDef("q2_filter_proj", q2FilterProj, Some(q2FilterProjSql)),
     QueryDef("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),

@@ -11,6 +11,14 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_histogram: bucket counts partition the orders table") {
+    import org.apache.spark.sql.functions._
+    val hist = Analytics.qHistogram(spark, sfDir)
+    val total = hist.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total === Tables.orders(spark, sfDir).count())
+    assert(hist.filter(col("bucket") < 0).count() === 0)
+  }
+
   test("q_distinct_approx estimates within tolerance of exact") {
     import org.apache.spark.sql.functions._
     val approx = Analytics.qDistinctApprox(spark, sfDir).collect()

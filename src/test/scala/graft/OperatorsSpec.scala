@@ -18,6 +18,31 @@ class OperatorsSpec extends SparkSpec {
     assert(groups.filter(col("keeper") >= 1000000L).count() === 0)
   }
 
+  test("d_substring: re-inserted exact copies have every span duplicated") {
+    val rows = Dedup.dSubstring(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nSpans, nDup) => assert(nDup <= nSpans) }
+    // every span of a doc that was duplicated wholesale is a dup span
+    rows.filter(_._1 >= 1000000L).foreach { case (id, nSpans, nDup) =>
+      assert(nDup === nSpans, s"copy $id: $nDup of $nSpans spans flagged")
+    }
+  }
+
+  test("s_knn_classify: one majority vote per batch vector, votes bounded by k") {
+    val batch = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 97 === 0).count()
+    val out = Ann.sKnnClassify(spark, sfDir).collect()
+    assert(out.length === batch)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    out.foreach { r =>
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 5L)
+      assert(labels.contains(r.getInt(2)))
+      assert(r.getBoolean(4) === (r.getInt(1) === r.getInt(2)))
+    }
+  }
+
   /** brute-force word-3-gram-shingle jaccard over all pairs (tiny sf). */
   private def bruteJaccardPairs(threshold: Double) = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()

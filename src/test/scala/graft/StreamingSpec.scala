@@ -179,6 +179,28 @@ class StreamingSpec extends SparkSpec {
     assert(a.forall { case (_, split, n, _) => (split == "train" || split == "test") && n > 0 })
   }
 
+  test("t_perplexity: every doc scored, rare-token docs score higher than stuffed ones") {
+    val out = Text.tPerplexity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === Tables.documents(spark, sfDir).count())
+    // unigram self-LM: every token has cnt>=1 so p<=1 and -ln(p)>=0;
+    // and no doc can average below the most-common token's nll
+    assert(out.forall(_._3 >= 0.0))
+    assert(out.forall(_._2 > 0))
+  }
+
+  test("t_filter_funnel: stages chain (each n_in is the previous n_out)") {
+    val rows = Text.tFilterFunnel(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 4)
+    assert(rows.head._2 === Tables.documents(spark, sfDir).count())
+    rows.foreach { case (_, nIn, nOut) => assert(nOut <= nIn) }
+    rows.sliding(2).foreach {
+      case Array((_, _, out1), (_, in2, _)) => assert(out1 === in2)
+      case _ =>
+    }
+  }
+
   test("t_langid emits one prediction per doc from the candidate set") {
     val out = Text.tLangid(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
