@@ -414,8 +414,38 @@ object Ann {
        |        ORDER BY votes DESC, label) AS vrk FROM votes)
        |WHERE vrk = 1""".stripMargin
 
+  /** D7: radius (range) search — all corpus vectors within cosine ≥ τ
+    * of each query in a bounded batch, the retrieval primitive when the
+    * answer set size is data-dependent (dedup candidates, near-match
+    * lookup) rather than a fixed top-k. Same scale shape as
+    * s_ann_brute: broadcast the bounded batch, one streamed corpus
+    * pass, no self-join; the production path swaps the scan for the
+    * LSH/IVF bucketed candidates exactly as s_ann_lsh does.
+    */
+  private val RangeTau = 0.25
+
+  def sRangeSearch(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val batch = c.filter(col("vec_id") % 89 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    c.crossJoin(broadcast(batch))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(vec_cosine(col("v"), col("qv")), 4))
+      .filter(col("cos") >= RangeTau)
+      .select("query_id", "vec_id", "cos")
+  }
+
+  val sRangeSearchSql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 89 = 0)
+       |SELECT query_id, c.vec_id, round(list_cosine_similarity(c.v, q.qv), 4) AS cos
+       |FROM c CROSS JOIN q
+       |WHERE c.vec_id != q.query_id
+       |  AND round(list_cosine_similarity(c.v, q.qv), 4) >= $RangeTau""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),
+    QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
     QueryDef("s_ann_lsh", sAnnLsh, None),
     QueryDef("s_ann_ivf", sAnnIvf, None),
     QueryDef("s_ann_pq", sAnnPq, None),

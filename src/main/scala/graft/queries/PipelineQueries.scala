@@ -49,6 +49,48 @@ object PipelineQueries {
        |  $OracleLmIncoming AS envelope_lm
        |FROM documents""".stripMargin
 
+  /** B1b: dead-letter routing — the quarantine-and-continue contract
+    * for malformed input (the reference fails the whole task on the
+    * first bad line, UCMessage.__init__ json.loads; at corpus scale the
+    * right behavior is to route bad lines aside and keep going). The
+    * fixture deterministically truncates every envelope whose id ≡ 0
+    * (mod 13) — an at-least-once feed's corrupt fraction; the routing
+    * under test is Envelope.parse's `malformed` flag (from_json null /
+    * missing crypto fields), one codegen'd pass, no pre-validation
+    * scan. Dead letters keep their raw line (re-ingestable); the
+    * accounting row set is the oracle.
+    */
+  def pDeadLetter(s: SparkSession, d: String): DataFrame = {
+    val lines = Envelope.synthesizeCached(s, d)
+    val id = get_json_object(col("value"), "$.message._id.id").cast("long")
+    val corrupted = lines.select(
+      when(id % 13 === 0, expr("substring(value, 1, length(value) - 5)"))
+        .otherwise(col("value")).as("value"))
+    Envelope.parse(corrupted)
+      .select(col("malformed"),
+        get_json_object(col("raw_id"), "$.id").cast("long").as("id"))
+      .groupBy(col("malformed"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .select(
+        when(col("malformed"), "dead_letter").otherwise("ok").as("status"),
+        col("cnt"), col("min_id"), col("max_id"))
+  }
+
+  /** A truncated line is invalid JSON end-to-end, so BOTH the typed
+    * from_json and the raw-id get_json_object reject it (Jackson parses
+    * to completion): dead letters carry NULL ids and only their count —
+    * which is the point: a dead letter is opaque until re-ingested.
+    */
+  val pDeadLetterSql: String =
+    """SELECT 'ok' AS status, COUNT(*) AS cnt,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents WHERE doc_id % 13 != 0
+      |UNION ALL
+      |SELECT 'dead_letter', COUNT(*),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
   /** B2: AES-CTR decrypt — payload fields only reachable through a
     * correct decrypt under the resolved data key.
     */
@@ -229,6 +271,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("p_envelope_parse", pEnvelopeParse, Some(pEnvelopeParseSql)),
+    QueryDef("p_dead_letter", pDeadLetter, Some(pDeadLetterSql)),
     QueryDef("p_incremental_agg", pIncrementalAgg, Some(pIncrementalAggSql)),
     QueryDef("p_decrypt", pDecrypt, Some(pDecryptSql)),
     QueryDef("p_validate_wrap", pValidateWrap, Some(pValidateWrapSql)),

@@ -458,7 +458,64 @@ object Streaming {
       |WHERE ws_us + 3600000000 <= (SELECT ms FROM wmc) * 1000
       |GROUP BY ws_us""".stripMargin
 
+  /** G8: streaming UPSERT — incremental latest-state maintenance via
+    * foreachBatch, the streaming twin of the reference's snapshot merge
+    * (merge daily increments into the latest-record-per-id table): each
+    * microbatch merges into the keyed state table (union previous state
+    * + batch → row_number latest per key → rewrite), using alternating
+    * generation directories as the atomic-swap stand-in for a
+    * transactional table format's MERGE INTO. State after draining the
+    * 3-file backlog = latest event per user, which is exactly the
+    * batch-window oracle. At scale the rewrite is per-partition
+    * (id_part dynamic overwrite, the reference's layout), not
+    * whole-table.
+    */
+  def stUpsert(s: SparkSession, d: String): DataFrame = {
+    val dir = lateFixtureDir(s, d)
+    val base = s"/tmp/graft_stream_upsert_${math.abs(d.hashCode)}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    var gen = 0 // driver-side: foreachBatch bodies run on the driver
+    val schema = s.read.parquet(dir).schema
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = streamed.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val cur = new java.io.File(s"$base/gen$gen")
+        val merged =
+          if (cur.exists()) sp.read.parquet(cur.getPath).unionByName(batch.toDF())
+          else batch.toDF()
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        merged.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite").parquet(s"$base/gen${gen + 1}")
+        gen += 1
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/gen$gen")
+      .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))
+  }
+
+  val stUpsertSql: String =
+    """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS us
+      |FROM (SELECT user_id, event_id, ts,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id
+      |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("st_upsert", stUpsert, Some(stUpsertSql)),
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_window_sliding", stWindowSliding, Some(stWindowSlidingSql)),
     QueryDef("st_late_data", stLateData, Some(stLateDataSql)),

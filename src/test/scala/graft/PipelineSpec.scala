@@ -142,6 +142,18 @@ class PipelineSpec extends SparkSpec {
     assert(quarantined.count() === 3)
   }
 
+  test("p_dead_letter: corrupt fraction routed aside, good lines all survive") {
+    val rows = graft.queries.PipelineQueries.pDeadLetter(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val total = Tables.documents(spark, dir).count()
+    val bad = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 13 === 0).count()
+    assert(rows("dead_letter")._1 === bad)
+    assert(rows("ok")._1 === total - bad)
+    assert(rows("dead_letter")._2.isEmpty) // opaque until re-ingested
+  }
+
   test("sanitise guard raises for collection-specific collections") {
     import spark.implicits._
     val line = Envelope.synthesize(spark, dir).limit(1)

@@ -134,6 +134,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("st_upsert state equals the batch latest-per-user window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Streaming.stUpsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val expected = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("streaming queries are rerunnable within one session (memory sink name reuse)") {
     val a = Streaming.stWindowAgg(spark, sfDir).count()
     val b = Streaming.stWindowAgg(spark, sfDir).count()
