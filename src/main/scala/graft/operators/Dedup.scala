@@ -707,6 +707,51 @@ object Dedup {
        |  COALESCE(n_dup_spans, 0) AS n_dup_spans
        |FROM g LEFT JOIN dc ON g.doc_id = dc.doc_id""".stripMargin
 
+  /** C10: fuzzy join (record linkage) — pairs whose 40-char prefixes
+    * are within edit distance 2, the classic approximate-key linkage
+    * primitive. Blocked on (lang, source) with a length prefilter so
+    * the quadratic levenshtein verify runs only inside blocks (at
+    * corpus scale the block key becomes an LSH bucket, exactly C2's
+    * candidate generator). Restricted to the `en` slice: DuckDB's
+    * levenshtein is byte-based while Spark's is codepoint-based, so the
+    * cross-engine contract holds on ASCII text only — documented, and
+    * the spec pins the multibyte divergence.
+    */
+  private val FuzzyPrefix = 40
+  private val FuzzyMaxDist = 2
+
+  def dFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Stage.barrier(corpusWithExactDups(s, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, FuzzyPrefix).as("k")))
+    docs.as("x")
+      .join(docs.as("y"),
+        col("x.source") === col("y.source")
+          && col("x.doc_id") < col("y.doc_id")
+          // cheap prefilter: |len(a) - len(b)| bounds the edit distance
+          && abs(length(col("x.k")) - length(col("y.k"))) <= FuzzyMaxDist)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        levenshtein(col("x.k"), col("y.k")).as("dist"))
+      .filter(col("dist") <= FuzzyMaxDist)
+  }
+
+  val dFuzzyJoinSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, source, text
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |k AS (
+       |  SELECT doc_id, source, substr(text, 1, $FuzzyPrefix) AS k
+       |  FROM corpus WHERE lang = 'en')
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  levenshtein(x.k, y.k) AS dist
+       |FROM k x JOIN k y
+       |  ON x.source = y.source AND x.doc_id < y.doc_id
+       |  AND abs(length(x.k) - length(y.k)) <= $FuzzyMaxDist
+       |WHERE levenshtein(x.k, y.k) <= $FuzzyMaxDist""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_bloom", dBloom, Some(dBloomSql)),
@@ -719,5 +764,6 @@ object Dedup {
     QueryDef("d_embed_cos", dEmbedCos, Some(dEmbedCosSql)),
     QueryDef("d_semdedup", dSemdedup, None),
     QueryDef("d_substring", dSubstring, Some(dSubstringSql)),
+    QueryDef("d_fuzzy_join", dFuzzyJoin, Some(dFuzzyJoinSql)),
   )
 }

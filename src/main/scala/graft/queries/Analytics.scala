@@ -644,9 +644,48 @@ object Analytics {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** FULL OUTER join — both-sides-preserved reconciliation (the audit
+    * shape: which active customers placed no recent order, which recent
+    * orders reference a customer outside the active slice). Slices are
+    * chosen so BOTH sides genuinely contribute unmatched rows: recent
+    * orders (mid-1998+, a window narrow enough that some active
+    * customers sit out) × high-balance customers.
+    */
+  def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    val activeCustomers = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 5000)
+      .select("c_custkey", "c_mktsegment")
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1998-06-01")
+      .select("o_orderkey", "o_custkey")
+      .join(activeCustomers, col("o_custkey") === col("c_custkey"), "full_outer")
+      .groupBy(
+        when(col("o_orderkey").isNull, "customer_only")
+          .when(col("c_custkey").isNull, "order_only")
+          .otherwise("both").as("match_type"))
+      .agg(count(lit(1)).as("cnt"),
+        count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+  }
+
+  val qFullOuterSql: String =
+    """SELECT CASE WHEN o_orderkey IS NULL THEN 'customer_only'
+      |            WHEN c_custkey IS NULL THEN 'order_only'
+      |            ELSE 'both' END AS match_type,
+      |  COUNT(*) AS cnt,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  COUNT(DISTINCT c_custkey) AS n_customers
+      |FROM (SELECT o_orderkey, o_custkey FROM orders
+      |      WHERE o_orderdate >= '1998-06-01') o
+      |FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer
+      |                 WHERE c_acctbal > 5000) c
+      |  ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1AggSql)),
     QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
+    QueryDef("q_full_outer", qFullOuter, Some(qFullOuterSql)),
     QueryDef("q_correlated_subq", qCorrelatedSubq, Some(qCorrelatedSubqSql)),
     QueryDef("q2_filter_proj", q2FilterProj, Some(q2FilterProjSql)),
     QueryDef("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),

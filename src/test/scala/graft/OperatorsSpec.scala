@@ -29,6 +29,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d_fuzzy_join: planted exact copies link at distance 0") {
+    val planted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0 && col("lang") === "en")
+      .select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    val found = Dedup.dFuzzyJoin(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    planted.foreach { p =>
+      assert(found.get(p).contains(0), s"planted copy pair $p not linked at 0")
+    }
+    found.values.foreach(d => assert(d >= 0 && d <= 2))
+  }
+
   test("s_knn_classify: one majority vote per batch vector, votes bounded by k") {
     val batch = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 97 === 0).count()
