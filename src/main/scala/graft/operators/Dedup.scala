@@ -709,30 +709,58 @@ object Dedup {
 
   /** C10: fuzzy join (record linkage) — pairs whose 40-char prefixes
     * are within edit distance 2, the classic approximate-key linkage
-    * primitive. Blocked on (lang, source) with a length prefilter so
-    * the quadratic levenshtein verify runs only inside blocks (at
-    * corpus scale the block key becomes an LSH bucket, exactly C2's
-    * candidate generator). Restricted to the `en` slice: DuckDB's
-    * levenshtein is byte-based while Spark's is codepoint-based, so the
-    * cross-engine contract holds on ASCII text only — documented, and
-    * the spec pins the multibyte divergence.
+    * primitive, with PASSJOIN candidate generation (Li et al. 2011):
+    * split each key into τ+1 = 3 segments; ≤ τ edits can corrupt at
+    * most τ segments, so some segment of x survives VERBATIM in y,
+    * displaced by at most the edits before it (±τ). One side posts its
+    * 3 exact segments, the other posts every same-length window within
+    * ±τ of each segment's home position; candidates come from the
+    * equi-join on (segment index, content) — linear postings, no pair
+    * enumeration — and only candidates pay the levenshtein verify.
+    * (The earlier blocked all-pairs form measured 4.1s at sf0.1; the
+    * segment filter generates near-planted-only candidates.)
+    * Restricted to the `en` slice: DuckDB's levenshtein is byte-based
+    * while Spark's is codepoint-based, so the cross-engine contract
+    * holds on ASCII text only.
     */
   private val FuzzyPrefix = 40
   private val FuzzyMaxDist = 2
+  // 3 segments of the 40-char key: starts (1-based) and lengths
+  private val FuzzySegs = Seq((1, 13), (14, 13), (27, 14))
 
   def dFuzzyJoin(s: SparkSession, d: String): DataFrame = {
     val docs = graft.Stage.barrier(corpusWithExactDups(s, d)
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("source"),
         substring(col("text"), 1, FuzzyPrefix).as("k")))
-    docs.as("x")
-      .join(docs.as("y"),
-        col("x.source") === col("y.source")
-          && col("x.doc_id") < col("y.doc_id")
-          // cheap prefilter: |len(a) - len(b)| bounds the edit distance
-          && abs(length(col("x.k")) - length(col("y.k"))) <= FuzzyMaxDist)
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        levenshtein(col("x.k"), col("y.k")).as("dist"))
+    val posted = docs.select(col("doc_id"), col("source"), col("k"),
+      explode(array(FuzzySegs.zipWithIndex.map { case ((st, ln), i) =>
+        struct(lit(i).as("seg"), substring(col("k"), st, ln).as("content"))
+      }: _*)).as("sc"))
+      .select(col("doc_id"), col("source"), col("k"),
+        col("sc.seg"), col("sc.content"))
+    val probed = docs.select(col("doc_id"), col("source"), col("k"),
+      explode(array((for {
+        ((st, ln), i) <- FuzzySegs.zipWithIndex
+        delta <- -FuzzyMaxDist to FuzzyMaxDist
+        if st + delta >= 1 && st + delta + ln - 1 <= FuzzyPrefix
+      } yield struct(lit(i).as("seg"),
+        substring(col("k"), st + delta, ln).as("content"))): _*)).as("sc"))
+      .select(col("doc_id"), col("source"), col("k"),
+        col("sc.seg"), col("sc.content"))
+    val candidates = posted.as("x")
+      .join(probed.as("y"),
+        col("x.seg") === col("y.seg") && col("x.content") === col("y.content")
+          && col("x.source") === col("y.source")
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
+        when(col("x.doc_id") < col("y.doc_id"), col("x.k")).otherwise(col("y.k")).as("k_a"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.k")).otherwise(col("x.k")).as("k_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("k_a"), col("k_b")).as("dist"))
       .filter(col("dist") <= FuzzyMaxDist)
   }
 
