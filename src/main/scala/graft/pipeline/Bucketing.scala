@@ -29,10 +29,13 @@ object Bucketing {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
-  /** Write `df` bucketed unless the table already exists in this
-    * session's catalog (a fresh JVM may still find the previous run's
-    * warehouse directory on disk — clear it first, saveAsTable refuses
-    * to overwrite an unknown location).
+  /** Make `table` available bucketed. A fresh JVM that finds the
+    * previous run's completed layout on disk RE-REGISTERS it as an
+    * external bucketed table instead of rewriting — the point of a
+    * bucketed layout is that the shuffle is paid once at layout time
+    * and amortized across every later session, so re-paying it per JVM
+    * would measure the wrong thing. Incomplete layouts (no _SUCCESS)
+    * are cleared and rewritten.
     */
   private def ensureBucketed(s: SparkSession, table: String, key: String,
       buckets: Int)(df: => DataFrame): Unit =
@@ -43,8 +46,16 @@ object Bucketing {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(); ()
       }
-      if (dir.exists()) rm(dir)
-      writeBucketed(df, table, key, buckets)
+      if (new java.io.File(dir, "_SUCCESS").exists()) {
+        s.sql(
+          s"""CREATE TABLE $table (${df.schema.toDDL})
+             |USING PARQUET
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+             |LOCATION '${dir.getAbsolutePath}'""".stripMargin)
+      } else {
+        if (dir.exists()) rm(dir)
+        writeBucketed(df, table, key, buckets)
+      }
     }
 
   /** A24: join + aggregation over co-bucketed tables — the amortized
