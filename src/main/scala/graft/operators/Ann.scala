@@ -371,7 +371,11 @@ object Ann {
   def sKnnClassify(s: SparkSession, d: String): DataFrame = {
     val c = Tables.embeddings(s, d)
       .select(col("vec_id"), vecCol.as("v"), col("label"))
-    val batch = c.filter(col("vec_id") % 97 === 0)
+    // BOUNDED means independent of corpus size: the residue alone
+    // grows with the corpus (10x corpus -> 10x batch -> 100x scan work,
+    // measured superlinear at the 10x probe), so the batch is also
+    // capped by absolute id
+    val batch = c.filter(col("vec_id") % 97 === 0 && col("vec_id") < 8000)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("label").as("true_label"))
     val scored = c.crossJoin(broadcast(batch))
@@ -397,7 +401,7 @@ object Ann {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
        |q AS (
        |  SELECT vec_id AS query_id, v AS qv, label AS true_label
-       |  FROM c WHERE vec_id % 97 = 0),
+       |  FROM c WHERE vec_id % 97 = 0 AND vec_id < 8000),
        |top AS (
        |  SELECT query_id, true_label, label FROM (
        |    SELECT q.query_id, q.true_label, c.label,
@@ -426,7 +430,9 @@ object Ann {
 
   def sRangeSearch(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
-    val batch = c.filter(col("vec_id") % 89 === 0)
+    // capped by absolute id so the batch stays bounded at any corpus
+    // size (same contract as s_knn_classify)
+    val batch = c.filter(col("vec_id") % 89 === 0 && col("vec_id") < 8000)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     c.crossJoin(broadcast(batch))
       .filter(col("vec_id") =!= col("query_id"))
@@ -437,7 +443,7 @@ object Ann {
 
   val sRangeSearchSql: String =
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 89 = 0)
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 89 = 0 AND vec_id < 8000)
        |SELECT query_id, c.vec_id, round(list_cosine_similarity(c.v, q.qv), 4) AS cos
        |FROM c CROSS JOIN q
        |WHERE c.vec_id != q.query_id
