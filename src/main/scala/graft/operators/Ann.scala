@@ -136,20 +136,23 @@ object Ann {
     */
   private val TrainSample = 1024
 
-  private[operators] def trainCentroids(c: DataFrame): Array[(Int, Seq[Double])] = {
+  private[operators] def trainCentroids(c: DataFrame,
+      cells: Int = Cells): Array[(Int, Seq[Double])] = {
     val spark = c.sparkSession
     import spark.implicits._
-    val train: Array[Array[Double]] = c.orderBy("vec_id").limit(TrainSample)
+    val sample = math.max(TrainSample, cells * 8)
+    val train: Array[Array[Double]] = c.orderBy("vec_id").limit(sample)
       .select("v").as[Seq[Double]].collect().map(_.toArray)
-    var centroids: Array[Array[Double]] = train.take(Cells).map(_.clone())
+    val k0 = math.min(cells, train.length)
+    var centroids: Array[Array[Double]] = train.take(k0).map(_.clone())
     for (_ <- 1 to LloydIters) {
-      val sums = Array.fill(Cells)(new Array[Double](Dim))
-      val counts = new Array[Long](Cells)
+      val sums = Array.fill(k0)(new Array[Double](Dim))
+      val counts = new Array[Long](k0)
       train.foreach { v =>
         var best = 0
         var bestD = Double.MaxValue
         var k = 0
-        while (k < Cells) {
+        while (k < k0) {
           var dist = 0.0
           var i = 0
           while (i < Dim) { val dx = v(i) - centroids(k)(i); dist += dx * dx; i += 1 }
@@ -160,7 +163,7 @@ object Ann {
         var i = 0
         while (i < Dim) { sums(best)(i) += v(i); i += 1 }
       }
-      centroids = Array.tabulate(Cells) { k =>
+      centroids = Array.tabulate(k0) { k =>
         if (counts(k) == 0) centroids(k) // empty cell keeps its centroid
         else Array.tabulate(Dim)(i => sums(k)(i) / counts(k))
       }
@@ -223,7 +226,15 @@ object Ann {
     */
   def sKnnJoin(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
-    val centroids = trainCentroids(c)
+    // the cell count must GROW with the corpus for the corpus×corpus
+    // graph build: fixed cells make per-cell verify (N/k)² → quadratic
+    // total (measured 21× at the 10× probe with k=16). k ≈ √N holds
+    // total work at the standard ~N^1.5 IVF curve; recall at fixed
+    // probes is the documented tradeoff, still spec-pinned at build
+    // scale.
+    val n = c.count()
+    val cells = math.max(Cells, math.min(4096, math.sqrt(n.toDouble).toInt))
+    val centroids = trainCentroids(c, cells)
     // barrier both sides: the 16×64-literal distance expressions would
     // otherwise re-evaluate under the probe explode (Generate runs its
     // child per OUTPUT row) and again under the join's projections
