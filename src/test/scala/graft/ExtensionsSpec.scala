@@ -20,7 +20,10 @@ class ExtensionsSpec extends SparkSpec {
         |  simhash64(word_shingle_hashes(text, 1)) AS sh,
         |  size(char_gram_hashes(text, 5)) AS ng,
         |  word_stats(text).nw AS nw,
-        |  minhash_sig(char_gram_hashes(text, 3), 8) AS sig
+        |  minhash_sig(char_gram_hashes(text, 3), 8) AS sig,
+        |  simhash64(word_shingle_md5_hashes(text, 1)) AS shm,
+        |  size(char_gram_md5_hashes(text, 3)) AS ngm,
+        |  md5_chain_fp(text) AS fp
         |FROM docs_ext""".stripMargin)
     val viaApi = Tables.documents(spark, sfDir).select(
       col("doc_id"),
@@ -29,7 +32,11 @@ class ExtensionsSpec extends SparkSpec {
       size(graft.functions.char_gram_hashes(col("text"), 5)).as("ng"),
       graft.functions.word_stats(col("text")).getField("nw").as("nw"),
       graft.functions.minhash_sig(
-        graft.functions.char_gram_hashes(col("text"), 3), 8).as("sig"))
+        graft.functions.char_gram_hashes(col("text"), 3), 8).as("sig"),
+      graft.functions.simhash64(
+        graft.functions.word_shingle_md5_hashes(col("text"), 1)).as("shm"),
+      size(graft.functions.char_gram_md5_hashes(col("text"), 3)).as("ngm"),
+      graft.functions.md5_chain_fp(col("text")).as("fp"))
 
     assert(viaSql.exceptAll(viaApi).count() === 0)
     assert(viaApi.exceptAll(viaSql).count() === 0)
