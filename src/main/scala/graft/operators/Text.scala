@@ -765,6 +765,114 @@ object Text {
       |UNION ALL SELECT 'distinct_ratio', n2, n3 FROM g
       |UNION ALL SELECT 'no_digit_runs', n3, n4 FROM g""".stripMargin
 
+  /** E18: the FULL training-data prep pipeline composed as ONE
+    * declarative plan — quality gate → exact dedup (keep-min) →
+    * benchmark decontamination (broadcast probe) → domain mixing
+    * (deterministic epoch repetition) → sequence packing (sharded
+    * window cumsum) → per-shard accounting. Each stage is the same
+    * logic as its standalone operator (t_corpus_prep, t_decontaminate,
+    * t_mix, t_pack); the point is that the whole chain stays a single
+    * Catalyst plan — scans, hash aggs, one broadcast semi-probe, one
+    * window — with no materialization between stages, so the optimizer
+    * prunes and pushes across stage boundaries. Everything is
+    * integer-exact; the oracle composes the same CTE chain.
+    */
+  def tPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Stage.barrier(Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"), col("text"),
+      graft.functions.word_stats(col("text")).getField("nw").as("nw"),
+      words(lower(col("text"))).as("w")))
+    // 1. quality gate
+    val gated = docs.filter(col("nw") >= 20)
+    // 2. exact dedup, keep-min
+    val keepers = gated
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = gated.join(keepers, Seq("doc_id"), "left_semi")
+    // 3. decontamination vs the held-out slice (doc_id % 50 == 0)
+    val shingles = deduped.select(col("doc_id"), explode(
+      when(size(col("w")) >= DecontamN,
+        transform(sequence(lit(1), size(col("w")) - (DecontamN - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(DecontamN)))))
+        .otherwise(array())).as("g"))
+    val benchShingles = shingles.filter(col("doc_id") % 50 === 0)
+      .select("g").distinct()
+    val flagged = shingles.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(benchShingles), Seq("g"))
+      .select("doc_id").distinct()
+    val clean = deduped.filter(col("doc_id") % 50 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    // 4. domain mixing (t_mix's deterministic repeats)
+    val baseCopies = when(col("lang") === "en", 0L)
+      .when(col("lang") === "zh", 2L)
+      .when(col("lang") === "fr", 2L).otherwise(1L)
+    val fracThreshold = when(col("lang") === "en", "8000")
+      .when(col("lang") === "zh", "8000")
+      .when(col("lang") === "es", "4000").otherwise("0000")
+    val mixed = clean
+      .withColumn("repeats", baseCopies +
+        when(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 4) < fracThreshold, 1L).otherwise(0L))
+      .filter(col("repeats") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(sequence(lit(1L), col("repeats"))).as("copy"))
+    // 5. packing into token-budget bins, sharded
+    val w = Window.partitionBy("shard").orderBy("doc_id", "copy")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed
+      .withColumn("shard", col("doc_id") % 8)
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div ${PackBudget}L"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("bin")).as("n_bins"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+  }
+
+  val tPipelineE2eSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, n_chars, text,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS nw,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+       |  FROM documents),
+       |gated AS (SELECT * FROM base WHERE nw >= 20),
+       |deduped AS (
+       |  SELECT * FROM gated
+       |  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= $DecontamN
+       |    THEN list_transform(range(1, len(w) - ${DecontamN - 2}),
+       |      i -> array_to_string(w[i:i+${DecontamN - 1}], ' '))
+       |    ELSE [] END) AS g
+       |  FROM deduped),
+       |bench_g AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+       |flagged AS (
+       |  SELECT DISTINCT sh.doc_id FROM sh JOIN bench_g USING (g)
+       |  WHERE sh.doc_id % 50 != 0),
+       |clean AS (
+       |  SELECT * FROM deduped
+       |  WHERE doc_id % 50 != 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |mixed AS (
+       |  SELECT doc_id, lang, n_chars, unnest(range(1, repeats + 1)) AS copy
+       |  FROM (
+       |    SELECT doc_id, lang, n_chars,
+       |      CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 WHEN 'fr' THEN 2 ELSE 1 END
+       |      + CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) <
+       |          CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '8000'
+       |                    WHEN 'es' THEN '4000' ELSE '0000' END
+       |        THEN 1 ELSE 0 END AS repeats
+       |    FROM clean)
+       |  WHERE repeats > 0),
+       |packed AS (
+       |  SELECT doc_id % 8 AS shard, n_chars,
+       |    SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, copy
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM mixed)
+       |SELECT shard, COUNT(*) AS n_copies,
+       |  COUNT(DISTINCT CAST((cum - n_chars) // $PackBudget AS BIGINT)) AS n_bins,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM packed GROUP BY shard""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
     QueryDef("t_entropy", tEntropy, Some(tEntropySql)),
@@ -783,5 +891,6 @@ object Text {
     QueryDef("t_fingerprint", tFingerprint, Some(tFingerprintSql)),
     QueryDef("t_perplexity", tPerplexity, Some(tPerplexitySql)),
     QueryDef("t_filter_funnel", tFilterFunnel, Some(tFilterFunnelSql)),
+    QueryDef("t_pipeline_e2e", tPipelineE2e, Some(tPipelineE2eSql)),
   )
 }

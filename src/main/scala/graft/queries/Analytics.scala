@@ -682,10 +682,35 @@ object Analytics {
       |  ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  /** Multiple COUNT(DISTINCT) over different columns in one aggregate —
+    * planned via Expand (one input row fans out per distinct group),
+    * the remaining aggregate physical pattern the suite didn't cover.
+    * Scale shape: Expand multiplies the shuffle by the number of
+    * distinct aggregates — the documented cost of this form; the
+    * sketch alternative is q_distinct_approx.
+    */
+  def qMultiDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+
+  val qMultiDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(q1AggSql)),
     QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
     QueryDef("q_full_outer", qFullOuter, Some(qFullOuterSql)),
+    QueryDef("q_multi_distinct", qMultiDistinct, Some(qMultiDistinctSql)),
     QueryDef("q_correlated_subq", qCorrelatedSubq, Some(qCorrelatedSubqSql)),
     QueryDef("q2_filter_proj", q2FilterProj, Some(q2FilterProjSql)),
     QueryDef("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),

@@ -214,6 +214,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("t_pipeline_e2e: shard accounting consistent with an independent stage recount") {
+    val out = Text.tPipelineE2e(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall { case (shard, copies, bins, chars) =>
+      shard >= 0 && shard < 8 && copies >= bins && bins >= 1 && chars > 0
+    })
+    // recount copies without the packing window: gate → dedup →
+    // decontaminate → mix, counted per shard directly
+    val docs = Tables.documents(spark, sfDir)
+    val gated = docs.filter(
+      size(graft.functions.word_shingle_hashes(col("text"), 1)) >= 20)
+    val keepers = gated.groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = gated.join(keepers, Seq("doc_id"), "left_semi")
+    val w4 = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val sh = deduped.select(col("doc_id"), explode(
+      when(size(w4) >= 4, transform(sequence(lit(1), size(w4) - 3),
+        i => concat_ws(" ", slice(w4, i, lit(4))))).otherwise(array())).as("g"))
+    val benchG = sh.filter(col("doc_id") % 50 === 0).select("g").distinct()
+    val flagged = sh.filter(col("doc_id") % 50 =!= 0)
+      .join(benchG, Seq("g")).select("doc_id").distinct()
+    val clean = deduped.filter(col("doc_id") % 50 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    val repeats = (when(col("lang") === "en", 0L)
+      .when(col("lang") === "zh", 2L)
+      .when(col("lang") === "fr", 2L).otherwise(1L)) +
+      when(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 4) <
+        when(col("lang") === "en", "8000").when(col("lang") === "zh", "8000")
+          .when(col("lang") === "es", "4000").otherwise("0000"), 1L).otherwise(0L)
+    val expected = clean.withColumn("r", repeats).filter(col("r") > 0)
+      .groupBy((col("doc_id") % 8).as("shard"))
+      .agg(sum(col("r")).as("n_copies")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (shard, copies, _, _) =>
+      assert(expected.get(shard).contains(copies),
+        s"shard $shard: $copies copies vs expected ${expected.get(shard)}")
+    }
+  }
+
   test("t_langid emits one prediction per doc from the candidate set") {
     val out = Text.tLangid(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
