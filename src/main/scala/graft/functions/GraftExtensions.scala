@@ -107,6 +107,9 @@ object GraftFunctions {
     ("md5_chain_fp",
       info("md5_chain_fp", "md5_chain_fp(text) - md5-hex chain fingerprint over \\s+ tokens"),
       arity("md5_chain_fp", 1) { case Seq(t) => Md5ChainFingerprint(t) }),
+    ("topk_rows",
+      info("topk_rows", "topk_rows(struct(score, id), k) - bounded-memory top-k rows per group"),
+      arity("topk_rows", 2) { case Seq(s, k) => TopKRows(s, intArg("topk_rows", k)) }),
   )
 
   /** Register into an existing session's function registry. */

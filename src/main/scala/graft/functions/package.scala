@@ -149,4 +149,11 @@ package object functions {
     */
   def md5_chain_fp(text: Column): Column =
     toCol(Md5ChainFingerprint(toExpr(text)))
+
+  /** Bounded-memory top-k aggregate over struct(score double, id long):
+    * keeps the k best rows per group by (score DESC, id ASC) in an O(k)
+    * heap with map-side combine — the scale path for window top-N.
+    */
+  def topk_rows(scoreId: Column, k: Int): Column =
+    toCol(TopKRows(toExpr(scoreId), k).toAggregateExpression())
 }

@@ -350,6 +350,32 @@ object Analytics {
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** Top-k per group via the BOUNDED-MEMORY aggregate (graft's
+    * TypedImperativeAggregate TopKRows) — the scale path for
+    * q_topk_per_group: the window form shuffles and sorts every row of
+    * every group, while the heap aggregate combines map-side (at most
+    * k rows per group per partition cross the shuffle) and holds O(k)
+    * state at any group size. Same result, same oracle shape.
+    */
+  def qTopkAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(graft.functions.topk_rows(
+        struct(col("o_totalprice"), col("o_orderkey")), 3).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+
+  val qTopkAggSql: String =
+    """SELECT c_mktsegment, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) WHERE rn <= 3""".stripMargin
+
   /** TPC-H Q4-style: left-semi join (EXISTS with correlated predicate)
     * feeding an aggregation — order-priority counts for orders with at
     * least one qualifying lineitem (the synthetic schema has no
@@ -727,6 +753,7 @@ object Analytics {
     QueryDef("q_scalar_subq", qScalarSubq, Some(qScalarSubqSql)),
     QueryDef("q_caseagg", qCaseagg, Some(qCaseaggSql)),
     QueryDef("q_topk_per_group", qTopkPerGroup, Some(qTopkPerGroupSql)),
+    QueryDef("q_topk_agg", qTopkAgg, Some(qTopkAggSql)),
     QueryDef("q4_order_priority", q4OrderPriority, Some(q4OrderPrioritySql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)),

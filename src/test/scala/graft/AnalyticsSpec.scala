@@ -19,6 +19,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(hist.filter(col("bucket") < 0).count() === 0)
   }
 
+  test("q_topk_agg: heap aggregate equals the window form, incl. via SQL") {
+    import org.apache.spark.sql.functions._
+    val viaAgg = Analytics.qTopkAgg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    val viaWindow = Analytics.qTopkPerGroup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(3), r.getLong(1), r.getDouble(2))).sorted
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+    // and the aggregate is reachable from SQL after registration
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_topk")
+    val viaSql = spark.sql(
+      """SELECT o_custkey, size(topk_rows(struct(o_totalprice, o_orderkey), 2)) AS n
+        |FROM orders_topk GROUP BY o_custkey""".stripMargin).collect()
+    assert(viaSql.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 2))
+  }
+
   test("q_distinct_approx estimates within tolerance of exact") {
     import org.apache.spark.sql.functions._
     val approx = Analytics.qDistinctApprox(spark, sfDir).collect()
