@@ -23,4 +23,17 @@ import org.apache.spark.sql.DataFrame
 object Stage {
   def barrier(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** Recursive delete for fixture/layout directories (the one shared
+    * copy — null-guarded: listFiles() returns null on IO error or
+    * non-directories racing deletion).
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
+    f.delete()
+    ()
+  }
 }

@@ -63,9 +63,16 @@ case class TopKRows(
   }
 
   override def eval(buffer: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val best = buffer.toArray.sortWith { (a, b) =>
-      if (a._1 != b._1) a._1 > b._1 else a._2 < b._2
-    }
+    // total-order comparator (java.lang.Double.compare, same as the
+    // heap's): primitive >/!= would make NaN non-transitive under
+    // TimSort and break -0.0 ties differently from eviction
+    val best = buffer.toArray.sorted(Ordering.comparatorToOrdering(
+      new java.util.Comparator[(Double, Long)] {
+        override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }))
     new GenericArrayData(best.map { case (score, id) =>
       InternalRow(score, id)
     }.asInstanceOf[Array[Any]])
@@ -86,6 +93,16 @@ case class TopKRows(
     while (i < n) { q.enqueue((bb.getDouble, bb.getLong)); i += 1 }
     q
   }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StructType(Array(a, b))
+          if a.dataType == DoubleType && b.dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_rows expects struct<score: double, id: bigint>, got ${other.sql}")
+    }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),

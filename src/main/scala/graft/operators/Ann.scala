@@ -233,7 +233,11 @@ object Ann {
     // probes is the documented tradeoff, still spec-pinned at build
     // scale.
     val n = c.count()
-    val cells = math.max(Cells, math.min(4096, math.sqrt(n.toDouble).toInt))
+    // capped at 1024: driver Lloyd is O(sample × cells × dim × iters)
+    // and the 8-per-cell sample grows with k — past ~1024 cells the
+    // quantizer belongs offline/distributed (production trains it once
+    // per collection anyway)
+    val cells = math.max(Cells, math.min(1024, math.sqrt(n.toDouble).toInt))
     val centroids = trainCentroids(c, cells)
     // barrier both sides: the 16×64-literal distance expressions would
     // otherwise re-evaluate under the probe explode (Generate runs its

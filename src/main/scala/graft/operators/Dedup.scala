@@ -175,13 +175,18 @@ object Dedup {
     */
   def dSimhash(s: SparkSession, d: String): DataFrame = {
     // token hashes (1-word shingles) and the signature both via native
-    // per-row kernels; behind a barrier so the banding Generates read
-    // the materialized column. Tokenless docs carry no signature (the
-    // oracle's unnest drops them the same way).
-    val toks = graft.functions.word_shingle_md5_hashes(col("text"), 1)
-    val sh = graft.Stage.barrier(Tables.documents(s, d)
-      .filter(size(toks) > 0)
-      .select(col("doc_id"), graft.functions.simhash64(toks).as("simhash")))
+    // per-row kernels. The token array is barriered FIRST so the
+    // size-filter and the signature read one materialized column
+    // (inline, CollapseProject would re-evaluate the kernel in both);
+    // the signature is barriered again so the banding Generates read an
+    // attribute. Tokenless docs carry no signature (the oracle's unnest
+    // drops them the same way).
+    val toks = graft.Stage.barrier(Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.word_shingle_md5_hashes(col("text"), 1).as("toks")))
+    val sh = graft.Stage.barrier(toks
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), graft.functions.simhash64(col("toks")).as("simhash")))
     def chunk(b: Int): Column =
       shiftright(col("simhash"), SimHashBandBits * b)
         .bitwiseAND(lit((1L << SimHashBandBits) - 1))
@@ -755,10 +760,17 @@ object Dedup {
   private val FuzzySegs = Seq((1, 13), (14, 13), (27, 14))
 
   def dFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    // full-length keys only: a doc shorter than the prefix would post
+    // EMPTY trailing segments, and the empty-content equi-join would
+    // pair every short doc with every other (the quadratic behavior
+    // the segment filter exists to avoid). Shorter docs' prefixes ARE
+    // the docs — exact dedup (d_exact) covers them; the oracle applies
+    // the same length gate.
     val docs = graft.Stage.barrier(corpusWithExactDups(s, d)
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("source"),
-        substring(col("text"), 1, FuzzyPrefix).as("k")))
+        substring(col("text"), 1, FuzzyPrefix).as("k"))
+      .filter(length(col("k")) === FuzzyPrefix))
     val posted = docs.select(col("doc_id"), col("source"), col("k"),
       explode(array(FuzzySegs.zipWithIndex.map { case ((st, ln), i) =>
         struct(lit(i).as("seg"), substring(col("k"), st, ln).as("content"))
@@ -798,7 +810,7 @@ object Dedup {
        |  FROM documents WHERE doc_id % 7 = 0),
        |k AS (
        |  SELECT doc_id, source, substr(text, 1, $FuzzyPrefix) AS k
-       |  FROM corpus WHERE lang = 'en')
+       |  FROM corpus WHERE lang = 'en' AND length(text) >= $FuzzyPrefix)
        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
        |  levenshtein(x.k, y.k) AS dist
        |FROM k x JOIN k y

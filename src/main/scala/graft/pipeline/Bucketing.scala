@@ -34,18 +34,16 @@ object Bucketing {
     * external bucketed table instead of rewriting — the point of a
     * bucketed layout is that the shuffle is paid once at layout time
     * and amortized across every later session, so re-paying it per JVM
-    * would measure the wrong thing. Incomplete layouts (no _SUCCESS)
-    * are cleared and rewritten.
+    * would measure the wrong thing. The caller's table name must embed
+    * a LAYOUT FINGERPRINT (schema + key + bucket count — see
+    * layoutName) so a code change can never re-attach a stale layout;
+    * incomplete layouts (no _SUCCESS) are cleared and rewritten.
     */
   private def ensureBucketed(s: SparkSession, table: String, key: String,
       buckets: Int)(df: => DataFrame): Unit =
     if (!s.catalog.tableExists(table)) {
       val dir = new java.io.File(
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$table")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
       if (new java.io.File(dir, "_SUCCESS").exists()) {
         s.sql(
           s"""CREATE TABLE $table (${df.schema.toDDL})
@@ -53,10 +51,21 @@ object Bucketing {
              |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
              |LOCATION '${dir.getAbsolutePath}'""".stripMargin)
       } else {
-        if (dir.exists()) rm(dir)
+        if (dir.exists()) graft.Stage.deleteRecursively(dir)
         writeBucketed(df, table, key, buckets)
       }
     }
+
+  /** Table name embedding the layout fingerprint: any change to the
+    * projected schema, bucket key, or bucket count yields a different
+    * name, so re-registration can only ever attach a layout written by
+    * the same layout code.
+    */
+  private def layoutName(prefix: String, d: String, df: DataFrame,
+      key: String, buckets: Int): String = {
+    val fp = math.abs((df.schema.toDDL + "|" + key + "|" + buckets).hashCode)
+    s"${prefix}_${math.abs(d.hashCode)}_$fp"
+  }
 
   /** A24: join + aggregation over co-bucketed tables — the amortized
     * layout in action. Orders and customer are bucketed on the customer
@@ -67,13 +76,13 @@ object Bucketing {
     * shuffle once at layout time.
     */
   def qBucketJoin(s: SparkSession, d: String): DataFrame = {
-    val oT = s"bj_orders_${math.abs(d.hashCode)}"
-    val cT = s"bj_customer_${math.abs(d.hashCode)}"
-    ensureBucketed(s, oT, "o_custkey", 16)(
-      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"))
-    ensureBucketed(s, cT, "o_custkey", 16)(
-      Tables.customer(s, d)
-        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")))
+    val oDf = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cDf = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val oT = layoutName("bj_orders", d, oDf, "o_custkey", 16)
+    val cT = layoutName("bj_customer", d, cDf, "o_custkey", 16)
+    ensureBucketed(s, oT, "o_custkey", 16)(oDf)
+    ensureBucketed(s, cT, "o_custkey", 16)(cDf)
     val joined = read(s, oT).join(read(s, cT), Seq("o_custkey"))
       .groupBy("o_custkey", "c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("spend"))
@@ -107,12 +116,8 @@ object Bucketing {
   def qDpp(s: SparkSession, d: String): DataFrame = {
     val base = new java.io.File(s"/tmp/graft_dpp_${math.abs(d.hashCode)}")
     if (!base.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
       val tmp = new java.io.File(base.getPath + ".build")
-      rm(tmp)
+      graft.Stage.deleteRecursively(tmp)
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.partitionBy("o_year").parquet(s"${tmp.getPath}/orders_by_year")
@@ -120,7 +125,7 @@ object Bucketing {
         .select(year(col("o_orderdate")).as("o_year")).distinct()
         .withColumn("y_mod", col("o_year") % 2)
         .coalesce(1).write.parquet(s"${tmp.getPath}/years")
-      if (!tmp.renameTo(base)) rm(tmp)
+      if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
     }
     val fact = s.read.parquet(s"${base.getPath}/orders_by_year")
     // the dim filter must be a COMPARISON: PartitionPruning gates on

@@ -338,11 +338,7 @@ object Streaming {
     */
   def stSink(s: SparkSession, d: String): DataFrame = {
     val out = s"/tmp/graft_stream_sink_${math.abs(d.hashCode)}"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    graft.Stage.deleteRecursively(new java.io.File(out))
     val streamed = eventsStream(s, d)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"), col("value"))
@@ -388,12 +384,8 @@ object Streaming {
   private[graft] def lateFixtureDir(s: SparkSession, d: String): String = {
     val dir = new java.io.File(s"/tmp/graft_stream_late3_${math.abs(d.hashCode)}")
     if (!dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
       val tmp = new java.io.File(dir.getPath + ".build")
-      rm(tmp)
+      graft.Stage.deleteRecursively(tmp)
       tmp.mkdirs()
       val slices = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
         id => id % 2 === 0, id => id % 4 === 1, id => id % 4 === 3)
@@ -408,9 +400,9 @@ object Streaming {
         java.nio.file.Files.move(part.toPath, target.toPath)
         // the file source orders by modification time: b0 < b1 < b2
         target.setLastModified(1600000000000L + i * 60000L)
-        rm(stage)
+        graft.Stage.deleteRecursively(stage)
       }
-      if (!tmp.renameTo(dir)) rm(tmp)
+      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
     }
     dir.getPath
   }
@@ -473,11 +465,7 @@ object Streaming {
   def stUpsert(s: SparkSession, d: String): DataFrame = {
     val dir = lateFixtureDir(s, d)
     val base = s"/tmp/graft_stream_upsert_${math.abs(d.hashCode)}"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     var gen = 0 // driver-side: foreachBatch bodies run on the driver
     val schema = s.read.parquet(dir).schema

@@ -44,7 +44,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("s_knn_classify: one majority vote per batch vector, votes bounded by k") {
     val batch = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 97 === 0).count()
+      .filter(col("vec_id") % 97 === 0 && col("vec_id") < 8000).count()
     val out = Ann.sKnnClassify(spark, sfDir).collect()
     assert(out.length === batch)
     val labels = Tables.embeddings(spark, sfDir)
