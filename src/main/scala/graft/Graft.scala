@@ -27,15 +27,21 @@ object Graft {
   val bucketing: pipeline.Bucketing.type = pipeline.Bucketing
 
   /** Dedup family: exact, MinHash-LSH, SimHash, n-gram jaccard,
-    * embedding cosine.
+    * embedding cosine, Bloom cross-release, connected-component
+    * clustering, repeated-span detection, PassJoin fuzzy linkage,
+    * SemDeDup.
     */
   val dedup: operators.Dedup.type = operators.Dedup
 
-  /** Similarity search: brute-force, random-hyperplane LSH, IVF. */
+  /** Similarity search: brute-force, random-hyperplane LSH, IVF,
+    * PQ+ADC, kNN graph join, kNN classification, radius search.
+    */
   val ann: operators.Ann.type = operators.Ann
 
   /** Text analysis: tokens, quality, language ID, fingerprints,
-    * winnowing, corpus prep.
+    * winnowing, sampling, redaction, packing, repetition, mixing,
+    * decontamination, n-gram counts, tf-idf, entropy, perplexity,
+    * filter funnel, composed end-to-end prep.
     */
   val text: operators.Text.type = operators.Text
 
