@@ -146,6 +146,56 @@ object Multimodal {
        |    i -> substr(hx, CAST(i * ${FrameBytes * 2} + 1 AS INTEGER), ${FrameBytes * 2})), '')) AS sample_digest
        |FROM f""".stripMargin
 
+  final case class ResizeRow(doc_id: Long, n_bytes: Long, n_resized: Long,
+      resized_digest: String)
+
+  val ResizeStride = 4
+
+  /** STUB resize: keep every `ResizeStride`-th byte — the
+    * downsample-by-stride shape of an image resize (a real
+    * implementation hands the batch to a vectorized image library; the
+    * batching, output schema and digest plumbing are what's under
+    * test). Digest follows the frame-sample convention: md5 of the
+    * resized bytes' uppercase-hex, reproducible from hex(payload) in
+    * the oracle.
+    */
+  def resizePayload(r: BinaryRow): ResizeRow = {
+    val b = r.payload
+    val resized = b.indices.collect { case i if i % ResizeStride == 0 => b(i) }
+    val hexUpper = "0123456789ABCDEF"
+    val sb = new StringBuilder
+    resized.foreach { x =>
+      sb.append(hexUpper((x >> 4) & 0xF)); sb.append(hexUpper(x & 0xF))
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(sb.toString.getBytes("US-ASCII"))
+      .map(x => f"$x%02x").mkString
+    ResizeRow(r.doc_id, b.length.toLong, resized.length.toLong, digest)
+  }
+
+  /** F6: batched resize over binary payloads — typed mapPartitions,
+    * `BatchSize` rows per (stub) resizer call, partition-preserving.
+    */
+  def mResizeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(resizePayload)))
+      .toDF()
+  }
+
+  val mResizeStubSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+       |  FROM documents)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       |  CAST(len(list_filter(range(0, n), i -> i % $ResizeStride = 0)) AS BIGINT) AS n_resized,
+       |  md5(array_to_string(list_transform(
+       |    list_filter(range(0, n), i -> i % $ResizeStride = 0),
+       |    i -> substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)), '')) AS resized_digest
+       |FROM h""".stripMargin
+
   /** F4: modality routing by magic bytes — mixed binary payloads
     * dispatched by their file-signature prefix (PNG/JPEG/RIFF/other),
     * the gateway step before any modality-specific decoder. Detection
@@ -240,6 +290,7 @@ object Multimodal {
     QueryDef("m_shard_pack", mShardPack, Some(mShardPackSql)),
     QueryDef("m_feature_stub", mFeatureStub, Some(mFeatureStubSql)),
     QueryDef("m_frame_sample", mFrameSample, Some(mFrameSampleSql)),
+    QueryDef("m_resize_stub", mResizeStub, Some(mResizeStubSql)),
     QueryDef("m_magic_route", mMagicRoute, Some(mMagicRouteSql)),
   )
 }

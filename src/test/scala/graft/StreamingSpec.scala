@@ -290,6 +290,19 @@ class StreamingSpec extends SparkSpec {
     assert(again.toSeq === first.toSeq)
   }
 
+  test("m_resize_stub: stride arithmetic exact, digest deterministic") {
+    val rows = Multimodal.mResizeStub(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(rows.length === Tables.documents(spark, sfDir).count())
+    rows.foreach { case (_, n, resized, digest) =>
+      assert(resized === (n + Multimodal.ResizeStride - 1) / Multimodal.ResizeStride)
+      assert(digest.length === 32)
+    }
+    val again = Multimodal.mResizeStub(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    assert(again.toSeq === rows.map(r => (r._1, r._4)).toSeq)
+  }
+
   test("m_shard_pack: manifest matches a brute-force sequential pack") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
