@@ -86,6 +86,20 @@ object Multimodal {
       |       + strpos('123456789ABCDEF', hx[2*i]))), 0) % 997 AS DOUBLE), 1) AS f_checksum
       |FROM h""".stripMargin
 
+  /** The stub-digest convention shared by the sampling/resize stubs:
+    * md5-hex of the bytes' UPPERCASE-hex rendering — reproducible from
+    * DuckDB's hex(payload).
+    */
+  private def md5OfUpperHex(bytes: Iterator[Byte]): String = {
+    val hexUpper = "0123456789ABCDEF"
+    val sb = new StringBuilder
+    bytes.foreach { x =>
+      sb.append(hexUpper((x >> 4) & 0xF)); sb.append(hexUpper(x & 0xF))
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(sb.toString.getBytes("US-ASCII")).map(x => f"$x%02x").mkString
+  }
+
   final case class FrameSampleRow(doc_id: Long, n_frames: Long, n_sampled: Long,
       sample_digest: String)
 
@@ -105,14 +119,7 @@ object Multimodal {
     val sampled = frames.zipWithIndex.collect {
       case (f, i) if i % SampleEvery == 0 => f
     }
-    val hexUpper = "0123456789ABCDEF"
-    val sb = new StringBuilder
-    sampled.foreach(_.foreach { b =>
-      sb.append(hexUpper((b >> 4) & 0xF)); sb.append(hexUpper(b & 0xF))
-    })
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(sb.toString.getBytes("US-ASCII"))
-      .map(b => f"$b%02x").mkString
+    val digest = md5OfUpperHex(sampled.iterator.flatten)
     FrameSampleRow(r.doc_id, frames.length.toLong, sampled.length.toLong, digest)
   }
 
@@ -161,15 +168,8 @@ object Multimodal {
     */
   def resizePayload(r: BinaryRow): ResizeRow = {
     val b = r.payload
-    val resized = b.indices.collect { case i if i % ResizeStride == 0 => b(i) }
-    val hexUpper = "0123456789ABCDEF"
-    val sb = new StringBuilder
-    resized.foreach { x =>
-      sb.append(hexUpper((x >> 4) & 0xF)); sb.append(hexUpper(x & 0xF))
-    }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(sb.toString.getBytes("US-ASCII"))
-      .map(x => f"$x%02x").mkString
+    val resized = Range(0, b.length, ResizeStride).map(b(_))
+    val digest = md5OfUpperHex(resized.iterator)
     ResizeRow(r.doc_id, b.length.toLong, resized.length.toLong, digest)
   }
 

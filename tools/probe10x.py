@@ -21,19 +21,22 @@ import sys
 import duckdb
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_probe10x"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     con = duckdb.connect()
+    # replica id offset must clear the real id range or replicas collide
+    doc_off = con.sql(f"SELECT MAX(doc_id) + 1 FROM '{sf}/documents.parquet'").fetchone()[0]
+    vec_off = con.sql(f"SELECT MAX(vec_id) + 1 FROM '{sf}/embeddings.parquet'").fetchone()[0]
     con.sql(f"""COPY (
-      SELECT doc_id + 100000*i.i AS doc_id,
+      SELECT doc_id + {doc_off}*i.i AS doc_id,
              text || CASE WHEN i.i = 0 THEN '' ELSE ' rev' || i.i END AS text,
              lang, source, n_chars
       FROM '{sf}/documents.parquet', (SELECT unnest(range(10)) AS i) i
     ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
     con.sql(f"""COPY (
-      SELECT vec_id + 100000*i.i AS vec_id,
+      SELECT vec_id + {vec_off}*i.i AS vec_id,
              CAST(list_transform(embedding, x -> x + 0.0001*i.i) AS FLOAT[]) AS embedding,
              label
       FROM '{sf}/embeddings.parquet', (SELECT unnest(range(10)) AS i) i
