@@ -222,6 +222,52 @@ object Streaming {
     runToMemory(sessionizeStreaming(s, d).toDF(),
       "st_sessionize_fmgs_mem", OutputMode.Append())
 
+  /** G2c: NATIVE session windows — the same 30-minute-gap session
+    * definition as st_sessionize, but expressed with Spark's built-in
+    * `session_window` aggregation (dynamic-gap window merging inside
+    * the stateful operator) instead of custom flatMapGroupsWithState
+    * state or a batch window-cumsum. Completes the sessionization
+    * family: one semantics, three mechanisms, one oracle shape. The
+    * window END is last-event + gap by definition, so the oracle emits
+    * max(us) + gap; watermark bounds state, and append mode emits a
+    * session only once the watermark passes its end — sessions still
+    * open against the final watermark stay in state (the bounded-state
+    * contract on an unbounded stream), which the oracle models with
+    * the same ms-floored watermark rule st_late_data pins (§8 lesson
+    * 18): emit iff session_end ≤ (max(us)//1000 − 3 600 000)·1000.
+    */
+  def stSessionWindow(s: SparkSession, d: String): DataFrame =
+    runToMemory(eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events")),
+      "st_session_window_mem", OutputMode.Append())
+
+  val stSessionWindowSql: String =
+    """SELECT user_id, session_start_us, session_end_us, n_events FROM (
+      |SELECT user_id, MIN(us) AS session_start_us,
+      |  MAX(us) + 1800000000 AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id, us, SUM(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+      |      CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+      |             PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |           OR LAG(epoch_us(ts), 1) OVER (
+      |             PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_id)
+      |WHERE session_end_us <=
+      |  ((SELECT MAX(epoch_us(ts)) FROM events) // 1000 - 3600000) * 1000""".stripMargin
+
   /** G5: stream-stream inner join — purchases correlated with the same
     * user's views in the preceding hour. Both sides carry watermarks
     * and the join has a time-range condition, so state is bounded and
@@ -510,6 +556,7 @@ object Streaming {
     QueryDef("st_sink", stSink, Some(stSinkSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_sessionize_stream", stSessionizeStream, Some(stSessionizeSql)),
+    QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
     QueryDef("st_dedup_watermark", stDedupWatermark, Some(stDedupWatermarkSql)),

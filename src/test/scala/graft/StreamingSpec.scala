@@ -134,6 +134,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("st_session_window: native sessions equal cumsum sessions the watermark passed") {
+    val native = Streaming.stSessionWindow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val gap = Streaming.SessionGapUs
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000 - 3600000L) * 1000
+    val cumsum = Streaming.stSessionize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4) + gap, r.getLong(2)))
+      .filter(_._3 <= wmUs).sorted
+    assert(native.toSeq === cumsum.toSeq)
+    assert(native.nonEmpty)
+  }
+
   test("st_upsert state equals the batch latest-per-user window") {
     import org.apache.spark.sql.expressions.Window
     val got = Streaming.stUpsert(spark, sfDir).collect()
