@@ -37,7 +37,25 @@ object Ann {
     IndexedSeq.fill(tables)(IndexedSeq.fill(hyper)(Array.fill(Dim)(rnd.nextGaussian())))
   }
 
-  private val planes = hyperplanes(Tables_, Hyper, seed = 7)
+  /** Cross-engine-reproducible hyperplane family: coordinate (t,h,i) is
+    * `2·u − 1` with `u = md5Hash60("tag:t:h:i") / 2^60` — uniform in
+    * [−1,1), symmetric about 0, so sign-random-projection LSH theory
+    * holds (only the direction's sign pattern matters, not Gaussian
+    * shape). Chosen over `Random.nextGaussian` so a SQL oracle rebuilds
+    * the exact planes from md5 nibbles and the bucketing — hence the
+    * candidate set, hence the ANN answer — is bit-identical in DuckDB.
+    */
+  def md5Hyperplanes(tables: Int, hyper: Int, tag: String): IndexedSeq[IndexedSeq[Array[Double]]] =
+    IndexedSeq.tabulate(tables)(t => IndexedSeq.tabulate(hyper) { h =>
+      Array.tabulate(Dim) { i =>
+        val s = s"$tag:$t:$h:$i".getBytes("UTF-8")
+        2.0 * (graft.functions.SigOps.md5Hash60(s, 0, s.length).toDouble / Pow2_60) - 1.0
+      }
+    })
+
+  private val Pow2_60 = 1152921504606846976.0d // 2^60
+
+  private val planes = md5Hyperplanes(Tables_, Hyper, tag = "lsh")
 
   private def vecCol: Column = col("embedding").cast("array<double>")
 
@@ -122,6 +140,34 @@ object Ann {
   private val Cells = 16
   private val LloydIters = 3
   private val Probes = 3
+  // centroid means accumulate in fixed point (20 fractional bits): the
+  // sums are exact integers, so they are identical regardless of
+  // accumulation order AND engine — DuckDB's SUM(BIGINT) re-derives the
+  // same centroids bit-for-bit, which is what lets the IVF/PQ/semdedup
+  // family be SQL-hash-checked rather than rows-only. (A double
+  // accumulator's result depends on summation order; 2^-20 quantization
+  // of the TRAINING statistic is far below any quantizer-quality
+  // effect.) Max |coord·2^20| ≈ 3·2^20 and ≤ 8192 training vectors, so
+  // the Long sums stay ≤ 2^34 — exact in both BIGINT and the final
+  // double division.
+  private val FxScale = 1048576.0d // 2^20
+
+  private[graft] def fx(x: Double): Long = math.floor(x * FxScale + 0.5).toLong
+
+  /** IVF cell count for a corpus of n vectors: k ≈ √N clamped to
+    * [16, 1024]. The cell count must GROW with the corpus — fixed cells
+    * make every query probe a constant FRACTION of the data (Probes/k;
+    * at 100 TB that is ~19 TB per query batch with k=16) and make the
+    * corpus×corpus graph build quadratic per cell (measured 21× at the
+    * 10× probe). k = √N holds per-cell size at ~√N rows: point queries
+    * touch Probes·√N vectors, the kNN build does ~N^1.5 work — the
+    * standard IVF curves. Capped at 1024 because driver Lloyd is
+    * O(sample·k·dim·iters) with an 8-per-cell sample — past that the
+    * quantizer belongs offline/distributed (production trains once per
+    * collection anyway).
+    */
+  private[graft] def scaledCells(n: Long): Int =
+    math.max(Cells, math.min(1024, math.sqrt(n.toDouble).toInt))
 
   /** Train the coarse quantizer on a bounded deterministic sample
     * COLLECTED to the driver, then run Lloyd there: quantizer quality
@@ -146,7 +192,7 @@ object Ann {
     val k0 = math.min(cells, train.length)
     var centroids: Array[Array[Double]] = train.take(k0).map(_.clone())
     for (_ <- 1 to LloydIters) {
-      val sums = Array.fill(k0)(new Array[Double](Dim))
+      val sums = Array.fill(k0)(new Array[Long](Dim)) // fixed-point: exact, order-free
       val counts = new Array[Long](k0)
       train.foreach { v =>
         var best = 0
@@ -161,11 +207,11 @@ object Ann {
         }
         counts(best) += 1
         var i = 0
-        while (i < Dim) { sums(best)(i) += v(i); i += 1 }
+        while (i < Dim) { sums(best)(i) += fx(v(i)); i += 1 }
       }
       centroids = Array.tabulate(k0) { k =>
         if (counts(k) == 0) centroids(k) // empty cell keeps its centroid
-        else Array.tabulate(Dim)(i => sums(k)(i) / counts(k))
+        else Array.tabulate(Dim)(i => sums(k)(i).toDouble / (counts(k) * FxScale))
       }
     }
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
@@ -189,11 +235,14 @@ object Ann {
   /** D2b: IVF ANN — the other scale path. The corpus is bucketed by its
     * nearest centroid (one pass, stored that way in production); queries
     * probe their `Probes` nearest cells; cosine runs only within probed
-    * cells via a shuffle join on the cell id.
+    * cells via a shuffle join on the cell id. The cell count scales
+    * with √N (scaledCells) so each query touches ~Probes·√N vectors —
+    * with the old fixed 16 cells a query probed a constant ~19% of the
+    * corpus, which at 100 TB is barely better than brute force.
     */
   def sAnnIvf(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
-    val centroids = trainCentroids(c)
+    val centroids = trainCentroids(c, scaledCells(c.count()))
     val bucketed = assignCells(c, centroids, probes = 1)
     val probedQueries = assignCells(
       queries(s, d).withColumnRenamed("qv", "v"), centroids, Probes)
@@ -226,19 +275,11 @@ object Ann {
     */
   def sKnnJoin(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
-    // the cell count must GROW with the corpus for the corpus×corpus
-    // graph build: fixed cells make per-cell verify (N/k)² → quadratic
-    // total (measured 21× at the 10× probe with k=16). k ≈ √N holds
-    // total work at the standard ~N^1.5 IVF curve; recall at fixed
-    // probes is the documented tradeoff, still spec-pinned at build
+    // √N cells (scaledCells): fixed cells made per-cell verify (N/k)² →
+    // quadratic total, measured 21× at the 10× probe with k=16; recall
+    // at fixed probes is the documented tradeoff, spec-pinned at build
     // scale.
-    val n = c.count()
-    // capped at 1024: driver Lloyd is O(sample × cells × dim × iters)
-    // and the 8-per-cell sample grows with k — past ~1024 cells the
-    // quantizer belongs offline/distributed (production trains it once
-    // per collection anyway)
-    val cells = math.max(Cells, math.min(1024, math.sqrt(n.toDouble).toInt))
-    val centroids = trainCentroids(c, cells)
+    val centroids = trainCentroids(c, scaledCells(c.count()))
     // barrier both sides: the 16×64-literal distance expressions would
     // otherwise re-evaluate under the probe explode (Generate runs its
     // child per OUTPUT row) and again under the join's projections
@@ -272,7 +313,7 @@ object Ann {
     val dim = train.head.length
     var centroids = train.take(k).map(_.clone())
     for (_ <- 1 to iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
+      val sums = Array.fill(k)(new Array[Long](dim)) // fixed-point: exact, order-free
       val counts = new Array[Long](k)
       train.foreach { v =>
         var best = 0; var bestD = Double.MaxValue; var c = 0
@@ -284,11 +325,11 @@ object Ann {
         }
         counts(best) += 1
         var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        while (i < dim) { sums(best)(i) += fx(v(i)); i += 1 }
       }
       centroids = Array.tabulate(k)(c =>
         if (counts(c) == 0) centroids(c)
-        else Array.tabulate(dim)(i => sums(c)(i) / counts(c)))
+        else Array.tabulate(dim)(i => sums(c)(i).toDouble / (counts(c) * FxScale)))
     }
     centroids
   }
@@ -354,6 +395,210 @@ object Ann {
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= PqTopK)
       .select("query_id", "rank", "vec_id", "dist", "approx_dist")
+  }
+
+  // ---- DuckDB oracle SQL (the quantizer family is SQL-hash-checked
+  // because training is bit-reproducible: see the FxScale note) ----
+
+  /** Squared-L2 left fold over `dim` elements — the exact accumulation
+    * order of CentroidOps.nearestCells / the driver Lloyd loop
+    * (list_reduce is a left fold and 0.0 + x1 == x1).
+    */
+  private def sqDist(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
+  /** Unrolled 3-iteration Lloyd over the bounded ordered train sample,
+    * exactly re-deriving trainCentroids' centroids: initial centroids =
+    * first k0 train vectors; assignment = ROW_NUMBER over (dist, cell)
+    * (strict-less keeps the lowest cell, same tie rule); means
+    * accumulate fixed-point BIGINT sums (order-free, so DuckDB's
+    * parallel SUM matches the driver's sequential loop bit-for-bit);
+    * empty cells keep their previous centroid via the LEFT JOIN
+    * COALESCE. Yields CTEs `params, train, c0..c3`; centroids are in
+    * `c3 (cell, cv)`.
+    */
+  private[operators] def lloydCtes(corpus: String): String = {
+    val cellsExpr = "GREATEST(16, LEAST(1024, CAST(FLOOR(SQRT(COUNT(*))) AS INT)))"
+    val head =
+      s"""params AS (
+         |  SELECT $cellsExpr AS cells, GREATEST(1024, $cellsExpr * 8) AS sample
+         |  FROM $corpus),
+         |train AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, v
+         |  FROM (SELECT vec_id, v FROM $corpus ORDER BY vec_id LIMIT (SELECT sample FROM params))),
+         |c0 AS (
+         |  SELECT rn - 1 AS cell, v AS cv FROM train WHERE rn <= (SELECT cells FROM params))""".stripMargin
+    val iters = (1 to LloydIters).map { it =>
+      val p = it - 1
+      s"""a$it AS (
+         |  SELECT rn, v, cell FROM (
+         |    SELECT tr.rn, tr.v, ct.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY tr.rn ORDER BY ${sqDist("tr.v", "ct.cv", Dim)}, ct.cell) AS ar
+         |    FROM train tr, c$p ct) WHERE ar = 1),
+         |c$it AS (
+         |  SELECT ct.cell, COALESCE(m.cv, ct.cv) AS cv FROM c$p ct LEFT JOIN (
+         |    SELECT cell, list(CAST(sfx AS DOUBLE) / (cnt * 1048576.0) ORDER BY i) AS cv FROM (
+         |      SELECT cell, i,
+         |        SUM(CAST(FLOOR(v[i] * 1048576.0 + 0.5) AS BIGINT)) AS sfx, COUNT(*) AS cnt
+         |      FROM a$it, range(1, ${Dim + 1}) ii(i) GROUP BY cell, i) GROUP BY cell) m
+         |  ON ct.cell = m.cell)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  /** Multi-probe centroid assignment CTE body: the `probes` nearest
+    * cells of `cN` per row of `rel`, ROW_NUMBER tie rule matching
+    * CentroidOps.nearestCells' taken-flag selection.
+    */
+  private def assignSql(rel: String, id: String, vec: String, probes: Int): String =
+    s"""  SELECT $id, $vec, cell FROM (
+       |    SELECT r.$id, r.$vec, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY r.$id ORDER BY ${sqDist(s"r.$vec", "ct.cv", Dim)}, ct.cell) AS ar
+       |    FROM $rel r, c$LloydIters ct) WHERE ar <= $probes""".stripMargin
+
+  /** s_ann_lsh oracle: rebuilds the md5Hyperplanes family from md5
+    * nibbles (same "lsh:t:h:i" strings), folds the same dot products,
+    * and re-buckets — the candidate set is bit-identical, so top-k of
+    * candidates matches without any recall assumption.
+    */
+  val sAnnLshSql: String = {
+    def bucketCte(name: String, rel: String, id: String, vec: String): String =
+      s"""$name AS (
+         |  SELECT $id, t, CAST(SUM(CASE WHEN
+         |      list_reduce(list_transform(range(1, ${Dim + 1}), i -> r.$vec[i] * pl.p[i]), (x, y) -> x + y) > 0
+         |      THEN (1 << h) ELSE 0 END) AS INT) AS bucket
+         |  FROM $rel r, pl GROUP BY $id, t)""".stripMargin
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
+       |pl AS (
+       |  SELECT t, h, list(2 * (CAST(list_reduce(list_transform(range(1, 16),
+       |      j -> CAST(strpos('123456789abcdef',
+       |        substr(md5('lsh:' || t || ':' || h || ':' || i), j, 1)) AS BIGINT)),
+       |      (a, b) -> a * 16 + b) AS DOUBLE) / 1152921504606846976.0) - 1 ORDER BY i) AS p
+       |  FROM range(0, ${Tables_}) tt(t), range(0, $Hyper) hh(h), range(0, $Dim) ii(i)
+       |  GROUP BY t, h),
+       |${bucketCte("cb", "c", "vec_id", "v")},
+       |${bucketCte("qb", "q", "query_id", "qv")},
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, cb.vec_id
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+       |  WHERE cb.vec_id != qb.query_id)
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos FROM (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    round(list_cosine_similarity(c.v, q.qv), 4) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+       |      ORDER BY list_cosine_similarity(c.v, q.qv) DESC, cand.vec_id) AS rank
+       |  FROM cand JOIN c ON cand.vec_id = c.vec_id
+       |            JOIN q ON cand.query_id = q.query_id)
+       |WHERE rank <= $TopK""".stripMargin
+  }
+
+  /** s_ann_ivf oracle: exact Lloyd re-derivation (lloydCtes), corpus
+    * assigned probes=1, queries probe $Probes cells, cosine ranked
+    * within probed cells — bit-identical to the Spark plan.
+    */
+  val sAnnIvfSql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
+       |${lloydCtes("c")},
+       |ca AS (
+       |${assignSql("c", "vec_id", "v", probes = 1)}),
+       |qa AS (
+       |${assignSql("q", "query_id", "qv", Probes)})
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos FROM (
+       |  SELECT query_id, vec_id,
+       |    round(list_cosine_similarity(v, qv), 4) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rank
+       |  FROM (SELECT DISTINCT qa.query_id, ca.vec_id, ca.v, qa.qv
+       |        FROM ca JOIN qa ON ca.cell = qa.cell WHERE ca.vec_id != qa.query_id))
+       |WHERE rank <= $TopK""".stripMargin
+
+  /** s_knn_join oracle: same Lloyd centroids; probe side visits
+    * $KnnProbes cells, neighbor side is stored in its 1 nearest cell;
+    * per-vector top-$KnnK by ROUNDED cosine (the Spark window orders by
+    * the rounded column).
+    */
+  val sKnnJoinSql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${lloydCtes("c")},
+       |ca AS (
+       |${assignSql("c", "vec_id", "v", probes = 1)}),
+       |pr AS (
+       |${assignSql("c", "vec_id", "v", KnnProbes)})
+       |SELECT vec_id, rank, neighbor_id, cos FROM (
+       |  SELECT pr.vec_id, ca.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(pr.v, ca.v), 4) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY pr.vec_id
+       |      ORDER BY round(list_cosine_similarity(pr.v, ca.v), 4) DESC, ca.vec_id) AS rank
+       |  FROM pr JOIN ca ON pr.cell = ca.cell WHERE pr.vec_id != ca.vec_id)
+       |WHERE rank <= $KnnK""".stripMargin
+
+  /** s_ann_pq oracle: per-subspace Lloyd (8 codebooks re-derived with
+    * the same fixed-point unrolled iterations, keyed (m, cell)), codes
+    * = 1-based argmin per subspace, ADC = left-fold sum of the 8 LUT
+    * entries in subspace order, shortlist by rounded ADC, exact
+    * squared-L2 re-rank — every step the same fold as the kernels.
+    */
+  val sAnnPqSql: String = {
+    val subD = sqDist("tr.sv", "ct.cv", PqSub)
+    val head =
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
+         |train AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, v
+         |  FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT $TrainSample)),
+         |tr AS (
+         |  SELECT rn, m, v[(m * $PqSub + 1):(m * $PqSub + $PqSub)] AS sv
+         |  FROM train, range(0, $PqM) mm(m)),
+         |p0 AS (SELECT m, rn - 1 AS cell, sv AS cv FROM tr WHERE rn <= $PqK)""".stripMargin
+    val iters = (1 to LloydIters).map { it =>
+      val p = it - 1
+      s"""a$it AS (
+         |  SELECT m, rn, sv, cell FROM (
+         |    SELECT tr.m, tr.rn, tr.sv, ct.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY tr.m, tr.rn ORDER BY $subD, ct.cell) AS ar
+         |    FROM tr JOIN p$p ct ON tr.m = ct.m) WHERE ar = 1),
+         |p$it AS (
+         |  SELECT ct.m, ct.cell, COALESCE(u.cv, ct.cv) AS cv FROM p$p ct LEFT JOIN (
+         |    SELECT m, cell, list(CAST(sfx AS DOUBLE) / (cnt * 1048576.0) ORDER BY i) AS cv FROM (
+         |      SELECT m, cell, i,
+         |        SUM(CAST(FLOOR(sv[i] * 1048576.0 + 0.5) AS BIGINT)) AS sfx, COUNT(*) AS cnt
+         |      FROM a$it, range(1, ${PqSub + 1}) ii(i) GROUP BY m, cell, i) GROUP BY m, cell) u
+         |  ON ct.m = u.m AND ct.cell = u.cell)""".stripMargin
+    }
+    val exactD = s"round(${sqDist("c.v", "q.qv", Dim)}, 6)"
+    val tail =
+      s"""cs AS (
+         |  SELECT vec_id, m, v[(m * $PqSub + 1):(m * $PqSub + $PqSub)] AS sv FROM c, range(0, $PqM) mm(m)),
+         |codes AS (
+         |  SELECT vec_id, m, cell FROM (
+         |    SELECT cs.vec_id, cs.m, ct.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY cs.vec_id, cs.m ORDER BY ${sqDist("cs.sv", "ct.cv", PqSub)}, ct.cell) AS ar
+         |    FROM cs JOIN p$LloydIters ct ON cs.m = ct.m) WHERE ar = 1),
+         |qs AS (
+         |  SELECT query_id, m, qv[(m * $PqSub + 1):(m * $PqSub + $PqSub)] AS sv FROM q, range(0, $PqM) mm(m)),
+         |luts AS (
+         |  SELECT qs.query_id, qs.m, ct.cell, ${sqDist("qs.sv", "ct.cv", PqSub)} AS lut
+         |  FROM qs JOIN p$LloydIters ct ON qs.m = ct.m),
+         |adc AS (
+         |  SELECT l.query_id, cd.vec_id,
+         |    round(list_reduce(list(l.lut ORDER BY l.m), (x, y) -> x + y), 6) AS approx_dist
+         |  FROM codes cd JOIN luts l ON cd.m = l.m AND cd.cell = l.cell
+         |  WHERE cd.vec_id != l.query_id
+         |  GROUP BY l.query_id, cd.vec_id),
+         |shortlist AS (
+         |  SELECT query_id, vec_id, approx_dist FROM (
+         |    SELECT query_id, vec_id, approx_dist,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist, vec_id) AS arank
+         |    FROM adc) WHERE arank <= $PqShortlist)
+         |SELECT query_id, rank, vec_id, dist, approx_dist FROM (
+         |  SELECT s.query_id, s.vec_id, s.approx_dist, $exactD AS dist,
+         |    ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY $exactD, s.vec_id) AS rank
+         |  FROM shortlist s JOIN c ON s.vec_id = c.vec_id JOIN q ON s.query_id = q.query_id)
+         |WHERE rank <= $PqTopK""".stripMargin
+    (head +: iters :+ tail).mkString(",\n")
   }
 
   /** s_ann_brute oracle: DuckDB's list_cosine_similarity runs the same
@@ -467,10 +712,10 @@ object Ann {
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
-    QueryDef("s_ann_lsh", sAnnLsh, None),
-    QueryDef("s_ann_ivf", sAnnIvf, None),
-    QueryDef("s_ann_pq", sAnnPq, None),
-    QueryDef("s_knn_join", sKnnJoin, None),
+    QueryDef("s_ann_lsh", sAnnLsh, Some(sAnnLshSql)),
+    QueryDef("s_ann_ivf", sAnnIvf, Some(sAnnIvfSql)),
+    QueryDef("s_ann_pq", sAnnPq, Some(sAnnPqSql)),
+    QueryDef("s_knn_join", sKnnJoin, Some(sKnnJoinSql)),
     QueryDef("s_knn_classify", sKnnClassify, Some(sKnnClassifySql)),
   )
 }

@@ -402,7 +402,10 @@ object Dedup {
 
   def semdedupFlags(s: SparkSession, d: String): DataFrame = {
     val emb = corpusWithNearVectors(s, d)
-    val centroids = Ann.trainCentroids(emb.select(col("vec_id"), col("v")))
+    // √N cells, same contract as the ANN family: fixed cells would make
+    // the within-cell pairwise verify (N/k)² → quadratic total
+    val centroids = Ann.trainCentroids(emb.select(col("vec_id"), col("v")),
+      Ann.scaledCells(emb.count()))
     val cells = graft.Stage.barrier(Ann.assignCells(emb, centroids, probes = 1))
     val x = cells.select(col("cell"), col("vec_id"), col("v"))
     val dropped = x.as("a").join(x.as("b"),
@@ -420,6 +423,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_total"),
         count(when(!col("dropped"), 1)).as("n_kept"),
         count(when(col("dropped"), 1)).as("n_dropped"))
+
+  /** d_semdedup oracle: the quantizer is bit-reproducible (fixed-point
+    * Lloyd — see Ann.lloydCtes), so DuckDB re-derives the SAME cells,
+    * the same within-cell ≥ τ pairs (6-dp-rounded cosine), and the same
+    * drop flags — a full hash check of the SemDeDup semantics, not a
+    * recall assumption.
+    */
+  val dSemdedupSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |emb AS (
+       |  SELECT vec_id, v, label FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(range(1, len(v) + 1),
+       |      i -> CASE WHEN i = 1 THEN v[i] + 0.05 ELSE v[i] END), label
+       |  FROM base WHERE vec_id % 11 = 0),
+       |${Ann.lloydCtes("emb")},
+       |ca AS (
+       |  SELECT vec_id, v, label, cell FROM (
+       |    SELECT e.vec_id, e.v, e.label, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_reduce(list_transform(range(1, 65),
+       |          i -> (e.v[i] - ct.cv[i]) * (e.v[i] - ct.cv[i])), (x, y) -> x + y), ct.cell) AS ar
+       |    FROM emb e, c3 ct) WHERE ar = 1),
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id > b.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $SemTau)
+       |SELECT label, COUNT(*) AS n_total,
+       |  COUNT(CASE WHEN d.vec_id IS NULL THEN 1 END) AS n_kept,
+       |  COUNT(d.vec_id) AS n_dropped
+       |FROM ca LEFT JOIN dropped d ON ca.vec_id = d.vec_id
+       |GROUP BY label""".stripMargin
 
   /** C1b: the APPLICATION of exact dedup — the surviving corpus (keeper
     * row per content group), i.e. what a training pipeline feeds
@@ -828,7 +865,7 @@ object Dedup {
     QueryDef("d_simhash", dSimhash, Some(dSimhashSql)),
     QueryDef("d_ngram_jaccard", dNgramJaccard, Some(dNgramJaccardSql)),
     QueryDef("d_embed_cos", dEmbedCos, Some(dEmbedCosSql)),
-    QueryDef("d_semdedup", dSemdedup, None),
+    QueryDef("d_semdedup", dSemdedup, Some(dSemdedupSql)),
     QueryDef("d_substring", dSubstring, Some(dSubstringSql)),
     QueryDef("d_fuzzy_join", dFuzzyJoin, Some(dFuzzyJoinSql)),
   )
