@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -380,6 +380,58 @@ object SigOps {
     UTF8String.fromBytes(acc)
   }
 
+  /** Per-doc character histogram → (n_chars, n_distinct, entropy) in
+    * ONE codepoint scan — replaces the explode-per-character → hash agg
+    * → window-sum → re-agg plan (one Generate row per character and a
+    * per-doc window sort, the suite's most expensive row shape). The
+    * entropy terms accumulate in INCREASING CODEPOINT ORDER, which a
+    * SQL oracle reproduces exactly with
+    * `-list_reduce(list(p*ln(p) ORDER BY ch), +)` (binary collation ==
+    * codepoint order == UTF-8 byte order) — the summation order is part
+    * of the contract, not an engine accident (a hash-agg SUM's order is
+    * not guaranteed across partitionings). ASCII counts live in a flat
+    * 128-slot array (the hot path); anything else goes to a TreeMap
+    * that iterates in codepoint order after it.
+    */
+  def charEntropy(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val ascii = new Array[Long](128)
+    var other: java.util.TreeMap[Integer, Array[Long]] = null
+    var total = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      total += 1
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.TreeMap()
+        val a = other.get(cp)
+        if (a == null) other.put(cp, Array(1L)) else a(0) += 1
+      }
+    }
+    var nd = 0L
+    var acc = 0.0
+    val tot = total.toDouble
+    var c = 0
+    while (c < 128) {
+      val cnt = ascii(c)
+      if (cnt > 0) { nd += 1; val p = cnt.toDouble / tot; acc += p * math.log(p) }
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val cnt = it.next()(0)
+        nd += 1
+        val p = cnt.toDouble / tot
+        acc += p * math.log(p)
+      }
+    }
+    new GenericInternalRow(Array[Any](total, nd, -acc))
+  }
+
   /** 64-bit SimHash over a token-hash array: per-bit majority vote. */
   def simhash(hs: ArrayData): Long = {
     val n = hs.numElements()
@@ -442,6 +494,24 @@ case class WordStats(child: Expression) extends UnaryExpression {
     SigOps.wordStats(a.asInstanceOf[UTF8String])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.wordStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string → struct(nc = total chars, nd = distinct chars, ent =
+  * Shannon entropy of the char distribution) in one codepoint scan.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("nc", LongType, nullable = false),
+    StructField("nd", LongType, nullable = false),
+    StructField("ent", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.charEntropy(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.charEntropy($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -131,6 +131,13 @@ package object functions {
   def word_stats(text: Column): Column =
     toCol(WordStats(toExpr(text)))
 
+  /** struct(nc, nd, ent): char count, distinct chars, Shannon entropy
+    * of the character distribution — one codepoint scan, entropy terms
+    * folded in codepoint order (SQL-reproducible).
+    */
+  def char_entropy(text: Column): Column =
+    toCol(CharEntropy(toExpr(text)))
+
   /** Positional md5-60 hashes of every n-word window — cross-engine
     * reproducible (first 15 hex nibbles of md5 of the space-joined
     * window), so SQL oracles can re-derive signatures exactly.

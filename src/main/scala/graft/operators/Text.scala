@@ -639,26 +639,26 @@ object Text {
 
   /** E15: character-entropy quality signal (a standard low-quality /
     * gibberish detector): Shannon entropy of the lowercase character
-    * distribution per doc. Shape: explode chars → (doc, char) hash agg
-    * → per-doc fold — the same bounded-group contract as t_repetition
-    * (no group outlives its document). The oracle runs the same
-    * formula: ln()'s last-ulp rounding is libm-specific in principle,
-    * but at 6-dp rounding a mismatch needs the true value within 1e-16
-    * of a rounding boundary — verified clean on the fixed test corpus
-    * (and the same-JVM spec still pins exactness independently).
+    * distribution per doc. ONE native kernel scan per row
+    * (char_entropy: SigOps.charEntropy) — scan → project → filter, no
+    * shuffle, no per-character Generate row, no per-doc window sort
+    * (the old explode→agg→window→re-agg shape was the suite's slowest
+    * bench row). The kernel folds entropy terms in CODEPOINT order and
+    * the oracle reproduces that exact order with
+    * `list(... ORDER BY ch)` + list_reduce, so the float summation
+    * order is contractual, not a partitioning accident. ln()'s
+    * last-ulp rounding is libm-specific in principle, but at 6-dp
+    * rounding a mismatch needs the true value within 1e-16 of a
+    * rounding boundary — verified clean on the fixed gate corpus (and
+    * the same-JVM spec still pins exactness independently).
     */
-  def tEntropy(s: SparkSession, d: String): DataFrame = {
-    val chars = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(filter(split(lower(col("text")), ""), c => c =!= "")).as("ch"))
-    chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("doc_id")))
-      .groupBy("doc_id")
-      .agg(max(col("total")).as("n_chars"),
-        count(lit(1)).as("n_distinct_chars"),
-        round(-sum((col("cnt") / col("total"))
-          * log(col("cnt") / col("total"))), 6).as("entropy"))
-  }
+  def tEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.char_entropy(lower(col("text"))).as("ce"))
+      .select(col("doc_id"), col("ce.nc").as("n_chars"),
+        col("ce.nd").as("n_distinct_chars"),
+        round(col("ce.ent"), 6).as("entropy"))
+      .filter(col("n_chars") > 0) // empty docs: the explode form emitted no row
 
   val tEntropySql: String =
     """WITH chars AS (
@@ -666,13 +666,14 @@ object Text {
       |    unnest(list_filter(string_split_regex(lower(text), ''), c -> c != '')) AS ch
       |  FROM documents),
       |cnts AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY 1, 2),
-      |tot AS (
-      |  SELECT doc_id, ch, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS total
-      |  FROM cnts)
-      |SELECT doc_id, CAST(MAX(total) AS BIGINT) AS n_chars,
+      |tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total FROM cnts GROUP BY 1)
+      |SELECT c.doc_id, MAX(t.total) AS n_chars,
       |  COUNT(*) AS n_distinct_chars,
-      |  round(-SUM((CAST(cnt AS DOUBLE) / total) * ln(CAST(cnt AS DOUBLE) / total)), 6) AS entropy
-      |FROM tot GROUP BY doc_id""".stripMargin
+      |  round(-list_reduce(
+      |    list((CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |         * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) ORDER BY ch),
+      |    (x, y) -> x + y), 6) AS entropy
+      |FROM cnts c JOIN tot t USING (doc_id) GROUP BY c.doc_id""".stripMargin
 
   /** E16: unigram-LM perplexity proxy (CCNet-style quality filter) —
     * each doc scored by the average negative log-likelihood of its
