@@ -10,12 +10,18 @@ import graft.queries.QueryDef
   * travel as opaque `binary` columns with typed metadata alongside, and
   * decode/feature-extraction runs batched per partition.
   *
-  * The binary fixtures are the documents' UTF-8 bytes (this container
-  * has no image/audio codecs); the DECODE step is a clearly-marked
-  * deterministic stub. Everything Spark-side is real: schema, typed
-  * Dataset encoders, partition-preserving mapPartitions, and the
-  * batch-at-a-time shape a vectorized decoder (ONNX session, JNI codec)
-  * needs — `decodeBatch` is the single seam where a real model drops in.
+  * The image path is REAL: payloads are genuine PNGs (synthesized
+  * deterministically, encoded and decoded with javax.imageio — pure
+  * JDK, no external codec), and m_feature_stub / m_resize_stub read
+  * actual decoded rasters. Because the fixture pixels are closed-form
+  * in doc_id and PNG is lossless, the DuckDB oracle re-derives the
+  * pixel stats without a codec — so the decode is hash-verified
+  * end-to-end. The frame-sample path keeps opaque byte chunking (the
+  * temporal-sampling shape for container formats this JDK can't parse).
+  * Everything Spark-side is the production shape: typed Dataset
+  * encoders, partition-preserving mapPartitions, and the
+  * batch-at-a-time seam a vectorized decoder (ONNX session, JNI codec)
+  * takes over at scale.
   */
 object Multimodal {
 
@@ -38,53 +44,109 @@ object Multimodal {
       |FROM documents""".stripMargin
 
   final case class BinaryRow(doc_id: Long, payload: Array[Byte])
-  final case class FeatureRow(doc_id: Long, n_bytes: Long, features: Array[Double])
-
-  /** STUB decode/feature-extract for one batch of payloads. A real
-    * implementation would hand `batch.map(_.payload)` to a vectorized
-    * decoder in one call; this fake derives 4 deterministic features
-    * from the bytes so the plumbing is testable end-to-end.
-    */
-  def decodeBatch(batch: Seq[BinaryRow]): Seq[FeatureRow] =
-    batch.map { r =>
-      val b = r.payload
-      FeatureRow(r.doc_id, b.length.toLong, Array(
-        b.length.toDouble,
-        if (b.nonEmpty) (b.head & 0xFF).toDouble else 0.0,
-        if (b.nonEmpty) (b.last & 0xFF).toDouble else 0.0,
-        b.foldLeft(0L)((a, x) => a + (x & 0xFF)).toDouble % 997))
-    }
 
   val BatchSize = 64
 
-  /** F2: batched feature extraction over binary payloads — typed
-    * mapPartitions, `BatchSize` rows per decoder call, no shuffle
+  // ---- real image decode over the binary column ----
+  //
+  // The payload is a REAL PNG (encoded with javax.imageio — pure JDK,
+  // no external codec), synthesized deterministically per doc: an
+  // 8..16 × 8..14 grayscale image whose pixel (x, y) is
+  // (doc_id·31 + 7x + 13y) mod 256. Because the pixel function is
+  // closed-form in doc_id, the DuckDB oracle re-derives the pixel
+  // stats WITHOUT a PNG codec — and because PNG is lossless, the
+  // Spark side's encode → ImageIO.read round-trip must be pixel-exact
+  // for the hash to match. The decode is therefore real, and the
+  // oracle checks it end-to-end.
+
+  def pngDims(docId: Long): (Int, Int) =
+    (8 + (docId % 9).toInt, 8 + (docId % 7).toInt)
+
+  def pngPixel(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + 7L * x + 13L * y) % 256).toInt
+
+  /** Deterministic tiny grayscale PNG for one doc id. */
+  def pngFixture(docId: Long): Array[Byte] = {
+    val (w, h) = pngDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pngPixel(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class ImgFeatures(doc_id: Long, width: Int, height: Int,
+      px_sum: Long, px_min: Int, px_max: Int)
+
+  /** REAL decode/feature-extract for one batch of PNG payloads:
+    * ImageIO.read per payload (the batch boundary is where a vectorized
+    * decoder — ONNX session, JNI codec — would take the whole batch in
+    * one call), then (width, height, gray-channel sum/min/max) off the
+    * decoded raster.
+    */
+  def decodeImageBatch(batch: Seq[BinaryRow]): Seq[ImgFeatures] =
+    batch.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var mn = 255
+      var mx = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      ImgFeatures(r.doc_id, w, h, sum, mn, mx)
+    }
+
+  /** F2: batched image decode + feature extraction — PNG payloads
+    * synthesized per partition, decoded with javax.imageio in
+    * `BatchSize` batches via typed mapPartitions, no shuffle
     * (partition-preserving; parallelism = input partitioning).
     */
   def mFeatureStub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[BinaryRow]
-      .mapPartitions(_.grouped(BatchSize).flatMap(g => decodeBatch(g.toSeq)))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => BinaryRow(id, pngFixture(id))))
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => decodeImageBatch(g.toSeq)))
       .toDF()
-      .select(col("doc_id"), col("n_bytes"),
-        round(element_at(col("features"), 4), 1).as("f_checksum"))
   }
 
-  /** m_feature_stub oracle: the stub's byte-sum-mod-997 feature
-    * re-derived in SQL from the hex expansion of the payload (the
-    * strpos table maps a hex digit to its value, '0' → 0 via not-found).
+  /** m_feature_stub oracle: pixel stats re-derived from the closed-form
+    * pixel function — row-major index k ↦ (x = k mod w, y = k div w).
+    * Matches only if the Spark side's PNG encode→decode round-trip is
+    * pixel-exact.
     */
   val mFeatureStubSql: String =
-    """WITH h AS (
-      |  SELECT doc_id, octet_length(encode(text)) AS n_bytes, hex(encode(text)) AS hx
-      |  FROM documents)
-      |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
-      |  round(CAST(COALESCE(list_sum(list_transform(range(1, n_bytes + 1),
-      |    i -> strpos('123456789ABCDEF', hx[2*i-1]) * 16
-      |       + strpos('123456789ABCDEF', hx[2*i]))), 0) % 997 AS DOUBLE), 1) AS f_checksum
-      |FROM h""".stripMargin
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+      |         CAST(8 + doc_id % 7 AS INTEGER) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(0, CAST(w * h AS BIGINT))) AS k
+      |  FROM dims)
+      |SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+      |  CAST(SUM((doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256) AS BIGINT) AS px_sum,
+      |  CAST(MIN((doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256) AS INTEGER) AS px_min,
+      |  CAST(MAX((doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256) AS INTEGER) AS px_max
+      |FROM px GROUP BY doc_id""".stripMargin
 
   /** The stub-digest convention shared by the sampling/resize stubs:
     * md5-hex of the bytes' UPPERCASE-hex rendering — reproducible from
@@ -153,48 +215,82 @@ object Multimodal {
        |    i -> substr(hx, CAST(i * ${FrameBytes * 2} + 1 AS INTEGER), ${FrameBytes * 2})), '')) AS sample_digest
        |FROM f""".stripMargin
 
-  final case class ResizeRow(doc_id: Long, n_bytes: Long, n_resized: Long,
-      resized_digest: String)
+  final case class ResizedImg(doc_id: Long, width: Int, height: Int,
+      rw: Int, rh: Int, r_sum: Long, r_digest: String)
 
-  val ResizeStride = 4
+  val ResizeStride = 2
 
-  /** STUB resize: keep every `ResizeStride`-th byte — the
-    * downsample-by-stride shape of an image resize (a real
-    * implementation hands the batch to a vectorized image library; the
-    * batching, output schema and digest plumbing are what's under
-    * test). Digest follows the frame-sample convention: md5 of the
-    * resized bytes' uppercase-hex, reproducible from hex(payload) in
-    * the oracle.
+  /** REAL resize: decode the PNG (ImageIO.read), nearest-neighbor
+    * stride-`ResizeStride` downsample OF THE DECODED RASTER —
+    * out(x, y) = in(Sx, Sy), output dims ceil(w/S) × ceil(h/S). The
+    * digest is md5 of the resized gray bytes' uppercase-hex in
+    * row-major order (the frame-sample convention), so the oracle
+    * reconstructs it from the closed-form pixel function without a
+    * codec.
     */
-  def resizePayload(r: BinaryRow): ResizeRow = {
-    val b = r.payload
-    val resized = Range(0, b.length, ResizeStride).map(b(_))
-    val digest = md5OfUpperHex(resized.iterator)
-    ResizeRow(r.doc_id, b.length.toLong, resized.length.toLong, digest)
-  }
+  def resizeImageBatch(batch: Seq[BinaryRow]): Seq[ResizedImg] =
+    batch.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val rw = (w + ResizeStride - 1) / ResizeStride
+      val rh = (h + ResizeStride - 1) / ResizeStride
+      val out = new Array[Byte](rw * rh)
+      var sum = 0L
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) {
+          val v = raster.getSample(x * ResizeStride, y * ResizeStride, 0)
+          out(y * rw + x) = v.toByte
+          sum += v
+          x += 1
+        }
+        y += 1
+      }
+      ResizedImg(r.doc_id, w, h, rw, rh, sum, md5OfUpperHex(out.iterator))
+    }
 
-  /** F6: batched resize over binary payloads — typed mapPartitions,
-    * `BatchSize` rows per (stub) resizer call, partition-preserving.
+  /** F6: batched real image resize — PNG fixture per partition, decode
+    * + stride resample in `BatchSize` batches via typed mapPartitions,
+    * partition-preserving.
     */
   def mResizeStub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[BinaryRow]
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(resizePayload)))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => BinaryRow(id, pngFixture(id))))
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => resizeImageBatch(g.toSeq)))
       .toDF()
   }
 
+  /** m_resize_stub oracle: resampled pixel (x, y) reads source pixel
+    * (2x, 2y) of the closed-form image; digest re-built with
+    * printf('%02X') + ordered string_agg.
+    */
   val mResizeStubSql: String =
-    s"""WITH h AS (
-       |  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
-       |  FROM documents)
-       |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-       |  CAST(len(list_filter(range(0, n), i -> i % $ResizeStride = 0)) AS BIGINT) AS n_resized,
-       |  md5(array_to_string(list_transform(
-       |    list_filter(range(0, n), i -> i % $ResizeStride = 0),
-       |    i -> substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)), '')) AS resized_digest
-       |FROM h""".stripMargin
+    s"""WITH dims AS (
+       |  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+       |         CAST(8 + doc_id % 7 AS INTEGER) AS h
+       |  FROM documents),
+       |rd AS (
+       |  SELECT doc_id, w, h,
+       |    CAST((w + ${ResizeStride - 1}) // $ResizeStride AS INTEGER) AS rw,
+       |    CAST((h + ${ResizeStride - 1}) // $ResizeStride AS INTEGER) AS rh
+       |  FROM dims),
+       |rk AS (
+       |  SELECT doc_id, w, h, rw, rh, unnest(range(0, CAST(rw * rh AS BIGINT))) AS k
+       |  FROM rd),
+       |rv AS (
+       |  SELECT doc_id, w, h, rw, rh, k,
+       |    (doc_id * 31 + 7 * ($ResizeStride * (k % rw)) + 13 * ($ResizeStride * (k // rw))) % 256 AS val
+       |  FROM rk)
+       |SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+       |  MAX(rw) AS rw, MAX(rh) AS rh,
+       |  CAST(SUM(val) AS BIGINT) AS r_sum,
+       |  md5(string_agg(printf('%02X', val), '' ORDER BY k)) AS r_digest
+       |FROM rv GROUP BY doc_id""".stripMargin
 
   /** F4: modality routing by magic bytes — mixed binary payloads
     * dispatched by their file-signature prefix (PNG/JPEG/RIFF/other),

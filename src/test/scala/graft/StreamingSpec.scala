@@ -277,15 +277,25 @@ class StreamingSpec extends SparkSpec {
       .map(_.getString(0)).toSet.subsetOf(langs))
   }
 
-  test("m_feature_stub: deterministic features, every doc exactly once") {
+  test("m_feature_stub: real PNG decode — dims and pixel stats are exact") {
     val a = Multimodal.mFeatureStub(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
-    val b = Multimodal.mFeatureStub(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
-    assert(a.toSeq === b.toSeq)
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).sortBy(_._1)
     assert(a.length === Tables.documents(spark, sfDir).count())
-    // n_bytes matches the payload length contract
-    assert(a.forall(_._2 > 0))
+    a.foreach { case (id, w, h, sum, mn, mx) =>
+      val (ew, eh) = Multimodal.pngDims(id)
+      assert(w === ew && h === eh, s"doc $id dims")
+      val pixels = for { y <- 0 until eh; x <- 0 until ew }
+        yield Multimodal.pngPixel(id, x, y)
+      assert(sum === pixels.map(_.toLong).sum, s"doc $id px_sum")
+      assert(mn === pixels.min && mx === pixels.max, s"doc $id min/max")
+    }
+    // the payload really is a decodable PNG with the PNG magic header
+    val png = Multimodal.pngFixture(42L)
+    assert(png.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val b = Multimodal.mFeatureStub(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(b.toSeq === a.map(r => (r._1, r._4)).toSeq)
   }
 
   test("m_frame_sample: frame counts and sampling ratio are exact") {
@@ -304,17 +314,24 @@ class StreamingSpec extends SparkSpec {
     assert(again.toSeq === first.toSeq)
   }
 
-  test("m_resize_stub: stride arithmetic exact, digest deterministic") {
+  test("m_resize_stub: real decoded-raster resample — dims, sum, digest exact") {
     val rows = Multimodal.mResizeStub(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getString(6))).sortBy(_._1)
     assert(rows.length === Tables.documents(spark, sfDir).count())
-    rows.foreach { case (_, n, resized, digest) =>
-      assert(resized === (n + Multimodal.ResizeStride - 1) / Multimodal.ResizeStride)
+    val s = Multimodal.ResizeStride
+    rows.foreach { case (id, w, h, rw, rh, sum, digest) =>
+      val (ew, eh) = Multimodal.pngDims(id)
+      assert(w === ew && h === eh)
+      assert(rw === (ew + s - 1) / s && rh === (eh + s - 1) / s)
+      val resampled = for { y <- 0 until rh; x <- 0 until rw }
+        yield Multimodal.pngPixel(id, x * s, y * s)
+      assert(sum === resampled.map(_.toLong).sum, s"doc $id r_sum")
       assert(digest.length === 32)
     }
     val again = Multimodal.mResizeStub(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
-    assert(again.toSeq === rows.map(r => (r._1, r._4)).toSeq)
+      .map(r => (r.getLong(0), r.getString(6))).sortBy(_._1)
+    assert(again.toSeq === rows.map(r => (r._1, r._7)).toSeq)
   }
 
   test("m_shard_pack: manifest matches a brute-force sequential pack") {
@@ -336,13 +353,13 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  test("decodeBatch batch shape: grouped(64) never exceeds the batch size") {
+  test("decodeImageBatch batch shape: grouped(64) never exceeds the batch size") {
     val rows = (1 to 150).map(i =>
-      Multimodal.BinaryRow(i.toLong, Array.fill(8)(i.toByte)))
+      Multimodal.BinaryRow(i.toLong, Multimodal.pngFixture(i.toLong)))
     val batches = rows.grouped(Multimodal.BatchSize).toSeq
     assert(batches.forall(_.length <= Multimodal.BatchSize))
     assert(batches.map(_.length).sum === 150)
-    val out = batches.flatMap(Multimodal.decodeBatch)
+    val out = batches.flatMap(Multimodal.decodeImageBatch)
     assert(out.length === 150)
     assert(out.map(_.doc_id) === rows.map(_.doc_id))
   }
