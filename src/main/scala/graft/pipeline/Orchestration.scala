@@ -27,6 +27,17 @@ final class SqlRunner(spark: SparkSession) {
     if (content.count(_ == ';') > 1) executeQueries(content.split(";").toSeq)
     else spark.sql(content)
   }
+
+  /** File-based overload — the reference reads statement files off the
+    * image and interpolates before execution
+    * (hive.py:34-50 `execute_sql_statement_with_interpolation(file=…)`).
+    */
+  def executeFileWithInterpolation(file: String,
+      interpolation: Map[String, String] = Map.empty): Unit =
+    executeWithInterpolation(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
+        java.nio.charset.StandardCharsets.UTF_8),
+      interpolation)
 }
 
 /** Run-status bookkeeping — the reference's DynamoDBHelper

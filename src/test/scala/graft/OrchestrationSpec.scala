@@ -45,6 +45,58 @@ class OrchestrationSpec extends SparkSpec {
     assert(back.count() === Tables.documents(spark, sfDir).count() * 2)
   }
 
+  test("Main CLI path runs a 2-date range end-to-end with reference flag names") {
+    val root = Files.createTempDirectory("graft_cli_corp").toString
+    val out = Files.createTempDirectory("graft_cli_out").toString
+    layoutFixtures(root, Seq("2021-06-15", "2021-06-16"))
+
+    val args = Main.parseArgs(Array(
+      "--correlation_id", "cli-spec",
+      "--source_s3_prefix", root,
+      "--destination_s3_prefix", out,
+      "--start_date", "2021-06-15", "--end_date", "2021-06-16",
+      "--db", "corp", "--collection", "documents",
+      "--force_collection_update",
+      "--not_a_flag", "ignored"))
+    assert(args.correlationId === "cli-spec")
+    assert(args.forceCollectionUpdate)
+    assert(!args.forceExportToHive)
+    assert(args.unrecognized === Seq("--not_a_flag", "ignored")) // parse_known_args
+    assert(Main.collections(args) === Seq(("corp", "documents")))
+
+    val store = new InMemoryStatusStore
+    Main.run(spark, args, store)
+    assert(store.getStatus("cli-spec", "CDI-corp:documents") === Some(StatusStore.Completed))
+    val back = spark.read.parquet(out)
+    assert(back.count() === Tables.documents(spark, sfDir).count() * 2)
+
+    // no --db/--collection and no config file → the reference's default
+    val defArgs = Main.parseArgs(Array("--source_s3_prefix", root))
+    assert(Main.collections(defArgs) === Seq(("calculator", "calculationParts")))
+
+    // config-file collections map (collections_all shape)
+    val cfg = Files.createTempFile("graft_cfg", ".json")
+    Files.write(cfg,
+      """{"collections_all": {
+        |  "db.corp.documents": {"db": "corp", "table": "documents"},
+        |  "db.corp.events": {"db": "corp", "table": "events"}}}""".stripMargin.getBytes)
+    val cfgArgs = Main.parseArgs(Array("--configuration_file", cfg.toString))
+    assert(Main.collections(cfgArgs) ===
+      Seq(("corp", "documents"), ("corp", "events")))
+  }
+
+  test("SqlRunner executes a statement file with interpolation") {
+    val f = Files.createTempFile("graft_sql", ".sql")
+    Files.write(f,
+      """CREATE DATABASE IF NOT EXISTS sql_file_spec;
+        |DROP TABLE IF EXISTS sql_file_spec.t1;
+        |CREATE TABLE sql_file_spec.t1 USING PARQUET AS SELECT #{n} AS n;
+        |""".stripMargin.getBytes)
+    new SqlRunner(spark).executeFileWithInterpolation(f.toString, Map("#{n}" -> "7"))
+    assert(spark.table("sql_file_spec.t1").collect().map(_.getInt(0)).toSeq === Seq(7))
+    spark.sql("DROP DATABASE IF EXISTS sql_file_spec CASCADE")
+  }
+
   test("runRange marks FAILED and rethrows when a date's data is missing") {
     val root = Files.createTempDirectory("graft_corp_fail").toString
     val out = Files.createTempDirectory("graft_daily_fail").toString
