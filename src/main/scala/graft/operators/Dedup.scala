@@ -129,7 +129,7 @@ object Dedup {
 
   val dMinhashLshSql: String =
     """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
@@ -219,8 +219,8 @@ object Dedup {
 
   val dSimhashSql: String =
     """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
-      |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) > 0),
+      |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
+      |  FROM documents WHERE len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) > 0),
       |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
       |h AS (
       |  SELECT doc_id,

@@ -30,8 +30,8 @@ object Text {
 
   val tTokensSql: String =
     """SELECT doc_id,
-      |  len(list_filter(string_split_regex(text, '\s+'), w -> w != '')) AS ws_tokens,
-      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+      |  len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w != '')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS re_tokens,
       |  length(text) AS chars
       |FROM documents""".stripMargin
 
@@ -64,17 +64,17 @@ object Text {
 
   val tQualitySql: String =
     """SELECT doc_id,
-      |  len(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS n_words,
-      |  len(list_filter(string_split_regex(lower(text), '\s+'),
+      |  len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w != '')) AS n_words,
+      |  len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
       |    w -> list_contains(['the','a','of','and','to','in','for','on','with','as'], w))) AS stop_hits,
       |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
       |  round(
-      |    0.4 * (CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    0.4 * (CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
       |      w -> list_contains(['the','a','of','and','to','in','for','on','with','as'], w))) AS DOUBLE)
-      |      / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')), 1))
+      |      / greatest(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w != '')), 1))
       |    + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
       |      / greatest(length(text), 1))
-      |    + 0.3 * least(1.0, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS DOUBLE) / 100.0),
+      |    + 0.3 * least(1.0, CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w != '')) AS DOUBLE) / 100.0),
       |  6) AS quality
       |FROM documents""".stripMargin
 
@@ -173,7 +173,7 @@ object Text {
       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
       |SELECT doc_id,
       |  list_reduce(
-      |    list_prepend('seed', list_filter(string_split_regex(text, '\s+'), x -> x != '')),
+      |    list_prepend('seed', list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')),
       |    (a, b) -> md5(a || '|' || b)) AS fp
       |FROM corpus""".stripMargin
 
@@ -206,7 +206,7 @@ object Text {
     """WITH gated AS (
       |  SELECT * FROM (
       |    SELECT doc_id, text, lang, n_chars,
-      |      len(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS n_words
+      |      len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w != '')) AS n_words
       |    FROM documents
       |  ) WHERE n_words >= 20
       |)
@@ -427,7 +427,7 @@ object Text {
   val tRepetitionSql: String =
     """WITH w AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
       |  FROM documents),
       |b AS (
       |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
@@ -518,7 +518,7 @@ object Text {
   val tDecontaminateSql: String =
     """WITH w AS (
       |  SELECT doc_id, lang,
-      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(
@@ -700,7 +700,7 @@ object Text {
   val tPerplexitySql: String =
     """WITH terms AS (
       |  SELECT doc_id,
-      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS term
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')) AS term
       |  FROM documents),
       |lm AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1),
       |n AS (SELECT COUNT(*) AS n_tokens FROM terms)
@@ -745,12 +745,12 @@ object Text {
   val tFilterFunnelSql: String =
     """WITH f AS (
       |  SELECT doc_id,
-      |    len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS nw,
-      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS nw,
+      |    len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
       |      w -> list_contains(['the','a','of','and','to','in','for','on','with','as'], w))) AS sh,
       |    len(regexp_extract_all(text, '[0-9]{6,}')) AS digit_runs,
-      |    len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''))) AS n_distinct,
-      |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS n_words
+      |    len(list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != ''))) AS n_distinct,
+      |    len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')) AS n_words
       |  FROM documents),
       |g AS (
       |  SELECT COUNT(*) AS n0,

@@ -63,8 +63,14 @@ object Bucketing {
     */
   private def layoutName(prefix: String, d: String, df: DataFrame,
       key: String, buckets: Int): String = {
-    val fp = math.abs((df.schema.toDDL + "|" + key + "|" + buckets).hashCode)
-    s"${prefix}_${math.abs(d.hashCode)}_$fp"
+    // truncated MD5, not String.hashCode: 32-bit fingerprints collide
+    // plausibly across layout revisions (and abs(Int.MinValue) stays
+    // negative), and a collision would re-attach a stale layout
+    def fp(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    }
+    s"${prefix}_${fp(d)}_${fp(df.schema.toDDL + "|" + key + "|" + buckets)}"
   }
 
   /** A24: join + aggregation over co-bucketed tables — the amortized

@@ -531,7 +531,7 @@ object Analytics {
 
   val qExplodeSql: String =
     """SELECT w, COUNT(*) AS cnt FROM (
-      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+      |  SELECT unnest(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+')) AS w FROM documents
       |) WHERE w != ''
       |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin
 

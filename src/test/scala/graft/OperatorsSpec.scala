@@ -82,6 +82,52 @@ class OperatorsSpec extends SparkSpec {
     assert(found.subsetOf(all), s"unverified pairs reported: ${found -- all}")
   }
 
+  test("oracle recall contract: banded candidates cover every threshold-qualifying pair") {
+    // The d_minhash_lsh / d_ngram_jaccard / d_embed_cos oracles are
+    // exact all-pairs sets, so their hash gates encode recall = 1.0 of
+    // the probabilistic candidate generators on the gate corpus. This
+    // spec asserts that equality DIRECTLY, so a future recall miss (new
+    // corpus, changed banding) fails here with the missing pairs named,
+    // instead of surfacing as an opaque oracle hash mismatch.
+    val mh = Dedup.dMinhashLsh(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhQualifying = bruteJaccardPairs(0.5).map(p => (p._1, p._2)).toSet
+    assert(mh === mhQualifying,
+      s"minhash banding recall miss: ${mhQualifying -- mh}; extra: ${mh -- mhQualifying}")
+
+    val ng = Dedup.dNgramJaccard(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs5 = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)),
+        r.getString(3).sliding(5).filter(_.length == 5).toSet))
+    val ngQualifying = (for {
+      (ia, ba, sa) <- docs5; (ib, bb, sb) <- docs5
+      if ia < ib && ba == bb
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if uni > 0 && inter * 5 >= uni * 3
+    } yield (ia, ib)).toSet
+    assert(ng === ngQualifying,
+      s"ngram banding recall miss: ${ngQualifying -- ng}; extra: ${ng -- ngQualifying}")
+
+    val ec = Dedup.dEmbedCos(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = Dedup.corpusWithNearVectors(spark, sfDir)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ecQualifying = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      if BigDecimal(cos(va, vb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.95
+    } yield (ia, ib)).toSet
+    assert(ec === ecQualifying,
+      s"hyperplane-LSH recall miss: ${ecQualifying -- ec}; extra: ${ec -- ecQualifying}")
+  }
+
   test("d_simhash: near-identical docs collide within hamming budget") {
     val strong = bruteJaccardPairs(0.9).map(p => (p._1, p._2)).toSet
     val found = Dedup.dSimhash(spark, sfDir)

@@ -26,9 +26,14 @@ def main():
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     con = duckdb.connect()
-    # replica id offset must clear the real id range or replicas collide
-    doc_off = con.sql(f"SELECT MAX(doc_id) + 1 FROM '{sf}/documents.parquet'").fetchone()[0]
-    vec_off = con.sql(f"SELECT MAX(vec_id) + 1 FROM '{sf}/embeddings.parquet'").fetchone()[0]
+    # replica id offset must clear the real id range AND the +1_000_000
+    # synthetic-duplicate offset the dedup corpora add (corpusWithExactDups /
+    # corpusWithNearVectors): with offset >= 2_000_000 and real ids < 1M,
+    # replica ids (k*off + r) and synthetic ids (k*off + r + 1M) never collide
+    doc_off = max(2_000_000,
+                  con.sql(f"SELECT MAX(doc_id) + 1 FROM '{sf}/documents.parquet'").fetchone()[0])
+    vec_off = max(2_000_000,
+                  con.sql(f"SELECT MAX(vec_id) + 1 FROM '{sf}/embeddings.parquet'").fetchone()[0])
     con.sql(f"""COPY (
       SELECT doc_id + {doc_off}*i.i AS doc_id,
              text || CASE WHEN i.i = 0 THEN '' ELSE ' rev' || i.i END AS text,
