@@ -34,8 +34,9 @@ object Main {
       unrecognized: Seq[String])
 
   /** Mirror of get_arguments (corporate_data_ingestion.py:149-178):
-    * `--flag value` pairs, two boolean store_true flags, unrecognized
-    * args collected rather than fatal.
+    * `--flag value` and `--flag=value` forms, two boolean store_true
+    * flags, unrecognized args collected rather than fatal, and a clear
+    * error (argparse behavior) when a value-taking flag has no value.
     */
   def parseArgs(argv: Array[String]): Args = {
     var a = Args(java.util.UUID.randomUUID().toString, None, None, None, None,
@@ -43,21 +44,32 @@ object Main {
       forceExportToHive = false, None, Nil)
     var i = 0
     val unknown = Seq.newBuilder[String]
-    def value(): String = { i += 1; argv(i) }
+    var inline: Option[String] = None // value after '=' in --flag=value
+    def value(flag: String): String = inline.getOrElse {
+      i += 1
+      if (i >= argv.length)
+        throw new IllegalArgumentException(s"argument $flag: expected one argument")
+      argv(i)
+    }
     while (i < argv.length) {
-      argv(i) match {
-        case "--correlation_id" => a = a.copy(correlationId = value())
-        case "--source_s3_prefix" => a = a.copy(sourcePrefix = Some(value()))
-        case "--destination_s3_prefix" => a = a.copy(destinationPrefix = Some(value()))
-        case "--start_date" => a = a.copy(startDate = Some(value()))
-        case "--end_date" => a = a.copy(endDate = Some(value()))
-        case "--collection" => a = a.copy(collection = Some(value()))
-        case "--db" => a = a.copy(db = Some(value()))
-        case "--concurrency" => a = a.copy(concurrency = value().toInt)
+      val (flag, inlineVal) = argv(i).split("=", 2) match {
+        case Array(f, v) if f.startsWith("--") => (f, Some(v))
+        case _ => (argv(i), None)
+      }
+      inline = inlineVal
+      flag match {
+        case "--correlation_id" => a = a.copy(correlationId = value(flag))
+        case "--source_s3_prefix" => a = a.copy(sourcePrefix = Some(value(flag)))
+        case "--destination_s3_prefix" => a = a.copy(destinationPrefix = Some(value(flag)))
+        case "--start_date" => a = a.copy(startDate = Some(value(flag)))
+        case "--end_date" => a = a.copy(endDate = Some(value(flag)))
+        case "--collection" => a = a.copy(collection = Some(value(flag)))
+        case "--db" => a = a.copy(db = Some(value(flag)))
+        case "--concurrency" => a = a.copy(concurrency = value(flag).toInt)
         case "--force_collection_update" => a = a.copy(forceCollectionUpdate = true)
         case "--force_export_to_hive" => a = a.copy(forceExportToHive = true)
-        case "--configuration_file" => a = a.copy(configurationFile = Some(value()))
-        case other => unknown += other
+        case "--configuration_file" => a = a.copy(configurationFile = Some(value(flag)))
+        case _ => unknown += argv(i)
       }
       i += 1
     }
@@ -73,6 +85,10 @@ object Main {
   def collections(a: Args): Seq[(String, String)] =
     (a.db, a.collection) match {
       case (Some(db), Some(c)) => Seq((db, c))
+      case (Some(_), None) | (None, Some(_)) =>
+        // half a pair must not silently fall back to the default —
+        // that would ingest a different collection than the one named
+        sys.error("--db and --collection must be provided together")
       case _ =>
         a.configurationFile.map { path =>
           val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -92,6 +108,10 @@ object Main {
   /** The process_collection loop: per collection, run the date range
     * with IN_PROGRESS/COMPLETED/FAILED transitions (Runner.runRange).
     * Dates default to today (same as the reference's today_str).
+    * Collections run on a `--concurrency`-sized pool (the reference's
+    * concurrent-collections knob) — Spark schedules concurrent jobs
+    * from multiple driver threads fine; each collection's date LOOP
+    * stays sequential because later dates read earlier state.
     */
   def run(spark: SparkSession, a: Args, status: StatusStore): Unit = {
     val today = java.time.LocalDate.now().toString
@@ -101,10 +121,19 @@ object Main {
       sys.error("--source_s3_prefix is required to run an ingestion"))
     val dest = a.destinationPrefix.getOrElse(
       sys.error("--destination_s3_prefix is required to run an ingestion"))
-    collections(a).foreach { case (db, table) =>
-      new Runner(spark, status, correlationId = a.correlationId)
-        .runRange(source, start, end, db, table, dest)
-    }
+    val cols = collections(a)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(a.concurrency, cols.size)))
+    try {
+      val futures = cols.map { case (db, table) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            new Runner(spark, status, correlationId = a.correlationId)
+              .runRange(source, start, end, db, table, dest)
+        })
+      }
+      futures.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
   }
 
   def main(argv: Array[String]): Unit = {

@@ -757,7 +757,7 @@ object Dedup {
        |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0),
        |w AS (
        |  SELECT doc_id, lang,
-       |    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ws
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
        |  FROM corpus),
        |g AS (
        |  SELECT doc_id, lang, CASE WHEN len(ws) >= $SpanWords

@@ -270,7 +270,7 @@ object Text {
        |  UNION ALL
        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
        |w AS (
-       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ws
+       |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
        |  FROM corpus),
        |g AS (
        |  SELECT doc_id, CASE WHEN len(ws) >= $WinnowK
@@ -576,7 +576,7 @@ object Text {
   val tNgramCountsSql: String =
     s"""WITH w AS (
        |  SELECT doc_id, lang,
-       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
        |  FROM documents),
        |b AS (
        |  SELECT lang, unnest(
@@ -623,7 +623,7 @@ object Text {
 
   val tTfidfSql: String =
     s"""WITH tf AS (
-       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS term
        |  FROM documents),
        |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
        |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
@@ -833,8 +833,8 @@ object Text {
   val tPipelineE2eSql: String =
     s"""WITH base AS (
        |  SELECT doc_id, lang, n_chars, text,
-       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS nw,
-       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+       |    len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS nw,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS w
        |  FROM documents),
        |gated AS (SELECT * FROM base WHERE nw >= 20),
        |deduped AS (

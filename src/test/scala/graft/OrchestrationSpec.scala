@@ -74,6 +74,14 @@ class OrchestrationSpec extends SparkSpec {
     val defArgs = Main.parseArgs(Array("--source_s3_prefix", root))
     assert(Main.collections(defArgs) === Seq(("calculator", "calculationParts")))
 
+    // argparse parity: --flag=value form, missing value, half a pair
+    val eq = Main.parseArgs(Array("--start_date=2021-06-15", "--db=corp"))
+    assert(eq.startDate === Some("2021-06-15") && eq.db === Some("corp"))
+    intercept[IllegalArgumentException] { Main.parseArgs(Array("--collection")) }
+    intercept[RuntimeException] {
+      Main.collections(Main.parseArgs(Array("--collection", "documents")))
+    }
+
     // config-file collections map (collections_all shape)
     val cfg = Files.createTempFile("graft_cfg", ".json")
     Files.write(cfg,
