@@ -73,10 +73,14 @@ object Bench {
         try {
           val t1 = run()
           // a single shared-JVM run can catch a GC pause or codegen
-          // compile burst; re-measure outliers once and report the
-          // better of the two (steady-state) timings. A failure in the
-          // RE-measure must not discard the valid first timing.
-          if (t1 > 2.5) scala.util.Try(run()).toOption.fold(t1)(math.min(t1, _))
+          // compile burst; re-measure once and report the better of the
+          // two (steady-state) timings. The 1.0s threshold covers every
+          // row where run-to-run noise has mis-graded a query before
+          // (a 0.7s query once benched at 2.9s in a shared-JVM sweep
+          // and drew a false regression flag); sub-second rows aren't
+          // worth the wall time. A failure in the RE-measure must not
+          // discard the valid first timing.
+          if (t1 > 1.0) scala.util.Try(run()).toOption.fold(t1)(math.min(t1, _))
           else t1
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
