@@ -66,7 +66,10 @@ object Multimodal {
     ((docId * 31 + 7L * x + 13L * y) % 256).toInt
 
   /** Deterministic tiny grayscale PNG for one doc id. */
-  def pngFixture(docId: Long): Array[Byte] = {
+  def pngFixture(docId: Long): Array[Byte] =
+    withPngWriter(writer => encodePng(writer, docId))
+
+  private def encodePng(writer: javax.imageio.ImageWriter, docId: Long): Array[Byte] = {
     val (w, h) = pngDims(docId)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -78,41 +81,81 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally ios.close()
     bos.toByteArray
   }
+
+  private def withPngWriter[T](f: javax.imageio.ImageWriter => T): T = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    try f(writer) finally writer.dispose()
+  }
+
+  /** Encode a whole partition's fixtures through ONE shared writer —
+    * same amortization story as the batch decode seam (ImageIO.write's
+    * per-call plugin lookup + writer construction dominated the actual
+    * deflate work for these tiny images).
+    */
+  def pngFixturePartition(ids: Iterator[Long]): Iterator[BinaryRow] =
+    ids.grouped(BatchSize).flatMap { g =>
+      withPngWriter(writer => g.map(id => BinaryRow(id, encodePng(writer, id))))
+    }
 
   final case class ImgFeatures(doc_id: Long, width: Int, height: Int,
       px_sum: Long, px_min: Int, px_max: Int)
 
-  /** REAL decode/feature-extract for one batch of PNG payloads:
-    * ImageIO.read per payload (the batch boundary is where a vectorized
-    * decoder — ONNX session, JNI codec — would take the whole batch in
-    * one call), then (width, height, gray-channel sum/min/max) off the
-    * decoded raster.
+  /** One PNG reader serving a whole batch — this is what the batch
+    * seam buys: `ImageIO.read` pays plugin lookup + reader construction
+    * PER IMAGE, while a reusable reader amortizes it the way a
+    * vectorized decoder (ONNX session, JNI codec) amortizes model/init
+    * cost over its input batch.
+    */
+  private def withPngReader[T](f: javax.imageio.ImageReader => T): T = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    try f(reader) finally reader.dispose()
+  }
+
+  private def readPng(reader: javax.imageio.ImageReader,
+      payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally iis.close()
+  }
+
+  /** REAL decode/feature-extract for one batch of PNG payloads: decode
+    * each with the shared per-batch reader, then (width, height,
+    * gray-channel sum/min/max) off the decoded raster.
     */
   def decodeImageBatch(batch: Seq[BinaryRow]): Seq[ImgFeatures] =
-    batch.map { r =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-      val raster = img.getRaster
-      val w = img.getWidth
-      val h = img.getHeight
-      var sum = 0L
-      var mn = 255
-      var mx = 0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = raster.getSample(x, y, 0)
-          sum += v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          x += 1
+    withPngReader { reader =>
+      batch.map { r =>
+        val img = readPng(reader, r.payload)
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        ImgFeatures(r.doc_id, w, h, sum, mn, mx)
       }
-      ImgFeatures(r.doc_id, w, h, sum, mn, mx)
     }
 
   /** F2: batched image decode + feature extraction — PNG payloads
@@ -124,7 +167,7 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => BinaryRow(id, pngFixture(id))))
+      .mapPartitions(pngFixturePartition)
       .mapPartitions(_.grouped(BatchSize).flatMap(g => decodeImageBatch(g.toSeq)))
       .toDF()
   }
@@ -229,8 +272,8 @@ object Multimodal {
     * codec.
     */
   def resizeImageBatch(batch: Seq[BinaryRow]): Seq[ResizedImg] =
-    batch.map { r =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    withPngReader { reader => batch.map { r =>
+      val img = readPng(reader, r.payload)
       val raster = img.getRaster
       val w = img.getWidth
       val h = img.getHeight
@@ -250,7 +293,7 @@ object Multimodal {
         y += 1
       }
       ResizedImg(r.doc_id, w, h, rw, rh, sum, md5OfUpperHex(out.iterator))
-    }
+    } }
 
   /** F6: batched real image resize — PNG fixture per partition, decode
     * + stride resample in `BatchSize` batches via typed mapPartitions,
@@ -260,7 +303,7 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => BinaryRow(id, pngFixture(id))))
+      .mapPartitions(pngFixturePartition)
       .mapPartitions(_.grouped(BatchSize).flatMap(g => resizeImageBatch(g.toSeq)))
       .toDF()
   }
