@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+/** Physical-plan shape contracts for representative queries — the
+  * properties that make plans survive a 100× scale-up, asserted so a
+  * refactor that silently de-optimizes a plan (a lost broadcast, a new
+  * shuffle in a scan-shaped query, a filter that stops reaching the
+  * parquet scan) fails HERE with the plan printed, not as a slow row
+  * in some later benchmark.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def countShuffles(df: DataFrame): Int =
+    executed(df).collect { case e: ShuffleExchangeLike => e }.size
+
+  private def countBroadcasts(df: DataFrame): Int =
+    executed(df).collect { case e: BroadcastExchangeLike => e }.size
+
+  test("scan-shaped queries plan with zero shuffles") {
+    // one pass over the scan, kernel/projection only — any Exchange
+    // here means a 100 TB run re-materializes the corpus for nothing
+    val scanShaped = Seq(
+      "t_entropy" -> graft.operators.Text.tEntropy(spark, sfDir),
+      "t_tokens" -> graft.operators.Text.tTokens(spark, sfDir),
+      "m_binary_meta" -> graft.multimodal.Multimodal.mBinaryMeta(spark, sfDir),
+      "p_sanitise" -> graft.queries.PipelineQueries.pSanitise(spark, sfDir))
+    scanShaped.foreach { case (name, df) =>
+      assert(countShuffles(df) === 0,
+        s"$name should be shuffle-free:\n${executed(df)}")
+    }
+  }
+
+  test("bounded-side joins broadcast instead of shuffling the corpus") {
+    // the query/batch side is bounded and must arrive by broadcast; the
+    // corpus side streams through — the only acceptable exchanges are
+    // the final window/agg shuffles on the (small) candidate set
+    val brute = graft.operators.Ann.sAnnBrute(spark, sfDir)
+    assert(countBroadcasts(brute) >= 1,
+      s"s_ann_brute must broadcast the query batch:\n${executed(brute)}")
+    val range = graft.operators.Ann.sRangeSearch(spark, sfDir)
+    assert(countBroadcasts(range) >= 1,
+      s"s_range_search must broadcast the batch:\n${executed(range)}")
+    assert(countShuffles(range) === 0,
+      s"s_range_search is a pure broadcast-scan, no shuffle:\n${executed(range)}")
+    // multi-join over dims: every dim side fits a broadcast at any SF
+    val q5 = graft.queries.Analytics.q5Multijoin(spark, sfDir)
+    assert(countBroadcasts(q5) >= 2,
+      s"q5_multijoin should broadcast its dim tables:\n${executed(q5)}")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val scans = executed(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(l_quantity"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+    // column pruning: the scan reads only the 3 referenced columns
+    assert(scan.requiredSchema.fieldNames.toSet === Set("l_orderkey", "l_quantity"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("aggregations keep map-side partial aggregation") {
+    val q1 = graft.queries.Analytics.q1Agg(spark, sfDir)
+    val aggs = executed(q1).collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    // partial + final pair around one exchange — losing the partial
+    // turns a map-side-combined shuffle into shuffling every input row
+    assert(aggs.size >= 2, s"expected partial+final agg:\n${executed(q1)}")
+    assert(countShuffles(q1) <= 2,
+      s"q1_agg should shuffle once for the agg (plus optional sort):\n${executed(q1)}")
+  }
+}
