@@ -68,12 +68,17 @@ final class InMemoryStatusStore extends StatusStore {
   val rows: mutable.LinkedHashMap[(String, String), Entry] = mutable.LinkedHashMap.empty
   val history: mutable.ArrayBuffer[(String, String, String)] = mutable.ArrayBuffer.empty
 
+  // synchronized: Main.run drives one Runner per collection from a
+  // --concurrency-sized pool, so transitions for different collections
+  // can arrive from different threads
   override def getStatus(correlationId: String, dataProduct: String): Option[String] =
-    rows.get((correlationId, dataProduct)).map(_.status)
-      .filter(Set(StatusStore.InProgress, StatusStore.Completed, StatusStore.Failed))
+    synchronized {
+      rows.get((correlationId, dataProduct)).map(_.status)
+        .filter(Set(StatusStore.InProgress, StatusStore.Completed, StatusStore.Failed))
+    }
 
   override def updateStatus(correlationId: String, dataProduct: String, status: String,
-      exportDate: String, extra: Map[String, String] = Map.empty): Unit = {
+      exportDate: String, extra: Map[String, String] = Map.empty): Unit = synchronized {
     val key = (correlationId, dataProduct)
     val merged = rows.get(key) match {
       case Some(e) => e.copy(status = status, extra = e.extra ++ extra)
