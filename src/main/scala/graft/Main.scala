@@ -47,9 +47,16 @@ object Main {
     var inline: Option[String] = None // value after '=' in --flag=value
     def value(flag: String): String = inline.getOrElse {
       i += 1
-      if (i >= argv.length)
+      // argparse treats a following '--token' as the NEXT flag, not a value
+      if (i >= argv.length || argv(i).startsWith("--"))
         throw new IllegalArgumentException(s"argument $flag: expected one argument")
       argv(i)
+    }
+    // argparse errors on --store_true_flag=value rather than ignoring it
+    def storeTrue(flag: String): Boolean = inline match {
+      case Some(v) =>
+        throw new IllegalArgumentException(s"argument $flag: ignored explicit argument '$v'")
+      case None => true
     }
     while (i < argv.length) {
       val (flag, inlineVal) = argv(i).split("=", 2) match {
@@ -66,8 +73,10 @@ object Main {
         case "--collection" => a = a.copy(collection = Some(value(flag)))
         case "--db" => a = a.copy(db = Some(value(flag)))
         case "--concurrency" => a = a.copy(concurrency = value(flag).toInt)
-        case "--force_collection_update" => a = a.copy(forceCollectionUpdate = true)
-        case "--force_export_to_hive" => a = a.copy(forceExportToHive = true)
+        case "--force_collection_update" =>
+          a = a.copy(forceCollectionUpdate = storeTrue(flag))
+        case "--force_export_to_hive" =>
+          a = a.copy(forceExportToHive = storeTrue(flag))
         case "--configuration_file" => a = a.copy(configurationFile = Some(value(flag)))
         case _ => unknown += argv(i)
       }
@@ -128,12 +137,29 @@ object Main {
       val futures = cols.map { case (db, table) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           override def call(): Unit =
-            new Runner(spark, status, correlationId = a.correlationId)
+            new Runner(spark, status, correlationId = a.correlationId,
+              forceCollectionUpdate = a.forceCollectionUpdate,
+              forceExportToHive = a.forceExportToHive)
               .runRange(source, start, end, db, table, dest)
         })
       }
-      futures.foreach(_.get()) // propagate the first failure
-    } finally pool.shutdown()
+      try futures.foreach(_.get()) // propagate the first failure
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          // stop the other collections instead of letting them race a
+          // stopping SparkSession, and rethrow the task's own exception
+          // (the reference re-raises it unwrapped)
+          futures.foreach(_.cancel(true))
+          pool.shutdownNow()
+          throw Option(e.getCause).getOrElse(e)
+      }
+    } finally {
+      pool.shutdown()
+      // quiesce before the caller's spark.stop() pulls the session away
+      // from any still-interrupting runner
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      ()
+    }
   }
 
   def main(argv: Array[String]): Unit = {

@@ -27,7 +27,7 @@ object Ann {
   // from any table agreeing on all 6 signs.
   private val Tables_ = 4
   private val Hyper = 6
-  private val Dim = 64
+  private[operators] val Dim = 64
 
   /** Seeded deterministic hyperplane family: `tables` bucket tables ×
     * `hyper` sign bits each.
@@ -138,7 +138,7 @@ object Ann {
   // ---- IVF (inverted-file) ANN: coarse k-means quantizer ----
 
   private val Cells = 16
-  private val LloydIters = 3
+  private[operators] val LloydIters = 3
   private val Probes = 3
   // centroid means accumulate in fixed point (20 fractional bits): the
   // sums are exact integers, so they are identical regardless of

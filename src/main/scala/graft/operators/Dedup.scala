@@ -445,9 +445,9 @@ object Dedup {
        |  SELECT vec_id, v, label, cell FROM (
        |    SELECT e.vec_id, e.v, e.label, ct.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_reduce(list_transform(range(1, 65),
+       |        list_reduce(list_transform(range(1, ${Ann.Dim + 1}),
        |          i -> (e.v[i] - ct.cv[i]) * (e.v[i] - ct.cv[i])), (x, y) -> x + y), ct.cell) AS ar
-       |    FROM emb e, c3 ct) WHERE ar = 1),
+       |    FROM emb e, c${Ann.LloydIters} ct) WHERE ar = 1),
        |dropped AS (
        |  SELECT DISTINCT a.vec_id
        |  FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id > b.vec_id

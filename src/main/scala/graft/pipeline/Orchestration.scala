@@ -57,6 +57,12 @@ trait StatusStore {
   def getStatus(correlationId: String, dataProduct: String): Option[String]
   def updateStatus(correlationId: String, dataProduct: String, status: String,
       exportDate: String, extra: Map[String, String] = Map.empty): Unit
+
+  /** Accumulated extra fields for a run — the reference scans the
+    * status table for the latest export's S3 prefix/date
+    * (ingesters.py:343-367); here the merged extras carry them.
+    */
+  def getExtras(correlationId: String, dataProduct: String): Map[String, String] = Map.empty
 }
 
 object InMemoryStatusStore {
@@ -87,6 +93,9 @@ final class InMemoryStatusStore extends StatusStore {
     rows.update(key, merged)
     history += ((dataProduct, exportDate, status))
   }
+
+  override def getExtras(correlationId: String, dataProduct: String): Map[String, String] =
+    synchronized { rows.get((correlationId, dataProduct)).map(_.extra).getOrElse(Map.empty) }
 }
 
 /** The reference's driver loop (corporate_data_ingestion.py:80-117):
@@ -100,7 +109,9 @@ final class Runner(
     spark: SparkSession,
     status: StatusStore,
     keys: KeyService = KeyService.identity,
-    correlationId: String = "local") {
+    correlationId: String = "local",
+    forceCollectionUpdate: Boolean = false,
+    forceExportToHive: Boolean = false) {
 
   /** corporate_storage layout prefix for one export date's data. */
   def sourcePrefix(root: String, exportDate: String, db: String, collection: String): String = {
@@ -129,6 +140,14 @@ final class Runner(
       status.updateStatus(correlationId, dataProduct, StatusStore.InProgress, exportDate)
       try {
         Ingest.writeDaily(runDate(root, exportDate, db, collection), outRoot)
+        // CalculationPartsIngester.run (ingesters.py:274-281): the force
+        // flags gate snapshot update and staging publication per date
+        if (forceCollectionUpdate) {
+          update(outRoot, exportDate, db, collection)
+          exportToHive(outRoot, exportDate, db, collection)
+        }
+        if (forceExportToHive)
+          exportToHive(outRoot, exportDate, db, collection)
         status.updateStatus(correlationId, dataProduct, StatusStore.Completed, exportDate)
       } catch {
         case e: Throwable =>
@@ -136,6 +155,64 @@ final class Runner(
           throw e
       }
     }
+  }
+
+  /** New-export location for one date. The leading underscore keeps the
+    * export tree invisible to Spark's file index when the daily root is
+    * read as one partitioned dataset.
+    */
+  def exportPrefix(outRoot: String, db: String, collection: String, exportDate: String): String =
+    s"$outRoot/_exports/$db/$collection/$exportDate"
+
+  /** Forced collection update (ingesters.py:341-460): locate the latest
+    * export via the status store's extras, read the dailies written
+    * SINCE it (partition-pruned on the export y/m/d columns), union with
+    * that export, keep one record per (id_part, id) — DELETE outranks
+    * INSERT, the reference's `row_number over orderBy("db_type")` asc —
+    * and write the new export partitioned by id_part, recording its
+    * prefix+date in the status extras for the next run.
+    */
+  def update(outRoot: String, exportDate: String, db: String, collection: String): Unit = {
+    val dataProduct = s"CDI-$db:$collection"
+    val extras = status.getExtras(correlationId, dataProduct)
+    val prevPrefix = extras.get("S3_Prefix_CDI_Export")
+    val prevDate = extras.get("CDI_Export_Date")
+    val newPrefix = exportPrefix(outRoot, db, collection, exportDate)
+    status.updateStatus(correlationId, dataProduct, StatusStore.InProgress, exportDate,
+      Map("S3_Prefix_CDI_Export" -> newPrefix, "CDI_Export_Date" -> exportDate))
+    val outCols = Seq("id", "db_type", "val", "id_part")
+    val dailiesAll = spark.read.parquet(outRoot)
+    val dailies = prevDate.fold(dailiesAll) { prev =>
+      val Array(y, m, dd) = prev.split("-").map(_.toInt)
+      dailiesAll.filter(
+        col("export_year") > y ||
+          (col("export_year") === y && col("export_month") > m) ||
+          (col("export_year") === y && col("export_month") === m && col("export_day") > dd))
+    }.select(outCols.map(col): _*)
+    val export = prevPrefix
+      .map(p => spark.read.parquet(p).select(outCols.map(col): _*))
+      .getOrElse(dailies.limit(0))
+    val merged = Snapshot.merge(export, dailies, Seq("id_part", "id"),
+      when(col("db_type") === "DELETE", 1).otherwise(0))
+    Snapshot.writeSnapshot(merged.select(outCols.map(col): _*), newPrefix)
+  }
+
+  /** Staging publication (ingesters.py:283-339): drop and re-publish
+    * the collection's staging table from the latest export. The
+    * reference's typed per-table DDLs are files bundled on its EMR
+    * image (deployment detail); the published shape here is the
+    * export's canonical (id, db_type, val, id_part) rows.
+    */
+  def exportToHive(outRoot: String, exportDate: String, db: String, collection: String): Unit = {
+    val dataProduct = s"CDI-$db:$collection"
+    val prefix = status.getExtras(correlationId, dataProduct)
+      .getOrElse("S3_Prefix_CDI_Export", exportPrefix(outRoot, db, collection, exportDate))
+    val stagingDb = s"${db}_staging"
+    val table = s"$stagingDb.src_${collection.toLowerCase}"
+    val sql = new SqlRunner(spark)
+    sql.createDatabaseIfNotExist(stagingDb)
+    sql.executeQueries(Seq(s"DROP TABLE IF EXISTS $table"))
+    spark.read.parquet(prefix).write.format("parquet").saveAsTable(table)
   }
 }
 

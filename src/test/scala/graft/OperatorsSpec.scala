@@ -99,8 +99,16 @@ class OperatorsSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs5 = Tables.documents(spark, sfDir)
       .select("doc_id", "lang", "source", "text").collect()
-      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)),
-        r.getString(3).sliding(5).filter(_.length == 5).toSet))
+      .map { r =>
+        // mirror the kernel's short-doc behavior: a doc under 5 chars
+        // contributes its whole text as the single gram (char_gram_hashes
+        // and the oracle both do), not an empty set
+        val text = r.getString(3)
+        val grams =
+          if (text.length < 5) Set(text)
+          else text.sliding(5).filter(_.length == 5).toSet
+        (r.getLong(0), (r.getString(1), r.getString(2)), grams)
+      }
     val ngQualifying = (for {
       (ia, ba, sa) <- docs5; (ib, bb, sb) <- docs5
       if ia < ib && ba == bb

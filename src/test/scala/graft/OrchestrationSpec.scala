@@ -70,6 +70,20 @@ class OrchestrationSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.count() === Tables.documents(spark, sfDir).count() * 2)
 
+    // --force_collection_update ran: per-date snapshot exports exist (the
+    // _exports tree is hidden from the daily read above), the status
+    // extras carry the latest prefix/date, and the staging table holds
+    // one merged record per id
+    val extras = store.getExtras("cli-spec", "CDI-corp:documents")
+    assert(extras("CDI_Export_Date") === "2021-06-16")
+    assert(extras("S3_Prefix_CDI_Export") === s"$out/_exports/corp/documents/2021-06-16")
+    val export = spark.read.parquet(extras("S3_Prefix_CDI_Export"))
+    assert(export.count() === Tables.documents(spark, sfDir).count())
+    assert(spark.catalog.tableExists("corp_staging.src_documents"))
+    assert(spark.table("corp_staging.src_documents").count() ===
+      Tables.documents(spark, sfDir).count())
+    spark.sql("DROP DATABASE IF EXISTS corp_staging CASCADE")
+
     // no --db/--collection and no config file → the reference's default
     val defArgs = Main.parseArgs(Array("--source_s3_prefix", root))
     assert(Main.collections(defArgs) === Seq(("calculator", "calculationParts")))
@@ -78,6 +92,14 @@ class OrchestrationSpec extends SparkSpec {
     val eq = Main.parseArgs(Array("--start_date=2021-06-15", "--db=corp"))
     assert(eq.startDate === Some("2021-06-15") && eq.db === Some("corp"))
     intercept[IllegalArgumentException] { Main.parseArgs(Array("--collection")) }
+    // argparse: inline value on a store_true flag is an error, and a
+    // value-taking flag never consumes a following --flag as its value
+    intercept[IllegalArgumentException] {
+      Main.parseArgs(Array("--force_collection_update=yes"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseArgs(Array("--collection", "--db", "corp"))
+    }
     intercept[RuntimeException] {
       Main.collections(Main.parseArgs(Array("--collection", "documents")))
     }
