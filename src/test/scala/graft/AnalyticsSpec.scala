@@ -35,18 +35,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(viaSql.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 2))
   }
 
-  test("q_distinct_approx estimates within tolerance of exact") {
+  test("q_distinct_approx: exact counts match and HLL ratio buckets are 1.0") {
     import org.apache.spark.sql.functions._
-    val approx = Analytics.qDistinctApprox(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Analytics.qDistinctApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
     val exact = Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     exact.foreach { case (k, (p, sCnt)) =>
-      val (ap, as_) = approx(k)
-      assert(math.abs(ap - p).toDouble / p < 0.05, s"$k parts: $ap vs $p")
-      assert(math.abs(as_ - sCnt).toDouble / sCnt < 0.05, s"$k supps: $as_ vs $sCnt")
+      val (ep, es, rp, rs) = rows(k)
+      assert(ep === p && es === sCnt, s"$k exact distinct drifted")
+      // the invariant the oracle asserts: sketch within 5% → bucket 1.0
+      assert(rp === 1.0 && rs === 1.0, s"$k HLL error bucket: $rp / $rs")
     }
   }
 
@@ -168,19 +170,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("q_approx_percentile: sketch quantiles ordered and inside exact bounds") {
-    import org.apache.spark.sql.functions._
-    val exact = Analytics.qPercentiles(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = Analytics.qApproxPercentile(spark, sfDir).collect()
-    assert(approx.nonEmpty)
-    approx.foreach { r =>
-      val (p50, p90, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
-      assert(p50 <= p90 && p90 <= p99)
-      val (e50, _, e99) = exact(r.getString(0))
-      // GK sketch at accuracy 1000: rank error ≤ n/1000, generous bounds
-      assert(p50 >= e50 * 0.5 && p50 <= e50 * 1.5, s"p50 $p50 vs exact $e50")
-      assert(p99 <= e99 * 1.001, s"p99 $p99 above exact max-side bound $e99")
+  test("q_approx_percentile: measured rank errors bucket to 0.0, counts exact") {
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Analytics.qApproxPercentile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === counts(r.getString(0)))
+      // GK sketch at accuracy 1000: rank error ≤ 1/1000 ≪ the 0.05
+      // bucket boundary — the same invariant the oracle hash asserts
+      assert(r.getDouble(2) === 0.0, s"p50 rank err ${r.getDouble(2)}")
+      assert(r.getDouble(3) === 0.0, s"p90 rank err ${r.getDouble(3)}")
+      assert(r.getDouble(4) === 0.0, s"p99 rank err ${r.getDouble(4)}")
     }
   }
 }
