@@ -12,7 +12,7 @@ import graft.queries.QueryDef
   *
   * The image path is REAL: payloads are genuine PNGs (synthesized
   * deterministically, encoded and decoded with javax.imageio — pure
-  * JDK, no external codec), and m_feature_stub / m_resize_stub read
+  * JDK, no external codec), and m_decode_features / m_resize read
   * actual decoded rasters. Because the fixture pixels are closed-form
   * in doc_id and PNG is lossless, the DuckDB oracle re-derives the
   * pixel stats without a codec — so the decode is hash-verified
@@ -163,7 +163,7 @@ object Multimodal {
     * `BatchSize` batches via typed mapPartitions, no shuffle
     * (partition-preserving; parallelism = input partitioning).
     */
-  def mFeatureStub(s: SparkSession, d: String): DataFrame = {
+  def mDecodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
@@ -172,12 +172,12 @@ object Multimodal {
       .toDF()
   }
 
-  /** m_feature_stub oracle: pixel stats re-derived from the closed-form
+  /** m_decode_features oracle: pixel stats re-derived from the closed-form
     * pixel function — row-major index k ↦ (x = k mod w, y = k div w).
     * Matches only if the Spark side's PNG encode→decode round-trip is
     * pixel-exact.
     */
-  val mFeatureStubSql: String =
+  val mDecodeFeaturesSql: String =
     """WITH dims AS (
       |  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
       |         CAST(8 + doc_id % 7 AS INTEGER) AS h
@@ -191,7 +191,7 @@ object Multimodal {
       |  CAST(MAX((doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256) AS INTEGER) AS px_max
       |FROM px GROUP BY doc_id""".stripMargin
 
-  /** The stub-digest convention shared by the sampling/resize stubs:
+  /** The digest convention for opaque byte slices (frame sampling):
     * md5-hex of the bytes' UPPERCASE-hex rendering — reproducible from
     * DuckDB's hex(payload).
     */
@@ -229,7 +229,7 @@ object Multimodal {
   }
 
   /** F3: frame sampling over binary payloads — typed mapPartitions,
-    * batched like mFeatureStub, partition-preserving.
+    * batched like mDecodeFeatures, partition-preserving.
     */
   def mFrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -299,7 +299,7 @@ object Multimodal {
     * + stride resample in `BatchSize` batches via typed mapPartitions,
     * partition-preserving.
     */
-  def mResizeStub(s: SparkSession, d: String): DataFrame = {
+  def mResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
@@ -308,11 +308,11 @@ object Multimodal {
       .toDF()
   }
 
-  /** m_resize_stub oracle: resampled pixel (x, y) reads source pixel
+  /** m_resize oracle: resampled pixel (x, y) reads source pixel
     * (2x, 2y) of the closed-form image; digest re-built with
     * printf('%02X') + ordered string_agg.
     */
-  val mResizeStubSql: String =
+  val mResizeSql: String =
     s"""WITH dims AS (
        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
        |         CAST(8 + doc_id % 7 AS INTEGER) AS h
@@ -427,9 +427,9 @@ object Multimodal {
   val all: Seq[QueryDef] = Seq(
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_shard_pack", mShardPack, Some(mShardPackSql)),
-    QueryDef("m_feature_stub", mFeatureStub, Some(mFeatureStubSql)),
+    QueryDef("m_decode_features", mDecodeFeatures, Some(mDecodeFeaturesSql)),
     QueryDef("m_frame_sample", mFrameSample, Some(mFrameSampleSql)),
-    QueryDef("m_resize_stub", mResizeStub, Some(mResizeStubSql)),
+    QueryDef("m_resize", mResize, Some(mResizeSql)),
     QueryDef("m_magic_route", mMagicRoute, Some(mMagicRouteSql)),
   )
 }

@@ -277,8 +277,8 @@ class StreamingSpec extends SparkSpec {
       .map(_.getString(0)).toSet.subsetOf(langs))
   }
 
-  test("m_feature_stub: real PNG decode — dims and pixel stats are exact") {
-    val a = Multimodal.mFeatureStub(spark, sfDir).collect()
+  test("m_decode_features: real PNG decode — dims and pixel stats are exact") {
+    val a = Multimodal.mDecodeFeatures(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
         r.getInt(4), r.getInt(5))).sortBy(_._1)
     assert(a.length === Tables.documents(spark, sfDir).count())
@@ -293,7 +293,7 @@ class StreamingSpec extends SparkSpec {
     // the payload really is a decodable PNG with the PNG magic header
     val png = Multimodal.pngFixture(42L)
     assert(png.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
-    val b = Multimodal.mFeatureStub(spark, sfDir).collect()
+    val b = Multimodal.mDecodeFeatures(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
     assert(b.toSeq === a.map(r => (r._1, r._4)).toSeq)
   }
@@ -314,8 +314,8 @@ class StreamingSpec extends SparkSpec {
     assert(again.toSeq === first.toSeq)
   }
 
-  test("m_resize_stub: real decoded-raster resample — dims, sum, digest exact") {
-    val rows = Multimodal.mResizeStub(spark, sfDir).collect()
+  test("m_resize: real decoded-raster resample — dims, sum, digest exact") {
+    val rows = Multimodal.mResize(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
         r.getInt(4), r.getLong(5), r.getString(6))).sortBy(_._1)
     assert(rows.length === Tables.documents(spark, sfDir).count())
@@ -329,7 +329,7 @@ class StreamingSpec extends SparkSpec {
       assert(sum === resampled.map(_.toLong).sum, s"doc $id r_sum")
       assert(digest.length === 32)
     }
-    val again = Multimodal.mResizeStub(spark, sfDir).collect()
+    val again = Multimodal.mResize(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(6))).sortBy(_._1)
     assert(again.toSeq === rows.map(r => (r._1, r._7)).toSeq)
   }
