@@ -69,31 +69,38 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t =
+      // cold = the first run; steady = best of two for rows over 1.0s.
+      // Both are reported so cross-round deltas stay apples-to-apples
+      // (a best-of-2-only number flatters comparisons against rounds
+      // measured cold). A single shared-JVM run can catch a GC pause or
+      // codegen compile burst; the 1.0s threshold covers every row where
+      // run-to-run noise has mis-graded a query before (a 0.7s query
+      // once benched at 2.9s in a shared-JVM sweep and drew a false
+      // regression flag); sub-second rows aren't worth the wall time,
+      // so there cold == steady. A failure in the RE-measure must not
+      // discard the valid first timing.
+      val (cold, steady) =
         try {
           val t1 = run()
-          // a single shared-JVM run can catch a GC pause or codegen
-          // compile burst; re-measure once and report the better of the
-          // two (steady-state) timings. The 1.0s threshold covers every
-          // row where run-to-run noise has mis-graded a query before
-          // (a 0.7s query once benched at 2.9s in a shared-JVM sweep
-          // and drew a false regression flag); sub-second rows aren't
-          // worth the wall time. A failure in the RE-measure must not
-          // discard the valid first timing.
-          if (t1 > 1.0) scala.util.Try(run()).toOption.fold(t1)(math.min(t1, _))
-          else t1
+          val t2 =
+            if (t1 > 1.0) scala.util.Try(run()).toOption.fold(t1)(math.min(t1, _))
+            else t1
+          (t1, t2)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
-          -1.0
+          (-1.0, -1.0)
         }
-      name -> t
+      (name, cold, steady)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val colds = results.map { case (k, c, _) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
+    val totalCold = results.collect { case (_, c, _) if c >= 0 => c }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"queries":$qs,"queries_cold":$colds,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // under a non-forked sbt runMain, println routes through sbt's
     // logger and lands with an "[info] " prefix, which a strict
