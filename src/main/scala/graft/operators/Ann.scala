@@ -154,36 +154,56 @@ object Ann {
 
   private[graft] def fx(x: Double): Long = math.floor(x * FxScale + 0.5).toLong
 
+  /** Past this cell count the per-iteration Lloyd statistics run as
+    * Spark aggregations instead of a driver loop: driver Lloyd is
+    * O(sample·k·dim·iters) with an 8-per-cell sample, fine to 1024
+    * cells (~1.6B scalar ops) and hopeless at the 10⁵–10⁶ cells a
+    * 100 TB embedding corpus wants.
+    */
+  private val DriverLloydMaxCells = 1024
+
+  /** Hard ceiling on cell count — bounds the codebook that must live on
+    * the driver (the centroids are broadcast into the assignment kernel
+    * as one reference object: 65536 × 64 doubles = 32 MB, about the
+    * sane limit for a task-binary-attached codebook; past that the
+    * assignment itself should become a cell-partitioned join against a
+    * centroid TABLE, which gives up the single-pass kernel).
+    */
+  private[graft] val MaxCells = 65536
+
   /** IVF cell count for a corpus of n vectors: k ≈ √N clamped to
-    * [16, 1024]. The cell count must GROW with the corpus — fixed cells
-    * make every query probe a constant FRACTION of the data (Probes/k;
-    * at 100 TB that is ~19 TB per query batch with k=16) and make the
-    * corpus×corpus graph build quadratic per cell (measured 21× at the
-    * 10× probe). k = √N holds per-cell size at ~√N rows: point queries
-    * touch Probes·√N vectors, the kNN build does ~N^1.5 work — the
-    * standard IVF curves. Capped at 1024 because driver Lloyd is
-    * O(sample·k·dim·iters) with an 8-per-cell sample — past that the
-    * quantizer belongs offline/distributed (production trains once per
-    * collection anyway).
+    * [16, 65536]. The cell count must GROW with the corpus — fixed
+    * cells make every query probe a constant FRACTION of the data
+    * (Probes/k; at 100 TB that is ~19 TB per query batch with k=16) and
+    * make the corpus×corpus graph build quadratic per cell (measured
+    * 21× at the 10× probe). k = √N holds per-cell size at ~√N rows:
+    * point queries touch Probes·√N vectors, the kNN build does ~N^1.5
+    * work — the standard IVF curves. √N stays under MaxCells out to
+    * N ≈ 4.3B vectors (≈ a 1 TB f32×64 corpus per collection); beyond
+    * that per-cell size grows as N/65536, still 65536× better than the
+    * old 1024 cap's N/1024.
     */
   private[graft] def scaledCells(n: Long): Int =
-    math.max(Cells, math.min(1024, math.sqrt(n.toDouble).toInt))
+    math.max(Cells, math.min(MaxCells, math.sqrt(n.toDouble).toInt))
 
-  /** Train the coarse quantizer on a bounded deterministic sample
-    * COLLECTED to the driver, then run Lloyd there: quantizer quality
-    * needs a representative subset, not the corpus (production IVF
-    * trains offline on a sample of a 100 TB collection), and the
-    * sample is k-bounded tiny (TrainSample × Dim doubles). Running the
-    * iterations as Spark jobs spent more time planning/codegen'ing the
-    * 16×64-literal distance expressions than computing (3 jobs ×
-    * ~1s each at any SF); driver Lloyd on the same sample is
-    * sub-millisecond, sequentially deterministic, and leaves only two
-    * distributed assignment passes (corpus + queries) in the plan.
+  /** Train the coarse quantizer on a bounded deterministic sample.
+    * Up to DriverLloydMaxCells the sample is COLLECTED and Lloyd runs
+    * on the driver: quantizer quality needs a representative subset,
+    * not the corpus (production IVF trains offline on a sample of a
+    * 100 TB collection), and the sample is k-bounded tiny. Running
+    * SMALL iterations as Spark jobs spent more time
+    * planning/codegen'ing than computing (3 jobs × ~1s each at any
+    * SF); driver Lloyd on the same sample is sub-millisecond.
+    * Past DriverLloydMaxCells (√N > 1024 ⇒ N > ~1M vectors) the
+    * SAME iteration runs distributed (trainCentroidsDistributed) —
+    * both paths produce bit-identical centroids (spec-pinned), so the
+    * unrolled-CTE oracle stays valid for either.
     */
   private val TrainSample = 1024
 
-  private[operators] def trainCentroids(c: DataFrame,
+  private[graft] def trainCentroids(c: DataFrame,
       cells: Int = Cells): Array[(Int, Seq[Double])] = {
+    if (cells > DriverLloydMaxCells) return trainCentroidsDistributed(c, cells)
     val spark = c.sparkSession
     import spark.implicits._
     val sample = math.max(TrainSample, cells * 8)
@@ -215,6 +235,58 @@ object Ann {
       }
     }
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+  }
+
+  /** Distributed Lloyd — the scale path that lifts the old 1024-cell
+    * cap. Same algorithm, same arithmetic, different execution: per
+    * iteration, assignment runs the nearest_cells kernel over the
+    * persisted train sample (identical float ops in identical order to
+    * the driver loop, broadcast codebook), and the per-cell per-dim
+    * means accumulate the SAME 2^-20 fixed-point Long sums via
+    * SUM(BIGINT) — exact integers, order-free, so any partitioning and
+    * any merge order yields bit-identical centroids to the sequential
+    * driver loop. Only the k×Dim statistic rows come back to the
+    * driver per iteration (the codebook has to live there anyway to be
+    * broadcast), never the sample. Cost per iteration is one
+    * sample·k·Dim assignment pass, fully partition-parallel — on a
+    * cluster this is the standard distributed k-means shape.
+    */
+  private[graft] def trainCentroidsDistributed(c: DataFrame,
+      cells: Int): Array[(Int, Seq[Double])] = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val sample = math.max(TrainSample, cells * 8)
+    val train = c.orderBy("vec_id").limit(sample).select("v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = train.count()
+      val k0 = math.min(cells.toLong, n).toInt
+      var centroids: Array[Array[Double]] = c.orderBy("vec_id").limit(k0)
+        .select("v").as[Seq[Double]].collect().map(_.toArray)
+      for (_ <- 1 to LloydIters) {
+        val stats = train
+          .withColumn("cell",
+            element_at(graft.functions.nearest_cells(col("v"), centroids, 1), 1))
+          .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("cell", "i")
+          // floor(x·2^20 + 0.5) AS BIGINT == fx(x): exact Long partials
+          .agg(sum(floor(col("x") * FxScale + 0.5).cast("long")).as("sfx"),
+            count(lit(1)).as("cnt"))
+          .collect()
+        val sums = Array.fill(k0)(new Array[Long](Dim))
+        val counts = new Array[Long](k0)
+        stats.foreach { r =>
+          val cell = r.getInt(0)
+          sums(cell)(r.getInt(1)) = r.getLong(2)
+          counts(cell) = r.getLong(3)
+        }
+        centroids = Array.tabulate(k0) { k =>
+          if (counts(k) == 0) centroids(k) // empty cell keeps its centroid
+          else Array.tabulate(Dim)(i => sums(k)(i).toDouble / (counts(k) * FxScale))
+        }
+      }
+      centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+    } finally { train.unpersist(); () }
   }
 
   /** Assign each row to its `probes` nearest cells (L2 on the
@@ -419,7 +491,7 @@ object Ann {
     * `c3 (cell, cv)`.
     */
   private[operators] def lloydCtes(corpus: String): String = {
-    val cellsExpr = "GREATEST(16, LEAST(1024, CAST(FLOOR(SQRT(COUNT(*))) AS INT)))"
+    val cellsExpr = s"GREATEST(16, LEAST($MaxCells, CAST(FLOOR(SQRT(COUNT(*))) AS INT)))"
     val head =
       s"""params AS (
          |  SELECT $cellsExpr AS cells, GREATEST(1024, $cellsExpr * 8) AS sample

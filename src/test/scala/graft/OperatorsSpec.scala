@@ -82,6 +82,26 @@ class OperatorsSpec extends SparkSpec {
     assert(found.subsetOf(all), s"unverified pairs reported: ${found -- all}")
   }
 
+  test("distributed Lloyd is bit-identical to driver Lloyd (cell-cap lift is oracle-safe)") {
+    val c = Dedup.corpusWithNearVectors(spark, sfDir).select("vec_id", "v")
+    val cells = Ann.scaledCells(c.count())
+    assert(cells <= 1024) // gate corpus takes the driver path...
+    val driver = Ann.trainCentroids(c, cells)
+    // ...so run the distributed trainer explicitly on the same inputs:
+    // identical centroids means the unrolled-CTE oracle (which mirrors
+    // the sequential driver loop) stays valid when √N > 1024 flips
+    // production onto the distributed path
+    val dist = Ann.trainCentroidsDistributed(c, cells)
+    assert(driver.length === dist.length)
+    driver.zip(dist).foreach { case ((ka, va), (kb, vb)) =>
+      assert(ka === kb)
+      assert(va === vb, s"centroid $ka differs between driver and distributed Lloyd")
+    }
+    // the cap is genuinely lifted: √N keeps growing past 1024
+    assert(Ann.scaledCells(4L * 1000 * 1000) === 2000)
+    assert(Ann.scaledCells(5L * 1000 * 1000 * 1000) === Ann.MaxCells)
+  }
+
   test("oracle recall contract: banded candidates cover every threshold-qualifying pair") {
     // The d_minhash_lsh / d_ngram_jaccard / d_embed_cos oracles are
     // exact all-pairs sets, so their hash gates encode recall = 1.0 of
