@@ -613,17 +613,57 @@ object Dedup {
       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM comp""".stripMargin
 
+  /** Components-table artifact — cluster ONCE, apply MANY. A real
+    * pipeline runs the expensive candidate-generation + connected-
+    * components step once per corpus snapshot and then applies the
+    * labels from a persisted table across many downstream jobs
+    * (filtering, stats, per-split sampling); recomputing the whole edge
+    * pipeline per consumer re-pays the most expensive step in the
+    * dedup family. Same amortization pattern as the bucketed layouts
+    * (Bucketing.ensureBucketed): a fingerprinted write-once location,
+    * atomic rename on completion, re-attached by later JVMs. The
+    * fingerprint covers the corpus dir AND the clustering semantics
+    * (dClusterSql is the authoritative statement of edge thresholds +
+    * component rule), so changed semantics can never re-attach a stale
+    * label table.
+    */
+  private[graft] def componentsDir(d: String): java.io.File = {
+    def fp(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    }
+    new java.io.File(s"/tmp/graft_components_${fp(d)}_${fp(dClusterSql)}")
+  }
+
+  /** The persisted (doc_id, cluster_id, cluster_size) labels for `d`'s
+    * dup corpus: built via [[dCluster]] on first use, read back (never
+    * recomputed) afterwards — including from a fresh JVM.
+    */
+  def ensureComponents(s: SparkSession, d: String): DataFrame = {
+    val base = componentsDir(d)
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      graft.Stage.deleteRecursively(base) // clear any incomplete build
+      val tmp = new java.io.File(base.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      dCluster(s, d).write.parquet(tmp.getPath)
+      if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
+    }
+    s.read.parquet(base.getPath)
+  }
+
   /** C7b: the APPLICATION of near-dup clustering — the surviving
     * corpus after keeping one canonical representative (lowest id) per
     * connected component, reported per language. This is the step that
     * actually shrinks the training set; d_exact_keep is its exact-dup
-    * counterpart. One extra semi-join over d_cluster's labels — the
-    * component labels are vastly smaller than the corpus, so the join
-    * broadcasts at scale.
+    * counterpart. Reads the labels from the write-once components
+    * artifact (ensureComponents) instead of re-running edge generation
+    * + clustering — one semi-join over a label table vastly smaller
+    * than the corpus (broadcast at scale), which is the shape every
+    * downstream consumer of a dedup decision should have.
     */
   def dClusterApply(s: SparkSession, d: String): DataFrame = {
     val corpus = corpusWithExactDups(s, d)
-    val keepers = dCluster(s, d)
+    val keepers = ensureComponents(s, d)
       .groupBy("cluster_id").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id").withColumn("k", lit(1))
     corpus.join(keepers, Seq("doc_id"), "left")

@@ -82,6 +82,32 @@ class OperatorsSpec extends SparkSpec {
     assert(found.subsetOf(all), s"unverified pairs reported: ${found -- all}")
   }
 
+  test("cluster-once/apply-many: d_cluster_apply reads the persisted components artifact") {
+    val base = Dedup.componentsDir(sfDir)
+    val baseline = Dedup.dClusterApply(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(new java.io.File(base, "_SUCCESS").exists(), "artifact not materialized")
+    // PROOF the labels come from the table, not a recompute: swap the
+    // artifact for a doctored copy collapsing everything into one
+    // cluster — apply must reflect it (one global keeper)
+    val comps = spark.read.parquet(base.getPath)
+    val tmp = new java.io.File(base.getPath + ".doctor")
+    graft.Stage.deleteRecursively(tmp)
+    comps.withColumn("cluster_id", lit(0L)).write.parquet(tmp.getPath)
+    graft.Stage.deleteRecursively(base)
+    assert(tmp.renameTo(base))
+    try {
+      val doctored = Dedup.dClusterApply(spark, sfDir).collect()
+      assert(doctored.map(_.getLong(1)).sum === 1L,
+        "apply re-ran the cluster pipeline instead of reading the artifact")
+    } finally graft.Stage.deleteRecursively(base)
+    // a rebuild from scratch restores the real labels (same hashes the
+    // CORRECTNESS gate checks)
+    val rebuilt = Dedup.dClusterApply(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rebuilt === baseline)
+  }
+
   test("distributed Lloyd is bit-identical to driver Lloyd (cell-cap lift is oracle-safe)") {
     val c = Dedup.corpusWithNearVectors(spark, sfDir).select("vec_id", "v")
     val cells = Ann.scaledCells(c.count())
