@@ -98,6 +98,9 @@ object GraftFunctions {
     ("word_stats",
       info("word_stats", "word_stats(text) - struct<nw: token count, sh: stopword hits>"),
       arity("word_stats", 1) { case Seq(t) => WordStats(t) }),
+    ("bpe_token_count",
+      info("bpe_token_count", "bpe_token_count(text) - greedy longest-match subword token count (md5 vocab)"),
+      arity("bpe_token_count", 1) { case Seq(t) => BpeTokenCount(t) }),
     ("word_shingle_md5_hashes",
       info("word_shingle_md5_hashes", "word_shingle_md5_hashes(text, n) - positional md5-60 n-word-shingle hashes"),
       arity("word_shingle_md5_hashes", 2) { case Seq(t, n) => WordShingleMd5Hashes(t, intArg("word_shingle_md5_hashes", n)) }),

@@ -432,6 +432,91 @@ object SigOps {
     new GenericInternalRow(Array[Any](total, nd, -acc))
   }
 
+  /** Deterministic BPE-style subword tokenizer: greedy longest-match
+    * against a fixed md5-derived vocabulary, with single-codepoint byte
+    * fallback — the shape of a merge-free tokenizer pass (vocab lookup,
+    * longest-match, fallback), with the vocab itself a pure function so
+    * any engine (and the SQL oracle) rebuilds it bit-for-bit instead of
+    * shipping a vocab file.
+    *
+    * Vocab: over the 37-char domain [a-z0-9 ], a trigram g is a token
+    * iff the first hex nibble of md5("bpe:" + g) < '4' (1/4 of
+    * trigrams), a bigram iff its nibble < '8' (1/2 of bigrams). Every
+    * single codepoint (domain or not) is a token — byte fallback.
+    * Greedy scan at codepoint position p: take the trigram if in
+    * vocab, else the bigram, else one codepoint. Both vocab tables are
+    * precomputed once per JVM (37^3 + 37^2 md5s).
+    */
+  private val BpeDomain = 37 // [a-z 0-9 space]
+  @inline private def bpeIdx(cp: Int): Int =
+    if (cp >= 'a' && cp <= 'z') cp - 'a'
+    else if (cp >= '0' && cp <= '9') 26 + (cp - '0')
+    else if (cp == ' ') 36
+    else -1
+  private def bpeChar(i: Int): Char =
+    if (i < 26) ('a' + i).toChar else if (i < 36) ('0' + (i - 26)).toChar else ' '
+  private lazy val (bpeVocab3, bpeVocab2): (Array[Boolean], Array[Boolean]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def nibble(g: String): Int = {
+      md.reset()
+      (md.digest(("bpe:" + g).getBytes("UTF-8"))(0) >>> 4) & 0xF
+    }
+    val v3 = new Array[Boolean](BpeDomain * BpeDomain * BpeDomain)
+    val v2 = new Array[Boolean](BpeDomain * BpeDomain)
+    var a = 0
+    while (a < BpeDomain) {
+      var b = 0
+      while (b < BpeDomain) {
+        v2(a * BpeDomain + b) =
+          nibble(s"${bpeChar(a)}${bpeChar(b)}") < 8
+        var c = 0
+        while (c < BpeDomain) {
+          v3((a * BpeDomain + b) * BpeDomain + c) =
+            nibble(s"${bpeChar(a)}${bpeChar(b)}${bpeChar(c)}") < 4
+          c += 1
+        }
+        b += 1
+      }
+      a += 1
+    }
+    (v3, v2)
+  }
+
+  /** Greedy longest-match token count of a string under the md5 vocab
+    * (see above). One codepoint scan per row.
+    */
+  def bpeTokenCount(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    // codepoint domain indices (surrogate pairs collapse to one slot)
+    var cnt = 0
+    var i = 0
+    while (i < n) { cnt += 1; i += Character.charCount(str.codePointAt(i)) }
+    val dom = new Array[Int](cnt)
+    i = 0
+    var k = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      dom(k) = bpeIdx(cp)
+      k += 1
+      i += Character.charCount(cp)
+    }
+    val v3 = bpeVocab3
+    val v2 = bpeVocab2
+    var pos = 0
+    var tok = 0L
+    while (pos < cnt) {
+      val d0 = dom(pos)
+      if (d0 >= 0 && pos + 3 <= cnt && dom(pos + 1) >= 0 && dom(pos + 2) >= 0 &&
+        v3((d0 * BpeDomain + dom(pos + 1)) * BpeDomain + dom(pos + 2))) pos += 3
+      else if (d0 >= 0 && pos + 2 <= cnt && dom(pos + 1) >= 0 &&
+        v2(d0 * BpeDomain + dom(pos + 1))) pos += 2
+      else pos += 1
+      tok += 1L
+    }
+    tok
+  }
+
   /** 64-bit SimHash over a token-hash array: per-bit majority vote. */
   def simhash(hs: ArrayData): Long = {
     val n = hs.numElements()
@@ -512,6 +597,21 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     SigOps.charEntropy(a.asInstanceOf[UTF8String])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.charEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string → greedy longest-match subword token count under the
+  * deterministic md5-built vocab (SigOps.bpeTokenCount).
+  */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_token_count"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.bpeTokenCount(a.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.bpeTokenCount($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

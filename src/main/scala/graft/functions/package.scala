@@ -119,6 +119,13 @@ package object functions {
   def word_shingle_hashes(text: Column, n: Int): Column =
     toCol(WordShingleHashes(toExpr(text), n))
 
+  /** Greedy longest-match subword token count under the deterministic
+    * md5-built vocab (trigram nibble < 4, bigram nibble < 8 over
+    * [a-z0-9 ]; byte fallback elsewhere).
+    */
+  def bpe_token_count(text: Column): Column =
+    toCol(BpeTokenCount(toExpr(text)))
+
   /** Winnowing fingerprint selection: sorted distinct window-minima of
     * a positional hash array.
     */

@@ -356,36 +356,60 @@ object Text {
       |FROM documents""".stripMargin
 
   /** E9: sequence packing — documents packed into fixed token-budget
-    * bins (training context windows). Deterministic: shard by id (so
-    * packing distributes — a global cumsum would serialize 100 TB
+    * bins (training context windows). The budget is counted in REAL
+    * subword tokens: `bpe_token_count`, the native greedy
+    * longest-match tokenizer over the deterministic md5-built vocab
+    * (SigOps.bpeTokenCount) — the unit a pretraining pipeline actually
+    * packs, not a chars-as-tokens proxy. Deterministic: shard by id
+    * (so packing distributes — a global cumsum would serialize 100 TB
     * through one partition), order by id within shard, running token
-    * count, bin = tokens-before / budget. The same window cumsum runs
-    * in the oracle.
+    * count, bin = tokens-before / budget. The oracle re-derives the
+    * exact per-doc token counts with a recursive CTE stepping the same
+    * greedy scan (trigram in vocab → +3, else bigram → +2, else +1;
+    * vocab membership = md5 nibble thresholds, which DuckDB computes
+    * directly), then runs the same window cumsum.
     */
-  private val PackBudget = 8192L
+  private val PackBudget = 2048L
 
   def tPack(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("n_chars"))
-      .withColumn("cum", sum(col("n_chars")).over(w))
-      .withColumn("bin", expr(s"(cum - n_chars) div ${PackBudget}L"))
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        graft.functions.bpe_token_count(col("text")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) div ${PackBudget}L"))
       .groupBy("shard", "bin")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
   }
 
   val tPackSql: String =
     // CAST the bin: `cum` is a window SUM, which DuckDB widens to
     // HUGEINT — a bare HUGEINT output column can stringify differently
     // from Spark's BIGINT in the driver's comparer
-    s"""SELECT shard, CAST((cum - n_chars) // $PackBudget AS BIGINT) AS bin,
-       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS tokens
-       |FROM (
-       |  SELECT doc_id, doc_id % 8 AS shard, n_chars,
-       |    SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, text AS s, length(text) AS len, 1 AS pos, 0 AS n_tok
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, s, len,
+       |    pos + CASE WHEN t3 THEN 3 WHEN t2 THEN 2 ELSE 1 END AS pos,
+       |    n_tok + 1 AS n_tok
+       |  FROM (
+       |    SELECT doc_id, s, len, pos, n_tok,
+       |      regexp_matches(substr(s, pos, 3), '^[a-z0-9 ]{3}$$')
+       |        AND substr(md5('bpe:' || substr(s, pos, 3)), 1, 1) < '4' AS t3,
+       |      regexp_matches(substr(s, pos, 2), '^[a-z0-9 ]{2}$$')
+       |        AND substr(md5('bpe:' || substr(s, pos, 2)), 1, 1) < '8' AS t2
+       |    FROM tok WHERE pos <= len)),
+       |counts AS (SELECT doc_id, n_tok FROM tok WHERE pos > len),
+       |cum AS (
+       |  SELECT doc_id, doc_id % 8 AS shard, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM documents)
+       |  FROM counts)
+       |SELECT shard, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+       |FROM cum
        |GROUP BY 1, 2""".stripMargin
 
   /** E10: repetition stats (Gopher-style quality signals) — duplicate

@@ -23,7 +23,8 @@ class ExtensionsSpec extends SparkSpec {
         |  minhash_sig(char_gram_hashes(text, 3), 8) AS sig,
         |  simhash64(word_shingle_md5_hashes(text, 1)) AS shm,
         |  size(char_gram_md5_hashes(text, 3)) AS ngm,
-        |  md5_chain_fp(text) AS fp
+        |  md5_chain_fp(text) AS fp,
+        |  bpe_token_count(text) AS bt
         |FROM docs_ext""".stripMargin)
     val viaApi = Tables.documents(spark, sfDir).select(
       col("doc_id"),
@@ -36,11 +37,63 @@ class ExtensionsSpec extends SparkSpec {
       graft.functions.simhash64(
         graft.functions.word_shingle_md5_hashes(col("text"), 1)).as("shm"),
       size(graft.functions.char_gram_md5_hashes(col("text"), 3)).as("ngm"),
-      graft.functions.md5_chain_fp(col("text")).as("fp"))
+      graft.functions.md5_chain_fp(col("text")).as("fp"),
+      graft.functions.bpe_token_count(col("text")).as("bt"))
 
     assert(viaSql.exceptAll(viaApi).count() === 0)
     assert(viaApi.exceptAll(viaSql).count() === 0)
     assert(viaSql.count() > 0)
+  }
+
+  test("bpe_token_count: greedy longest-match against an independent reference") {
+    // independent reimplementation of the tokenizer contract: greedy
+    // scan, vocab membership = md5("bpe:"+gram) first hex nibble
+    // (trigram < 4, bigram < 8) over [a-z0-9 ], codepoint fallback
+    def nib(g: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("bpe:" + g).getBytes("UTF-8"))
+      (d(0) >>> 4) & 0xF
+    }
+    val dom = ('a' to 'z').toSet ++ ('0' to '9') + ' '
+    def ref(s: String): Long = {
+      val cps = s.codePoints().toArray
+      var pos = 0
+      var n = 0L
+      def gram(len: Int): Option[String] = {
+        val g = cps.slice(pos, pos + len)
+        if (g.length == len && g.forall(c => c < 128 && dom(c.toChar)))
+          Some(new String(g, 0, len))
+        else None
+      }
+      while (pos < cps.length) {
+        if (gram(3).exists(nib(_) < 4)) pos += 3
+        else if (gram(2).exists(nib(_) < 8)) pos += 2
+        else pos += 1
+        n += 1
+      }
+      n
+    }
+    val cases = Seq(
+      "", " ", "a", "the quick brown fox 42 jumps", "UPPER Case Mixed",
+      "naïve café — ünïcödé", "emoji 😀 pair", "aaa bbb ccc",
+      "tab\tand\nnewline", "0123456789 0123456789")
+    for (c <- cases)
+      assert(graft.functions.SigOps.bpeTokenCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(c)) === ref(c),
+        s"mismatch on '$c'")
+    // corpus-wide agreement + the count actually compresses (multi-char
+    // tokens fire): tokens strictly fewer than codepoints
+    val docs = Tables.documents(spark, sfDir).select("text").collect().map(_.getString(0))
+    var toks = 0L
+    var chars = 0L
+    for (t <- docs) {
+      val k = graft.functions.SigOps.bpeTokenCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(k === ref(t), s"corpus mismatch on doc '${t.take(40)}...'")
+      toks += k
+      chars += t.codePointCount(0, t.length)
+    }
+    assert(toks < chars, "no multi-char vocab token ever matched")
   }
 
   test("crypto + normalization round-trips through the SQL surface") {
