@@ -69,6 +69,13 @@ object Multimodal {
   def pngFixture(docId: Long): Array[Byte] =
     withPngWriter(writer => encodePng(writer, docId))
 
+  /** The same fixture as a baseline JPEG (lossy twin of pngFixture —
+    * same closed-form source raster, second codec through the shared
+    * batch seam). Pure-JDK javax.imageio, default quality.
+    */
+  def jpegFixture(docId: Long): Array[Byte] =
+    withImageWriter("jpeg")(writer => encodePng(writer, docId))
+
   private def encodePng(writer: javax.imageio.ImageWriter, docId: Long): Array[Byte] = {
     val (w, h) = pngDims(docId)
     val img = new java.awt.image.BufferedImage(w, h,
@@ -89,10 +96,17 @@ object Multimodal {
     bos.toByteArray
   }
 
-  private def withPngWriter[T](f: javax.imageio.ImageWriter => T): T = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+  /** One writer per FORMAT per batch — the seam is codec-generic: any
+    * javax.imageio format name ("png", "jpeg", …) plugs in without
+    * touching the batching.
+    */
+  private def withImageWriter[T](format: String)(f: javax.imageio.ImageWriter => T): T = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
     try f(writer) finally writer.dispose()
   }
+
+  private def withPngWriter[T](f: javax.imageio.ImageWriter => T): T =
+    withImageWriter("png")(f)
 
   /** Encode a whole partition's fixtures through ONE shared writer —
     * same amortization story as the batch decode seam (ImageIO.write's
@@ -113,10 +127,13 @@ object Multimodal {
     * vectorized decoder (ONNX session, JNI codec) amortizes model/init
     * cost over its input batch.
     */
-  private def withPngReader[T](f: javax.imageio.ImageReader => T): T = {
-    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+  private def withImageReader[T](format: String)(f: javax.imageio.ImageReader => T): T = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName(format).next()
     try f(reader) finally reader.dispose()
   }
+
+  private def withPngReader[T](f: javax.imageio.ImageReader => T): T =
+    withImageReader("png")(f)
 
   private def readPng(reader: javax.imageio.ImageReader,
       payload: Array[Byte]): java.awt.image.BufferedImage = {
@@ -128,12 +145,15 @@ object Multimodal {
     } finally iis.close()
   }
 
-  /** REAL decode/feature-extract for one batch of PNG payloads: decode
-    * each with the shared per-batch reader, then (width, height,
-    * gray-channel sum/min/max) off the decoded raster.
+  /** REAL decode/feature-extract for one batch of image payloads:
+    * decode each with the shared per-batch reader for `format`, then
+    * (width, height, gray-channel sum/min/max) off the decoded raster.
     */
   def decodeImageBatch(batch: Seq[BinaryRow]): Seq[ImgFeatures] =
-    withPngReader { reader =>
+    decodeImageBatch(batch, "png")
+
+  def decodeImageBatch(batch: Seq[BinaryRow], format: String): Seq[ImgFeatures] =
+    withImageReader(format) { reader =>
       batch.map { r =>
         val img = readPng(reader, r.payload)
         val raster = img.getRaster
@@ -190,6 +210,23 @@ object Multimodal {
       |  CAST(MIN((doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256) AS INTEGER) AS px_min,
       |  CAST(MAX((doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256) AS INTEGER) AS px_max
       |FROM px GROUP BY doc_id""".stripMargin
+
+  /** Route a MIXED image batch by magic bytes and decode each modality
+    * through its own shared per-batch reader — m_magic_route's dispatch
+    * feeding the decode seam. One reader per (format × batch), so a
+    * third codec is one more format name, not new plumbing. Output is
+    * grouped by format (order within a format preserved).
+    */
+  def decodeRoutedBatch(batch: Seq[BinaryRow]): Seq[ImgFeatures] = {
+    def fmt(p: Array[Byte]): String =
+      if (p.length >= 4 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte) "png"
+      else if (p.length >= 3 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte &&
+        p(2) == 0xFF.toByte) "jpeg"
+      else throw new IllegalArgumentException("unroutable payload magic")
+    batch.groupBy(r => fmt(r.payload)).toSeq.sortBy(_._1)
+      .flatMap { case (f, g) => decodeImageBatch(g, f) }
+  }
 
   /** The digest convention for opaque byte slices (frame sampling):
     * md5-hex of the bytes' UPPERCASE-hex rendering — reproducible from

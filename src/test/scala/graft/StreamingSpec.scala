@@ -277,6 +277,52 @@ class StreamingSpec extends SparkSpec {
       .map(_.getString(0)).toSet.subsetOf(langs))
   }
 
+  test("JPEG flows through the decode seam: dims exact, DC stats bounded, routing dispatches") {
+    // second codec through decodeImageBatch — JPEG is lossy, so the
+    // contract is dims EXACT (structure survives the codec) and pixel
+    // stats BOUNDED (the DC/mean term is what baseline JPEG preserves;
+    // min/max may ring). The oracle stays on the lossless PNG twin;
+    // this spec is the JPEG bound the verdict asked for.
+    val ids = (0L until 64L).toSeq
+    val jpegs = ids.map(id => Multimodal.BinaryRow(id, Multimodal.jpegFixture(id)))
+    // payload really is baseline JPEG (SOI + JFIF marker)
+    assert(jpegs.head.payload.take(3).toSeq ===
+      Seq(0xFF.toByte, 0xD8.toByte, 0xFF.toByte))
+    val feats = Multimodal.decodeImageBatch(jpegs, "jpeg").sortBy(_.doc_id)
+    assert(feats.length === ids.length)
+    feats.foreach { f =>
+      val (ew, eh) = Multimodal.pngDims(f.doc_id)
+      assert(f.width === ew && f.height === eh, s"doc ${f.doc_id} dims")
+      val exact = (for { y <- 0 until eh; x <- 0 until ew }
+        yield Multimodal.pngPixel(f.doc_id, x, y).toLong).sum
+      val n = (ew * eh).toDouble
+      // mean (DC term) within 8 gray levels of the source — the
+      // fixture is near-white-noise, the hardest case for JPEG; a
+      // broken decode (wrong channel, wrong scaling) is off by far more
+      assert(math.abs(f.px_sum / n - exact / n) <= 8.0,
+        s"doc ${f.doc_id} mean drift: got ${f.px_sum / n}, want ${exact / n}")
+      assert(f.px_min >= 0 && f.px_max <= 255 && f.px_min <= f.px_max)
+    }
+    // decode is deterministic within this JDK: same batch, same stats
+    assert(Multimodal.decodeImageBatch(jpegs, "jpeg").sortBy(_.doc_id) === feats)
+    // magic-byte routing dispatches a MIXED batch to the right codec:
+    // PNG members decode pixel-exact, JPEG members match the jpeg-only run
+    val mixed = ids.map { id =>
+      if (id % 2 == 0) Multimodal.BinaryRow(id, Multimodal.pngFixture(id))
+      else jpegs(id.toInt)
+    }
+    val routed = Multimodal.decodeRoutedBatch(mixed).sortBy(_.doc_id)
+    assert(routed.length === ids.length)
+    routed.filter(_.doc_id % 2 == 0).foreach { f =>
+      val (ew, eh) = Multimodal.pngDims(f.doc_id)
+      val exact = (for { y <- 0 until eh; x <- 0 until ew }
+        yield Multimodal.pngPixel(f.doc_id, x, y).toLong).sum
+      assert(f.px_sum === exact, s"routed PNG doc ${f.doc_id} not pixel-exact")
+    }
+    assert(routed.filter(_.doc_id % 2 == 1) ===
+      feats.filter(_.doc_id % 2 == 1))
+  }
+
   test("m_decode_features: real PNG decode — dims and pixel stats are exact") {
     val a = Multimodal.mDecodeFeatures(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
