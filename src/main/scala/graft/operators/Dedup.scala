@@ -404,8 +404,8 @@ object Dedup {
     val emb = corpusWithNearVectors(s, d)
     // √N cells, same contract as the ANN family: fixed cells would make
     // the within-cell pairwise verify (N/k)² → quadratic total
-    val centroids = Ann.trainCentroids(emb.select(col("vec_id"), col("v")),
-      Ann.scaledCells(emb.count()))
+    val centroids = Ann.ensureCentroids(emb.select(col("vec_id"), col("v")),
+      d, "semdedup", Ann.scaledCells(emb.count()))
     val cells = graft.Stage.barrier(Ann.assignCells(emb, centroids, probes = 1))
     val x = cells.select(col("cell"), col("vec_id"), col("v"))
     val dropped = x.as("a").join(x.as("b"),

@@ -108,6 +108,42 @@ class OperatorsSpec extends SparkSpec {
     assert(rebuilt === baseline)
   }
 
+  test("train-once/search-many: quantizer codebooks persist bit-exact and re-attach") {
+    val c = Dedup.corpusWithNearVectors(spark, sfDir).select("vec_id", "v")
+    val cells = Ann.scaledCells(c.count())
+    val f = Ann.centroidsFile(sfDir, "spec", cells)
+    graft.Stage.deleteRecursively(f)
+    val got = Ann.ensureCentroids(c, sfDir, "spec", cells)
+    assert(f.exists(), "artifact not materialized")
+    // round-trip is bit-exact: the attached codebook IS the trained one
+    val trained = Ann.trainCentroids(c, cells)
+    assert(got.length === trained.length)
+    got.zip(trained).foreach { case ((ka, va), (kb, vb)) =>
+      assert(ka === kb && va === vb, s"cell $ka drifted through the file")
+    }
+    // PROOF re-attach reads the file, not a retrain: doctor one line
+    val doctored = got.map { case (k, v) =>
+      if (k == 0) (k, v.map(_ + 1.0)) else (k, v)
+    }
+    val sb = new StringBuilder
+    doctored.foreach { case (k, v) =>
+      sb.append(k).append(' ').append(v.map(x =>
+        java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(x))).mkString(","))
+        .append('\n')
+    }
+    java.nio.file.Files.write(f.toPath, sb.toString.getBytes("UTF-8"))
+    try {
+      val reread = Ann.ensureCentroids(c, sfDir, "spec", cells)
+      assert(reread.find(_._1 == 0).get._2 === got.find(_._1 == 0).get._2.map(_ + 1.0),
+        "ensureCentroids retrained instead of attaching the artifact")
+    } finally graft.Stage.deleteRecursively(f)
+    // gone artifact → retrain restores the real codebook
+    val rebuilt = Ann.ensureCentroids(c, sfDir, "spec", cells)
+    graft.Stage.deleteRecursively(Ann.centroidsFile(sfDir, "spec", cells))
+    assert(rebuilt.map(_._1).toSeq === got.map(_._1).toSeq)
+    assert(rebuilt.zip(got).forall { case ((_, va), (_, vb)) => va == vb })
+  }
+
   test("distributed Lloyd is bit-identical to driver Lloyd (cell-cap lift is oracle-safe)") {
     val c = Dedup.corpusWithNearVectors(spark, sfDir).select("vec_id", "v")
     val cells = Ann.scaledCells(c.count())
