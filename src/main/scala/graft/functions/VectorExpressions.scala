@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Vector math over `array<double>` embedding columns.
   *
@@ -112,6 +113,218 @@ object CentroidOps {
     new GenericArrayData(out)
   }
 
+  /** Routed exact nearest-cell scan — identical output to
+    * [[nearestCells]] (the flat path's selection is "sort cells by
+    * (dist, index), take first `probes`"; this maintains exactly that
+    * set, with candidate distances computed by the same
+    * ascending-index inner loop, so equal-distance results are
+    * bit-identical). Groups are visited ascending by triangle-
+    * inequality lower bound; the scan stops when the (safety-shrunk)
+    * bound strictly exceeds the current worst kept distance — a cell
+    * that would tie the worst and win on lower index is never pruned
+    * because its shrunk bound sits strictly below its true distance.
+    */
+  def nearestCellsRouted(v: ArrayData, cents: Array[Array[Double]],
+      router: CellRouter, probes: Int): ArrayData = {
+    val g = router.centers.length
+    val gd = new Array[Double](g) // actual (sqrt) distances to group centers
+    var j = 0
+    while (j < g) {
+      val gc = router.centers(j)
+      val n = math.min(v.numElements(), gc.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val dx = v.getDouble(i) - gc(i); acc += dx * dx; i += 1 }
+      gd(j) = math.sqrt(acc)
+      j += 1
+    }
+    // group visit order: ascending lower bound (insertion sort; g ≈ √k)
+    val lb = new Array[Double](g)
+    val order = new Array[Int](g)
+    j = 0
+    while (j < g) {
+      lb(j) = gd(j) - router.radii(j)
+      order(j) = j
+      j += 1
+    }
+    j = 1
+    while (j < g) {
+      val oj = order(j); val key = lb(oj)
+      var m = j - 1
+      while (m >= 0 && lb(order(m)) > key) { order(m + 1) = order(m); m -= 1 }
+      order(m + 1) = oj
+      j += 1
+    }
+    // top-`probes` kept as (dist, idx) pairs, lexicographic worst tracked
+    val bestD = new Array[Double](probes)
+    val bestI = new Array[Int](probes)
+    java.util.Arrays.fill(bestD, Double.MaxValue)
+    java.util.Arrays.fill(bestI, Int.MaxValue)
+    var worst = 0 // slot holding the lexicographically largest pair
+    var oi = 0
+    while (oi < g) {
+      val grp = order(oi)
+      val bound = lb(grp)
+      // shrunk strict bound: immune to the ~1e-13 relative fp error in
+      // gd/radius while never pruning a true winner or a tie-breaker
+      if (bound > 0 && { val s = bound * (1 - 1e-9) - 1e-12; s * s > bestD(worst) }) {
+        oi = g // sorted ascending → every later group is also pruned
+      } else {
+        val mem = router.members(grp)
+        var mi = 0
+        while (mi < mem.length) {
+          val c = mem(mi)
+          val cv = cents(c)
+          val n = math.min(v.numElements(), cv.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) { val dx = v.getDouble(i) - cv(i); acc += dx * dx; i += 1 }
+          if (acc < bestD(worst) || (acc == bestD(worst) && c < bestI(worst))) {
+            bestD(worst) = acc
+            bestI(worst) = c
+            var p = 1
+            worst = 0
+            while (p < probes) {
+              if (bestD(p) > bestD(worst) ||
+                (bestD(p) == bestD(worst) && bestI(p) > bestI(worst))) worst = p
+              p += 1
+            }
+          }
+          mi += 1
+        }
+        oi += 1
+      }
+    }
+    // emit ascending by (dist, idx) — the flat path's output order
+    val idx = Array.range(0, probes)
+    val out = new Array[Int](probes)
+    var p = 0
+    while (p < probes) {
+      var sel = p
+      var q = p + 1
+      while (q < probes) {
+        if (bestD(idx(q)) < bestD(idx(sel)) ||
+          (bestD(idx(q)) == bestD(idx(sel)) && bestI(idx(q)) < bestI(idx(sel)))) sel = q
+        q += 1
+      }
+      val t = idx(p); idx(p) = idx(sel); idx(sel) = t
+      out(p) = bestI(idx(p))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-CELL all-pairs cosine top-k: the kNN-join inner loop as ONE
+    * kernel call per cell instead of one joined row per candidate
+    * pair. The row-at-a-time join form materializes ~N·probes·√N pair
+    * rows each carrying two dim-wide vectors (≈270 GB of row copies at
+    * the 100× probe), and even a kernel-per-probe-row form pays ~1M
+    * unsafe-access scans (measured 13.5 s of the query's 22 s); here
+    * both sides of a cell ride in primitive block columns, bulk-copied
+    * ONCE per cell to double[]/long[] (four toArray calls per cell, not
+    * per pair), and the pair scan is a straight double[] loop the JIT
+    * can unroll. Keeping k per (probe, cell) is lossless for the
+    * global top-k. Contracts match the row form exactly: cosine is
+    * VectorMath.cosine's fused loop (same float ops, same order),
+    * rounded HALF_UP to 4dp the way Catalyst's Round does (NaN/Inf
+    * pass through), ranking is (score DESC, id ASC) with
+    * java.lang.Double.compare — TopKRows' comparator — and the self
+    * pair is skipped inside the kernel so it never occupies a slot.
+    * Output: one struct<qid, score, id> per kept pair, the k per qid
+    * emitted best-first.
+    */
+  def cellTopK(qidsA: ArrayData, qflatA: ArrayData, idsA: ArrayData,
+      flatA: ArrayData, k: Int): ArrayData = {
+    val qids = qidsA.toLongArray()
+    val qflat = qflatA.toDoubleArray()
+    val ids = idsA.toLongArray()
+    val flat = flatA.toDoubleArray()
+    val nq = qids.length
+    val n = ids.length
+    val qdim = if (nq == 0) 0 else qflat.length / nq
+    val cdim = if (n == 0) 0 else flat.length / n
+    val vn = math.min(qdim, cdim)
+    val score = new Array[Double](k)
+    val id = new Array[Long](k)
+    def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      // (s1, i1) ranks strictly after (s2, i2) in (score DESC, id ASC)
+      val c = java.lang.Double.compare(s2, s1)
+      c > 0 || (c == 0 && i1 > i2)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nq * math.min(k, math.max(n - 1, 0)))
+    var qi = 0
+    while (qi < nq) {
+      val selfId = qids(qi)
+      val qoff = qi * qdim
+      var size = 0
+      var worst = 0 // slot holding the (score DESC, id ASC)-largest entry
+      var bi = 0
+      while (bi < n) {
+        val nid = ids(bi)
+        if (nid != selfId) {
+          // VectorMath.cosine's fused loop over the primitive blocks —
+          // identical float ops in identical order
+          val off = bi * cdim
+          var dot = 0.0
+          var na = 0.0
+          var nb = 0.0
+          var i = 0
+          while (i < vn) {
+            val x = qflat(qoff + i); val y = flat(off + i)
+            dot += x * y; na += x * x; nb += y * y
+            i += 1
+          }
+          val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+          // cheap reject BEFORE the HALF_UP rounding: BigDecimal
+          // rounding (valueOf → decimal digits → setScale → parse
+          // back) costs ~1 µs and at ~N·Probes·√N pairs it, not the
+          // cosine, dominated the whole query (measured 14 s of 22 s).
+          // round(x) can exceed x by at most 5e-5 (+1 ulp), so
+          // raw + 6e-5 < worst ⟹ round(raw) < worst ⟹ the candidate
+          // cannot enter the kept set OR tie its worst — identical
+          // output, ~k+ε roundings per probe instead of √N. (NaN fails
+          // the comparison and falls through to the passthrough arm.)
+          if (!(size == k && raw + 6e-5 < score(worst))) {
+            val s =
+              if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+              else java.math.BigDecimal.valueOf(raw)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (size < k) {
+              score(size) = s; id(size) = nid
+              if (worse(s, nid, score(worst), id(worst))) worst = size
+              size += 1
+            } else if (worse(score(worst), id(worst), s, nid)) {
+              score(worst) = s; id(worst) = nid
+              var p = 1
+              worst = 0
+              while (p < k) {
+                if (worse(score(p), id(p), score(worst), id(worst))) worst = p
+                p += 1
+              }
+            }
+          }
+        }
+        bi += 1
+      }
+      // best-first per qid, same total order as TopKRows.eval
+      val order = Array.range(0, size)
+      var p = 0
+      while (p < size) {
+        var sel = p
+        var q = p + 1
+        while (q < size) {
+          if (worse(score(order(sel)), id(order(sel)), score(order(q)), id(order(q)))) sel = q
+          q += 1
+        }
+        val t = order(p); order(p) = order(sel); order(sel) = t
+        out += InternalRow(selfId, score(order(p)), id(order(p)))
+        p += 1
+      }
+      qi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** PQ encode: per subspace, the 1-based index of the nearest codebook
     * centroid (first-min on ties — parity with
     * `array_position(dists, array_min(dists))`). Subspace s covers
@@ -184,17 +397,29 @@ object CentroidOps {
   }
 }
 
-/** vec → the `probes` nearest centroid indices (array<int>). */
-case class NearestCells(child: Expression, cents: Array[Array[Double]], probes: Int)
+/** vec → the `probes` nearest centroid indices (array<int>). With a
+  * router, the scan is triangle-inequality-pruned — same output, ~√k
+  * of the work (see [[CellRouter]]).
+  */
+case class NearestCells(child: Expression, cents: Array[Array[Double]], probes: Int,
+    router: Option[CellRouter] = None)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "nearest_cells"
-  protected override def nullSafeEval(a: Any): Any =
-    CentroidOps.nearestCells(a.asInstanceOf[ArrayData], cents, probes)
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidOps.nearestCells($c, $ref, $probes)")
+  protected override def nullSafeEval(a: Any): Any = router match {
+    case Some(r) => CentroidOps.nearestCellsRouted(a.asInstanceOf[ArrayData], cents, r, probes)
+    case None => CentroidOps.nearestCells(a.asInstanceOf[ArrayData], cents, probes)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = router match {
+    case Some(r) =>
+      val cref = ctx.addReferenceObj("cents", cents, "double[][]")
+      val rref = ctx.addReferenceObj("router", r, classOf[CellRouter].getName)
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.CentroidOps.nearestCellsRouted($c, $cref, $rref, $probes)")
+    case None =>
+      val cref = ctx.addReferenceObj("cents", cents, "double[][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.CentroidOps.nearestCells($c, $cref, $probes)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -230,6 +455,132 @@ case class PqLuts(child: Expression, books: Array[Array[Array[Double]]])
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Exact-search router over a codebook: centroids grouped by a
+  * deterministic mini-Lloyd over the CODEBOOK (not the data), each
+  * group carrying its center and covering radius. The nearest-cell
+  * scan then visits groups in ascending lower-bound order —
+  * d(v, cell) ≥ d(v, groupCenter) − radius(group), the triangle
+  * inequality — and STOPS once the bound can no longer beat the
+  * current top-`probes` worst. Pure acceleration: bounds are shrunk by
+  * a relative safety margin and pruning is strict, so any cell that
+  * could win outright OR on the lowest-index tie-break always gets its
+  * exact distance computed in the same loop as the flat scan — output
+  * is bit-identical at every k (spec-asserted against the flat path).
+  * Per-row work falls from k·dim to ~(√k + visited·|group|)·dim; at
+  * the √N cell counts this turns the corpus-assignment term of the
+  * IVF build from N·√N toward N·N^¼ — the difference between 993× and
+  * ~30× work at a 100× scale-up.
+  */
+final class CellRouter(val members: Array[Array[Int]],
+    val centers: Array[Array[Double]], val radii: Array[Double])
+  extends Serializable
+
+object CellRouter {
+  /** Below this codebook size the flat scan's k·dim pass is already
+    * cheaper than computing √k group bounds plus the visited members.
+    */
+  val MinCells = 256
+
+  /** Deterministic grouping: strided init over the codebook, two plain
+    * Lloyd passes (router quality only affects pruning efficiency,
+    * never results — no fixed-point ceremony needed), then members and
+    * covering radii from the final assignment.
+    */
+  def build(cents: Array[Array[Double]]): CellRouter = {
+    val k = cents.length
+    val dim = cents(0).length
+    val g = math.max(2, math.sqrt(k.toDouble).toInt)
+    var centers: Array[Array[Double]] = Array.tabulate(g)(j => cents((j.toLong * k / g).toInt).clone())
+    val assign = new Array[Int](k)
+    def assignAll(): Unit = {
+      var c = 0
+      while (c < k) {
+        val cv = cents(c)
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < g) {
+          val gc = centers(j)
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { val dx = cv(i) - gc(i); acc += dx * dx; i += 1 }
+          if (acc < bestD) { bestD = acc; best = j }
+          j += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+    }
+    var iter = 0
+    while (iter < 2) {
+      assignAll()
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val counts = new Array[Int](g)
+      var c = 0
+      while (c < k) {
+        val j = assign(c); counts(j) += 1
+        var i = 0
+        while (i < dim) { sums(j)(i) += cents(c)(i); i += 1 }
+        c += 1
+      }
+      centers = Array.tabulate(g) { j =>
+        if (counts(j) == 0) centers(j)
+        else { val s = sums(j); Array.tabulate(dim)(i => s(i) / counts(j)) }
+      }
+      iter += 1
+    }
+    assignAll()
+    val buf = Array.fill(g)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var c = 0
+    while (c < k) { buf(assign(c)) += c; c += 1 }
+    val radii = Array.tabulate(g) { j =>
+      var r = 0.0
+      buf(j).foreach { cc =>
+        val cv = cents(cc); val gc = centers(j)
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { val dx = cv(i) - gc(i); acc += dx * dx; i += 1 }
+        val d = math.sqrt(acc)
+        if (d > r) r = d
+      }
+      r
+    }
+    new CellRouter(buf.map(_.toArray), centers, radii)
+  }
+}
+
+/** (probe ids, probe vecs flat, candidate ids, candidate vecs flat) →
+  * per-cell all-pairs cosine top-k as array<struct<qid, score, id>>,
+  * k per qid best-first (see [[CentroidOps.cellTopK]]). Evaluates once
+  * per CELL row (~√N rows total), so interpreted eval (CodegenFallback)
+  * costs nothing while keeping the expression out of codegen's 4-child
+  * template ceiling.
+  */
+case class CellTopK(qids: Expression, qflat: Expression, ids: Expression,
+    flat: Expression, k: Int)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(qids, qflat, ids, flat)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("qid", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "block_topk"
+  override def eval(input: InternalRow): Any = {
+    val a = qids.eval(input)
+    val b = qflat.eval(input)
+    val c = ids.eval(input)
+    val d = flat.eval(input)
+    if (a == null || b == null || c == null || d == null) null
+    else CentroidOps.cellTopK(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData], k)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(qids = newChildren(0), qflat = newChildren(1),
+      ids = newChildren(2), flat = newChildren(3))
 }
 
 /** (flattened LUTs, codes) → approximate (ADC) squared L2 distance. */

@@ -66,8 +66,13 @@ package object functions {
     * as one JVM reference object (constant-size plan vs a K×dim-literal
     * expression tree).
     */
-  def nearest_cells(v: Column, cents: Array[Array[Double]], probes: Int): Column =
-    toCol(NearestCells(toExpr(v), cents, probes))
+  def nearest_cells(v: Column, cents: Array[Array[Double]], probes: Int): Column = {
+    // big codebooks get a triangle-inequality router (built once here,
+    // driver-side, shipped with the codebook): same results, ~√k of
+    // the flat scan's work per row
+    val router = if (cents.length >= CellRouter.MinCells) Some(CellRouter.build(cents)) else None
+    toCol(NearestCells(toExpr(v), cents, probes, router))
+  }
 
   /** Product-quantization encode: 1-based nearest-centroid index per
     * subspace codebook.
@@ -170,4 +175,12 @@ package object functions {
     */
   def topk_rows(scoreId: Column, k: Int): Column =
     toCol(TopKRows(toExpr(scoreId), k).toAggregateExpression())
+
+  /** Per-cell all-pairs cosine top-k over primitive blocks (probe
+    * ids/vectors vs candidate ids/vectors, dim-strided flat arrays),
+    * self pairs skipped — the kNN-join inner loop as one kernel call
+    * per cell.
+    */
+  def block_topk(qids: Column, qflat: Column, ids: Column, flat: Column, k: Int): Column =
+    toCol(CellTopK(toExpr(qids), toExpr(qflat), toExpr(ids), toExpr(flat), k))
 }

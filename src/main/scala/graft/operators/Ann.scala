@@ -410,22 +410,54 @@ object Ann {
     // scale. Codebook shared with s_ann_ivf via the quantizer artifact
     // (same corpus, same cells — trained once, attached here).
     val centroids = ensureCentroids(c, d, "ivf", scaledCells(c.count()))
-    // barrier both sides: the 16×64-literal distance expressions would
-    // otherwise re-evaluate under the probe explode (Generate runs its
-    // child per OUTPUT row) and again under the join's projections
-    val bucketed = graft.Stage.barrier(assignCells(c, centroids, probes = 1)
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("v").as("nv")))
-    val probing = graft.Stage.barrier(assignCells(c, centroids, KnnProbes))
+    val cents: Array[Array[Double]] = centroids.sortBy(_._1).map(_._2.toArray)
     // no dropDuplicates: a (vec, neighbor) pair meets exactly once —
     // the neighbor side holds ONE cell per vector and the probe cells
     // are distinct, so candidate generation is already duplicate-free
-    val candidates = probing.join(bucketed, Seq("cell"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(vec_cosine(col("v"), col("nv")), 4))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
-    candidates.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= KnnK)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
+    // per-cell BLOCK product, not a row-per-pair join: the row form
+    // materializes ~N·Probes·√N joined rows each carrying two dim-wide
+    // vectors (≈270 GB of row copies at the 100× probe — measured to
+    // dominate the whole query), and even one-kernel-call-per-probe-row
+    // still pays ~N·Probes unsafe-access scans (measured 13.5 s of
+    // 22 s). ONE corpus read + ONE assignment pass: the top-Probes
+    // cells posexplode per vector (element 0 IS the probes=1 nearest
+    // cell — same kernel, same selection), and a single per-cell
+    // aggregate builds BOTH primitive blocks (ids + dim-strided
+    // flattened vectors) — the neighbor side from the pos-0 rows
+    // (collect_list skips the `when`'s nulls), the probe side from all
+    // rows — so the former bucketed⋈probing join on cell disappears
+    // along with the second read+assignment pass (~3.5 s each at the
+    // 100× probe). block_topk then computes each cell's all-pairs
+    // top-k in ONE kernel call over bulk-copied double[] (keeping k
+    // per (probe, cell) is lossless for the global top-k), and one
+    // k-bounded partial agg merges the ≤Probes·k entries per vector.
+    // Contracts match the window form row-for-row: fused cosine,
+    // HALF_UP 4dp, score DESC / id ASC, self pairs skipped in-kernel.
+    // At production scale each block row is √N·~520 B — 34 MB at the
+    // MaxCells frontier, the documented per-task unit.
+    val assigned = c.select(col("vec_id"), col("v"),
+      posexplode(graft.functions.nearest_cells(col("v"), cents, KnnProbes))
+        .as(Seq("pos", "cell")))
+    val cellBlocks = assigned.groupBy("cell")
+      .agg(
+        collect_list(when(col("pos") === 0,
+          struct(col("vec_id"), col("v")))).as("b"),
+        collect_list(struct(col("vec_id"), col("v"))).as("qb"))
+      .select(col("cell"),
+        transform(col("b"), e => e.getField("vec_id")).as("ids"),
+        flatten(transform(col("b"), e => e.getField("v"))).as("flat"),
+        transform(col("qb"), e => e.getField("vec_id")).as("qids"),
+        flatten(transform(col("qb"), e => e.getField("v"))).as("qflat"))
+    cellBlocks
+      .select(explode(graft.functions.block_topk(
+        col("qids"), col("qflat"), col("ids"), col("flat"), KnnK)).as("e"))
+      .select(col("e.qid").as("vec_id"), col("e.score"), col("e.id"))
+      .groupBy("vec_id")
+      .agg(graft.functions.topk_rows(
+        struct(col("score"), col("id")), KnnK).as("nn"))
+      .select(col("vec_id"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("vec_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos"))
   }
 
   // ---- PQ (product quantization) ANN: compressed codes + ADC ----

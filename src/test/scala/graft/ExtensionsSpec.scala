@@ -45,6 +45,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.count() > 0)
   }
 
+  test("routed nearest-cell scan is bit-identical to the flat scan (ties included)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.{CellRouter, CentroidOps}
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val k = 1500 // ≥ CellRouter.MinCells — the production routed regime
+    val cents = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    // adversarial: exact duplicate centroids force the (dist, idx)
+    // lowest-index tie-break through the pruned path
+    cents(700) = cents(13).clone()
+    cents(1499) = cents(13).clone()
+    val router = CellRouter.build(cents)
+    val queries: Seq[Array[Double]] =
+      Seq.tabulate(500)(_ => Array.fill(dim)(rnd.nextGaussian())) ++
+        // distance-0 ties: queries sitting exactly on duplicated centroids
+        Seq(cents(13).clone(), cents(700).clone()) ++
+        // equidistant ties: exact midpoints of centroid pairs
+        Seq.tabulate(50) { i =>
+          val a = cents(i); val b = cents(k - 1 - i)
+          Array.tabulate(dim)(j => (a(j) + b(j)) / 2)
+        }
+    for (probes <- Seq(1, 3, 10); q <- queries) {
+      val v = new GenericArrayData(q)
+      val flat = CentroidOps.nearestCells(v, cents, probes).toIntArray()
+      val routed = CentroidOps.nearestCellsRouted(v, cents, router, probes).toIntArray()
+      assert(routed.toSeq === flat.toSeq, s"probes=$probes diverged")
+    }
+  }
+
   test("bpe_token_count: greedy longest-match against an independent reference") {
     // independent reimplementation of the tokenizer contract: greedy
     // scan, vocab membership = md5("bpe:"+gram) first hex nibble
