@@ -38,6 +38,13 @@ object GraftFunctions {
       s"$name expects a positive literal INT, got: $other")
   }
 
+  private def doubleArg(name: String, e: Expression): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case IntegerLiteral(n) => n.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal DOUBLE, got: $other")
+  }
+
   /** Total builder: wrong argument counts get a named arity error, not
     * a bare MatchError from a partial function.
     */
@@ -116,6 +123,12 @@ object GraftFunctions {
     ("block_topk",
       info("block_topk", "block_topk(qids, qflat, ids, flat, k) - per-cell all-pairs cosine top-k over primitive blocks, self pairs skipped"),
       arity("block_topk", 5) { case Seq(q, qf, i, f, k) => CellTopK(q, qf, i, f, intArg("block_topk", k)) }),
+    ("cell_dropped",
+      info("cell_dropped", "cell_dropped(ids, flat_vecs, tau) - SemDeDup drop scan: ids with an earlier same-cell neighbor at round(cos,6) >= tau"),
+      arity("cell_dropped", 3) { case Seq(i, f, t) => CellDropped(i, f, doubleArg("cell_dropped", t)) }),
+    ("cell_pairs",
+      info("cell_pairs", "cell_pairs(ids, flat_vecs, tau) - qualifying (id_a < id_b, round(cos,4) >= tau) pairs within a primitive block"),
+      arity("cell_pairs", 3) { case Seq(i, f, t) => CellPairs(i, f, doubleArg("cell_pairs", t)) }),
   )
 
   /** Register into an existing session's function registry. */

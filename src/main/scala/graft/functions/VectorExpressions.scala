@@ -325,6 +325,115 @@ object CentroidOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-cell SemDeDup drop scan: vec_id a is dropped iff some
+    * same-cell b with b.vec_id < a.vec_id has round(cos(a,b), 6) ≥ τ —
+    * exactly the a⋈b self-join + filter + distinct, as one kernel call
+    * per cell over primitive blocks (the join form materializes every
+    * ordered pair with both vectors; this form also EARLY-EXITS per a
+    * on the first qualifying b, which a join cannot). Pair order is
+    * immaterial to the result (the qualifying-pair SET is identical);
+    * the 6-dp HALF_UP rounding is Catalyst's BigDecimal semantics,
+    * applied only inside the |raw − τ| ≤ 6e-7 boundary band — outside
+    * it raw alone decides, since |round(x) − x| ≤ 5e-7 + ulp.
+    * Returns the dropped vec_ids (each at most once: one cell per
+    * vector at probes = 1).
+    */
+  def cellDropped(idsA: ArrayData, flatA: ArrayData, tau: Double): ArrayData = {
+    val ids = idsA.toLongArray()
+    val flat = flatA.toDoubleArray()
+    val n = ids.length
+    val dim = if (n == 0) 0 else flat.length / n
+    // process in ascending vec_id so "some earlier b" = "some b seen
+    // so far"
+    val order = Array.range(0, n)
+    scala.util.Sorting.stableSort(order, (x: Int, y: Int) => ids(x) < ids(y))
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n / 4)
+    var j = 1
+    while (j < n) {
+      val a = order(j)
+      val aoff = a * dim
+      var dropped = false
+      var i = 0
+      while (i < j && !dropped) {
+        val b = order(i)
+        val boff = b * dim
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var x = 0
+        while (x < dim) {
+          val p = flat(aoff + x); val q = flat(boff + x)
+          dot += p * q; na += p * p; nb += q * q
+          x += 1
+        }
+        val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (raw >= tau + 6e-7) dropped = true // round(raw) ≥ raw − 5e-7 > τ
+        else if (raw >= tau - 6e-7 &&
+            !java.lang.Double.isNaN(raw) && !java.lang.Double.isInfinite(raw) &&
+            java.math.BigDecimal.valueOf(raw)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() >= tau) {
+          dropped = true
+        }
+        i += 1
+      }
+      if (dropped) out += ids(a)
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Per-bucket qualifying-pair scan for embedding near-dup detection:
+    * all (id_a < id_b) pairs in the block with round(cos, 4) ≥ τ, as
+    * one kernel call per LSH bucket. Replaces a pair join that
+    * materialized every candidate pair with both vectors aboard AND
+    * dropDuplicates'd the full pair stream BEFORE filtering (the
+    * qualifying set is ~10⁴× smaller than the candidate set). The 4-dp
+    * HALF_UP rounding is Catalyst's BigDecimal semantics, evaluated
+    * only inside the |raw − τ| ≤ 6e-5 boundary band for the QUALIFY
+    * decision and once per EMITTED pair for the output value —
+    * identical set, identical values to round-then-filter. Cross-table
+    * duplicates of a pair carry identical cos, so a later
+    * dropDuplicates on (id_a, id_b) is value-stable.
+    */
+  def cellPairs(idsA: ArrayData, flatA: ArrayData, tau: Double): ArrayData = {
+    val ids = idsA.toLongArray()
+    val flat = flatA.toDoubleArray()
+    val n = ids.length
+    val dim = if (n == 0) 0 else flat.length / n
+    val order = Array.range(0, n)
+    scala.util.Sorting.stableSort(order, (x: Int, y: Int) => ids(x) < ids(y))
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var j = 1
+    while (j < n) {
+      val b = order(j)
+      val boff = b * dim
+      var i = 0
+      while (i < j) {
+        val a = order(i)
+        val aoff = a * dim
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var x = 0
+        while (x < dim) {
+          val p = flat(aoff + x); val q = flat(boff + x)
+          dot += p * q; na += p * p; nb += q * q
+          x += 1
+        }
+        val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (raw >= tau - 6e-5 && !java.lang.Double.isNaN(raw)
+            && !java.lang.Double.isInfinite(raw)) {
+          val r = java.math.BigDecimal.valueOf(raw)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (r >= tau) out += InternalRow(ids(a), ids(b), r)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** PQ encode: per subspace, the 1-based index of the nearest codebook
     * centroid (first-min on ties — parity with
     * `array_position(dists, array_min(dists))`). Subspace s covers
@@ -581,6 +690,51 @@ case class CellTopK(qids: Expression, qflat: Expression, ids: Expression,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(qids = newChildren(0), qflat = newChildren(1),
       ids = newChildren(2), flat = newChildren(3))
+}
+
+/** (block ids, block vecs flat) → vec_ids dropped by the SemDeDup
+  * within-cell scan at threshold `tau` (see [[CentroidOps.cellDropped]]).
+  * One eval per cell row → CodegenFallback costs nothing.
+  */
+case class CellDropped(ids: Expression, flat: Expression, tau: Double)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(ids, flat)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_dropped"
+  override def eval(input: InternalRow): Any = {
+    val a = ids.eval(input)
+    val b = flat.eval(input)
+    if (a == null || b == null) null
+    else CentroidOps.cellDropped(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tau)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ids = newChildren(0), flat = newChildren(1))
+}
+
+/** (block ids, block vecs flat) → qualifying (id_a < id_b, cos) pairs
+  * at threshold `tau` (see [[CentroidOps.cellPairs]]). One eval per
+  * bucket row → CodegenFallback costs nothing.
+  */
+case class CellPairs(ids: Expression, flat: Expression, tau: Double)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(ids, flat)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_pairs"
+  override def eval(input: InternalRow): Any = {
+    val a = ids.eval(input)
+    val b = flat.eval(input)
+    if (a == null || b == null) null
+    else CentroidOps.cellPairs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tau)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ids = newChildren(0), flat = newChildren(1))
 }
 
 /** (flattened LUTs, codes) → approximate (ADC) squared L2 distance. */

@@ -183,4 +183,18 @@ package object functions {
     */
   def block_topk(qids: Column, qflat: Column, ids: Column, flat: Column, k: Int): Column =
     toCol(CellTopK(toExpr(qids), toExpr(qflat), toExpr(ids), toExpr(flat), k))
+
+  /** SemDeDup within-cell drop scan over a primitive block: vec_ids
+    * with an earlier (lower-id) same-cell neighbor at
+    * round(cos, 6) ≥ tau.
+    */
+  def cell_dropped(ids: Column, flat: Column, tau: Double): Column =
+    toCol(CellDropped(toExpr(ids), toExpr(flat), tau))
+
+  /** Qualifying (id_a < id_b, round(cos,4) ≥ tau) pairs within a
+    * primitive block — embedding near-dup candidates, one kernel call
+    * per LSH bucket.
+    */
+  def cell_pairs(ids: Column, flat: Column, tau: Double): Column =
+    toCol(CellPairs(toExpr(ids), toExpr(flat), tau))
 }

@@ -352,14 +352,24 @@ object Dedup {
   def dEmbedCos(s: SparkSession, d: String): DataFrame = {
     val emb = corpusWithNearVectors(s, d).select("vec_id", "v")
     val b = Ann.withBucketsFor(emb, col("v"), EmbedDedupPlanes)
-    b.as("x")
-      .join(b.as("y"),
-        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        round(graft.functions.vec_cosine(col("x.v"), col("y.v")), 4).as("cos"))
+    // per-bucket BLOCK scan, not an x⋈y pair join: the join form
+    // materialized every candidate pair with both vectors aboard and —
+    // worse — dropDuplicates'd the FULL candidate stream (~39M pairs at
+    // the 100× probe) before filtering it down to the ~10⁴× smaller
+    // qualifying set. cell_pairs emits only qualifying pairs per
+    // (table, bucket) block (filter-before-dedup is value-stable: cos
+    // is pair-deterministic, so every cross-table duplicate carries the
+    // identical rounded value), and the dedup then touches thousands of
+    // rows, not tens of millions. Same fused cosine, same HALF_UP 4-dp
+    // rounding — output identical to the join form row-for-row.
+    b.groupBy("t", "bucket")
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("blk"))
+      .select(explode(graft.functions.cell_pairs(
+        transform(col("blk"), e => e.getField("vec_id")),
+        flatten(transform(col("blk"), e => e.getField("v"))), 0.95)).as("e"))
+      .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"),
+        col("e.cos").as("cos"))
       .dropDuplicates("id_a", "id_b")
-      .filter(col("cos") >= 0.95)
   }
 
   /** d_embed_cos oracle: the ALL-PAIRS cosine ≥ 0.95 set — the LSH
@@ -407,11 +417,18 @@ object Dedup {
     val centroids = Ann.ensureCentroids(emb.select(col("vec_id"), col("v")),
       d, "semdedup", Ann.scaledCells(emb.count()))
     val cells = graft.Stage.barrier(Ann.assignCells(emb, centroids, probes = 1))
-    val x = cells.select(col("cell"), col("vec_id"), col("v"))
-    val dropped = x.as("a").join(x.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
-      .filter(round(graft.functions.vec_cosine(col("a.v"), col("b.v")), 6) >= SemTau)
-      .select(col("a.vec_id").as("vec_id")).distinct()
+    // within-cell scan as a per-cell BLOCK kernel, not an a⋈b pair
+    // join: the join materializes every ordered pair with both dim-wide
+    // vectors aboard (the same ~N²/k pair-stream disease the kNN build
+    // had), while cell_dropped walks one primitive block per cell and
+    // early-exits per vector on its first qualifying earlier neighbor.
+    // The qualifying-pair SET and the drop flags are identical (same
+    // fused cosine, same HALF_UP 6-dp rounding via the boundary band).
+    val dropped = cells.groupBy("cell")
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("b"))
+      .select(explode(graft.functions.cell_dropped(
+        transform(col("b"), e => e.getField("vec_id")),
+        flatten(transform(col("b"), e => e.getField("v"))), SemTau)).as("vec_id"))
     cells.join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("cell"),
         coalesce(col("_drop"), lit(false)).as("dropped"))
