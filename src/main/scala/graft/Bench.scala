@@ -69,6 +69,13 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      // the cached-stage operators (Stage.cached) register logical
+      // plans in the session CacheManager, and plan-matching would let
+      // an earlier query's cache serve a later query's FIRST run —
+      // clear before cold so cold stays a true cold number across
+      // rounds; the steady re-measure then legitimately reflects the
+      // warm-cache path
+      spark.catalog.clearCache()
       // cold = the first run; steady = best of two for rows over 1.0s.
       // Both are reported so cross-round deltas stay apples-to-apples
       // (a best-of-2-only number flatters comparisons against rounds

@@ -24,6 +24,29 @@ object Stage {
   def barrier(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Barrier + MATERIALIZE-ONCE: `barrier` pins expressions but its RDD
+    * is still recomputed by every consuming stage — a subtree shared by
+    * k stages runs k times (measured: the ngram-dedup signature pass,
+    * the single most expensive kernel of its operator, ran 3×; wiring a
+    * semi-join through a non-cached candidate set re-ran the whole
+    * candidate pipeline per consumer and DOUBLED the query). This
+    * persists at MEMORY_AND_DISK: the first consumer materializes, the
+    * rest read the cache, Spark's LRU eviction bounds the footprint.
+    * Use for subtrees that are BOTH expensive and multi-consumer; keep
+    * the payload narrow (ids + signatures), same as barrier.
+    *
+    * CAVEAT — caching changes JOIN PLANNING: the cached relation
+    * carries accurate (small) size stats where the barrier reports
+    * unknown-size, and a downstream join can flip to broadcasting a
+    * side whose EXPLODED row count the estimate never saw (measured:
+    * caching d_simhash's 8 MB signature table re-planned its multiprobe
+    * join and went 12.9 s → 140 s). Prefer cached only when the cached
+    * payload is either clearly above the broadcast threshold or feeds
+    * joins through aggregations, and re-measure the query after.
+    */
+  def cached(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Recursive delete for fixture/layout directories (the one shared
     * copy — null-guarded: listFiles() returns null on IO error or
     * non-directories racing deletion).

@@ -55,8 +55,11 @@ object Dedup {
     * behind a hard barrier so the signature lambda, the banding
     * Generate and the verify joins all read an attribute.
     */
+  // cached, not just barrier'd: the shingle pass feeds the signature
+  // path AND both verify-join sides — a barrier alone re-runs the
+  // full-corpus shingle hashing per consuming stage (Stage.cached doc)
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    graft.Stage.barrier(Tables.documents(s, d).select(col("doc_id"),
+    graft.Stage.cached(Tables.documents(s, d).select(col("doc_id"),
       array_sort(array_distinct(
         graft.functions.word_shingle_hashes(col("text"), 3))).as("sh")))
 
@@ -184,6 +187,12 @@ object Dedup {
     val toks = graft.Stage.barrier(Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.word_shingle_md5_hashes(col("text"), 1).as("toks")))
+    // barrier, NOT Stage.cached, despite posted+probed both consuming
+    // sh: the cached relation's accurate ~8 MB stats (two longs per
+    // doc) re-plan the multiprobe join around a broadcast of an
+    // EXPLODED side and the query went 12.9 s → 140 s at the 100×
+    // probe. The barrier's unknown-size stats keep the shuffle join,
+    // and the recomputed pass is just two cheap long columns.
     val sh = graft.Stage.barrier(toks
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), graft.functions.simhash64(col("toks")).as("simhash")))
@@ -213,8 +222,11 @@ object Dedup {
         least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is pair-deterministic so the
+      // orders are equivalent, and the filtered distinct aggregates
+      // only qualifying pairs instead of the full candidate stream
       .filter(col("hamming") <= SimHashMaxHamming)
+      .distinct()
   }
 
   val dSimhashSql: String =
@@ -257,10 +269,8 @@ object Dedup {
     * size prefilter and the intersection all read the materialized set.
     */
   def dNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Stage.barrier(Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          graft.functions.char_gram_hashes(col("text"), 5).as("grams")))
-      .withColumn("ng", size(col("grams")))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
     // candidates via MinHash banding over the gram sets — the earlier
     // (lang, source) metadata blocking was quadratic within blocks
     // (measured 14× at the 10× probe); banded candidates stay linear.
@@ -269,9 +279,18 @@ object Dedup {
     // on this corpus (miss probability < 1e-4 per pair) and the output
     // hash-matches the blocked all-pairs oracle at every verified SF —
     // the same candidates-superset contract as d_minhash_lsh.
-    val sigs = graft.Stage.barrier(docs
+    //
+    // The gram hashes (≈2k tiny md5 calls per doc — the operator's
+    // single most expensive kernel, ~1B calls at the 100× probe) run
+    // over the FULL corpus exactly ONCE: fused into the signature pass
+    // and pinned with Stage.cached (the banding join consumes sigs on
+    // both sides — a barrier alone re-ran the pass per side). The
+    // verify side recomputes grams only for docs that survive candidate
+    // generation (semi-join below against the cached candidate set).
+    val sigs = graft.Stage.cached(base
       .select(col("doc_id"), col("lang"), col("source"),
-        graft.functions.minhash_sig(col("grams"), NumPerm).as("sig")))
+        graft.functions.minhash_sig(
+          graft.functions.char_gram_hashes(col("text"), 5), NumPerm).as("sig")))
     def sigAt(i: Column): Column = element_at(col("sig"), i + 1)
     val buckets = sigs.select(col("doc_id"), col("lang"), col("source"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)), b => {
@@ -287,10 +306,21 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    candidates
-      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a"),
+    // the candidate set is tiny (≈qualifying-pair scale) but its
+    // LINEAGE is the whole banding pipeline — cached so candIds and the
+    // outer join don't re-run it per consumer
+    val cand = graft.Stage.cached(candidates)
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val gramsFor = graft.Stage.cached(
+      base.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          graft.functions.char_gram_hashes(col("text"), 5).as("grams"))
+        .withColumn("ng", size(col("grams"))))
+    cand
+      .join(gramsFor.select(col("doc_id").as("id_a"), col("grams").as("g_a"),
         col("ng").as("ng_a")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b"),
+      .join(gramsFor.select(col("doc_id").as("id_b"), col("grams").as("g_b"),
         col("ng").as("ng_b")), Seq("id_b"))
       // size prefilter: jaccard ≥ t needs |A|/|B| ≥ t — prunes most
       // pairs before the expensive set intersection
