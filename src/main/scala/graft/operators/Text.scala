@@ -93,7 +93,12 @@ object Text {
     // trigram hashes are md5-60 (cross-engine reproducible) so the
     // profile's (df DESC, tri) tie-break — which orders by the HASH
     // value — picks the identical top-64 set in the SQL oracle
-    val docs = graft.Stage.barrier(Tables.documents(s, d)
+    // cached on top of the boundary: the profile build AND the scoring
+    // pass both consume docs, and the trigram pass (~1B tiny md5 calls
+    // at the 100× probe) is the operator's dominant kernel — cached it
+    // runs once. No broadcast-replanning hazard (Stage.cached caveat):
+    // the payload is the full trigram table, far above any threshold.
+    val docs = graft.Stage.cached(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         graft.functions.char_gram_md5_hashes(col("text"), 3).as("tris")))
 
