@@ -380,6 +380,130 @@ object Multimodal {
     * headers deterministically so the DuckDB oracle reconstructs the
     * same mixed corpus and routes it with the same prefix tests.
     */
+  // ---- real audio decode over the binary column ----
+  //
+  // The payload is a REAL RIFF/WAVE file (PCM s16le mono @ 8 kHz),
+  // synthesized deterministically per doc and decoded with
+  // javax.sound.sampled (pure JDK, no external codec) — the audio twin
+  // of the PNG path: the sample function is closed-form in doc_id, so
+  // the DuckDB oracle re-derives the amplitude stats WITHOUT an audio
+  // codec, and because PCM is lossless the AudioSystem parse →
+  // frame-read round-trip must be sample-exact for the hash to match.
+  // This closes the m_magic_route story: the audio/riff modality it
+  // dispatches now has a real decoder behind the seam.
+
+  private val WavRate = 8000
+
+  def wavSamples(docId: Long): Int = 64 + (docId % 65).toInt
+
+  /** Closed-form 16-bit signed sample k for doc `docId` — exercises the
+    * full signed range (negative amplitudes catch endianness/sign bugs
+    * a non-negative function would miss).
+    */
+  def wavSample(docId: Long, k: Int): Int =
+    (((docId * 37 + 11L * k) % 65536) - 32768).toInt
+
+  /** Deterministic PCM WAV (RIFF + fmt + data, s16le mono 8 kHz). */
+  def wavFixture(docId: Long): Array[Byte] = {
+    val n = wavSamples(docId)
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(WavRate)
+      .putInt(WavRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < n) { bb.putShort(wavSample(docId, k).toShort); k += 1 }
+    bb.array()
+  }
+
+  final case class AudioFeatures(doc_id: Long, n_samples: Long,
+      sample_rate: Int, amp_sum: Long, amp_min: Int, amp_max: Int)
+
+  /** REAL decode/feature-extract for one batch of WAV payloads: every
+    * field below comes from the DECODER — frame count and rate from the
+    * parsed fmt chunk, amplitudes from the decoded little-endian
+    * frames — never from the synthesis constants, so a parse bug cannot
+    * cancel out. (AudioSystem's provider lookup is JDK-static-cached;
+    * the batch seam here amortizes the read buffer, and is where an
+    * ffmpeg/JNI decoder would amortize real session init.)
+    */
+  def decodeAudioBatch(batch: Seq[BinaryRow]): Seq[AudioFeatures] = {
+    val buf = new Array[Byte](8192)
+    batch.map { r =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected decoded format: $fmt")
+        var sum = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var count = 0L
+        var read = in.read(buf)
+        var carry = -1 // low byte of a sample split across read()s
+        while (read > 0) {
+          var i = 0
+          if (carry >= 0 && read > 0) {
+            val v = (carry | (buf(0) << 8)).toShort.toInt
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v; count += 1
+            carry = -1; i = 1
+          }
+          while (i + 1 < read) {
+            val v = ((buf(i) & 0xFF) | (buf(i + 1) << 8)).toShort.toInt
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v; count += 1
+            i += 2
+          }
+          if (i < read) carry = buf(i) & 0xFF
+          read = in.read(buf)
+        }
+        AudioFeatures(r.doc_id, count, fmt.getSampleRate.toInt, sum, mn, mx)
+      } finally in.close()
+    }
+  }
+
+  /** F7: batched audio decode + amplitude stats — WAV payloads
+    * synthesized per partition, decoded with javax.sound in `BatchSize`
+    * batches via typed mapPartitions, no shuffle (same partition-
+    * preserving shape as m_decode_features).
+    */
+  def mAudioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => BinaryRow(id, wavFixture(id))))
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => decodeAudioBatch(g.toSeq)))
+      .toDF()
+  }
+
+  /** m_audio_features oracle: amplitude stats re-derived from the
+    * closed-form sample function — integer-exact, codec-free. Matches
+    * only if the Spark side's WAV encode → AudioSystem decode
+    * round-trip is sample-exact.
+    */
+  val mAudioFeaturesSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, 64 + doc_id % 65 AS n_samples FROM documents),
+      |sm AS (
+      |  SELECT doc_id, n_samples, (doc_id * 37 + 11 * unnest(range(0, n_samples))) % 65536 - 32768 AS s
+      |  FROM n)
+      |SELECT doc_id, CAST(MAX(n_samples) AS BIGINT) AS n_samples,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(SUM(s) AS BIGINT) AS amp_sum,
+      |  CAST(MIN(s) AS INTEGER) AS amp_min,
+      |  CAST(MAX(s) AS INTEGER) AS amp_max
+      |FROM sm GROUP BY doc_id""".stripMargin
+
   private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
   private val JpegMagic = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
   private val RiffMagic = "RIFF".getBytes("UTF-8")
@@ -468,5 +592,6 @@ object Multimodal {
     QueryDef("m_frame_sample", mFrameSample, Some(mFrameSampleSql)),
     QueryDef("m_resize", mResize, Some(mResizeSql)),
     QueryDef("m_magic_route", mMagicRoute, Some(mMagicRouteSql)),
+    QueryDef("m_audio_features", mAudioFeatures, Some(mAudioFeaturesSql)),
   )
 }

@@ -323,6 +323,32 @@ class StreamingSpec extends SparkSpec {
       feats.filter(_.doc_id % 2 == 1))
   }
 
+  test("m_audio_features: real WAV decode — sample stats exact, stats come from the bytes") {
+    val ids = Seq(0L, 1L, 7L, 64L, 65L, 129L, 1000L, 65535L)
+    val batch = ids.map(id => Multimodal.BinaryRow(id, Multimodal.wavFixture(id)))
+    val feats = Multimodal.decodeAudioBatch(batch).sortBy(_.doc_id)
+    feats.foreach { f =>
+      val n = Multimodal.wavSamples(f.doc_id)
+      val samples = (0 until n).map(k => Multimodal.wavSample(f.doc_id, k))
+      assert(f.n_samples === n.toLong, s"doc ${f.doc_id} frame count")
+      assert(f.sample_rate === 8000)
+      assert(f.amp_sum === samples.map(_.toLong).sum, s"doc ${f.doc_id} sum")
+      assert(f.amp_min === samples.min && f.amp_max === samples.max)
+    }
+    // the closed form spans both signs across the batch — a
+    // sign/endianness bug in the frame parse could not reproduce the
+    // exact negative amplitudes above by accident
+    assert(feats.map(_.amp_min).min < 0 && feats.map(_.amp_max).max > 0)
+    // stats come from the PAYLOAD bytes, not the synthesis constants:
+    // doctor one data-chunk sample and the decoded sum must move
+    val doctored = Multimodal.wavFixture(7L)
+    doctored(44) = (doctored(44) ^ 0x7F).toByte
+    val redecoded = Multimodal.decodeAudioBatch(
+      Seq(Multimodal.BinaryRow(7L, doctored))).head
+    assert(redecoded.amp_sum !== feats.find(_.doc_id == 7L).get.amp_sum,
+      "doctored payload decoded to identical stats — decode not real")
+  }
+
   test("m_decode_features: real PNG decode — dims and pixel stats are exact") {
     val a = Multimodal.mDecodeFeatures(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
