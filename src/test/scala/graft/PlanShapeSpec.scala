@@ -74,6 +74,37 @@ class PlanShapeSpec extends SparkSpec {
       s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("kNN build stays in block form: no join carries vector pair rows") {
+    // the r5 lesson: a row-per-pair join materializes ~N·probes·√N
+    // joined rows each carrying two dim-wide vectors. The block form
+    // has NO join at all (one assignment pass + one per-cell aggregate
+    // + kernels) — a join reappearing in this plan means someone
+    // reintroduced the pair stream
+    val knn = graft.operators.Ann.sKnnJoin(spark, sfDir)
+    val joins = executed(knn).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"s_knn_join must be join-free (block form):\n${executed(knn)}")
+    // the ≤Probes·k-entries-per-vector merge must keep its partial agg
+    val objAggs = executed(knn).collect {
+      case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => h
+    }
+    assert(objAggs.size >= 2,
+      s"topk_rows must combine map-side (partial+final):\n${executed(knn)}")
+  }
+
+  test("semdedup drop scan is a per-cell kernel, not a pair self-join") {
+    val flags = graft.operators.Dedup.semdedupFlags(spark, sfDir)
+    val joins = executed(flags).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    // exactly the final label join survives (cells ⋈ dropped ids);
+    // a second join means the a⋈b pair stream is back
+    assert(joins.size <= 1,
+      s"semdedup should have only the label join:\n${executed(flags)}")
+  }
+
   test("aggregations keep map-side partial aggregation") {
     val q1 = graft.queries.Analytics.q1Agg(spark, sfDir)
     val aggs = executed(q1).collect {
