@@ -434,6 +434,36 @@ object CentroidOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** All LSH bucket ids of a vector in one pass: bucket of table t =
+    * Σ_h (dot(v, plane[t][h]) > 0) ? 1<<h : 0 — bit-for-bit the
+    * composable `when(vec_dot(v, typedlit(p)) > 0, 1<<h).reduce(_+_)`
+    * column stack (same dot loop, same sign test, integer adds are
+    * order-free), but as ONE kernel holding the plane family as a
+    * reference object instead of tables×hyper separate expression
+    * evaluations per row.
+    */
+  def lshBuckets(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Int](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val fam = planes(t)
+      var bucket = 0
+      var h = 0
+      while (h < fam.length) {
+        val p = fam(h)
+        val n = math.min(v.numElements(), p.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v.getDouble(i) * p(i); i += 1 }
+        if (acc > 0) bucket |= 1 << h
+        h += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** PQ encode: per subspace, the 1-based index of the nearest codebook
     * centroid (first-min on ties — parity with
     * `array_position(dists, array_min(dists))`). Subspace s covers
@@ -529,6 +559,24 @@ case class NearestCells(child: Expression, cents: Array[Array[Double]], probes: 
     case None =>
       val cref = ctx.addReferenceObj("cents", cents, "double[][]")
       defineCodeGen(ctx, ev, c => s"graft.functions.CentroidOps.nearestCells($c, $cref, $probes)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** vec → per-table LSH bucket ids (array<int>), the plane family as one
+  * reference object (see [[CentroidOps.lshBuckets]]).
+  */
+case class LshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_buckets"
+  protected override def nullSafeEval(a: Any): Any =
+    CentroidOps.lshBuckets(a.asInstanceOf[ArrayData], planes)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CentroidOps.lshBuckets($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -197,4 +197,10 @@ package object functions {
     */
   def cell_pairs(ids: Column, flat: Column, tau: Double): Column =
     toCol(CellPairs(toExpr(ids), toExpr(flat), tau))
+
+  /** Per-table LSH bucket ids of a vector in one kernel pass over the
+    * whole plane family.
+    */
+  def lsh_buckets(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    toCol(LshBuckets(toExpr(v), planes))
 }

@@ -88,17 +88,6 @@ object Ann {
     ranked(scored)
   }
 
-  /** signature bucket per table t: sign bits packed into an int. The
-    * plane is a typedlit CONSTANT array — `array(lit, lit, …)` is a
-    * CreateArray that rebuilds the 64-element array per row per plane
-    * (measured: the bucketing dominated the bucketed join it feeds).
-    */
-  private def bucketColFor(family: IndexedSeq[IndexedSeq[Array[Double]]],
-      v: Column, t: Int): Column =
-    family(t).zipWithIndex.map { case (p, h) =>
-      when(vec_dot(v, typedlit(p.toSeq)) > 0, 1 << h).otherwise(0)
-    }.reduce(_ + _)
-
   /** (row, table, bucket) — one row per table per vector (constant
     * factor, not a join explosion). Shared by the ANN queries and the
     * embedding near-dup candidate generation (Dedup.dEmbedCos).
@@ -110,8 +99,14 @@ object Ann {
     */
   def withBucketsFor(df: DataFrame, v: Column,
       family: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    // ONE lsh_buckets kernel call per row (plane family as a reference
+    // object) instead of tables×hyper separate when(vec_dot(...))
+    // expression evaluations — bit-identical buckets (same dot loop,
+    // same sign test; the sum of distinct 1<<h terms IS the bit-or)
+    val planesArr: Array[Array[Array[Double]]] =
+      family.map(_.map(_.clone()).toArray).toArray
     val staged = graft.Stage.barrier(df.withColumn("_buckets",
-      array(family.indices.map(t => bucketColFor(family, v, t)): _*)))
+      graft.functions.lsh_buckets(v, planesArr)))
     staged
       .select(df.columns.map(col).toSeq :+ posexplode(col("_buckets")): _*)
       .withColumnRenamed("pos", "t")
