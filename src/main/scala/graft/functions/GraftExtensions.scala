@@ -40,6 +40,11 @@ object GraftFunctions {
 
   private def doubleArg(name: String, e: Expression): Double = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    // SQL types a bare 0.95 as DECIMAL(2,2) — accept it, or the
+    // registered functions reject the exact literal shape their own
+    // usage strings suggest
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toDouble
     case IntegerLiteral(n) => n.toDouble
     case other => throw new IllegalArgumentException(
       s"$name expects a literal DOUBLE, got: $other")

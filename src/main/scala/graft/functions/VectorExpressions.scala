@@ -166,8 +166,12 @@ object CentroidOps {
       val grp = order(oi)
       val bound = lb(grp)
       // shrunk strict bound: immune to the ~1e-13 relative fp error in
-      // gd/radius while never pruning a true winner or a tie-breaker
-      if (bound > 0 && { val s = bound * (1 - 1e-9) - 1e-12; s * s > bestD(worst) }) {
+      // gd/radius while never pruning a true winner or a tie-breaker.
+      // s must stay positive before squaring — for a tiny positive
+      // bound the absolute shrink drives s negative and s·s would
+      // compare as a LARGE value, spuriously pruning (and, with the
+      // sorted early-exit, killing the rest of the scan)
+      if (bound > 0 && { val s = bound * (1 - 1e-9) - 1e-12; s > 0 && s * s > bestD(worst) }) {
         oi = g // sorted ascending → every later group is also pruned
       } else {
         val mem = router.members(grp)

@@ -66,11 +66,22 @@ package object functions {
     * as one JVM reference object (constant-size plan vs a K×dim-literal
     * expression tree).
     */
+  // routers memoized by codebook IDENTITY (array equals is reference
+  // equality; weak keys let dropped codebooks collect): a query builds
+  // the same codebook's router once, not once per assignCells call —
+  // at the MaxCells frontier a build is seconds of serial driver work
+  private val routerCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Array[Double]], CellRouter]())
+
   def nearest_cells(v: Column, cents: Array[Array[Double]], probes: Int): Column = {
-    // big codebooks get a triangle-inequality router (built once here,
-    // driver-side, shipped with the codebook): same results, ~√k of
-    // the flat scan's work per row
-    val router = if (cents.length >= CellRouter.MinCells) Some(CellRouter.build(cents)) else None
+    // big codebooks get a triangle-inequality router (driver-side,
+    // shipped with the codebook): same results, ~√k of the flat
+    // scan's work per row
+    val router =
+      if (cents.length >= CellRouter.MinCells)
+        Some(routerCache.computeIfAbsent(cents, CellRouter.build(_)))
+      else None
     toCol(NearestCells(toExpr(v), cents, probes, router))
   }
 

@@ -305,40 +305,84 @@ object Ann {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
     }
-    new java.io.File(s"/tmp/graft_quantizer_${fp(d)}_${tag}_${cells}_${fp(TrainSemantics)}")
+    // the fingerprint covers the SOURCE DATA's (size, mtime) besides
+    // path/tag/cells/semantics: a corpus regenerated at the same path
+    // must re-train, not re-attach codebooks trained on the old bytes
+    // (the tag also versions the corpus CONSTRUCTION — ivf/semdedup
+    // build different corpora from the same file)
+    def stats(x: java.io.File): String =
+      if (x.isDirectory)
+        Option(x.listFiles()).map(_.sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString("|"))
+          .getOrElse("")
+      else s"${x.length}:${x.lastModified}"
+    val src = stats(new java.io.File(s"$d/embeddings.parquet"))
+    new java.io.File(
+      s"/tmp/graft_quantizer_${fp(d)}_${tag}_${cells}_${fp(s"$TrainSemantics;$src")}")
   }
 
-  private def writeCentroids(f: java.io.File, cs: Array[(Int, Seq[Double])]): Unit = {
-    val tmp = new java.io.File(f.getPath + ".build")
+  /** Trailer guarding against torn writes: a file without a matching
+    * `#end <count>` line is not a codebook.
+    */
+  private def renderCentroids(cs: Array[(Int, Seq[Double])]): String = {
     val sb = new StringBuilder
     cs.sortBy(_._1).foreach { case (k, v) =>
       sb.append(k).append(' ').append(v.map(x =>
         java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(x))).mkString(","))
         .append('\n')
     }
-    java.nio.file.Files.write(tmp.toPath, sb.toString.getBytes("UTF-8"))
-    if (!f.exists() && !tmp.renameTo(f)) { tmp.delete(); () }
+    sb.append("#end ").append(cs.length).append('\n')
+    sb.toString
   }
 
-  private def readCentroids(f: java.io.File): Array[(Int, Seq[Double])] = {
+  private[operators] def writeCentroids(f: java.io.File,
+      cs: Array[(Int, Seq[Double])]): Unit = {
+    // unique tmp per writer + atomic move: concurrent JVMs never share
+    // a build file, and the loser of the publish race just discards its
+    // tmp — training is deterministic, so both wrote identical bytes
+    val tmp = new java.io.File(
+      f.getPath + s".build.${ProcessHandle.current().pid}.${Thread.currentThread().getId}")
+    java.nio.file.Files.write(tmp.toPath, renderCentroids(cs).getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException => tmp.delete(); () }
+  }
+
+  /** None for missing, torn, or malformed artifacts (which are also
+    * deleted so the next attempt republishes).
+    */
+  private[operators] def readCentroids(f: java.io.File): Option[Array[(Int, Seq[Double])]] = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(f.toPath).asScala.iterator
-      .filter(_.nonEmpty).map { line =>
+    if (!f.exists()) return None
+    try {
+      val lines = java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty).toVector
+      val entries = lines.takeWhile(!_.startsWith("#end "))
+      if (lines.length != entries.length + 1 ||
+        lines.last != s"#end ${entries.length}") { f.delete(); return None }
+      Some(entries.map { line =>
         val Array(k, vs) = line.split(" ", 2)
         (k.toInt, vs.split(",").toIndexedSeq.map(h =>
           java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16))))
-      }.toArray
+      }.toArray)
+    } catch { case _: Exception => f.delete(); None }
   }
 
   /** The trained coarse quantizer for corpus `tag` over dir `d`:
     * trained via [[trainCentroids]] on first use, re-attached (never
-    * retrained) afterwards — including from a fresh JVM.
+    * retrained) afterwards — including from a fresh JVM. On a miss the
+    * freshly trained codebook is returned directly — it is
+    * bit-identical to whatever a concurrent publisher wrote, so no
+    * read-back of a possibly-contended file is needed.
     */
   private[graft] def ensureCentroids(c: => DataFrame, d: String, tag: String,
       cells: Int): Array[(Int, Seq[Double])] = {
     val f = centroidsFile(d, tag, cells)
-    if (!f.exists()) writeCentroids(f, trainCentroids(c, cells))
-    readCentroids(f)
+    readCentroids(f).getOrElse {
+      val trained = trainCentroids(c, cells)
+      writeCentroids(f, trained)
+      trained
+    }
   }
 
   /** Assign each row to its `probes` nearest cells (L2 on the
@@ -430,6 +474,11 @@ object Ann {
     // HALF_UP 4dp, score DESC / id ASC, self pairs skipped in-kernel.
     // At production scale each block row is √N·~520 B — 34 MB at the
     // MaxCells frontier, the documented per-task unit.
+    // NB no barrier before this posexplode: when the kernel IS the
+    // generator child (not a projected column the optimizer can
+    // re-inline under the Generate, the withBucketsFor case), the
+    // assignment evaluates once per INPUT row — confirmed by the 100×
+    // profile, where the assignment term appears exactly once
     val assigned = c.select(col("vec_id"), col("v"),
       posexplode(graft.functions.nearest_cells(col("v"), cents, KnnProbes))
         .as(Seq("pos", "cell")))
@@ -517,18 +566,18 @@ object Ann {
     */
   private def ensurePqBooks(c: => DataFrame, d: String): Array[Array[Array[Double]]] = {
     val f = centroidsFile(d, "pq", PqM * PqK)
-    if (!f.exists()) {
+    val flat = readCentroids(f).getOrElse {
       val spark = c.sparkSession
       import spark.implicits._
       val train: Array[Array[Double]] = c.orderBy("vec_id").limit(TrainSample)
         .select("v").as[Seq[Double]].collect().map(_.toArray)
-      val flat = (0 until PqM).flatMap { m =>
+      val trained = (0 until PqM).flatMap { m =>
         lloyd(train.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, LloydIters)
           .zipWithIndex.map { case (v, k) => (m * PqK + k, v.toSeq) }
       }.toArray
-      writeCentroids(f, flat)
+      writeCentroids(f, trained)
+      trained
     }
-    val flat = readCentroids(f)
     (0 until PqM).map(m =>
       flat.filter(e => e._1 >= m * PqK && e._1 < (m + 1) * PqK)
         .sortBy(_._1).map(_._2.toArray)).toArray

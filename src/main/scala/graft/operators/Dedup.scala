@@ -679,7 +679,17 @@ object Dedup {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
     }
-    new java.io.File(s"/tmp/graft_components_${fp(d)}_${fp(dClusterSql)}")
+    // like the quantizer artifact, the fingerprint also covers the
+    // SOURCE DATA's (size, mtime): a corpus regenerated at the same
+    // path must re-cluster, not re-attach labels from the old bytes
+    val src = new java.io.File(s"$d/documents.parquet")
+    val stats =
+      if (src.isDirectory)
+        Option(src.listFiles()).map(_.sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString("|"))
+          .getOrElse("")
+      else s"${src.length}:${src.lastModified}"
+    new java.io.File(s"/tmp/graft_components_${fp(d)}_${fp(s"$dClusterSql;$stats")}")
   }
 
   /** The persisted (doc_id, cluster_id, cluster_size) labels for `d`'s

@@ -513,7 +513,13 @@ object Analytics {
     // error is far inside what a sketch path is for.
     def branch(key: String, exact: String, approx: String): DataFrame =
       Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col(key)).distinct()
+        .select(col("l_returnflag"), col(key))
+        // countDistinct ignores NULL keys; a deduped (flag, NULL) row
+        // would survive distinct() and be counted — filter to keep the
+        // rewrite semantics-identical on any input, not just TPC-H's
+        // non-null keys
+        .filter(col(key).isNotNull)
+        .distinct()
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as(exact),
           approx_count_distinct(col(key), 0.02).as(approx))

@@ -65,6 +65,14 @@ class ExtensionsSpec extends SparkSpec {
         Seq.tabulate(50) { i =>
           val a = cents(i); val b = cents(k - 1 - i)
           Array.tabulate(dim)(j => (a(j) + b(j)) / 2)
+        } ++
+        // near-zero distances: centroids perturbed by ~1e-13, where a
+        // tiny positive group bound minus the absolute safety shrink
+        // goes negative — the case that once squared to a spuriously
+        // LARGE prune threshold
+        Seq.tabulate(25) { i =>
+          val a = cents(i * 7 % k)
+          Array.tabulate(dim)(j => a(j) + (if (j == 0) 1e-13 else 0.0))
         }
     for (probes <- Seq(1, 3, 10); q <- queries) {
       val v = new GenericArrayData(q)

@@ -131,12 +131,22 @@ class OperatorsSpec extends SparkSpec {
         java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(x))).mkString(","))
         .append('\n')
     }
+    sb.append("#end ").append(doctored.length).append('\n') // the torn-write trailer
     java.nio.file.Files.write(f.toPath, sb.toString.getBytes("UTF-8"))
     try {
       val reread = Ann.ensureCentroids(c, sfDir, "spec", cells)
       assert(reread.find(_._1 == 0).get._2 === got.find(_._1 == 0).get._2.map(_ + 1.0),
         "ensureCentroids retrained instead of attaching the artifact")
     } finally graft.Stage.deleteRecursively(f)
+    // a TORN artifact (no #end trailer — a writer died mid-publish)
+    // must NOT attach: ensureCentroids deletes it and retrains the
+    // real codebook
+    java.nio.file.Files.write(f.toPath,
+      sb.toString.linesIterator.take(3).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val healed = Ann.ensureCentroids(c, sfDir, "spec", cells)
+    assert(healed.zip(trained).forall { case ((_, va), (_, vb)) => va == vb },
+      "torn artifact attached instead of being healed by retraining")
+    graft.Stage.deleteRecursively(f)
     // gone artifact → retrain restores the real codebook
     val rebuilt = Ann.ensureCentroids(c, sfDir, "spec", cells)
     graft.Stage.deleteRecursively(Ann.centroidsFile(sfDir, "spec", cells))
