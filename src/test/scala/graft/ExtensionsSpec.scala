@@ -43,6 +43,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaApi).count() === 0)
     assert(viaApi.exceptAll(viaSql).count() === 0)
     assert(viaSql.count() > 0)
+
+    // the threshold-taking kernels must accept a BARE SQL literal —
+    // Spark types 0.95 as DECIMAL(2,2), which doubleArg once rejected
+    val pairs = spark.sql(
+      """SELECT cell_pairs(array(1L, 2L), array(1.0D, 0.0D, 1.0D, 0.0D), 0.95) AS p,
+        |  cell_dropped(array(1L, 2L), array(1.0D, 0.0D, 1.0D, 0.0D), 0.95) AS d,
+        |  block_topk(array(1L), array(1.0D, 0.0D), array(2L), array(1.0D, 0.0D), 1) AS t
+        |""".stripMargin).collect()(0)
+    // identical unit vectors: cos = 1.0 ≥ 0.95 → one qualifying pair,
+    // the higher id dropped, one top-1 entry
+    assert(pairs.getSeq[org.apache.spark.sql.Row](0).length === 1)
+    assert(pairs.getSeq[Long](1) === Seq(2L))
+    assert(pairs.getSeq[org.apache.spark.sql.Row](2).length === 1)
   }
 
   test("routed nearest-cell scan is bit-identical to the flat scan (ties included)") {
