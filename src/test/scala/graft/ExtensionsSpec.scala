@@ -58,6 +58,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs.getSeq[org.apache.spark.sql.Row](2).length === 1)
   }
 
+  test("lsh_buckets equals the composable when(vec_dot > 0) column stack") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val planes: Array[Array[Array[Double]]] =
+      Array.fill(8)(Array.fill(12)(Array.fill(dim)(rnd.nextGaussian())))
+    for (_ <- 1 to 200) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val got = graft.functions.CentroidOps
+        .lshBuckets(new GenericArrayData(v), planes).toIntArray()
+      val want = planes.map { fam =>
+        fam.zipWithIndex.map { case (p, h) =>
+          val dot = (0 until dim).foldLeft(0.0)((a, i) => a + v(i) * p(i))
+          if (dot > 0) 1 << h else 0
+        }.sum
+      }
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
   test("routed nearest-cell scan is bit-identical to the flat scan (ties included)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import graft.functions.{CellRouter, CentroidOps}
