@@ -19,10 +19,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, In
   * `SELECT simhash64(word_shingle_hashes(text, 1)) FROM docs`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // custom physical operators (SURVEY §4 path (c)): the planner
+    // strategy for the native as-of join
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftFunctions {

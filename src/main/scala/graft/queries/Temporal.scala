@@ -64,6 +64,28 @@ object Temporal {
       |  FROM events WHERE event_type = 'purchase') r
       |ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin
 
+  /** The same as-of join through the NATIVE physical operator
+    * (plans/AsOfJoin.scala — custom LogicalPlan + SparkStrategy +
+    * SparkPlan): each side shuffles once on user_id, sorts on
+    * (user_id, us), and a forward-only per-partition merge attaches
+    * the latest purchase — no union, no window, O(1) merge state.
+    * Same oracle as q_asof_join; AsofNativeSpec asserts row parity
+    * with the composition AND the plan shape (AsOfJoinExec present,
+    * no Window/Union in the plan).
+    */
+  def qAsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us")).distinct()
+    graft.plans.AsOfJoin.asofJoin(
+        ev.select("user_id", "event_id", "us"), purchases,
+        Seq("user_id"), Seq("p_user"), "us", "p_us")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("p_us").as("last_purchase_us"))
+  }
+
   /** Interval join: hour-aligned 30-minute windows (generated from the
     * data's own time span) joined to the events falling inside each.
     * The window set is small here and gets broadcast, but the bucket
@@ -170,6 +192,7 @@ object Temporal {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
+    QueryDef("q_asof_native", qAsofNative, Some(qAsofJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q_window_range", qWindowRange, Some(qWindowRangeSql)),
     QueryDef("p_scd2", pScd2, Some(pScd2Sql)),
