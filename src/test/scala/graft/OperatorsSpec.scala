@@ -555,6 +555,47 @@ class OperatorsSpec extends SparkSpec {
     assert((lsh & brute).nonEmpty, "LSH shares no neighbors with brute force")
   }
 
+  test("d_incremental: verdicts come from the persisted index; history is never rescanned") {
+    // first call builds the index artifact, second re-attaches
+    Dedup.ensureDedupIndex(spark, sfDir).count()
+    val dir = Dedup.dedupIndexDir(sfDir)
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val stamp = dir.lastModified()
+    val df = Dedup.dIncremental(spark, sfDir)
+    val rows = df.collect()
+    assert(dir.lastModified() === stamp, "second call must re-attach, not rebuild")
+    // all three classes occur, and every exact doc is byte-identical to
+    // some history doc while every unique doc matches nothing
+    val byVerdict = rows.groupBy(_.getAs[String]("verdict"))
+    assert(byVerdict.keySet === Set("exact", "near", "unique"))
+    byVerdict("exact").foreach(r => assert(r.getAs[Long]("n_exact") > 0))
+    byVerdict("near").foreach(r =>
+      assert(r.getAs[Long]("n_exact") === 0 && r.getAs[Long]("n_near") > 0))
+    byVerdict("unique").foreach(r =>
+      assert(r.getAs[Long]("n_exact") === 0 && r.getAs[Long]("n_near") === 0))
+    // the plan reads documents.parquet ONCE (deriving the increment) —
+    // both dedup channels run against the index artifact alone. Count
+    // scans through AQE stage leaves and cached-relation leaves, where
+    // the real scans hide.
+    // a cache that scans documents once is ONE scan no matter how many
+    // consumers read the cache — dedupe by the cache builder
+    val seenCaches = scala.collection.mutable.Set[AnyRef]()
+    def docScans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          if (f.relation.location.rootPaths.exists(_.toString.contains("documents.parquet"))) 1 else 0
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          if (seenCaches.add(i.relation.cacheBuilder)) docScans(i.relation.cachedPlan) else 0
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          docScans(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          docScans(a.executedPlan)
+      }.sum
+    val n = docScans(df.queryExecution.executedPlan)
+    assert(n === 1,
+      s"incremental dedup must not rescan history ($n document scans)")
+  }
+
   test("d_bloom: Bloom pre-filter result is EXACT (equals plain anti-join)") {
     val docs = Tables.documents(spark, sfDir)
     val ref = docs.filter(col("doc_id") % 10 === 0).select("text").distinct()
