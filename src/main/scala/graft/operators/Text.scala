@@ -903,8 +903,71 @@ object Text {
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM packed GROUP BY shard""".stripMargin
 
+  /** E19: MODEL-based quality scoring — the fastText-shaped filter a
+    * real pretraining pipeline runs after the heuristic funnel: hash
+    * each word bigram to a weight, average the weights, threshold the
+    * score. The linear-model plumbing is the point (feature hashing →
+    * weight lookup → normalized dot product → decision), expressed so
+    * every step is exact cross-engine:
+    *  - features: positional md5-60 word-bigram hashes (the d_simhash
+    *    token machinery, n=2) — the oracle re-derives them from md5
+    *    nibbles;
+    *  - weights: w(h) = (h % 2001) - 1000 ∈ [-1000, 1000] — the
+    *    "trained" table is a pure function of the feature hash, which
+    *    stands in for a broadcast weight array with zero collision
+    *    ambiguity (2^60 buckets) and keeps the oracle closed-form;
+    *  - score: INTEGER weight sum (exact, order-free), ONE float
+    *    division at the end — no float accumulation to drift, and the
+    *    keep/drop decision reads the integer sum, so the label can
+    *    never flip on a rounding boundary.
+    * One scan, no shuffle — at 100 TB this is a pure map stage, the
+    * same cost class as t_quality; a real trained model swaps the
+    * weight function for an `element_at(broadcast_array, h % B)` lookup
+    * with identical plan shape.
+    */
+  def tQualityModel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.word_shingle_md5_hashes(col("text"), 2).as("grams"))
+      .select(col("doc_id"), col("lang"),
+        size(col("grams")).cast("long").as("n_grams"),
+        aggregate(col("grams"), lit(0L),
+          (a, x) => a + (x % 2001L - 1000L)).as("w_sum"))
+      .withColumn("score",
+        when(col("n_grams") > 0,
+          col("w_sum").cast("double") / (col("n_grams") * 1000.0)))
+      .withColumn("label",
+        when(col("n_grams") === 0, "empty")
+          .when(col("w_sum") >= 0, "keep")
+          .otherwise("drop"))
+
+  val tQualityModelSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang, CASE WHEN len(ws) >= 2
+      |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      |    ELSE [] END AS grams
+      |  FROM w),
+      |h AS (
+      |  SELECT doc_id, lang, CAST(len(grams) AS BIGINT) AS n_grams,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(grams, t ->
+      |      (list_reduce(list_transform(range(1, 16),
+      |         j -> CAST(strpos('123456789abcdef', substr(md5(t), j, 1)) AS BIGINT)),
+      |        (a, b) -> a * 16 + b) % 2001) - 1000)),
+      |      (a, b) -> a + b) AS w_sum
+      |  FROM g)
+      |SELECT doc_id, lang, n_grams, w_sum,
+      |  CASE WHEN n_grams > 0 THEN CAST(w_sum AS DOUBLE) / (n_grams * 1000.0) END AS score,
+      |  CASE WHEN n_grams = 0 THEN 'empty'
+      |       WHEN w_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
+      |FROM h""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
+    QueryDef("t_quality_model", tQualityModel, Some(tQualityModelSql)),
     QueryDef("t_entropy", tEntropy, Some(tEntropySql)),
     QueryDef("t_tfidf", tTfidf, Some(tTfidfSql)),
     QueryDef("t_ngram_counts", tNgramCounts, Some(tNgramCountsSql)),

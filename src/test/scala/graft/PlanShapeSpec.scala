@@ -31,6 +31,7 @@ class PlanShapeSpec extends SparkSpec {
     // here means a 100 TB run re-materializes the corpus for nothing
     val scanShaped = Seq(
       "t_entropy" -> graft.operators.Text.tEntropy(spark, sfDir),
+      "t_quality_model" -> graft.operators.Text.tQualityModel(spark, sfDir),
       "t_tokens" -> graft.operators.Text.tTokens(spark, sfDir),
       "m_binary_meta" -> graft.multimodal.Multimodal.mBinaryMeta(spark, sfDir),
       "p_sanitise" -> graft.queries.PipelineQueries.pSanitise(spark, sfDir))
