@@ -170,6 +170,40 @@ class StreamingSpec extends SparkSpec {
     assert(c === e && c > 0)
   }
 
+  test("st_incremental: microbatch-boundary-invariant, equals all-pairs twin") {
+    // 3 one-file batches vs a single 3-file batch: the doc_id< gating
+    // makes verdicts independent of where the stream chunks.
+    val perFile = Streaming.stIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val oneBatch = Streaming.stIncrementalChunked(spark, sfDir, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(perFile === oneBatch)
+    // all-pairs ground truth: verdict vs EVERY lower-id doc (history ∪
+    // increment), no banding — proves the multiprobe candidate set
+    // missed nothing and the streamed state handoff posted every batch.
+    val sides = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(graft.operators.Dedup.incrementDocs(spark, sfDir))
+    val sigs = sides
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+        graft.functions.word_shingle_md5_hashes(col("text"), 1).as("toks"))
+      .select(col("doc_id"), col("h"),
+        when(size(col("toks")) > 0,
+          graft.functions.simhash64(col("toks"))).as("sh"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val expected = sigs.filter(_._1 >= 2000000L).map { case (id, h, sh) =>
+      val lower = sigs.filter(_._1 < id)
+      val exact = lower.exists(_._2 == h)
+      val near = lower.exists(o => (o._3, sh) match {
+        case (Some(a), Some(b)) => java.lang.Long.bitCount(a ^ b) <= 7
+        case _ => false
+      })
+      (id, if (exact) "exact" else if (near) "near" else "unique")
+    }.sortBy(_._1).toSeq
+    assert(perFile === expected)
+  }
+
   test("t_fingerprint: byte-identical docs share a fingerprint, others don't collide") {
     val fps = Text.tFingerprint(spark, sfDir)
     val dups = fps.filter(col("doc_id") >= 1000000L)
