@@ -13,6 +13,7 @@ object SparkEntry {
       graft.operators.Dedup.all ++ graft.operators.Ann.all ++
       graft.operators.Text.all ++ graft.operators.Skew.all ++
       graft.sources.Formats.all ++ graft.pipeline.Bucketing.all ++
+      graft.pipeline.Layout.all ++
       graft.multimodal.Multimodal.all ++
       graft.streaming.Streaming.all
 

@@ -1,0 +1,236 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QueryDef
+import graft.queries.QueryDef.moneySum
+
+/** Z-order clustered data layout + file-level min/max data skipping
+  * (SURVEY §2B additions p_zorder / q_zorder_prune).
+  *
+  * The 100 TB story: partitioning prunes on ONE directory column;
+  * z-ordering interleaves the bits of TWO (or more) quantized sort keys
+  * so that files hold spatially-local rectangles of the (user, time)
+  * plane — per-file min/max footprints become TIGHT on BOTH columns at
+  * once, and a predicate on either column (or both) skips most files
+  * before a byte is read. This is the layout trick behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`, re-expressed with nothing but
+  * parquet, a deterministic bit-interleave expression, and a per-file
+  * stats manifest (the reference's ingestion also repartitions by a
+  * computed key before landing files — see
+  * /root/reference/steps/corporate_data_ingestion.py's partitioned
+  * writes — but has no multi-column locality story; this is the
+  * Spark-native generalization).
+  *
+  * Everything is integer arithmetic — quantization is
+  * `(x-min)*65535 div (max-min)` over BIGINTs and the interleave is a
+  * 32-term shift/mask sum — so the DuckDB oracle re-derives z-values
+  * bit-for-bit and the layout invariants sit under the hash gate.
+  */
+object Layout {
+
+  val Bits = 16 // quantization bits per dimension
+  val BucketShift = 27 // bucket = zval >> 27 → 32 contiguous z-ranges
+
+  /** 16-bit quantization into [0, 65535] — all-BIGINT (`div` keeps it
+    * exact; a double division would lose bits past 2^53: ts spans
+    * ~2.6e12 µs and *65535 is ~1.7e17). SQL-string form because `div`
+    * (integral divide) has no Column-API surface.
+    */
+  private def q16Sql(x: String, mn: String, mx: String): String =
+    s"CASE WHEN $mx = $mn THEN 0L ELSE ($x - $mn) * 65535L div ($mx - $mn) END"
+
+  /** Bit-interleave two 16-bit quantized keys: dimension-a bits land in
+    * odd positions, dimension-b bits in even, so a z-range prefix fixes
+    * leading bits of BOTH keys — the locality property the layout rides.
+    * Plain shift/mask arithmetic (codegen'd, no UDF), identical in SQL.
+    */
+  def zvalue(qa: Column, qb: Column): Column =
+    (0 until Bits).map { i =>
+      shiftleft(shiftright(qa, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(qb, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** The same interleave as a SQL fragment over columns `qa`/`qb` (for
+    * the DuckDB oracles — generated from the same constants so the two
+    * can't drift).
+    */
+  private[graft] val zvalueSql: String =
+    (0 until Bits).map { i =>
+      s"(((qa >> $i) & 1) << ${2 * i + 1}) + (((qb >> $i) & 1) << ${2 * i})"
+    }.mkString(" + ")
+
+  /** events with the layout columns: epoch-µs ts, quantized keys, zval,
+    * bucket. Global min/max enter as a broadcast 1-row crossJoin (the
+    * scalar-subquery shape — no driver collect on the data path).
+    */
+  private def zEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+    val stats = ev.agg(
+      min("user_id").as("mnu"), max("user_id").as("mxu"),
+      min("us").as("mnt"), max("us").as("mxt"))
+    ev.crossJoin(broadcast(stats))
+      .withColumn("qa", expr(q16Sql("user_id", "mnu", "mxu")))
+      .withColumn("qb", expr(q16Sql("us", "mnt", "mxt")))
+      .withColumn("zval", zvalue(col("qa"), col("qb")))
+      .withColumn("bucket", shiftright(col("zval"), BucketShift))
+      .drop("mnu", "mxu", "mnt", "mxt", "qa", "qb")
+  }
+
+  private val LayoutSemantics =
+    s"zorder-v1;dims=user_id,us;bits=$Bits;bucketShift=$BucketShift;cols=event_id,user_id,us,event_type,value,zval"
+
+  private def layoutDir(d: String): java.io.File = {
+    def fp(x: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(x.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    }
+    val src = new java.io.File(s"$d/events.parquet")
+    val stats =
+      if (src.isDirectory)
+        Option(src.listFiles()).map(_.sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString("|"))
+          .getOrElse("")
+      else s"${src.length}:${src.lastModified}"
+    new java.io.File(s"/tmp/graft_zorder_${fp(d)}_${fp(s"$LayoutSemantics;$stats")}")
+  }
+
+  /** Build (or re-attach) the z-clustered layout: data files one per
+    * z-bucket (rows sorted by zval within each), plus a per-file
+    * min/max stats MANIFEST — the data-skipping index. Manifest paths
+    * are stored RELATIVE to the data root so the atomic build-dir
+    * rename can't orphan them. Write-once/fingerprint/rename idiom as
+    * every other layout artifact (Bucketing/ensureComponents).
+    */
+  def ensureZorderLayout(s: SparkSession, d: String): (String, DataFrame) = {
+    val base = layoutDir(d)
+    if (!new java.io.File(base, "_MANIFEST_DONE").exists()) {
+      graft.Stage.deleteRecursively(base)
+      val tmp = new java.io.File(base.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      zEvents(s, d)
+        .repartition(col("bucket"))
+        .sortWithinPartitions("zval")
+        .write.partitionBy("bucket").parquet(s"$tmp/data")
+      // the index: one row per landed file, min/max on BOTH z dims —
+      // built from the files themselves, so stats can never disagree
+      // with contents
+      s.read.parquet(s"$tmp/data")
+        .withColumn("file",
+          regexp_extract(input_file_name(), "(bucket=[^/]+/[^/]+)$", 1))
+        .groupBy("file")
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("mn_u"), max("user_id").as("mx_u"),
+          min("us").as("mn_t"), max("us").as("mx_t"))
+        .write.parquet(s"$tmp/manifest")
+      if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
+      new java.io.File(base, "_MANIFEST_DONE").createNewFile()
+    }
+    (s"$base/data", s.read.parquet(s"$base/manifest"))
+  }
+
+  /** B16: the layout's locality contract as a query — per-z-bucket row
+    * counts and min/max footprints on both dimensions. Fully
+    * re-derivable by the oracle (quantize → interleave → bucket in
+    * SQL), so the hash gate pins the exact bit-interleave AND the
+    * locality assignment; PlanShapeSpec separately asserts the files
+    * realize it.
+    */
+  def pZorder(s: SparkSession, d: String): DataFrame =
+    zEvents(s, d)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("mn_u"), max("user_id").as("mx_u"),
+        min("us").as("mn_t"), max("us").as("mx_t"))
+
+  val pZorderSql: String =
+    s"""WITH st AS (
+       |  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+       |         min(epoch_us(ts)) AS mnt, max(epoch_us(ts)) AS mxt
+       |  FROM events),
+       |q AS (
+       |  SELECT user_id, epoch_us(ts) AS us,
+       |    CASE WHEN mxu = mnu THEN 0 ELSE (user_id - mnu) * 65535 // (mxu - mnu) END AS qa,
+       |    CASE WHEN mxt = mnt THEN 0 ELSE (epoch_us(ts) - mnt) * 65535 // (mxt - mnt) END AS qb
+       |  FROM events, st),
+       |z AS (SELECT user_id, us, $zvalueSql AS zval FROM q)
+       |SELECT zval >> $BucketShift AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(user_id) AS mn_u, max(user_id) AS mx_u,
+       |  min(us) AS mn_t, max(us) AS mx_t
+       |FROM z GROUP BY 1""".stripMargin
+
+  /** The demo predicate: a ~10% user band × the 30-60% slice of the
+    * time range — selective on BOTH z dimensions, the case directory
+    * partitioning can only serve for one. All bounds derive from
+    * global min/max by integer arithmetic so they hold at ANY scale
+    * factor and the oracle restates them exactly.
+    */
+  private[graft] def predicateBounds(s: SparkSession, d: String): (Long, Long, Long, Long) = {
+    val r = Tables.events(s, d)
+      .select(min("user_id").as("mnu"), max("user_id").as("mxu"),
+        min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
+      .head()
+    val (mnu, mxu, mn, mx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    (mnu + (mxu - mnu) / 10 * 3, mnu + (mxu - mnu) / 10 * 4,
+      mn + (mx - mn) / 10 * 3, mn + (mx - mn) / 10 * 6)
+  }
+
+  /** Files the manifest admits for the predicate (relative paths).
+    * Driver-side by design: this is the planning step — a Delta/Iceberg
+    * reader does exactly this against its stats before handing Spark a
+    * file list. The manifest is ~1 row per FILE (not per row); at
+    * 100 TB that is 10⁵-10⁶ rows, and only the matching subset is
+    * collected.
+    */
+  private[graft] def pruneFiles(manifest: DataFrame,
+      uLo: Long, uHi: Long, tsLo: Long, tsHi: Long): Seq[String] =
+    manifest.filter(
+        !(col("mx_u") < uLo || col("mn_u") > uHi ||
+          col("mx_t") < tsLo || col("mn_t") > tsHi))
+      .select("file").collect().map(_.getString(0)).sorted.toSeq
+
+  /** B17: manifest-pruned scan over the z-clustered layout — the full
+    * data-skipping path: stats manifest → surviving file list → Spark
+    * reads ONLY those files → residual filter → aggregate. The answer
+    * is contractually identical to scanning everything (the oracle
+    * aggregates the raw table); the SKIPPING is asserted by
+    * PlanShapeSpec (pruned file list a small fraction of the layout,
+    * skipped footprints provably disjoint from the predicate).
+    */
+  def qZorderPrune(s: SparkSession, d: String): DataFrame = {
+    val (dataPath, manifest) = ensureZorderLayout(s, d)
+    val (uLo, uHi, tsLo, tsHi) = predicateBounds(s, d)
+    val files = pruneFiles(manifest, uLo, uHi, tsLo, tsHi)
+    val pruned =
+      if (files.isEmpty) s.read.parquet(dataPath).limit(0)
+      else s.read.option("basePath", dataPath)
+        .parquet(files.map(f => s"$dataPath/$f"): _*)
+    pruned
+      .filter(col("user_id").between(uLo, uHi)
+        && col("us").between(tsLo, tsHi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+  }
+
+  val qZorderPruneSql: String =
+    s"""WITH st AS (
+       |  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+       |         min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+       |b AS (
+       |  SELECT mnu + (mxu - mnu) // 10 * 3 AS ulo, mnu + (mxu - mnu) // 10 * 4 AS uhi,
+       |         mn + (mx - mn) // 10 * 3 AS lo, mn + (mx - mn) // 10 * 6 AS hi FROM st)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |FROM events, b
+       |WHERE user_id BETWEEN ulo AND uhi
+       |  AND epoch_us(ts) BETWEEN lo AND hi
+       |GROUP BY event_type""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("p_zorder", pZorder, Some(pZorderSql)),
+    QueryDef("q_zorder_prune", qZorderPrune, Some(qZorderPruneSql)))
+}

@@ -73,6 +73,52 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bspec_li_agg")
   }
 
+  test("z-order layout skips most files and skipped footprints are disjoint from the predicate") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Layout
+    val (dataPath, manifest) = Layout.ensureZorderLayout(spark, sfDir)
+    val files = manifest.select("file", "mn_u", "mx_u", "mn_t", "mx_t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(files.length >= 16, s"expected a multi-file layout, got ${files.length}")
+    val (uLo, uHi, tsLo, tsHi) = Layout.predicateBounds(spark, sfDir)
+    val kept = Layout.pruneFiles(manifest, uLo, uHi, tsLo, tsHi).toSet
+    // the layout's point: a 2-dim predicate admits a small file subset
+    assert(kept.nonEmpty)
+    assert(kept.size * 4 <= files.length,
+      s"pruning kept ${kept.size}/${files.length} files — no skipping happened")
+    // skipped files are PROVABLY irrelevant: footprint disjoint on some dim
+    files.filterNot(f => kept(f._1)).foreach { case (f, mnU, mxU, mnT, mxT) =>
+      assert(mxU < uLo || mnU > uHi || mxT < tsLo || mnT > tsHi,
+        s"file $f was skipped but its footprint intersects the predicate")
+    }
+    // and the pruned answer equals the full-layout scan with the same filter
+    val full = spark.read.parquet(dataPath)
+      .filter(col("user_id").between(uLo, uHi)
+        && col("us").between(tsLo, tsHi))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pruned = Layout.qZorderPrune(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned === full)
+  }
+
+  test("z-order files are locality-tight: per-file user footprints beat the global range") {
+    import graft.pipeline.Layout
+    val (_, manifest) = Layout.ensureZorderLayout(spark, sfDir)
+    val rows = manifest.collect().map(r =>
+      (r.getAs[Long]("mx_u") - r.getAs[Long]("mn_u"), r.getAs[Long]("n")))
+    val globalRange = Tables.events(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.max("user_id"),
+        org.apache.spark.sql.functions.min("user_id"))
+      .head() match { case r => r.getLong(0) - r.getLong(1) }
+    // row-weighted mean footprint: z-clustering must compress it well
+    // below the global span (directory partitioning on ts alone would
+    // leave every file's user range ≈ global)
+    val weighted = rows.map { case (w, n) => w * n }.sum.toDouble / rows.map(_._2).sum
+    assert(weighted * 2 < globalRange,
+      s"mean per-file user span $weighted vs global $globalRange — no locality")
+  }
+
   test("q_dpp carries a runtime partition-pruning filter and matches the direct result") {
     import org.apache.spark.sql.functions._
     val df = graft.pipeline.Bucketing.qDpp(spark, sfDir)
