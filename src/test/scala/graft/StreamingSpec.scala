@@ -204,6 +204,23 @@ class StreamingSpec extends SparkSpec {
     assert(perFile === expected)
   }
 
+  test("t_quality_train: the learner recovers the held-out marker rule on both classes") {
+    val rows = Text.tQualityTrain(spark, sfDir).collect()
+      .map(r => (r.getString(3), r.getString(4))) // (pred, actual)
+      .filter(_._2 != "empty")
+    val byClass = rows.groupBy(_._2)
+    // supervision must be non-degenerate: both classes materially present
+    assert(byClass.keySet === Set("pos", "neg"))
+    byClass.foreach { case (cls, xs) =>
+      assert(xs.length * 5 >= rows.length,
+        s"class $cls is ${xs.length}/${rows.length} — degenerate supervision")
+      val acc = xs.count(x => x._1 == x._2).toDouble / xs.length
+      assert(acc >= 0.85, s"class $cls training accuracy $acc below floor 0.85")
+    }
+    val overall = rows.count(x => x._1 == x._2).toDouble / rows.length
+    assert(overall >= 0.9, s"overall training accuracy $overall below floor 0.9")
+  }
+
   test("t_fingerprint: byte-identical docs share a fingerprint, others don't collide") {
     val fps = Text.tFingerprint(spark, sfDir)
     val dups = fps.filter(col("doc_id") >= 1000000L)
