@@ -161,6 +161,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("checkpoint recovery: a restarted query resumes where it stopped, nothing reprocessed") {
+    import java.io.File
+    import org.apache.spark.sql.functions.col
+    val base = new File("/tmp/graft_ckpt_spec"); graft.Stage.deleteRecursively(base)
+    val src = new File(base, "src"); src.mkdirs()
+    val out = new File(base, "out").getPath
+    val ckpt = new File(base, "ckpt").getPath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    def slice(i: Int, pred: org.apache.spark.sql.Column): File = {
+      val stage = new File(base, s"stage$i")
+      docs.filter(pred).coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val tgt = new File(base, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, tgt.toPath)
+      graft.Stage.deleteRecursively(stage); tgt
+    }
+    val parts = Seq(slice(0, col("doc_id") < cuts(0)),
+      slice(1, col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)),
+      slice(2, col("doc_id") >= cuts(1)))
+    def copyIn(f: File): Unit =
+      java.nio.file.Files.copy(f.toPath, new File(src, f.getName).toPath)
+    def run(): Unit = {
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.getPath)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1 sees two files, drains, stops (a planned shutdown)
+    copyIn(parts(0)); copyIn(parts(1)); run()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst === docs.filter(col("doc_id") < cuts(1)).count())
+    // a new file lands while the query is DOWN; the restart shares the
+    // checkpoint, so it must pick up file 3 and only file 3
+    copyIn(parts(2)); run()
+    val counts = spark.read.parquet(out).groupBy("doc_id").count().collect()
+    assert(counts.forall(_.getLong(1) == 1L),
+      "restart reprocessed data the checkpoint had already committed")
+    assert(counts.length.toLong === ids.length, "restart lost the file that arrived downtime")
+    graft.Stage.deleteRecursively(base)
+  }
+
   test("streaming queries are rerunnable within one session (memory sink name reuse)") {
     val a = Streaming.stWindowAgg(spark, sfDir).count()
     val b = Streaming.stWindowAgg(spark, sfDir).count()
