@@ -775,6 +775,110 @@ object Dedup {
       |  COUNT(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM keep)) AS n_removed
       |FROM corpus GROUP BY lang""".stripMargin
 
+  /** C14: centrality over the near-dup GRAPH — PageRank on the same
+    * edge set d_cluster components-finds, the canonical-selection
+    * refinement a real dedup pipeline wants: inside a component, keep
+    * the doc the most neighbors point at (the "hub" version of a
+    * near-dup family), not just the lowest id. Degree is reported
+    * alongside so consumers can mix both signals.
+    *
+    * Arithmetic is FIXED-POINT (scale 10¹²) with truncating BIGINT
+    * division everywhere — r₀ = S div N, rᵢ₊₁ = (15·(S div N)) div 100
+    * + (85·Σ_{j→i} (rⱼ div degⱼ)) div 100 — so three unrolled
+    * iterations are bit-identical in Spark and DuckDB and the whole
+    * rank vector sits under the hash gate (same trick as the
+    * fixed-point Lloyd quantizers). Three iterations rather than
+    * to-convergence keeps the oracle finite; a production run loops
+    * the same body to a tolerance.
+    *
+    * Scale shape: the textbook distributed PageRank — per iteration
+    * one shuffle of (dst, contribution) pairs; edges are cached once
+    * (4 consumers: degree + 3 iterations); no driver-side state at
+    * all (even N enters as a broadcast 1-row aggregate).
+    */
+  def dCentrality(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusWithExactDups(s, d)
+    val exactEdges = corpus
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .withColumn("keeper", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("doc_id").as("id_b"))
+    val ngramEdges = dNgramJaccard(s, d).select(col("id_a"), col("id_b"))
+    val und = exactEdges.union(ngramEdges)
+    val edges = graft.Stage.cached(
+      und.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(und.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    val nodes = corpus.select(col("doc_id").as("id"))
+    val nTotal = nodes.agg(count(lit(1)).as("n"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var r = nodes.crossJoin(broadcast(nTotal))
+      .select(col("id"), expr("1000000000000L div n").as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(r, edges("src") === r("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("cs"))
+      r = nodes.crossJoin(broadcast(nTotal))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), expr(
+          "(15L * (1000000000000L div n)) div 100L + (85L * coalesce(cs, 0L)) div 100L").as("r"))
+    }
+    r.join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("degree"), col("r").as("pr"))
+  }
+
+  val dCentralitySql: String = {
+    def iter(i: Int): String =
+      s"""r$i AS (
+         |  SELECT c.doc_id AS id,
+         |    (15 * (1000000000000 // nn.n)) // 100 + (85 * COALESCE(x.cs, 0)) // 100 AS r
+         |  FROM corpus c CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(r.r // deg.deg) AS BIGINT) AS cs
+         |    FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN deg ON deg.src = e.src
+         |    GROUP BY 1) x ON x.id = c.doc_id)""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, lang, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, lang, source
+       |  FROM documents WHERE doc_id % 7 = 0
+       |),
+       |exact_edges AS (
+       |  SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
+       |  FROM corpus
+       |  QUALIFY doc_id != id_a
+       |),
+       |g AS (
+       |  SELECT doc_id, lang, source,
+       |    list_distinct(list_transform(range(1, greatest(length(text) - 5, 0) + 2),
+       |      i -> substr(text, i, 5))) AS grams
+       |  FROM documents),
+       |ngram_edges AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM g x JOIN g y
+       |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+       |  WHERE 5 * len(list_intersect(x.grams, y.grams)) >=
+       |        3 * (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM exact_edges
+       |  UNION SELECT id_b, id_a FROM exact_edges
+       |  UNION SELECT id_a, id_b FROM ngram_edges
+       |  UNION SELECT id_b, id_a FROM ngram_edges
+       |),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+       |r0 AS (SELECT doc_id AS id, 1000000000000 // n AS r FROM corpus, nn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT r3.id AS doc_id, COALESCE(deg.deg, 0) AS degree, r3.r AS pr
+       |FROM r3 LEFT JOIN deg ON deg.src = r3.id""".stripMargin
+  }
+
   /** C8: dedup against a PRIOR RELEASE via a Bloom pre-filter — the
     * cross-release primitive ("drop everything already in corpus v1")
     * that exact dedup can't cover without joining the full new crawl
@@ -1133,6 +1237,7 @@ object Dedup {
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_bloom", dBloom, Some(dBloomSql)),
     QueryDef("d_cluster_apply", dClusterApply, Some(dClusterApplySql)),
+    QueryDef("d_centrality", dCentrality, Some(dCentralitySql)),
     QueryDef("d_cluster", dCluster, Some(dClusterSql)),
     QueryDef("d_exact_keep", dExactKeep, Some(dExactKeepSql)),
     QueryDef("d_minhash_lsh", dMinhashLsh, Some(dMinhashLshSql)),

@@ -596,6 +596,31 @@ class OperatorsSpec extends SparkSpec {
       s"incremental dedup must not rescan history ($n document scans)")
   }
 
+  test("d_centrality: isolated docs share the teleport baseline, connected docs rise above it") {
+    val rows = Dedup.dCentrality(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (doc_id, degree, pr)
+    val (isolated, connected) = rows.partition(_._2 == 0)
+    assert(isolated.nonEmpty && connected.nonEmpty)
+    // with no in-edges, rank is exactly the teleport term — identical
+    // for every isolated doc
+    val baselines = isolated.map(_._3).distinct
+    assert(baselines.length === 1, s"isolated docs diverged: $baselines")
+    // every connected doc receives at least one positive contribution
+    connected.foreach { case (id, _, pr) =>
+      assert(pr > baselines.head, s"doc $id has edges but rank <= teleport baseline")
+    }
+    // exact-dup replicas (doc_id+1000000 twins) connect to their keeper:
+    // the keeper of a replica family must outrank its replica (the
+    // canonical-selection property the operator exists for)
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    val replicaPairs = rows.filter(_._1 >= 1000000L)
+      .map(r => (r._1 - 1000000L, r._1)).filter(p => byId.contains(p._1))
+    assert(replicaPairs.nonEmpty)
+    val outranked = replicaPairs.count { case (keeper, rep) => byId(keeper) >= byId(rep) }
+    assert(outranked === replicaPairs.length,
+      s"only $outranked/${replicaPairs.length} keepers outrank their replicas")
+  }
+
   test("d_bloom: Bloom pre-filter result is EXACT (equals plain anti-join)") {
     val docs = Tables.documents(spark, sfDir)
     val ref = docs.filter(col("doc_id") % 10 === 0).select("text").distinct()
