@@ -792,20 +792,60 @@ object Dedup {
     * the same body to a tolerance.
     *
     * Scale shape: the textbook distributed PageRank — per iteration
-    * one shuffle of (dst, contribution) pairs; edges are cached once
-    * (4 consumers: degree + 3 iterations); no driver-side state at
-    * all (even N enters as a broadcast 1-row aggregate).
+    * one shuffle of (dst, contribution) pairs; the edge list comes
+    * from the write-once pair artifact (ensureNearDupEdges — edge
+    * generation runs once per corpus, every graph consumer re-attaches)
+    * and is cached across degree + 3 iterations; no driver-side state
+    * at all (even N enters as a broadcast 1-row aggregate).
     */
+  /** The undirected near-dup EDGE LIST as a write-once artifact —
+    * edge generation (the expensive candidate step) runs once per
+    * corpus snapshot; every graph consumer (centrality here, any
+    * future label-prop/community op) re-attaches the pair table.
+    * Same fingerprint discipline as componentsDir: corpus dir + source
+    * stats + the authoritative edge semantics (the dClusterSql CTEs
+    * that define exact + ngram edges), so changed thresholds or a
+    * regenerated corpus rebuild instead of re-attaching stale pairs.
+    */
+  private[graft] def edgesDir(d: String): java.io.File = {
+    def fp(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    }
+    val src = new java.io.File(s"$d/documents.parquet")
+    val stats =
+      if (src.isDirectory)
+        Option(src.listFiles()).map(_.sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString("|"))
+          .getOrElse("")
+      else s"${src.length}:${src.lastModified}"
+    new java.io.File(s"/tmp/graft_edges_${fp(d)}_${fp(s"edges-v1;$dClusterSql;$stats")}")
+  }
+
+  def ensureNearDupEdges(s: SparkSession, d: String): DataFrame = {
+    val base = edgesDir(d)
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      graft.Stage.deleteRecursively(base)
+      val tmp = new java.io.File(base.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      val corpus = corpusWithExactDups(s, d)
+      val exactEdges = corpus
+        .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+        .withColumn("keeper", min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .filter(col("doc_id") =!= col("keeper"))
+        .select(col("keeper").as("id_a"), col("doc_id").as("id_b"))
+      exactEdges.union(dNgramJaccard(s, d).select(col("id_a"), col("id_b")))
+        .distinct()
+        .write.parquet(tmp.getPath)
+      if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
+    }
+    s.read.parquet(base.getPath)
+  }
+
   def dCentrality(s: SparkSession, d: String): DataFrame = {
     val corpus = corpusWithExactDups(s, d)
-    val exactEdges = corpus
-      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
-      .withColumn("keeper", min(col("doc_id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("doc_id") =!= col("keeper"))
-      .select(col("keeper").as("id_a"), col("doc_id").as("id_b"))
-    val ngramEdges = dNgramJaccard(s, d).select(col("id_a"), col("id_b"))
-    val und = exactEdges.union(ngramEdges)
+    val und = ensureNearDupEdges(s, d)
     val edges = graft.Stage.cached(
       und.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(und.select(col("id_b").as("src"), col("id_a").as("dst")))

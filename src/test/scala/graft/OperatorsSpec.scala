@@ -621,6 +621,33 @@ class OperatorsSpec extends SparkSpec {
       s"only $outranked/${replicaPairs.length} keepers outrank their replicas")
   }
 
+  test("d_centrality reads the persisted edge artifact (doctored table changes ranks)") {
+    import org.apache.spark.sql.functions.col
+    // build (or attach) the real artifact, then doctor it in place:
+    // keep only edges touching the lowest doc_id pair
+    Dedup.ensureNearDupEdges(spark, sfDir)
+    val dir = Dedup.edgesDir(sfDir)
+    val real = spark.read.parquet(dir.getPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val doctored = real.sortBy(p => (p._1, p._2)).take(1)
+    val tmp = new java.io.File(dir.getPath + ".doctor")
+    graft.Stage.deleteRecursively(tmp)
+    spark.createDataFrame(doctored.toSeq).toDF("id_a", "id_b")
+      .coalesce(1).write.parquet(tmp.getPath)
+    graft.Stage.deleteRecursively(dir)
+    assert(tmp.renameTo(dir))
+    try {
+      val rows = Dedup.dCentrality(spark, sfDir).collect()
+      val connected = rows.filter(_.getLong(1) > 0)
+      // with one undirected pair left, exactly two docs have degree > 0
+      assert(connected.length === 2,
+        s"expected 2 connected docs from the doctored single-edge table, got ${connected.length}")
+      assert(connected.map(_.getLong(0)).toSet === Set(doctored.head._1, doctored.head._2))
+    } finally {
+      graft.Stage.deleteRecursively(dir) // force a clean rebuild for later consumers
+    }
+  }
+
   test("d_bloom: Bloom pre-filter result is EXACT (equals plain anti-join)") {
     val docs = Tables.documents(spark, sfDir)
     val ref = docs.filter(col("doc_id") % 10 === 0).select("text").distinct()
