@@ -10,10 +10,117 @@ import org.apache.spark.sql.SparkSession
   * Failures are NOT swallowed into a timing: a failed query reports -1
   * and is listed in `failed`, so a broken query can never masquerade as
   * a fast one.
+  *
+  * ISOLATION (r7): the single-JVM 118-query sweep inflated individual
+  * rows 5–10× (q3_join_topk 9.9 s in the r6 sweep vs 0.98 s measured
+  * standalone — accumulated GC/code-cache/state-store pressure, not
+  * the queries), and three rounds running that noise triggered
+  * phantom-regression investigations. So the parent process now
+  * re-execs ITSELF in fresh child JVMs, SPARK_GRAFT_CHUNK queries per
+  * child (default 14), and merges the children's JSON — each row is
+  * measured within ~1 chunk of JVM history instead of ~118 queries of
+  * it. The child command line is rebuilt from this JVM's own
+  * classpath + input arguments (works because `run / fork := true`
+  * gives the parent a real java command line, not an sbt classloader).
+  * SPARK_GRAFT_FORK=0 restores the old in-process sweep (and any
+  * fork-launch failure falls back to it rather than losing the round's
+  * numbers).
   */
 object Bench {
+  private def isChild = sys.env.contains("SPARK_GRAFT_FORKED")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val forkWanted = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
+    if (!isChild && forkWanted) {
+      forked(sfDir, names) match {
+        case Some(line) => emit(line); return
+        case None =>
+          System.err.println("[bench] fork launch failed; in-process fallback")
+      }
+    }
+    emit(sweep(sfDir, names))
+  }
+
+  /** Parent path: run `names` in fresh child JVMs, chunked, serially
+    * (children get the whole machine — parallel children would contend
+    * for the 32 cores and re-create the noise forking exists to
+    * remove). Returns None if the very first child fails to produce a
+    * result file — the signature of a broken launch recipe (bad
+    * classpath), where retrying 8 more chunks would waste minutes.
+    */
+  private def forked(sfDir: String, names: Seq[String]): Option[String] = {
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_CHUNK", "14").toInt.max(1)
+    val chunks = names.grouped(chunkSize).toSeq
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val results = scala.collection.mutable.ListBuffer.empty[String]
+    for ((chunk, i) <- chunks.zipWithIndex) {
+      val out = java.io.File.createTempFile(s"graft_bench_$i", ".json")
+      out.deleteOnExit()
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+      cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_FORKED", "1")
+      pb.environment().put("SPARK_GRAFT_QUERIES", chunk.mkString(","))
+      pb.environment().put("SPARK_GRAFT_OUT", out.getPath)
+      // child stdout is its own JSON line + spark chatter — keep it off
+      // the parent's stdout, which must stay a single parseable line
+      pb.redirectOutput(ProcessBuilder.Redirect.to(
+        new java.io.File(out.getPath + ".log")))
+      pb.redirectErrorStream(true)
+      val t0 = System.nanoTime()
+      val code = try pb.start().waitFor()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] chunk $i spawn failed: ${e.getMessage}")
+        -1
+      }
+      val line =
+        if (out.length() > 0) scala.io.Source.fromFile(out).mkString.trim
+        else ""
+      System.err.println(f"[bench] chunk $i/${chunks.size}: ${chunk.size} queries, " +
+        f"exit=$code, ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      if (line.nonEmpty) results += line
+      else if (i == 0) return None // broken launch recipe — fall back now
+      else System.err.println(
+        s"[bench] chunk $i produced no result; queries marked failed: " +
+          chunk.mkString(","))
+    }
+    if (results.isEmpty) return None
+    // merge child JSON lines (Jackson ships with the Spark jars)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var qs = Map.empty[String, Double]
+    var colds = Map.empty[String, Double]
+    var failed = List.empty[String]
+    results.foreach { line =>
+      val node = om.readTree(line)
+      node.get("queries").properties().forEach { e =>
+        qs += e.getKey -> e.getValue.asDouble() }
+      node.get("queries_cold").properties().forEach { e =>
+        colds += e.getKey -> e.getValue.asDouble() }
+      node.get("failed").forEach(n => failed ::= n.asText())
+    }
+    // a chunk that died without reporting leaves its queries missing —
+    // record them as failed rather than silently shrinking the sweep
+    names.filterNot(qs.contains).foreach { n => failed ::= n }
+    Some(render(sfDir,
+      names.flatMap(n => qs.get(n).map(v => (n, colds.getOrElse(n, v), v))),
+      failed.distinct))
+  }
+
+  /** One JVM's sweep (the child path, and the SPARK_GRAFT_FORK=0
+    * fallback): warmup, then cold + steady timing per query.
+    */
+  private def sweep(sfDir: String, names: Seq[String]): String = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,46 +131,48 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session/codegen warmup so the first measured query isn't charged
     // for JVM startup, codegen compilation, Jackson/crypto class init
-    // and FS metadata priming
+    // and FS metadata priming. Warmup legs are gated on the chunk
+    // actually containing queries that exercise them — a forked child
+    // benching only d_* rows shouldn't pay the streaming state-store
+    // init.
     try {
       spark.read.parquet(s"$sfDir/region.parquet").write
         .format("noop").mode("overwrite").save()
-      graft.pipeline.Ingest.pipeline(
-          graft.pipeline.Envelope.synthesize(spark, sfDir).limit(8))
-        .write.format("noop").mode("overwrite").save()
+      if (names.exists(_.startsWith("p_")))
+        graft.pipeline.Ingest.pipeline(
+            graft.pipeline.Envelope.synthesize(spark, sfDir).limit(8))
+          .write.format("noop").mode("overwrite").save()
       // streaming machinery warmup (MicroBatchExecution, state store,
       // memory sink classes) over the 5-row region table — the first
       // streaming query otherwise pays ~2.5s of one-time init. The
       // file stream source requires a DIRECTORY (same constraint
       // Streaming.eventsStream works around), so expose the single
       // parquet file through a symlink dir.
-      val regionSchema = spark.read.parquet(s"$sfDir/region.parquet").schema
-      val dir = java.nio.file.Paths.get("/tmp/graft_bench_warmup_region")
-      if (!java.nio.file.Files.exists(dir)) {
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.createSymbolicLink(
-          dir.resolve("region.parquet"),
-          java.nio.file.Paths.get(s"$sfDir/region.parquet"))
+      if (names.exists(_.startsWith("st_"))) {
+        val regionSchema = spark.read.parquet(s"$sfDir/region.parquet").schema
+        val dir = java.nio.file.Paths.get("/tmp/graft_bench_warmup_region")
+        if (!java.nio.file.Files.exists(dir)) {
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.createSymbolicLink(
+            dir.resolve("region.parquet"),
+            java.nio.file.Paths.get(s"$sfDir/region.parquet"))
+        }
+        val q = spark.readStream.schema(regionSchema)
+          .parquet(dir.toString)
+          .dropDuplicates("r_regionkey") // primes the dedup state operator
+          .groupBy("r_name").count()
+          .writeStream.format("memory").queryName("bench_warmup_stream")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
       }
-      val q = spark.readStream.schema(regionSchema)
-        .parquet(dir.toString)
-        .dropDuplicates("r_regionkey") // primes the dedup state operator
-        .groupBy("r_name").count()
-        .writeStream.format("memory").queryName("bench_warmup_stream")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
-    // optional comma-separated name filter for local iteration
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       def run(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -79,13 +188,11 @@ object Bench {
       // cold = the first run; steady = best of two for rows over 1.0s.
       // Both are reported so cross-round deltas stay apples-to-apples
       // (a best-of-2-only number flatters comparisons against rounds
-      // measured cold). A single shared-JVM run can catch a GC pause or
-      // codegen compile burst; the 1.0s threshold covers every row where
-      // run-to-run noise has mis-graded a query before (a 0.7s query
-      // once benched at 2.9s in a shared-JVM sweep and drew a false
-      // regression flag); sub-second rows aren't worth the wall time,
-      // so there cold == steady. A failure in the RE-measure must not
-      // discard the valid first timing.
+      // measured cold). A single run can catch a GC pause or codegen
+      // compile burst; the 1.0s threshold covers every row where
+      // run-to-run noise has mis-graded a query before; sub-second rows
+      // aren't worth the wall time, so there cold == steady. A failure
+      // in the RE-measure must not discard the valid first timing.
       val (cold, steady) =
         try {
           val t1 = run()
@@ -100,6 +207,12 @@ object Bench {
         }
       (name, cold, steady)
     }
+    spark.stop()
+    render(sfDir, results, failed)
+  }
+
+  private def render(sfDir: String,
+      results: Seq[(String, Double, Double)], failed: List[String]): String = {
     val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val colds = results.map { case (k, c, _) => "\"" + k + "\":" + c }
@@ -107,18 +220,29 @@ object Bench {
     val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
     val totalCold = results.collect { case (_, c, _) if c >= 0 => c }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"queries":$qs,"queries_cold":$colds,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // under a non-forked sbt runMain, println routes through sbt's
-    // logger and lands with an "[info] " prefix, which a strict
-    // line-parser chokes on — also emit the bare line straight to fd 1
-    // and to a stable file
-    new java.io.PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
-      .println(line)
-    try {
-      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
-      try w.println(line) finally w.close()
-    } catch { case _: Throwable => () }
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"queries":$qs,"queries_cold":$colds,"failed":$failedJson,"sf":"$sfDir"}"""
+  }
+
+  /** Children write their line ONLY to SPARK_GRAFT_OUT (the parent owns
+    * stdout and BENCH_LOCAL.json); top-level invocations print the line
+    * twice (println routes through sbt's logger under a non-forked
+    * runMain and lands with an "[info] " prefix — also emit the bare
+    * line straight to fd 1) and persist it to BENCH_LOCAL.json.
+    */
+  private def emit(line: String): Unit = {
+    sys.env.get("SPARK_GRAFT_OUT") match {
+      case Some(path) =>
+        val w = new java.io.PrintWriter(path)
+        try w.println(line) finally w.close()
+      case None =>
+        println(line)
+        new java.io.PrintStream(
+          new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+          .println(line)
+        try {
+          val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+          try w.println(line) finally w.close()
+        } catch { case _: Throwable => () }
+    }
   }
 }

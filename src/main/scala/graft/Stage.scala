@@ -47,6 +47,28 @@ object Stage {
   def cached(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Invalidate every cached plan that reads `dir` after the artifact
+    * at that path has been REPLACED in place.
+    *
+    * Why this must exist: the write-once artifacts (near-dup edges,
+    * components, z-layout, format fixtures) are read back with
+    * `spark.read.parquet(dir)` and often wrapped in [[cached]]. When
+    * the directory is rebuilt at the SAME path — an interrupted build
+    * retried, or a spec doctoring the table in place — a later
+    * consumer's structurally-identical plan is matched by Spark's
+    * CacheManager against the OLD InMemoryRelation and silently served
+    * pre-rebuild rows (measured: the doctored single-edge centrality
+    * table still reported 146 connected docs from the stale cache).
+    * `refreshByPath` walks the cache for plans whose file relations
+    * root at this path, refreshes their file indexes, and re-caches —
+    * so the next action re-materializes from the new bytes. Every
+    * `ensure*` rebuild branch calls this after publishing; any
+    * out-of-band rewriter (the doctoring specs) must do the same.
+    */
+  def refreshArtifact(spark: org.apache.spark.sql.SparkSession,
+      dir: java.io.File): Unit =
+    spark.catalog.refreshByPath(dir.getAbsolutePath)
+
   /** Recursive delete for fixture/layout directories (the one shared
     * copy — null-guarded: listFiles() returns null on IO error or
     * non-directories racing deletion).

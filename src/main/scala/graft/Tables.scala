@@ -13,16 +13,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read the raw int64 nanos and truncate to micros with
-    * integer division (`div` — a double division would lose precision at
-    * 1e18 ns). DuckDB truncates ns→µs the same way, so oracles line up.
+  /** events.parquet's `ts` physical type has varied across driver data
+    * generations — TIMESTAMP(NANOS) through r6 (which Spark's vectorized
+    * reader rejects; read as raw int64 nanos via the legacy flag and
+    * truncate to micros with integer division — `div`, a double division
+    * would lose precision at 1e18 ns), plain TIMESTAMP micros (NTZ)
+    * since r7. Normalize both to session-zone TimestampType: the session
+    * is pinned UTC, so the NTZ→TZ cast is wall-clock identity and both
+    * generations yield the same instants DuckDB's `epoch_us(ts)` sees —
+    * every events oracle is written in epoch-µs terms on the naive
+    * value, so the two sides keep lining up without touching the SQL.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** See [[events]]; shared with the streaming reader, which builds its
+    * own source over the same file.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long (pre-r7 data generation)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ micros (r7+)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

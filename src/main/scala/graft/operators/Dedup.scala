@@ -704,6 +704,7 @@ object Dedup {
       graft.Stage.deleteRecursively(tmp)
       dCluster(s, d).write.parquet(tmp.getPath)
       if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
     s.read.parquet(base.getPath)
   }
@@ -839,6 +840,7 @@ object Dedup {
         .distinct()
         .write.parquet(tmp.getPath)
       if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
     s.read.parquet(base.getPath)
   }
@@ -1154,6 +1156,7 @@ object Dedup {
             graft.functions.simhash64(col("toks"))).as("simhash"))
         .write.parquet(tmp.getPath)
       if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
     s.read.parquet(base.getPath)
   }

@@ -132,6 +132,7 @@ object Bucketing {
         .withColumn("y_mod", col("o_year") % 2)
         .coalesce(1).write.parquet(s"${tmp.getPath}/years")
       if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
     val fact = s.read.parquet(s"${base.getPath}/orders_by_year")
     // the dim filter must be a COMPARISON: PartitionPruning gates on

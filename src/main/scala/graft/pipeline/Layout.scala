@@ -129,6 +129,7 @@ object Layout {
         .write.parquet(s"$tmp/manifest")
       if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
       new java.io.File(base, "_MANIFEST_DONE").createNewFile()
+      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
     (s"$base/data", s.read.parquet(s"$base/manifest"))
   }

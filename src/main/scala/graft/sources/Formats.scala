@@ -104,6 +104,7 @@ object Formats {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
         .write.parquet(s"${tmp.getPath}/gen=2")
       if (!tmp.renameTo(base)) rm(tmp)
+      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
     s.read.option("mergeSchema", "true").parquet(base.getPath)
       .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("priority"))

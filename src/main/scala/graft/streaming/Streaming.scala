@@ -23,8 +23,9 @@ import graft.queries.QueryDef.dec
 object Streaming {
 
   /** events.parquet as a stream: explicit schema (streams can't infer),
-    * TIMESTAMP(NANOS) read as long and truncated to micros — same
-    * contract as Tables.events.
+    * ts normalized to session-zone TimestampType — same contract as
+    * Tables.events (which see, for the per-data-generation physical
+    * types).
     */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -39,8 +40,8 @@ object Streaming {
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
     }
-    s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(dir.toString))
   }
 
   /** Stateful-operator partition count for these queries. Stream state
@@ -449,6 +450,7 @@ object Streaming {
         graft.Stage.deleteRecursively(stage)
       }
       if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, dir) // same-path rebuild: drop stale cached plans
     }
     dir.getPath
   }
@@ -575,6 +577,7 @@ object Streaming {
         graft.Stage.deleteRecursively(stage)
       }
       if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, dir) // same-path rebuild: drop stale cached plans
     }
     dir.getPath
   }

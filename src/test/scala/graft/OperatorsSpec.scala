@@ -82,6 +82,35 @@ class OperatorsSpec extends SparkSpec {
     assert(found.subsetOf(all), s"unverified pairs reported: ${found -- all}")
   }
 
+  test("Stage.refreshArtifact: a cached plan over a rebuilt path serves the NEW bytes") {
+    // regression for the r6 red test: a Stage.cached derived plan over a
+    // parquet artifact kept serving pre-rebuild rows after the directory
+    // was replaced in place, because CacheManager plan-matching returned
+    // the old InMemoryRelation. refreshArtifact must re-materialize.
+    val dir = new java.io.File("/tmp/graft_refresh_spec")
+    graft.Stage.deleteRecursively(dir)
+    try {
+      import spark.implicits._
+      Seq(1L, 2L, 3L).toDF("v").coalesce(1).write.parquet(dir.getPath)
+      // cache a DERIVED plan (not the bare scan) — the shape every
+      // artifact consumer has — and materialize it
+      val first = graft.Stage.cached(
+        spark.read.parquet(dir.getPath).select((col("v") * 10).as("w")))
+      assert(first.agg(sum("w")).head().getLong(0) === 60L)
+      // rebuild the artifact at the SAME path with different rows
+      val tmp = new java.io.File(dir.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      Seq(7L, 8L).toDF("v").coalesce(1).write.parquet(tmp.getPath)
+      graft.Stage.deleteRecursively(dir)
+      assert(tmp.renameTo(dir))
+      graft.Stage.refreshArtifact(spark, dir)
+      // an identical plan built AFTER the refresh must see the new bytes
+      val again = spark.read.parquet(dir.getPath).select((col("v") * 10).as("w"))
+      assert(again.agg(sum("w")).head().getLong(0) === 150L,
+        "cached plan served pre-rebuild artifact data")
+    } finally graft.Stage.deleteRecursively(dir)
+  }
+
   test("cluster-once/apply-many: d_cluster_apply reads the persisted components artifact") {
     val base = Dedup.componentsDir(sfDir)
     val baseline = Dedup.dClusterApply(spark, sfDir).collect()
@@ -96,6 +125,9 @@ class OperatorsSpec extends SparkSpec {
     comps.withColumn("cluster_id", lit(0L)).write.parquet(tmp.getPath)
     graft.Stage.deleteRecursively(base)
     assert(tmp.renameTo(base))
+    // out-of-band rewrite at the same path: invalidate cached plans,
+    // same contract every ensure* rebuild branch follows
+    graft.Stage.refreshArtifact(spark, base)
     try {
       val doctored = Dedup.dClusterApply(spark, sfDir).collect()
       assert(doctored.map(_.getLong(1)).sum === 1L,
@@ -636,6 +668,9 @@ class OperatorsSpec extends SparkSpec {
       .coalesce(1).write.parquet(tmp.getPath)
     graft.Stage.deleteRecursively(dir)
     assert(tmp.renameTo(dir))
+    // out-of-band rewrite at the same path: without this, CacheManager
+    // plan-matching serves the pre-doctor edge cache (the r6 red test)
+    graft.Stage.refreshArtifact(spark, dir)
     try {
       val rows = Dedup.dCentrality(spark, sfDir).collect()
       val connected = rows.filter(_.getLong(1) > 0)
