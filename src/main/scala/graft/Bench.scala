@@ -54,7 +54,8 @@ object Bench {
     * classpath), where retrying 8 more chunks would waste minutes.
     */
   private def forked(sfDir: String, names: Seq[String]): Option[String] = {
-    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_CHUNK", "14").toInt.max(1)
+    val chunkSize = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_CHUNK", "14").toInt).getOrElse(14).max(1)
     val chunks = names.grouped(chunkSize).toSeq
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getPath
@@ -79,14 +80,25 @@ object Bench {
         new java.io.File(out.getPath + ".log")))
       pb.redirectErrorStream(true)
       val t0 = System.nanoTime()
-      val code = try pb.start().waitFor()
-      catch { case e: Throwable =>
+      // hard per-chunk ceiling: one hung query must not stall the whole
+      // sweep (a destroyed chunk's queries surface as failed=-1 below)
+      val code = try {
+        val p = pb.start()
+        if (p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) p.exitValue()
+        else {
+          p.destroyForcibly().waitFor()
+          System.err.println(s"[bench] chunk $i timed out after 15 min; killed")
+          -2
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] chunk $i spawn failed: ${e.getMessage}")
         -1
       }
       val line =
-        if (out.length() > 0) scala.io.Source.fromFile(out).mkString.trim
-        else ""
+        if (out.length() > 0) {
+          val src = scala.io.Source.fromFile(out)
+          try src.mkString.trim finally src.close()
+        } else ""
       System.err.println(f"[bench] chunk $i/${chunks.size}: ${chunk.size} queries, " +
         f"exit=$code, ${(System.nanoTime() - t0) / 1e9}%.1fs")
       if (line.nonEmpty) results += line
@@ -110,10 +122,14 @@ object Bench {
       node.get("failed").forEach(n => failed ::= n.asText())
     }
     // a chunk that died without reporting leaves its queries missing —
-    // record them as failed rather than silently shrinking the sweep
+    // record them as failed AND as -1 rows, so the merged JSON keeps the
+    // documented shape (every swept name present in `queries`) and
+    // cross-round delta tooling sees -1 instead of a silently absent key
     names.filterNot(qs.contains).foreach { n => failed ::= n }
     Some(render(sfDir,
-      names.flatMap(n => qs.get(n).map(v => (n, colds.getOrElse(n, v), v))),
+      names.map(n => qs.get(n)
+        .map(v => (n, colds.getOrElse(n, v), v))
+        .getOrElse((n, -1.0, -1.0))),
       failed.distinct))
   }
 

@@ -1018,6 +1018,110 @@ object Dedup {
        |  COALESCE(n_dup_spans, 0) AS n_dup_spans
        |FROM g LEFT JOIN dc ON g.doc_id = dc.doc_id""".stripMargin
 
+  /** C9b: span-level dedup APPLICATION — the cut d_substring only
+    * detects (the detect/apply split d_cluster → d_cluster_apply
+    * already uses). Semantics: a 16-word window is duplicated when its
+    * text occurs in ≥ 2 distinct documents; the KEEPER occurrence of a
+    * duplicated window is the globally-first one (min (doc_id, pos),
+    * encoded doc_id·10⁹ + pos so both engines order identically);
+    * every other occurrence is CUT, and a word is removed from its doc
+    * iff some cut occurrence covers it. A planted full-doc copy is
+    * thus stripped to 0 words while the original keeps all of its own
+    * (keeper occurrences don't cut). Output is per-doc accounting:
+    * (n_words, removed_words, kept_words, removed_chars, kept_chars),
+    * chars = codepoints of the words themselves (whitespace excluded).
+    *
+    * Scale shape: the shuffle carries 60-bit window hashes, never the
+    * window text (the oracle re-derives the same decisions from the
+    * window STRINGS — same collision-free equivalence d_substring
+    * already certifies); the keeper choice is one hash aggregate with
+    * map-side partial min/countDistinct; cut starts come back to their
+    * doc via one groupBy(doc_id) whose payload is bounded by windows
+    * per doc; and the word-removal mask is a per-row higher-order
+    * projection (transform + exists over the in-row arrays) — the
+    * corpus' words are never exploded, so the rewrite pass is
+    * shuffle-free and codegen-resident.
+    */
+  def dSubstringApply(s: SparkSession, d: String): DataFrame = {
+    val enc = lit(1000000000L)
+    val corpus = graft.Stage.barrier(corpusWithExactDups(s, d)
+      .select(col("doc_id"), col("lang"),
+        // NOTE: regex built as a Scala string, NOT a SQL literal —
+        // Spark's SQL string unescape has no '\f', which silently turns
+        // the class into one containing a literal 'f'
+        filter(split(col("text"), "[ \\t\\n\\x0B\\f\\r]+"),
+          w => w =!= lit("")).as("ws"),
+        graft.functions.word_shingle_md5_hashes(col("text"), SpanWords).as("gs")))
+    val occ = corpus.select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
+    val dup = occ.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id") * enc + col("pos")).as("keeper"))
+      .filter(col("nd") >= 2)
+      .select("g", "keeper")
+    val cuts = occ.join(dup, Seq("g"))
+      .filter(col("doc_id") * enc + col("pos") =!= col("keeper"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("cut_starts"))
+    corpus.join(cuts, Seq("doc_id"), "left")
+      .withColumn("cut_starts",
+        coalesce(col("cut_starts"), expr("array()").cast("array<int>")))
+      .withColumn("rm", expr(
+        s"transform(ws, (w, i) -> exists(cut_starts, p -> i >= p AND i <= p + ${SpanWords - 1}))"))
+      .select(col("doc_id"), col("lang"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(rm, 0L, (a, x) -> a + IF(x, 1L, 0L))").as("removed_words"),
+        expr("aggregate(zip_with(ws, rm, (w, r) -> IF(r, length(w), 0)), 0L, (a, x) -> a + x)")
+          .as("removed_chars"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("n_wchars"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        col("removed_words"),
+        (col("n_words") - col("removed_words")).as("kept_words"),
+        col("removed_chars"),
+        (col("n_wchars") - col("removed_chars")).as("kept_chars"))
+  }
+
+  val dSubstringApplySql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0),
+       |w AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
+       |  FROM corpus),
+       |occ AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, len(ws) - $SpanWords + 1)) AS pos,
+       |    unnest(list_transform(range(1, len(ws) - $SpanWords + 2),
+       |      i -> array_to_string(ws[i:i+${SpanWords - 1}], ' '))) AS sp
+       |  FROM w WHERE len(ws) >= $SpanWords),
+       |dup AS (
+       |  SELECT sp, MIN(doc_id * 1000000000 + pos) AS keeper
+       |  FROM occ GROUP BY sp HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cuts AS (
+       |  SELECT o.doc_id, o.pos
+       |  FROM occ o JOIN dup d USING (sp)
+       |  WHERE o.doc_id * 1000000000 + o.pos <> d.keeper),
+       |words AS (
+       |  SELECT doc_id, unnest(range(0, len(ws))) AS widx, unnest(ws) AS word
+       |  FROM w),
+       |removed AS (
+       |  SELECT DISTINCT wo.doc_id, wo.widx, len(wo.word) AS wlen
+       |  FROM words wo JOIN cuts c ON wo.doc_id = c.doc_id
+       |    AND wo.widx BETWEEN c.pos AND c.pos + ${SpanWords - 1}),
+       |rem AS (
+       |  SELECT doc_id, COUNT(*) AS removed_words, SUM(wlen) AS removed_chars
+       |  FROM removed GROUP BY doc_id),
+       |tot AS (
+       |  SELECT doc_id, lang, len(ws) AS n_words,
+       |    COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS n_wchars
+       |  FROM w)
+       |SELECT t.doc_id, t.lang, CAST(t.n_words AS BIGINT) AS n_words,
+       |  CAST(COALESCE(r.removed_words, 0) AS BIGINT) AS removed_words,
+       |  CAST(t.n_words - COALESCE(r.removed_words, 0) AS BIGINT) AS kept_words,
+       |  CAST(COALESCE(r.removed_chars, 0) AS BIGINT) AS removed_chars,
+       |  CAST(t.n_wchars - COALESCE(r.removed_chars, 0) AS BIGINT) AS kept_chars
+       |FROM tot t LEFT JOIN rem r USING (doc_id)""".stripMargin
+
   /** C10: fuzzy join (record linkage) — pairs whose 40-char prefixes
     * are within edit distance 2, the classic approximate-key linkage
     * primitive, with PASSJOIN candidate generation (Li et al. 2011):
@@ -1289,6 +1393,7 @@ object Dedup {
     QueryDef("d_embed_cos", dEmbedCos, Some(dEmbedCosSql)),
     QueryDef("d_semdedup", dSemdedup, Some(dSemdedupSql)),
     QueryDef("d_substring", dSubstring, Some(dSubstringSql)),
+    QueryDef("d_substring_apply", dSubstringApply, Some(dSubstringApplySql)),
     QueryDef("d_fuzzy_join", dFuzzyJoin, Some(dFuzzyJoinSql)),
     QueryDef("d_incremental", dIncremental, Some(dIncrementalSql)),
   )

@@ -55,7 +55,7 @@ object Streaming {
     */
   val StatePartitions = 8
 
-  private def runToMemory(streamed: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  private[graft] def runToMemory(streamed: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = streamed.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     // scoped to planning: the streaming query captures the value at
@@ -306,6 +306,143 @@ object Streaming {
       |  ON p.user_id = v.user_id
       |  AND v.vus BETWEEN p.pus - 3600000000 AND p.pus
       |GROUP BY p.user_id""".stripMargin
+
+  /** Three-file fixture for the outer stream-stream join: events
+    * (event_id, user_id, event_type, epoch-µs ts) sliced by event_id
+    * residue with staggered mtimes — same construction as
+    * [[lateFixtureDir]] (which see, for why three batches and why
+    * epoch-µs) but keeping event_type so the two join sides can be
+    * filtered from the same file stream.
+    */
+  private[graft] def outerFixtureDir(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(s"/tmp/graft_stream_outer3_${math.abs(d.hashCode)}")
+    if (!dir.exists()) {
+      val tmp = new java.io.File(dir.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      tmp.mkdirs()
+      val slices = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        id => id % 2 === 0, id => id % 4 === 1, id => id % 4 === 3)
+      slices.zipWithIndex.foreach { case (pred, i) =>
+        val stage = new java.io.File(tmp, s"stage$i")
+        Tables.events(s, d)
+          .filter(pred(col("event_id")))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val target = new java.io.File(tmp, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        target.setLastModified(1600000000000L + i * 60000L)
+        graft.Stage.deleteRecursively(stage)
+      }
+      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, dir)
+    }
+    dir.getPath
+  }
+
+  /** G5b: stream-stream LEFT OUTER join — the enrichment-stream
+    * semantics the inner join (G5) dodges: a purchase with no view in
+    * its preceding hour must still come out, but its null-padded row
+    * can only be emitted once the WATERMARK proves no matching view
+    * can arrive — outer emission lags matched emission by watermark
+    * progress, exactly like st_late_data's drop-vs-eviction story.
+    * Run over the 3-microbatch fixture (maxFilesPerTrigger=1) so the
+    * watermark genuinely advances across batches; per purchase the
+    * output is its matched-view count, n_views = 0 being the
+    * null-padded outer row. The timeline rules (MEASURED on this exact
+    * query shape by fitting a batch-by-batch simulation until it
+    * reproduced the streaming output bit-for-bit, lag parameters
+    * filter=2/evict=1 the unique fit; the oracle encodes them):
+    * W(k) = min over sides of (floor-to-ms of the side's max event
+    * time through batch k) − 1 h (min = default
+    * multipleWatermarkPolicy; each side's watermark node sees only its
+    * own filtered stream).
+    *  1. LATE-INPUT FILTER in batch N uses W(N−2) — the same
+    *     two-batch lag lateFixtureDir documents: purchases with
+    *     pts < W(N−2) and views with vts < W(N−2) − 1 h are dropped
+    *     before the join and never produce anything.
+    *  2. EVICTION at the end of batch N uses W(N−1): left rows with
+    *     pts < W evict (emitting the null row iff never matched —
+    *     matches they'd have made with later batches are lost); right
+    *     rows evict at vts < W − 1 h (the extra hour is the range
+    *     condition's reach). Trailing no-data batches advance the
+    *     watermark to W(final), so the last eviction uses it.
+    *  3. An unmatched purchase with pts ≥ W(final) is still in state
+    *     when AvailableNow drains — never emitted.
+    * State on both sides is range-evicted by the same watermark, so an
+    * unbounded deployment holds ~1 h of events per side, not the
+    * stream.
+    */
+  /** The outer-join stream over a fixture directory — factored out so
+    * the timeline spec can run it over batch-prefix copies of the
+    * fixture as well as the full one.
+    */
+  private[graft] def outerJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(dir).schema
+    def src: DataFrame = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(col("us")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user")
+        && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR")
+        && col("vts") <= col("pts"),
+      "left_outer")
+      .select(col("p_event").as("purchase_event"), col("p_user").as("user_id"),
+        unix_micros(col("pts")).as("pts_us"),
+        when(col("v_user").isNull, 0L).otherwise(1L).as("matched"))
+  }
+
+  def stStreamJoinOuter(s: SparkSession, d: String): DataFrame =
+    runToMemory(outerJoinStream(s, outerFixtureDir(s, d)),
+      "st_stream_join_outer_mem", OutputMode.Append())
+      .groupBy("purchase_event", "user_id", "pts_us")
+      .agg(sum(col("matched")).as("n_views"))
+
+  val stStreamJoinOuterSql: String =
+    """WITH b AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN event_id % 2 = 0 THEN 0
+      |         WHEN event_id % 4 = 1 THEN 1 ELSE 2 END AS k
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |wms AS (
+      |  SELECT
+      |    LEAST((SELECT MAX(us) // 1000 * 1000 FROM b WHERE event_type = 'purchase' AND k <= 0),
+      |          (SELECT MAX(us) // 1000 * 1000 FROM b WHERE event_type = 'view' AND k <= 0))
+      |      - 3600000000 AS w0,
+      |    LEAST((SELECT MAX(us) // 1000 * 1000 FROM b WHERE event_type = 'purchase'),
+      |          (SELECT MAX(us) // 1000 * 1000 FROM b WHERE event_type = 'view'))
+      |      - 3600000000 AS w2),
+      |p AS (
+      |  SELECT event_id, user_id, us, k FROM b WHERE event_type = 'purchase'
+      |    AND NOT (k = 2 AND us < (SELECT w0 FROM wms))),
+      |v AS (
+      |  SELECT user_id, us, k FROM b WHERE event_type = 'view'
+      |    AND NOT (k = 2 AND us < (SELECT w0 FROM wms) - 3600000000)),
+      |m AS (
+      |  SELECT p.event_id, p.user_id, p.us,
+      |    SUM(CASE
+      |      WHEN v.user_id IS NULL THEN 0
+      |      WHEN GREATEST(p.k, v.k) < 2 OR (p.k = 2 AND v.k = 2) THEN 1
+      |      WHEN p.k = 2 THEN CASE WHEN v.us >= (SELECT w0 FROM wms) - 3600000000 THEN 1 ELSE 0 END
+      |      ELSE CASE WHEN p.us >= (SELECT w0 FROM wms) THEN 1 ELSE 0 END
+      |    END) AS n_views
+      |  FROM p LEFT JOIN v
+      |    ON p.user_id = v.user_id
+      |    AND v.us BETWEEN p.us - 3600000000 AND p.us
+      |  GROUP BY 1, 2, 3)
+      |SELECT event_id AS purchase_event, user_id, us AS pts_us,
+      |  CAST(n_views AS BIGINT) AS n_views
+      |FROM m
+      |WHERE n_views > 0 OR us < (SELECT w2 FROM wms)""".stripMargin
 
   /** G3: streaming exact dedup — dropDuplicates on the content key
     * inside the stream (state-backed; a production deployment bounds
@@ -741,6 +878,7 @@ object Streaming {
     QueryDef("st_sessionize_stream", stSessionizeStream, Some(stSessionizeSql)),
     QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),
+    QueryDef("st_stream_join_outer", stStreamJoinOuter, Some(stStreamJoinOuterSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
     QueryDef("st_dedup_watermark", stDedupWatermark, Some(stDedupWatermarkSql)),
     QueryDef("st_enrich", stEnrich, Some(stEnrichSql)),

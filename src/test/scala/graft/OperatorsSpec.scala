@@ -29,6 +29,56 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d_substring_apply: matches brute-force cut model; no dup span survives twice") {
+    // in-test model of the operator's exact semantics: dup window =
+    // same 16-word text in ≥2 docs; keeper = min (doc_id, pos); cut
+    // occurrences remove every word they cover
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base ++ base.collect {
+      case (id, t) if id % 7 == 0 => (id + 1000000L, t) }
+    val words = corpus.map { case (id, t) =>
+      id -> t.split("[ \t\n\f\r]+").filter(_.nonEmpty) }.toMap
+    val occ = for {
+      (id, ws) <- words.toSeq
+      if ws.length >= 16
+      p <- 0 to ws.length - 16
+    } yield (ws.slice(p, p + 16).mkString(" "), id, p)
+    val cuts = scala.collection.mutable.Map.empty[Long, Set[Int]]
+      .withDefaultValue(Set.empty)
+    val dupWins = occ.groupBy(_._1).values.filter(_.map(_._2).distinct.size >= 2)
+    dupWins.foreach { os =>
+      val keeper = os.minBy(o => o._2 * 1000000000L + o._3)
+      os.filterNot(_ == keeper).foreach(o => cuts(o._2) += o._3)
+    }
+    def chars(w: String) = w.codePointCount(0, w.length).toLong
+    val expected = words.map { case (id, ws) =>
+      val rm = ws.indices.map(i => cuts(id).exists(p => i >= p && i <= p + 15))
+      val rw = rm.count(identity).toLong
+      val rc = ws.zip(rm).collect { case (w, true) => chars(w) }.sum
+      id -> (ws.length.toLong, rw, ws.length - rw, rc, ws.map(chars).sum - rc)
+    }
+    val got = Dedup.dSubstringApply(spark, sfDir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) === e, s"doc $id accounting diverges from model") }
+    // planted full-doc copies with ≥ 16 words are stripped to nothing
+    val copies = expected.filter { case (id, e) => id >= 1000000L && e._1 >= 16 }
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, e) =>
+      assert(e._3 === 0L, s"copy $id kept ${e._3} words") }
+    // corpus-wide survival: an occurrence is intact when none of its
+    // words were removed; every duplicated window keeps AT MOST one
+    // intact occurrence (the keeper — fewer if another cut overlaps it)
+    dupWins.foreach { os =>
+      val intact = os.count { case (_, id, p) =>
+        !cuts(id).exists(q => q >= p - 15 && q <= p + 15) }
+      assert(intact <= 1, s"dup span survived $intact times")
+    }
+  }
+
   test("d_fuzzy_join: planted exact copies link at distance 0") {
     val planted = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 7 === 0 && col("lang") === "en")
@@ -87,14 +137,17 @@ class OperatorsSpec extends SparkSpec {
     // parquet artifact kept serving pre-rebuild rows after the directory
     // was replaced in place, because CacheManager plan-matching returned
     // the old InMemoryRelation. refreshArtifact must re-materialize.
-    val dir = new java.io.File("/tmp/graft_refresh_spec")
+    // per-run unique path: a fixed one collides under concurrent runs
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh_spec")
+      .resolve("artifact").toFile
     graft.Stage.deleteRecursively(dir)
+    var first: org.apache.spark.sql.DataFrame = null
     try {
       import spark.implicits._
       Seq(1L, 2L, 3L).toDF("v").coalesce(1).write.parquet(dir.getPath)
       // cache a DERIVED plan (not the bare scan) — the shape every
       // artifact consumer has — and materialize it
-      val first = graft.Stage.cached(
+      first = graft.Stage.cached(
         spark.read.parquet(dir.getPath).select((col("v") * 10).as("w")))
       assert(first.agg(sum("w")).head().getLong(0) === 60L)
       // rebuild the artifact at the SAME path with different rows
@@ -108,7 +161,13 @@ class OperatorsSpec extends SparkSpec {
       val again = spark.read.parquet(dir.getPath).select((col("v") * 10).as("w"))
       assert(again.agg(sum("w")).head().getLong(0) === 150L,
         "cached plan served pre-rebuild artifact data")
-    } finally graft.Stage.deleteRecursively(dir)
+    } finally {
+      // refreshByPath re-caches `first` over the new bytes — unpersist so
+      // no InMemoryRelation leaks into the shared suite session
+      if (first != null) first.unpersist()
+      graft.Stage.deleteRecursively(dir)
+      graft.Stage.deleteRecursively(dir.getParentFile)
+    }
   }
 
   test("cluster-once/apply-many: d_cluster_apply reads the persisted components artifact") {

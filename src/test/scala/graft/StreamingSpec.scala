@@ -134,6 +134,101 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("st_stream_join_outer: per-microbatch-prefix outputs match the lagged-watermark model") {
+    // Scala twin of the measured timeline rules (Streaming.scala
+    // scaladoc on stStreamJoinOuter): late filter in batch N uses
+    // W(N−2), eviction at end of batch N uses W(N−1), trailing
+    // no-data batches evict with W(last). Running the stream over
+    // 1-, 2- and 3-batch prefixes of the fixture pins WHEN each null
+    // row appears, not just the final set.
+    val HourUs = 3600000000L
+    val full = Streaming.outerFixtureDir(spark, sfDir)
+    val files = new java.io.File(full).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length === 3)
+    val slices: IndexedSeq[Seq[(Long, Long, String, Long)]] = files.toIndexedSeq.map { f =>
+      spark.read.parquet(f.getPath).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    }
+    def model(n: Int): Map[(Long, Long, Long), Long] = {
+      def floorMs(us: Long) = us / 1000 * 1000
+      var wmP, wmV = Option.empty[Long]
+      val wSeq = (0 until n).map { k =>
+        val mp = slices(k).collect { case (_, _, "purchase", us) => us }
+        val mv = slices(k).collect { case (_, _, "view", us) => us }
+        if (mp.nonEmpty) wmP = Some(math.max(wmP.getOrElse(Long.MinValue), floorMs(mp.max) - HourUs))
+        if (mv.nonEmpty) wmV = Some(math.max(wmV.getOrElse(Long.MinValue), floorMs(mv.max) - HourUs))
+        for (a <- wmP; b <- wmV) yield math.min(a, b)
+      }
+      def w(i: Int): Option[Long] = if (i >= 0) wSeq(i) else None
+      val pState = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)] // eid -> (uid, pts, matched)
+      var vState = List.empty[(Long, Long)]
+      val out = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+      def evict(wm: Option[Long]): Unit = wm.foreach { ew =>
+        pState.filterInPlace { case (eid, (uid, pts, m)) =>
+          if (pts < ew && m == 0) out((eid, uid, pts)) = 0L
+          pts >= ew
+        }
+        vState = vState.filter(_._2 >= ew - HourUs)
+      }
+      for (k <- 0 until n) {
+        val fw = w(k - 2)
+        val pIn = slices(k).collect { case (eid, uid, "purchase", us)
+          if fw.forall(us >= _) => (eid, uid, us) }
+        val vIn = slices(k).collect { case (_, uid, "view", us)
+          if fw.forall(us >= _ - HourUs) => (uid, us) }
+        val oldP = pState.toMap
+        pIn.foreach { case (eid, uid, pts) =>
+          val m = (vState ++ vIn).count { case (vu, vts) =>
+            vu == uid && vts >= pts - HourUs && vts <= pts }
+          pState(eid) = (uid, pts, m.toLong)
+          if (m > 0) out((eid, uid, pts)) = out.getOrElse((eid, uid, pts), 0L) + m
+        }
+        vIn.foreach { case (vu, vts) =>
+          oldP.foreach { case (eid, (uid, pts, _)) =>
+            if (pState.contains(eid) && uid == vu && vts >= pts - HourUs && vts <= pts) {
+              val (u, p, m) = pState(eid)
+              pState(eid) = (u, p, m + 1)
+              out((eid, u, p)) = out.getOrElse((eid, u, p), 0L) + 1
+            }
+          }
+        }
+        vState ++= vIn
+        evict(w(k - 1))
+      }
+      evict(w(n - 1))
+      out.toMap
+    }
+    for (n <- 1 to 3) {
+      val prefix = java.nio.file.Files.createTempDirectory(s"graft_sjo_prefix$n")
+      files.take(n).foreach { f =>
+        val t = prefix.resolve(f.getName)
+        java.nio.file.Files.copy(f.toPath, t)
+        t.toFile.setLastModified(f.lastModified())
+      }
+      val got = Streaming.runToMemory(
+          Streaming.outerJoinStream(spark, prefix.toString),
+          s"sjo_prefix${n}_mem",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy("purchase_event", "user_id", "pts_us")
+        .agg(sum(col("matched")).as("n_views"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val want = model(n)
+      assert(got.size === want.size, s"prefix $n: ${got.size} rows vs model ${want.size}")
+      assert(got === want, s"prefix $n diverges from the timeline model")
+      assert(got.values.exists(_ == 0L), s"prefix $n emitted no null rows")
+      graft.Stage.deleteRecursively(prefix.toFile)
+    }
+    // the outer rows are genuinely watermark-gated: the full run
+    // suppresses at least one unmatched purchase the watermark never
+    // passed (it would appear in a plain batch left join)
+    val m3 = model(3)
+    val allP = slices.flatten.collect { case (eid, uid, "purchase", us) => (eid, uid, us) }
+    assert(allP.exists(p => !m3.contains((p._1, p._2, p._3))),
+      "every purchase was emitted — nothing left gated in state")
+  }
+
   test("st_session_window: native sessions equal cumsum sessions the watermark passed") {
     val native = Streaming.stSessionWindow(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
