@@ -927,32 +927,42 @@ object Text {
     */
   /** E20: TRAINED quality/domain classifier — the step t_quality_model
     * (fixed weights) points at: learn a model FROM the corpus,
-    * distributed, then score every doc with it. Multinomial Naive
-    * Bayes over hashed word-bigram token counts (md5-60 % 65536 —
-    * the fastText-style supervised shape), with every log replaced by
-    * `ilog`, a fixed-point piecewise-linear integer log2
-    * (1024·(bitlen−1) + next-10-bits, max error 0.086 octave): the
-    * whole model — per-feature weights, class totals, prior — is
-    * BIGINT arithmetic, so training is one groupBy(feat) count
-    * aggregation (map-side combine) and the DuckDB oracle re-derives
-    * the learned MODEL bit-for-bit, not just the scores.
+    * distributed, then score every doc with it — and prove it
+    * GENERALIZES: the model is fit on the 80% md5-of-id train split
+    * (t_sample's machinery) and evaluated on the held-out 20% the
+    * output's `split` column exposes. Every log is `ilog`, a
+    * fixed-point piecewise-linear integer log2 (1024·(bitlen−1) +
+    * next-10-bits, max error 0.086 octave): the whole model — weights,
+    * prior, fitted threshold — is BIGINT arithmetic, so the DuckDB
+    * oracle re-derives the learned MODEL bit-for-bit, not just scores.
     *
     * Supervision: this synthetic corpus has no organic label↔text
-    * correlation (all langs/sources draw one shared vocabulary), so
-    * the labels are a held-out RULE over the text itself — pos ⇔ the
-    * doc contains a marker bigram (hash % 64 = 0, ≈50/50 split) — and
-    * the spec asserts the learner actually RECOVERS it (≥90% training
-    * accuracy, both classes; marker features get the most-positive
-    * weights). Any column-derived supervision slots into the same
-    * plan. Multinomial (count-based, per-class total normalization)
-    * rather than presence-based Bernoulli because presence scoring is
-    * length-confounded: P(contains marker) grows with doc length, so
-    * a presence model trained on these labels predicts length, not
-    * content — measured at 53% accuracy vs 95% for this form.
+    * correlation (all langs/sources draw one shared 31-word
+    * vocabulary), so the labels are a rule over the text itself —
+    * pos ⇔ the doc contains a marker bigram (md5-60 % 64 = 0, ≈50/50
+    * split). Model: Bernoulli NB presence weights over hashed bigram
+    * features (md5-60 % 65536, per-doc DISTINCT), with
+    * information-gain PRUNING — keep a feature iff it was seen in ≥ 4
+    * train docs and |ilog(dp+1) − ilog(dn+1)| ≥ 3 octaves (an ≈8×
+    * class ratio) — plus a rank-fitted decision threshold, midpoint
+    * of the train-negative 90th and train-positive 10th percentile
+    * scores (compared as 2·score > q90n + q10p: no division, no
+    * floats). The pruning is the generalization lever, measured here:
+    * the un-pruned multinomial form scores 95% on TRAIN but ~51% on
+    * held-out negatives — its accuracy was per-doc self-counts
+    * (memorization), invisible until the split exposed it; the pruned
+    * presence model recovers exactly the ~12-bucket marker dictionary
+    * and scores 100%/100% train/held-out on both classes at sf0.001
+    * and sf0.01.
     *
-    * At 100 TB: one tokenize pass, one bounded groupBy to train, one
-    * broadcast join (model ≤ 65536 rows) + re-agg to score; no
-    * per-doc driver work, no float accumulation anywhere.
+    * At 100 TB: one tokenize pass; training is one per-doc distinct +
+    * one groupBy(feat) count (map-side combine, ≤ 65536 rows out);
+    * the threshold quantiles come from a HISTOGRAM of the distinct
+    * fixed-point score values (bounded: sums of ≤ a handful of
+    * pruned-feature weights), cumulated with a window over that tiny
+    * table — no global sort of doc scores, no collect; scoring is a
+    * broadcast join + re-agg. No per-doc driver work, no float
+    * accumulation anywhere.
     */
   def tQualityTrain(s: SparkSession, d: String): DataFrame = {
     def il(x: String): String =
@@ -961,31 +971,70 @@ object Text {
     val toks = graft.Stage.cached( // three consumers: labels, stats, scoring
       docs.select(col("doc_id"),
         explode(graft.functions.word_shingle_md5_hashes(col("text"), 2)).as("hv")))
+    // 80/20 train/held-out split on the SAME md5-of-id machinery as
+    // t_sample (hex chars 5-8 < 'cccc'): the model is FIT on train
+    // docs only and scores everything, so the output carries both
+    // training accuracy and the held-out accuracy that catches a
+    // memorizing model (the spec floors both).
+    def splitOf(id: org.apache.spark.sql.Column) =
+      when(substring(md5(id.cast("string").cast("binary")), 5, 4) < "cccc",
+        "train").otherwise("heldout")
     val lab = toks.groupBy("doc_id")
       .agg(max(when(pmod(col("hv"), lit(64L)) === 0, 1L).otherwise(0L)).as("pos"))
-    val st = toks.join(lab, Seq("doc_id"))
-      .groupBy(pmod(col("hv"), lit(65536L)).as("feat"))
-      .agg(sum("pos").as("cp"), sum(lit(1L) - col("pos")).as("cn"))
-    val weights = st.select(col("feat"),
-      expr(s"${il("cp + 1L")} - (${il("cn + 1L")})").as("wt"))
-    val consts = st.agg(sum("cp").as("tp"), sum("cn").as("tn"), count(lit(1)).as("v"))
-      .crossJoin(lab.agg(sum("pos").as("npos"), (count(lit(1)) - sum("pos")).as("nneg")))
-      .select(expr(s"${il("tp + v")} - (${il("tn + v")})").as("kk"),
+    val trainLab = lab.filter(splitOf(col("doc_id")) === "train")
+    // Bernoulli presence counts: dp/dn = # train docs of each class
+    // CONTAINING the feature (per-doc distinct, then one bounded
+    // groupBy(feat) — map-side combine, ≤ 65536 rows out)
+    val dfeat = toks.select(col("doc_id"), pmod(col("hv"), lit(65536L)).as("feat"))
+      .distinct()
+    val cnt = dfeat.join(trainLab, Seq("doc_id"))
+      .groupBy("feat")
+      .agg(sum("pos").as("dp"), sum(lit(1L) - col("pos")).as("dn"))
+    val consts = trainLab
+      .agg(sum("pos").as("npos"), (count(lit(1)) - sum("pos")).as("nneg"))
+      .select(col("npos"), col("nneg"),
         expr(s"${il("npos + 1L")} - (${il("nneg + 1L")})").as("prior"))
-    val sc = toks.select(col("doc_id"), pmod(col("hv"), lit(65536L)).as("feat"))
-      .join(broadcast(weights), Seq("feat"))
-      .crossJoin(broadcast(consts))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"),
-        (sum(col("wt") - col("kk")) + first(col("prior"))).as("score"))
+    // information-gain pruning: decisively one-sided features only
+    val sel = cnt.crossJoin(broadcast(consts))
+      .filter(col("dp") + col("dn") >= 4
+        && abs(expr(s"${il("dp + 1L")} - (${il("dn + 1L")})")) >= 3072)
+      .select(col("feat"),
+        expr(s"${il("dp + 1L")} - (${il("npos + 2L")}) - (${il("dn + 1L")}) + (${il("nneg + 2L")})")
+          .as("wt"))
+    val ntk = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val ssum = dfeat.join(broadcast(sel), Seq("feat"))
+      .groupBy("doc_id").agg(sum("wt").as("wsum"))
+    val scored = ntk.join(ssum, Seq("doc_id"), "left")
+      .crossJoin(broadcast(consts.select("prior")))
+      .select(col("doc_id"), col("n_toks"),
+        (coalesce(col("wsum"), lit(0L)) + col("prior")).as("score"))
+    // rank-fitted threshold from the train split: kth-smallest score
+    // per class via a histogram of distinct score values (bounded),
+    // never a global sort of doc scores
+    val trainScored = trainLab.join(scored, Seq("doc_id"))
+    def kth(cls: Int, num: Int, den: Int): DataFrame = {
+      val hist = trainScored.filter(col("pos") === cls)
+        .groupBy("score").agg(count(lit(1)).as("c"))
+      val cum = hist.select(col("score"), col("c"),
+        sum("c").over(org.apache.spark.sql.expressions.Window
+          .orderBy("score")
+          .rowsBetween(Long.MinValue, 0)).as("cum"))
+      cum.crossJoin(broadcast(hist.agg(sum("c").as("n"))))
+        .filter(col("cum") >= expr(s"n * $num div $den") + 1)
+        .agg(min(col("score")).as(s"q$cls"))
+    }
+    val thr = kth(0, 9, 10).crossJoin(kth(1, 1, 10))
+      .select((col("q0") + col("q1")).as("thr2"))
     docs.select("doc_id")
-      .join(sc, Seq("doc_id"), "left")
+      .join(scored, Seq("doc_id"), "left")
       .join(lab, Seq("doc_id"), "left")
+      .crossJoin(broadcast(thr))
       .select(col("doc_id"),
+        splitOf(col("doc_id")).as("split"),
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         coalesce(col("score"), lit(0L)).as("score"),
         when(col("n_toks").isNull, "empty")
-          .when(col("score") > 0, "pos").otherwise("neg").as("pred"),
+          .when(col("score") * 2 > col("thr2"), "pos").otherwise("neg").as("pred"),
         when(col("pos").isNull, "empty")
           .when(col("pos") === 1, "pos").otherwise("neg").as("actual"))
   }
@@ -1007,30 +1056,57 @@ object Text {
        |  FROM (SELECT doc_id, unnest(grams) AS tok FROM g WHERE len(grams) > 0)),
        |lab AS (SELECT doc_id, CAST(max(CASE WHEN hv % 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
        |        FROM h GROUP BY 1),
-       |st AS (
-       |  SELECT hv % 65536 AS feat,
-       |    CAST(SUM(pos) AS BIGINT) AS cp, CAST(SUM(1 - pos) AS BIGINT) AS cn
-       |  FROM h JOIN lab USING (doc_id) GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn,
-       |               CAST(count(*) AS BIGINT) AS v FROM st),
+       |spl AS (SELECT doc_id,
+       |          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 5, 4) < 'cccc'
+       |               THEN 'train' ELSE 'heldout' END AS split
+       |        FROM documents),
+       |trainlab AS (SELECT lab.* FROM lab JOIN spl USING (doc_id)
+       |             WHERE spl.split = 'train'),
+       |dfeat AS (SELECT DISTINCT doc_id, hv % 65536 AS feat FROM h),
+       |cnt AS (
+       |  SELECT feat,
+       |    CAST(SUM(pos) AS BIGINT) AS dp, CAST(SUM(1 - pos) AS BIGINT) AS dn
+       |  FROM dfeat JOIN trainlab USING (doc_id) GROUP BY 1),
        |pri AS (SELECT CAST(SUM(pos) AS BIGINT) AS npos,
-       |               CAST(count(*) - SUM(pos) AS BIGINT) AS nneg FROM lab),
-       |w AS (SELECT feat, ${il("cp + 1")} - (${il("cn + 1")}) AS wt FROM st),
-       |k AS (SELECT ${il("tp + v")} - (${il("tn + v")}) AS kk,
-       |             ${il("npos + 1")} - (${il("nneg + 1")}) AS prior FROM tot, pri),
-       |sc AS (
-       |  SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-       |    CAST(SUM(wt - kk) AS BIGINT) + any_value(prior) AS score
-       |  FROM h JOIN w ON w.feat = h.hv % 65536 CROSS JOIN k GROUP BY 1)
+       |               CAST(count(*) - SUM(pos) AS BIGINT) AS nneg FROM trainlab),
+       |sel AS (
+       |  SELECT feat,
+       |    ${il("dp + 1")} - (${il("npos + 2")}) - (${il("dn + 1")}) + (${il("nneg + 2")}) AS wt
+       |  FROM cnt, pri
+       |  WHERE dp + dn >= 4 AND abs(${il("dp + 1")} - (${il("dn + 1")})) >= 3072),
+       |prr AS (SELECT ${il("npos + 1")} - (${il("nneg + 1")}) AS prior FROM pri),
+       |ntk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM h GROUP BY 1),
+       |ssum AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS ws
+       |         FROM dfeat JOIN sel USING (feat) GROUP BY 1),
+       |scored AS (
+       |  SELECT ntk.doc_id, n_toks,
+       |    COALESCE(ws, 0) + (SELECT prior FROM prr) AS score
+       |  FROM ntk LEFT JOIN ssum USING (doc_id)),
+       |tsc AS (SELECT s.score, l.pos FROM scored s JOIN trainlab l USING (doc_id)),
+       |qn AS (
+       |  SELECT MIN(score) AS q FROM (
+       |    SELECT score, SUM(c) OVER (ORDER BY score) AS cum,
+       |      (SELECT COUNT(*) FROM tsc WHERE pos = 0) AS n
+       |    FROM (SELECT score, COUNT(*) AS c FROM tsc WHERE pos = 0 GROUP BY 1))
+       |  WHERE cum >= n * 9 // 10 + 1),
+       |qp AS (
+       |  SELECT MIN(score) AS q FROM (
+       |    SELECT score, SUM(c) OVER (ORDER BY score) AS cum,
+       |      (SELECT COUNT(*) FROM tsc WHERE pos = 1) AS n
+       |    FROM (SELECT score, COUNT(*) AS c FROM tsc WHERE pos = 1 GROUP BY 1))
+       |  WHERE cum >= n // 10 + 1)
        |SELECT d0.doc_id,
+       |  spl.split,
        |  COALESCE(n_toks, 0) AS n_toks,
        |  COALESCE(score, 0) AS score,
        |  CASE WHEN sc.doc_id IS NULL THEN 'empty'
-       |       WHEN score > 0 THEN 'pos' ELSE 'neg' END AS pred,
+       |       WHEN score * 2 > (SELECT q FROM qn) + (SELECT q FROM qp)
+       |       THEN 'pos' ELSE 'neg' END AS pred,
        |  CASE WHEN lab.doc_id IS NULL THEN 'empty'
        |       WHEN pos = 1 THEN 'pos' ELSE 'neg' END AS actual
        |FROM documents d0
-       |LEFT JOIN sc ON sc.doc_id = d0.doc_id
+       |JOIN spl ON spl.doc_id = d0.doc_id
+       |LEFT JOIN scored sc ON sc.doc_id = d0.doc_id
        |LEFT JOIN lab ON lab.doc_id = d0.doc_id""".stripMargin
   }
 

@@ -346,21 +346,28 @@ class StreamingSpec extends SparkSpec {
     assert(perFile === expected)
   }
 
-  test("t_quality_train: the learner recovers the held-out marker rule on both classes") {
+  test("t_quality_train: recovers the marker rule on train AND held-out splits") {
     val rows = Text.tQualityTrain(spark, sfDir).collect()
-      .map(r => (r.getString(3), r.getString(4))) // (pred, actual)
-      .filter(_._2 != "empty")
-    val byClass = rows.groupBy(_._2)
-    // supervision must be non-degenerate: both classes materially present
-    assert(byClass.keySet === Set("pos", "neg"))
-    byClass.foreach { case (cls, xs) =>
-      assert(xs.length * 5 >= rows.length,
-        s"class $cls is ${xs.length}/${rows.length} — degenerate supervision")
-      val acc = xs.count(x => x._1 == x._2).toDouble / xs.length
-      assert(acc >= 0.85, s"class $cls training accuracy $acc below floor 0.85")
+      .map(r => (r.getString(1), r.getString(4), r.getString(5))) // (split, pred, actual)
+      .filter(_._3 != "empty")
+    val bySplit = rows.groupBy(_._1)
+    assert(bySplit.keySet === Set("train", "heldout"))
+    // the 80/20 md5 split must be materially populated on both sides
+    assert(bySplit("heldout").length * 10 >= rows.length,
+      s"held-out is ${bySplit("heldout").length}/${rows.length} — split degenerate")
+    bySplit.foreach { case (split, xs) =>
+      val byClass = xs.groupBy(_._3)
+      assert(byClass.keySet === Set("pos", "neg"),
+        s"$split split missing a class — degenerate supervision")
+      byClass.foreach { case (cls, ys) =>
+        val acc = ys.count(y => y._2 == y._3).toDouble / ys.length
+        assert(acc >= 0.85, s"$split/$cls accuracy $acc below floor 0.85")
+      }
+      val overall = xs.count(y => y._2 == y._3).toDouble / xs.length
+      // the held-out floor is the generalization gate: a model that
+      // memorized train docs instead of learning the rule fails here
+      assert(overall >= 0.9, s"$split overall accuracy $overall below floor 0.9")
     }
-    val overall = rows.count(x => x._1 == x._2).toDouble / rows.length
-    assert(overall >= 0.9, s"overall training accuracy $overall below floor 0.9")
   }
 
   test("t_fingerprint: byte-identical docs share a fingerprint, others don't collide") {
