@@ -194,23 +194,40 @@ object Layout {
           col("mx_t") < tsLo || col("mn_t") > tsHi))
       .select("file").collect().map(_.getString(0)).sorted.toSeq
 
+  /** The z-layout as a plain DataFrame whose SCAN skips files through
+    * the manifest-backed native FileIndex (plans/ZorderFileIndex.scala)
+    * — pruning composes with Catalyst: any filter on user_id/us that
+    * the optimizer pushes into the scan prunes files at
+    * listFiles(partitionFilters, dataFilters) time, exactly where a
+    * Delta/Iceberg reader does it. No hand-threaded file lists.
+    */
+  def zorderTable(s: SparkSession, d: String): DataFrame = {
+    val (dataPath, manifest) = ensureZorderLayout(s, d)
+    val stats = manifest.select("file", "mn_u", "mx_u", "mn_t", "mx_t")
+      .collect()
+      .map(r => graft.plans.ZFileStats(r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // FILE schema, not directory-inferred (the z-bucket dir column is a
+    // layout detail, not a query column)
+    val dataSchema = s.read
+      .parquet(s"$dataPath/${stats.head.rel}").schema
+    graft.plans.ZorderFileIndex.table(s, dataPath, stats, dataSchema)
+  }
+
   /** B17: manifest-pruned scan over the z-clustered layout — the full
-    * data-skipping path: stats manifest → surviving file list → Spark
-    * reads ONLY those files → residual filter → aggregate. The answer
-    * is contractually identical to scanning everything (the oracle
-    * aggregates the raw table); the SKIPPING is asserted by
-    * PlanShapeSpec (pruned file list a small fraction of the layout,
-    * skipped footprints provably disjoint from the predicate).
+    * data-skipping path, now a PLAIN scan + filter + aggregate: the
+    * filter below is ordinary Catalyst; it reaches the scan as
+    * dataFilters and the native FileIndex skips every file whose
+    * footprint is disjoint from it. The answer is contractually
+    * identical to scanning everything (the oracle aggregates the raw
+    * table); the SKIPPING is asserted by BucketingSpec (scan file
+    * count a small fraction of the layout, skipped footprints provably
+    * disjoint from the predicate).
     */
   def qZorderPrune(s: SparkSession, d: String): DataFrame = {
-    val (dataPath, manifest) = ensureZorderLayout(s, d)
     val (uLo, uHi, tsLo, tsHi) = predicateBounds(s, d)
-    val files = pruneFiles(manifest, uLo, uHi, tsLo, tsHi)
-    val pruned =
-      if (files.isEmpty) s.read.parquet(dataPath).limit(0)
-      else s.read.option("basePath", dataPath)
-        .parquet(files.map(f => s"$dataPath/$f"): _*)
-    pruned
+    zorderTable(s, d)
       .filter(col("user_id").between(uLo, uHi)
         && col("us").between(tsLo, tsHi))
       .groupBy("event_type")

@@ -97,9 +97,36 @@ class BucketingSpec extends SparkSpec {
         && col("us").between(tsLo, tsHi))
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val pruned = Layout.qZorderPrune(spark, sfDir)
+    val prunedDf = Layout.qZorderPrune(spark, sfDir)
+    val pruned = prunedDf
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pruned === full)
+    // the skipping happens INSIDE the plan: the scan's FileIndex,
+    // handed the scan's own pushed dataFilters, admits exactly the
+    // manifest-pruned file set — no hand-threaded path list anywhere
+    // AQE wraps stages in QueryStageExec whose plan is not a child —
+    // flatten through both wrappers to reach the scan
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val scan = flatten(prunedDf.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the pruned plan"))
+    assert(scan.relation.location.isInstanceOf[graft.plans.ZorderFileIndex],
+      "scan is not backed by the native z-order FileIndex")
+    val scanFiles = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files.map(_.fileStatus.getPath.getName)).toSet
+    val keptNames = kept.map(f => f.split('/').last)
+    assert(scanFiles === keptNames,
+      "scan file set diverges from the manifest-pruned set")
+    assert(scanFiles.size * 4 <= files.length,
+      s"scan read ${scanFiles.size}/${files.length} files — no in-plan skipping")
   }
 
   test("z-order files are locality-tight: per-file user footprints beat the global range") {
