@@ -42,6 +42,16 @@ object Layout {
   private def q16Sql(x: String, mn: String, mx: String): String =
     s"CASE WHEN $mx = $mn THEN 0L ELSE ($x - $mn) * 65535L div ($mx - $mn) END"
 
+  /** Clamped variant for layout builds against FROZEN bounds: rows
+    * arriving after the first build may exceed the recorded min/max —
+    * they clamp to the edge cells (their z-locality degrades
+    * gracefully; correctness never depends on quantization because the
+    * manifest stats are real row min/max).
+    */
+  private def q16ClampSql(x: String, mn: Long, mx: Long): String =
+    if (mx == mn) "0L"
+    else s"(greatest(least($x, ${mx}L), ${mn}L) - ${mn}L) * 65535L div ${mx - mn}L"
+
   /** Bit-interleave two 16-bit quantized keys: dimension-a bits land in
     * odd positions, dimension-b bits in even, so a z-range prefix fixes
     * leading bits of BOTH keys — the locality property the layout rides.
@@ -82,21 +92,75 @@ object Layout {
   }
 
   private val LayoutSemantics =
-    s"zorder-v1;dims=user_id,us;bits=$Bits;bucketShift=$BucketShift;cols=event_id,user_id,us,event_type,value,zval"
+    s"zorder-v2;dims=user_id,us;bits=$Bits;bucketShift=$BucketShift;cols=event_id,user_id,us,event_type,value,zval"
 
-  private def layoutDir(d: String): java.io.File = {
-    def fp(x: String): String = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(x.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-    }
+  private def fp(x: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(x.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Source state as one line per file — the fingerprint input AND the
+    * record an incremental build diffs against.
+    */
+  private def sourceEntries(d: String): Seq[String] = {
     val src = new java.io.File(s"$d/events.parquet")
-    val stats =
-      if (src.isDirectory)
-        Option(src.listFiles()).map(_.sortBy(_.getName)
-          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString("|"))
-          .getOrElse("")
-      else s"${src.length}:${src.lastModified}"
-    new java.io.File(s"/tmp/graft_zorder_${fp(d)}_${fp(s"$LayoutSemantics;$stats")}")
+    if (src.isDirectory)
+      Option(src.listFiles()).map(_.sortBy(_.getName).toSeq
+        .filterNot(_.getName.startsWith("_"))
+        .map(c => s"${c.getName}:${c.length}:${c.lastModified}"))
+        .getOrElse(Seq.empty)
+    else Seq(s"${src.getName}:${src.length}:${src.lastModified}")
+  }
+
+  private def familyPrefix(d: String): String = s"graft_zorder_${fp(d)}_"
+
+  private def layoutDir(d: String): java.io.File =
+    new java.io.File("/tmp/" + familyPrefix(d) +
+      fp(s"$LayoutSemantics;${sourceEntries(d).mkString("|")}"))
+
+  /** events restricted to `onlyFiles` (by file NAME), with layout
+    * columns computed against FROZEN bounds (clamped) — the build-side
+    * twin of zEvents. Frozen bounds are what make maintenance
+    * incremental: re-deriving min/max from the grown table would shift
+    * every row's quantization and force a full re-cluster on every
+    * append.
+    */
+  private def zEventsFrozen(s: SparkSession, d: String,
+      b: (Long, Long, Long, Long), onlyFiles: Option[Set[String]]): DataFrame = {
+    val (mnu, mxu, mnt, mxt) = b
+    val ev0 = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+    val ev = onlyFiles match {
+      case Some(names) => ev0
+        .withColumn("_f", element_at(split(input_file_name(), "/"), -1))
+        .filter(col("_f").isin(names.toSeq: _*)).drop("_f")
+      case None => ev0
+    }
+    ev.withColumn("qa", expr(q16ClampSql("user_id", mnu, mxu)))
+      .withColumn("qb", expr(q16ClampSql("us", mnt, mxt)))
+      .withColumn("zval", zvalue(col("qa"), col("qb")))
+      .withColumn("bucket", shiftright(col("zval"), BucketShift))
+      .drop("qa", "qb")
+  }
+
+  private def manifestOf(s: SparkSession, dataPath: String): DataFrame =
+    s.read.parquet(dataPath)
+      .withColumn("file",
+        regexp_extract(input_file_name(), "(bucket=[^/]+/[^/]+)$", 1))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("mn_u"), max("user_id").as("mx_u"),
+        min("us").as("mn_t"), max("us").as("mx_t"))
+
+  private def writeLines(f: java.io.File, lines: Seq[String]): Unit = {
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+  }
+
+  private def readLines(f: java.io.File): Seq[String] = {
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().toList finally src.close()
   }
 
   /** Build (or re-attach) the z-clustered layout: data files one per
@@ -105,6 +169,19 @@ object Layout {
     * are stored RELATIVE to the data root so the atomic build-dir
     * rename can't orphan them. Write-once/fingerprint/rename idiom as
     * every other layout artifact (Bucketing/ensureComponents).
+    *
+    * INCREMENTAL MAINTENANCE (day-over-day ingestion): each layout
+    * records its quantization bounds (_BOUNDS) and the exact source
+    * files it covers (_SOURCES). When the source changes by APPENDING
+    * files only — the ingest shape: yesterday's files untouched, new
+    * day landed — the build finds the prior layout of the same source
+    * dir, z-maps ONLY the new files against the frozen bounds,
+    * re-clusters only the buckets those rows land in (old bucket file
+    * ∪ new rows → re-sort → rewrite), and HARD-LINKS every untouched
+    * bucket's files into the new layout — byte-identical, same inode,
+    * same mtime — carrying their manifest rows over verbatim. Cost is
+    * O(new data + touched buckets), not O(table). Any non-append
+    * change (a file modified or removed) falls back to a full build.
     */
   def ensureZorderLayout(s: SparkSession, d: String): (String, DataFrame) = {
     val base = layoutDir(d)
@@ -112,26 +189,106 @@ object Layout {
       graft.Stage.deleteRecursively(base)
       val tmp = new java.io.File(base.getPath + ".build")
       graft.Stage.deleteRecursively(tmp)
-      zEvents(s, d)
-        .repartition(col("bucket"))
-        .sortWithinPartitions("zval")
-        .write.partitionBy("bucket").parquet(s"$tmp/data")
-      // the index: one row per landed file, min/max on BOTH z dims —
-      // built from the files themselves, so stats can never disagree
-      // with contents
-      s.read.parquet(s"$tmp/data")
-        .withColumn("file",
-          regexp_extract(input_file_name(), "(bucket=[^/]+/[^/]+)$", 1))
-        .groupBy("file")
-        .agg(count(lit(1)).as("n"),
-          min("user_id").as("mn_u"), max("user_id").as("mx_u"),
-          min("us").as("mn_t"), max("us").as("mx_t"))
-        .write.parquet(s"$tmp/manifest")
+      val current = sourceEntries(d)
+      val prev = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(familyPrefix(d))
+          && !f.getName.endsWith(".build")
+          && f.getPath != base.getPath
+          && new java.io.File(f, "_MANIFEST_DONE").exists()
+          && new java.io.File(f, "_SOURCES").exists()
+          && new java.io.File(f, "_BOUNDS").exists())
+        .sortBy(-_.lastModified()).headOption
+        .filter { p =>
+          val prevSrc = readLines(new java.io.File(p, "_SOURCES")).toSet
+          prevSrc.subsetOf(current.toSet) && (current.toSet -- prevSrc).nonEmpty
+        }
+      prev match {
+        case Some(p) => incrementalBuild(s, d, p, tmp, current)
+        case None => fullBuild(s, d, tmp, current)
+      }
       if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
       new java.io.File(base, "_MANIFEST_DONE").createNewFile()
       graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
     (s"$base/data", s.read.parquet(s"$base/manifest"))
+  }
+
+  private def fullBuild(s: SparkSession, d: String, tmp: java.io.File,
+      current: Seq[String]): Unit = {
+    // bounds computed once, recorded for later incremental builds
+    val r = Tables.events(s, d)
+      .agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head()
+    val b = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    zEventsFrozen(s, d, b, None)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("zval")
+      .write.partitionBy("bucket").parquet(s"$tmp/data")
+    // the index: one row per landed file, min/max on BOTH z dims —
+    // built from the files themselves, so stats can never disagree
+    // with contents
+    manifestOf(s, s"$tmp/data").write.parquet(s"$tmp/manifest")
+    writeLines(new java.io.File(tmp, "_BOUNDS"),
+      Seq(s"${b._1},${b._2},${b._3},${b._4}"))
+    writeLines(new java.io.File(tmp, "_SOURCES"), current)
+  }
+
+  private def incrementalBuild(s: SparkSession, d: String, prev: java.io.File,
+      tmp: java.io.File, current: Seq[String]): Unit = {
+    val prevSrc = readLines(new java.io.File(prev, "_SOURCES")).toSet
+    val newNames = (current.toSet -- prevSrc).map(_.split(":")(0))
+    val Array(mnu, mxu, mnt, mxt) =
+      readLines(new java.io.File(prev, "_BOUNDS")).head.split(",").map(_.toLong)
+    val fresh = graft.Stage.barrier(
+      zEventsFrozen(s, d, (mnu, mxu, mnt, mxt), Some(newNames)))
+    // which z-buckets do the new rows land in? (≤ 2^(32-27) = 32 values)
+    val touched = fresh.select("bucket").distinct().collect()
+      .map(_.getLong(0)).toSet
+    // rebuild touched buckets: prior bucket rows ∪ new rows, re-sorted
+    // (bucket arrives as an inferred-int partition column from the
+    // prior layout and as a computed long from fresh — align types)
+    val prevData = s.read.parquet(s"$prev/data")
+      .withColumn("bucket", col("bucket").cast("long"))
+    val rebuilt = prevData
+      .filter(col("bucket").isin(touched.toSeq: _*))
+      .unionByName(fresh.filter(col("bucket").isin(touched.toSeq: _*)))
+    rebuilt
+      .repartition(col("bucket"))
+      .sortWithinPartitions("zval")
+      .write.partitionBy("bucket").parquet(s"$tmp/data")
+    // materialize the touched-file stats NOW — the plan must not be
+    // re-evaluated after the hard-links below add the untouched files
+    // to the same directory (≤ touched-bucket rows; driver-safe)
+    val touchedManifest = {
+      val m = manifestOf(s, s"$tmp/data")
+      val rows = m.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), m.schema)
+    }
+    // hard-link untouched buckets in: byte-identical files, same inode
+    // and mtime, zero IO
+    val dataDir = new java.io.File(prev, "data")
+    Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .filterNot(f => touched.contains(f.getName.stripPrefix("bucket=").toLong))
+      .foreach { bdir =>
+        val target = new java.io.File(s"$tmp/data/${bdir.getName}")
+        target.mkdirs()
+        bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+          java.nio.file.Files.createLink(
+            target.toPath.resolve(pf.getName), pf.toPath)
+        }
+      }
+    // manifest: recomputed rows for touched files ∪ carried rows for
+    // untouched ones (their files are bit-identical, so are their stats)
+    val touchedPrefixes = touched.map(b => s"bucket=$b/")
+    val carried = s.read.parquet(s"$prev/manifest")
+      .filter(!touchedPrefixes.map(p => col("file").startsWith(p))
+        .foldLeft(lit(false))(_ || _))
+    touchedManifest.unionByName(carried).write.parquet(s"$tmp/manifest")
+    writeLines(new java.io.File(tmp, "_BOUNDS"), Seq(s"$mnu,$mxu,$mnt,$mxt"))
+    writeLines(new java.io.File(tmp, "_SOURCES"), current)
+    new java.io.File(tmp, "_INCREMENTAL").createNewFile()
   }
 
   /** B16: the layout's locality contract as a query — per-z-bucket row

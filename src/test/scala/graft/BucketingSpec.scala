@@ -129,6 +129,88 @@ class BucketingSpec extends SparkSpec {
       s"scan read ${scanFiles.size}/${files.length} files — no in-plan skipping")
   }
 
+  test("incremental z-order maintenance: an appended day rebuilds only the touched buckets") {
+    import graft.pipeline.Layout
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_zinc").toFile
+    val evDir = new java.io.File(root, "events.parquet"); evDir.mkdirs()
+    val ev = Tables.events(spark, sfDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(root, "stage")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, new java.io.File(evDir, name).toPath)
+      graft.Stage.deleteRecursively(stage)
+    }
+    try {
+      // day 1: two files covering the whole table
+      land(ev.filter(col("event_id") % 2 === 0), "day1a.parquet")
+      land(ev.filter(col("event_id") % 2 === 1), "day1b.parquet")
+      val (data1, _) = Layout.ensureZorderLayout(spark, root.getPath)
+      val day1Files = new java.io.File(data1).listFiles()
+        .filter(_.getName.startsWith("bucket=")).flatMap(b =>
+          b.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => s"${b.getName}/${f.getName}" -> f)).toMap
+      // day 2: a NARROW z-region (one user band × one time band) so
+      // most buckets stay untouched; new ids keep rows distinct
+      val (uLo, uHi, tsLo, tsHi) = Layout.predicateBounds(spark, sfDir)
+      land(ev.filter(col("user_id").between(uLo, uHi)
+          && unix_micros(col("ts")).between(tsLo, tsHi))
+        .withColumn("event_id", col("event_id") + 10000000L), "day2.parquet")
+      val (data2, manifest2) = Layout.ensureZorderLayout(spark, root.getPath)
+      assert(data2 !== data1, "source change must produce a new layout dir")
+      val layout2 = new java.io.File(data2).getParentFile
+      assert(new java.io.File(layout2, "_INCREMENTAL").exists(),
+        "append-only source change did not take the incremental path")
+      val day2Files = new java.io.File(data2).listFiles()
+        .filter(_.getName.startsWith("bucket=")).flatMap(b =>
+          b.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => s"${b.getName}/${f.getName}" -> f)).toMap
+      // untouched buckets: same relative path AND the same inode (hard
+      // link) — byte-identical by construction, mtime preserved
+      val shared = day2Files.keySet intersect day1Files.keySet
+      val linked = shared.filter(k => java.nio.file.Files.isSameFile(
+        day1Files(k).toPath, day2Files(k).toPath))
+      assert(linked.nonEmpty, "no bucket file was carried over untouched")
+      assert(day2Files.size > linked.size, "no bucket was actually rebuilt")
+      assert(linked.size * 2 >= day1Files.size,
+        s"only ${linked.size}/${day1Files.size} buckets carried — narrow append touched too much")
+      linked.foreach { k =>
+        assert(day1Files(k).lastModified === day2Files(k).lastModified) }
+      // the incremental layout holds EXACTLY the day1+day2 rows
+      val cols = Seq("event_id", "user_id", "us", "event_type", "value")
+      val got = spark.read.parquet(data2).select(cols.map(col): _*)
+      val expected = Tables.events(spark, root.getPath)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("value"))
+      assert(got.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(got).count() === 0)
+      // manifest rows agree with the files they describe
+      val m2 = manifest2.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val recomputed = spark.read.parquet(data2)
+        .withColumn("file",
+          regexp_extract(input_file_name(), "(bucket=[^/]+/[^/]+)$", 1))
+        .groupBy("file")
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("mn_u"), max("user_id").as("mx_u"),
+          min("us").as("mn_t"), max("us").as("mx_t"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(m2 === recomputed, "carried manifest rows diverge from the linked files")
+      // and the query path over the incremental layout matches its twin
+      val pruned = Layout.qZorderPrune(spark, root.getPath)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val twinB = Layout.predicateBounds(spark, root.getPath)
+      val twin = Tables.events(spark, root.getPath)
+        .filter(col("user_id").between(twinB._1, twinB._2)
+          && unix_micros(col("ts")).between(twinB._3, twinB._4))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(pruned === twin)
+    } finally graft.Stage.deleteRecursively(root)
+  }
+
   test("z-order files are locality-tight: per-file user footprints beat the global range") {
     import graft.pipeline.Layout
     val (_, manifest) = Layout.ensureZorderLayout(spark, sfDir)
