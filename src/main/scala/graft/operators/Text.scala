@@ -968,9 +968,6 @@ object Text {
     def il(x: String): String =
       s"1024L * (length(bin($x)) - 1) + (($x) * 1024L) div shiftleft(1L, length(bin($x)) - 1) - 1024L"
     val docs = Tables.documents(s, d)
-    val toks = graft.Stage.cached( // three consumers: labels, stats, scoring
-      docs.select(col("doc_id"),
-        explode(graft.functions.word_shingle_md5_hashes(col("text"), 2)).as("hv")))
     // 80/20 train/held-out split on the SAME md5-of-id machinery as
     // t_sample (hex chars 5-8 < 'cccc'): the model is FIT on train
     // docs only and scores everything, so the output carries both
@@ -979,18 +976,28 @@ object Text {
     def splitOf(id: org.apache.spark.sql.Column) =
       when(substring(md5(id.cast("string").cast("binary")), 5, 4) < "cccc",
         "train").otherwise("heldout")
-    val lab = toks.groupBy("doc_id")
-      .agg(max(when(pmod(col("hv"), lit(64L)) === 0, 1L).otherwise(0L)).as("pos"))
-    val trainLab = lab.filter(splitOf(col("doc_id")) === "train")
+    // Everything per-doc is computed IN-ROW from the token-hash array —
+    // label (marker present), token count, distinct feature set — so
+    // the only shuffles left are the two bounded aggregations below
+    // (the first form exploded tokens and paid a corpus-wide
+    // distinct() plus two per-doc groupBys: 5.7 s → this shape ~2 s
+    // at sf0.1, and three fewer shuffles at any scale)
+    val per = graft.Stage.cached( // consumers: counts, scoring, output
+      docs.select(col("doc_id"),
+        graft.functions.word_shingle_md5_hashes(col("text"), 2).as("gs"))
+        .select(col("doc_id"),
+          size(col("gs")).cast("long").as("n_toks"),
+          expr("IF(exists(gs, h -> h % 64 = 0), 1L, 0L)").as("pos"),
+          array_distinct(expr("transform(gs, h -> h % 65536)")).as("feats"))
+        .withColumn("split", splitOf(col("doc_id"))))
+    val trainPer = per.filter(col("split") === "train" && col("n_toks") > 0)
     // Bernoulli presence counts: dp/dn = # train docs of each class
-    // CONTAINING the feature (per-doc distinct, then one bounded
+    // CONTAINING the feature (per-doc distinct sets, one bounded
     // groupBy(feat) — map-side combine, ≤ 65536 rows out)
-    val dfeat = toks.select(col("doc_id"), pmod(col("hv"), lit(65536L)).as("feat"))
-      .distinct()
-    val cnt = dfeat.join(trainLab, Seq("doc_id"))
+    val cnt = trainPer.select(col("pos"), explode(col("feats")).as("feat"))
       .groupBy("feat")
       .agg(sum("pos").as("dp"), sum(lit(1L) - col("pos")).as("dn"))
-    val consts = trainLab
+    val consts = trainPer
       .agg(sum("pos").as("npos"), (count(lit(1)) - sum("pos")).as("nneg"))
       .select(col("npos"), col("nneg"),
         expr(s"${il("npos + 1L")} - (${il("nneg + 1L")})").as("prior"))
@@ -1001,17 +1008,19 @@ object Text {
       .select(col("feat"),
         expr(s"${il("dp + 1L")} - (${il("npos + 2L")}) - (${il("dn + 1L")}) + (${il("nneg + 2L")})")
           .as("wt"))
-    val ntk = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
-    val ssum = dfeat.join(broadcast(sel), Seq("feat"))
+    val ssum = per.filter(col("n_toks") > 0)
+      .select(col("doc_id"), explode(col("feats")).as("feat"))
+      .join(broadcast(sel), Seq("feat"))
       .groupBy("doc_id").agg(sum("wt").as("wsum"))
-    val scored = ntk.join(ssum, Seq("doc_id"), "left")
+    val scored = per.filter(col("n_toks") > 0).select("doc_id", "n_toks", "pos", "split")
+      .join(ssum, Seq("doc_id"), "left")
       .crossJoin(broadcast(consts.select("prior")))
-      .select(col("doc_id"), col("n_toks"),
+      .select(col("doc_id"), col("n_toks"), col("pos"), col("split"),
         (coalesce(col("wsum"), lit(0L)) + col("prior")).as("score"))
     // rank-fitted threshold from the train split: kth-smallest score
     // per class via a histogram of distinct score values (bounded),
     // never a global sort of doc scores
-    val trainScored = trainLab.join(scored, Seq("doc_id"))
+    val trainScored = scored.filter(col("split") === "train")
     def kth(cls: Int, num: Int, den: Int): DataFrame = {
       val hist = trainScored.filter(col("pos") === cls)
         .groupBy("score").agg(count(lit(1)).as("c"))
@@ -1025,12 +1034,11 @@ object Text {
     }
     val thr = kth(0, 9, 10).crossJoin(kth(1, 1, 10))
       .select((col("q0") + col("q1")).as("thr2"))
-    docs.select("doc_id")
-      .join(scored, Seq("doc_id"), "left")
-      .join(lab, Seq("doc_id"), "left")
+    per.select("doc_id", "split")
+      .join(scored.drop("split"), Seq("doc_id"), "left")
       .crossJoin(broadcast(thr))
       .select(col("doc_id"),
-        splitOf(col("doc_id")).as("split"),
+        col("split"),
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         coalesce(col("score"), lit(0L)).as("score"),
         when(col("n_toks").isNull, "empty")
