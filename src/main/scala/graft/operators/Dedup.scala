@@ -1044,7 +1044,10 @@ object Dedup {
     */
   def dSubstringApply(s: SparkSession, d: String): DataFrame = {
     val enc = lit(1000000000L)
-    val corpus = graft.Stage.barrier(corpusWithExactDups(s, d)
+    // cached, not barrier'd: the split+shingle kernel pass feeds THREE
+    // consumers (the window agg, the cut join, the final rewrite) — a
+    // barrier alone would re-run it per consuming stage
+    val corpus = graft.Stage.cached(corpusWithExactDups(s, d)
       .select(col("doc_id"), col("lang"),
         // NOTE: regex built as a Scala string, NOT a SQL literal —
         // Spark's SQL string unescape has no '\f', which silently turns
