@@ -407,6 +407,102 @@ object Streaming {
       .groupBy("purchase_event", "user_id", "pts_us")
       .agg(sum(col("matched")).as("n_views"))
 
+  /** G5c: stream-stream FULL OUTER join — completes the join family:
+    * on top of G5b's left-side semantics, an unmatched VIEW also
+    * surfaces, as a null-padded row emitted when the watermark evicts
+    * it from the right-side state (vts < W − 1 h: the range
+    * condition's reach delays view eviction an extra hour, so
+    * view-null emission lags purchase-null emission). The SAME
+    * measured timeline rules apply symmetrically (see G5b): a view is
+    * matched iff some surviving pair MET it before eviction; a
+    * never-matched view emits its null row iff the final watermark
+    * passed vts + 1 h; otherwise it is still in state when
+    * AvailableNow drains — suppressed. Output: one row per surviving
+    * purchase with its met-view count (the G5b shape, spec-pinned
+    * identical), plus one row per null-emitted view.
+    */
+  def stStreamJoinFull(s: SparkSession, d: String): DataFrame = {
+    val dir = outerFixtureDir(s, d)
+    val schema = s.read.parquet(dir).schema
+    def src: DataFrame = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(col("us")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event"), col("user_id").as("v_user"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user")
+        && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR")
+        && col("vts") <= col("pts"),
+      "full_outer")
+      .select(col("p_event"), col("p_user"), unix_micros(col("pts")).as("pts_us"),
+        col("v_event"), col("v_user"), unix_micros(col("vts")).as("vts_us"))
+    val rows = runToMemory(joined, "st_stream_join_full_mem", OutputMode.Append())
+    val pSide = rows.filter(col("p_event").isNotNull)
+      .groupBy(col("p_event").as("event_id"), col("p_user").as("user_id"),
+        col("pts_us").as("ts_us"))
+      .agg(sum(when(col("v_event").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+      .select(lit("purchase").as("side"), col("event_id"), col("user_id"),
+        col("ts_us"), col("n_matched"))
+    val vSide = rows.filter(col("p_event").isNull)
+      .select(lit("view").as("side"), col("v_event").as("event_id"),
+        col("v_user").as("user_id"), col("vts_us").as("ts_us"),
+        lit(0L).as("n_matched"))
+    pSide.unionByName(vSide)
+  }
+
+  val stStreamJoinFullSql: String =
+    """WITH b AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN event_id % 2 = 0 THEN 0
+      |         WHEN event_id % 4 = 1 THEN 1 ELSE 2 END AS k
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |wms AS (
+      |  SELECT
+      |    LEAST((SELECT MAX(us) // 1000 * 1000 FROM b WHERE event_type = 'purchase' AND k <= 0),
+      |          (SELECT MAX(us) // 1000 * 1000 FROM b WHERE event_type = 'view' AND k <= 0))
+      |      - 3600000000 AS w0,
+      |    LEAST((SELECT MAX(us) // 1000 * 1000 FROM b WHERE event_type = 'purchase'),
+      |          (SELECT MAX(us) // 1000 * 1000 FROM b WHERE event_type = 'view'))
+      |      - 3600000000 AS w2),
+      |p AS (
+      |  SELECT event_id, user_id, us, k FROM b WHERE event_type = 'purchase'
+      |    AND NOT (k = 2 AND us < (SELECT w0 FROM wms))),
+      |v AS (
+      |  SELECT event_id, user_id, us, k FROM b WHERE event_type = 'view'
+      |    AND NOT (k = 2 AND us < (SELECT w0 FROM wms) - 3600000000)),
+      |met AS (
+      |  SELECT p.event_id AS pe, v.event_id AS ve,
+      |    CASE
+      |      WHEN GREATEST(p.k, v.k) < 2 OR (p.k = 2 AND v.k = 2) THEN 1
+      |      WHEN p.k = 2 THEN CASE WHEN v.us >= (SELECT w0 FROM wms) - 3600000000 THEN 1 ELSE 0 END
+      |      ELSE CASE WHEN p.us >= (SELECT w0 FROM wms) THEN 1 ELSE 0 END
+      |    END AS m
+      |  FROM p JOIN v
+      |    ON p.user_id = v.user_id
+      |    AND v.us BETWEEN p.us - 3600000000 AND p.us),
+      |ps AS (
+      |  SELECT p.event_id, p.user_id, p.us,
+      |    COALESCE((SELECT SUM(m) FROM met WHERE met.pe = p.event_id), 0) AS n_matched
+      |  FROM p),
+      |vs AS (
+      |  SELECT v.event_id, v.user_id, v.us
+      |  FROM v
+      |  WHERE COALESCE((SELECT SUM(m) FROM met WHERE met.ve = v.event_id), 0) = 0
+      |    AND v.us < (SELECT w2 FROM wms) - 3600000000)
+      |SELECT 'purchase' AS side, event_id, user_id, us AS ts_us,
+      |  CAST(n_matched AS BIGINT) AS n_matched
+      |FROM ps WHERE n_matched > 0 OR us < (SELECT w2 FROM wms)
+      |UNION ALL
+      |SELECT 'view' AS side, event_id, user_id, us AS ts_us, 0 AS n_matched
+      |FROM vs""".stripMargin
+
   val stStreamJoinOuterSql: String =
     """WITH b AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
@@ -879,6 +975,7 @@ object Streaming {
     QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),
     QueryDef("st_stream_join_outer", stStreamJoinOuter, Some(stStreamJoinOuterSql)),
+    QueryDef("st_stream_join_full", stStreamJoinFull, Some(stStreamJoinFullSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
     QueryDef("st_dedup_watermark", stDedupWatermark, Some(stDedupWatermarkSql)),
     QueryDef("st_enrich", stEnrich, Some(stEnrichSql)),

@@ -229,6 +229,62 @@ class StreamingSpec extends SparkSpec {
       "every purchase was emitted — nothing left gated in state")
   }
 
+  test("st_stream_join_full: purchase side equals the left-outer operator; view nulls are watermark-gated") {
+    val full = Streaming.stStreamJoinFull(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // cross-operator invariant: the full join's purchase side must be
+    // EXACTLY the left-outer operator's output (same fixture, same
+    // timeline rules — full outer adds rows, never changes them)
+    val pSide = full.filter(_._1 == "purchase")
+      .map { case (_, e, u, t, n) => (e, u, t, n) }.toSet
+    val leftOuter = Streaming.stStreamJoinOuter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pSide === leftOuter)
+    // view nulls: present, and only for views the final watermark
+    // passed by the extra hour of the range condition's reach
+    val vSide = full.filter(_._1 == "view")
+    assert(vSide.nonEmpty, "no view-side null rows emitted")
+    val ev = Tables.events(spark, sfDir)
+    val wm = ev.filter(col("event_type").isin("purchase", "view"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wFinal = math.min(wm("purchase") / 1000 * 1000, wm("view") / 1000 * 1000) - 3600000000L
+    vSide.foreach { case (_, e, _, t, n) =>
+      assert(n === 0L)
+      assert(t < wFinal - 3600000000L,
+        s"view $e null-emitted at $t though the watermark never passed vts + 1h")
+    }
+    // and every view-null is genuinely unmatched in the BATCH join
+    // restricted to surviving purchases is too strong (met-rules drop
+    // some pairs) — but a view with zero batch-join candidates at all
+    // must certainly null-emit if the watermark passed it
+    val vNullIds = vSide.map(_._2).toSet
+    val candidates = ev.filter(col("event_type") === "view").as("v")
+      .join(ev.filter(col("event_type") === "purchase").as("p"),
+        col("v.user_id") === col("p.user_id")
+          && unix_micros(col("v.ts")) >= unix_micros(col("p.ts")) - 3600000000L
+          && unix_micros(col("v.ts")) <= unix_micros(col("p.ts")), "left_semi")
+      .select(col("v.event_id")).collect().map(_.getLong(0)).toSet
+    val w0 = {
+      val m0 = ev.filter(col("event_type").isin("purchase", "view")
+          && col("event_id") % 2 === 0)
+        .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      math.min(m0("purchase") / 1000 * 1000, m0("view") / 1000 * 1000) - 3600000000L
+    }
+    val lonely = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (e, t) =>
+        !candidates(e) && t < wFinal - 3600000000L &&
+          // exclude views the batch-2 late filter dropped before the join
+          !(e % 2 != 0 && e % 4 == 3 && t < w0 - 3600000000L)
+      }
+    lonely.foreach { case (e, _) =>
+      assert(vNullIds(e), s"candidate-free view $e inside the watermark was not null-emitted")
+    }
+  }
+
   test("st_session_window: native sessions equal cumsum sessions the watermark passed") {
     val native = Streaming.stSessionWindow(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
