@@ -1012,11 +1012,15 @@ object Text {
       .select(col("doc_id"), explode(col("feats")).as("feat"))
       .join(broadcast(sel), Seq("feat"))
       .groupBy("doc_id").agg(sum("wt").as("wsum"))
-    val scored = per.filter(col("n_toks") > 0).select("doc_id", "n_toks", "pos", "split")
-      .join(ssum, Seq("doc_id"), "left")
-      .crossJoin(broadcast(consts.select("prior")))
-      .select(col("doc_id"), col("n_toks"), col("pos"), col("split"),
-        (coalesce(col("wsum"), lit(0L)) + col("prior")).as("score"))
+    // cached: three consumers (the two per-class quantile passes and
+    // the final output join) would otherwise re-run the whole
+    // train+score pipeline each — measured 34 exchanges in the plan
+    val scored = graft.Stage.cached(
+      per.filter(col("n_toks") > 0).select("doc_id", "n_toks", "pos", "split")
+        .join(ssum, Seq("doc_id"), "left")
+        .crossJoin(broadcast(consts.select("prior")))
+        .select(col("doc_id"), col("n_toks"), col("pos"), col("split"),
+          (coalesce(col("wsum"), lit(0L)) + col("prior")).as("score")))
     // rank-fitted threshold from the train split: kth-smallest score
     // per class via a histogram of distinct score values (bounded),
     // never a global sort of doc scores

@@ -106,6 +106,48 @@ class PlanShapeSpec extends SparkSpec {
       s"semdedup should have only the label join:\n${executed(flags)}")
   }
 
+  test("d_substring_apply: hash-shuffle pipeline, no cartesian, no word explode") {
+    val df = graft.operators.Dedup.dSubstringApply(spark, sfDir)
+    val plan = executed(df)
+    // any BroadcastNestedLoopJoin/CartesianProduct means the rewrite
+    // degenerated into pair enumeration
+    val nested = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty, s"pair-enumeration join crept in:\n$plan")
+    // only the window-hash posexplode may Generate (it runs once per
+    // occ consumer — dup agg and cut join — so up to 2 nodes); the
+    // word arrays must stay in-row for the removal mask, so any
+    // Generate over the words column is a regression
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.size <= 2,
+      s"unexpected extra explode (words left the row?), found ${gens.size}:\n$plan")
+    gens.foreach { g =>
+      val refs = g.boundGenerator.references.map(_.name).toSet
+      assert(!refs.contains("ws"),
+        s"a Generate consumes the words array:\n$plan")
+    }
+  }
+
+  test("t_quality_train: model and threshold arrive by broadcast, not shuffle") {
+    val df = graft.operators.Text.tQualityTrain(spark, sfDir)
+    // the pruned weight table (≤ 65536 rows), the scalar consts and the
+    // fitted threshold must all broadcast onto the scoring scan
+    assert(countBroadcasts(df) >= 3,
+      s"model/consts/threshold should broadcast:\n${executed(df)}")
+    // no corpus-wide distinct: per-doc feature sets are in-row. The
+    // surviving exchanges are the two real aggs (groupBy(feat),
+    // groupBy(doc_id)), the scalar/quantile single-partition aggs and
+    // the cached-score output join — ~10 total, every one over a
+    // bounded or cached relation (was 34 before the score cache, with
+    // the whole train+score pipeline re-run per quantile pass)
+    val shuffles = countShuffles(df)
+    assert(shuffles <= 12,
+      s"expected the bounded train/score aggs only, got $shuffles:\n${executed(df)}")
+  }
+
   test("aggregations keep map-side partial aggregation") {
     val q1 = graft.queries.Analytics.q1Agg(spark, sfDir)
     val aggs = executed(q1).collect {
