@@ -362,8 +362,9 @@ object Layout {
     val (dataPath, manifest) = ensureZorderLayout(s, d)
     val stats = manifest.select("file", "mn_u", "mx_u", "mn_t", "mx_t")
       .collect()
-      .map(r => graft.plans.ZFileStats(r.getString(0),
-        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => graft.plans.ZFileStats(r.getString(0), Map(
+        "user_id" -> (r.getLong(1), r.getLong(2)),
+        "us" -> (r.getLong(3), r.getLong(4)))))
       .toSeq
     // FILE schema, not directory-inferred (the z-bucket dir column is a
     // layout detail, not a query column)

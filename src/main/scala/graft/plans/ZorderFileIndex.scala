@@ -9,10 +9,12 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.graftx.PlanBridge
 import org.apache.spark.sql.types.StructType
 
-/** Per-file min/max footprint from the z-layout manifest (path relative
-  * to the data root; bounds on both z dimensions).
+/** Per-file min/max footprint from a stats manifest: path relative to
+  * the data root, plus [min, max] per indexed column — any integral
+  * column a manifest carries stats for can prune, not just the two
+  * z-order demo dimensions.
   */
-final case class ZFileStats(rel: String, mnU: Long, mxU: Long, mnT: Long, mxT: Long)
+final case class ZFileStats(rel: String, footprint: Map[String, (Long, Long)])
 
 /** A manifest-backed `FileIndex` for the z-order layout
   * (pipeline/Layout.scala): file skipping happens where a table
@@ -50,12 +52,16 @@ class ZorderFileIndex(root: Path, stats: Seq[(ZFileStats, FileStatus)])
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (uLo, uHi) = ZorderFileIndex.bounds(dataFilters, "user_id")
-    val (tLo, tHi) = ZorderFileIndex.bounds(dataFilters, "us")
+    // one [lo, hi] interval per indexed column, from whatever
+    // predicates Catalyst pushed down; a file is skipped when provably
+    // disjoint on ANY indexed dimension
+    val cols = stats.headOption.map(_._1.footprint.keySet).getOrElse(Set.empty)
+    val wanted = cols.map(c => c -> ZorderFileIndex.bounds(dataFilters, c)).toMap
     val kept = stats.collect {
-      case (st, fs)
-          if !(st.mxU < uLo || st.mnU > uHi || st.mxT < tLo || st.mnT > tHi) =>
-        fs
+      case (st, fs) if st.footprint.forall { case (c, (mn, mx)) =>
+        val (lo, hi) = wanted(c)
+        !(mx < lo || mn > hi)
+      } => fs
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
