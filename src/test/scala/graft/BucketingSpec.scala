@@ -129,6 +129,42 @@ class BucketingSpec extends SparkSpec {
       s"scan read ${scanFiles.size}/${files.length} files — no in-plan skipping")
   }
 
+  test("FileIndex pruning composes: a filter on ONE dimension alone prunes the scan") {
+    import graft.pipeline.Layout
+    import org.apache.spark.sql.functions._
+    // the point of the native index over the hand-plumbed list: ANY
+    // Catalyst-pushed predicate prunes — here a time-only filter the
+    // demo query never issues
+    val (_, tsLo, tsHi) = {
+      val b = Layout.predicateBounds(spark, sfDir); (b._1, b._3, b._4) }
+    val df = Layout.zorderTable(spark, sfDir)
+      .filter(col("us").between(tsLo, tsHi))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Tables.events(spark, sfDir)
+      .filter(unix_micros(col("ts")).between(tsLo, tsHi))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val scan = flatten(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec"))
+    val admitted = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.size).sum
+    val total = scan.relation.location.inputFiles.length
+    assert(admitted < total,
+      s"time-only filter admitted all $total files — one-dim pruning broken")
+  }
+
   test("incremental z-order maintenance: an appended day rebuilds only the touched buckets") {
     import graft.pipeline.Layout
     import org.apache.spark.sql.functions._
