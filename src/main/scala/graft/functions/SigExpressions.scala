@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
@@ -393,6 +393,43 @@ object SigOps {
     * 128-slot array (the hot path); anything else goes to a TreeMap
     * that iterates in codepoint order after it.
     */
+  /** Span-cut accounting for d_substring_apply: given a doc's words
+    * and the (unordered) start positions of its CUT span-windows, one
+    * linear sweep computes (removed_words, removed_chars, total_chars)
+    * — a word at index i is removed iff some cut start p satisfies
+    * p ≤ i ≤ p + span − 1. The HOF form (`exists` per word over the
+    * cut array) is O(words × cuts) per doc — quadratic on a long
+    * fully-duplicated doc (10k words ⇒ 10⁸ probes); this is
+    * O(words + cuts·log cuts), the sort being the only super-linear
+    * term.
+    */
+  def spanCutStats(words: ArrayData, cuts: ArrayData, span: Int): InternalRow = {
+    val n = words.numElements()
+    val m = cuts.numElements()
+    val starts = new Array[Int](m)
+    var j = 0
+    while (j < m) { starts(j) = cuts.getInt(j); j += 1 }
+    java.util.Arrays.sort(starts)
+    var rw = 0L
+    var rc = 0L
+    var tc = 0L
+    var coveredEnd = -1
+    var i = 0
+    j = 0
+    while (i < n) {
+      while (j < m && starts(j) <= i) {
+        val e = starts(j) + span - 1
+        if (e > coveredEnd) coveredEnd = e
+        j += 1
+      }
+      val len = words.getUTF8String(i).numChars().toLong
+      tc += len
+      if (i <= coveredEnd) { rw += 1L; rc += len }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](rw, rc, tc))
+  }
+
   def charEntropy(s: UTF8String): InternalRow = {
     val str = s.toString
     val ascii = new Array[Long](128)
@@ -581,6 +618,27 @@ case class WordStats(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.wordStats($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** (array<string> words, array<int> cut starts) → struct(rw = removed
+  * words, rc = removed chars, tc = total word chars) in one linear
+  * sweep (see SigOps.spanCutStats for why not a per-word `exists`).
+  */
+case class SpanCutStats(left: Expression, right: Expression, span: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("rw", LongType, nullable = false),
+    StructField("rc", LongType, nullable = false),
+    StructField("tc", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "span_cut_stats"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SigOps.spanCutStats(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], span)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigOps.spanCutStats($a, $b, $span)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** string → struct(nc = total chars, nd = distinct chars, ent =

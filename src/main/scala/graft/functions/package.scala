@@ -168,6 +168,12 @@ package object functions {
   def word_shingle_md5_hashes(text: Column, n: Int): Column =
     toCol(WordShingleMd5Hashes(toExpr(text), n))
 
+  /** Span-cut accounting (removed words/chars + total chars) in one
+    * linear sweep — see SigOps.spanCutStats.
+    */
+  def span_cut_stats(words: Column, cutStarts: Column, span: Int): Column =
+    toCol(SpanCutStats(toExpr(words), toExpr(cutStarts), span))
+
   /** Sorted distinct md5-60 hashes of every n-codepoint window
     * (cross-engine reproducible; see word_shingle_md5_hashes).
     */

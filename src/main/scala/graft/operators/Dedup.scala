@@ -1064,22 +1064,19 @@ object Dedup {
     val cuts = occ.join(dup, Seq("g"))
       .filter(col("doc_id") * enc + col("pos") =!= col("keeper"))
       .groupBy("doc_id").agg(collect_set(col("pos")).as("cut_starts"))
+    // removal accounting via the native linear-sweep kernel: the HOF
+    // form (`exists` over cut_starts per word) is O(words × cuts) per
+    // doc — quadratic on a long fully-duplicated doc
     corpus.join(cuts, Seq("doc_id"), "left")
-      .withColumn("cut_starts",
-        coalesce(col("cut_starts"), expr("array()").cast("array<int>")))
-      .withColumn("rm", expr(
-        s"transform(ws, (w, i) -> exists(cut_starts, p -> i >= p AND i <= p + ${SpanWords - 1}))"))
+      .withColumn("st", graft.functions.span_cut_stats(col("ws"),
+        coalesce(col("cut_starts"), expr("array()").cast("array<int>")),
+        SpanWords))
       .select(col("doc_id"), col("lang"),
         size(col("ws")).cast("long").as("n_words"),
-        expr("aggregate(rm, 0L, (a, x) -> a + IF(x, 1L, 0L))").as("removed_words"),
-        expr("aggregate(zip_with(ws, rm, (w, r) -> IF(r, length(w), 0)), 0L, (a, x) -> a + x)")
-          .as("removed_chars"),
-        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("n_wchars"))
-      .select(col("doc_id"), col("lang"), col("n_words"),
-        col("removed_words"),
-        (col("n_words") - col("removed_words")).as("kept_words"),
-        col("removed_chars"),
-        (col("n_wchars") - col("removed_chars")).as("kept_chars"))
+        col("st.rw").as("removed_words"),
+        (size(col("ws")).cast("long") - col("st.rw")).as("kept_words"),
+        col("st.rc").as("removed_chars"),
+        (col("st.tc") - col("st.rc")).as("kept_chars"))
   }
 
   val dSubstringApplySql: String =
