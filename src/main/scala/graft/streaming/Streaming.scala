@@ -55,6 +55,25 @@ object Streaming {
     */
   val StatePartitions = 8
 
+  /** Fixture-dir key: scale-dir path PLUS the source file's
+    * (size, mtime) fingerprint, so a regenerated events.parquet can
+    * never be served by a stale materialized fixture (the z-layout's
+    * fingerprint lesson applied to the stream fixtures; the
+    * eventsStream SYMLINK dir needs no fingerprint — it resolves to
+    * whatever currently sits at the source path).
+    */
+  private def fixtureKey(d: String): String = {
+    val src = new java.io.File(s"$d/events.parquet")
+    val stats =
+      if (src.isDirectory)
+        Option(src.listFiles()).map(_.sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString("|"))
+          .getOrElse("")
+      else s"${src.length}:${src.lastModified}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$d;$stats".getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
+
   private[graft] def runToMemory(streamed: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = streamed.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -315,7 +334,7 @@ object Streaming {
     * filtered from the same file stream.
     */
   private[graft] def outerFixtureDir(s: SparkSession, d: String): String = {
-    val dir = new java.io.File(s"/tmp/graft_stream_outer3_${math.abs(d.hashCode)}")
+    val dir = new java.io.File(s"/tmp/graft_stream_outer3_${fixtureKey(d)}")
     if (!dir.exists()) {
       val tmp = new java.io.File(dir.getPath + ".build")
       graft.Stage.deleteRecursively(tmp)
@@ -662,7 +681,7 @@ object Streaming {
     * fixture.
     */
   private[graft] def lateFixtureDir(s: SparkSession, d: String): String = {
-    val dir = new java.io.File(s"/tmp/graft_stream_late3_${math.abs(d.hashCode)}")
+    val dir = new java.io.File(s"/tmp/graft_stream_late3_${fixtureKey(d)}")
     if (!dir.exists()) {
       val tmp = new java.io.File(dir.getPath + ".build")
       graft.Stage.deleteRecursively(tmp)

@@ -244,6 +244,21 @@ class BucketingSpec extends SparkSpec {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       assert(pruned === twin)
+      // CHAIN: a third day must build incrementally FROM the
+      // incremental layout (day 1+2), not from scratch
+      land(ev.filter(col("user_id").between(uLo, uHi)
+          && unix_micros(col("ts")).between(tsLo, tsHi))
+        .withColumn("event_id", col("event_id") + 20000000L), "day3.parquet")
+      val (data3, _) = Layout.ensureZorderLayout(spark, root.getPath)
+      assert(data3 !== data2)
+      assert(new java.io.File(new java.io.File(data3).getParentFile,
+        "_INCREMENTAL").exists(), "second append did not chain incrementally")
+      val got3 = spark.read.parquet(data3).select(cols.map(col): _*)
+      val expected3 = Tables.events(spark, root.getPath)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("value"))
+      assert(got3.exceptAll(expected3).count() === 0)
+      assert(expected3.exceptAll(got3).count() === 0)
     } finally graft.Stage.deleteRecursively(root)
   }
 
