@@ -73,6 +73,26 @@ object Stage {
     * copy — null-guarded: listFiles() returns null on IO error or
     * non-directories racing deletion).
     */
+  /** md5-8 fingerprint of a source table's file stats (name:size:mtime
+    * per file) — the shared key ingredient for every build-once /tmp
+    * artifact derived from driver testdata: include it in the artifact
+    * dir/table name so a REGENERATED source can never be served by a
+    * stale materialization (the staleness class the z-layout and dedup
+    * artifacts already guard against).
+    */
+  def sourceFingerprint(d: String, table: String): String = {
+    val src = new java.io.File(s"$d/$table.parquet")
+    val stats =
+      if (src.isDirectory)
+        Option(src.listFiles()).map(_.sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString("|"))
+          .getOrElse("")
+      else s"${src.length}:${src.lastModified}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$d/$table;$stats".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) {
       val children = f.listFiles()

@@ -120,7 +120,7 @@ object Bucketing {
     * into place last.
     */
   def qDpp(s: SparkSession, d: String): DataFrame = {
-    val base = new java.io.File(s"/tmp/graft_dpp_${math.abs(d.hashCode)}")
+    val base = new java.io.File(s"/tmp/graft_dpp_${graft.Stage.sourceFingerprint(d, "orders")}")
     if (!base.exists()) {
       val tmp = new java.io.File(base.getPath + ".build")
       graft.Stage.deleteRecursively(tmp)

@@ -128,7 +128,7 @@ object Envelope {
 
   private def cachedLines(s: SparkSession, dir: String, tag: String)(
       f: (SparkSession, String) => DataFrame): DataFrame = {
-    val path = s"/tmp/graft_envelope_${tag}_${math.abs(dir.hashCode)}"
+    val path = s"/tmp/graft_envelope_${tag}_${graft.Stage.sourceFingerprint(dir, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       f(s, dir).write.mode("overwrite")
         .option("compression", "gzip").text(path)

@@ -88,7 +88,7 @@ object Formats {
     * and moved into place last.
     */
   def pSchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val base = new java.io.File(s"/tmp/graft_evo_${math.abs(d.hashCode)}")
+    val base = new java.io.File(s"/tmp/graft_evo_${graft.Stage.sourceFingerprint(d, "orders")}")
     if (!base.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

@@ -807,7 +807,7 @@ object Streaming {
     * real microbatches — a day's ingestion arriving in chunks.
     */
   private[graft] def incFixtureDir(s: SparkSession, d: String): String = {
-    val dir = new java.io.File(s"/tmp/graft_stream_inc_${math.abs(d.hashCode)}")
+    val dir = new java.io.File(s"/tmp/graft_stream_inc_${graft.Stage.sourceFingerprint(d, "documents")}")
     if (!dir.exists()) {
       val tmp = new java.io.File(dir.getPath + ".build")
       graft.Stage.deleteRecursively(tmp)
