@@ -62,7 +62,7 @@ object Bucketing {
     * the same layout code.
     */
   private def layoutName(prefix: String, d: String, df: DataFrame,
-      key: String, buckets: Int): String = {
+      key: String, buckets: Int, srcTable: String): String = {
     // truncated MD5, not String.hashCode: 32-bit fingerprints collide
     // plausibly across layout revisions (and abs(Int.MinValue) stays
     // negative), and a collision would re-attach a stale layout
@@ -70,7 +70,8 @@ object Bucketing {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
     }
-    s"${prefix}_${fp(d)}_${fp(df.schema.toDDL + "|" + key + "|" + buckets)}"
+    s"${prefix}_${fp(d)}_${fp(df.schema.toDDL + "|" + key + "|" + buckets)}_" +
+      graft.Stage.sourceFingerprint(d, srcTable)
   }
 
   /** A24: join + aggregation over co-bucketed tables — the amortized
@@ -85,8 +86,8 @@ object Bucketing {
     val oDf = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
     val cDf = Tables.customer(s, d)
       .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-    val oT = layoutName("bj_orders", d, oDf, "o_custkey", 16)
-    val cT = layoutName("bj_customer", d, cDf, "o_custkey", 16)
+    val oT = layoutName("bj_orders", d, oDf, "o_custkey", 16, "orders")
+    val cT = layoutName("bj_customer", d, cDf, "o_custkey", 16, "customer")
     ensureBucketed(s, oT, "o_custkey", 16)(oDf)
     ensureBucketed(s, cT, "o_custkey", 16)(cDf)
     val joined = read(s, oT).join(read(s, cT), Seq("o_custkey"))
