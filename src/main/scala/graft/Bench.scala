@@ -86,7 +86,11 @@ object Bench {
         val p = pb.start()
         if (p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) p.exitValue()
         else {
-          p.destroyForcibly().waitFor()
+          // bounded kill-wait: a child stuck in uninterruptible IO must
+          // not hang the sweep the timeout exists to protect — proceed
+          // whether or not the kill is confirmed
+          p.destroyForcibly()
+            .waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
           System.err.println(s"[bench] chunk $i timed out after 15 min; killed")
           -2
         }
@@ -236,7 +240,12 @@ object Bench {
     val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
     val totalCold = results.collect { case (_, c, _) if c >= 0 => c }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"queries":$qs,"queries_cold":$colds,"failed":$failedJson,"sf":"$sfDir"}"""
+    // `queries` (the STEADY map) is serialized LAST on purpose: the
+    // round driver stores only the tail of this line, clipping the
+    // front — r8's artifact kept just the cold map and manufactured
+    // four phantom regressions. The surviving tail must be the number
+    // that matters.
+    s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"failed":$failedJson,"sf":"$sfDir","queries_cold":$colds,"queries":$qs}"""
   }
 
   /** Children write their line ONLY to SPARK_GRAFT_OUT (the parent owns

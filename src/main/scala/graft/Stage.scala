@@ -79,6 +79,14 @@ object Stage {
     * dir/table name so a REGENERATED source can never be served by a
     * stale materialization (the staleness class the z-layout and dedup
     * artifacts already guard against).
+    *
+    * `_`-prefixed files (parquet `_SUCCESS` markers) are INCLUDED here
+    * deliberately — this is the ONE fingerprint implementation (the
+    * stream fixtures route through it; Layout.sourceEntries is the
+    * exception because its entries double as the incremental-build
+    * diff record, where a marker file must not read as "new data").
+    * A marker's mtime changing only ever forces a spurious rebuild,
+    * never a stale read.
     */
   def sourceFingerprint(d: String, table: String): String = {
     val src = new java.io.File(s"$d/$table.parquet")

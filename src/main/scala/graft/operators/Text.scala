@@ -525,13 +525,21 @@ object Text {
   private val DecontamN = 4
 
   def tDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Stage.barrier(Tables.documents(s, d)
+    // cached, not barrier: docs feeds the shingle pass AND the final
+    // join, and shingles feeds both the bench set and the train probe —
+    // behind a plain barrier each consumer re-ran the word-split +
+    // 4-gram concat from scratch (the §10.10 re-run-per-consumer
+    // gotcha; measured ~9.9 s of the 11 s cold row). The cached payload
+    // is narrow (ids + word arrays) and feeds joins through
+    // aggregation/broadcast, so the §8 cached-stats join-flip caveat
+    // doesn't bite.
+    val docs = graft.Stage.cached(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), words(lower(col("text"))).as("w")))
-    val shingles = docs.select(col("doc_id"), explode(
+    val shingles = graft.Stage.cached(docs.select(col("doc_id"), explode(
       when(size(col("w")) >= DecontamN,
         transform(sequence(lit(1), size(col("w")) - (DecontamN - 1)),
           i => concat_ws(" ", slice(col("w"), i, lit(DecontamN)))))
-        .otherwise(array())).as("g"))
+        .otherwise(array())).as("g")))
     val benchShingles = shingles.filter(col("doc_id") % 50 === 0)
       .select("g").distinct()
     val flagged = shingles.filter(col("doc_id") % 50 =!= 0)

@@ -245,6 +245,29 @@ object Layout {
     // which z-buckets do the new rows land in? (≤ 2^(32-27) = 32 values)
     val touched = fresh.select("bucket").distinct().collect()
       .map(_.getLong(0)).toSet
+    // an appended file can be empty (a writer's zero-row part): nothing
+    // to re-cluster — carry every bucket and the full prior manifest
+    // (the rebuilt-write path would emit only _SUCCESS and break
+    // manifest schema inference)
+    if (touched.isEmpty) {
+      new java.io.File(tmp, "data").mkdirs()
+      val dataDir0 = new java.io.File(prev, "data")
+      Option(dataDir0.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .foreach { bdir =>
+          val target = new java.io.File(s"$tmp/data/${bdir.getName}")
+          target.mkdirs()
+          bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+            java.nio.file.Files.createLink(
+              target.toPath.resolve(pf.getName), pf.toPath)
+          }
+        }
+      s.read.parquet(s"$prev/manifest").write.parquet(s"$tmp/manifest")
+      writeLines(new java.io.File(tmp, "_BOUNDS"), Seq(s"$mnu,$mxu,$mnt,$mxt"))
+      writeLines(new java.io.File(tmp, "_SOURCES"), current)
+      new java.io.File(tmp, "_INCREMENTAL").createNewFile()
+      return
+    }
     // rebuild touched buckets: prior bucket rows ∪ new rows, re-sorted
     // (bucket arrives as an inferred-int partition column from the
     // prior layout and as a computed long from fresh — align types)
@@ -358,19 +381,38 @@ object Layout {
     * listFiles(partitionFilters, dataFilters) time, exactly where a
     * Delta/Iceberg reader does it. No hand-threaded file lists.
     */
+  /** (stats, FileStatus) resolution + schema per layout dir, memoized:
+    * layouts are write-once behind a source+semantics fingerprint, so
+    * re-collecting the manifest and re-walking the data directory per
+    * invocation is pure driver overhead — O(files) per QUERY on an
+    * unchanged layout. Keyed by (session, dataPath) so a fresh session
+    * (new warehouse, new FS conf) resolves its own.
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   def zorderTable(s: SparkSession, d: String): DataFrame = {
     val (dataPath, manifest) = ensureZorderLayout(s, d)
-    val stats = manifest.select("file", "mn_u", "mx_u", "mn_t", "mx_t")
-      .collect()
-      .map(r => graft.plans.ZFileStats(r.getString(0), Map(
-        "user_id" -> (r.getLong(1), r.getLong(2)),
-        "us" -> (r.getLong(3), r.getLong(4)))))
-      .toSeq
-    // FILE schema, not directory-inferred (the z-bucket dir column is a
-    // layout detail, not a query column)
-    val dataSchema = s.read
-      .parquet(s"$dataPath/${stats.head.rel}").schema
-    graft.plans.ZorderFileIndex.table(s, dataPath, stats, dataSchema)
+    tableCache.computeIfAbsent((s, dataPath), _ => {
+      val stats = manifest.select("file", "mn_u", "mx_u", "mn_t", "mx_t")
+        .collect()
+        .map(r => graft.plans.ZFileStats(r.getString(0), Map(
+          "user_id" -> (r.getLong(1), r.getLong(2)),
+          "us" -> (r.getLong(3), r.getLong(4)))))
+        .toSeq
+      if (stats.isEmpty) {
+        // an empty source table yields an empty layout — surface an
+        // empty relation with the layout's schema (derived from the
+        // build projection) instead of a head-of-empty crash
+        zEventsFrozen(s, d, (0L, 0L, 0L, 0L), None).drop("bucket").limit(0)
+      } else {
+        // FILE schema, not directory-inferred (the z-bucket dir column
+        // is a layout detail, not a query column)
+        val dataSchema = s.read
+          .parquet(s"$dataPath/${stats.head.rel}").schema
+        graft.plans.ZorderFileIndex.table(s, dataPath, stats, dataSchema)
+      }
+    })
   }
 
   /** B17: manifest-pruned scan over the z-clustered layout — the full

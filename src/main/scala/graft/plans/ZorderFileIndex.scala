@@ -54,12 +54,15 @@ class ZorderFileIndex(root: Path, stats: Seq[(ZFileStats, FileStatus)])
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // one [lo, hi] interval per indexed column, from whatever
     // predicates Catalyst pushed down; a file is skipped when provably
-    // disjoint on ANY indexed dimension
-    val cols = stats.headOption.map(_._1.footprint.keySet).getOrElse(Set.empty)
+    // disjoint on ANY indexed dimension. The column set is the UNION
+    // across all files' footprints — manifests with heterogeneous
+    // per-file stats (the generalized indexed-column surface) must not
+    // key off whichever file happens to sort first.
+    val cols = stats.iterator.flatMap(_._1.footprint.keySet).toSet
     val wanted = cols.map(c => c -> ZorderFileIndex.bounds(dataFilters, c)).toMap
     val kept = stats.collect {
       case (st, fs) if st.footprint.forall { case (c, (mn, mx)) =>
-        val (lo, hi) = wanted(c)
+        val (lo, hi) = wanted.getOrElse(c, (Long.MinValue, Long.MaxValue))
         !(mx < lo || mn > hi)
       } => fs
     }

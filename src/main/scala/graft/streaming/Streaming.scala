@@ -62,17 +62,8 @@ object Streaming {
     * eventsStream SYMLINK dir needs no fingerprint — it resolves to
     * whatever currently sits at the source path).
     */
-  private def fixtureKey(d: String): String = {
-    val src = new java.io.File(s"$d/events.parquet")
-    val stats =
-      if (src.isDirectory)
-        Option(src.listFiles()).map(_.sortBy(_.getName)
-          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString("|"))
-          .getOrElse("")
-      else s"${src.length}:${src.lastModified}"
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"$d;$stats".getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-  }
+  private def fixtureKey(d: String): String =
+    graft.Stage.sourceFingerprint(d, "events")
 
   private[graft] def runToMemory(streamed: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = streamed.sparkSession
