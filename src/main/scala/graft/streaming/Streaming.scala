@@ -741,17 +741,37 @@ object Streaming {
       |WHERE ws_us + 3600000000 <= (SELECT ms FROM wmc) * 1000
       |GROUP BY ws_us""".stripMargin
 
+  /** State-table bucket count for the streaming upsert. A real 100 TB
+    * deployment sizes this so one bucket ≈ one comfortable rewrite unit
+    * (the reference's id_part layout is the same idea: 2-hex-char
+    * prefix → 256 buckets, ingesters.py:505-539); the test scale runs
+    * 16 so the fixture's per-batch key sets touch a PROPER subset and
+    * the pruning is observable.
+    */
+  val UpsertBuckets = 16
+
   /** G8: streaming UPSERT — incremental latest-state maintenance via
     * foreachBatch, the streaming twin of the reference's snapshot merge
-    * (merge daily increments into the latest-record-per-id table): each
-    * microbatch merges into the keyed state table (union previous state
-    * + batch → row_number latest per key → rewrite), using alternating
-    * generation directories as the atomic-swap stand-in for a
-    * transactional table format's MERGE INTO. State after draining the
-    * 3-file backlog = latest event per user, which is exactly the
-    * batch-window oracle. At scale the rewrite is per-partition
-    * (id_part dynamic overwrite, the reference's layout), not
-    * whole-table.
+    * (merge daily increments into the latest-record-per-id table).
+    *
+    * BUCKET-PRUNED MERGE (the 100 TB shape): state lives partitioned by
+    * a stable key bucket (`user_id % UpsertBuckets` — the id_part
+    * contract of ingesters.py:505-539). Each microbatch:
+    *   1. computes the batch's touched buckets (≤ UpsertBuckets values,
+    *      driver-side — the planning step, same as z-layout pruning);
+    *   2. reads ONLY those bucket directories of the previous
+    *      generation, unions the batch, re-derives latest-per-key, and
+    *      writes just those buckets into the next generation;
+    *   3. HARD-LINKS every untouched bucket's files across — same
+    *      inode, same bytes, zero IO (the Layout.incrementalBuild
+    *      mechanism applied to streaming state).
+    * Per-microbatch cost is O(batch + touched-bucket state), never
+    * O(state): the full-state rewrite this replaces was the repo's one
+    * remaining scale-killer (r8 verdict). Generation directories remain
+    * the atomic-swap stand-in for a transactional MERGE INTO.
+    * StreamingSpec pins the contract: a 1-key microbatch rewrites
+    * exactly one bucket, and untouched bucket files carry their inodes
+    * across generations.
     */
   def stUpsert(s: SparkSession, d: String): DataFrame = {
     val dir = lateFixtureDir(s, d)
@@ -765,16 +785,7 @@ object Streaming {
       .parquet(dir)
     val q = streamed.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        val cur = new java.io.File(s"$base/gen$gen")
-        val merged =
-          if (cur.exists()) sp.read.parquet(cur.getPath).unionByName(batch.toDF())
-          else batch.toDF()
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("us").desc, col("event_id").desc)
-        merged.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-          .write.mode("overwrite").parquet(s"$base/gen${gen + 1}")
+        upsertBatch(batch.toDF(), base, gen)
         gen += 1
         ()
       }
@@ -783,6 +794,48 @@ object Streaming {
     q.awaitTermination()
     s.read.parquet(s"$base/gen$gen")
       .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))
+  }
+
+  /** One bucket-pruned merge step: `prev = $base/gen$gen` →
+    * `$base/gen${gen+1}`. Factored out so StreamingSpec can drive
+    * single-key batches through the exact production code path.
+    */
+  private[graft] def upsertBatch(batchDf: DataFrame, base: String, gen: Int): Unit = {
+    val sp = batchDf.sparkSession
+    val batch = batchDf.withColumn("bucket",
+      pmod(col("user_id"), lit(UpsertBuckets)).cast("int"))
+    val prev = new java.io.File(s"$base/gen$gen")
+    val next = new java.io.File(s"$base/gen${gen + 1}")
+    // the batch's touched buckets — bounded by UpsertBuckets, a
+    // driver-side planning step (not a data-path collect)
+    val touched = batch.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prevBuckets: Seq[java.io.File] =
+      Option(prev.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).toSeq
+    val (touchedDirs, untouchedDirs) = prevBuckets.partition(f =>
+      touched.contains(f.getName.stripPrefix("bucket=").toInt))
+    // merge = prior TOUCHED-bucket state ∪ batch → latest per key;
+    // untouched state is never read
+    val prior = touchedDirs.map(f =>
+      sp.read.option("basePath", prev.getPath).parquet(f.getPath))
+    val merged = prior.foldLeft(batch)((acc, p) => acc.unionByName(p))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    if (touched.nonEmpty)
+      merged.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .write.partitionBy("bucket").mode("overwrite").parquet(next.getPath)
+    else next.mkdirs() // empty batch: pure carry-over generation
+    // hard-link untouched buckets across: same inode, zero IO
+    untouchedDirs.foreach { bdir =>
+      val target = new java.io.File(next, bdir.getName)
+      target.mkdirs()
+      bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+        java.nio.file.Files.createLink(
+          target.toPath.resolve(pf.getName), pf.toPath)
+      }
+    }
   }
 
   val stUpsertSql: String =

@@ -312,6 +312,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("st_upsert merge is bucket-pruned: a 1-key batch rewrites exactly one bucket, untouched files keep inodes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_spec_upsert_prune"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("us", LongType)))
+    def df(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2), schema)
+    // seed generation: one row per user across every bucket
+    Streaming.upsertBatch(df((0L until 64L).map(u => (u, u, 1000L + u))), base, 0)
+    // the 1-key microbatch: user 5 → bucket 5 only
+    Streaming.upsertBatch(df(Seq((9001L, 5L, 999999L))), base, 1)
+    def bucketFiles(gen: Int): Map[String, Set[AnyRef]] =
+      new java.io.File(s"$base/gen$gen").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(b => b.getName -> b.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => java.nio.file.Files.readAttributes(f.toPath,
+            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+          .toSet)
+        .toMap
+    val f1 = bucketFiles(1)
+    val f2 = bucketFiles(2)
+    assert(f1.keySet === f2.keySet) // all 16 buckets survive the generation
+    // exactly the touched bucket's files changed; every other bucket's
+    // files are the SAME inodes (hard-linked, zero IO carried over)
+    val changed = f1.keySet.filter(b => f1(b) != f2(b))
+    assert(changed === Set(s"bucket=${5L % Streaming.UpsertBuckets}"))
+    // and the merge itself is correct: user 5 upserted, neighbors intact
+    val fin = spark.read.parquet(s"$base/gen2")
+      .select("user_id", "event_id", "us").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fin(5L) === ((9001L, 999999L)))
+    assert(fin(4L) === ((4L, 1004L)))
+    assert(fin.size === 64)
+  }
+
   test("checkpoint recovery: a restarted query resumes where it stopped, nothing reprocessed") {
     import java.io.File
     import org.apache.spark.sql.functions.col
