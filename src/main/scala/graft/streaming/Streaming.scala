@@ -846,6 +846,118 @@ object Streaming {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Three-file gz-JSONL envelope fixture for the streaming ingest
+    * chain: the synthesized encrypted envelopes (Envelope.synthesize —
+    * the reference's exact input format, one Kafka message per line,
+    * ingesters.py:30,109) sliced by doc id residue mod 3 with staggered
+    * mtimes, every envelope whose id ≡ 0 (mod 13) truncated — the
+    * p_dead_letter corruption, HERE spread across all three
+    * microbatches so malformed lines arrive mid-stream, not just at
+    * start-up. Corruption is applied after slicing (a truncated line's
+    * id is unparseable, so it could not be sliced by id).
+    */
+  private[graft] def ingestFixtureDir(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(
+      s"/tmp/graft_stream_ingest_${graft.Stage.sourceFingerprint(d, "documents")}")
+    if (!dir.exists()) {
+      val tmp = new java.io.File(dir.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      tmp.mkdirs()
+      val lines = graft.pipeline.Envelope.synthesize(s, d)
+      val id = get_json_object(col("value"), "$.message._id.id").cast("long")
+      (0 until 3).foreach { i =>
+        val stage = new java.io.File(tmp, s"stage$i")
+        lines.filter(id % 3 === i)
+          .select(when(id % 13 === 0,
+              expr("substring(value, 1, length(value) - 5)"))
+            .otherwise(col("value")).as("value"))
+          .coalesce(1).write.option("compression", "gzip").text(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".gz")).head
+        val target = new java.io.File(tmp, s"b$i.jsonl.gz")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        target.setLastModified(1600000000000L + i * 60000L)
+        graft.Stage.deleteRecursively(stage)
+      }
+      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, dir)
+    }
+    dir.getPath
+  }
+
+  /** G16: the CDI ingest chain AS A STREAMING QUERY — the reference's
+    * pipeline (read gz-JSONL envelopes → parse → decrypt → validate →
+    * sanitise → derived daily columns → partitioned write,
+    * ingesters.py:468-539) run continuously: readStream over the
+    * envelope backlog, one microbatch per file, each batch flowing
+    * through the EXACT batch pipeline (Ingest.pipeline —
+    * foreachBatch is the seam that makes the barrier-based batch code
+    * reusable verbatim) into a partitioned parquet sink, with
+    * malformed envelopes quarantined per-batch to a dead-letter side
+    * output (quarantine-and-continue; the reference fails the whole
+    * task on the first bad line). This is the natural 100 TB shape of
+    * the reference: a continuous ingester draining a Kafka-shaped
+    * backlog; per microbatch the work is O(batch), the landed layout
+    * is the reference's daily-increment partition contract, and a
+    * dead letter never stalls the stream (StreamingSpec pins that
+    * they land mid-stream, batch by batch).
+    *
+    * Result: per-db_type landed accounting (count, distinct id_parts,
+    * id range — proving decrypt/validate/sanitise/derive ran
+    * byte-correct on every surviving envelope) plus the dead-letter
+    * row; the oracle reconstructs all of it from `documents`.
+    */
+  def stIngest(s: SparkSession, d: String): DataFrame = {
+    val fixture = ingestFixtureDir(s, d)
+    val base = s"/tmp/graft_stream_ingest_out_${math.abs(d.hashCode)}"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val q = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(fixture)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val landed = graft.pipeline.Ingest.dailyIncrement(
+          graft.pipeline.Ingest.pipeline(batch.toDF()), "2021-06-15")
+        landed.write.mode("append")
+          .partitionBy("export_year", "export_month", "export_day", "id_part")
+          .parquet(s"$base/data")
+        graft.pipeline.Ingest.malformedLines(batch.toDF())
+          .write.mode("overwrite").text(s"$base/dead/batch$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the canonical id is `{"id":"<n>"}` for object ids (the fixture's
+    // shape; scalar ids pass through uc_id unchanged) — unwrap for the
+    // numeric range
+    val numId = coalesce(get_json_object(col("id"), "$.id"), col("id"))
+      .cast("long")
+    val landedAgg = s.read.parquet(s"$base/data")
+      .groupBy(col("db_type").as("status"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("id_part")).as("n_parts"),
+        min(numId).as("min_id"),
+        max(numId).as("max_id"))
+    val dead = s.read.option("recursiveFileLookup", "true")
+      .text(s"$base/dead")
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("dead_letter").as("status"), col("cnt"),
+        lit(0L).as("n_parts"),
+        lit(null).cast("long").as("min_id"), lit(null).cast("long").as("max_id"))
+    landedAgg.unionByName(dead)
+  }
+
+  val stIngestSql: String =
+    """SELECT CASE WHEN doc_id % 10 = 0 THEN 'DELETE' ELSE 'INSERT' END AS status,
+      |  COUNT(*) AS cnt,
+      |  COUNT(DISTINCT substr(CAST(doc_id AS VARCHAR), 1, 2)) AS n_parts,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents WHERE doc_id % 13 != 0 GROUP BY 1
+      |UNION ALL
+      |SELECT 'dead_letter', COUNT(*), 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
   /** Fixture for G13: the d_incremental batch split into 3 id-ordered
     * parquet files (ascending mtimes), so AvailableNow processes three
     * real microbatches — a day's ingestion arriving in chunks.
@@ -1039,6 +1151,7 @@ object Streaming {
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),
     QueryDef("st_stream_join_outer", stStreamJoinOuter, Some(stStreamJoinOuterSql)),
     QueryDef("st_stream_join_full", stStreamJoinFull, Some(stStreamJoinFullSql)),
+    QueryDef("st_ingest", stIngest, Some(stIngestSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
     QueryDef("st_dedup_watermark", stDedupWatermark, Some(stDedupWatermarkSql)),
     QueryDef("st_enrich", stEnrich, Some(stEnrichSql)),

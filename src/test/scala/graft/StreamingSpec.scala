@@ -350,6 +350,29 @@ class StreamingSpec extends SparkSpec {
     assert(fin.size === 64)
   }
 
+  test("st_ingest: malformed envelopes land in the dead-letter output mid-stream, every batch") {
+    val result = Streaming.stIngest(spark, sfDir)
+    val deadRow = result.filter(col("status") === "dead_letter").head()
+    val expectedDead = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 13 === 0).count()
+    assert(deadRow.getLong(1) === expectedDead)
+    // the stream ran 3 microbatches; EVERY one quarantined its own
+    // malformed lines and kept draining — the quarantine-and-continue
+    // contract, exercised mid-stream rather than only at start-up
+    val base = s"/tmp/graft_stream_ingest_out_${math.abs(sfDir.hashCode)}"
+    val deadBatches = new java.io.File(s"$base/dead").listFiles()
+      .filter(_.isDirectory).sortBy(_.getName)
+    assert(deadBatches.length === 3)
+    val perBatch = deadBatches.map(b => spark.read.text(b.getPath).count())
+    assert(perBatch.forall(_ > 0), s"dead letters per batch: ${perBatch.toSeq}")
+    assert(perBatch.sum === expectedDead)
+    // dead letters keep their raw (truncated, unparseable) line — the
+    // re-ingestion contract: parse flags them malformed again
+    val requarantined = graft.pipeline.Ingest.malformedLines(
+      spark.read.option("recursiveFileLookup", "true").text(s"$base/dead"))
+    assert(requarantined.count() === expectedDead)
+  }
+
   test("checkpoint recovery: a restarted query resumes where it stopped, nothing reprocessed") {
     import java.io.File
     import org.apache.spark.sql.functions.col
