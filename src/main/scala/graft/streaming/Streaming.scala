@@ -958,6 +958,76 @@ object Streaming {
       |SELECT 'dead_letter', COUNT(*), 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
       |FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
+  /** File-backed topic fixture for the Kafka-shaped source: the
+    * synthesized envelopes as 4 `partition=N/log.jsonl` logs (one
+    * envelope per message, the reference's wire shape), records
+    * partitioned by doc id mod 4 and appended in id order — so the
+    * per-partition offset↔id correspondence is deterministic and the
+    * oracle can re-derive it with a window rank. Driver-side write is
+    * fixture synthesis (bounded, test-scale); a real deployment's
+    * topic is populated by producers.
+    */
+  private[graft] def kafkaTopicDir(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(
+      s"/tmp/graft_kafka_topic_${graft.Stage.sourceFingerprint(d, "documents")}")
+    if (!new java.io.File(dir, "envelopes").exists()) {
+      val tmp = new java.io.File(dir.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      val topic = new java.io.File(tmp, "envelopes")
+      val lines = graft.pipeline.Envelope.synthesize(s, d)
+      val id = get_json_object(col("value"), "$.message._id.id").cast("long")
+      (0 until 4).foreach { p =>
+        val pd = new java.io.File(topic, s"partition=$p")
+        pd.mkdirs()
+        val rows = lines.select(col("value"), id.as("i")).filter(col("i") % 4 === p)
+          .orderBy("i").select("value").collect().map(_.getString(0))
+        val w = new java.io.PrintWriter(new java.io.File(pd, "log.jsonl"), "UTF-8")
+        try rows.foreach(w.println) finally w.close()
+      }
+      graft.Stage.deleteRecursively(dir)
+      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
+    }
+    s"$dir/envelopes"
+  }
+
+  /** G17: a block-G query driven through the KAFKA-API source — the
+    * file-backed `kafkalog` DSv2 connector (sources/KafkaLog.scala)
+    * speaking Kafka's exact schema and offset semantics: envelopes
+    * arrive one per message across 4 topic partitions; the stream
+    * drains under admission control (maxRecordsPerTrigger → several
+    * real microbatches, not one) into a per-partition aggregate over
+    * BOTH the metadata columns (partition, offset) and the decoded
+    * message value. `order_sig = Σ offset·id` pins the offset↔record
+    * correspondence — if the source mis-assigned offsets or shuffled
+    * partition data, the hash gate catches it. SourcesSpec separately
+    * proves offset-resume across a restart on this source.
+    */
+  def stKafka(s: SparkSession, d: String): DataFrame = {
+    val stream = s.readStream.format("kafkalog")
+      .option("path", kafkaTopicDir(s, d))
+      .option("maxRecordsPerTrigger", 64)
+      .load()
+      .select(col("topic"), col("partition"), col("offset"),
+        get_json_object(col("value").cast("string"), "$.message._id.id")
+          .cast("long").as("id"))
+    runToMemory(stream.groupBy("topic", "partition")
+      .agg(count(lit(1)).as("cnt"),
+        max(col("offset")).as("max_offset"),
+        sum(col("id")).as("sum_id"),
+        sum(col("offset") * col("id")).as("order_sig")),
+      "st_kafka_mem", OutputMode.Complete())
+  }
+
+  val stKafkaSql: String =
+    """SELECT 'envelopes' AS topic, CAST(doc_id % 4 AS INT) AS partition,
+      |  COUNT(*) AS cnt, COUNT(*) - 1 AS max_offset,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM((rn - 1) * doc_id) AS BIGINT) AS order_sig
+      |FROM (SELECT doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |GROUP BY 2""".stripMargin
+
   /** Fixture for G13: the d_incremental batch split into 3 id-ordered
     * parquet files (ascending mtimes), so AvailableNow processes three
     * real microbatches — a day's ingestion arriving in chunks.
@@ -1152,6 +1222,7 @@ object Streaming {
     QueryDef("st_stream_join_outer", stStreamJoinOuter, Some(stStreamJoinOuterSql)),
     QueryDef("st_stream_join_full", stStreamJoinFull, Some(stStreamJoinFullSql)),
     QueryDef("st_ingest", stIngest, Some(stIngestSql)),
+    QueryDef("st_kafka", stKafka, Some(stKafkaSql)),
     QueryDef("st_dedup", stDedup, Some(stDedupSql)),
     QueryDef("st_dedup_watermark", stDedupWatermark, Some(stDedupWatermarkSql)),
     QueryDef("st_enrich", stEnrich, Some(stEnrichSql)),
