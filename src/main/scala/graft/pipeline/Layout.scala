@@ -175,13 +175,14 @@ object Layout {
     * files it covers (_SOURCES). When the source changes by APPENDING
     * files only — the ingest shape: yesterday's files untouched, new
     * day landed — the build finds the prior layout of the same source
-    * dir, z-maps ONLY the new files against the frozen bounds,
-    * re-clusters only the buckets those rows land in (old bucket file
-    * ∪ new rows → re-sort → rewrite), and HARD-LINKS every untouched
-    * bucket's files into the new layout — byte-identical, same inode,
-    * same mtime — carrying their manifest rows over verbatim. Cost is
-    * O(new data + touched buckets), not O(table). Any non-append
-    * change (a file modified or removed) falls back to a full build.
+    * dir, z-maps ONLY the new files against the frozen bounds, lands
+    * them as extra z-sorted files in the buckets they touch, and
+    * HARD-LINKS every prior bucket file into the new layout —
+    * byte-identical, same inode, same mtime — carrying all prior
+    * manifest rows over verbatim. Cost is O(new data), not O(table)
+    * or even O(touched buckets); the small-file debt this defers is
+    * paid by [[compactLayout]] (OPTIMIZE). Any non-append change (a
+    * file modified or removed) falls back to a full build.
     */
   def ensureZorderLayout(s: SparkSession, d: String): (String, DataFrame) = {
     val base = layoutDir(d)
@@ -268,32 +269,45 @@ object Layout {
       new java.io.File(tmp, "_INCREMENTAL").createNewFile()
       return
     }
-    // rebuild touched buckets: prior bucket rows ∪ new rows, re-sorted
-    // (bucket arrives as an inferred-int partition column from the
-    // prior layout and as a computed long from fresh — align types)
-    val prevData = s.read.parquet(s"$prev/data")
-      .withColumn("bucket", col("bucket").cast("long"))
-    val rebuilt = prevData
-      .filter(col("bucket").isin(touched.toSeq: _*))
-      .unionByName(fresh.filter(col("bucket").isin(touched.toSeq: _*)))
-    rebuilt
+    // APPEND-MODE maintenance (since r9): the new rows land as EXTRA
+    // z-sorted files inside the buckets they touch, and EVERY prior
+    // bucket file is hard-linked across verbatim — per-append cost is
+    // O(new data) only, never O(touched buckets). (The previous design
+    // re-read and rewrote each touched bucket whole, which charges
+    // every append for the bucket history it lands next to.) The
+    // deferred merge debt — buckets accumulating small files — is paid
+    // by [[compactLayout]] (OPTIMIZE), amortized across many appends:
+    // exactly the Delta/Iceberg append + OPTIMIZE bin-pack contract.
+    // Per-file manifest stats stay TIGHT (a narrow append's file has a
+    // narrow footprint), so pruning is unaffected by fragmentation.
+    fresh
       .repartition(col("bucket"))
       .sortWithinPartitions("zval")
-      .write.partitionBy("bucket").parquet(s"$tmp/data")
-    // materialize the touched-file stats NOW — the plan must not be
-    // re-evaluated after the hard-links below add the untouched files
-    // to the same directory (≤ touched-bucket rows; driver-safe)
-    val touchedManifest = {
-      val m = manifestOf(s, s"$tmp/data")
+      .write.partitionBy("bucket").parquet(s"$tmp/fresh")
+    // materialize the fresh-file stats NOW — the plan must not be
+    // re-evaluated after the moves/links below (≤ new-data rows;
+    // driver-safe: one row per landed file)
+    val freshManifest = {
+      val m = manifestOf(s, s"$tmp/fresh")
       val rows = m.collect().toSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), m.schema)
     }
-    // hard-link untouched buckets in: byte-identical files, same inode
+    new java.io.File(tmp, "data").mkdirs()
+    Option(new java.io.File(tmp, "fresh").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .foreach { bdir =>
+        val target = new java.io.File(s"$tmp/data/${bdir.getName}")
+        target.mkdirs()
+        bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+          java.nio.file.Files.move(pf.toPath, target.toPath.resolve(pf.getName))
+        }
+      }
+    graft.Stage.deleteRecursively(new java.io.File(tmp, "fresh"))
+    // hard-link every prior bucket file in: byte-identical, same inode
     // and mtime, zero IO
     val dataDir = new java.io.File(prev, "data")
     Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .filterNot(f => touched.contains(f.getName.stripPrefix("bucket=").toLong))
       .foreach { bdir =>
         val target = new java.io.File(s"$tmp/data/${bdir.getName}")
         target.mkdirs()
@@ -302,16 +316,112 @@ object Layout {
             target.toPath.resolve(pf.getName), pf.toPath)
         }
       }
-    // manifest: recomputed rows for touched files ∪ carried rows for
-    // untouched ones (their files are bit-identical, so are their stats)
-    val touchedPrefixes = touched.map(b => s"bucket=$b/")
+    // manifest: fresh-file rows ∪ ALL carried rows (prior files are
+    // bit-identical, so are their stats)
     val carried = s.read.parquet(s"$prev/manifest")
-      .filter(!touchedPrefixes.map(p => col("file").startsWith(p))
-        .foldLeft(lit(false))(_ || _))
-    touchedManifest.unionByName(carried).write.parquet(s"$tmp/manifest")
+    freshManifest.unionByName(carried).write.parquet(s"$tmp/manifest")
     writeLines(new java.io.File(tmp, "_BOUNDS"), Seq(s"$mnu,$mxu,$mnt,$mxt"))
     writeLines(new java.io.File(tmp, "_SOURCES"), current)
     new java.io.File(tmp, "_INCREMENTAL").createNewFile()
+  }
+
+  /** OPTIMIZE — bin-pack the append-mode maintenance debt. Buckets
+    * accumulate small files as appends land ([[incrementalBuild]]);
+    * this pass rewrites each bucket's under-sized files into
+    * target-sized bins (re-sorted by zval, restoring full per-bucket
+    * z-order), HARD-LINKS every full-sized file and every single-file
+    * bucket untouched, rewrites exactly the merged files' manifest
+    * rows, and atomically swaps the compacted layout into place.
+    * Cost is O(small files), amortized over the appends that created
+    * them — never O(table). Correctness contract (BucketingSpec): the
+    * compacted layout is an exact row union of the old one, file count
+    * drops on fragmented fixtures, pruning answers are unchanged, and
+    * untouched files keep their inodes.
+    */
+  def compactLayout(s: SparkSession, d: String,
+      targetBytes: Long = 128L << 20): (String, DataFrame) = {
+    val (dataPath, _) = ensureZorderLayout(s, d)
+    val base = new java.io.File(dataPath).getParentFile
+    val tmp = new java.io.File(base.getPath + ".compacting")
+    graft.Stage.deleteRecursively(tmp)
+    new java.io.File(tmp, "data").mkdirs()
+    val buckets = Option(new java.io.File(base, "data").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    var linkedRels = List.empty[String]
+    var mergeFiles = List.empty[java.io.File]
+    buckets.foreach { bdir =>
+      val files = bdir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).toSeq
+      val (big, small) = files.partition(_.length >= targetBytes)
+      // a lone small file has nothing to merge with — carry it
+      val (carry, merge) =
+        if (small.length >= 2) (big, small) else (files, Seq.empty[java.io.File])
+      val target = new java.io.File(s"$tmp/data/${bdir.getName}")
+      target.mkdirs()
+      carry.foreach { pf =>
+        java.nio.file.Files.createLink(target.toPath.resolve(pf.getName), pf.toPath)
+        linkedRels ::= s"${bdir.getName}/${pf.getName}"
+      }
+      mergeFiles :::= merge.toList
+    }
+    if (mergeFiles.nonEmpty) {
+      // ONE distributed job over just the small files: re-bucket,
+      // re-sort by zval, land bin-packed replacements
+      val mergedDir = new java.io.File(tmp, "merged")
+      s.read.option("basePath", s"$base/data")
+        .parquet(mergeFiles.map(_.getPath): _*)
+        .repartition(col("bucket"))
+        .sortWithinPartitions("zval")
+        .write.partitionBy("bucket").parquet(mergedDir.getPath)
+      val mergedManifest = {
+        val m = manifestOf(s, mergedDir.getPath)
+        val rows = m.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), m.schema)
+      }
+      Option(mergedDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .foreach { bdir =>
+          val target = new java.io.File(s"$tmp/data/${bdir.getName}")
+          target.mkdirs()
+          bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+            java.nio.file.Files.move(pf.toPath, target.toPath.resolve(pf.getName))
+          }
+        }
+      graft.Stage.deleteRecursively(mergedDir)
+      val linkedDf = {
+        import s.implicits._
+        s.createDataset(linkedRels).toDF("file")
+      }
+      val carried = s.read.parquet(s"$base/manifest")
+        .join(broadcast(linkedDf), Seq("file"), "left_semi")
+      mergedManifest.unionByName(carried).write.parquet(s"$tmp/manifest")
+    } else {
+      s.read.parquet(s"$base/manifest").write.parquet(s"$tmp/manifest")
+    }
+    Seq("_BOUNDS", "_SOURCES").foreach { n =>
+      java.nio.file.Files.copy(new java.io.File(base, n).toPath,
+        new java.io.File(tmp, n).toPath)
+    }
+    new java.io.File(tmp, "_COMPACTED").createNewFile()
+    new java.io.File(tmp, "_MANIFEST_DONE").createNewFile()
+    // atomic swap: the fingerprint-addressed path must keep its name
+    // (it IS the layout's identity); hard links keep carried bytes
+    // alive through the old dir's deletion
+    val pre = new java.io.File(base.getPath + ".pre_compact")
+    graft.Stage.deleteRecursively(pre)
+    if (!base.renameTo(pre))
+      throw new IllegalStateException(s"cannot stage out $base for compaction swap")
+    if (!tmp.renameTo(base)) {
+      pre.renameTo(base)
+      throw new IllegalStateException(s"compaction swap failed for $base")
+    }
+    graft.Stage.deleteRecursively(pre)
+    graft.Stage.refreshArtifact(s, base)
+    // drop memoized table resolutions for the swapped path (same string
+    // key, new files underneath)
+    tableCache.keySet.removeIf(_._2 == s"$base/data")
+    (s"$base/data", s.read.parquet(s"$base/manifest"))
   }
 
   /** B16: the layout's locality contract as a query — per-z-bucket row

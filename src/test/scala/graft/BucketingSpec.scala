@@ -279,6 +279,86 @@ class BucketingSpec extends SparkSpec {
       s"mean per-file user span $weighted vs global $globalRange — no locality")
   }
 
+  test("OPTIMIZE: compaction bin-packs fragmented buckets — exact row union, fewer files, pruning unchanged, carried inodes") {
+    import graft.pipeline.Layout
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_zopt").toFile
+    val evDir = new java.io.File(root, "events.parquet"); evDir.mkdirs()
+    val ev = Tables.events(spark, sfDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(root, "stage")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, new java.io.File(evDir, name).toPath)
+      graft.Stage.deleteRecursively(stage)
+    }
+    try {
+      land(ev, "day1.parquet")
+      Layout.ensureZorderLayout(spark, root.getPath)
+      // ten narrow appends, each chained incrementally → the touched
+      // buckets accumulate one small file per append
+      val (uLo, uHi, tsLo, tsHi) = Layout.predicateBounds(spark, sfDir)
+      (1 to 10).foreach { day =>
+        land(ev.filter(col("user_id").between(uLo, uHi)
+            && unix_micros(col("ts")).between(tsLo, tsHi))
+          .withColumn("event_id", col("event_id") + day * 10000000L),
+          s"day${day + 1}.parquet")
+        Layout.ensureZorderLayout(spark, root.getPath)
+      }
+      val (dataB, _) = Layout.ensureZorderLayout(spark, root.getPath)
+      def files(dataPath: String): Map[String, java.io.File] =
+        new java.io.File(dataPath).listFiles()
+          .filter(_.getName.startsWith("bucket=")).flatMap(b =>
+            b.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => s"${b.getName}/${f.getName}" -> f)).toMap
+      val before = files(dataB)
+      def ino(f: java.io.File): AnyRef =
+        java.nio.file.Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey
+      // single-file buckets must come through compaction untouched
+      val singles = before.keys.groupBy(_.split("/")(0)).filter(_._2.size == 1)
+        .flatMap(_._2).toSet
+      val singleInos = singles.map(k => k -> ino(before(k))).toMap
+      val rowsBefore = spark.read.parquet(dataB)
+        .select("event_id", "user_id", "us", "event_type", "value")
+      val prunedBefore = Layout.qZorderPrune(spark, root.getPath)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+      val rowsBeforeC = rowsBefore.collect()
+      val (dataA, manifestA) = Layout.compactLayout(spark, root.getPath)
+      assert(dataA === dataB, "compaction must swap in place — the path is the layout's identity")
+      val after = files(dataA)
+      assert(before.size >= after.size * 2,
+        s"compaction barely helped: ${before.size} files -> ${after.size}")
+      // exact row union
+      val rowsAfter = spark.read.parquet(dataA)
+        .select("event_id", "user_id", "us", "event_type", "value").collect()
+      assert(rowsAfter.map(_.toString).sorted.toSeq ===
+        rowsBeforeC.map(_.toString).sorted.toSeq)
+      // untouched single-file buckets keep their inodes (hard-linked)
+      singles.foreach { k =>
+        assert(after.contains(k), s"single-file bucket $k vanished")
+        assert(ino(after(k)) === singleInos(k), s"single-file bucket $k was rewritten")
+      }
+      // manifest rows agree with a per-file recompute over the new files
+      val mA = manifestA.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val recomputed = spark.read.parquet(dataA)
+        .withColumn("file",
+          regexp_extract(input_file_name(), "(bucket=[^/]+/[^/]+)$", 1))
+        .groupBy("file")
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("mn_u"), max("user_id").as("mx_u"),
+          min("us").as("mn_t"), max("us").as("mx_t"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(mA === recomputed, "compacted manifest diverges from the files it describes")
+      // pruning answers unchanged through the swap
+      val prunedAfter = Layout.qZorderPrune(spark, root.getPath)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(prunedAfter.toSeq === prunedBefore.toSeq)
+    } finally graft.Stage.deleteRecursively(root)
+  }
+
   test("q_dpp carries a runtime partition-pruning filter and matches the direct result") {
     import org.apache.spark.sql.functions._
     val df = graft.pipeline.Bucketing.qDpp(spark, sfDir)
