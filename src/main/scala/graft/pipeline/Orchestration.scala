@@ -190,7 +190,7 @@ final class Runner(
           (col("export_year") === y && col("export_month") === m && col("export_day") > dd))
     }.select(outCols.map(col): _*)
     val export = prevPrefix
-      .map(p => spark.read.parquet(p).select(outCols.map(col): _*))
+      .map(p => spark.read.orc(p).select(outCols.map(col): _*))
       .getOrElse(dailies.limit(0))
     val merged = Snapshot.merge(export, dailies, Seq("id_part", "id"),
       when(col("db_type") === "DELETE", 1).otherwise(0))
@@ -212,7 +212,9 @@ final class Runner(
     val sql = new SqlRunner(spark)
     sql.createDatabaseIfNotExist(stagingDb)
     sql.executeQueries(Seq(s"DROP TABLE IF EXISTS $table"))
-    spark.read.parquet(prefix).write.format("parquet").saveAsTable(table)
+    // the staging table is ORC like the export it publishes — the
+    // reference's Hive staging format (ingesters.py:283-339)
+    spark.read.orc(prefix).write.format("orc").saveAsTable(table)
   }
 }
 

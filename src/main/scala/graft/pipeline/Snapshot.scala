@@ -50,9 +50,11 @@ object Snapshot {
     * range-partitioned on (id_part, id) — numPartitions left to AQE
     * locally; a cluster deployment would size it (reference hardcodes
     * 4096) — written partitioned by id_part so downstream reads prune.
+    * Default format is ORC+zlib, the reference's exact snapshot/export
+    * storage (ingesters.py:341-460); read back with `spark.read.orc`.
     */
   def writeSnapshot(snapshot: DataFrame, path: String,
-      format: String = "parquet", compression: String = "zstd"): Unit =
+      format: String = "orc", compression: String = "zlib"): Unit =
     snapshot
       .repartitionByRange(col("id_part"), col("id"))
       .write

@@ -185,7 +185,11 @@ object PipelineQueries {
       |FROM documents GROUP BY 1, 5""".stripMargin
 
   /** B8: merge a prior export with post-cutoff dailies → one latest
-    * record per key (ingesters.py:341-460 re-expressed as max_by).
+    * record per key (ingesters.py:341-460 re-expressed as max_by). The
+    * merged result roundtrips through the REAL snapshot layout —
+    * ORC+zlib partitioned by id_part, the reference's exact export
+    * storage — and the published answer is read back FROM that
+    * snapshot, so the format path sits under the hash gate.
     */
   def pMergeSnapshot(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select("user_id", "event_id", "ts", "event_type")
@@ -196,8 +200,15 @@ object PipelineQueries {
     val dailies = ev.filter(col("ts") >= cutoff)
       .withColumn("db_type",
         when(col("event_type") === "error", "DELETE").otherwise("INSERT"))
-    Snapshot.merge(export, dailies, Seq("user_id"), struct(col("ts"), col("event_id")))
+    val merged = Snapshot.merge(export, dailies, Seq("user_id"),
+        struct(col("ts"), col("event_id")))
       .select("user_id", "event_id", "db_type")
+      .withColumn("id", col("user_id").cast("string"))
+      .withColumn("id_part", substring(col("user_id").cast("string"), 1, 2))
+    val out = s"/tmp/graft_snapshot_orc_${graft.Stage.sourceFingerprint(d, "events")}"
+    Snapshot.writeSnapshot(merged, out)
+    graft.Stage.refreshArtifact(s, new java.io.File(out))
+    s.read.orc(out).select("user_id", "event_id", "db_type")
   }
 
   val pMergeSnapshotSql: String =

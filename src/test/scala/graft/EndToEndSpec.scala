@@ -43,7 +43,9 @@ class EndToEndSpec extends SparkSpec {
     assert(merged.count() === export.count()) // every id survives exactly once
 
     Snapshot.writeSnapshot(merged, snapDir)
-    val snap = spark.read.parquet(snapDir)
+    // the snapshot lands in the reference's ORC export format; the
+    // hive reshape below reads it back through from_json(ddl)
+    val snap = spark.read.orc(snapDir)
     assert(snap.count() === merged.count())
 
     // hive export: typed reshape of the snapshot's val column

@@ -77,7 +77,7 @@ class OrchestrationSpec extends SparkSpec {
     val extras = store.getExtras("cli-spec", "CDI-corp:documents")
     assert(extras("CDI_Export_Date") === "2021-06-16")
     assert(extras("S3_Prefix_CDI_Export") === s"$out/_exports/corp/documents/2021-06-16")
-    val export = spark.read.parquet(extras("S3_Prefix_CDI_Export"))
+    val export = spark.read.orc(extras("S3_Prefix_CDI_Export"))
     assert(export.count() === Tables.documents(spark, sfDir).count())
     assert(spark.catalog.tableExists("corp_staging.src_documents"))
     assert(spark.table("corp_staging.src_documents").count() ===

@@ -80,7 +80,7 @@ class PipelineSpec extends SparkSpec {
       .select("id", "id_part", "db_type", "val")
     Snapshot.writeSnapshot(
       Snapshot.latestByKey(processed, Seq("id_part", "id"), col("db_type")), tmp)
-    val back = spark.read.parquet(tmp)
+    val back = spark.read.orc(tmp)
     assert(back.groupBy("id_part", "id").count().filter(col("count") > 1).count() === 0)
     val partDirs = new java.io.File(tmp).listFiles()
       .filter(_.isDirectory).map(_.getName)
