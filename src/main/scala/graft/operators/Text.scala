@@ -1170,7 +1170,129 @@ object Text {
       |       WHEN w_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
       |FROM h""".stripMargin
 
+  /** E21: vocabulary heavy hitters — the EXACT frequent-word table
+    * (every word with count > N/500) computed WITHOUT shuffling the
+    * full vocabulary. Two passes over the token stream:
+    *
+    *  pass 1 — per-partition Misra-Gries summaries (capacity 1000) via
+    *    mapPartitions, plus each partition's token count. Pigeonhole
+    *    guarantee: a word with global count > N/500 must exceed
+    *    n_p/500 in SOME partition (else the sum is ≤ N/500), and MG at
+    *    capacity 1000 retains every key above n_p/1001 — so the union
+    *    of partition summaries is a certified candidate SUPERSET. The
+    *    summaries are bounded (≤ 1001 rows per partition) regardless
+    *    of vocabulary size.
+    *  pass 2 — exact counts of the candidates only: broadcast-semi-join
+    *    the token stream against the candidate set, one hash agg over
+    *    ~thousands of keys, exact integer threshold (500·cnt > N).
+    *
+    * The output is EXACT and deterministic even though the sketch
+    * contents depend on arrival order: candidates are a superset, the
+    * verification pass filters with true counts. At 100 TB the full
+    * `GROUP BY word` alternative shuffles the entire multi-billion-key
+    * vocabulary; this shape shuffles ≤ 32k candidate rows. mapPartitions
+    * is justified here: decrement-all eviction is genuinely imperative
+    * per-partition state no Catalyst expression expresses.
+    */
+  private val HhInvThreshold = 500L
+  private val HhSketchCap = 1000
+
+  def tHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(words(lower(col("text")))).as("word"))
+    val pass1 = graft.Stage.cached(toks.as[String].mapPartitions { it =>
+      var n = 0L
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        n += 1L
+        if (cnt.contains(w) || cnt.size < HhSketchCap) {
+          cnt.update(w, cnt.getOrElse(w, 0L) + 1L)
+        } else {
+          // Misra-Gries decrement-all: every counter down one, zeros out
+          val dead = cnt.iterator.collect { case (k, 1L) => k }.toArray
+          cnt.mapValuesInPlace((_, v) => v - 1L)
+          dead.foreach(cnt.remove)
+        }
+      }
+      // marker row (null word) carries the partition's token count
+      Iterator.single((Option.empty[String], n)) ++
+        cnt.keysIterator.map(k => (Option(k), 0L))
+    }.toDF("word", "n"))
+    val cands = pass1.filter(col("word").isNotNull).select("word").distinct()
+    val total = pass1.filter(col("word").isNull)
+      .agg(sum(col("n")).as("n_tokens"))
+    toks.join(broadcast(cands), Seq("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * HhInvThreshold > col("n_tokens"))
+      .select("word", "cnt", "n_tokens")
+  }
+
+  val tHeavyHittersSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text),
+       |    '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS word
+       |  FROM documents),
+       |n AS (SELECT COUNT(*) AS n_tokens FROM w),
+       |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1)
+       |SELECT word, cnt, n_tokens FROM c, n
+       |WHERE cnt * $HhInvThreshold > n_tokens""".stripMargin
+
+  /** E22: document chunking with overlap — the context-window prep step
+    * (RAG / pretraining sequence slicing): each doc's word stream cut
+    * into 64-token chunks on a 48-token stride (16-token overlap), every
+    * chunk fingerprinted. Pure per-row HOF work (split → sequence →
+    * slice per chunk) — NO shuffle anywhere in the plan, so it scales
+    * embarrassingly: 100 TB of documents chunk at full scan bandwidth.
+    * The word array is staged behind a barrier so Generate's per-output-
+    * row child re-evaluation (§10.10) doesn't re-split the text once per
+    * chunk.
+    */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  def tChunk(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Stage.barrier(Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")))
+      .withColumn("nc",
+        when(col("nw") <= ChunkSize, lit(1))
+          .otherwise(expr(s"(nw - ${ChunkSize - ChunkStride + 1}) div $ChunkStride + 1")
+            .cast("int"))))
+    base
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * ChunkStride).cast("long").as("start_word"),
+        size(slice(col("ws"), col("chunk_id") * ChunkStride + 1, lit(ChunkSize)))
+          .cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("chunk_id") * ChunkStride + 1, lit(ChunkSize)))).as("fp"))
+  }
+
+  val tChunkSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, ws,
+       |    CASE WHEN len(ws) <= $ChunkSize THEN 1
+       |         ELSE (len(ws) - ${ChunkSize - ChunkStride + 1}) // $ChunkStride + 1 END AS nc
+       |  FROM w),
+       |c AS (SELECT doc_id, ws, unnest(range(0, nc)) AS chunk_id FROM n)
+       |SELECT doc_id, chunk_id,
+       |  chunk_id * $ChunkStride AS start_word,
+       |  CAST(len(ws[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkSize]) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(ws[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkSize], ' ')) AS fp
+       |FROM c""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("t_heavy_hitters", tHeavyHitters, Some(tHeavyHittersSql)),
+    QueryDef("t_chunk", tChunk, Some(tChunkSql)),
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
     QueryDef("t_quality_model", tQualityModel, Some(tQualityModelSql)),
     QueryDef("t_quality_train", tQualityTrain, Some(tQualityTrainSql)),

@@ -280,7 +280,124 @@ object PipelineQueries {
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** B17: one-pass column profiling — the ANALYZE TABLE step a pipeline
+    * runs before choosing partition/bucket keys: per column, row count,
+    * null count, exact distinct count, min and max (rendered to strings
+    * under a fixed per-type contract so the hash gate covers the
+    * values). ONE aggregate over ONE scan computes all 6 columns' stats
+    * simultaneously (Catalyst plans the multi-DISTINCT via Expand — one
+    * shuffle, no per-column re-scan), then a `stack` pivots the single
+    * stats row to long form. At 100 TB this is the difference between 6
+    * table scans and 1. Numeric min/max render via DECIMAL(18,2),
+    * timestamps via epoch-µs — both engines produce identical strings.
+    */
+  def pProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.QueryDef.dec
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    def mmBig(c: String) = (min(col(c)).cast("string"), max(col(c)).cast("string"))
+    def mmStr(c: String) = (min(col(c)), max(col(c)))
+    val o = Tables.orders(s, d)
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      nulls("o_orderkey").as("nn1"), countDistinct(col("o_orderkey")).as("nd1"),
+      nulls("o_custkey").as("nn2"), countDistinct(col("o_custkey")).as("nd2"),
+      nulls("o_orderstatus").as("nn3"), countDistinct(col("o_orderstatus")).as("nd3"),
+      nulls("o_totalprice").as("nn4"), countDistinct(col("o_totalprice")).as("nd4"),
+      nulls("o_orderdate").as("nn5"), countDistinct(col("o_orderdate")).as("nd5"),
+      nulls("o_orderpriority").as("nn6"), countDistinct(col("o_orderpriority")).as("nd6"),
+      mmBig("o_orderkey")._1.as("mn1"), mmBig("o_orderkey")._2.as("mx1"),
+      mmBig("o_custkey")._1.as("mn2"), mmBig("o_custkey")._2.as("mx2"),
+      mmStr("o_orderstatus")._1.as("mn3"), mmStr("o_orderstatus")._2.as("mx3"),
+      min(dec(col("o_totalprice"))).cast("string").as("mn4"),
+      max(dec(col("o_totalprice"))).cast("string").as("mx4"),
+      unix_micros(min(col("o_orderdate")).cast("timestamp")).cast("string").as("mn5"),
+      unix_micros(max(col("o_orderdate")).cast("timestamp")).cast("string").as("mx5"),
+      mmStr("o_orderpriority")._1.as("mn6"), mmStr("o_orderpriority")._2.as("mx6"))
+    agg.select(col("n_rows"), expr(
+      """stack(6,
+        |  'o_orderkey',      nn1, nd1, mn1, mx1,
+        |  'o_custkey',       nn2, nd2, mn2, mx2,
+        |  'o_orderstatus',   nn3, nd3, mn3, mx3,
+        |  'o_totalprice',    nn4, nd4, mn4, mx4,
+        |  'o_orderdate',     nn5, nd5, mn5, mx5,
+        |  'o_orderpriority', nn6, nd6, mn6, mx6)
+        |  AS (col_name, n_null, n_distinct, min_s, max_s)""".stripMargin))
+  }
+
+  val pProfileSql: String = {
+    def block(c: String, mn: String, mx: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct, $mn AS min_s, $mx AS max_s
+         |FROM orders""".stripMargin
+    Seq(
+      block("o_orderkey", "CAST(MIN(o_orderkey) AS VARCHAR)", "CAST(MAX(o_orderkey) AS VARCHAR)"),
+      block("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)", "CAST(MAX(o_custkey) AS VARCHAR)"),
+      block("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+      block("o_totalprice",
+        "CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)",
+        "CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)"),
+      block("o_orderdate",
+        "CAST(epoch_us(MIN(o_orderdate)) AS VARCHAR)",
+        "CAST(epoch_us(MAX(o_orderdate)) AS VARCHAR)"),
+      block("o_orderpriority", "MIN(o_orderpriority)", "MAX(o_orderpriority)"),
+    ).mkString("\nUNION ALL\n")
+  }
+
+  /** B18: CDC MERGE with tombstones — the Delta-style `MERGE INTO`
+    * semantics the reference's snapshot merge (ingesters.py:429-460)
+    * stops short of: apply a post-cutoff change stream (UPSERT rows +
+    * DELETE tombstones, `error` events standing in for deletes) onto
+    * the prior latest-state snapshot. Per key: the latest of
+    * (base version ∪ changes) wins; a winning tombstone REMOVES the key
+    * from the result (not just flags it — p_delete_flag is the
+    * flag-only form); keys born after the cutoff insert. `n_applied`
+    * audits how many change rows each surviving key absorbed. One
+    * max_by partial aggregation — the shuffle carries one combined row
+    * per key per partition, never the change history.
+    */
+  def pCdcApply(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"), col("ts"))
+    val cutoff = lit(Cutoff).cast("timestamp")
+    val base = Snapshot.latestByKey(
+        ev.filter(col("ts") < cutoff).drop("ts"),
+        Seq("user_id"), struct(col("us"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("us"),
+        lit("UPSERT").as("op"), lit(0L).as("ch"))
+    val changes = ev.filter(col("ts") >= cutoff).select(
+      col("user_id"), col("event_id"), col("us"),
+      when(col("event_type") === "error", "DELETE").otherwise("UPSERT").as("op"),
+      lit(1L).as("ch"))
+    base.unionByName(changes)
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_id"), col("us"), col("op")),
+          struct(col("us"), col("event_id"))).as("last"),
+        sum(col("ch")).as("n_applied"))
+      .filter(col("last.op") =!= "DELETE")
+      .select(col("user_id"), col("last.event_id").as("event_id"),
+        col("last.us").as("us"), col("n_applied"))
+  }
+
+  val pCdcApplySql: String =
+    """WITH u AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'error'
+      |         THEN 'DELETE' ELSE 'UPSERT' END AS op,
+      |    CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS ch
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn,
+      |    CAST(SUM(ch) OVER (PARTITION BY user_id) AS BIGINT) AS n_applied
+      |  FROM u)
+      |SELECT user_id, event_id, us, n_applied FROM r
+      |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("p_profile", pProfile, Some(pProfileSql)),
+    QueryDef("p_cdc_apply", pCdcApply, Some(pCdcApplySql)),
     QueryDef("p_envelope_parse", pEnvelopeParse, Some(pEnvelopeParseSql)),
     QueryDef("p_dead_letter", pDeadLetter, Some(pDeadLetterSql)),
     QueryDef("p_incremental_agg", pIncrementalAgg, Some(pIncrementalAggSql)),

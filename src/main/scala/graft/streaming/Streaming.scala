@@ -801,13 +801,33 @@ object Streaming {
     * single-key batches through the exact production code path.
     */
   private[graft] def upsertBatch(batchDf: DataFrame, base: String, gen: Int): Unit = {
-    val sp = batchDf.sparkSession
     val batch = batchDf.withColumn("bucket",
       pmod(col("user_id"), lit(UpsertBuckets)).cast("int"))
+    bucketGenStep(batch, base, gen) { (b, prior) =>
+      // merge = prior TOUCHED-bucket state ∪ batch → latest per key;
+      // untouched state is never read
+      val merged = prior.foldLeft(b)((acc, p) => acc.unionByName(p))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      merged.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+  }
+
+  /** The shared bucket-pruned generation step: compute the batch's
+    * touched buckets (driver-side planning, bounded by UpsertBuckets),
+    * hand the batch plus ONLY the touched prior-bucket frames to
+    * `rebuild`, write its result partitioned by bucket into gen+1, and
+    * hard-link every untouched bucket's files across (same inode, zero
+    * IO). `rebuild` must return rows carrying the `bucket` column.
+    * Shared by the streaming upsert (latest-per-key state) and the
+    * streaming SCD2 (full validity-chain state).
+    */
+  private[graft] def bucketGenStep(batch: DataFrame, base: String, gen: Int)(
+      rebuild: (DataFrame, Seq[DataFrame]) => DataFrame): Unit = {
+    val sp = batch.sparkSession
     val prev = new java.io.File(s"$base/gen$gen")
     val next = new java.io.File(s"$base/gen${gen + 1}")
-    // the batch's touched buckets — bounded by UpsertBuckets, a
-    // driver-side planning step (not a data-path collect)
     val touched = batch.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     val prevBuckets: Seq[java.io.File] =
@@ -815,16 +835,10 @@ object Streaming {
         .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).toSeq
     val (touchedDirs, untouchedDirs) = prevBuckets.partition(f =>
       touched.contains(f.getName.stripPrefix("bucket=").toInt))
-    // merge = prior TOUCHED-bucket state ∪ batch → latest per key;
-    // untouched state is never read
     val prior = touchedDirs.map(f =>
       sp.read.option("basePath", prev.getPath).parquet(f.getPath))
-    val merged = prior.foldLeft(batch)((acc, p) => acc.unionByName(p))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("us").desc, col("event_id").desc)
     if (touched.nonEmpty)
-      merged.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+      rebuild(batch, prior)
         .write.partitionBy("bucket").mode("overwrite").parquet(next.getPath)
     else next.mkdirs() // empty batch: pure carry-over generation
     // hard-link untouched buckets across: same inode, zero IO
@@ -845,6 +859,77 @@ object Streaming {
       |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       |      FROM events)
       |WHERE rn = 1""".stripMargin
+
+  /** G18: streaming SCD2 maintenance — the warehouse dimension-history
+    * build (p_scd2's lead-closed validity chains) kept current
+    * CONTINUOUSLY. Same bucket-pruned generation mechanism as stUpsert,
+    * but the state a bucket holds is EVERY version of its keys (the
+    * full validity chain), not just the latest: each microbatch unions
+    * its new version rows with the prior TOUCHED-bucket chains and
+    * re-derives lead() windows over just those buckets. Out-of-order
+    * arrivals insert MID-chain versions; because the whole touched
+    * bucket is recomputed, the chain self-heals — lead() re-closes
+    * every affected interval (the late-data fixture delivers
+    * interleaved event times across its 3 batches, so this path is
+    * genuinely exercised, not hypothetical). Untouched buckets
+    * hard-link across generations: O(batch + touched-bucket history)
+    * per trigger, never O(all history). At 100 TB the bucket count is
+    * the knob — the reference's id_part contract (ingesters.py:505-539)
+    * at 256+ buckets makes a trigger touch only the key-prefix shards
+    * its batch names.
+    */
+  def stScd2(s: SparkSession, d: String): DataFrame = {
+    val dir = lateFixtureDir(s, d)
+    val base = s"/tmp/graft_stream_scd2_${math.abs(d.hashCode)}"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    var gen = 0 // driver-side: foreachBatch bodies run on the driver
+    val schema = s.read.parquet(dir).schema
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = streamed.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        scd2Batch(batch.toDF(), base, gen)
+        gen += 1
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/gen$gen")
+      .select(col("user_id"), col("event_id"), col("valid_from_us"),
+        col("valid_to_us"), col("is_current"))
+  }
+
+  /** One bucket-pruned SCD2 step — factored out so StreamingSpec can
+    * drive out-of-order and single-key batches through the exact
+    * production code path.
+    */
+  private[graft] def scd2Batch(batchDf: DataFrame, base: String, gen: Int): Unit = {
+    val batch = batchDf
+      .select(col("user_id"), col("event_id"), col("us").as("valid_from_us"))
+      .withColumn("bucket", pmod(col("user_id"), lit(UpsertBuckets)).cast("int"))
+    bucketGenStep(batch, base, gen) { (b, prior) =>
+      val cols = Seq("user_id", "event_id", "valid_from_us", "bucket")
+      // prior buckets carry closed intervals; drop them — the chain is
+      // re-derived from the merged version rows
+      val versions = prior.foldLeft(b.select(cols.map(col): _*))(
+        (acc, p) => acc.unionByName(p.select(cols.map(col): _*)))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us"), col("event_id"))
+      versions
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+    }
+  }
+
+  val stScd2Sql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+      |  LEAD(epoch_us(ts), 1) OVER w AS valid_to_us,
+      |  LEAD(epoch_us(ts), 1) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
 
   /** Three-file gz-JSONL envelope fixture for the streaming ingest
     * chain: the synthesized encrypted envelopes (Envelope.synthesize —
@@ -1210,6 +1295,7 @@ object Streaming {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("st_upsert", stUpsert, Some(stUpsertSql)),
+    QueryDef("st_scd2", stScd2, Some(stScd2Sql)),
     QueryDef("st_incremental", stIncremental, Some(stIncrementalSql)),
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_window_sliding", stWindowSliding, Some(stWindowSlidingSql)),

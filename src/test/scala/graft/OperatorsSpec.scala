@@ -742,6 +742,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t_heavy_hitters: sketch+verify equals the full GROUP BY, and is a strict candidate subset") {
+    // brute force: full vocabulary count, exact integer threshold
+    val toks = Tables.documents(spark, sfDir).collect()
+      .flatMap(_.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val n = toks.length.toLong
+    val full = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (_, c) => c * 500L > n }.toMap
+    val got = graft.operators.Text.tHeavyHitters(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === full)
+    assert(full.nonEmpty, "fixture must actually contain heavy hitters")
+  }
+
+  test("t_chunk: stride/coverage invariants and fingerprints match a brute recount") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty)).toMap
+    val got = graft.operators.Text.tChunk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    assert(got.keySet === docs.keySet)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    docs.foreach { case (id, ws) =>
+      val chunks = got(id).sortBy(_._2)
+      val nc = if (ws.length <= 64) 1 else (ws.length - 17) / 48 + 1
+      assert(chunks.length === nc, s"doc $id chunk count")
+      chunks.foreach { case (_, cid, start, nTok, fp) =>
+        assert(start === cid * 48)
+        val slice = ws.slice(start.toInt, start.toInt + 64)
+        assert(nTok === slice.length.toLong)
+        assert(fp === md5hex(slice.mkString(" ")), s"doc $id chunk $cid fp")
+      }
+      // coverage: last chunk reaches the end of the word stream
+      val (_, _, lastStart, lastN, _) = chunks.last
+      assert(lastStart + lastN === ws.length.toLong || ws.isEmpty)
+    }
+  }
+
   test("d_bloom: Bloom pre-filter result is EXACT (equals plain anti-join)") {
     val docs = Tables.documents(spark, sfDir)
     val ref = docs.filter(col("doc_id") % 10 === 0).select("text").distinct()

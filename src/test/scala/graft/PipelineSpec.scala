@@ -192,4 +192,50 @@ class PipelineSpec extends SparkSpec {
     }
     assert(merged.length === full.size)
   }
+
+  test("p_profile: every stacked stat row matches its direct single-column query") {
+    val o = Tables.orders(spark, sfDir)
+    val n = o.count()
+    val got = graft.queries.PipelineQueries.pProfile(spark, sfDir).collect()
+      .map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(got.size === 6)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.foreach { c =>
+      val (nr, nn, nd, mn, mx) = got(c)
+      assert(nr === n, s"$c n_rows")
+      assert(nn === o.filter(col(c).isNull).count(), s"$c n_null")
+      assert(nd === o.select(c).distinct().count(), s"$c n_distinct")
+      assert(mn.nonEmpty && mx.nonEmpty && mn <= mx || nd === 0L, s"$c min/max sane")
+    }
+    // typed render contract spot checks
+    val key = o.agg(min("o_orderkey"), max("o_orderkey")).head
+    assert(got("o_orderkey")._4 === key.getLong(0).toString)
+    assert(got("o_orderkey")._5 === key.getLong(1).toString)
+    val price = got("o_totalprice")
+    assert(price._4.matches("-?\\d+\\.\\d{2}") && price._5.matches("-?\\d+\\.\\d{2}"),
+      s"decimal render: $price")
+  }
+
+  test("p_cdc_apply: equals a serial CDC replay; tombstoned keys vanish") {
+    val cutoffUs = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // serial replay: latest (us, event_id) per user wins; error@post-cutoff = delete
+    val expected = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val last = rows.maxBy(r => (r._3, r._2))
+      val nApplied = rows.count(_._3 >= cutoffUs).toLong
+      val isDelete = last._3 >= cutoffUs && last._4 == "error"
+      if (isDelete) None else Some((uid, last._2, last._3, nApplied))
+    }.toSet
+    val got = graft.queries.PipelineQueries.pCdcApply(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // the fixture must exercise the tombstone path
+    val allUsers = ev.map(_._1).toSet
+    assert(got.map(_._1).size < allUsers.size, "some key must be tombstoned")
+  }
 }

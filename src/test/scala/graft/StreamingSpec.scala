@@ -350,6 +350,65 @@ class StreamingSpec extends SparkSpec {
     assert(fin.size === 64)
   }
 
+  test("st_scd2 chains equal the batch lead-window build over all events") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Streaming.stScd2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).sorted
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from_us"), col("event_id"))
+    val expected = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).sorted
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("st_scd2 step is bucket-pruned and self-heals an out-of-order mid-chain insert") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_spec_scd2_prune"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("us", LongType)))
+    def df(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2), schema)
+    // seed: two versions per user at us=1000 and us=3000, all 64 users
+    Streaming.scd2Batch(df((0L until 64L).flatMap(u =>
+      Seq((u * 2, u, 1000L), (u * 2 + 1, u, 3000L)))), base, 0)
+    // the out-of-order microbatch: user 5 gets a LATE version at us=2000
+    Streaming.scd2Batch(df(Seq((9001L, 5L, 2000L))), base, 1)
+    def bucketFiles(gen: Int): Map[String, Set[AnyRef]] =
+      new java.io.File(s"$base/gen$gen").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(b => b.getName -> b.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => java.nio.file.Files.readAttributes(f.toPath,
+            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+          .toSet)
+        .toMap
+    val f1 = bucketFiles(1)
+    val f2 = bucketFiles(2)
+    assert(f1.keySet === f2.keySet)
+    val changed = f1.keySet.filter(b => f1(b) != f2(b))
+    assert(changed === Set(s"bucket=${5L % Streaming.UpsertBuckets}"))
+    // the chain self-healed: 1000 → 2000 → 3000, one open version
+    val chain = spark.read.parquet(s"$base/gen2")
+      .filter(col("user_id") === 5L)
+      .select("valid_from_us", "valid_to_us", "is_current").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))).sorted
+    assert(chain.toSeq === Seq((1000L, 2000L, false), (2000L, 3000L, false),
+      (3000L, -1L, true)))
+    // a neighbor in an untouched bucket kept its 2-version chain intact
+    val neighbor = spark.read.parquet(s"$base/gen2")
+      .filter(col("user_id") === 4L).count()
+    assert(neighbor === 2L)
+  }
+
   test("st_ingest: malformed envelopes land in the dead-letter output mid-stream, every batch") {
     val result = Streaming.stIngest(spark, sfDir)
     val deadRow = result.filter(col("status") === "dead_letter").head()
