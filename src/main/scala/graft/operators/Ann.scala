@@ -935,7 +935,79 @@ object Ann {
        |WHERE c.vec_id != q.query_id
        |  AND round(list_cosine_similarity(c.v, q.qv), 4) >= $RangeTau""".stripMargin
 
+  /** D8: hybrid retrieval — lexical + vector ranking fused with
+    * reciprocal-rank fusion (RRF, the standard hybrid-search combiner):
+    * per query doc, every corpus doc gets a lexical rank (word-set
+    * jaccard, integer-exact sets, one IEEE division) and a vector rank
+    * (cosine, the shared vec_cosine kernel), fused as
+    * `10^9 div (60+r_lex) + 10^9 div (60+r_vec)` — integer arithmetic,
+    * no float drift in the fused score — and the top-10 by fused score
+    * emitted. The candidate set here is the bounded demo cross
+    * (NumQueries × corpus, broadcast, same contract as s_ann_brute);
+    * at 100 TB candidates come from the LSH/IVF family on the vector
+    * side and an inverted-index (t_tfidf's postings shape) on the
+    * lexical side — RRF only consumes RANKS, so it composes unchanged
+    * with any candidate generator. Two row_number windows share one
+    * hash partitioning on query_id (one exchange, two sorts).
+    */
+  def sHybrid(s: SparkSession, d: String): DataFrame = {
+    val docsW = Tables.documents(s, d).select(col("doc_id"),
+      array_distinct(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("ws"))
+    val corp = docsW.join(
+      Tables.embeddings(s, d).select(col("vec_id"), vecCol.as("v")),
+      docsW("doc_id") === col("vec_id")).drop("vec_id")
+    val qs = corp.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("query_id"), col("ws").as("qws"), col("v").as("qv"))
+    val scored = corp.crossJoin(broadcast(qs))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (size(array_intersect(col("ws"), col("qws"))).cast("double") /
+          size(array_union(col("ws"), col("qws")))).as("lex"),
+        vec_cosine(col("v"), col("qv")).as("cos"))
+    val wl = Window.partitionBy("query_id").orderBy(col("lex").desc, col("doc_id"))
+    val wv = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
+    val rk = scored
+      .withColumn("r_lex", row_number().over(wl))
+      .withColumn("r_vec", row_number().over(wv))
+      .withColumn("rrf",
+        expr("1000000000 div (60 + r_lex) + 1000000000 div (60 + r_vec)"))
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    rk.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "doc_id", "r_lex", "r_vec", "rrf")
+  }
+
+  val sHybridSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |w AS (
+       |  SELECT doc_id, list_distinct(list_filter(
+       |    string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS ws
+       |  FROM documents),
+       |corpus AS (SELECT doc_id, ws, v FROM w JOIN e ON e.vec_id = w.doc_id),
+       |q AS (SELECT doc_id AS query_id, ws AS qws, v AS qv
+       |      FROM corpus WHERE doc_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, corpus.doc_id,
+       |    CAST(len(list_distinct(list_intersect(ws, qws))) AS DOUBLE)
+       |      / len(list_distinct(list_concat(ws, qws))) AS lex,
+       |    list_cosine_similarity(v, qv) AS cos
+       |  FROM corpus, q WHERE doc_id != query_id),
+       |rk AS (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY lex DESC, doc_id) AS r_lex,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r_vec
+       |  FROM scored)
+       |SELECT query_id, rank, doc_id, r_lex, r_vec, rrf FROM (
+       |  SELECT query_id, doc_id, r_lex, r_vec,
+       |    CAST(1000000000 // (60 + r_lex) + 1000000000 // (60 + r_vec) AS BIGINT) AS rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY 1000000000 // (60 + r_lex) + 1000000000 // (60 + r_vec) DESC,
+       |               doc_id) AS rank
+       |  FROM rk)
+       |WHERE rank <= $TopK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("s_hybrid", sHybrid, Some(sHybridSql)),
     QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
     QueryDef("s_ann_lsh", sAnnLsh, Some(sAnnLshSql)),

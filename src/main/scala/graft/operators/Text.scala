@@ -1290,8 +1290,103 @@ object Text {
        |  md5(array_to_string(ws[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkSize], ' ')) AS fp
        |FROM c""".stripMargin
 
+  /** E23: word co-occurrence with association lift — the collocation
+    * table (word2vec-window statistics / PMI-style association mining):
+    * ordered word pairs within distance ≤ 2, counted corpus-wide, the
+    * top-50 pairs annotated with each member's unigram count and the
+    * association lift P(pair)/(P(w1)·P(w2)).
+    *
+    * Scale shape: pair counting is one partial-agg shuffle; the top-50
+    * uses the same skew-safe two-phase row_number as t_ngram_counts
+    * (per-hash-bucket local top-K first — the global sort only ever
+    * sees K×64 rows, never the full pair vocabulary). Unigram counts
+    * are computed ONLY for the ≤100 words the top-50 pairs name — a
+    * broadcast semi-join against the token stream — so the full
+    * unigram vocabulary is never aggregated, let alone joined. Lift is
+    * integer counts + a fixed multiply/divide sequence (left-assoc,
+    * IEEE-exact, same order both engines).
+    */
+  private val CooccurTopK = 50
+
+  def tCooccur(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Stage.cached(Tables.documents(s, d)
+      .select(col("doc_id"), words(lower(col("text"))).as("w")))
+    def pairsAt(dist: Int) = docs.select(
+      explode(when(size(col("w")) > dist,
+        transform(sequence(lit(1), size(col("w")) - dist),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + dist).as("w2"))))
+        .otherwise(array())).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val pairs = pairsAt(1).union(pairsAt(2))
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val local = counts.withColumn("rk0", row_number().over(
+        Window.partitionBy(pmod(xxhash64(col("w1"), col("w2")), lit(64)))
+          .orderBy(col("cnt").desc, col("w1"), col("w2"))))
+      .filter(col("rk0") <= CooccurTopK)
+    val top = local.withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w1"), col("w2"))))
+      .filter(col("rk") <= CooccurTopK)
+      .select("rk", "w1", "w2", "cnt")
+    // unigram counts for ONLY the words the winning pairs name
+    val toks = docs.select(explode(col("w")).as("word"))
+    val nToks = toks.agg(count(lit(1)).as("n_toks"))
+    val sel = top.select(col("w1").as("word"))
+      .union(top.select(col("w2").as("word"))).distinct()
+    val uni = toks.join(broadcast(sel), Seq("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt_w"))
+    top
+      .join(broadcast(uni.select(col("word").as("w1"), col("cnt_w").as("cnt1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("word").as("w2"), col("cnt_w").as("cnt2"))), Seq("w2"))
+      .crossJoin(broadcast(nToks)).crossJoin(broadcast(nPairs))
+      .withColumn("lift",
+        col("cnt").cast("double") * col("n_toks") * col("n_toks") /
+          (col("n_pairs").cast("double") * col("cnt1") * col("cnt2")))
+      .select("rk", "w1", "w2", "cnt", "cnt1", "cnt2", "lift")
+  }
+
+  val tCooccurSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |p AS (
+       |  SELECT unnest(CASE WHEN len(ws) > 1
+       |      THEN list_transform(range(1, len(ws)), i -> {'w1': ws[i], 'w2': ws[i+1]})
+       |      ELSE [] END) AS pr
+       |  FROM w
+       |  UNION ALL
+       |  SELECT unnest(CASE WHEN len(ws) > 2
+       |      THEN list_transform(range(1, len(ws) - 1), i -> {'w1': ws[i], 'w2': ws[i+2]})
+       |      ELSE [] END) AS pr
+       |  FROM w),
+       |pairs AS (SELECT pr.w1 AS w1, pr.w2 AS w2 FROM p),
+       |np AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+       |c AS (SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+       |top AS (
+       |  SELECT rk, w1, w2, cnt FROM (
+       |    SELECT w1, w2, cnt,
+       |      ROW_NUMBER() OVER (ORDER BY cnt DESC, w1, w2) AS rk
+       |    FROM c)
+       |  WHERE rk <= $CooccurTopK),
+       |t AS (SELECT unnest(list_filter(string_split_regex(lower(text),
+       |    '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS word FROM documents),
+       |nt AS (SELECT COUNT(*) AS n_toks FROM t),
+       |uni AS (
+       |  SELECT word, COUNT(*) AS cnt_w FROM t
+       |  WHERE word IN (SELECT w1 FROM top UNION SELECT w2 FROM top)
+       |  GROUP BY 1)
+       |SELECT rk, w1, w2, cnt, u1.cnt_w AS cnt1, u2.cnt_w AS cnt2,
+       |  CAST(cnt AS DOUBLE) * n_toks * n_toks
+       |    / (CAST(n_pairs AS DOUBLE) * u1.cnt_w * u2.cnt_w) AS lift
+       |FROM top
+       |JOIN uni u1 ON u1.word = top.w1
+       |JOIN uni u2 ON u2.word = top.w2, nt, np""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_heavy_hitters", tHeavyHitters, Some(tHeavyHittersSql)),
+    QueryDef("t_cooccur", tCooccur, Some(tCooccurSql)),
     QueryDef("t_chunk", tChunk, Some(tChunkSql)),
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
     QueryDef("t_quality_model", tQualityModel, Some(tQualityModelSql)),

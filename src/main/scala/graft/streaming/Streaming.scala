@@ -931,6 +931,70 @@ object Streaming {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
 
+  /** G19: exactly-once file sink — the idempotent-foreachBatch contract
+    * that makes a restart-after-crash NOT double-count. foreachBatch is
+    * at-least-once: after a failure between sink commit and checkpoint
+    * commit, Spark RE-DELIVERS the last batch with the SAME batchId on
+    * restart. The sink here is the standard transactional-rename
+    * protocol: write the batch under a temp name, atomically rename to
+    * `batch=<id>`, and SKIP when that directory already exists — so a
+    * replayed (batchId, data) delivery is a no-op. The query drains the
+    * 3-file backlog, then REPLAYS the final batch's delivery through
+    * the exact same sink path (the restart scenario, driven for real —
+    * not simulated by a flag), and aggregates what landed: the hash
+    * gate proves the replay added nothing. With a naive append sink
+    * the last batch would double-count and every oracle value drifts.
+    * At 100 TB this idempotence + checkpoint offsets is the whole
+    * exactly-once story for file sinks (what Delta's txn-log commit
+    * does transactionally; generation dirs are this repo's stand-in).
+    */
+  def stExactlyOnce(s: SparkSession, d: String): DataFrame = {
+    val dir = lateFixtureDir(s, d)
+    val base = s"/tmp/graft_stream_eo_${math.abs(d.hashCode)}"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    var lastId = -1L
+    val schema = s.read.parquet(dir).schema
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = streamed.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        idempotentSink(batch.toDF(), base, id)
+        lastId = id
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the restart scenario: the final batch is delivered AGAIN with the
+    // same id (b2 is the last file the mtime-ordered source delivered)
+    idempotentSink(s.read.parquet(s"$dir/b2.parquet"), base, lastId)
+    s.read.parquet(base)
+      .groupBy(pmod(col("user_id"), lit(10)).as("cohort"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+  }
+
+  /** The transactional-rename sink step: tmp write → atomic rename →
+    * skip-if-committed. Factored out so StreamingSpec can drive a
+    * replay with DIFFERENT payload bytes and prove the commit wins.
+    */
+  private[graft] def idempotentSink(batch: DataFrame, base: String, id: Long): Unit = {
+    val target = new java.io.File(base, s"batch=$id")
+    if (target.exists()) return // already committed: replayed delivery is a no-op
+    val tmp = new java.io.File(base, s".batch-$id.tmp")
+    graft.Stage.deleteRecursively(tmp)
+    batch.write.parquet(tmp.getPath)
+    if (!tmp.renameTo(target)) graft.Stage.deleteRecursively(tmp)
+  }
+
+  val stExactlyOnceSql: String =
+    """SELECT user_id % 10 AS cohort, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  MIN(epoch_us(ts)) AS min_us, MAX(epoch_us(ts)) AS max_us
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Three-file gz-JSONL envelope fixture for the streaming ingest
     * chain: the synthesized encrypted envelopes (Envelope.synthesize —
     * the reference's exact input format, one Kafka message per line,
@@ -1296,6 +1360,7 @@ object Streaming {
   val all: Seq[QueryDef] = Seq(
     QueryDef("st_upsert", stUpsert, Some(stUpsertSql)),
     QueryDef("st_scd2", stScd2, Some(stScd2Sql)),
+    QueryDef("st_exactly_once", stExactlyOnce, Some(stExactlyOnceSql)),
     QueryDef("st_incremental", stIncremental, Some(stIncrementalSql)),
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_window_sliding", stWindowSliding, Some(stWindowSlidingSql)),

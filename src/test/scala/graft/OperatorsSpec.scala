@@ -780,6 +780,60 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s_hybrid: RRF fusion matches a brute recount; rank extremes behave") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).toSet).toMap
+    val embs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val ids = docs.keySet.intersect(embs.keySet).toSeq.sorted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for (q <- ids.filter(_ < 8)) yield {
+      val cands = ids.filterNot(_ == q)
+      val lex = cands.map(c => c ->
+        (docs(c).intersect(docs(q)).size.toDouble / docs(c).union(docs(q)).size))
+      val vec = cands.map(c => c -> cos(embs(c), embs(q)))
+      def ranks(xs: Seq[(Long, Double)]) = xs.sortBy { case (id, sc) => (-sc, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val (rl, rv) = (ranks(lex), ranks(vec))
+      val fused = cands.map(c => (c, 1000000000L / (60 + rl(c)) + 1000000000L / (60 + rv(c))))
+        .sortBy { case (id, sc) => (-sc, id) }.take(10)
+      fused.zipWithIndex.map { case ((c, sc), i) => (q, i + 1L, c, rl(c), rv(c), sc) }
+    }).flatten.toSet
+    val got = graft.operators.Ann.sHybrid(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getInt(3).toLong, r.getInt(4).toLong, r.getLong(5))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("t_cooccur: top pairs and lift match a brute recount") {
+    val texts = Tables.documents(spark, sfDir).collect()
+      .map(_.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val pairs = texts.flatMap(ws =>
+      ws.indices.flatMap(i => Seq(1, 2).collect {
+        case dd if i + dd < ws.length => (ws(i), ws(i + dd)) }))
+    val nPairs = pairs.length.toLong
+    val toks = texts.flatten
+    val nToks = toks.length.toLong
+    val uni = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = pairs.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(50)
+    val expected = top.zipWithIndex.map { case (((w1, w2), c), i) =>
+      (i + 1L, w1, w2, c, uni(w1), uni(w2),
+        c.toDouble * nToks * nToks / (nPairs.toDouble * uni(w1) * uni(w2)))
+    }.toSet
+    val got = graft.operators.Text.tCooccur(spark, sfDir).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(got === expected)
+  }
+
   test("d_bloom: Bloom pre-filter result is EXACT (equals plain anti-join)") {
     val docs = Tables.documents(spark, sfDir)
     val ref = docs.filter(col("doc_id") % 10 === 0).select("text").distinct()

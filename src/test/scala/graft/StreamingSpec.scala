@@ -409,6 +409,32 @@ class StreamingSpec extends SparkSpec {
     assert(neighbor === 2L)
   }
 
+  test("st_exactly_once: a replayed batch is a no-op; a doctored replay cannot overwrite the commit") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // end-to-end: the query itself replays its final batch — equality
+    // with the batch twin proves the replay added nothing
+    val got = Streaming.stExactlyOnce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val expected = Tables.events(spark, sfDir)
+      .groupBy(pmod(col("user_id"), lit(10)).as("cohort"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+    // unit: a second delivery with DIFFERENT bytes must not win
+    val base = "/tmp/graft_spec_eo"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val schema = StructType(Seq(StructField("x", LongType)))
+    def df(xs: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(xs.map(Row(_)), 1), schema)
+    Streaming.idempotentSink(df(Seq(1L, 2L)), base, 0L)
+    Streaming.idempotentSink(df(Seq(99L)), base, 0L) // replay, doctored
+    val landed = spark.read.parquet(s"$base/batch=0").collect().map(_.getLong(0)).sorted
+    assert(landed.toSeq === Seq(1L, 2L))
+    assert(!new java.io.File(base, ".batch-0.tmp").exists())
+  }
+
   test("st_ingest: malformed envelopes land in the dead-letter output mid-stream, every batch") {
     val result = Streaming.stIngest(spark, sfDir)
     val deadRow = result.filter(col("status") === "dead_letter").head()
