@@ -395,8 +395,72 @@ object PipelineQueries {
       |SELECT user_id, event_id, us, n_applied FROM r
       |WHERE rn = 1 AND op <> 'DELETE'""".stripMargin
 
+  /** B19: data-quality expectations — the declarative constraint gate
+    * (Deequ/Great-Expectations shape) a pipeline runs before publishing
+    * a batch: not-null, uniqueness, value-domain, range, and
+    * referential-integrity rules evaluated together, emitting one
+    * (rule, n_violations, status) row each. Single-pass design: every
+    * non-join rule is a conditional aggregate in ONE scan of orders
+    * (uniqueness = n_rows − n_distinct in the same aggregate);
+    * referential integrity is one anti-join count. A failing batch at
+    * 100 TB costs one scan + one join to reject, not one pass per rule.
+    */
+  def pExpectations(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v1"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v2"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v3"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v4"),
+      sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2030-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("v5"))
+    val orphan = o.join(Tables.customer(s, d),
+        o("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v6"))
+    agg.crossJoin(broadcast(orphan))
+      .select(col("n_rows"), expr(
+        """stack(6,
+          |  'not_null:o_orderkey',      v1,
+          |  'unique:o_orderkey',        v2,
+          |  'domain:o_orderstatus',     v3,
+          |  'positive:o_totalprice',    v4,
+          |  'range:o_orderdate',        v5,
+          |  'ref:o_custkey->customer',  v6) AS (rule, n_violations)""".stripMargin))
+      .withColumn("status",
+        when(col("n_violations") === 0, "pass").otherwise("fail"))
+  }
+
+  val pExpectationsSql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v2,
+      |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+      |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+      |                   OR o_orderdate >= TIMESTAMP '2030-01-01'
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS v5
+      |  FROM orders),
+      |b AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v6
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL),
+      |s AS (
+      |  SELECT 'not_null:o_orderkey' AS rule, n_rows, v1 AS n_violations FROM a
+      |  UNION ALL SELECT 'unique:o_orderkey', n_rows, v2 FROM a
+      |  UNION ALL SELECT 'domain:o_orderstatus', n_rows, v3 FROM a
+      |  UNION ALL SELECT 'positive:o_totalprice', n_rows, v4 FROM a
+      |  UNION ALL SELECT 'range:o_orderdate', n_rows, v5 FROM a
+      |  UNION ALL SELECT 'ref:o_custkey->customer', n_rows, v6 FROM a, b)
+      |SELECT rule, n_rows, n_violations,
+      |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM s""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("p_profile", pProfile, Some(pProfileSql)),
+    QueryDef("p_expectations", pExpectations, Some(pExpectationsSql)),
     QueryDef("p_cdc_apply", pCdcApply, Some(pCdcApplySql)),
     QueryDef("p_envelope_parse", pEnvelopeParse, Some(pEnvelopeParseSql)),
     QueryDef("p_dead_letter", pDeadLetter, Some(pDeadLetterSql)),

@@ -218,6 +218,42 @@ class PipelineSpec extends SparkSpec {
       s"decimal render: $price")
   }
 
+  test("p_expectations: rule verdicts match direct recounts; a doctored batch fails the right rules") {
+    val o = Tables.orders(spark, sfDir)
+    val got = graft.queries.PipelineQueries.pExpectations(spark, sfDir).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got.size === 6)
+    assert(got("not_null:o_orderkey") === ((o.filter(col("o_orderkey").isNull).count(), "pass")))
+    assert(got("unique:o_orderkey")._1 === o.count() - o.select("o_orderkey").distinct().count())
+    assert(got("ref:o_custkey->customer")._1 ===
+      o.join(Tables.customer(spark, sfDir), o("o_custkey") === col("c_custkey"), "left_anti").count())
+    // clean fixture: every rule passes
+    assert(got.values.forall(_._2 == "pass"), s"clean batch must pass: $got")
+
+    // doctored batch: null key, duplicated key, orphan custkey — the
+    // right rules fail with the right counts, the others still pass
+    val dir = Files.createTempDirectory("graft_expect").toFile
+    try {
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "lineitem", "events", "documents", "embeddings"))
+        Files.createSymbolicLink(new java.io.File(dir, s"$t.parquet").toPath,
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+      val one = o.orderBy("o_orderkey").limit(1)
+      val doctored = o
+        .union(one) // duplicate one key
+        .union(one.withColumn("o_orderkey", lit(null).cast("long"))) // null key
+        .union(one.withColumn("o_custkey", lit(-999L))) // orphan
+      doctored.write.parquet(new java.io.File(dir, "orders.parquet").getPath)
+      val bad = graft.queries.PipelineQueries.pExpectations(spark, dir.getPath)
+        .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getString(3)))).toMap
+      assert(bad("not_null:o_orderkey") === ((1L, "fail")))
+      // dup + orphan copies share a key (+2) and the null-key row cannot\n      // be distinct-counted (+1): unique = n_rows - n_distinct = 3\n      assert(bad("unique:o_orderkey") === ((3L, "fail")))
+      assert(bad("ref:o_custkey->customer") === ((1L, "fail")))
+      assert(bad("domain:o_orderstatus")._2 === "pass")
+      assert(bad("positive:o_totalprice")._2 === "pass")
+    } finally graft.Stage.deleteRecursively(dir)
+  }
+
   test("p_cdc_apply: equals a serial CDC replay; tombstoned keys vanish") {
     val cutoffUs = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
