@@ -458,8 +458,75 @@ object PipelineQueries {
       |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
       |FROM s""".stripMargin
 
+  /** B20: time travel + change-data-feed over the generational state
+    * layout — the Delta/Iceberg version-read story on plain parquet.
+    * The streaming upsert's generation directories (st_upsert's
+    * bucket-pruned merge, one gen per microbatch) are version
+    * addresses; this operator builds the 3-batch state through the
+    * EXACT same production step (Streaming.upsertBatch over the
+    * mtime-ordered backlog) and then reads two versions AS OF their
+    * generation — v1 (after batch 0) and v3 (final) — joining them
+    * into the per-key change feed: `insert` (key born after v1),
+    * `update` (latest event changed), `unchanged`. At 100 TB both
+    * version reads are partition-pruned by the same bucket layout, and
+    * the diff is one full-outer join on the key — no log replay, no
+    * state reconstruction. The oracle re-derives both versions from the
+    * event residue slices the backlog files contain (batch 0 = even
+    * event ids — the lateFixtureDir contract).
+    */
+  def pTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streaming
+    val fixture = Streaming.lateFixtureDir(s, d)
+    val base = s"/tmp/graft_time_travel_${graft.Stage.sourceFingerprint(d, "events")}"
+    if (!new java.io.File(s"$base/gen3").exists()) {
+      graft.Stage.deleteRecursively(new java.io.File(base))
+      new java.io.File(base).mkdirs()
+      val files = new java.io.File(fixture).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        Streaming.upsertBatch(s.read.parquet(f.getPath), base, i)
+      }
+      graft.Stage.refreshArtifact(s, new java.io.File(base))
+    }
+    def version(g: Int) = s.read.parquet(s"$base/gen$g")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val v1 = version(1).select(col("user_id"),
+      col("event_id").as("event_id_v1"), col("us").as("us_v1"))
+    val v3 = version(3).select(col("user_id"),
+      col("event_id").as("event_id_v3"), col("us").as("us_v3"))
+    v1.join(v3, Seq("user_id"), "full_outer")
+      .withColumn("change",
+        when(col("event_id_v1").isNull, "insert")
+          .when(col("event_id_v1") === col("event_id_v3"), "unchanged")
+          .otherwise("update"))
+      .select("user_id", "change", "event_id_v1", "event_id_v3", "us_v3")
+  }
+
+  val pTimeTravelSql: String =
+    """WITH v1 AS (
+      |  SELECT user_id, event_id AS event_id_v1, us AS us_v1 FROM (
+      |    SELECT user_id, event_id, epoch_us(ts) AS us,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id % 2 = 0)
+      |  WHERE rn = 1),
+      |v3 AS (
+      |  SELECT user_id, event_id AS event_id_v3, us AS us_v3 FROM (
+      |    SELECT user_id, event_id, epoch_us(ts) AS us,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(v1.user_id, v3.user_id) AS user_id,
+      |  CASE WHEN v1.event_id_v1 IS NULL THEN 'insert'
+      |       WHEN v1.event_id_v1 = v3.event_id_v3 THEN 'unchanged'
+      |       ELSE 'update' END AS change,
+      |  event_id_v1, event_id_v3, us_v3
+      |FROM v1 FULL OUTER JOIN v3 ON v1.user_id = v3.user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("p_profile", pProfile, Some(pProfileSql)),
+    QueryDef("p_time_travel", pTimeTravel, Some(pTimeTravelSql)),
     QueryDef("p_expectations", pExpectations, Some(pExpectationsSql)),
     QueryDef("p_cdc_apply", pCdcApply, Some(pCdcApplySql)),
     QueryDef("p_envelope_parse", pEnvelopeParse, Some(pEnvelopeParseSql)),

@@ -254,6 +254,31 @@ class PipelineSpec extends SparkSpec {
     } finally graft.Stage.deleteRecursively(dir)
   }
 
+  test("p_time_travel: version reads diff correctly against residue-slice recomputes") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def latest(rows: Seq[(Long, Long, Long)]) =
+      rows.groupBy(_._1).view.mapValues(_.maxBy(r => (r._3, r._2))).toMap
+    val v1 = latest(ev.filter(_._2 % 2 == 0).toSeq)
+    val v3 = latest(ev.toSeq)
+    val expected = v3.map { case (u, (_, e3, us3)) =>
+      val c = v1.get(u) match {
+        case None => "insert"
+        case Some((_, e1, _)) if e1 == e3 => "unchanged"
+        case _ => "update"
+      }
+      (u, c, v1.get(u).map(_._2).getOrElse(-1L), e3, us3)
+    }.toSet
+    val got = graft.queries.PipelineQueries.pTimeTravel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    // both populated change kinds exist in the fixture
+    val kinds = got.map(_._2)
+    assert(kinds.contains("update") && kinds.contains("unchanged"))
+  }
+
   test("p_cdc_apply: equals a serial CDC replay; tombstoned keys vanish") {
     val cutoffUs = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
