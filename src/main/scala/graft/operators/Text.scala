@@ -1384,7 +1384,119 @@ object Text {
        |JOIN uni u1 ON u1.word = top.w1
        |JOIN uni u2 ON u2.word = top.w2, nt, np""".stripMargin
 
+  /** E24: BPE tokenizer TRAINING — learn merge rules from the corpus,
+    * distributed (the Sennrich et al. 2016 algorithm, the way a 100 TB
+    * pretraining pipeline would actually train its tokenizer):
+    *
+    *  - The corpus appears in exactly ONE aggregation: the word-type
+    *    frequency table (word, freq). All subsequent iterations work on
+    *    that bounded table — the classic BPE-on-word-types reduction;
+    *    100 TB of text becomes a ≤vocabulary-sized training state.
+    *  - Each iteration: weighted symbol-pair counts (one partial-agg
+    *    shuffle of the word-type table), the argmax pair under a total
+    *    order (cnt desc, pair lexicographic — deterministic), then a
+    *    pure per-row greedy left-to-right merge fold (stack semantics:
+    *    "a a a" under merge (a,a) → ["aa","a"], non-overlapping).
+    *  - 3 iterations unrolled; the DuckDB oracle re-derives every
+    *    merge and the fold BIT-IDENTICALLY via list_reduce CTEs (the
+    *    Lloyd/PageRank unrolled-iteration precedent applied to
+    *    tokenizer training).
+    *
+    * The fold encodes the symbol stack as a chr(1)-delimited string
+    * (words containing chr(1) are excluded from training on both
+    * sides — the one contract that keeps the encoding total). Output:
+    * the 3 learned merges with their pair counts, plus the top-10
+    * symbols of the rewritten vocabulary by weighted frequency.
+    */
+  private val BpeIters = 3
+  private val BpeTopSyms = 10
+
+  def tBpeTrain(s: SparkSession, d: String): DataFrame = {
+    val words0 = Tables.documents(s, d)
+      .select(explode(words(lower(col("text")))).as("w"))
+      .filter(!col("w").contains("\u0001"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .select("syms", "freq")
+
+    def pairCounts(st: DataFrame): DataFrame = st.select(col("freq"),
+        explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b"))))
+          .otherwise(array())).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+    var state = graft.Stage.cached(words0)
+    var merges = List.empty[DataFrame]
+    for (it <- 1 to BpeIters) {
+      val best = graft.Stage.cached(pairCounts(state)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .select(col("a").as("ma"), col("b").as("mb"), col("cnt").as("mc")))
+      merges = merges :+ best.select(lit("merge").as("part"),
+        lit(it.toLong).as("rk"), col("ma").as("a"), col("mb").as("b"),
+        col("mc").as("cnt"))
+      state = graft.Stage.cached(state.crossJoin(broadcast(best))
+        .withColumn("syms", expr(
+          """split(aggregate(syms, '', (acc, x) ->
+            |  CASE WHEN acc = '' THEN x
+            |       WHEN substring_index(acc, char(1), -1) = ma AND x = mb
+            |       THEN concat(substring(acc, 1, length(acc) - length(ma)), ma, mb)
+            |       ELSE concat(acc, char(1), x) END), char(1))""".stripMargin))
+        .select("syms", "freq"))
+    }
+    val symTop = state.select(explode(col("syms")).as("a"), col("freq"))
+      .groupBy("a").agg(sum(col("freq")).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("a"))).cast("long"))
+      .filter(col("rk") <= BpeTopSyms)
+      .select(lit("symbol").as("part"), col("rk"), col("a"),
+        lit("").as("b"), col("cnt"))
+    merges.reduce(_ unionByName _).unionByName(symTop)
+  }
+
+  val tBpeTrainSql: String = {
+    val fold = (m: String) =>
+      s"""string_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN list_extract(string_split(acc, chr(1)), -1) = $m.ma AND x = $m.mb
+         |         THEN substring(acc, 1, length(acc) - length($m.ma)) || $m.ma || $m.mb
+         |         ELSE acc || chr(1) || x END), chr(1))""".stripMargin
+    val iters = (1 to BpeIters).map { it =>
+      s"""p$it AS (
+         |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(CASE WHEN len(syms) >= 2
+         |      THEN list_transform(range(1, len(syms)), i -> {'a': syms[i], 'b': syms[i+1]})
+         |      ELSE [] END) AS p
+         |    FROM s${it - 1}) GROUP BY 1, 2),
+         |m$it AS (SELECT a AS ma, b AS mb, cnt AS mc FROM p$it
+         |         ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$it AS (SELECT ${fold(s"m$it")} AS syms, freq FROM s${it - 1}, m$it)""".stripMargin
+    }.mkString(",\n")
+    val mergeRows = (1 to BpeIters).map(it =>
+      s"SELECT 'merge' AS part, CAST($it AS BIGINT) AS rk, ma AS a, mb AS b, mc AS cnt FROM m$it")
+      .mkString("\nUNION ALL ")
+    s"""WITH wt AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text),
+       |      '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS w
+       |    FROM documents)
+       |  WHERE NOT contains(w, chr(1)) GROUP BY 1),
+       |s0 AS (SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS syms, freq
+       |       FROM wt),
+       |$iters
+       |$mergeRows
+       |UNION ALL
+       |SELECT 'symbol' AS part, rk, a, '' AS b, cnt FROM (
+       |  SELECT a, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a) AS rk FROM (
+       |    SELECT a, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |      SELECT unnest(syms) AS a, freq FROM s$BpeIters) GROUP BY 1))
+       |WHERE rk <= $BpeTopSyms""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("t_bpe_train", tBpeTrain, Some(tBpeTrainSql)),
     QueryDef("t_heavy_hitters", tHeavyHitters, Some(tHeavyHittersSql)),
     QueryDef("t_cooccur", tCooccur, Some(tCooccurSql)),
     QueryDef("t_chunk", tChunk, Some(tChunkSql)),

@@ -834,6 +834,45 @@ class OperatorsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("t_bpe_train: learned merges and final symbol table equal a serial reference BPE") {
+    val wordList = Tables.documents(spark, sfDir).collect()
+      .flatMap(_.getString(1).toLowerCase.split("\\s+")
+        .filter(w => w.nonEmpty && !w.contains("\u0001")))
+    var state: Map[List[String], Long] = wordList.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+      .map { case (w, f) => w.map(_.toString).toList -> f }
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    for (it <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      state.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach(p => pc(p) += f) }
+      val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      merges += ((it.toLong, a, b, c))
+      state = state.map { case (syms, f) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) {
+            out.remove(out.length - 1); out += (a + b)
+          } else out += x
+        }
+        (out.toList, f)
+      }
+    }
+    val symCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    state.foreach { case (syms, f) => syms.foreach(s => symCnt(s) += f) }
+    val topSyms = symCnt.toSeq.sortBy { case (s, n) => (-n, s) }.take(10)
+      .zipWithIndex.map { case ((s, n), i) => (i + 1L, s, "", n) }
+    val expected = merges.map { case (it, a, b, c) => ("merge", it, a, b, c) }.toSet ++
+      topSyms.map { case (rk, s, b, n) => ("symbol", rk, s, b, n) }.toSet
+    val got = graft.operators.Text.tBpeTrain(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    // the training genuinely progressed: a later merge consumes an
+    // earlier merge's output OR at minimum all 3 merges are distinct
+    assert(merges.map(m => (m._2, m._3)).distinct.size === 3)
+  }
+
   test("d_bloom: Bloom pre-filter result is EXACT (equals plain anti-join)") {
     val docs = Tables.documents(spark, sfDir)
     val ref = docs.filter(col("doc_id") % 10 === 0).select("text").distinct()
