@@ -148,6 +148,36 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the bounded train/score aggs only, got $shuffles:\n${executed(df)}")
   }
 
+  test("round-9 operators keep their scale-critical plan shapes") {
+    // t_chunk: pure per-row HOF work — zero exchanges anywhere
+    val chunk = graft.operators.Text.tChunk(spark, sfDir)
+    assert(countShuffles(chunk) === 0,
+      s"t_chunk should be shuffle-free:\n${executed(chunk)}")
+    // t_heavy_hitters: the candidate set and the token total must both
+    // arrive by broadcast; the only shuffles are the bounded
+    // candidate-distinct and the candidate-only count agg
+    val hh = graft.operators.Text.tHeavyHitters(spark, sfDir)
+    assert(countBroadcasts(hh) >= 2,
+      s"t_heavy_hitters must broadcast candidates + total:\n${executed(hh)}")
+    // p_profile: ONE scan of orders (the whole point of the one-pass
+    // ANALYZE) — the Expand multi-distinct must not re-scan per column
+    val prof = graft.queries.PipelineQueries.pProfile(spark, sfDir)
+    val profScans = executed(prof).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(profScans.size === 1,
+      s"p_profile must scan orders exactly once:\n${executed(prof)}")
+    // p_cdc_apply: one partial agg pair, max two shuffles (union + agg)
+    val cdc = graft.queries.PipelineQueries.pCdcApply(spark, sfDir)
+    assert(countShuffles(cdc) <= 2,
+      s"p_cdc_apply should shuffle once for the merge agg:\n${executed(cdc)}")
+    // s_hybrid: query batch broadcast; corpus never shuffled before
+    // scoring — exchanges only for the rank windows on scored rows
+    val hy = graft.operators.Ann.sHybrid(spark, sfDir)
+    assert(countBroadcasts(hy) >= 1,
+      s"s_hybrid must broadcast the query batch:\n${executed(hy)}")
+  }
+
   test("aggregations keep map-side partial aggregation") {
     val q1 = graft.queries.Analytics.q1Agg(spark, sfDir)
     val aggs = executed(q1).collect {
