@@ -600,6 +600,97 @@ object Dedup {
     labels
   }
 
+  /** C16: triangle counting on the duplicate graph — the cluster-density
+    * statistic (how CLIQUE-like are the near-dup clusters?) computed the
+    * way a 100 TB graph requires: DEGREE-ORIENTED wedge enumeration.
+    * Every undirected edge is oriented from its (degree, id)-smaller
+    * endpoint, wedges are enumerated only at each edge's oriented
+    * source, and a wedge closes by an equi-join against the canonical
+    * edge set. Each triangle is counted exactly once (at its orientation-
+    * minimal vertex), total wedge work is O(Σ out-deg²) = O(m^1.5) — a
+    * high-degree hub never enumerates its full undirected neighborhood,
+    * which is what makes naive triangle counting explode on skewed
+    * graphs. Corpus = documents + TWO planted copies of every id ≡ 0
+    * (mod 7) doc, so exact-dup groups are 3-cliques; edges = all pairs
+    * within an identical-md5 group (bounded by plant multiplicity)
+    * ∪ the n-gram near-dup pairs. Output: per-doc triangle
+    * participation counts.
+    */
+  def dTriangles(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 1000000L, col("text")))
+      .union(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 2000000L, col("text")))
+      .toDF("doc_id", "text")
+    val hashed = corpus.select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+    val exactPairs = hashed.as("x").join(hashed.as("y"), "h")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val und = graft.Stage.cached(
+      exactPairs.union(dNgramJaccard(s, d).select(col("id_a"), col("id_b")))
+        .distinct())
+    val sym = und.select(col("id_a").as("u"))
+      .union(und.select(col("id_b").as("u")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val oriented = graft.Stage.cached(und
+      .join(deg.select(col("u").as("id_a"), col("deg").as("da")), Seq("id_a"))
+      .join(deg.select(col("u").as("id_b"), col("deg").as("db")), Seq("id_b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("id_a") < col("id_b")),
+          struct(col("id_a").as("src"), col("id_b").as("dst")))
+          .otherwise(struct(col("id_b").as("src"), col("id_a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val wedges = oriented.select(col("src"), col("dst").as("v"))
+      .join(oriented.select(col("src"), col("dst").as("w")), Seq("src"))
+      .filter(col("v") < col("w"))
+    val closing = und.select(
+      least(col("id_a"), col("id_b")).as("v"),
+      greatest(col("id_a"), col("id_b")).as("w"))
+    wedges.join(closing, Seq("v", "w"))
+      .select(explode(array(col("src"), col("v"), col("w"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+  }
+
+  val dTrianglesSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0),
+      |hashed AS (SELECT md5(text) AS h, doc_id FROM corpus),
+      |exact_pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM hashed x JOIN hashed y ON x.h = y.h AND x.doc_id < y.doc_id),
+      |g AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, greatest(length(text) - 5, 0) + 2),
+      |      i -> substr(text, i, 5))) AS grams
+      |  FROM documents),
+      |ngram_pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM g x JOIN g y
+      |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+      |  WHERE 5 * len(list_intersect(x.grams, y.grams)) >=
+      |        3 * (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))),
+      |und AS (SELECT * FROM exact_pairs UNION SELECT * FROM ngram_pairs),
+      |sym AS (SELECT id_a AS u FROM und UNION ALL SELECT id_b FROM und),
+      |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
+      |orient AS (
+      |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND id_a < id_b)
+      |              THEN id_a ELSE id_b END AS src,
+      |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND id_a < id_b)
+      |              THEN id_b ELSE id_a END AS dst
+      |  FROM und JOIN deg da ON da.u = und.id_a JOIN deg db ON db.u = und.id_b),
+      |tri AS (
+      |  SELECT e1.src AS x, e1.dst AS v, e2.dst AS w
+      |  FROM orient e1 JOIN orient e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |  JOIN und ON und.id_a = LEAST(e1.dst, e2.dst)
+      |          AND und.id_b = GREATEST(e1.dst, e2.dst))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+      |  SELECT unnest([x, v, w]) AS doc_id FROM tri) GROUP BY 1""".stripMargin
+
   def dCluster(s: SparkSession, d: String): DataFrame = {
     val corpus = corpusWithExactDups(s, d)
     val exactEdges = corpus
@@ -1386,6 +1477,7 @@ object Dedup {
     QueryDef("d_cluster_apply", dClusterApply, Some(dClusterApplySql)),
     QueryDef("d_centrality", dCentrality, Some(dCentralitySql)),
     QueryDef("d_cluster", dCluster, Some(dClusterSql)),
+    QueryDef("d_triangles", dTriangles, Some(dTrianglesSql)),
     QueryDef("d_exact_keep", dExactKeep, Some(dExactKeepSql)),
     QueryDef("d_minhash_lsh", dMinhashLsh, Some(dMinhashLshSql)),
     QueryDef("d_simhash", dSimhash, Some(dSimhashSql)),

@@ -873,6 +873,39 @@ class OperatorsSpec extends SparkSpec {
     assert(merges.map(m => (m._2, m._3)).distinct.size === 3)
   }
 
+  test("d_triangles: oriented wedge count equals a brute-force triangle enumeration") {
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base ++
+      base.collect { case (id, t) if id % 7 == 0 => (id + 1000000L, t) } ++
+      base.collect { case (id, t) if id % 7 == 0 => (id + 2000000L, t) }
+    val byText = corpus.groupBy(_._2).values
+    val exactPairs = byText.flatMap { g =>
+      val ids = g.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    // ngram near-dup pairs from the registered operator (same edge def)
+    val ngramPairs = Dedup.dNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = exactPairs ++ ngramPairs
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      adj(a).intersect(adj(b)).filter(c => c > b).foreach { c =>
+        // count each triangle once: (a < b < c) with all three edges
+        if (a < b && edges.contains((a, b)) && edges.contains((b, c)) && edges.contains((a, c))) {
+          triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+        }
+      }
+    }
+    val expected = triCount.toMap.filter(_._2 > 0)
+    val got = Dedup.dTriangles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "planted triples must produce triangles")
+  }
+
   test("d_bloom: Bloom pre-filter result is EXACT (equals plain anti-join)") {
     val docs = Tables.documents(spark, sfDir)
     val ref = docs.filter(col("doc_id") % 10 === 0).select("text").distinct()
