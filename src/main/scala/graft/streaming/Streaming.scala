@@ -913,9 +913,14 @@ object Streaming {
     bucketGenStep(batch, base, gen) { (b, prior) =>
       val cols = Seq("user_id", "event_id", "valid_from_us", "bucket")
       // prior buckets carry closed intervals; drop them — the chain is
-      // re-derived from the merged version rows
+      // re-derived from the merged version rows. dropDuplicates on the
+      // version identity makes the step REPLAY-IDEMPOTENT: foreachBatch
+      // is at-least-once, and a re-delivered batch must not insert its
+      // versions twice (a duplicated version row would manufacture a
+      // zero-length validity interval mid-chain).
       val versions = prior.foldLeft(b.select(cols.map(col): _*))(
         (acc, p) => acc.unionByName(p.select(cols.map(col): _*)))
+        .dropDuplicates("user_id", "event_id", "valid_from_us")
       val w = Window.partitionBy("user_id")
         .orderBy(col("valid_from_us"), col("event_id"))
       versions

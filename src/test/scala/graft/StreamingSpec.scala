@@ -407,6 +407,15 @@ class StreamingSpec extends SparkSpec {
     val neighbor = spark.read.parquet(s"$base/gen2")
       .filter(col("user_id") === 4L).count()
     assert(neighbor === 2L)
+    // REPLAY idempotence: foreachBatch is at-least-once — re-delivering
+    // the same batch must not duplicate versions or corrupt the chain
+    Streaming.scd2Batch(df(Seq((9001L, 5L, 2000L))), base, 2)
+    val replayed = spark.read.parquet(s"$base/gen3")
+      .filter(col("user_id") === 5L)
+      .select("valid_from_us", "valid_to_us", "is_current").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))).sorted
+    assert(replayed.toSeq === chain.toSeq)
   }
 
   test("st_exactly_once: a replayed batch is a no-op; a doctored replay cannot overwrite the commit") {
