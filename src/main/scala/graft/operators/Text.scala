@@ -1429,22 +1429,24 @@ object Text {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("freq")).as("cnt"))
 
+    val Delim = "\u0001"
     var state = graft.Stage.cached(words0)
-    var merges = List.empty[DataFrame]
+    var merges = List.empty[(Long, String, String, Long)]
     for (it <- 1 to BpeIters) {
-      val best = graft.Stage.cached(pairCounts(state)
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .select(col("a").as("ma"), col("b").as("mb"), col("cnt").as("mc")))
-      merges = merges :+ best.select(lit("merge").as("part"),
-        lit(it.toLong).as("rk"), col("ma").as("a"), col("mb").as("b"),
-        col("mc").as("cnt"))
-      state = graft.Stage.cached(state.crossJoin(broadcast(best))
-        .withColumn("syms", expr(
-          """split(aggregate(syms, '', (acc, x) ->
-            |  CASE WHEN acc = '' THEN x
-            |       WHEN substring_index(acc, char(1), -1) = ma AND x = mb
-            |       THEN concat(substring(acc, 1, length(acc) - length(ma)), ma, mb)
-            |       ELSE concat(acc, char(1), x) END), char(1))""".stripMargin))
+      // the argmax merge pair is ONE row — a driver-side planning value
+      // (the bounded-collect precedent), not a data-path collect; using
+      // it as Column literals keeps the fold injection-safe for symbols
+      // containing quotes and spares a single-row cache + crossJoin
+      val Array(best) = pairCounts(state)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      val (ma, mb, mc) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges = merges :+ ((it.toLong, ma, mb, mc))
+      state = graft.Stage.cached(state
+        .withColumn("syms", split(aggregate(col("syms"), lit(""), (acc, x) =>
+          when(acc === "", x)
+            .when(substring_index(acc, Delim, -1) === ma && x === mb,
+              concat(acc.substr(lit(1), length(acc) - lit(ma.length)), lit(ma + mb)))
+            .otherwise(concat(acc, lit(Delim), x))), Delim))
         .select("syms", "freq"))
     }
     val symTop = state.select(explode(col("syms")).as("a"), col("freq"))
@@ -1454,7 +1456,10 @@ object Text {
       .filter(col("rk") <= BpeTopSyms)
       .select(lit("symbol").as("part"), col("rk"), col("a"),
         lit("").as("b"), col("cnt"))
-    merges.reduce(_ unionByName _).unionByName(symTop)
+    import s.implicits._
+    merges.toDF("rk", "a", "b", "cnt")
+      .select(lit("merge").as("part"), col("rk"), col("a"), col("b"), col("cnt"))
+      .unionByName(symTop)
   }
 
   val tBpeTrainSql: String = {
