@@ -21,8 +21,8 @@ import graft.queries.QueryDef
   */
 object Ann {
 
-  private val NumQueries = 8
-  private val TopK = 10
+  private[graft] val NumQueries = 8
+  private[graft] val TopK = 10
   // L tables × H hyperplanes each: 4×6 → 64 buckets/table, candidates
   // from any table agreeing on all 6 signs.
   private val Tables_ = 4
@@ -59,15 +59,15 @@ object Ann {
 
   private def vecCol: Column = col("embedding").cast("array<double>")
 
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), vecCol.as("v"))
 
-  private def queries(s: SparkSession, d: String): DataFrame =
+  private[graft] def queries(s: SparkSession, d: String): DataFrame =
     corpus(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
-  private def ranked(scored: DataFrame): DataFrame = {
+  private[graft] def ranked(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     scored
@@ -134,7 +134,7 @@ object Ann {
 
   private val Cells = 16
   private[operators] val LloydIters = 3
-  private val Probes = 3
+  private[graft] val Probes = 3
   // centroid means accumulate in fixed point (20 fractional bits): the
   // sums are exact integers, so they are identical regardless of
   // accumulation order AND engine — DuckDB's SUM(BIGINT) re-derives the
@@ -389,7 +389,7 @@ object Ann {
     * broadcast-literal centroids). probes=1 for corpus build, >1 for
     * query-side multi-probe.
     */
-  private[operators] def assignCells(df: DataFrame, centroids: Array[(Int, Seq[Double])],
+  private[graft] def assignCells(df: DataFrame, centroids: Array[(Int, Seq[Double])],
       probes: Int): DataFrame = {
     // one native kernel holding the codebook as a reference object —
     // the equivalent sort(array(struct(dist, cell)...)) form is a

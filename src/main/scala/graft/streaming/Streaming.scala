@@ -936,6 +936,85 @@ object Streaming {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
 
+  /** Three-file embedding backlog for the streaming vector-index build:
+    * vec_id % 3 slices with staggered mtimes (the lateFixtureDir
+    * pattern on the embeddings table).
+    */
+  private[graft] def vecFixtureDir(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(
+      s"/tmp/graft_stream_vec3_${graft.Stage.sourceFingerprint(d, "embeddings")}")
+    if (!dir.exists()) {
+      val tmp = new java.io.File(dir.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      tmp.mkdirs()
+      (0 until 3).foreach { i =>
+        val stage = new java.io.File(tmp, s"stage$i")
+        Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(3)) === i)
+          .coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val target = new java.io.File(tmp, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        target.setLastModified(1600000000000L + i * 60000L)
+        graft.Stage.deleteRecursively(stage)
+      }
+      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, dir)
+    }
+    dir.getPath
+  }
+
+  /** G20: streaming vector-index ingestion — CONTINUOUS IVF
+    * maintenance, the vector-database write path: the embedding backlog
+    * streams in over 3 microbatches; each batch is assigned to its
+    * nearest cell with the SAME offline codebook artifact the batch
+    * path trains (Ann.ensureCentroids — train once, search forever) and
+    * APPENDED to a cell-partitioned postings layout. Existing postings
+    * are never read or rewritten — O(batch) per trigger; at 100 TB the
+    * cell directories are the partition-pruned search layout and
+    * compaction (the z-layout OPTIMIZE mechanism) bin-packs small
+    * posting files offline. Because cell assignment is per-vector and
+    * deterministic, the accumulated postings are ROW-IDENTICAL to the
+    * batch-built index: the probe query below hash-matches s_ann_ivf's
+    * oracle VERBATIM — one oracle, two build paths (the q_asof_native
+    * precedent applied to index maintenance).
+    */
+  def stVectorIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Ann
+    val fixture = vecFixtureDir(s, d)
+    val base = s"/tmp/graft_stream_vecidx_${math.abs(d.hashCode)}"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    val corpus = Ann.corpus(s, d)
+    val centroids = Ann.ensureCentroids(corpus, d, "ivf",
+      Ann.scaledCells(corpus.count()))
+    val schema = s.read.parquet(fixture).schema
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(fixture)
+    val q = streamed.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Ann.assignCells(batch.toDF()
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+          centroids, probes = 1)
+          .write.mode("append").partitionBy("cell").parquet(base)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.Stage.refreshArtifact(s, new java.io.File(base))
+    val postings = s.read.parquet(base)
+    val probedQueries = Ann.assignCells(
+        Ann.queries(s, d).withColumnRenamed("qv", "v"), centroids, Ann.Probes)
+      .withColumnRenamed("v", "qv")
+    val candidates = postings.join(probedQueries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qv", "vec_id", "v")
+      .dropDuplicates("query_id", "vec_id")
+    Ann.ranked(candidates.withColumn("cos",
+      graft.functions.vec_cosine(col("v"), col("qv"))))
+  }
+
   /** G19: exactly-once file sink — the idempotent-foreachBatch contract
     * that makes a restart-after-crash NOT double-count. foreachBatch is
     * at-least-once: after a failure between sink commit and checkpoint
@@ -1375,6 +1454,8 @@ object Streaming {
     QueryDef("st_upsert", stUpsert, Some(stUpsertSql)),
     QueryDef("st_scd2", stScd2, Some(stScd2Sql)),
     QueryDef("st_exactly_once", stExactlyOnce, Some(stExactlyOnceSql)),
+    QueryDef("st_vector_index", stVectorIndex,
+      Some(graft.operators.Ann.sAnnIvfSql)),
     QueryDef("st_incremental", stIncremental, Some(stIncrementalSql)),
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_window_sliding", stWindowSliding, Some(stWindowSlidingSql)),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.operators.Text
+import graft.operators.{Ann, Text}
 import graft.streaming.Streaming
 
 /** Blocks E/F/G specs: streaming results equal their batch twins; text
@@ -442,6 +442,24 @@ class StreamingSpec extends SparkSpec {
     val landed = spark.read.parquet(s"$base/batch=0").collect().map(_.getLong(0)).sorted
     assert(landed.toSeq === Seq(1L, 2L))
     assert(!new java.io.File(base, ".batch-0.tmp").exists())
+  }
+
+  test("st_vector_index: streamed postings answer queries identically to the batch-built index") {
+    val got = Streaming.stVectorIndex(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Ann.sAnnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+    // append-only accumulation: at least one data file per microbatch
+    // survives under the cell dirs (batch 2 never rewrote batch 0's)
+    val base = new java.io.File(s"/tmp/graft_stream_vecidx_${math.abs(sfDir.hashCode)}")
+    def parquets(f: java.io.File): Array[java.io.File] = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.filter(_.isDirectory).flatMap(parquets) ++
+        kids.filter(_.getName.endsWith(".parquet"))
+    }
+    assert(parquets(base).length >= 3, "postings must accumulate per-batch files")
   }
 
   test("st_ingest: malformed envelopes land in the dead-letter output mid-stream, every batch") {
