@@ -585,7 +585,158 @@ object Multimodal {
        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM documents)""".stripMargin
 
+  // ---- F8: perceptual-hash image dedup ----
+  //
+  // The image-dedup primitive a multimodal pipeline runs at scale:
+  // average-hash (aHash) over the REAL decoded raster — 8×8
+  // nearest-neighbor resample, mean threshold, 64 bits as 4×16-bit
+  // bands — then SimHash-style band-equality candidate generation and
+  // an exact hamming verify (≤ 3). Banding is pigeonhole-exhaustive at
+  // this threshold: 3 differing bits cannot touch all 4 bands, so every
+  // qualifying pair shares at least one exact band — candidates come
+  // from an equi-join, never an all-pairs scan. The fixture pixel
+  // function is NONLINEAR in (x, y, id) — the linear m_decode ramp
+  // binarizes into near-identical patterns and collided ~5% of ALL
+  // pairs at hamming ≤ 3, drowning the semantics. Planted near-dups:
+  // every id ≡ 0 (mod 7) doc re-encoded (+1M id) from a brightness-
+  // shifted raster (min(px+3, 255)) — aHash's mean-relative threshold
+  // makes the shifted twin hash-identical away from saturation, which
+  // is exactly the invariance perceptual hashing buys over sha256.
+  // Decode is REAL (javax.imageio through the shared batch reader);
+  // the oracle re-derives every sample, bit, band, candidate and
+  // hamming distance from the closed-form pixels.
+
+  def phashPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 131 + (x + 3).toLong * (y + 5) * (id % 17 + 1) + 7L * x + 13L * y) % 256).toInt
+
+  private def encodePhashPng(writer: javax.imageio.ImageWriter,
+      id: Long, shift: Int): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, math.min(phashPixel(id, x, y) + shift, 255))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try { writer.setOutput(ios); writer.write(img) } finally ios.close()
+    bos.toByteArray
+  }
+
+  final case class PhashRow(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** aHash for one batch of decoded images: 8×8 nearest resample
+    * (sx = x·w div 8), integer mean threshold (64·v ≥ Σv — no
+    * division), 4×16-bit bands.
+    */
+  def phashBatch(batch: Seq[BinaryRow]): Seq[PhashRow] =
+    withPngReader { reader =>
+      batch.map { r =>
+        val img = readPng(reader, r.payload)
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val samp = new Array[Int](64)
+        var s = 0
+        var k = 0
+        while (k < 64) {
+          val v = raster.getSample((k % 8) * w / 8, (k / 8) * h / 8, 0)
+          samp(k) = v; s += v; k += 1
+        }
+        val bands = new Array[Int](4)
+        k = 0
+        while (k < 64) {
+          if (64 * samp(k) >= s) bands(k / 16) |= 1 << (k % 16)
+          k += 1
+        }
+        PhashRow(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+
+  def mDedupPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    def encoded(shift: Int, offset: Long, only7: Boolean) = {
+      val base = if (only7) ids.filter(_ % 7 == 0) else ids
+      base.mapPartitions(_.grouped(BatchSize).flatMap(g =>
+        withPngWriter(w => g.map(id =>
+          BinaryRow(id + offset, encodePhashPng(w, id, shift))))))
+    }
+    val hashes = graft.Stage.cached(
+      encoded(0, 0L, only7 = false).union(encoded(3, 1000000L, only7 = true))
+        .mapPartitions(_.grouped(BatchSize).flatMap(g => phashBatch(g.toSeq)))
+        .toDF())
+    val bands = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("t", "bv")))
+    val cand = bands.as("x").join(bands.as("y"), Seq("t", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("id_a"))
+      .join(hashes.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("id_b"))
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  val mDedupPhashSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS img_id, doc_id AS src, 0 AS shift FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 3 FROM documents WHERE doc_id % 7 = 0),
+      |dims AS (
+      |  SELECT img_id, src, shift,
+      |    CAST(8 + src % 9 AS BIGINT) AS w, CAST(8 + src % 7 AS BIGINT) AS h
+      |  FROM corpus),
+      |samp AS (
+      |  SELECT img_id, k,
+      |    least((src * 131
+      |        + ((k % 8) * w // 8 + 3) * ((k // 8) * h // 8 + 5) * (src % 17 + 1)
+      |        + 7 * ((k % 8) * w // 8) + 13 * ((k // 8) * h // 8)) % 256 + shift,
+      |      255) AS v
+      |  FROM dims, (SELECT unnest(range(0, 64)) AS k)),
+      |ssum AS (SELECT img_id, CAST(SUM(v) AS BIGINT) AS s FROM samp GROUP BY 1),
+      |bits AS (
+      |  SELECT samp.img_id, k, CASE WHEN 64 * v >= s THEN 1 ELSE 0 END AS bit
+      |  FROM samp JOIN ssum ON ssum.img_id = samp.img_id),
+      |bands AS (
+      |  SELECT img_id, CAST(k // 16 AS INTEGER) AS t,
+      |    CAST(SUM(bit * (1 << CAST(k % 16 AS INTEGER))) AS BIGINT) AS bv
+      |  FROM bits GROUP BY 1, 2),
+      |hash4 AS (
+      |  SELECT img_id,
+      |    MAX(CASE WHEN t = 0 THEN bv END) AS b0,
+      |    MAX(CASE WHEN t = 1 THEN bv END) AS b1,
+      |    MAX(CASE WHEN t = 2 THEN bv END) AS b2,
+      |    MAX(CASE WHEN t = 3 THEN bv END) AS b3
+      |  FROM bands GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT x.img_id AS id_a, y.img_id AS id_b
+      |  FROM bands x JOIN bands y
+      |    ON x.t = y.t AND x.bv = y.bv AND x.img_id < y.img_id)
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      |      AS INTEGER) AS hamming
+      |  FROM cand
+      |  JOIN hash4 a ON a.img_id = id_a
+      |  JOIN hash4 b ON b.img_id = id_b)
+      |WHERE hamming <= 3""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("m_dedup_phash", mDedupPhash, Some(mDedupPhashSql)),
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_shard_pack", mShardPack, Some(mShardPackSql)),
     QueryDef("m_decode_features", mDecodeFeatures, Some(mDecodeFeaturesSql)),

@@ -444,6 +444,33 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(base, ".batch-0.tmp").exists())
   }
 
+  test("m_dedup_phash: banding finds exactly the all-pairs hamming<=3 set; twins at 0") {
+    def bands(id: Long, shift: Int): Seq[Int] = {
+      val (w, h) = Multimodal.pngDims(id)
+      val samp = (0 until 64).map { k =>
+        math.min(Multimodal.phashPixel(id, (k % 8) * w / 8, (k / 8) * h / 8) + shift, 255) }
+      val s = samp.sum
+      (0 until 4).map(b => (0 until 16).map(j =>
+        if (64 * samp(b * 16 + j) >= s) 1 << j else 0).sum)
+    }
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0))
+    val all = ids.map(i => i -> bands(i, 0)).toMap ++
+      ids.filter(_ % 7 == 0).map(i => (i + 1000000L) -> bands(i, 3)).toMap
+    def ham(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val keys = all.keys.toSeq.sorted
+    val expected = (for {
+      i <- keys.indices; j <- i + 1 until keys.length
+      d = ham(all(keys(i)), all(keys(j))) if d <= 3
+    } yield (keys(i), keys(j), d)).toSet
+    val got = Multimodal.mDedupPhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    // brightness invariance: every planted twin surfaces at distance 0
+    ids.filter(_ % 7 == 0).foreach { i =>
+      assert(got.contains((i, i + 1000000L, 0)), s"twin of $i missing") }
+  }
+
   test("st_vector_index: streamed postings answer queries identically to the batch-built index") {
     val got = Streaming.stVectorIndex(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
