@@ -1311,15 +1311,19 @@ object Text {
   def tCooccur(s: SparkSession, d: String): DataFrame = {
     val docs = graft.Stage.cached(Tables.documents(s, d)
       .select(col("doc_id"), words(lower(col("text"))).as("w")))
-    def pairsAt(dist: Int) = docs.select(
-      explode(when(size(col("w")) > dist,
-        transform(sequence(lit(1), size(col("w")) - dist),
-          i => struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + dist).as("w2"))))
-        .otherwise(array())).as("p"))
+    // both distances in ONE explode pass (two passes = the exploded
+    // pair stream materialized twice); totals come from cheap map-aggs
+    // over the cached word arrays, never from re-exploding the stream
+    def pairArr(dist: Int) = when(size(col("w")) > dist,
+      transform(sequence(lit(1), size(col("w")) - dist),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + dist).as("w2"))))
+      .otherwise(array())
+    val pairs = docs.select(explode(concat(pairArr(1), pairArr(2))).as("p"))
       .select(col("p.w1"), col("p.w2"))
-    val pairs = pairsAt(1).union(pairsAt(2))
-    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    val nPairs = docs.agg(sum(
+      greatest(size(col("w")) - 1, lit(0)).cast("long") +
+        greatest(size(col("w")) - 2, lit(0)).cast("long")).as("n_pairs"))
     val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
     val local = counts.withColumn("rk0", row_number().over(
         Window.partitionBy(pmod(xxhash64(col("w1"), col("w2")), lit(64)))
@@ -1331,7 +1335,7 @@ object Text {
       .select("rk", "w1", "w2", "cnt")
     // unigram counts for ONLY the words the winning pairs name
     val toks = docs.select(explode(col("w")).as("word"))
-    val nToks = toks.agg(count(lit(1)).as("n_toks"))
+    val nToks = docs.agg(sum(size(col("w")).cast("long")).as("n_toks"))
     val sel = top.select(col("w1").as("word"))
       .union(top.select(col("w2").as("word"))).distinct()
     val uni = toks.join(broadcast(sel), Seq("word"))
