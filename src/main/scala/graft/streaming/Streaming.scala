@@ -1151,7 +1151,13 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val landed = graft.pipeline.Ingest.dailyIncrement(
           graft.pipeline.Ingest.pipeline(batch.toDF()), "2021-06-15")
-        landed.write.mode("append")
+        // the writeDaily layout discipline, append-mode: range-cluster
+        // on (id_part, id) so each task writes a contiguous slice of
+        // partition dirs — without it every task touches every id_part
+        // and a microbatch lands tasks×id_parts small files
+        landed.repartitionByRange(col("id_part"), col("id"))
+          .sortWithinPartitions("id")
+          .write.mode("append")
           .partitionBy("export_year", "export_month", "export_day", "id_part")
           .parquet(s"$base/data")
         graft.pipeline.Ingest.malformedLines(batch.toDF())
