@@ -1,0 +1,229 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.PlanBridge
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+import graft.queries.QueryDef
+import graft.queries.QueryDef.dec
+
+/** Materialized-view query rewriting — the warehouse trick that makes
+  * repeated aggregates over a 100 TB fact table cost one scan of a
+  * kB-sized summary: a `Rule[LogicalPlan]` (installed through
+  * `experimental.extraOptimizations`, the AsOfJoin strategy's runtime
+  * seam) recognizes aggregations the lineitem summary MV SUBSUMES and
+  * rewrites them to re-aggregate the MV instead:
+  *
+  *  - grouping keys must be a SUBSET of the MV's (l_returnflag,
+  *    l_linestatus) — a coarser roll-up re-aggregates the finer MV
+  *    (sums of sums, sums of counts: the aggregates are mergeable
+  *    partials, same algebra as p_incremental_agg);
+  *  - filters BETWEEN the scan and the aggregate must touch only MV
+  *    key columns (then they apply to the MV verbatim — subsumption,
+  *    not just exact matching);
+  *  - every aggregate must be one the MV can answer (the money-decimal
+  *    sums and count(*)); one unrecognized aggregate aborts the whole
+  *    rewrite — the rule never degrades correctness to fire.
+  *
+  * Rewritten expressions keep the ORIGINAL names, exprIds and types
+  * (alias + cast), so every downstream operator resolves unchanged —
+  * the rewrite is invisible except in the scan. The MV itself is a
+  * fingerprinted build-once artifact (sourceFingerprint discipline);
+  * its own build aggregation runs under a thread-local bypass so the
+  * rule can never rewrite the build to read the artifact it is
+  * producing. q_mv_rewrite self-checks the executed plan: it must scan
+  * the MV directory and must NOT scan lineitem.parquet.
+  */
+object MvRewrite {
+
+  private[plans] val building = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  def ensureMv(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(
+      s"/tmp/graft_mv_lineitem_${graft.Stage.sourceFingerprint(d, "lineitem")}")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      graft.Stage.deleteRecursively(dir)
+      val tmp = new java.io.File(dir.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      building.set(true)
+      try Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).as("mv_sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("mv_sum_price"),
+          count(lit(1)).as("mv_n"))
+        .write.parquet(tmp.getPath)
+      finally building.set(false)
+      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, dir)
+    }
+    dir.getPath
+  }
+
+  /** Idempotently install the rewrite rule for `mvPath` into the
+    * session's optimizer (runtime twin of a `spark.sql.extensions`
+    * `injectOptimizerRule`).
+    */
+  def ensureRule(s: SparkSession, mvPath: String): Unit = {
+    val exp = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.exists {
+      case MvRewriteRule(_, p) => p == mvPath
+      case _ => false
+    }) exp.extraOptimizations = exp.extraOptimizations :+ MvRewriteRule(s, mvPath)
+  }
+
+  /** A1-MV: the flagship pricing-summary roll-up, answered FROM the MV:
+    * coarser grouping (l_returnflag only) + a key-column filter — both
+    * legs of the subsumption test — with the plan self-checked to scan
+    * only the summary.
+    */
+  def qMvRewrite(s: SparkSession, d: String): DataFrame = {
+    val mvPath = ensureMv(s, d)
+    ensureRule(s, mvPath)
+    val df = Tables.lineitem(s, d)
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(dec(col("l_quantity"))).as("sq"),
+        sum(dec(col("l_extendedprice"))).as("sp"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sp").cast("double").as("sum_price"),
+        col("n_rows"))
+    val planStr = df.queryExecution.executedPlan.toString
+    require(planStr.contains("graft_mv_lineitem_"),
+      s"plan does not read the materialized view:\n$planStr")
+    require(!planStr.contains("lineitem.parquet"),
+      s"plan still scans the fact table:\n$planStr")
+    df
+  }
+
+  val qMvRewriteSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem WHERE l_linestatus = 'F'
+      |GROUP BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_mv_rewrite", qMvRewrite, Some(qMvRewriteSql)))
+}
+
+case class MvRewriteRule(spark: SparkSession, mvPath: String)
+    extends Rule[LogicalPlan] {
+
+  private val Keys = Set("l_returnflag", "l_linestatus")
+
+  private lazy val mvPlan: LogicalPlan =
+    PlanBridge.analyzed(spark.read.parquet(mvPath))
+  private def mvAttr(name: String): AttributeReference =
+    mvPlan.output.collectFirst {
+      case a: AttributeReference if a.name == name => a
+    }.getOrElse(throw new IllegalStateException(s"MV lacks column $name"))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRewrite.building.get()) plan
+    else plan.transformUp {
+      case agg @ Aggregate(groups, aggExprs, child, _) =>
+        rewrite(groups, aggExprs, child).getOrElse(agg)
+    }
+
+  /** Peel column-pruning Projects and collect Filters down to the
+    * lineitem scan; None if the subtree is anything else.
+    */
+  private def peel(p: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
+    p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        peel(c)
+      case Filter(cond, c) =>
+        peel(c).map { case (cs, lr) => (cond +: cs, lr) }
+      case lr: LogicalRelation if isLineitemScan(lr) => Some((Nil, lr))
+      case _ => None
+    }
+
+  private def isLineitemScan(lr: LogicalRelation): Boolean = lr.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.exists(_.toString.endsWith("lineitem.parquet"))
+    case _ => false
+  }
+
+  private def onlyKeyRefs(e: Expression): Boolean =
+    e.references.forall(a => Keys.contains(a.name))
+
+  private def remapToMv(e: Expression): Expression = e.transform {
+    case a: AttributeReference if Keys.contains(a.name) => mvAttr(a.name)
+  }
+
+  /** The MV-merged replacement for one aggregate call, keeping the
+    * original result type (partials re-aggregate: sum of sums, sum of
+    * counts).
+    */
+  private def mergedFor(ae: AggregateExpression): Option[Expression] =
+    if (ae.isDistinct) None
+    else ae.aggregateFunction match {
+      case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
+          if a.name == "l_quantity" && dt == DecimalType(18, 2) =>
+        Some(Cast(Sum(mvAttr("mv_sum_qty")).toAggregateExpression(), ae.dataType))
+      case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
+          if a.name == "l_extendedprice" && dt == DecimalType(18, 2) =>
+        Some(Cast(Sum(mvAttr("mv_sum_price")).toAggregateExpression(), ae.dataType))
+      case Count(Seq(l: Literal)) if l.value != null =>
+        Some(Cast(Sum(mvAttr("mv_n")).toAggregateExpression(), LongType))
+      case _ => None
+    }
+
+  private def rewrite(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    if (!new java.io.File(mvPath, "_SUCCESS").exists()) return None
+    val peeled = peel(child).getOrElse(return None)
+    val (conds, _) = peeled
+    // every filter between scan and aggregate must touch only MV keys
+    if (!conds.forall(onlyKeyRefs)) return None
+    // grouping must be plain key attributes (a subset of the MV keys)
+    val groupAttrs = groups.map {
+      case a: AttributeReference if Keys.contains(a.name) => a
+      case _ => return None
+    }
+    // every output expression must be answerable from the MV. The
+    // optimizer may have collapsed downstream Projects into the
+    // aggregate list (CollapseProject), so an aggregate can sit under
+    // arbitrary scalar wrapping (casts, arithmetic): rewrite every
+    // AggregateExpression inside each alias tree, remap key attrs, and
+    // bail if anything unrecognized or any non-MV reference survives.
+    val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference if Keys.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        var ok = true
+        // transformUp: a pre-order transform would recurse into the
+        // REPLACEMENT and feed the merged Sum(mv_*) back to mergedFor
+        val rewritten = al.child.transformUp {
+          case ae: AggregateExpression =>
+            mergedFor(ae) match {
+              case Some(m) => m
+              case None => ok = false; ae
+            }
+        }.transform {
+          case a: AttributeReference if Keys.contains(a.name) => mvAttr(a.name)
+        }
+        if (!ok || !rewritten.references.forall(mvPlan.outputSet.contains))
+          return None
+        Alias(rewritten, al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+    val filtered = conds.reduceOption(And)
+      .map(c => Filter(remapToMv(c), mvPlan)).getOrElse(mvPlan)
+    Some(Aggregate(groupAttrs.map(a => mvAttr(a.name)), newAggExprs, filtered, None))
+  }
+}

@@ -178,6 +178,46 @@ class PlanShapeSpec extends SparkSpec {
       s"s_hybrid must broadcast the query batch:\n${executed(hy)}")
   }
 
+  test("MV rewrite: fires only when the view subsumes the query, never degrades correctness") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.QueryDef.dec
+    val mvPath = graft.plans.MvRewrite.ensureMv(spark, sfDir)
+    graft.plans.MvRewrite.ensureRule(spark, mvPath)
+    def readsMv(df: DataFrame) =
+      df.queryExecution.executedPlan.toString.contains("graft_mv_lineitem_")
+    val li = Tables.lineitem(spark, sfDir)
+
+    // subsumed roll-up (exact MV grain): rewritten AND value-identical
+    // to a computation the rule cannot touch (grouping on a non-key
+    // column disables it)
+    val fine = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sq"), count(lit(1)).as("n"))
+    assert(readsMv(fine), "exact-grain query should read the MV")
+    val fineRaw = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity")) + lit(0).cast("decimal(18,2)"))
+        .cast("double").as("sq"), count(lit(1)).as("n"))
+    // (raw twin guaranteed un-rewritten: its sum tree is unrecognizable)
+    assert(!readsMv(fineRaw))
+    val a = fine.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = fineRaw.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a === b)
+
+    // an aggregate the MV cannot answer keeps the fact-table scan
+    val unanswerable = li.groupBy("l_returnflag")
+      .agg(sum(dec(col("l_discount"))).as("sd"))
+    assert(!readsMv(unanswerable), "sum(l_discount) is not in the MV")
+
+    // a filter on a NON-key column keeps the fact-table scan
+    val nonKeyFilter = li.filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(!readsMv(nonKeyFilter), "non-key filter breaks subsumption")
+
+    // a DISTINCT aggregate keeps the fact-table scan
+    val distinctAgg = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_linestatus")).as("nd"))
+    assert(!readsMv(distinctAgg), "distinct aggregate is not mergeable")
+  }
+
   test("aggregations keep map-side partial aggregation") {
     val q1 = graft.queries.Analytics.q1Agg(spark, sfDir)
     val aggs = executed(q1).collect {
