@@ -73,12 +73,43 @@ object MvRewrite {
     * session's optimizer (runtime twin of a `spark.sql.extensions`
     * `injectOptimizerRule`).
     */
-  def ensureRule(s: SparkSession, mvPath: String): Unit = {
+  def ensureRule(s: SparkSession, mvPath: String, mv: MvDef): Unit = {
     val exp = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraOptimizations.exists {
-      case MvRewriteRule(_, p) => p == mvPath
+      case MvRewriteRule(_, p, _) => p == mvPath
       case _ => false
-    }) exp.extraOptimizations = exp.extraOptimizations :+ MvRewriteRule(s, mvPath)
+    }) exp.extraOptimizations = exp.extraOptimizations :+ MvRewriteRule(s, mvPath, mv)
+  }
+
+  /** The lineitem pricing-summary view. */
+  val LineitemMv: MvDef = MvDef("lineitem.parquet",
+    Set("l_returnflag", "l_linestatus"),
+    Map("l_quantity" -> "mv_sum_qty", "l_extendedprice" -> "mv_sum_price"),
+    "mv_n")
+
+  /** A second instantiation over a different fact table — registering
+    * an MV is one MvDef, not a new rule (spec-exercised).
+    */
+  val EventsMv: MvDef = MvDef("events.parquet",
+    Set("event_type"), Map("value" -> "mv_sum_value"), "mv_n")
+
+  def ensureEventsMv(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(
+      s"/tmp/graft_mv_events_${graft.Stage.sourceFingerprint(d, "events")}")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      graft.Stage.deleteRecursively(dir)
+      val tmp = new java.io.File(dir.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      building.set(true)
+      try Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(sum(dec(col("value"))).as("mv_sum_value"), count(lit(1)).as("mv_n"))
+        .write.parquet(tmp.getPath)
+      finally building.set(false)
+      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, dir)
+    }
+    dir.getPath
   }
 
   /** A1-MV: the flagship pricing-summary roll-up, answered FROM the MV:
@@ -88,7 +119,7 @@ object MvRewrite {
     */
   def qMvRewrite(s: SparkSession, d: String): DataFrame = {
     val mvPath = ensureMv(s, d)
-    ensureRule(s, mvPath)
+    ensureRule(s, mvPath, LineitemMv)
     val df = Tables.lineitem(s, d)
       .filter(col("l_linestatus") === "F")
       .groupBy("l_returnflag")
@@ -120,10 +151,20 @@ object MvRewrite {
     QueryDef("q_mv_rewrite", qMvRewrite, Some(qMvRewriteSql)))
 }
 
-case class MvRewriteRule(spark: SparkSession, mvPath: String)
-    extends Rule[LogicalPlan] {
+/** Declarative MV description — what the generic rewrite rule needs to
+  * know: which fact table the view summarizes (scan-path suffix), its
+  * grouping keys, which DECIMAL(18,2)-sum columns it carries, and its
+  * count(*) column. Registering an MV for a new fact table is one
+  * MvDef, not a new rule.
+  */
+final case class MvDef(
+    factSuffix: String,
+    keys: Set[String],
+    sums: Map[String, String],
+    countCol: String)
 
-  private val Keys = Set("l_returnflag", "l_linestatus")
+case class MvRewriteRule(spark: SparkSession, mvPath: String, mv: MvDef)
+    extends Rule[LogicalPlan] {
 
   private lazy val mvPlan: LogicalPlan =
     PlanBridge.analyzed(spark.read.parquet(mvPath))
@@ -140,7 +181,7 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String)
     }
 
   /** Peel column-pruning Projects and collect Filters down to the
-    * lineitem scan; None if the subtree is anything else.
+    * fact-table scan; None if the subtree is anything else.
     */
   private def peel(p: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
     p match {
@@ -148,21 +189,21 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String)
         peel(c)
       case Filter(cond, c) =>
         peel(c).map { case (cs, lr) => (cond +: cs, lr) }
-      case lr: LogicalRelation if isLineitemScan(lr) => Some((Nil, lr))
+      case lr: LogicalRelation if isFactScan(lr) => Some((Nil, lr))
       case _ => None
     }
 
-  private def isLineitemScan(lr: LogicalRelation): Boolean = lr.relation match {
+  private def isFactScan(lr: LogicalRelation): Boolean = lr.relation match {
     case fs: HadoopFsRelation =>
-      fs.location.rootPaths.exists(_.toString.endsWith("lineitem.parquet"))
+      fs.location.rootPaths.exists(_.toString.endsWith(mv.factSuffix))
     case _ => false
   }
 
   private def onlyKeyRefs(e: Expression): Boolean =
-    e.references.forall(a => Keys.contains(a.name))
+    e.references.forall(a => mv.keys.contains(a.name))
 
   private def remapToMv(e: Expression): Expression = e.transform {
-    case a: AttributeReference if Keys.contains(a.name) => mvAttr(a.name)
+    case a: AttributeReference if mv.keys.contains(a.name) => mvAttr(a.name)
   }
 
   /** The MV-merged replacement for one aggregate call, keeping the
@@ -173,13 +214,11 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String)
     if (ae.isDistinct) None
     else ae.aggregateFunction match {
       case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
-          if a.name == "l_quantity" && dt == DecimalType(18, 2) =>
-        Some(Cast(Sum(mvAttr("mv_sum_qty")).toAggregateExpression(), ae.dataType))
-      case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
-          if a.name == "l_extendedprice" && dt == DecimalType(18, 2) =>
-        Some(Cast(Sum(mvAttr("mv_sum_price")).toAggregateExpression(), ae.dataType))
+          if dt == DecimalType(18, 2) && mv.sums.contains(a.name) =>
+        Some(Cast(Sum(mvAttr(mv.sums(a.name))).toAggregateExpression(),
+          ae.dataType))
       case Count(Seq(l: Literal)) if l.value != null =>
-        Some(Cast(Sum(mvAttr("mv_n")).toAggregateExpression(), LongType))
+        Some(Cast(Sum(mvAttr(mv.countCol)).toAggregateExpression(), LongType))
       case _ => None
     }
 
@@ -192,7 +231,7 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String)
     if (!conds.forall(onlyKeyRefs)) return None
     // grouping must be plain key attributes (a subset of the MV keys)
     val groupAttrs = groups.map {
-      case a: AttributeReference if Keys.contains(a.name) => a
+      case a: AttributeReference if mv.keys.contains(a.name) => a
       case _ => return None
     }
     // every output expression must be answerable from the MV. The
@@ -202,7 +241,7 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String)
     // AggregateExpression inside each alias tree, remap key attrs, and
     // bail if anything unrecognized or any non-MV reference survives.
     val newAggExprs: Seq[NamedExpression] = aggExprs.map {
-      case a: AttributeReference if Keys.contains(a.name) =>
+      case a: AttributeReference if mv.keys.contains(a.name) =>
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
       case al: Alias =>
         var ok = true
@@ -215,7 +254,7 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String)
               case None => ok = false; ae
             }
         }.transform {
-          case a: AttributeReference if Keys.contains(a.name) => mvAttr(a.name)
+          case a: AttributeReference if mv.keys.contains(a.name) => mvAttr(a.name)
         }
         if (!ok || !rewritten.references.forall(mvPlan.outputSet.contains))
           return None

@@ -182,7 +182,7 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.queries.QueryDef.dec
     val mvPath = graft.plans.MvRewrite.ensureMv(spark, sfDir)
-    graft.plans.MvRewrite.ensureRule(spark, mvPath)
+    graft.plans.MvRewrite.ensureRule(spark, mvPath, graft.plans.MvRewrite.LineitemMv)
     def readsMv(df: DataFrame) =
       df.queryExecution.executedPlan.toString.contains("graft_mv_lineitem_")
     val li = Tables.lineitem(spark, sfDir)
@@ -216,6 +216,23 @@ class PlanShapeSpec extends SparkSpec {
     val distinctAgg = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_linestatus")).as("nd"))
     assert(!readsMv(distinctAgg), "distinct aggregate is not mergeable")
+
+    // generality: one MvDef registers a view over a DIFFERENT fact
+    // table -- same rule machinery, zero new matching code
+    val evPath = graft.plans.MvRewrite.ensureEventsMv(spark, sfDir)
+    graft.plans.MvRewrite.ensureRule(spark, evPath, graft.plans.MvRewrite.EventsMv)
+    val evAgg = Tables.events(spark, sfDir).select("event_type", "value")
+      .groupBy("event_type")
+      .agg(sum(dec(col("value"))).cast("double").as("sv"), count(lit(1)).as("n"))
+    assert(evAgg.queryExecution.executedPlan.toString.contains("graft_mv_events_"),
+      s"events query should read the events MV:\n${evAgg.queryExecution.executedPlan}")
+    val evRaw = Tables.events(spark, sfDir).select("event_type", "value")
+      .groupBy("event_type")
+      .agg(sum(dec(col("value")) + lit(0).cast("decimal(18,2)")).cast("double").as("sv"),
+        count(lit(1)).as("n"))
+    val ga = evAgg.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val gb = evRaw.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(ga === gb)
   }
 
   test("aggregations keep map-side partial aggregation") {
