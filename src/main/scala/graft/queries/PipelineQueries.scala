@@ -524,8 +524,44 @@ object PipelineQueries {
       |  event_id_v1, event_id_v3, us_v3
       |FROM v1 FULL OUTER JOIN v3 ON v1.user_id = v3.user_id""".stripMargin
 
+  /** B21: generation vacuum — the retention step that keeps the
+    * generational state layouts (st_upsert / st_scd2 / p_time_travel)
+    * from accumulating one directory per microbatch forever: drop all
+    * but the newest K generations. This is SAFE BY CONSTRUCTION with
+    * hard-linked carry-over: an untouched bucket file carried across
+    * generations is the SAME inode, so unlinking a superseded
+    * generation's entry only drops the link count — the kept
+    * generation's bytes survive (the spec pins this: carried files
+    * keep their file keys through the vacuum). The registered query
+    * proves end-to-end integrity: a fresh 3-generation state is built
+    * through the real upsertBatch path, everything but the newest
+    * generation is vacuumed, and the survivors still hash-match the
+    * latest-per-key oracle.
+    */
+  def pVacuum(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streaming
+    val fixture = Streaming.lateFixtureDir(s, d)
+    val base = s"/tmp/graft_vacuum_${math.abs(d.hashCode)}"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val files = new java.io.File(fixture).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      Streaming.upsertBatch(s.read.parquet(f.getPath), base, i)
+    }
+    val removed = Streaming.vacuumGenerations(base, keep = 1)
+    require(removed.nonEmpty, "vacuum should have removed superseded generations")
+    require(new java.io.File(s"$base/gen${files.length}").exists(),
+      "vacuum must keep the newest generation")
+    s.read.parquet(s"$base/gen${files.length}")
+      .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))
+  }
+
+  val pVacuumSql: String = graft.streaming.Streaming.stUpsertSql
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("p_profile", pProfile, Some(pProfileSql)),
+    QueryDef("p_vacuum", pVacuum, Some(pVacuumSql)),
     QueryDef("p_time_travel", pTimeTravel, Some(pTimeTravelSql)),
     QueryDef("p_expectations", pExpectations, Some(pExpectationsSql)),
     QueryDef("p_cdc_apply", pCdcApply, Some(pCdcApplySql)),

@@ -860,6 +860,24 @@ object Streaming {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Generation GC for the bucket-state layouts: unlink every
+    * generation directory except the newest `keep`. SAFE BY
+    * CONSTRUCTION under hard-linked carry-over — a bucket file carried
+    * into a kept generation is the same inode, so unlinking the old
+    * directory entry only drops the link count; the kept generation's
+    * bytes survive untouched. Returns the names of the removed
+    * generations.
+    */
+  private[graft] def vacuumGenerations(base: String, keep: Int): Seq[String] = {
+    val gens = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("gen"))
+      .sortBy(_.getName.stripPrefix("gen").toLong)
+    val doomed = gens.dropRight(keep)
+    doomed.foreach(graft.Stage.deleteRecursively)
+    doomed.map(_.getName).toSeq
+  }
+
   /** G18: streaming SCD2 maintenance — the warehouse dimension-history
     * build (p_scd2's lead-closed validity chains) kept current
     * CONTINUOUSLY. Same bucket-pruned generation mechanism as stUpsert,

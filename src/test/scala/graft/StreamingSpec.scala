@@ -489,6 +489,43 @@ class StreamingSpec extends SparkSpec {
     assert(parquets(base).length >= 3, "postings must accumulate per-batch files")
   }
 
+  test("p_vacuum: hard-linked carry-over survives the unlink; superseded gens are gone") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_spec_vacuum"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("us", LongType)))
+    def df(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2), schema)
+    Streaming.upsertBatch(df((0L until 64L).map(u => (u, u, 1000L + u))), base, 0)
+    // single-key batch: gen2 hard-links 15 of 16 buckets from gen1
+    Streaming.upsertBatch(df(Seq((9001L, 5L, 999999L))), base, 1)
+    def fileKeys(gen: Int): Map[String, AnyRef] =
+      new java.io.File(s"$base/gen$gen").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .flatMap(b => b.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${b.getName}/${f.getName}" ->
+            java.nio.file.Files.readAttributes(f.toPath,
+              classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey))
+        .toMap
+    val keysBefore = fileKeys(2)
+    val expected = spark.read.parquet(s"$base/gen2")
+      .select("user_id", "event_id", "us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val removed = Streaming.vacuumGenerations(base, keep = 1)
+    assert(removed.toSet === Set("gen1"))
+    assert(!new java.io.File(s"$base/gen1").exists())
+    // the kept generation: same inodes, same bytes, same rows
+    assert(fileKeys(2) === keysBefore)
+    val after = spark.read.parquet(s"$base/gen2")
+      .select("user_id", "event_id", "us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(after.toSeq === expected.toSeq)
+    assert(after.length === 64)
+  }
+
   test("st_ingest: malformed envelopes land in the dead-letter output mid-stream, every batch") {
     val result = Streaming.stIngest(spark, sfDir)
     val deadRow = result.filter(col("status") === "dead_letter").head()
