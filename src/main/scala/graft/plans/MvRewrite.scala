@@ -43,7 +43,7 @@ import graft.queries.QueryDef.dec
   */
 object MvRewrite {
 
-  private[plans] val building = new ThreadLocal[Boolean] {
+  private[graft] val building = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
 
@@ -166,8 +166,16 @@ final case class MvDef(
 case class MvRewriteRule(spark: SparkSession, mvPath: String, mv: MvDef)
     extends Rule[LogicalPlan] {
 
-  private lazy val mvPlan: LogicalPlan =
-    PlanBridge.analyzed(spark.read.parquet(mvPath))
+  // memoized per artifact publish: a SAME-PATH rebuild (the streaming
+  // MV maintains generations under a deterministic dir) must not serve
+  // a stale captured file listing
+  private var cachedPlan: (Long, LogicalPlan) = _
+  private def mvPlan: LogicalPlan = {
+    val mt = new java.io.File(mvPath, "_SUCCESS").lastModified
+    if (cachedPlan == null || cachedPlan._1 != mt)
+      cachedPlan = (mt, PlanBridge.analyzed(spark.read.parquet(mvPath)))
+    cachedPlan._2
+  }
   private def mvAttr(name: String): AttributeReference =
     mvPlan.output.collectFirst {
       case a: AttributeReference if a.name == name => a

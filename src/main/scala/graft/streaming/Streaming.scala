@@ -1033,6 +1033,97 @@ object Streaming {
       graft.functions.vec_cosine(col("v"), col("qv"))))
   }
 
+  /** G21: streaming MATERIALIZED-VIEW maintenance — the continuous form
+    * of the MV lifecycle (q_mv_rewrite builds + rewrites, p_vacuum
+    * retires): each microbatch folds its partial aggregates into the
+    * user-keyed events summary (merge = prior MV ∪ batch partials →
+    * re-aggregate, the p_incremental_agg mergeable algebra; per-trigger
+    * cost is O(batch + |MV|), and |MV| is key-cardinality-sized, never
+    * O(history)), publishing generations atomically (tmp → rename).
+    * After the drain the GENERIC MvRewriteRule is registered FOR THE
+    * MAINTAINED ARTIFACT, and the registered query — a plain aggregate
+    * over the raw events table — is answered from it: the plan
+    * self-checks that events.parquet is never scanned. One oracle
+    * covers the whole loop: DuckDB's full-table aggregation must
+    * hash-match an answer that only ever touched the streamed,
+    * incrementally-maintained MV.
+    */
+  def stMvMaintain(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.QueryDef.dec
+    val dir = lateFixtureDir(s, d)
+    val base = s"/tmp/graft_stream_mv_${math.abs(d.hashCode)}"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    var gen = 0
+    val schema = s.read.parquet(dir).schema
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = streamed.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mvMaintainStep(batch.toDF(), base, gen)
+        gen += 1
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.Stage.refreshArtifact(s, new java.io.File(base))
+    graft.plans.MvRewrite.ensureRule(s, s"$base/gen$gen", EventsByUserMv)
+    val df = Tables.events(s, d).select("user_id", "event_id")
+      .groupBy("user_id")
+      .agg(sum(dec(col("event_id"))).cast("double").as("sum_ids"),
+        count(lit(1)).as("n"))
+    val planStr = df.queryExecution.executedPlan.toString
+    require(planStr.contains("graft_stream_mv_"),
+      s"query not answered from the maintained MV:\n$planStr")
+    require(!planStr.contains("events.parquet"),
+      s"plan still scans the fact table:\n$planStr")
+    df
+  }
+
+  /** The maintained view's declarative registration — same MvDef shape
+    * as the lineitem/events batch views, zero new rule code.
+    */
+  val EventsByUserMv: graft.plans.MvDef = graft.plans.MvDef(
+    "events.parquet", Set("user_id"),
+    Map("event_id" -> "mv_sum_id"), "mv_n")
+
+  /** One incremental MV merge: prior generation ∪ batch partials →
+    * re-aggregated next generation (types pinned so generations never
+    * widen), published atomically. Runs under the MV-rule build bypass
+    * so the rule can never rewrite maintenance onto its own artifact.
+    */
+  private[graft] def mvMaintainStep(batchDf: DataFrame, base: String, gen: Int): Unit = {
+    import graft.queries.QueryDef.dec
+    val sp = batchDf.sparkSession
+    graft.plans.MvRewrite.building.set(true)
+    try {
+      val part = batchDf.groupBy("user_id")
+        .agg(sum(dec(col("event_id"))).as("mv_sum_id"),
+          count(lit(1)).as("mv_n"))
+      val prev = new java.io.File(s"$base/gen$gen")
+      val merged =
+        if (prev.exists())
+          sp.read.parquet(prev.getPath).unionByName(part)
+            .groupBy("user_id")
+            .agg(sum(col("mv_sum_id")).cast("decimal(28,2)").as("mv_sum_id"),
+              sum(col("mv_n")).as("mv_n"))
+        else part
+      val tmp = new java.io.File(base, s".gen${gen + 1}.tmp")
+      graft.Stage.deleteRecursively(tmp)
+      merged.write.parquet(tmp.getPath)
+      val target = new java.io.File(base, s"gen${gen + 1}")
+      if (!tmp.renameTo(target)) graft.Stage.deleteRecursively(tmp)
+    } finally graft.plans.MvRewrite.building.set(false)
+  }
+
+  val stMvMaintainSql: String =
+    """SELECT user_id,
+      |  CAST(SUM(CAST(event_id AS DECIMAL(18,2))) AS DOUBLE) AS sum_ids,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   /** G19: exactly-once file sink — the idempotent-foreachBatch contract
     * that makes a restart-after-crash NOT double-count. foreachBatch is
     * at-least-once: after a failure between sink commit and checkpoint
@@ -1478,6 +1569,7 @@ object Streaming {
     QueryDef("st_upsert", stUpsert, Some(stUpsertSql)),
     QueryDef("st_scd2", stScd2, Some(stScd2Sql)),
     QueryDef("st_exactly_once", stExactlyOnce, Some(stExactlyOnceSql)),
+    QueryDef("st_mv_maintain", stMvMaintain, Some(stMvMaintainSql)),
     QueryDef("st_vector_index", stVectorIndex,
       Some(graft.operators.Ann.sAnnIvfSql)),
     QueryDef("st_incremental", stIncremental, Some(stIncrementalSql)),

@@ -489,6 +489,34 @@ class StreamingSpec extends SparkSpec {
     assert(parquets(base).length >= 3, "postings must accumulate per-batch files")
   }
 
+  test("st_mv_maintain: every intermediate generation equals the batch prefix aggregate") {
+    import graft.queries.QueryDef.dec
+    val result = Streaming.stMvMaintain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val full = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(sum(dec(col("event_id"))).cast("double").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(result === full)
+    // incremental invariant: generation k = aggregate of the first k
+    // backlog slices (the merge is prefix-exact, not just final-exact)
+    val base = s"/tmp/graft_stream_mv_${math.abs(sfDir.hashCode)}"
+    val fixture = Streaming.lateFixtureDir(spark, sfDir)
+    val files = new java.io.File(fixture).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    (1 to files.length).foreach { k =>
+      val prefix = files.take(k).map(f => spark.read.parquet(f.getPath))
+        .reduce(_ unionByName _)
+        .groupBy("user_id")
+        .agg(sum(dec(col("event_id"))).cast("decimal(28,2)").as("mv_sum_id"),
+          count(lit(1)).as("mv_n"))
+        .collect().map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2))).toSet
+      val genK = spark.read.parquet(s"$base/gen$k")
+        .collect().map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2))).toSet
+      assert(genK === prefix, s"generation $k diverges from its prefix aggregate")
+    }
+  }
+
   test("p_vacuum: hard-linked carry-over survives the unlink; superseded gens are gone") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
