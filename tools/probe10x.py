@@ -133,7 +133,24 @@ def main():
     if "documents" not in tables:
         os.symlink(f"{sf}/documents.parquet", f"{out}/documents.parquet")
 
-    for t in "region nation customer supplier part orders lineitem events".split():
+    if "events" in tables and factor > 1:
+        # constant-density event scaling: tier i is a DISJOINT user
+        # population (user_id/event_id offsets clear the real ranges),
+        # identical per-user temporal behavior (ts untouched) — state
+        # size and per-key history grow exactly linearly, so a
+        # super-linear block-G runtime is an algorithmic problem, not a
+        # workload artifact.
+        ev_off = con.sql(f"SELECT MAX(event_id) + 1000001 FROM '{sf}/events.parquet'").fetchone()[0]
+        u_off = con.sql(f"SELECT MAX(user_id) + 1000001 FROM '{sf}/events.parquet'").fetchone()[0]
+        tiers = " UNION ALL ".join(
+            f"SELECT event_id + {ev_off}*{i} AS event_id, ts, "
+            f"user_id + {u_off}*{i} AS user_id, event_type, value, props "
+            f"FROM '{sf}/events.parquet'" for i in range(factor))
+        con.sql(f"COPY ({tiers}) TO '{out}/events.parquet' (FORMAT PARQUET)")
+    else:
+        os.symlink(f"{sf}/events.parquet", f"{out}/events.parquet")
+
+    for t in "region nation customer supplier part orders lineitem".split():
         os.symlink(f"{sf}/{t}.parquet", f"{out}/{t}.parquet")
     docs = con.sql(f"SELECT COUNT(*) FROM '{out}/documents.parquet'").fetchone()[0]
     vecs = con.sql(f"SELECT COUNT(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
