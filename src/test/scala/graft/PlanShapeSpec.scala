@@ -202,6 +202,20 @@ class PlanShapeSpec extends SparkSpec {
     val b = fineRaw.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
     assert(a === b)
 
+    // compositional coverage: an average in the house ratio form
+    // (sum/count, the engine-exact avg contract) contains TWO
+    // aggregate calls under one alias — both rewrite independently
+    // and the ratio is answered from the MV
+    val avgRatio = li.groupBy("l_returnflag")
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    assert(readsMv(avgRatio), "ratio-form average should read the MV")
+    val avgRaw = li.groupBy("l_returnflag")
+      .agg((sum(dec(col("l_quantity")) + lit(0).cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("avg_qty"))
+    assert(avgRatio.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ===
+      avgRaw.collect().map(r => (r.getString(0), r.getDouble(1))).toSet)
+
     // an aggregate the MV cannot answer keeps the fact-table scan
     val unanswerable = li.groupBy("l_returnflag")
       .agg(sum(dec(col("l_discount"))).as("sd"))
