@@ -1414,11 +1414,29 @@ object Text {
     */
   private val BpeIters = 3
   private val BpeTopSyms = 10
+  private val BpeDelim = "\u0001"
 
-  def tBpeTrain(s: SparkSession, d: String): DataFrame = {
+  /** The greedy left-to-right merge fold shared by training and apply:
+    * symbols joined by chr(1); when the stack top equals `ma` and the
+    * next symbol is `mb`, they fuse (the merge pair arrives as driver
+    * literals — injection-safe for symbols containing quotes).
+    */
+  private def bpeFold(listCol: Column, ma: String, mb: String): Column =
+    split(aggregate(listCol, lit(""), (acc, x) =>
+      when(acc === "", x)
+        .when(substring_index(acc, BpeDelim, -1) === ma && x === mb,
+          concat(acc.substr(lit(1), length(acc) - lit(ma.length)), lit(ma + mb)))
+        .otherwise(concat(acc, lit(BpeDelim), x))), BpeDelim)
+
+  /** Run the training iterations; returns the learned merges and the
+    * final rewritten word-type state (shared by t_bpe_train and
+    * t_bpe_apply).
+    */
+  private[operators] def bpeTrainMerges(
+      s: SparkSession, d: String): (List[(Long, String, String, Long)], DataFrame) = {
     val words0 = Tables.documents(s, d)
       .select(explode(words(lower(col("text")))).as("w"))
-      .filter(!col("w").contains("\u0001"))
+      .filter(!col("w").contains(BpeDelim))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("syms",
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
@@ -1433,7 +1451,6 @@ object Text {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("freq")).as("cnt"))
 
-    val Delim = "\u0001"
     var state = graft.Stage.cached(words0)
     var merges = List.empty[(Long, String, String, Long)]
     for (it <- 1 to BpeIters) {
@@ -1446,13 +1463,14 @@ object Text {
       val (ma, mb, mc) = (best.getString(0), best.getString(1), best.getLong(2))
       merges = merges :+ ((it.toLong, ma, mb, mc))
       state = graft.Stage.cached(state
-        .withColumn("syms", split(aggregate(col("syms"), lit(""), (acc, x) =>
-          when(acc === "", x)
-            .when(substring_index(acc, Delim, -1) === ma && x === mb,
-              concat(acc.substr(lit(1), length(acc) - lit(ma.length)), lit(ma + mb)))
-            .otherwise(concat(acc, lit(Delim), x))), Delim))
+        .withColumn("syms", bpeFold(col("syms"), ma, mb))
         .select("syms", "freq"))
     }
+    (merges, state)
+  }
+
+  def tBpeTrain(s: SparkSession, d: String): DataFrame = {
+    val (merges, state) = bpeTrainMerges(s, d)
     val symTop = state.select(explode(col("syms")).as("a"), col("freq"))
       .groupBy("a").agg(sum(col("freq")).as("cnt"))
       .withColumn("rk", row_number().over(
@@ -1466,12 +1484,17 @@ object Text {
       .unionByName(symTop)
   }
 
-  val tBpeTrainSql: String = {
-    val fold = (m: String) =>
-      s"""string_split(list_reduce(syms, (acc, x) ->
-         |    CASE WHEN list_extract(string_split(acc, chr(1)), -1) = $m.ma AND x = $m.mb
-         |         THEN substring(acc, 1, length(acc) - length($m.ma)) || $m.ma || $m.mb
-         |         ELSE acc || chr(1) || x END), chr(1))""".stripMargin
+  /** Shared oracle fragments: the chr(1)-fold lambda and the
+    * wt/s0/p{k}/m{k}/s{k} training CTE chain (reused verbatim by the
+    * apply oracle so both sides tokenize with the SAME learned merges).
+    */
+  private def bpeSqlFold(lst: String, m: String): String =
+    s"""list_reduce($lst, (acc, x) ->
+       |    CASE WHEN list_extract(string_split(acc, chr(1)), -1) = $m.ma AND x = $m.mb
+       |         THEN substring(acc, 1, length(acc) - length($m.ma)) || $m.ma || $m.mb
+       |         ELSE acc || chr(1) || x END)""".stripMargin
+
+  private def bpeSqlCtes: String = {
     val iters = (1 to BpeIters).map { it =>
       s"""p$it AS (
          |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -1481,12 +1504,10 @@ object Text {
          |    FROM s${it - 1}) GROUP BY 1, 2),
          |m$it AS (SELECT a AS ma, b AS mb, cnt AS mc FROM p$it
          |         ORDER BY cnt DESC, a, b LIMIT 1),
-         |s$it AS (SELECT ${fold(s"m$it")} AS syms, freq FROM s${it - 1}, m$it)""".stripMargin
+         |s$it AS (SELECT string_split(${bpeSqlFold("syms", s"m$it")}, chr(1)) AS syms, freq
+         |         FROM s${it - 1}, m$it)""".stripMargin
     }.mkString(",\n")
-    val mergeRows = (1 to BpeIters).map(it =>
-      s"SELECT 'merge' AS part, CAST($it AS BIGINT) AS rk, ma AS a, mb AS b, mc AS cnt FROM m$it")
-      .mkString("\nUNION ALL ")
-    s"""WITH wt AS (
+    s"""wt AS (
        |  SELECT w, COUNT(*) AS freq FROM (
        |    SELECT unnest(list_filter(string_split_regex(lower(text),
        |      '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS w
@@ -1494,7 +1515,14 @@ object Text {
        |  WHERE NOT contains(w, chr(1)) GROUP BY 1),
        |s0 AS (SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS syms, freq
        |       FROM wt),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  val tBpeTrainSql: String = {
+    val mergeRows = (1 to BpeIters).map(it =>
+      s"SELECT 'merge' AS part, CAST($it AS BIGINT) AS rk, ma AS a, mb AS b, mc AS cnt FROM m$it")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeSqlCtes
        |$mergeRows
        |UNION ALL
        |SELECT 'symbol' AS part, rk, a, '' AS b, cnt FROM (
@@ -1504,8 +1532,58 @@ object Text {
        |WHERE rk <= $BpeTopSyms""".stripMargin
   }
 
+  /** E25: BPE APPLY — tokenize the corpus with the merges t_bpe_train
+    * learned (the cluster → cluster_apply precedent for tokenizers).
+    * Training is the 3 bounded argmax jobs over the word-type table;
+    * APPLICATION is then a pure scan: per word, the char stream folds
+    * through the 3 learned merges as driver-literal HOF expressions —
+    * zero shuffle, no UDF, so 100 TB tokenizes at scan bandwidth with
+    * the tokenizer shipped inside the plan. Output per doc: word
+    * count, symbol count before merging, token count after, and the
+    * compression ratio (one IEEE division). The oracle re-learns the
+    * merges through the SAME training CTEs and re-folds every word.
+    */
+  def tBpeApply(s: SparkSession, d: String): DataFrame = {
+    val (merges, _) = bpeTrainMerges(s, d)
+    val ms = merges.map(m => (m._2, m._3))
+    def toks(w: Column): Column = {
+      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+      size(ms.foldLeft(chars) { case (acc, (ma, mb)) => bpeFold(acc, ma, mb) })
+    }
+    val base = graft.Stage.barrier(Tables.documents(s, d).select(col("doc_id"),
+      filter(words(lower(col("text"))), w => !w.contains(BpeDelim)).as("ws")))
+    base.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("n_syms"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + toks(w)).as("n_tokens"))
+      .withColumn("ratio",
+        when(col("n_syms") > 0, col("n_tokens").cast("double") / col("n_syms")))
+  }
+
+  val tBpeApplySql: String = {
+    val chars = "list_transform(range(1, length(w) + 1), i -> w[i])"
+    val fold3 = bpeSqlFold(
+      s"string_split(${bpeSqlFold(
+        s"string_split(${bpeSqlFold(chars, "m1")}, chr(1))", "m2")}, chr(1))", "m3")
+    s"""WITH $bpeSqlCtes,
+       |docs AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '' AND NOT contains(x, chr(1))) AS ws
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_syms, n_tokens,
+       |  CASE WHEN n_syms > 0 THEN CAST(n_tokens AS DOUBLE) / n_syms END AS ratio
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS n_syms,
+       |    CAST(COALESCE(list_sum(list_transform(ws,
+       |      w -> len(string_split($fold3, chr(1))))), 0) AS BIGINT) AS n_tokens
+       |  FROM docs, m1, m2, m3)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_bpe_train", tBpeTrain, Some(tBpeTrainSql)),
+    QueryDef("t_bpe_apply", tBpeApply, Some(tBpeApplySql)),
     QueryDef("t_heavy_hitters", tHeavyHitters, Some(tHeavyHittersSql)),
     QueryDef("t_cooccur", tCooccur, Some(tCooccurSql)),
     QueryDef("t_chunk", tChunk, Some(tChunkSql)),

@@ -873,6 +873,52 @@ class OperatorsSpec extends SparkSpec {
     assert(merges.map(m => (m._2, m._3)).distinct.size === 3)
   }
 
+  test("t_bpe_apply: per-doc token counts match a serial fold with the learned merges") {
+    // serial reference: learn merges exactly as the t_bpe_train spec does
+    val wordList = Tables.documents(spark, sfDir).collect()
+      .flatMap(_.getString(1).toLowerCase.split("\\s+")
+        .filter(w => w.nonEmpty && !w.contains("\u0001")))
+    var state: Map[List[String], Long] = wordList.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+      .map { case (w, f) => w.map(_.toString).toList -> f }
+    def foldMerge(syms: Seq[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b) {
+          out.remove(out.length - 1); out += (a + b)
+        } else out += x
+      }
+      out.toList
+    }
+    val learned = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    for (_ <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      state.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach(p => pc(p) += f) }
+      val ((a, b), _) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      learned += ((a, b))
+      state = state.map { case (syms, f) => foldMerge(syms, a, b) -> f }
+    }
+    // apply serially per doc
+    val expected = Tables.documents(spark, sfDir).collect().map { r =>
+      val ws = r.getString(1).toLowerCase.split("\\s+")
+        .filter(w => w.nonEmpty && !w.contains("\u0001"))
+      val nSyms = ws.map(_.length.toLong).sum
+      val nToks = ws.map { w =>
+        learned.foldLeft(w.map(_.toString).toList) {
+          case (syms, (a, b)) => foldMerge(syms, a, b)
+        }.length.toLong
+      }.sum
+      (r.getLong(0), ws.length.toLong, nSyms, nToks)
+    }.toSet
+    val got = graft.operators.Text.tBpeApply(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // the learned merges genuinely compress the corpus they trained on
+    val (syms, toks) = (expected.toSeq.map(_._3).sum, expected.toSeq.map(_._4).sum)
+    assert(toks < syms, s"no compression: $toks tokens vs $syms symbols")
+  }
+
   test("d_triangles: oriented wedge count equals a brute-force triangle enumeration") {
     val base = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
