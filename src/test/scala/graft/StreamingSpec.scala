@@ -517,6 +517,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bucket pruning pays: a narrow batch rewrites a bounded fraction of state BYTES") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_spec_prune_econ"
+    graft.Stage.deleteRecursively(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("us", LongType)))
+    def df(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 4), schema)
+    // seed: 4096 keys spread over all 16 buckets
+    Streaming.upsertBatch(df((0L until 4096L).map(u => (u, u, 1000L + u))), base, 0)
+    def files(gen: Int): Map[AnyRef, Long] =
+      new java.io.File(s"$base/gen$gen").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(f => java.nio.file.Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey -> f.length())
+        .toMap
+    val before = files(1)
+    // narrow batch: 8 keys confined to 2 of the 16 buckets
+    Streaming.upsertBatch(df(Seq(3L, 7L, 19L, 23L, 35L, 39L, 51L, 55L)
+      .map(u => (900000L + u, u, 999999L))), base, 1)
+    val after = files(2)
+    val rewrittenBytes = after.collect {
+      case (k, sz) if !before.contains(k) => sz }.sum
+    val totalBytes = after.values.sum
+    // O(touched buckets), not O(state): 2/16 of the buckets were
+    // touched, so rewritten bytes must be a small fraction of state
+    assert(rewrittenBytes.toDouble / totalBytes < 0.25,
+      s"narrow batch rewrote $rewrittenBytes of $totalBytes bytes")
+    // and most files carried as the same inodes
+    val carried = after.keySet.intersect(before.keySet)
+    assert(carried.size.toDouble / after.size > 0.7,
+      s"only ${carried.size} of ${after.size} files carried")
+  }
+
   test("p_vacuum: hard-linked carry-over survives the unlink; superseded gens are gone") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
