@@ -735,7 +735,57 @@ object Multimodal {
       |  JOIN hash4 b ON b.img_id = id_b)
       |WHERE hamming <= 3""".stripMargin
 
+  /** F9: shard READ-BACK — the loader side of m_shard_pack's manifest
+    * (the WebDataset round trip): shard blobs are physically
+    * materialized per (shard, file) by concatenating the member
+    * payloads in manifest order (one shuffle — shard building IS a
+    * data movement; each blob is budget-bounded so the per-group
+    * concat is bounded memory), then every sample is re-extracted by
+    * its manifest (offset, byte_len) slice and byte-verified against
+    * the original payload (sha256 equality computed IN the query). The
+    * oracle asserts n_ok = n_samples per shard — a wrong offset, a
+    * mis-ordered concat, or an off-by-one slice surfaces as a hash
+    * mismatch, the same verified-decode contract as the image twins.
+    */
+  def mShardRead(s: SparkSession, d: String): DataFrame = {
+    val manifest = mShardPack(s, d)
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // PHYSICAL offsets: the manifest's `offset` is budget-relative
+    // addressing, but a member that OVERHANGS the byte budget pushes
+    // the next file's first member past (file_idx · budget) — within a
+    // concatenated blob the true offset is the running sum of earlier
+    // members' lengths in the SAME file (this distinction is exactly
+    // what the verified read-back exists to catch)
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "file_idx").orderBy("doc_id")
+    val members = manifest.join(payloads, Seq("doc_id"))
+      .withColumn("phys_off", sum(col("byte_len")).over(wf) - col("byte_len"))
+    val blobs = members
+      .groupBy("shard", "file_idx")
+      .agg(sort_array(collect_list(struct(col("phys_off"), col("payload")))).as("parts"))
+      .select(col("shard"), col("file_idx"),
+        aggregate(col("parts"), lit(Array.emptyByteArray),
+          (a, x) => concat(a, x.getField("payload"))).as("blob"))
+    members
+      .join(blobs, Seq("shard", "file_idx"))
+      .select(col("shard"), col("byte_len"),
+        (sha2(expr("substring(blob, phys_off + 1, byte_len)"), 256) ===
+          sha2(col("payload"), 256)).as("ok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(col("byte_len")).cast("long").as("total_bytes"))
+  }
+
+  val mShardReadSql: String =
+    """SELECT doc_id % 8 AS shard, COUNT(*) AS n_samples,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ok,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("m_shard_read", mShardRead, Some(mShardReadSql)),
     QueryDef("m_dedup_phash", mDedupPhash, Some(mDedupPhashSql)),
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_shard_pack", mShardPack, Some(mShardPackSql)),

@@ -444,6 +444,33 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(base, ".batch-0.tmp").exists())
   }
 
+  test("m_shard_read: every sample round-trips; the verifier catches a corrupted byte") {
+    val got = Multimodal.mShardRead(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (shard, n, nOk, bytes) =>
+      assert(n === nOk, s"shard $shard: $nOk of $n verified")
+      assert(bytes > 0)
+    }
+    val totalDocs = Tables.documents(spark, sfDir).count()
+    assert(got.map(_._2).sum === totalDocs)
+    // negative control: corrupt ONE byte of one member's payload in a
+    // hand-built blob — the sha verify must fail for exactly that slice
+    import spark.implicits._
+    val parts = Seq("alpha", "bravo", "charlie").map(_.getBytes("UTF-8"))
+    val blob = parts.reduce(_ ++ _)
+    val corrupted = blob.clone(); corrupted(parts(0).length) = 'X'.toByte // first byte of "bravo"
+    val offs = parts.scanLeft(0)(_ + _.length)
+    val rows = parts.zipWithIndex.map { case (p, i) => (i, offs(i), p.length, p) }
+    val df = rows.toDF("i", "off", "len", "payload")
+      .withColumn("blob", lit(corrupted))
+      .select(col("i"),
+        (sha2(expr("substring(blob, off + 1, len)"), 256) ===
+          sha2(col("payload"), 256)).as("ok"))
+      .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(df === Map(0 -> true, 1 -> false, 2 -> true))
+  }
+
   test("m_dedup_phash: banding finds exactly the all-pairs hamming<=3 set; twins at 0") {
     def bands(id: Long, shift: Int): Seq[Int] = {
       val (w, h) = Multimodal.pngDims(id)
