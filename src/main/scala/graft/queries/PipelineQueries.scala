@@ -559,8 +559,63 @@ object PipelineQueries {
 
   val pVacuumSql: String = graft.streaming.Streaming.stUpsertSql
 
+  /** B22: dataset diff — the regression-detection primitive a pipeline
+    * runs between two versions of a table (yesterday's publish vs
+    * today's rebuild): one FULL OUTER join on the key classifies every
+    * row as added / removed / changed / unchanged, where "changed" is
+    * a null-safe comparison of the STRUCT of all non-key columns (no
+    * hashing — exact, generic over any schema, and oracle-expressible).
+    * One shuffle on the key; the per-class accounting (count + key
+    * checksum) puts every classification under the hash gate. The v2
+    * fixture derives deterministic edits from orders: keys ≡ 0 (mod
+    * 97) dropped, totalprice +1 for keys ≡ 0 (mod 89), keys ≡ 0 (mod
+    * 83) re-inserted shifted +10M (adds).
+    */
+  def pTableDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val v2 = o.filter(!(col("o_orderkey") % 97 === 0))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 83 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    graft.pipeline.Diff.tableDiff(o, v2, Seq("o_orderkey"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"))
+  }
+
+  val pTableDiffSql: String =
+    """WITH v1 AS (SELECT * FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 83 = 0),
+      |j AS (
+      |  SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+      |    CASE
+      |      WHEN v1.o_orderkey IS NULL THEN 'added'
+      |      WHEN v2.o_orderkey IS NULL THEN 'removed'
+      |      WHEN v1.o_custkey IS NOT DISTINCT FROM v2.o_custkey
+      |       AND v1.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus
+      |       AND v1.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice
+      |       AND v1.o_orderdate IS NOT DISTINCT FROM v2.o_orderdate
+      |       AND v1.o_orderpriority IS NOT DISTINCT FROM v2.o_orderpriority
+      |      THEN 'unchanged' ELSE 'changed' END AS change
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+      |SELECT change, COUNT(*) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM j GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("p_profile", pProfile, Some(pProfileSql)),
+    QueryDef("p_table_diff", pTableDiff, Some(pTableDiffSql)),
     QueryDef("p_vacuum", pVacuum, Some(pVacuumSql)),
     QueryDef("p_time_travel", pTimeTravel, Some(pTimeTravelSql)),
     QueryDef("p_expectations", pExpectations, Some(pExpectationsSql)),

@@ -279,6 +279,31 @@ class PipelineSpec extends SparkSpec {
     assert(kinds.contains("update") && kinds.contains("unchanged"))
   }
 
+  test("Diff.tableDiff: classification matches a serial recount; all four classes exercised") {
+    val o = Tables.orders(spark, sfDir)
+    val rows = o.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getString(2), r.getDouble(3), r.get(4), r.getString(5))).toMap
+    val v2rows = rows.view.filterKeys(_ % 97 != 0).map { case (k, v) =>
+      k -> (if (k % 89 == 0) v.copy(_3 = v._3 + 1.0) else v)
+    }.toMap ++ rows.view.filterKeys(_ % 83 == 0).map { case (k, v) => (k + 10000000L) -> v }
+    val expected = (rows.keySet ++ v2rows.keySet).map { k =>
+      k -> ((rows.get(k), v2rows.get(k)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+      })
+    }.toMap
+    val got = graft.queries.PipelineQueries.pTableDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val classes = Seq("added", "removed", "changed", "unchanged")
+    classes.foreach { c =>
+      val keys = expected.collect { case (k, `c`) => k }
+      assert(got.getOrElse(c, (0L, 0L)) === ((keys.size.toLong, keys.sum)),
+        s"class $c diverges")
+      assert(keys.nonEmpty, s"fixture must exercise class $c")
+    }
+  }
+
   test("p_cdc_apply: equals a serial CDC replay; tombstoned keys vanish") {
     val cutoffUs = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
