@@ -746,6 +746,9 @@ object Multimodal {
     * oracle asserts n_ok = n_samples per shard — a wrong offset, a
     * mis-ordered concat, or an off-by-one slice surfaces as a hash
     * mismatch, the same verified-decode contract as the image twins.
+    * (The fold-concat copies the accumulated blob per member — fine at
+    * the 16 KB demo budget; a production shard writer streams members
+    * through an output stream at the mapPartitions seam instead.)
     */
   def mShardRead(s: SparkSession, d: String): DataFrame = {
     val manifest = mShardPack(s, d)

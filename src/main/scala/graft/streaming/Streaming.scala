@@ -1162,7 +1162,8 @@ object Streaming {
     q.awaitTermination()
     // the restart scenario: the final batch is delivered AGAIN with the
     // same id (b2 is the last file the mtime-ordered source delivered)
-    idempotentSink(s.read.parquet(s"$dir/b2.parquet"), base, lastId)
+    if (lastId >= 0) // an empty backlog has no batch to re-deliver
+      idempotentSink(s.read.parquet(s"$dir/b2.parquet"), base, lastId)
     s.read.parquet(base)
       .groupBy(pmod(col("user_id"), lit(10)).as("cohort"))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"),
