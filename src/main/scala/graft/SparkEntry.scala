@@ -9,11 +9,11 @@ object SparkEntry {
 
   /** Query blocks, in SURVEY §2 order. */
   private def blocks: Seq[QueryDef] =
-    Analytics.all ++ Temporal.all ++ PipelineQueries.all ++
+    Analytics.all ++ Temporal.all ++ Behavior.all ++ PipelineQueries.all ++
       graft.operators.Dedup.all ++ graft.operators.Ann.all ++
       graft.operators.Text.all ++ graft.operators.Skew.all ++
       graft.sources.Formats.all ++ graft.pipeline.Bucketing.all ++
-      graft.pipeline.Layout.all ++
+      graft.pipeline.Layout.all ++ graft.pipeline.BloomIndex.all ++
       graft.plans.MvRewrite.all ++
       graft.multimodal.Multimodal.all ++
       graft.streaming.Streaming.all

@@ -105,6 +105,16 @@ package object functions {
   def bloom_might_contain(h: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     toCol(BloomMightContain(toExpr(h), bloom))
 
+  /** Per-group Bloom-filter build aggregate → serialized filter bytes. */
+  def bloom_build(h: Column, expectedItems: Long, fpp: Double): Column =
+    toCol(BloomBuildAgg(toExpr(h), expectedItems, fpp).toAggregateExpression())
+
+  /** Probe a serialized-filter column with a literal hash batch: true iff
+    * the filter might contain ANY of them (one deserialize per row).
+    */
+  def bloom_might_contain_any(bloomBytes: Column, hashes: Seq[Long]): Column =
+    toCol(BloomMightContainAny(toExpr(bloomBytes), hashes))
+
   /** |A ∩ B| for two SORTED distinct array<bigint> columns (linear
     * merge, no per-call hash set — jaccard verify at pair volume).
     */

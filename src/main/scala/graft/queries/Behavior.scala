@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryDef._
+
+/** Block A additions — behavioral / product analytics over the `events`
+  * stream table: ordered funnel conversion, cohort retention, and
+  * last-touch revenue attribution. These are the classic event-analytics
+  * queries a warehouse team runs daily over exactly the kind of
+  * Kafka-sourced event stream the reference ingests (one envelope per
+  * user action, /root/reference/steps/ingesters.py:30); the reference
+  * stops at landing the records — these are the first queries the landed
+  * table exists to answer.
+  *
+  * Scale shape (all three): ONE shuffle on `user_id`, then per-user
+  * linear work. The funnel walks each user's sorted event list once with
+  * an `aggregate` HOF (state = stage reached + match position — O(1)
+  * per event, never materializing per-stage joins); retention compresses
+  * each user to (first week, distinct active weeks ≤ 53) map-side via
+  * collect_set before the tiny cohort aggregate; attribution is one
+  * running `last(_, ignoreNulls)` window pass. At 100 TB of events none
+  * of these ever shuffles more than the events table once, and the
+  * post-shuffle state per user is bounded by that user's event count
+  * (funnel/attribution) or the number of calendar weeks (retention).
+  */
+object Behavior {
+
+  /** Anchored conversion window: every later stage must land within 3
+    * days of the user's FIRST signup. With the deadline fixed by stage 1,
+    * greedy earliest-match per stage is provably optimal (taking an
+    * earlier qualifying event never shrinks the remaining candidate set),
+    * so the single-pass walk and the oracle's chained first-match CTEs
+    * compute the same conversion set.
+    */
+  private val GapUs = 3L * 86400000000L
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("user_id"), unix_micros(col("ts")).as("us"),
+      col("event_id"), col("event_type"), col("value"))
+
+  /** Ordered funnel signup → view → click → purchase, 3-day anchored
+    * conversion window. Per user: sort events once, walk them once
+    * (aggregate HOF; state = (stage, us, id, deadline)); ties on `us`
+    * broken by `event_id` so the walk order is total and engine-exact.
+    */
+  def qFunnel(s: SparkSession, d: String): DataFrame =
+    funnelOf(events(s, d))
+
+  /** Core over any (user_id, us, event_id, event_type) frame — specs feed
+    * doctored fixtures (ties, expired windows, out-of-order stages).
+    */
+  def funnelOf(ev: DataFrame): DataFrame = {
+    val walked = ev
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("us"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(expr(
+        s"""aggregate(evs,
+           |  named_struct('stage', 0, 'us', CAST(0 AS BIGINT), 'deadline', CAST(0 AS BIGINT)),
+           |  (acc, e) -> CASE
+           |    WHEN acc.stage = 0 AND e.event_type = 'signup'
+           |      THEN named_struct('stage', 1, 'us', e.us, 'deadline', e.us + ${GapUs}L)
+           |    WHEN acc.stage > 0 AND acc.stage < 4 AND e.us <= acc.deadline
+           |         AND e.event_type = element_at(array('signup','view','click','purchase'), acc.stage + 1)
+           |      THEN named_struct('stage', acc.stage + 1, 'us', e.us, 'deadline', acc.deadline)
+           |    ELSE acc END,
+           |  acc -> acc.stage)""".stripMargin).as("reached"))
+    walked.agg(
+      count(when(col("reached") >= 1, 1)).as("u1"),
+      count(when(col("reached") >= 2, 1)).as("u2"),
+      count(when(col("reached") >= 3, 1)).as("u3"),
+      count(when(col("reached") >= 4, 1)).as("u4"))
+      .selectExpr(
+        """stack(4, '1_signup', u1, '2_view', u2, '3_click', u3,
+          |         '4_purchase', u4) AS (step, users)""".stripMargin)
+      .orderBy("step")
+  }
+
+  val qFunnelSql: String = {
+    val g = GapUs
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+       |s1 AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'signup'
+       |       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) = 1),
+       |s2 AS (SELECT e.user_id, e.us, e.event_id, s1.us + $g AS deadline
+       |       FROM e JOIN s1 USING (user_id)
+       |       WHERE e.event_type = 'view' AND (e.us, e.event_id) > (s1.us, s1.event_id)
+       |         AND e.us <= s1.us + $g
+       |       QUALIFY row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) = 1),
+       |s3 AS (SELECT e.user_id, e.us, e.event_id, s2.deadline
+       |       FROM e JOIN s2 USING (user_id)
+       |       WHERE e.event_type = 'click' AND (e.us, e.event_id) > (s2.us, s2.event_id)
+       |         AND e.us <= s2.deadline
+       |       QUALIFY row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) = 1),
+       |s4 AS (SELECT e.user_id, e.us, e.event_id
+       |       FROM e JOIN s3 USING (user_id)
+       |       WHERE e.event_type = 'purchase' AND (e.us, e.event_id) > (s3.us, s3.event_id)
+       |         AND e.us <= s3.deadline
+       |       QUALIFY row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) = 1)
+       |SELECT * FROM (
+       |  SELECT '1_signup' AS step, count(*) AS users FROM s1
+       |  UNION ALL SELECT '2_view', count(*) FROM s2
+       |  UNION ALL SELECT '3_click', count(*) FROM s3
+       |  UNION ALL SELECT '4_purchase', count(*) FROM s4)
+       |ORDER BY step""".stripMargin
+  }
+
+  /** Weekly cohort retention: cohort = the user's first active epoch-week;
+    * one cell per (cohort, week offset 0..3) counting distinct users
+    * still active. Each user is compressed map-side to
+    * (min week, collect_set(week)) — the set is bounded by the number of
+    * calendar weeks in the data, not by event count — so the shuffle
+    * carries O(users · weeks) tiny rows and the final aggregate is a few
+    * hundred cells at any corpus size.
+    */
+  def qRetention(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), expr("us div 604800000000").as("wk"))
+      .groupBy("user_id")
+      .agg(min("wk").as("cohort_wk"), collect_set("wk").as("weeks"))
+      .select(col("cohort_wk"), explode(col("weeks")).as("wk"))
+      .withColumn("off", col("wk") - col("cohort_wk"))
+      .filter(col("off") <= 3)
+      .groupBy("cohort_wk", "off")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_wk", "off")
+
+  val qRetentionSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT e.user_id, c.cohort_wk, e.wk FROM e JOIN c USING (user_id))
+      |SELECT cohort_wk, wk - cohort_wk AS off, count(*) AS users
+      |FROM a WHERE wk - cohort_wk <= 3
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Last-touch revenue attribution: each purchase's value is credited to
+    * the channel (event type) of the user's most recent preceding
+    * non-purchase event — `direct` when the purchase is the user's first
+    * touch. One running `last(_, ignoreNulls)` window per user (single
+    * shuffle+sort), then a tiny channel aggregate in Money decimals.
+    */
+  def qAttribution(s: SparkSession, d: String): DataFrame =
+    attributionOf(events(s, d))
+
+  /** Core over any (user_id, us, event_id, event_type, value) frame. */
+  def attributionOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel", coalesce(col("touch"), lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("purchases"), moneySum(col("value")).as("revenue"))
+      .orderBy("channel")
+  }
+
+  val qAttributionSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value FROM events),
+      |t AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |        OVER (PARTITION BY user_id ORDER BY us, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |      FROM e)
+      |SELECT coalesce(touch, 'direct') AS channel, count(*) AS purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
+    QueryDef("q_retention", qRetention, Some(qRetentionSql)),
+    QueryDef("q_attribution", qAttribution, Some(qAttributionSql)))
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Behavior
+
+class BehaviorSpec extends SparkSpec {
+
+  test("every behavior query runs and returns rows at sf0.001") {
+    Behavior.all.foreach { q =>
+      val n = q.fn(spark, sfDir).count()
+      assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  private val Day = 86400000000L
+
+  private def evFrame(rows: Seq[(Long, Long, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "us", "event_id", "event_type", "value")
+  }
+
+  test("funnel doctored fixture: partial stages, expired window, order") {
+    // u1: full conversion inside the window.
+    // u2: view lands AFTER the 3-day anchor deadline -> stops at stage 1.
+    // u3: click precedes view (wrong order) -> stops at stage 2 (view
+    //     matched, no click after it).
+    // u4: no signup at all -> contributes to no stage.
+    // u5: full chain but purchase 1us past the deadline -> stage 3.
+    val d0 = 1700000000000000L
+    val rows = Seq(
+      (1L, d0, 10L, "signup", 0.0),
+      (1L, d0 + 1, 11L, "view", 0.0),
+      (1L, d0 + 2, 12L, "click", 0.0),
+      (1L, d0 + 3, 13L, "purchase", 5.0),
+      (2L, d0, 20L, "signup", 0.0),
+      (2L, d0 + 3 * Day + 1, 21L, "view", 0.0),
+      (3L, d0, 30L, "signup", 0.0),
+      (3L, d0 + 2, 31L, "click", 0.0),
+      (3L, d0 + 3, 32L, "view", 0.0),
+      (4L, d0, 40L, "view", 0.0),
+      (4L, d0 + 1, 41L, "click", 0.0),
+      (5L, d0, 50L, "signup", 0.0),
+      (5L, d0 + 1, 51L, "view", 0.0),
+      (5L, d0 + 2, 52L, "click", 0.0),
+      (5L, d0 + 3 * Day + 1, 53L, "purchase", 9.0))
+    val got = Behavior.funnelOf(evFrame(rows)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "1_signup" -> 4L, "2_view" -> 3L, "3_click" -> 2L, "4_purchase" -> 1L))
+  }
+
+  test("funnel tie on us is broken by event_id, not lost") {
+    // view shares the signup's timestamp but has a larger event_id ->
+    // strictly after in the walk's total order, so it counts.
+    val d0 = 1700000000000000L
+    val rows = Seq(
+      (1L, d0, 1L, "signup", 0.0),
+      (1L, d0, 2L, "view", 0.0))
+    val got = Behavior.funnelOf(evFrame(rows)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("2_view") === 1L)
+  }
+
+  test("funnel stage counts are monotone non-increasing at sf0.001") {
+    val r = Behavior.qFunnel(spark, sfDir).orderBy("step").collect()
+      .map(_.getLong(1))
+    assert(r.length === 4)
+    assert(r.zip(r.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("attribution: purchase accounting is total and 'direct' is first-touch") {
+    val d0 = 1700000000000000L
+    val rows = Seq(
+      // u1: purchase right after a click -> credited to click
+      (1L, d0, 10L, "click", 0.0),
+      (1L, d0 + 1, 11L, "purchase", 10.0),
+      // u2: purchase with NO prior event -> direct
+      (2L, d0, 20L, "purchase", 7.0),
+      // u2: second purchase after a view -> view (purchases never credit
+      // purchases)
+      (2L, d0 + 1, 21L, "view", 0.0),
+      (2L, d0 + 2, 22L, "purchase", 3.0),
+      // u3: purchase preceded only by another purchase -> still direct
+      (3L, d0, 30L, "purchase", 1.0),
+      (3L, d0 + 1, 31L, "purchase", 2.0))
+    val got = Behavior.attributionOf(evFrame(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet === Set(
+      ("click", 1L, 10.0), ("direct", 3L, 10.0), ("view", 1L, 3.0)))
+  }
+
+  test("attribution totals reconcile with raw purchase events at sf0.001") {
+    val attr = Behavior.qAttribution(spark, sfDir)
+    val totalPurchases = attr.agg(sum("purchases")).collect()(0).getLong(0)
+    val raw = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(totalPurchases === raw)
+  }
+
+  test("retention: offset-0 row per cohort counts the cohort's users") {
+    val ret = Behavior.qRetention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohorts = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .groupBy("user_id").agg(min("wk").as("c"))
+      .groupBy("c").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val zero = ret.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    assert(zero === cohorts)
+    // retained users at any offset never exceed the cohort size
+    ret.foreach { case (c, _, u) => assert(u <= cohorts(c)) }
+  }
+}
