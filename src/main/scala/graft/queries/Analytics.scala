@@ -795,7 +795,61 @@ object Analytics {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Catalyst's native runtime-filter injection (InjectRuntimeFilter):
+    * the selective dim-side predicate is turned into a Bloom filter
+    * subquery that Spark pushes into the FACT side's scan before the
+    * shuffle join — the fact table is reduced to ~matching rows BEFORE
+    * it is shuffled, the same semi-join-reduction economics the manual
+    * d_bloom / p_bloom_index paths build by hand, here produced by the
+    * optimizer itself. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the ~1% that joins.
+    *
+    * The thresholds that gate injection assume cluster-sized inputs
+    * (application side ≥ 10 GB), so the fn sets session confs for the
+    * duration of ITS OWN optimization only: the plan is optimized and
+    * executed eagerly inside the conf window (a `require` proves the
+    * bloom was injected — a silent de-optimization fails loudly), the
+    * bounded result is returned as a literal frame, and every conf is
+    * restored in a finally. Broadcast is disabled inside the window
+    * because a broadcast join already ships the dim to the fact and
+    * needs no runtime filter.
+    */
+  def qRuntimeFilter(s: SparkSession, d: String): DataFrame = {
+    val wanted = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = wanted.map { case (k, _) => k -> s.conf.getOption(k) }
+    wanted.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+      val out = Tables.lineitem(s, d)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+      require(out.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "runtime bloom filter was not injected into the fact scan")
+      val rows = out.collect()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val qRuntimeFilterSql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_runtime_filter", qRuntimeFilter, Some(qRuntimeFilterSql)),
     QueryDef("q1_agg", q1Agg, Some(q1AggSql)),
     QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
     QueryDef("q_full_outer", qFullOuter, Some(qFullOuterSql)),

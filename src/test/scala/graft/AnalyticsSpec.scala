@@ -52,6 +52,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_runtime_filter: injection self-check holds and confs are restored") {
+    val before = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    val viaFilter = Analytics.qRuntimeFilter(spark, sfDir).collect()
+    // session confs back exactly as they were (the conf window closed)
+    before.foreach { case (k, v) => assert(spark.conf.getOption(k) === v, k) }
+    // and the answer equals the plain declarative join
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(
+        "o_orderpriority = '1-URGENT' AND o_totalprice > 200000"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .count()
+    assert(viaFilter.map(_.getLong(1)).sum === plain)
+  }
+
   test("q1_agg groups are the 6 returnflag/linestatus combos with exact counts") {
     val rows = Analytics.q1Agg(spark, sfDir).collect()
     assert(rows.length === 6)
