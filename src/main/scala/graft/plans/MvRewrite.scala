@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -147,8 +147,43 @@ object MvRewrite {
       |FROM lineitem WHERE l_linestatus = 'F'
       |GROUP BY 1""".stripMargin
 
+  /** A1-MV-rollup: a ROLLUP over the fact table answered from the MV —
+    * the Expand's null-pattern machinery survives, but it now fans out
+    * the kB-sized summary instead of the fact table (the multi-set
+    * aggregation is mergeable partial algebra per grouping set). Plan
+    * self-checked like q_mv_rewrite.
+    */
+  def qMvRollup(s: SparkSession, d: String): DataFrame = {
+    val mvPath = ensureMv(s, d)
+    ensureRule(s, mvPath, LineitemMv)
+    val df = Tables.lineitem(s, d)
+      .rollup(col("l_returnflag").as("l_returnflag"),
+        col("l_linestatus").as("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+    val planStr = df.queryExecution.executedPlan.toString
+    require(planStr.contains("graft_mv_lineitem_"),
+      s"rollup plan does not read the materialized view:\n$planStr")
+    require(!planStr.contains("lineitem.parquet"),
+      s"rollup plan still scans the fact table:\n$planStr")
+    df
+  }
+
+  val qMvRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q_mv_rewrite", qMvRewrite, Some(qMvRewriteSql)))
+    QueryDef("q_mv_rewrite", qMvRewrite, Some(qMvRewriteSql)),
+    QueryDef("q_mv_rollup", qMvRollup, Some(qMvRollupSql)))
 }
 
 /** Declarative MV description — what the generic rewrite rule needs to
@@ -184,6 +219,8 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String, mv: MvDef)
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (MvRewrite.building.get()) plan
     else plan.transformUp {
+      case agg @ Aggregate(groups, aggExprs, exp: Expand, _) =>
+        rewriteExpand(groups, aggExprs, exp).getOrElse(agg)
       case agg @ Aggregate(groups, aggExprs, child, _) =>
         rewrite(groups, aggExprs, child).getOrElse(agg)
     }
@@ -216,19 +253,105 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String, mv: MvDef)
 
   /** The MV-merged replacement for one aggregate call, keeping the
     * original result type (partials re-aggregate: sum of sums, sum of
-    * counts).
+    * counts). `resolve` maps an MV column name to the attribute the
+    * rewritten aggregate should reference — the MV scan's own output
+    * in the plain path, the rebuilt Expand's pass-through attributes
+    * in the rollup path.
     */
-  private def mergedFor(ae: AggregateExpression): Option[Expression] =
+  private def mergedWith(ae: AggregateExpression,
+      resolve: String => AttributeReference): Option[Expression] =
     if (ae.isDistinct) None
     else ae.aggregateFunction match {
       case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
           if dt == DecimalType(18, 2) && mv.sums.contains(a.name) =>
-        Some(Cast(Sum(mvAttr(mv.sums(a.name))).toAggregateExpression(),
+        Some(Cast(Sum(resolve(mv.sums(a.name))).toAggregateExpression(),
           ae.dataType))
       case Count(Seq(l: Literal)) if l.value != null =>
-        Some(Cast(Sum(mvAttr(mv.countCol)).toAggregateExpression(), LongType))
+        Some(Cast(Sum(resolve(mv.countCol)).toAggregateExpression(), LongType))
       case _ => None
     }
+
+  private def mergedFor(ae: AggregateExpression): Option[Expression] =
+    mergedWith(ae, mvAttr)
+
+  /** ROLLUP / CUBE / GROUPING SETS subsumption: these compile to
+    * `Aggregate(.., Expand(projections, output, factChild))`, where the
+    * Expand's first |child.output| positions pass the fact columns
+    * through untouched and the remaining positions hold the per-set
+    * null-pattern key copies plus the grouping-id literal. The MULTI-SET
+    * aggregation is itself mergeable partial algebra — each grouping
+    * set's cells roll up from the MV grain independently — so the
+    * rewrite keeps the Expand's null-pattern region VERBATIM (same
+    * output attributes, so groups/grouping_id resolve unchanged),
+    * remaps its key references onto the MV scan, and swaps the
+    * pass-through region for the MV's partial columns (sum/count
+    * inputs). The fact table is never scanned; the Expand now fans out
+    * kB-sized MV rows.
+    */
+  private def rewriteExpand(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], exp: Expand): Option[LogicalPlan] = {
+    if (!new java.io.File(mvPath, "_SUCCESS").exists()) return None
+    val (conds, _) = peel(exp.child).getOrElse(return None)
+    if (!conds.forall(onlyKeyRefs)) return None
+    val out = exp.output
+    if (!exp.projections.forall(_.size == out.size)) return None
+    // classify each output position: a PASS-THROUGH forwards the same
+    // child attribute in every projection AND reuses it as the output
+    // attribute (the optimizer prunes these to the aggregate inputs); a
+    // KEPT position is the null-pattern region — key copies under fresh
+    // output attrs plus the grouping-id literals. Anything else bails.
+    val keptIdx = out.indices.filterNot { j =>
+      exp.projections.forall(_(j) == out(j)) &&
+        exp.child.outputSet.contains(out(j))
+    }
+    if (keptIdx.isEmpty) return None
+    val keptOk = keptIdx.forall { j =>
+      exp.projections.forall {
+        _(j) match {
+          case a: AttributeReference => mv.keys.contains(a.name)
+          case _: Literal => true
+          case _ => false
+        }
+      }
+    }
+    if (!keptOk) return None
+    // MV partial columns the rewritten aggregates need, as fresh
+    // pass-through attributes of the rebuilt Expand
+    val needed = scala.collection.mutable.LinkedHashMap[String, AttributeReference]()
+    def passAttr(mvCol: String): AttributeReference =
+      needed.getOrElseUpdate(mvCol, {
+        val src = mvAttr(mvCol)
+        AttributeReference(mvCol, src.dataType, nullable = true)()
+      })
+    var ok = true
+    val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference => a // grouping/gid column pass-through
+      case al: Alias =>
+        val rewritten = al.child.transformUp {
+          case ae: AggregateExpression =>
+            mergedWith(ae, passAttr) match {
+              case Some(m) => m
+              case None => ok = false; ae
+            }
+        }
+        Alias(rewritten, al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+    if (!ok) return None
+    val keptAttrs = keptIdx.map(out)
+    val allowed = AttributeSet(keptAttrs ++ needed.values)
+    if (groups.exists(!_.references.subsetOf(AttributeSet(keptAttrs))))
+      return None
+    if (newAggExprs.exists(!_.references.subsetOf(allowed))) return None
+    val mvChild = conds.reduceOption(And)
+      .map(c => Filter(remapToMv(c), mvPlan)).getOrElse(mvPlan)
+    val newProjections = exp.projections.map { p =>
+      keptIdx.map(j => remapToMv(p(j))) ++ needed.keys.map(mvAttr)
+    }
+    val newOutput = keptAttrs ++ needed.values.toSeq
+    Some(Aggregate(groups, newAggExprs,
+      Expand(newProjections, newOutput, mvChild), None))
+  }
 
   private def rewrite(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {

@@ -216,6 +216,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(avgRatio.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ===
       avgRaw.collect().map(r => (r.getString(0), r.getDouble(1))).toSet)
 
+    // ROLLUP subsumption: the Expand machinery re-roots onto the MV and
+    // the multi-set cells equal the un-rewritten twin's exactly
+    val roll = li.rollup(col("l_returnflag").as("l_returnflag"),
+        col("l_linestatus").as("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        sum(dec(col("l_quantity"))).cast("double").as("sq"), count(lit(1)).as("n"))
+    assert(readsMv(roll), "rollup over MV keys should read the MV")
+    val rollRaw = li.rollup(col("l_returnflag").as("l_returnflag"),
+        col("l_linestatus").as("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        sum(dec(col("l_quantity")) + lit(0).cast("decimal(18,2)"))
+          .cast("double").as("sq"), count(lit(1)).as("n"))
+    assert(!readsMv(rollRaw))
+    assert(
+      roll.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet ===
+      rollRaw.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet)
+
+    // CUBE rides the same Expand matcher with zero extra code
+    val cube = li.cube(col("l_returnflag").as("l_returnflag"),
+        col("l_linestatus").as("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    assert(readsMv(cube), "cube over MV keys should read the MV")
+
+    // a rollup including a NON-key column must keep the fact scan
+    val rollNonKey = li.rollup(col("l_returnflag").as("l_returnflag"),
+        col("l_shipdate").as("l_shipdate"))
+      .agg(count(lit(1)).as("n"))
+    assert(!readsMv(rollNonKey), "non-key rollup dimension breaks subsumption")
+
     // an aggregate the MV cannot answer keeps the fact-table scan
     val unanswerable = li.groupBy("l_returnflag")
       .agg(sum(dec(col("l_discount"))).as("sd"))
