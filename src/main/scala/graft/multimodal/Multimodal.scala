@@ -660,6 +660,46 @@ object Multimodal {
       }
     }
 
+  /** Candidate pairs for hamming ≤ 3 over the 64-bit aHash, WIDE bands
+    * + multiprobe (the d_simhash scale lesson applied to images): 2
+    * bands × 32 bits; by pigeonhole a qualifying pair has some band
+    * differing by ≤ 1 bit, and the probe side posts every single-bit
+    * variant of each band (2×33 rows/image), so recall at ≤ 3 stays
+    * EXACT while band buckets live in a 2³² space instead of the 2¹⁶
+    * one — the narrow 16-bit variant measured ~5% of ALL pairs
+    * colliding on a low-entropy (near-constant raster) corpus, which is
+    * the quadratic blow-up this trades 33× probe rows to avoid.
+    */
+  private[graft] def phashCandidates(hashes: DataFrame): DataFrame = {
+    val wide = hashes.select(col("doc_id"),
+      shiftleft(col("b0").cast("long"), 16).bitwiseOR(col("b1")).as("w0"),
+      shiftleft(col("b2").cast("long"), 16).bitwiseOR(col("b3")).as("w1"))
+    val exact = wide.select(col("doc_id"),
+      posexplode(array(col("w0"), col("w1"))).as(Seq("t", "bv")))
+    val probes = exact.select(col("doc_id"), col("t"), explode(array(
+      (col("bv") +: (0 until 32).map(i =>
+        col("bv").bitwiseXOR(lit(1L << i)))): _*)).as("pv"))
+    probes.as("x")
+      .join(exact.as("y"),
+        col("x.t") === col("y.t") && col("x.pv") === col("y.bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** The narrow 4×16-bit equality banding (kept for the economics spec:
+    * same recall contract at ≤ 3, quadratically worse candidate volume
+    * on low-entropy hash populations).
+    */
+  private[graft] def phashCandidatesNarrow(hashes: DataFrame): DataFrame = {
+    val bands = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("t", "bv")))
+    bands.as("x").join(bands.as("y"), Seq("t", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
   def mDedupPhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
@@ -673,12 +713,7 @@ object Multimodal {
       encoded(0, 0L, only7 = false).union(encoded(3, 1000000L, only7 = true))
         .mapPartitions(_.grouped(BatchSize).flatMap(g => phashBatch(g.toSeq)))
         .toDF())
-    val bands = hashes.select(col("doc_id"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("t", "bv")))
-    val cand = bands.as("x").join(bands.as("y"), Seq("t", "bv"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val cand = phashCandidates(hashes)
     cand
       .join(hashes.select(col("doc_id").as("id_a"), col("b0").as("a0"),
         col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("id_a"))

@@ -498,6 +498,41 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains((i, i + 1000000L, 0)), s"twin of $i missing") }
   }
 
+  test("phash multiprobe: exact recall at hamming<=3, linear candidates on low-entropy hashes") {
+    import spark.implicits._
+    // low-entropy population: band values drawn from a tiny space, so
+    // 16-bit band EQUALITY collides massively while 32-bit+multiprobe
+    // buckets stay near-singleton (the near-constant-raster corpus the
+    // r9 fixture lesson warned about)
+    val n = 300
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until n).map { i =>
+      def b() = (rnd.nextInt(12) * 5419) & 0xFFFF // ~12 distinct values/band
+      (i.toLong, b(), b(), b(), b())
+    }
+    val hashes = rows.toDF("doc_id", "b0", "b1", "b2", "b3")
+    val wide = Multimodal.phashCandidates(hashes).count()
+    val narrow = Multimodal.phashCandidatesNarrow(hashes).count()
+    // exact recall: multiprobe candidates must contain every qualifying pair
+    def ham(a: (Long, Int, Int, Int, Int), b: (Long, Int, Int, Int, Int)) =
+      Integer.bitCount(a._2 ^ b._2) + Integer.bitCount(a._3 ^ b._3) +
+        Integer.bitCount(a._4 ^ b._4) + Integer.bitCount(a._5 ^ b._5)
+    val qualifying = (for {
+      i <- rows.indices; j <- i + 1 until n
+      if ham(rows(i), rows(j)) <= 3
+    } yield (rows(i)._1, rows(j)._1)).toSet
+    val wideSet = Multimodal.phashCandidates(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(qualifying.subsetOf(wideSet),
+      s"multiprobe missed ${(qualifying -- wideSet).size} qualifying pairs")
+    // economics: narrow-band equality collapses to near-all-pairs here;
+    // the wide multiprobe stays an order of magnitude below it
+    assert(narrow > (n.toLong * (n - 1) / 2) / 4,
+      s"fixture drifted: narrow banding produced only $narrow candidates")
+    assert(wide * 10 <= narrow,
+      s"multiprobe candidates ($wide) not <= 10% of narrow banding ($narrow)")
+  }
+
   test("st_vector_index: streamed postings answer queries identically to the batch-built index") {
     val got = Streaming.stVectorIndex(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
