@@ -1195,18 +1195,44 @@ object Text {
     * per-partition state no Catalyst expression expresses.
     */
   private val HhInvThreshold = 500L
-  private val HhSketchCap = 1000
+
+  /** Certified MINIMUM sketch capacity for a count > N/invThreshold
+    * query: Misra-Gries at capacity C retains every key whose
+    * partition-local count exceeds n_p/(C+1), and the pigeonhole step
+    * needs that retention bound at or below n_p/invThreshold — i.e.
+    * C ≥ invThreshold. Capacity above the minimum is pure headroom: the
+    * verified OUTPUT never changes (exactness comes from pass 2's true
+    * counts), only candidate volume and decrement cadence do. The r8
+    * fixed cap of 1000 carried 2× wasted headroom at threshold 500;
+    * deriving C from the query's own threshold keeps the certificate
+    * while letting tighter or looser thresholds size their own state —
+    * HeavyHittersSpec pins the boundary from both sides (capacity =
+    * invThreshold still catches a planted hitter under an adversarial
+    * arrival order; capacity below it provably loses one).
+    */
+  private[graft] def hhCapacity(invThreshold: Long): Int = invThreshold.toInt
 
   def tHeavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, d)
       .select(explode(words(lower(col("text")))).as("word"))
-    val pass1 = graft.Stage.cached(toks.as[String].mapPartitions { it =>
+    heavyHittersOf(s, toks.as[String], HhInvThreshold)
+  }
+
+  /** The two-pass core over any token stream; `capacity` defaults to
+    * the certified minimum for `invThreshold` (see [[hhCapacity]]).
+    */
+  private[graft] def heavyHittersOf(s: SparkSession,
+      toks: org.apache.spark.sql.Dataset[String], invThreshold: Long,
+      capacityOverride: Int = 0): DataFrame = {
+    import s.implicits._
+    val cap = if (capacityOverride > 0) capacityOverride else hhCapacity(invThreshold)
+    val pass1 = graft.Stage.cached(toks.mapPartitions { it =>
       var n = 0L
       val cnt = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { w =>
         n += 1L
-        if (cnt.contains(w) || cnt.size < HhSketchCap) {
+        if (cnt.contains(w) || cnt.size < cap) {
           cnt.update(w, cnt.getOrElse(w, 0L) + 1L)
         } else {
           // Misra-Gries decrement-all: every counter down one, zeros out
@@ -1222,10 +1248,10 @@ object Text {
     val cands = pass1.filter(col("word").isNotNull).select("word").distinct()
     val total = pass1.filter(col("word").isNull)
       .agg(sum(col("n")).as("n_tokens"))
-    toks.join(broadcast(cands), Seq("word"))
+    toks.toDF("word").join(broadcast(cands), Seq("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
-      .filter(col("cnt") * HhInvThreshold > col("n_tokens"))
+      .filter(col("cnt") * invThreshold > col("n_tokens"))
       .select("word", "cnt", "n_tokens")
   }
 
