@@ -14,6 +14,7 @@ object SparkEntry {
       graft.operators.Text.all ++ graft.operators.Skew.all ++
       graft.sources.Formats.all ++ graft.pipeline.Bucketing.all ++
       graft.pipeline.Layout.all ++ graft.pipeline.BloomIndex.all ++
+      graft.pipeline.PartitionEvolution.all ++
       graft.plans.MvRewrite.all ++
       graft.multimodal.Multimodal.all ++
       graft.streaming.Streaming.all

@@ -1006,7 +1006,77 @@ object Ann {
        |  FROM rk)
        |WHERE rank <= $TopK""".stripMargin
 
+  /** D8: recall@k evaluation of every approximate method against the
+    * brute-force ground truth — the measurement loop an ANN deployment
+    * runs before trusting an index (and after every index rebuild).
+    * Integer arithmetic end to end (hit counts, possible = |brute|,
+    * recall_pct by integer division), so the evaluation itself is under
+    * the hash gate. Each method's result set is already independently
+    * hash-verified against its own oracle; this composes them (the
+    * oracle nests those CTEs verbatim) and reduces each to one
+    * accountable number. Scale: the join is per-(query, neighbor) over
+    * Q·k rows per method — negligible next to the searches themselves.
+    */
+  def sAnnEval(s: SparkSession, d: String): DataFrame = {
+    // cosine ground truth for the cosine-metric methods (ivf, lsh)...
+    val bruteCos = graft.Stage.cached(
+      sAnnBrute(s, d).select(col("query_id"), col("neighbor_id")))
+    // ...and an exact-L2 ground truth for PQ, which ranks by squared
+    // distance (same rounded-dist + id tie-break as its re-rank)
+    val wL2 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    val bruteL2 = graft.Stage.cached(corpus(s, d)
+      .crossJoin(broadcast(queries(s, d)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", round(
+        aggregate(zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("rank", row_number().over(wL2))
+      .filter(col("rank") <= PqTopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id")))
+    def scored(name: String, res: DataFrame, idCol: String,
+        truth: DataFrame): DataFrame =
+      res.select(lit(name).as("method"), col("query_id"),
+          col(idCol).as("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy("method").agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("possible"))))
+    scored("ivf", sAnnIvf(s, d), "neighbor_id", bruteCos)
+      .unionByName(scored("lsh", sAnnLsh(s, d), "neighbor_id", bruteCos))
+      .unionByName(scored("pq", sAnnPq(s, d), "vec_id", bruteL2))
+      .select(col("method"), col("hits"), col("possible"),
+        expr("hits * 100 div possible").as("recall_pct"))
+      .orderBy("method")
+  }
+
+  val sAnnEvalSql: String =
+    s"""WITH bc AS (SELECT query_id, neighbor_id FROM ($sAnnBruteSql)),
+       |bl AS (
+       |  WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |  q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries)
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT q.query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(${sqDist("c.v", "q.qv", Dim)}, 6), c.vec_id) AS rank
+       |    FROM c CROSS JOIN q WHERE c.vec_id != q.query_id) WHERE rank <= $PqTopK),
+       |hc AS (
+       |  SELECT method, CAST(count(*) AS BIGINT) AS hits FROM (
+       |    SELECT 'ivf' AS method, query_id, neighbor_id FROM ($sAnnIvfSql)
+       |    UNION ALL SELECT 'lsh', query_id, neighbor_id FROM ($sAnnLshSql)) m
+       |  JOIN bc USING (query_id, neighbor_id) GROUP BY 1),
+       |hp AS (
+       |  SELECT 'pq' AS method, CAST(count(*) AS BIGINT) AS hits
+       |  FROM (SELECT query_id, vec_id AS neighbor_id FROM ($sAnnPqSql)) m
+       |  JOIN bl USING (query_id, neighbor_id)),
+       |pc AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM bc),
+       |pl AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM bl)
+       |SELECT method, hits, possible, hits * 100 // possible AS recall_pct FROM (
+       |  SELECT method, hits, (SELECT possible FROM pc) AS possible FROM hc
+       |  UNION ALL
+       |  SELECT method, hits, (SELECT possible FROM pl) FROM hp)
+       |ORDER BY method""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("s_ann_eval", sAnnEval, Some(sAnnEvalSql)),
     QueryDef("s_hybrid", sHybrid, Some(sHybridSql)),
     QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),

@@ -36,7 +36,8 @@ object Behavior {
     * so the single-pass walk and the oracle's chained first-match CTEs
     * compute the same conversion set.
     */
-  private val GapUs = 3L * 86400000000L
+  private[graft] val GapUs = 3L * 86400000000L
+  private[graft] val Stages = Seq("signup", "view", "click", "purchase")
 
   private def events(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(col("user_id"), unix_micros(col("ts")).as("us"),
@@ -69,6 +70,15 @@ object Behavior {
            |      THEN named_struct('stage', acc.stage + 1, 'us', e.us, 'deadline', acc.deadline)
            |    ELSE acc END,
            |  acc -> acc.stage)""".stripMargin).as("reached"))
+    stageCounts(walked)
+  }
+
+  /** (user, reached stage) → the funnel table: users reaching stage ≥ k
+    * per step. Shared with the streaming twin (st_funnel), which derives
+    * `reached` from flatMapGroupsWithState state instead of the batch
+    * walk.
+    */
+  private[graft] def stageCounts(walked: DataFrame): DataFrame =
     walked.agg(
       count(when(col("reached") >= 1, 1)).as("u1"),
       count(when(col("reached") >= 2, 1)).as("u2"),
@@ -78,7 +88,6 @@ object Behavior {
         """stack(4, '1_signup', u1, '2_view', u2, '3_click', u3,
           |         '4_purchase', u4) AS (step, users)""".stripMargin)
       .orderBy("step")
-  }
 
   val qFunnelSql: String = {
     val g = GapUs

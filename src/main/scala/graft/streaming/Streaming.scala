@@ -233,6 +233,68 @@ object Streaming {
     runToMemory(sessionizeStreaming(s, d).toDF(),
       "st_sessionize_fmgs_mem", OutputMode.Append())
 
+  // ---- streaming funnel (flatMapGroupsWithState) ----
+
+  final case class EvT(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String)
+  final case class FunnelState(stage: Int, lastUs: Long, lastId: Long,
+      deadline: Long)
+  final case class FunnelHit(user_id: Long, reached: Int)
+
+  /** G2d: the CONTINUOUS form of q_funnel — per-user funnel stage as
+    * flatMapGroupsWithState state (stage, last match position, anchored
+    * deadline), O(1) per event, emitting a row whenever a user advances
+    * a stage. Cross-batch the state carries the walk exactly where it
+    * stopped: the (us, event_id) match position makes the walk
+    * batch-boundary-invariant on an in-order stream, and the 3-day
+    * anchored deadline is part of the state, so late batches cannot
+    * resurrect an expired funnel. One oracle, two build paths — the
+    * stage counts hash against q_funnel's chained first-match SQL
+    * verbatim (the st_vector_index pattern).
+    */
+  def funnelStreaming(s: SparkSession, d: String): Dataset[FunnelHit] = {
+    import s.implicits._
+    val stages = graft.queries.Behavior.Stages
+    val gap = graft.queries.Behavior.GapUs
+    eventsStream(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, events: Iterator[EvT], state: GroupState[FunnelState]) =>
+          val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            if (st.stage == 0 && e.event_type == stages.head) {
+              st = FunnelState(1, us, e.event_id, us + gap)
+              out += FunnelHit(user, 1)
+            } else if (st.stage > 0 && st.stage < stages.length
+                && us <= st.deadline
+                && e.event_type == stages(st.stage)
+                && (us > st.lastUs ||
+                  (us == st.lastUs && e.event_id > st.lastId))) {
+              st = FunnelState(st.stage + 1, us, e.event_id, st.deadline)
+              out += FunnelHit(user, st.stage)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** G2d as a registered query: drain the hit stream, take each user's
+    * furthest stage, emit the same stage-count table as q_funnel.
+    */
+  def stFunnel(s: SparkSession, d: String): DataFrame = {
+    val hits = runToMemory(funnelStreaming(s, d).toDF(),
+      "st_funnel_mem", OutputMode.Update())
+    graft.queries.Behavior.stageCounts(
+      hits.groupBy("user_id").agg(max("reached").as("reached")))
+  }
+
   /** G2c: NATIVE session windows — the same 30-minute-gap session
     * definition as st_sessionize, but expressed with Spark's built-in
     * `session_window` aggregation (dynamic-gap window merging inside
@@ -1580,6 +1642,7 @@ object Streaming {
     QueryDef("st_sink", stSink, Some(stSinkSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_sessionize_stream", stSessionizeStream, Some(stSessionizeSql)),
+    QueryDef("st_funnel", stFunnel, Some(graft.queries.Behavior.qFunnelSql)),
     QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),
     QueryDef("st_stream_join_outer", stStreamJoinOuter, Some(stStreamJoinOuterSql)),

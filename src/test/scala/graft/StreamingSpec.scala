@@ -533,6 +533,15 @@ class StreamingSpec extends SparkSpec {
       s"multiprobe candidates ($wide) not <= 10% of narrow banding ($narrow)")
   }
 
+  test("st_funnel: stateful stream walk equals the batch funnel exactly") {
+    val stream = Streaming.stFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.queries.Behavior.qFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stream === batch)
+    assert(stream.values.sum > 0)
+  }
+
   test("st_vector_index: streamed postings answer queries identically to the batch-built index") {
     val got = Streaming.stVectorIndex(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
