@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Stage, Tables}
+import QueryDef._
+
+/** Cost-based optimization exercised end to end: table/column statistics
+  * (ANALYZE TABLE) feeding Catalyst's CBO join REORDER. The query is
+  * written in a deliberately bad order — fact ⋈ fact first, the
+  * selective dimension last — and the star-schema detection + join
+  * reorder rules must rewrite it so the selective dimension reduces the
+  * orders side BEFORE the expensive fact join. At 100 TB writing joins
+  * in a "good" order by hand is exactly the kind of tribal knowledge an
+  * engine should make unnecessary; this query self-checks that the
+  * optimizer (not the author) picked the plan.
+  *
+  * Statistics live on catalog tables (the stats store is table
+  * metadata, not a parquet property), so the three inputs are published
+  * once as fingerprinted managed tables and ANALYZEd; CBO confs are
+  * scoped to this query's own optimization window, q_runtime_filter
+  * style.
+  */
+object Cbo {
+
+  /** Publish (once per source fingerprint) the three join inputs as
+    * catalog tables with computed statistics. Re-publishing after a
+    * testdata regeneration gets fresh names via the fingerprint.
+    */
+  private def ensureStatsTables(s: SparkSession, d: String): (String, String, String) = {
+    val fp = Stage.sourceFingerprint(d, "lineitem")
+    val names = ("graft_cbo_lineitem_" + fp, "graft_cbo_orders_" + fp,
+      "graft_cbo_customer_" + fp)
+    val (li, or, cu) = names
+    if (!s.catalog.tableExists(li)) {
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("ignore").saveAsTable(li)
+      Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .write.mode("ignore").saveAsTable(or)
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .write.mode("ignore").saveAsTable(cu)
+      Seq(li, or, cu).foreach { t =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    }
+    names
+  }
+
+  /** A2-CBO: stats-driven join reorder, self-checked. Written order:
+    * lineitem ⋈ orders (fact ⋈ fact), THEN the ~1/5-selective customer
+    * dim. The reordered plan must join customer below the lineitem
+    * join; a `require` inspects the optimized join tree.
+    */
+  def qCboReorder(s: SparkSession, d: String): DataFrame = {
+    val (li, or, cu) = ensureStatsTables(s, d)
+    val wanted = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = wanted.map { case (k, _) => k -> s.conf.getOption(k) }
+    wanted.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val out = s.table(li)
+        .join(s.table(or), col("l_orderkey") === col("o_orderkey"))
+        .join(s.table(cu).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+      // the optimized tree must NOT keep the written li⋈or innermost:
+      // the selective customer dim has to sit under the lineitem join
+      val joins = out.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      require(joins.size >= 2, "expected a 2-join tree")
+      val innermost = joins.last
+      val innerTables = innermost.collectLeaves().flatMap {
+        case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+          Some(r.tableMeta.identifier.table)
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.catalogTable.map(_.identifier.table)
+        case _ => None
+      }.toSet
+      require(innerTables.contains(cu),
+        s"CBO did not push the selective dim down: innermost joins $innerTables")
+      require(!innerTables.contains(li),
+        s"fact table still in the innermost join: $innerTables")
+      val rows = out.collect()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val qCboReorderSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_cbo_reorder", qCboReorder, Some(qCboReorderSql)))
+}

@@ -69,6 +69,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(viaFilter.map(_.getLong(1)).sum === plain)
   }
 
+  test("q_cbo_reorder: reordered result equals the declarative join, confs restored") {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    val viaCbo = graft.queries.Cbo.qCboReorder(spark, sfDir).collect()
+    keys.zip(before.map(_._2)).foreach { case (k, v) =>
+      assert(spark.conf.getOption(k) === v, k) }
+    import org.apache.spark.sql.functions._
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).filter("c_mktsegment = 'BUILDING'"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(viaCbo.head.getLong(0) === plain)
+  }
+
   test("q1_agg groups are the 6 returnflag/linestatus combos with exact counts") {
     val rows = Analytics.q1Agg(spark, sfDir).collect()
     assert(rows.length === 6)
