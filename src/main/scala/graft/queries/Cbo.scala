@@ -34,6 +34,14 @@ object Cbo {
       "graft_cbo_customer_" + fp)
     val (li, or, cu) = names
     if (!s.catalog.tableExists(li)) {
+      // the default catalog is session-scoped but the warehouse DIR
+      // persists across JVMs: a fresh session sees no table yet a
+      // stale location (orphaned metadata-less bytes, fingerprint-
+      // addressed and thus safe to rebuild) — clear it first
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq(li, or, cu).foreach { t =>
+        Stage.deleteRecursively(new java.io.File(wh, t))
+      }
       Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
         .write.mode("ignore").saveAsTable(li)
       Tables.orders(s, d).select("o_orderkey", "o_custkey")
