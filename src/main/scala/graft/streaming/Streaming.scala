@@ -252,10 +252,34 @@ object Streaming {
     * stage counts hash against q_funnel's chained first-match SQL
     * verbatim (the st_vector_index pattern).
     */
-  def funnelStreaming(s: SparkSession, d: String): Dataset[FunnelHit] = {
-    import s.implicits._
+  /** One state transition of the funnel machine over a sorted slice of
+    * a user's events: (state, batch) → (state', stage advances). Pure —
+    * the spec proves batch-boundary invariance by folding arbitrary
+    * re-chunkings through it.
+    */
+  private[graft] def funnelStep(st0: FunnelState,
+      sorted: Seq[(Long, Long, String)]): (FunnelState, Seq[Int]) = {
     val stages = graft.queries.Behavior.Stages
     val gap = graft.queries.Behavior.GapUs
+    var st = st0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    sorted.foreach { case (us, id, tpe) =>
+      if (st.stage == 0 && tpe == stages.head) {
+        st = FunnelState(1, us, id, us + gap)
+        out += 1
+      } else if (st.stage > 0 && st.stage < stages.length
+          && us <= st.deadline
+          && tpe == stages(st.stage)
+          && (us > st.lastUs || (us == st.lastUs && id > st.lastId))) {
+        st = FunnelState(st.stage + 1, us, id, st.deadline)
+        out += st.stage
+      }
+    }
+    (st, out.toSeq)
+  }
+
+  def funnelStreaming(s: SparkSession, d: String): Dataset[FunnelHit] = {
+    import s.implicits._
     eventsStream(s, d)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .as[EvT]
@@ -263,25 +287,13 @@ object Streaming {
       .flatMapGroupsWithState[FunnelState, FunnelHit](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (user: Long, events: Iterator[EvT], state: GroupState[FunnelState]) =>
-          val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
-          sorted.foreach { e =>
-            val us = micros(e.ts)
-            if (st.stage == 0 && e.event_type == stages.head) {
-              st = FunnelState(1, us, e.event_id, us + gap)
-              out += FunnelHit(user, 1)
-            } else if (st.stage > 0 && st.stage < stages.length
-                && us <= st.deadline
-                && e.event_type == stages(st.stage)
-                && (us > st.lastUs ||
-                  (us == st.lastUs && e.event_id > st.lastId))) {
-              st = FunnelState(st.stage + 1, us, e.event_id, st.deadline)
-              out += FunnelHit(user, st.stage)
-            }
-          }
+          val sorted = events.toSeq
+            .map(e => (micros(e.ts), e.event_id, e.event_type))
+            .sortBy(e => (e._1, e._2))
+          val st0 = state.getOption.getOrElse(FunnelState(0, -1L, -1L, 0L))
+          val (st, advances) = funnelStep(st0, sorted)
           state.update(st)
-          out.iterator
+          advances.iterator.map(FunnelHit(user, _))
       }
   }
 

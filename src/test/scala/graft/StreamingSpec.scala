@@ -533,6 +533,34 @@ class StreamingSpec extends SparkSpec {
       s"multiprobe candidates ($wide) not <= 10% of narrow banding ($narrow)")
   }
 
+  test("funnel state machine is batch-boundary-invariant on in-order chunkings") {
+    val d0 = 1700000000000000L
+    val day = 86400000000L
+    // an eventful user: dup stages, an expired-window candidate, ties
+    val evs = Seq(
+      (d0, 1L, "view"), (d0 + 1, 2L, "signup"), (d0 + 1, 3L, "view"),
+      (d0 + 2, 4L, "signup"), (d0 + day, 5L, "click"),
+      (d0 + 2 * day, 6L, "view"), (d0 + 2 * day + 1, 7L, "click"),
+      (d0 + 3 * day, 8L, "purchase"), (d0 + 3 * day + 2, 9L, "purchase"))
+    val init = graft.streaming.Streaming.FunnelState(0, -1L, -1L, 0L)
+    val (oneShotState, oneShotHits) =
+      graft.streaming.Streaming.funnelStep(init, evs)
+    // every contiguous chunking folds to the same state and hit stream
+    Seq(Seq(1, 8), Seq(3, 3, 3), Seq(2, 2, 2, 2, 1), evs.indices.map(_ => 1)).foreach { sizes =>
+      var rest = evs
+      var st = init
+      var hits = Seq.empty[Int]
+      sizes.foreach { n =>
+        val (chunk, tail) = rest.splitAt(n)
+        val (st2, h) = graft.streaming.Streaming.funnelStep(st, chunk)
+        st = st2; hits = hits ++ h; rest = tail
+      }
+      val (stFin, hFin) = graft.streaming.Streaming.funnelStep(st, rest)
+      assert(stFin === oneShotState, s"state diverged for chunking $sizes")
+      assert((hits ++ hFin) === oneShotHits, s"hits diverged for chunking $sizes")
+    }
+  }
+
   test("st_funnel: stateful stream walk equals the batch funnel exactly") {
     val stream = Streaming.stFunnel(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
