@@ -178,6 +178,41 @@ class PlanShapeSpec extends SparkSpec {
       s"s_hybrid must broadcast the query batch:\n${executed(hy)}")
   }
 
+  test("behavioral/layout operators keep their scale-critical plan shapes") {
+    // q_funnel: ONE shuffle on user_id (the sorted-walk groupBy) plus
+    // the single-row final agg — never a per-stage join cascade
+    val fun = graft.queries.Behavior.qFunnel(spark, sfDir)
+    assert(countShuffles(fun) <= 2,
+      s"q_funnel should shuffle events once:\n${executed(fun)}")
+    // q_retention: per-user compression shuffle + tiny cohort agg +
+    // the range exchange for the output sort of the few-hundred-cell
+    // matrix (events themselves shuffle exactly once)
+    val ret = graft.queries.Behavior.qRetention(spark, sfDir)
+    assert(countShuffles(ret) <= 3,
+      s"q_retention should shuffle events once:\n${executed(ret)}")
+    // q_attribution: one window shuffle+sort, then the channel agg —
+    // crucially no self-join of events against events
+    val attr = graft.queries.Behavior.qAttribution(spark, sfDir)
+    assert(countShuffles(attr) <= 3,
+      s"q_attribution is one window pass:\n${executed(attr)}")
+    assert(executed(attr).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.isEmpty, s"q_attribution must not join:\n${executed(attr)}")
+    // p_bloom_index: the point lookup reads only admitted files — the
+    // scan's file count is a fraction of the 64-file layout
+    val (_, manifest) = graft.pipeline.BloomIndex.ensureIndex(spark, sfDir)
+    val keys = graft.pipeline.BloomIndex.probeKeys(spark, sfDir)
+    val lookup = graft.pipeline.BloomIndex.pBloomIndex(spark, sfDir)
+    val scanned = executed(lookup).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }
+    assert(scanned.nonEmpty && scanned.min <= keys.size + 2,
+      s"p_bloom_index scan reads ${scanned.mkString(",")} files " +
+        s"of ${manifest.count()} — no skipping")
+  }
+
   test("MV rewrite: fires only when the view subsumes the query, never degrades correctness") {
     import org.apache.spark.sql.functions._
     import graft.queries.QueryDef.dec
