@@ -585,6 +585,63 @@ object Multimodal {
        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM documents)""".stripMargin
 
+  /** F10: deterministic training-order shuffle — the WebDataset loader
+    * discipline: an SGD epoch needs a pseudo-random sample order that
+    * is REPRODUCIBLE (resume mid-epoch, re-run a job, audit a batch)
+    * and cheap at 100 TB. Order = md5-keyed shard permutation × md5-
+    * keyed within-shard permutation, seeded by the epoch number; the
+    * global position is ARITHMETIC (per-shard base offsets from a
+    * bounded 8-row manifest, broadcast) — there is NO global sort
+    * anywhere, the only per-row work is one md5 and one within-shard
+    * window, so the plan is one shuffle per epoch regardless of corpus
+    * size. Two epochs are emitted to pin that the seed actually
+    * permutes differently.
+    */
+  def mShardShuffle(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"))
+      .withColumn("epoch", explode(array(lit(0), lit(1))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy("skey", "doc_id")
+    val keyed = docs
+      .withColumn("skey", md5(concat_ws(":", col("epoch"), col("doc_id"))))
+      .withColumn("in_rank", row_number().over(wIn))
+    val sizes = keyed.groupBy("epoch", "shard").agg(count(lit(1)).as("n"))
+      .withColumn("shard_key", md5(concat_ws(":", col("epoch"), col("shard"))))
+    val wSh = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch").orderBy("shard_key", "shard")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bases = sizes
+      .withColumn("base", coalesce(sum("n").over(wSh), lit(0L)))
+      .select("epoch", "shard", "base")
+    keyed.join(broadcast(bases), Seq("epoch", "shard"))
+      .select(col("epoch"), (col("base") + col("in_rank") - 1).as("pos"),
+        col("shard"), col("doc_id"))
+  }
+
+  val mShardShuffleSql: String =
+    """WITH e AS (
+      |  SELECT doc_id, doc_id % 8 AS shard, epoch
+      |  FROM documents, (SELECT unnest([0, 1]) AS epoch)),
+      |k AS (
+      |  SELECT *, md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM e),
+      |r AS (
+      |  SELECT epoch, shard, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY skey, doc_id) AS in_rank
+      |  FROM k),
+      |sz AS (
+      |  SELECT epoch, shard, COUNT(*) AS n,
+      |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(shard AS VARCHAR)) AS shard_key
+      |  FROM e GROUP BY 1, 2),
+      |b AS (
+      |  SELECT epoch, shard,
+      |    COALESCE(SUM(n) OVER (PARTITION BY epoch ORDER BY shard_key, shard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      |  FROM sz)
+      |SELECT r.epoch, CAST(b.base + r.in_rank - 1 AS BIGINT) AS pos, r.shard, r.doc_id
+      |FROM r JOIN b USING (epoch, shard)""".stripMargin
+
   // ---- F8: perceptual-hash image dedup ----
   //
   // The image-dedup primitive a multimodal pipeline runs at scale:
@@ -827,6 +884,7 @@ object Multimodal {
     QueryDef("m_dedup_phash", mDedupPhash, Some(mDedupPhashSql)),
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),
     QueryDef("m_shard_pack", mShardPack, Some(mShardPackSql)),
+    QueryDef("m_shard_shuffle", mShardShuffle, Some(mShardShuffleSql)),
     QueryDef("m_decode_features", mDecodeFeatures, Some(mDecodeFeaturesSql)),
     QueryDef("m_frame_sample", mFrameSample, Some(mFrameSampleSql)),
     QueryDef("m_resize", mResize, Some(mResizeSql)),

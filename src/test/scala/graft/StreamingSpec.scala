@@ -533,6 +533,28 @@ class StreamingSpec extends SparkSpec {
       s"multiprobe candidates ($wide) not <= 10% of narrow banding ($narrow)")
   }
 
+  test("m_shard_shuffle: per-epoch permutation, epochs differ, deterministic") {
+    val rows = Multimodal.mShardShuffle(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = Tables.documents(spark, sfDir).count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0, 1))
+    byEpoch.foreach { case (e, rs) =>
+      // positions are exactly 0..N-1 (a permutation)
+      assert(rs.map(_._2).sorted.toSeq === (0L until n), s"epoch $e positions")
+      // every doc appears exactly once
+      assert(rs.map(_._4).distinct.length === n.toInt, s"epoch $e docs")
+    }
+    // the epoch seed genuinely permutes: order differs between epochs
+    val order0 = byEpoch(0).sortBy(_._2).map(_._4).toSeq
+    val order1 = byEpoch(1).sortBy(_._2).map(_._4).toSeq
+    assert(order0 !== order1, "epoch orders identical — seed not applied")
+    // and a re-run reproduces the same order bit-for-bit
+    val again = Multimodal.mShardShuffle(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq === rows.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("funnel state machine is batch-boundary-invariant on in-order chunkings") {
     val d0 = 1700000000000000L
     val day = 86400000000L
