@@ -815,6 +815,49 @@ object Streaming {
       |WHERE ws_us + 3600000000 <= (SELECT ms FROM wmc) * 1000
       |GROUP BY ws_us""".stripMargin
 
+  /** G23: streaming OBSERVABILITY — the monitoring surface an operator
+    * watches in production, turned into a verifiable table: the query's
+    * own progress telemetry (batchId, numInputRows per microbatch) read
+    * from `StreamingQuery.recentProgress` after an AvailableNow drain
+    * of the 3-file backlog. The fixture's file slices are deterministic
+    * (even ids / ids ≡ 1 mod 4 / ids ≡ 3 mod 4, one file per trigger),
+    * so the oracle can restate the whole admission timeline in SQL —
+    * per-batch input volumes are CONTRACT, not best-effort logging.
+    * `recentProgress` is read synchronously off the query handle (the
+    * listener bus is async and can lose a race with awaitTermination).
+    */
+  def stObserve(s: SparkSession, d: String): DataFrame = {
+    val dir = lateFixtureDir(s, d)
+    val schema = s.read.parquet(dir).schema
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    val q =
+      try s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .groupBy().agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("st_observe_mem")
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    val rows = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => (p.batchId, p.numInputRows))
+      .sortBy(_._1)
+    import s.implicits._
+    rows.toDF("batch_id", "input_rows")
+  }
+
+  val stObserveSql: String =
+    """SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS batch_id, COUNT(*) AS input_rows
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL SELECT 1, COUNT(*) FROM events WHERE event_id % 4 = 1
+      |  UNION ALL SELECT 2, COUNT(*) FROM events WHERE event_id % 4 = 3)
+      |ORDER BY batch_id""".stripMargin
+
   /** State-table bucket count for the streaming upsert. A real 100 TB
     * deployment sizes this so one bucket ≈ one comfortable rewrite unit
     * (the reference's id_part layout is the same idea: 2-hex-char
@@ -1655,6 +1698,7 @@ object Streaming {
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_sessionize_stream", stSessionizeStream, Some(stSessionizeSql)),
     QueryDef("st_funnel", stFunnel, Some(graft.queries.Behavior.qFunnelSql)),
+    QueryDef("st_observe", stObserve, Some(stObserveSql)),
     QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),
     QueryDef("st_stream_join_outer", stStreamJoinOuter, Some(stStreamJoinOuterSql)),

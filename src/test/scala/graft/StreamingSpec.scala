@@ -533,6 +533,14 @@ class StreamingSpec extends SparkSpec {
       s"multiprobe candidates ($wide) not <= 10% of narrow banding ($narrow)")
   }
 
+  test("st_observe: telemetry covers the whole backlog, batch by batch") {
+    val obs = Streaming.stObserve(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(obs.keySet === Set(0L, 1L, 2L))
+    assert(obs.values.sum === Tables.events(spark, sfDir).count(),
+      "per-batch input rows must sum to the full backlog")
+  }
+
   test("m_shard_shuffle: per-epoch permutation, epochs differ, deterministic") {
     val rows = Multimodal.mShardShuffle(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
