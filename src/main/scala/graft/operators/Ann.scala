@@ -1035,10 +1035,13 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id")))
     def scored(name: String, res: DataFrame, idCol: String,
         truth: DataFrame): DataFrame =
+      // LEFT join + marker sum: a method with ZERO hits still reports
+      // its hits=0 row (an inner join + groupBy would silently drop it)
       res.select(lit(name).as("method"), col("query_id"),
           col(idCol).as("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"))
-        .groupBy("method").agg(count(lit(1)).as("hits"))
+        .join(truth.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"),
+          "left")
+        .groupBy("method").agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("possible"))))
     scored("ivf", sAnnIvf(s, d), "neighbor_id", bruteCos)
       .unionByName(scored("lsh", sAnnLsh(s, d), "neighbor_id", bruteCos))
@@ -1059,14 +1062,15 @@ object Ann {
        |        ORDER BY round(${sqDist("c.v", "q.qv", Dim)}, 6), c.vec_id) AS rank
        |    FROM c CROSS JOIN q WHERE c.vec_id != q.query_id) WHERE rank <= $PqTopK),
        |hc AS (
-       |  SELECT method, CAST(count(*) AS BIGINT) AS hits FROM (
+       |  SELECT method, CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits FROM (
        |    SELECT 'ivf' AS method, query_id, neighbor_id FROM ($sAnnIvfSql)
        |    UNION ALL SELECT 'lsh', query_id, neighbor_id FROM ($sAnnLshSql)) m
-       |  JOIN bc USING (query_id, neighbor_id) GROUP BY 1),
+       |  LEFT JOIN bc b ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+       |  GROUP BY 1),
        |hp AS (
-       |  SELECT 'pq' AS method, CAST(count(*) AS BIGINT) AS hits
+       |  SELECT 'pq' AS method, CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
        |  FROM (SELECT query_id, vec_id AS neighbor_id FROM ($sAnnPqSql)) m
-       |  JOIN bl USING (query_id, neighbor_id)),
+       |  LEFT JOIN bl b ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id),
        |pc AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM bc),
        |pl AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM bl)
        |SELECT method, hits, possible, hits * 100 // possible AS recall_pct FROM (

@@ -1198,19 +1198,20 @@ object Text {
 
   /** Certified MINIMUM sketch capacity for a count > N/invThreshold
     * query: Misra-Gries at capacity C retains every key whose
-    * partition-local count exceeds n_p/(C+1), and the pigeonhole step
-    * needs that retention bound at or below n_p/invThreshold — i.e.
-    * C ≥ invThreshold. Capacity above the minimum is pure headroom: the
-    * verified OUTPUT never changes (exactness comes from pass 2's true
-    * counts), only candidate volume and decrement cadence do. The r8
-    * fixed cap of 1000 carried 2× wasted headroom at threshold 500;
-    * deriving C from the query's own threshold keeps the certificate
-    * while letting tighter or looser thresholds size their own state —
-    * HeavyHittersSpec pins the boundary from both sides (capacity =
-    * invThreshold still catches a planted hitter under an adversarial
-    * arrival order; capacity below it provably loses one).
+    * partition-local count exceeds n_p/(C+1); the pigeonhole step
+    * needs that retention bound at or below n_p/invThreshold, i.e.
+    * C + 1 ≥ invThreshold, so C = invThreshold − 1 is the exact
+    * boundary. Capacity above it is pure headroom: the verified OUTPUT
+    * never changes (exactness comes from pass 2's true counts), only
+    * candidate volume and decrement cadence do. The r8 fixed cap of
+    * 1000 carried 2× wasted headroom at threshold 500; deriving C from
+    * the query's own threshold keeps the certificate while letting
+    * tighter or looser thresholds size their own state —
+    * HeavyHittersSpec pins the boundary EXACTLY (a hitter qualifying by
+    * one occurrence survives an adversarial arrival order at C =
+    * invThreshold − 1 and is provably lost at C = invThreshold − 2).
     */
-  private[graft] def hhCapacity(invThreshold: Long): Int = invThreshold.toInt
+  private[graft] def hhCapacity(invThreshold: Long): Int = invThreshold.toInt - 1
 
   def tHeavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

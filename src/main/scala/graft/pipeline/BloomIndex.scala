@@ -83,8 +83,13 @@ object BloomIndex {
           count(lit(1)).as("n"))
         .coalesce(1).write.parquet(s"$tmp/manifest")
       Stage.deleteRecursively(base)
-      if (!tmp.renameTo(base) && !new java.io.File(base, "_DONE").exists())
-        throw new IllegalStateException(s"cannot publish bloom index at $base")
+      if (!tmp.renameTo(base)) {
+        // a concurrent publisher won the race: keep theirs, and clean
+        // up this builder's fully-built staging tree rather than
+        // leaking it in tmpdir
+        if (new java.io.File(base, "_DONE").exists()) Stage.deleteRecursively(tmp)
+        else throw new IllegalStateException(s"cannot publish bloom index at $base")
+      }
       new java.io.File(base, "_DONE").createNewFile()
       Stage.refreshArtifact(s, base)
     }

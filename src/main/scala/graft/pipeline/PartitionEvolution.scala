@@ -51,6 +51,16 @@ object PartitionEvolution {
     */
   def ensureLayout(s: SparkSession, d: String): (String, Long) = {
     val base = baseDir(d)
+    // the cutoff is a pure function of the fingerprinted source; an
+    // already-published layout serves it from its _CUTOFF file rather
+    // than re-scanning events for min/max on every invocation
+    val cutoffFile = new java.io.File(base, "_CUTOFF")
+    if (new java.io.File(base, "_DONE").exists() && cutoffFile.exists())
+      return (base.getPath,
+        scala.io.Source.fromFile(cutoffFile, "UTF-8").mkString.trim.toLong)
+    // pre-_CUTOFF layouts (or a missing marker) rebuild cleanly
+    if (new java.io.File(base, "_DONE").exists() && !cutoffFile.exists())
+      Stage.deleteRecursively(base)
     val cd = cutoffDay(s, d)
     if (!new java.io.File(base, "_DONE").exists()) {
       val tmp = new java.io.File(base.getPath + ".build")
@@ -67,6 +77,8 @@ object PartitionEvolution {
       ev.filter(col("pdate") >= cd)
         .repartition(col("pdate"), col("phour"))
         .write.partitionBy("pdate", "phour").parquet(s"$tmp/gen2")
+      val w = new java.io.PrintWriter(new java.io.File(tmp, "_CUTOFF"), "UTF-8")
+      try w.print(cd.toString) finally w.close()
       Stage.deleteRecursively(base)
       if (!tmp.renameTo(base) && !new java.io.File(base, "_DONE").exists())
         throw new IllegalStateException(s"cannot publish layout at $base")

@@ -33,21 +33,25 @@ object Cbo {
     val names = ("graft_cbo_lineitem_" + fp, "graft_cbo_orders_" + fp,
       "graft_cbo_customer_" + fp)
     val (li, or, cu) = names
-    if (!s.catalog.tableExists(li)) {
+    // gate on ALL three: a partial earlier run (failed midway through
+    // the writes or the ANALYZE loop) must rebuild, not wedge every
+    // later call on the missing tail
+    if (!Seq(li, or, cu).forall(s.catalog.tableExists)) {
       // the default catalog is session-scoped but the warehouse DIR
       // persists across JVMs: a fresh session sees no table yet a
       // stale location (orphaned metadata-less bytes, fingerprint-
-      // addressed and thus safe to rebuild) — clear it first
+      // addressed and thus safe to rebuild) — drop and clear first
       val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
       Seq(li, or, cu).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
         Stage.deleteRecursively(new java.io.File(wh, t))
       }
       Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.mode("ignore").saveAsTable(li)
+        .write.saveAsTable(li)
       Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .write.mode("ignore").saveAsTable(or)
+        .write.saveAsTable(or)
       Tables.customer(s, d).select("c_custkey", "c_mktsegment")
-        .write.mode("ignore").saveAsTable(cu)
+        .write.saveAsTable(cu)
       Seq(li, or, cu).foreach { t =>
         s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
       }

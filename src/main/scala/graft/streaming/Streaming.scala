@@ -65,22 +65,33 @@ object Streaming {
   private def fixtureKey(d: String): String =
     graft.Stage.sourceFingerprint(d, "events")
 
-  private[graft] def runToMemory(streamed: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  private[graft] def runToMemory(streamed: DataFrame, name: String, mode: OutputMode): DataFrame =
+    drainToMemory(streamed, name, mode)._1
+
+  /** Drain an AvailableNow query into the memory sink and hand back the
+    * table AND the terminated query handle (for telemetry readers like
+    * st_observe — recentProgress is only reachable off the handle).
+    */
+  private[graft] def drainToMemory(streamed: DataFrame, name: String,
+      mode: OutputMode, options: Map[String, String] = Map.empty)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val spark = streamed.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     // scoped to planning: the streaming query captures the value at
     // start(); batch queries planned afterwards see the restored conf
     spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
-    try {
-      val q = streamed.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    val q =
+      try {
+        val q0 = streamed.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    (spark.table(name), q)
   }
 
   /** Tumbling-window transform shared by the stream and its batch twin. */
@@ -829,19 +840,12 @@ object Streaming {
   def stObserve(s: SparkSession, d: String): DataFrame = {
     val dir = lateFixtureDir(s, d)
     val schema = s.read.parquet(dir).schema
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
-    val q =
-      try s.readStream.schema(schema)
+    val (_, q) = drainToMemory(
+      s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dir)
-        .groupBy().agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName("st_observe_mem")
-        .outputMode(OutputMode.Complete())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
+        .groupBy().agg(count(lit(1)).as("n")),
+      "st_observe_mem", OutputMode.Complete())
     val rows = q.recentProgress.toSeq
       .filter(_.numInputRows > 0)
       .map(p => (p.batchId, p.numInputRows))

@@ -21,25 +21,29 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("the capacity certificate is tight: minimum holds, below it loses a hitter") {
+  test("the capacity certificate is exactly tight at C = invThreshold - 1") {
     import spark.implicits._
-    // adversarial single-partition order: the hitter's occurrences all
-    // arrive FIRST, then a long tail of distinct fillers whose
-    // decrement-all cycles erode the hitter's counter
-    val k = 101
-    val fillers = 49899
+    // boundary-exact fixture: the hitter qualifies by ONE occurrence
+    // (500·k = 250000 > N = 249900), arrives first, then a distinct
+    // filler tail long enough that every decrement-all cycle at the
+    // sub-certified capacity erodes the hitter to zero
+    val k = 500
+    val fillers = 249400
     val seq = Seq.fill(k)("hit") ++ (0 until fillers).map(i => s"f$i")
-    assert(k * 500L > seq.size.toLong) // a true hitter by the threshold
+    val n = seq.size.toLong
+    assert(k * 500L > n && k * 500L <= n + 500L) // qualifies, barely
     val toks = spark.createDataset(spark.sparkContext.parallelize(seq, 1))
 
-    // certified minimum capacity (= invThreshold): hitter survives
-    val atMin = Text.heavyHittersOf(spark, toks, 500L, capacityOverride = 500)
+    // certified minimum C = invThreshold - 1 = 499: retention bound
+    // n/(C+1) = 249900/500 = 499.8 < 500 — the hitter MUST survive any
+    // arrival order
+    val atMin = Text.heavyHittersOf(spark, toks, 500L, capacityOverride = 499)
       .collect().map(_.getString(0)).toSet
     assert(atMin === Set("hit"))
 
-    // sub-certified capacity: the SAME stream demonstrably loses it —
-    // the bound is tight, not conservative
-    val below = Text.heavyHittersOf(spark, toks, 500L, capacityOverride = 100)
+    // one below: n/(C+1) = 249900/499 ≈ 500.8 > 500 — the guarantee is
+    // gone and this adversarial order demonstrably loses the hitter
+    val below = Text.heavyHittersOf(spark, toks, 500L, capacityOverride = 498)
       .collect().map(_.getString(0)).toSet
     assert(!below.contains("hit"),
       "sub-certified capacity unexpectedly retained the hitter — " +
