@@ -118,11 +118,22 @@ object Ann {
 
   /** D2: random-hyperplane LSH ANN — the scale path. Candidates come
     * from a shuffle join on (table, bucket); a 100 TB corpus never meets
-    * the queries outside shared buckets.
+    * the queries outside shared buckets. The QUERY side multiprobes:
+    * each of its buckets is also probed at every single-bit variant
+    * (the d_simhash/phash trick pointed at ANN) — a near neighbor that
+    * disagrees with the query on ONE of a table's 6 sign bits is still
+    * found, for tables×(hyper+1) probe rows per query instead of a
+    * bigger candidate blow-up from coarser buckets. Probing is
+    * query-side only, so the corpus posting cost is unchanged; measured
+    * recall@10 on the 5k local corpus: 20% → exact probing lifts it to
+    * the s_ann_eval row (the honest number lives there).
     */
   def sAnnLsh(s: SparkSession, d: String): DataFrame = {
     val c = withBuckets(corpus(s, d), col("v"))
     val q = withBuckets(queries(s, d), col("qv"))
+      .select(col("query_id"), col("qv"), col("t"), explode(array(
+        (col("bucket") +: (0 until Hyper).map(i =>
+          col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
     val candidates = c.join(q, Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "qv", "vec_id", "v")
@@ -705,7 +716,11 @@ object Ann {
        |  FROM range(0, ${Tables_}) tt(t), range(0, $Hyper) hh(h), range(0, $Dim) ii(i)
        |  GROUP BY t, h),
        |${bucketCte("cb", "c", "vec_id", "v")},
-       |${bucketCte("qb", "q", "query_id", "qv")},
+       |${bucketCte("qb0", "q", "query_id", "qv")},
+       |qb AS (
+       |  SELECT query_id, t,
+       |    CAST(xor(bucket, CASE WHEN p = 0 THEN 0 ELSE (1 << (p - 1)) END) AS INT) AS bucket
+       |  FROM qb0, range(0, ${Hyper + 1}) pp(p)),
        |cand AS (
        |  SELECT DISTINCT qb.query_id, cb.vec_id
        |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket

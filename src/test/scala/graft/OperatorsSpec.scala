@@ -616,13 +616,12 @@ class OperatorsSpec extends SparkSpec {
       assert(hits <= possible, s"$m hits exceed possible")
       assert(pct === hits * 100 / possible, s"$m recall_pct arithmetic")
     }
-    // per-method floors: the quantizer paths re-rank exactly, so they
-    // stay high even on the tiny spec corpus; hyperplane LSH recall is
-    // genuinely low at 500 vectors (few shared buckets) — the evaluator
-    // REPORTING that honestly is the point of the operator
+    // per-method floors: the quantizer paths re-rank exactly; LSH sat
+    // at 20% before query-side 1-bit multiprobe lifted it to ~72% — the
+    // evaluator REPORTING the number is what motivated the fix
     assert(rows("ivf")._3 >= 50, s"ivf recall ${rows("ivf")._3}%")
     assert(rows("pq")._3 >= 50, s"pq recall ${rows("pq")._3}%")
-    assert(rows("lsh")._3 >= 5, s"lsh recall ${rows("lsh")._3}%")
+    assert(rows("lsh")._3 >= 50, s"lsh recall ${rows("lsh")._3}%")
   }
 
   test("s_ann_brute: ranks are 1..k per query, self excluded, cos descending") {
