@@ -515,6 +515,40 @@ object Ann {
         col("e.id").as("neighbor_id"), col("e.score").as("cos"))
   }
 
+  /** D9: one NN-Descent round over the kNN graph (Dong et al.'s
+    * neighbor-of-neighbor refinement — the standard way to climb a
+    * cheap approximate graph toward the exact one, and the build loop
+    * of graph-ANN indexes). Candidates for each vector = its current
+    * neighbors ∪ its neighbors' neighbors (≤ K + K² bounded rows per
+    * vector — NEVER an all-pairs pass); re-rank by exact cosine, keep
+    * top-K. The seed graph is s_knn_join's IVF-blocked output, so the
+    * refinement exactly reuses the shared quantizer artifact; the
+    * oracle nests s_knn_join's verified CTEs and replays the same
+    * candidate join. The spec measures the point of the operator:
+    * recall against the brute-force graph strictly improves on cells
+    * the IVF seed got wrong.
+    */
+  def sKnnRefine(s: SparkSession, d: String): DataFrame = {
+    val g = graft.Stage.cached(
+      sKnnJoin(s, d).select(col("vec_id"), col("neighbor_id")))
+    val c = corpus(s, d)
+    val cand = g.as("a").join(g.as("b"),
+        col("a.neighbor_id") === col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.neighbor_id").as("cand_id"))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .union(g.select(col("vec_id"), col("neighbor_id").as("cand_id")))
+      .distinct()
+    val scored = cand
+      .join(c.select(col("vec_id").as("cand_id"), col("v").as("cv")), Seq("cand_id"))
+      .join(c, Seq("vec_id"))
+      .withColumn("cos", round(vec_cosine(col("v"), col("cv")), 4))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank"), col("cand_id").as("neighbor_id"),
+        col("cos"))
+  }
+
   // ---- PQ (product quantization) ANN: compressed codes + ADC ----
 
   private val PqM = 8          // subspaces (64 dims → 8 per subspace)
@@ -774,6 +808,27 @@ object Ann {
        |    ROW_NUMBER() OVER (PARTITION BY pr.vec_id
        |      ORDER BY round(list_cosine_similarity(pr.v, ca.v), 4) DESC, ca.vec_id) AS rank
        |  FROM pr JOIN ca ON pr.cell = ca.cell WHERE pr.vec_id != ca.vec_id)
+       |WHERE rank <= $KnnK""".stripMargin
+
+  /** s_knn_refine oracle: nest the verified kNN-graph CTEs, replay the
+    * neighbor-of-neighbor candidate join, re-rank by rounded cosine.
+    */
+  val sKnnRefineSql: String =
+    s"""WITH g AS (SELECT vec_id, neighbor_id FROM ($sKnnJoinSql)),
+       |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT vec_id, cand_id FROM (
+       |    SELECT a.vec_id, b.neighbor_id AS cand_id
+       |    FROM g a JOIN g b ON a.neighbor_id = b.vec_id
+       |    WHERE a.vec_id != b.neighbor_id
+       |    UNION ALL SELECT vec_id, neighbor_id FROM g))
+       |SELECT vec_id, rank, cand_id AS neighbor_id, cos FROM (
+       |  SELECT cand.vec_id, cand.cand_id,
+       |    round(list_cosine_similarity(x.v, y.v), 4) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+       |      ORDER BY round(list_cosine_similarity(x.v, y.v), 4) DESC, cand.cand_id) AS rank
+       |  FROM cand JOIN cv x ON cand.vec_id = x.vec_id
+       |            JOIN cv y ON cand.cand_id = y.vec_id)
        |WHERE rank <= $KnnK""".stripMargin
 
   /** s_ann_pq oracle: per-subspace Lloyd (8 codebooks re-derived with
@@ -1103,6 +1158,7 @@ object Ann {
     QueryDef("s_ann_ivf", sAnnIvf, Some(sAnnIvfSql)),
     QueryDef("s_ann_pq", sAnnPq, Some(sAnnPqSql)),
     QueryDef("s_knn_join", sKnnJoin, Some(sKnnJoinSql)),
+    QueryDef("s_knn_refine", sKnnRefine, Some(sKnnRefineSql)),
     QueryDef("s_knn_classify", sKnnClassify, Some(sKnnClassifySql)),
   )
 }

@@ -624,6 +624,36 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("lsh")._3 >= 50, s"lsh recall ${rows("lsh")._3}%")
   }
 
+  test("s_knn_refine: NN-descent round improves graph recall over the IVF seed") {
+    // brute-force exact kNN graph at the tiny spec sf
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val exact = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (j, w) => (j, math.rint(cos(v, w) * 10000) / 10000) }
+        .sortBy { case (j, c) => (-c, j) }.take(5).map(_._1).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val hits = got.map { case (id, ns) => (ns & exact(id)).size }.sum
+      hits.toDouble / (exact.size * 5)
+    }
+    val seed = recallOf(Ann.sKnnJoin(spark, sfDir))
+    val refined = recallOf(Ann.sKnnRefine(spark, sfDir))
+    info(f"kNN graph recall: seed $seed%.3f -> refined $refined%.3f")
+    assert(refined >= seed, "refinement must never lose recall")
+    assert(refined > seed + 0.02,
+      f"NN-descent gained only ${refined - seed}%.3f — the round is a no-op")
+    assert(refined >= 0.5, f"refined recall $refined%.3f collapsed")
+  }
+
   test("s_ann_brute: ranks are 1..k per query, self excluded, cos descending") {
     val rows = Ann.sAnnBrute(spark, sfDir)
       .orderBy("query_id", "rank").collect()
