@@ -558,7 +558,68 @@ object Layout {
        |  AND epoch_us(ts) BETWEEN lo AND hi
        |GROUP BY event_type""".stripMargin
 
+  /** B26: SHALLOW CLONE of the z-layout — Delta's zero-copy table
+    * clone on plain files: every data and manifest parquet is
+    * HARD-LINKED into the clone (the bytes exist once; the clone is a
+    * new name graph over the same inodes), markers copied. Safe by the
+    * same argument as vacuum/compaction carry-over: links only add
+    * references, and a later rewrite of either side lands NEW files
+    * (the layouts are append/swap-only), so clone and source can
+    * diverge without ever copying the shared history. The gate query
+    * answers the q_zorder_prune aggregate FROM THE CLONE and must
+    * hash-match the same full-scan oracle; the spec asserts the
+    * zero-copy (every cloned file shares its source's file key) and
+    * divergence safety (deleting the clone leaves the source serving
+    * identical answers).
+    */
+  def ensureClone(s: SparkSession, d: String): String = {
+    val (dataPath, _) = ensureZorderLayout(s, d)
+    val src = new java.io.File(dataPath).getParentFile
+    val clone = new java.io.File(src.getPath + "_clone")
+    if (!new java.io.File(clone, "_CLONED").exists()) {
+      val tmp = new java.io.File(clone.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      def linkTree(from: java.io.File, to: java.io.File): Unit = {
+        to.mkdirs()
+        Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
+          if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))
+          else if (f.getName.endsWith(".parquet"))
+            java.nio.file.Files.createLink(
+              to.toPath.resolve(f.getName), f.toPath)
+          else java.nio.file.Files.copy(f.toPath, to.toPath.resolve(f.getName))
+        }
+      }
+      linkTree(new java.io.File(src, "data"), new java.io.File(tmp, "data"))
+      linkTree(new java.io.File(src, "manifest"), new java.io.File(tmp, "manifest"))
+      Seq("_BOUNDS", "_SOURCES").foreach { n =>
+        val f = new java.io.File(src, n)
+        if (f.exists())
+          java.nio.file.Files.copy(f.toPath, new java.io.File(tmp, n).toPath)
+      }
+      graft.Stage.deleteRecursively(clone)
+      if (!tmp.renameTo(clone)) {
+        if (new java.io.File(clone, "_CLONED").exists())
+          graft.Stage.deleteRecursively(tmp)
+        else throw new IllegalStateException(s"cannot publish clone at $clone")
+      }
+      new java.io.File(clone, "_CLONED").createNewFile()
+      graft.Stage.refreshArtifact(s, clone)
+    }
+    clone.getPath
+  }
+
+  def pClone(s: SparkSession, d: String): DataFrame = {
+    val clone = ensureClone(s, d)
+    val (uLo, uHi, tsLo, tsHi) = predicateBounds(s, d)
+    s.read.parquet(s"$clone/data")
+      .filter(col("user_id").between(uLo, uHi)
+        && col("us").between(tsLo, tsHi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("p_zorder", pZorder, Some(pZorderSql)),
-    QueryDef("q_zorder_prune", qZorderPrune, Some(qZorderPruneSql)))
+    QueryDef("q_zorder_prune", qZorderPrune, Some(qZorderPruneSql)),
+    QueryDef("p_clone", pClone, Some(qZorderPruneSql)))
 }
