@@ -474,7 +474,7 @@ object PipelineQueries {
     * event residue slices the backlog files contain (batch 0 = even
     * event ids — the lateFixtureDir contract).
     */
-  def pTimeTravel(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ensureTimeTravelState(s: SparkSession, d: String): String = {
     import graft.streaming.Streaming
     val fixture = Streaming.lateFixtureDir(s, d)
     val base = s"/tmp/graft_time_travel_${graft.Stage.sourceFingerprint(d, "events")}"
@@ -488,6 +488,11 @@ object PipelineQueries {
       }
       graft.Stage.refreshArtifact(s, new java.io.File(base))
     }
+    base
+  }
+
+  def pTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = ensureTimeTravelState(s, d)
     def version(g: Int) = s.read.parquet(s"$base/gen$g")
       .select(col("user_id"), col("event_id"), col("us"))
     val v1 = version(1).select(col("user_id"),
@@ -523,6 +528,55 @@ object PipelineQueries {
       |       ELSE 'update' END AS change,
       |  event_id_v1, event_id_v3, us_v3
       |FROM v1 FULL OUTER JOIN v3 ON v1.user_id = v3.user_id""".stripMargin
+
+  /** B27: RESTORE — version rollback with Delta's semantics: restoring
+    * to version 1 does NOT rewrite history, it publishes a NEW
+    * generation whose content is version 1 (hard-linked — zero data
+    * bytes move; the restore commit is a name graph over the old
+    * inodes). gen3 stays intact underneath, so the restore is itself
+    * time-travelable and vacuumable like any other generation. The
+    * gate query reads the restored generation's latest-per-user state,
+    * which must equal the version-1 oracle (latest among even
+    * event_ids — batch 0's slice); the spec pins the zero-copy (shared
+    * file keys with gen1) and history preservation (gen3 untouched).
+    */
+  def pRestore(s: SparkSession, d: String): DataFrame = {
+    val base = ensureTimeTravelState(s, d)
+    val restored = new java.io.File(s"$base/gen4")
+    if (!new java.io.File(restored, "_RESTORED").exists()) {
+      val tmp = new java.io.File(restored.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      def linkTree(from: java.io.File, to: java.io.File): Unit = {
+        to.mkdirs()
+        Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
+          if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))
+          else if (f.getName.endsWith(".parquet"))
+            java.nio.file.Files.createLink(to.toPath.resolve(f.getName), f.toPath)
+          else java.nio.file.Files.copy(f.toPath, to.toPath.resolve(f.getName))
+        }
+      }
+      linkTree(new java.io.File(s"$base/gen1"), tmp)
+      graft.Stage.deleteRecursively(restored)
+      if (!tmp.renameTo(restored)) {
+        if (new java.io.File(restored, "_RESTORED").exists())
+          graft.Stage.deleteRecursively(tmp)
+        else throw new IllegalStateException(s"cannot publish restore at $restored")
+      }
+      new java.io.File(restored, "_RESTORED").createNewFile()
+      graft.Stage.refreshArtifact(s, restored)
+    }
+    s.read.parquet(restored.getPath)
+      .select(col("user_id"), col("event_id"), col("us"))
+      .orderBy("user_id")
+  }
+
+  val pRestoreSql: String =
+    """SELECT user_id, event_id, us FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_id % 2 = 0)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   /** B21: generation vacuum — the retention step that keeps the
     * generational state layouts (st_upsert / st_scd2 / p_time_travel)
@@ -618,6 +672,7 @@ object PipelineQueries {
     QueryDef("p_table_diff", pTableDiff, Some(pTableDiffSql)),
     QueryDef("p_vacuum", pVacuum, Some(pVacuumSql)),
     QueryDef("p_time_travel", pTimeTravel, Some(pTimeTravelSql)),
+    QueryDef("p_restore", pRestore, Some(pRestoreSql)),
     QueryDef("p_expectations", pExpectations, Some(pExpectationsSql)),
     QueryDef("p_cdc_apply", pCdcApply, Some(pCdcApplySql)),
     QueryDef("p_envelope_parse", pEnvelopeParse, Some(pEnvelopeParseSql)),

@@ -34,6 +34,33 @@ class CloneSpec extends SparkSpec {
     }
   }
 
+  test("p_restore: zero-copy rollback, history preserved underneath") {
+    import graft.queries.PipelineQueries
+    val out = PipelineQueries.pRestore(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val base = PipelineQueries.ensureTimeTravelState(spark, sfDir)
+    // zero-copy: every restored parquet shares its gen1 source inode
+    val g1 = new java.io.File(s"$base/gen1")
+    val g4 = new java.io.File(s"$base/gen4")
+    def rel(root: java.io.File, f: java.io.File) =
+      root.toPath.relativize(f.toPath).toString
+    val srcKeys = parquets(g1).map(f => rel(g1, f) -> fileKey(f)).toMap
+    val restored = parquets(g4)
+    assert(restored.nonEmpty)
+    restored.foreach { f =>
+      assert(srcKeys.get(rel(g4, f)).contains(fileKey(f)),
+        s"${rel(g4, f)} was copied, not linked")
+    }
+    // history preserved: the rolled-back-over gen3 still answers
+    assert(new java.io.File(s"$base/gen3").exists())
+    assert(spark.read.parquet(s"$base/gen3").count() > 0)
+    // and the restored state equals gen1's content exactly
+    val v1 = spark.read.parquet(s"$base/gen1")
+      .select("user_id", "event_id", "us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === v1)
+  }
+
   test("p_clone answers match the source layout exactly; source survives clone deletion") {
     val viaClone = Layout.pClone(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
