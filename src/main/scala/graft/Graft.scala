@@ -51,6 +51,20 @@ object Graft {
   /** Temporal joins: as-of (point-in-time) and interval/range join. */
   val temporal: queries.Temporal.type = queries.Temporal
 
+  /** Behavioral/product analytics: ordered funnel conversion, cohort
+    * retention, last-touch attribution.
+    */
+  val behavior: queries.Behavior.type = queries.Behavior
+
+  /** Table-layout machinery (the Delta-parity verbs on plain parquet):
+    * z-order clustering + file skipping + OPTIMIZE compaction, shallow
+    * clone; per-file Bloom index; partition-spec evolution.
+    */
+  val layout: pipeline.Layout.type = pipeline.Layout
+  val bloomIndex: pipeline.BloomIndex.type = pipeline.BloomIndex
+  val partitionEvolution: pipeline.PartitionEvolution.type =
+    pipeline.PartitionEvolution
+
   /** Multimodal plumbing: binary metadata, batched feature extraction. */
   val multimodal: graft.multimodal.Multimodal.type = graft.multimodal.Multimodal
 
