@@ -58,6 +58,46 @@ class SourcesSpec extends SparkSpec {
     graft.Stage.deleteRecursively(base)
   }
 
+  test("kafkalog admits partitions added mid-stream: new partition starts at offset 0") {
+    // the one rebalance-adjacent semantic a Spark deployment actually
+    // faces (SURVEY §13 design note): the topic GROWS a partition
+    // between runs. The planner's next offset pass must discover it and
+    // start it at earliest, while the checkpointed partitions resume
+    // exactly — no reprocessing, no loss.
+    val base = new File("/tmp/graft_kafkalog_grow_spec")
+    graft.Stage.deleteRecursively(base)
+    val topic = new File(base, "t")
+    appendLog(new File(topic, "partition=0"), Seq("a0", "a1"))
+    appendLog(new File(topic, "partition=1"), Seq("b0"))
+    val out = new File(base, "out").getPath
+    val ckpt = new File(base, "ckpt").getPath
+    def run(): Unit = {
+      val q = spark.readStream.format("kafkalog").option("path", topic.getPath)
+        .load()
+        .select(col("partition"), col("offset"), col("value").cast("string").as("v"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 3)
+    // the topic grows partition 2 while the query is down; existing
+    // partitions also append
+    appendLog(new File(topic, "partition=2"), Seq("c0", "c1"))
+    appendLog(new File(topic, "partition=0"), Seq("a2"))
+    run()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows === Set(
+      (0, 0L, "a0"), (0, 1L, "a1"), (0, 2L, "a2"),
+      (1, 0L, "b0"),
+      (2, 0L, "c0"), (2, 1L, "c1")),
+      s"partition growth mishandled: $rows")
+  }
+
   test("kafkalog admission control: maxRecordsPerTrigger drains the backlog in bounded microbatches") {
     val base = new File("/tmp/graft_kafkalog_limit_spec")
     graft.Stage.deleteRecursively(base)
