@@ -57,6 +57,20 @@ object Ann {
 
   private val planes = md5Hyperplanes(Tables_, Hyper, tag = "lsh")
 
+  /** Corpus-scaled hash width for s_ann_lsh: buckets ≈ N/8 per table
+    * (hyper = clamp(⌈log2 N⌉ − 5, 6, 20), occupancy ≈ 32) — the same treatment IVF
+    * gives its cell count (clamp(√N)). FIXED-width 6-bit buckets hold
+    * N/64 vectors each: ~10⁷ candidates PER QUERY PER TABLE at 10⁹
+    * vectors — the quadratic blow-up scaling the width keeps linear.
+    * Recall across the width is maintained by the 1-bit multiprobe
+    * (hyper+1 probes per table); the evaluation lives in s_ann_eval.
+    * Deterministic in N only, so the oracle re-derives it from
+    * count(*) and rebuilds the identical family.
+    */
+  private[operators] def lshHyperFor(n: Long): Int =
+    math.min(20, math.max(6,
+      math.ceil(math.log(math.max(2, n).toDouble) / math.log(2.0)).toInt - 5))
+
   private def vecCol: Column = col("embedding").cast("array<double>")
 
   private[graft] def corpus(s: SparkSession, d: String): DataFrame =
@@ -129,10 +143,12 @@ object Ann {
     * the s_ann_eval row (the honest number lives there).
     */
   def sAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val c = withBuckets(corpus(s, d), col("v"))
-    val q = withBuckets(queries(s, d), col("qv"))
+    val hyperN = lshHyperFor(corpus(s, d).count())
+    val planesN = md5Hyperplanes(Tables_, hyperN, tag = "lsh")
+    val c = withBucketsFor(corpus(s, d), col("v"), planesN)
+    val q = withBucketsFor(queries(s, d), col("qv"), planesN)
       .select(col("query_id"), col("qv"), col("t"), explode(array(
-        (col("bucket") +: (0 until Hyper).map(i =>
+        (col("bucket") +: (0 until hyperN).map(i =>
           col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
     val candidates = c.join(q, Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -742,19 +758,24 @@ object Ann {
          |  FROM $rel r, pl GROUP BY $id, t)""".stripMargin
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
+       |params AS (
+       |  SELECT LEAST(20, GREATEST(6,
+       |    CAST(ceil(log2(GREATEST(2, count(*)))) AS INT) - 5)) AS hyper
+       |  FROM embeddings),
        |pl AS (
        |  SELECT t, h, list(2 * (CAST(list_reduce(list_transform(range(1, 16),
        |      j -> CAST(strpos('123456789abcdef',
        |        substr(md5('lsh:' || t || ':' || h || ':' || i), j, 1)) AS BIGINT)),
        |      (a, b) -> a * 16 + b) AS DOUBLE) / 1152921504606846976.0) - 1 ORDER BY i) AS p
-       |  FROM range(0, ${Tables_}) tt(t), range(0, $Hyper) hh(h), range(0, $Dim) ii(i)
+       |  FROM range(0, ${Tables_}) tt(t), range(0, 20) hh(h), range(0, $Dim) ii(i), params
+       |  WHERE h < params.hyper
        |  GROUP BY t, h),
        |${bucketCte("cb", "c", "vec_id", "v")},
        |${bucketCte("qb0", "q", "query_id", "qv")},
        |qb AS (
        |  SELECT query_id, t,
        |    CAST(xor(bucket, CASE WHEN p = 0 THEN 0 ELSE (1 << (p - 1)) END) AS INT) AS bucket
-       |  FROM qb0, range(0, ${Hyper + 1}) pp(p)),
+       |  FROM qb0, range(0, 21) pp(p), params WHERE p <= params.hyper),
        |cand AS (
        |  SELECT DISTINCT qb.query_id, cb.vec_id
        |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
