@@ -109,4 +109,33 @@ object Stage {
     f.delete()
     ()
   }
+
+  /** Hard-link every parquet of `from` into `to` (copying non-parquet
+    * markers) — the zero-copy tree walk shared by shallow clone and
+    * restore. Bytes exist once; the destination is a new name graph
+    * over the same inodes.
+    */
+  def linkTree(from: java.io.File, to: java.io.File): Unit = {
+    to.mkdirs()
+    Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))
+      else if (f.getName.endsWith(".parquet"))
+        java.nio.file.Files.createLink(to.toPath.resolve(f.getName), f.toPath)
+      else java.nio.file.Files.copy(f.toPath, to.toPath.resolve(f.getName))
+    }
+  }
+
+  /** Rename-publish `tmp` as `target` where the DONE MARKER was already
+    * written INSIDE tmp (true atomic publish — there is no window where
+    * a published directory lacks its marker). If the rename loses to a
+    * concurrent publisher whose marker is visible, the staging tree is
+    * cleaned up; any other rename failure throws.
+    */
+  def publishDir(tmp: java.io.File, target: java.io.File, marker: String): Unit = {
+    if (!tmp.renameTo(target)) {
+      if (new java.io.File(target, marker).exists()) deleteRecursively(tmp)
+      else throw new IllegalStateException(
+        s"cannot publish ${tmp.getName} as $target")
+    }
+  }
 }

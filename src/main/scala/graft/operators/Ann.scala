@@ -57,19 +57,31 @@ object Ann {
 
   private val planes = md5Hyperplanes(Tables_, Hyper, tag = "lsh")
 
-  /** Corpus-scaled hash width for s_ann_lsh: buckets ≈ N/8 per table
-    * (hyper = clamp(⌈log2 N⌉ − 5, 6, 20), occupancy ≈ 32) — the same treatment IVF
-    * gives its cell count (clamp(√N)). FIXED-width 6-bit buckets hold
-    * N/64 vectors each: ~10⁷ candidates PER QUERY PER TABLE at 10⁹
-    * vectors — the quadratic blow-up scaling the width keeps linear.
-    * Recall across the width is maintained by the 1-bit multiprobe
-    * (hyper+1 probes per table); the evaluation lives in s_ann_eval.
-    * Deterministic in N only, so the oracle re-derives it from
-    * count(*) and rebuilds the identical family.
+  /** Corpus-scaled hash width for s_ann_lsh: buckets ≈ N/32 per table
+    * (hyper = clamp(⌈log2 N⌉ − 5, 6, 20), occupancy ≈ 32) — the same
+    * treatment IVF gives its cell count (clamp(√N)). FIXED-width 6-bit
+    * buckets hold N/64 vectors each: ~10⁷ candidates PER QUERY PER
+    * TABLE at 10⁹ vectors — the quadratic blow-up scaling the width
+    * keeps linear. Recall across the width is maintained by the 1-bit
+    * multiprobe (hyper+1 probes per table); the evaluation lives in
+    * s_ann_eval. Deterministic in N only, so the oracle re-derives it
+    * from count(*) and rebuilds the identical family — ⌈log2 N⌉ is
+    * computed as an EXACT integer (numberOfLeadingZeros), never via
+    * floating log division, whose 1-ulp platform wobble at powers of
+    * two could desync the width from DuckDB's native log2 and
+    * wholesale-mismatch the family.
     */
-  private[operators] def lshHyperFor(n: Long): Int =
-    math.min(20, math.max(6,
-      math.ceil(math.log(math.max(2, n).toDouble) / math.log(2.0)).toInt - 5))
+  private[operators] def lshHyperFor(n: Long): Int = {
+    val m = math.max(2L, n)
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(20, math.max(6, ceilLog2 - 5))
+  }
+
+  /** One corpus count per dataset dir (bounded planning metadata — the
+    * width derivation must not cost a table scan per query).
+    */
+  private val lshCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]
 
   private def vecCol: Column = col("embedding").cast("array<double>")
 
@@ -139,11 +151,14 @@ object Ann {
     * found, for tables×(hyper+1) probe rows per query instead of a
     * bigger candidate blow-up from coarser buckets. Probing is
     * query-side only, so the corpus posting cost is unchanged; measured
-    * recall@10 on the 5k local corpus: 20% → exact probing lifts it to
+    * recall@10 on the 500-vector local corpus: 20% → exact probing lifts it to
     * the s_ann_eval row (the honest number lives there).
     */
   def sAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val hyperN = lshHyperFor(corpus(s, d).count())
+    val n = lshCountCache.computeIfAbsent(
+      d + ":" + graft.Stage.sourceFingerprint(d, "embeddings"),
+      _ => corpus(s, d).count())
+    val hyperN = lshHyperFor(n)
     val planesN = md5Hyperplanes(Tables_, hyperN, tag = "lsh")
     val c = withBucketsFor(corpus(s, d), col("v"), planesN)
     val q = withBucketsFor(queries(s, d), col("qv"), planesN)

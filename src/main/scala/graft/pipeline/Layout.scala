@@ -579,30 +579,19 @@ object Layout {
     if (!new java.io.File(clone, "_CLONED").exists()) {
       val tmp = new java.io.File(clone.getPath + ".build")
       graft.Stage.deleteRecursively(tmp)
-      def linkTree(from: java.io.File, to: java.io.File): Unit = {
-        to.mkdirs()
-        Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
-          if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))
-          else if (f.getName.endsWith(".parquet"))
-            java.nio.file.Files.createLink(
-              to.toPath.resolve(f.getName), f.toPath)
-          else java.nio.file.Files.copy(f.toPath, to.toPath.resolve(f.getName))
-        }
-      }
-      linkTree(new java.io.File(src, "data"), new java.io.File(tmp, "data"))
-      linkTree(new java.io.File(src, "manifest"), new java.io.File(tmp, "manifest"))
+      graft.Stage.linkTree(new java.io.File(src, "data"), new java.io.File(tmp, "data"))
+      graft.Stage.linkTree(new java.io.File(src, "manifest"), new java.io.File(tmp, "manifest"))
       Seq("_BOUNDS", "_SOURCES").foreach { n =>
         val f = new java.io.File(src, n)
         if (f.exists())
           java.nio.file.Files.copy(f.toPath, new java.io.File(tmp, n).toPath)
       }
-      graft.Stage.deleteRecursively(clone)
-      if (!tmp.renameTo(clone)) {
-        if (new java.io.File(clone, "_CLONED").exists())
-          graft.Stage.deleteRecursively(tmp)
-        else throw new IllegalStateException(s"cannot publish clone at $clone")
-      }
-      new java.io.File(clone, "_CLONED").createNewFile()
+      // marker INSIDE tmp: the rename IS the publish — no window where
+      // a visible clone lacks its marker
+      new java.io.File(tmp, "_CLONED").createNewFile()
+      if (!new java.io.File(clone, "_CLONED").exists())
+        graft.Stage.deleteRecursively(clone) // unmarked partial only
+      graft.Stage.publishDir(tmp, clone, "_CLONED")
       graft.Stage.refreshArtifact(s, clone)
     }
     clone.getPath

@@ -542,28 +542,26 @@ object PipelineQueries {
     */
   def pRestore(s: SparkSession, d: String): DataFrame = {
     val base = ensureTimeTravelState(s, d)
-    val restored = new java.io.File(s"$base/gen4")
-    if (!new java.io.File(restored, "_RESTORED").exists()) {
-      val tmp = new java.io.File(restored.getPath + ".build")
-      graft.Stage.deleteRecursively(tmp)
-      def linkTree(from: java.io.File, to: java.io.File): Unit = {
-        to.mkdirs()
-        Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
-          if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))
-          else if (f.getName.endsWith(".parquet"))
-            java.nio.file.Files.createLink(to.toPath.resolve(f.getName), f.toPath)
-          else java.nio.file.Files.copy(f.toPath, to.toPath.resolve(f.getName))
-        }
-      }
-      linkTree(new java.io.File(s"$base/gen1"), tmp)
-      graft.Stage.deleteRecursively(restored)
-      if (!tmp.renameTo(restored)) {
-        if (new java.io.File(restored, "_RESTORED").exists())
-          graft.Stage.deleteRecursively(tmp)
-        else throw new IllegalStateException(s"cannot publish restore at $restored")
-      }
-      new java.io.File(restored, "_RESTORED").createNewFile()
-      graft.Stage.refreshArtifact(s, restored)
+    // restore target = NEWEST generation + 1 — never a hardcoded slot
+    // (a grown backlog would otherwise see its real newest generation
+    // silently replaced with v1 links)
+    val gens = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("gen\\d+"))
+      .map(_.getName.stripPrefix("gen").toInt)
+    val restoredGen = gens.filter(g =>
+      new java.io.File(s"$base/gen$g", "_RESTORED").exists()).sorted.lastOption
+    val restored = restoredGen match {
+      case Some(g) => new java.io.File(s"$base/gen$g")
+      case None =>
+        val next = new java.io.File(s"$base/gen${gens.max + 1}")
+        val tmp = new java.io.File(next.getPath + ".build")
+        graft.Stage.deleteRecursively(tmp)
+        graft.Stage.linkTree(new java.io.File(s"$base/gen1"), tmp)
+        // marker inside tmp: rename IS the publish
+        new java.io.File(tmp, "_RESTORED").createNewFile()
+        graft.Stage.publishDir(tmp, next, "_RESTORED")
+        graft.Stage.refreshArtifact(s, next)
+        next
     }
     s.read.parquet(restored.getPath)
       .select(col("user_id"), col("event_id"), col("us"))
