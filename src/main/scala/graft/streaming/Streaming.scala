@@ -1385,12 +1385,22 @@ object Streaming {
         // the writeDaily layout discipline, append-mode: range-cluster
         // on (id_part, id) so each task writes a contiguous slice of
         // partition dirs — without it every task touches every id_part
-        // and a microbatch lands tasks×id_parts small files
-        landed.repartitionByRange(col("id_part"), col("id"))
-          .sortWithinPartitions("id")
-          .write.mode("append")
-          .partitionBy("export_year", "export_month", "export_day", "id_part")
-          .parquet(s"$base/data")
+        // and a microbatch lands tasks×id_parts small files.
+        // PERSISTED first: repartitionByRange SAMPLES its child for
+        // range boundaries, which otherwise executes the whole
+        // AES+Jackson pipeline a second time per microbatch. Measured
+        // NEUTRAL at sf0.1 (trigger machinery dominates the row), kept
+        // because the second execution is real in the plan and decrypt
+        // is the dominant term at production volume; the microbatch is
+        // bounded, so caching it is O(batch) memory at any scale
+        landed.persist()
+        try {
+          landed.repartitionByRange(col("id_part"), col("id"))
+            .sortWithinPartitions("id")
+            .write.mode("append")
+            .partitionBy("export_year", "export_month", "export_day", "id_part")
+            .parquet(s"$base/data")
+        } finally landed.unpersist()
         graft.pipeline.Ingest.malformedLines(batch.toDF())
           .write.mode("overwrite").text(s"$base/dead/batch$batchId")
         ()
