@@ -116,6 +116,10 @@ object Stage {
     * over the same inodes.
     */
   def linkTree(from: java.io.File, to: java.io.File): Unit = {
+    // Fail fast on a missing source: defaulting to "empty" would let a
+    // caller (restore/clone) publish an EMPTY tree sealed with its done
+    // marker — a wedged artifact the marker gate would never rebuild.
+    require(from.isDirectory, s"link source missing: $from")
     to.mkdirs()
     Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))

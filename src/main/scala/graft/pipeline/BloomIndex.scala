@@ -82,15 +82,14 @@ object BloomIndex {
           min("k").as("mn_k"), max("k").as("mx_k"),
           count(lit(1)).as("n"))
         .coalesce(1).write.parquet(s"$tmp/manifest")
-      Stage.deleteRecursively(base)
-      if (!tmp.renameTo(base)) {
-        // a concurrent publisher won the race: keep theirs, and clean
-        // up this builder's fully-built staging tree rather than
-        // leaking it in tmpdir
-        if (new java.io.File(base, "_DONE").exists()) Stage.deleteRecursively(tmp)
-        else throw new IllegalStateException(s"cannot publish bloom index at $base")
-      }
-      new java.io.File(base, "_DONE").createNewFile()
+      // marker written INSIDE tmp: the rename publishes data+marker
+      // atomically, so no reader ever sees an index dir without _DONE
+      new java.io.File(tmp, "_DONE").createNewFile()
+      // only pre-marker debris (a crashed earlier build) is cleared; a
+      // CONCURRENTLY published index carries its marker and is kept —
+      // publishDir detects the lost race and cleans this staging tree
+      if (!new java.io.File(base, "_DONE").exists()) Stage.deleteRecursively(base)
+      Stage.publishDir(tmp, base, "_DONE")
       Stage.refreshArtifact(s, base)
     }
     (s"$base/data", s.read.parquet(s"$base/manifest"))

@@ -79,10 +79,12 @@ object PartitionEvolution {
         .write.partitionBy("pdate", "phour").parquet(s"$tmp/gen2")
       val w = new java.io.PrintWriter(new java.io.File(tmp, "_CUTOFF"), "UTF-8")
       try w.print(cd.toString) finally w.close()
-      Stage.deleteRecursively(base)
-      if (!tmp.renameTo(base) && !new java.io.File(base, "_DONE").exists())
-        throw new IllegalStateException(s"cannot publish layout at $base")
-      new java.io.File(base, "_DONE").createNewFile()
+      // marker INSIDE tmp (atomic publish, matching _CUTOFF), and the
+      // lost-race branch in publishDir deletes this staging tree
+      // instead of leaking a fully built gen1+gen2 copy in tmpdir
+      new java.io.File(tmp, "_DONE").createNewFile()
+      if (!new java.io.File(base, "_DONE").exists()) Stage.deleteRecursively(base)
+      Stage.publishDir(tmp, base, "_DONE")
       Stage.refreshArtifact(s, base)
     }
     (base.getPath, cd)

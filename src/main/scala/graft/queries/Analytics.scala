@@ -833,6 +833,11 @@ object Analytics {
         .orderBy("l_returnflag")
       require(out.queryExecution.optimizedPlan.toString.contains("might_contain"),
         "runtime bloom filter was not injected into the fact scan")
+      // BOUNDEDNESS CONTRACT: collect-then-parallelize pins the
+      // conf-scoped plan (the `finally` restores runtime-filter confs;
+      // a lazy plan would re-optimize without them). Safe ONLY because
+      // the output is a ≤3-row grouped aggregate over l_returnflag —
+      // do NOT copy this pattern for unbounded output.
       val rows = out.collect()
       s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
     } finally prev.foreach {

@@ -56,6 +56,19 @@ object Cbo {
         s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
       }
     }
+    // The tableExists gate only proves the WRITES finished; a crash
+    // after the last saveAsTable but before/inside the ANALYZE loop
+    // leaves stats-less tables that would pass it — and CBO would then
+    // never reorder, failing the plan `require` forever. Gate on the
+    // stats themselves and re-ANALYZE any table missing them (ANALYZE
+    // is idempotent, so this also self-heals a partial loop).
+    Seq(li, or, cu).foreach { t =>
+      val hasStats = s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .stats.exists(_.rowCount.isDefined)
+      if (!hasStats)
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
     names
   }
 
@@ -98,6 +111,11 @@ object Cbo {
         s"CBO did not push the selective dim down: innermost joins $innerTables")
       require(!innerTables.contains(li),
         s"fact table still in the innermost join: $innerTables")
+      // BOUNDEDNESS CONTRACT: collect-then-parallelize is safe here ONLY
+      // because the result is a global aggregate (exactly one row). It
+      // exists to pin the conf-scoped plan — the `finally` restores CBO
+      // confs and a lazy plan would silently re-optimize without them.
+      // Do NOT copy this pattern for unbounded output.
       val rows = out.collect()
       s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
     } finally prev.foreach {

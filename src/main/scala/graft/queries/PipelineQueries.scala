@@ -593,7 +593,7 @@ object PipelineQueries {
   def pVacuum(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.Streaming
     val fixture = Streaming.lateFixtureDir(s, d)
-    val base = s"/tmp/graft_vacuum_${math.abs(d.hashCode)}"
+    val base = s"/tmp/graft_vacuum_${graft.Stage.sourceFingerprint(d, "events")}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val files = new java.io.File(fixture).listFiles()

@@ -41,7 +41,7 @@ object Formats {
     */
   def pFormatsRoundtrip(s: SparkSession, d: String): DataFrame = {
     val src = payload(s, d)
-    val base = s"/tmp/graft_formats_${math.abs(d.hashCode)}"
+    val base = s"/tmp/graft_formats_${graft.Stage.sourceFingerprint(d, "events")}"
     val perFormat = RoundtripFormats.map { fmt =>
       val path = s"$base/$fmt"
       // header for CSV so the read-back schema is by name; JSON/ORC are

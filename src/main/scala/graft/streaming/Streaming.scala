@@ -34,7 +34,7 @@ object Streaming {
     // the streaming file source monitors a DIRECTORY; the fixture is a
     // single file, so expose it through a stable symlink directory
     val dir = java.nio.file.Paths.get(
-      "/tmp/graft_stream_events_" + math.abs(d.hashCode).toString)
+      "/tmp/graft_stream_events_" + fixtureKey(d))
     if (!java.nio.file.Files.exists(dir)) {
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.createSymbolicLink(
@@ -58,9 +58,12 @@ object Streaming {
   /** Fixture-dir key: scale-dir path PLUS the source file's
     * (size, mtime) fingerprint, so a regenerated events.parquet can
     * never be served by a stale materialized fixture (the z-layout's
-    * fingerprint lesson applied to the stream fixtures; the
-    * eventsStream SYMLINK dir needs no fingerprint — it resolves to
-    * whatever currently sits at the source path).
+    * fingerprint lesson applied to the stream fixtures). EVERY /tmp
+    * artifact — fixtures, output dirs, the eventsStream symlink dir —
+    * keys on a sourceFingerprint, never on `d.hashCode`: the
+    * fingerprint digests the full path, so two dataset dirs can never
+    * collide into one artifact (hashCode can), and a regenerated
+    * source rolls every derived dir automatically.
     */
   private def fixtureKey(d: String): String =
     graft.Stage.sourceFingerprint(d, "events")
@@ -712,7 +715,7 @@ object Streaming {
     * unbounded deployment would run per microbatch.
     */
   def stSink(s: SparkSession, d: String): DataFrame = {
-    val out = s"/tmp/graft_stream_sink_${math.abs(d.hashCode)}"
+    val out = s"/tmp/graft_stream_sink_${fixtureKey(d)}"
     graft.Stage.deleteRecursively(new java.io.File(out))
     val streamed = eventsStream(s, d)
       .select(col("user_id"), col("event_type"),
@@ -896,7 +899,7 @@ object Streaming {
     */
   def stUpsert(s: SparkSession, d: String): DataFrame = {
     val dir = lateFixtureDir(s, d)
-    val base = s"/tmp/graft_stream_upsert_${math.abs(d.hashCode)}"
+    val base = s"/tmp/graft_stream_upsert_${fixtureKey(d)}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     var gen = 0 // driver-side: foreachBatch bodies run on the driver
@@ -926,13 +929,28 @@ object Streaming {
       pmod(col("user_id"), lit(UpsertBuckets)).cast("int"))
     bucketGenStep(batch, base, gen) { (b, prior) =>
       // merge = prior TOUCHED-bucket state ∪ batch → latest per key;
-      // untouched state is never read
+      // untouched state is never read. latest-per-key via max_by, NOT
+      // a row_number window: max_by partial-aggregates map-side (each
+      // task reduces its slice to one candidate per key before the
+      // exchange) and never sorts, where the window shuffles + sorts
+      // the full touched state every microbatch (SURVEY §4 lesson 4).
+      // st_scd2 keeps its window — the validity CHAIN needs every row.
       val merged = prior.foldLeft(b)((acc, p) => acc.unionByName(p))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("us").desc, col("event_id").desc)
-      merged.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+      upsertMergePlan(merged)
     }
+  }
+
+  /** latest-per-key over the merged (state ∪ batch) frame — the single
+    * merge plan upsertBatch runs per microbatch, exposed for the
+    * plan-shape spec: must show partial aggregation (partial max_by
+    * map-side before the exchange) and NO Sort/Window anywhere.
+    */
+  private[graft] def upsertMergePlan(merged: DataFrame): DataFrame = {
+    val all = merged.columns.map(col)
+    merged.groupBy("user_id")
+      .agg(max_by(struct(all: _*),
+        struct(col("us"), col("event_id"))).as("r"))
+      .select(col("r.*"))
   }
 
   /** The shared bucket-pruned generation step: compute the batch's
@@ -1019,7 +1037,7 @@ object Streaming {
     */
   def stScd2(s: SparkSession, d: String): DataFrame = {
     val dir = lateFixtureDir(s, d)
-    val base = s"/tmp/graft_stream_scd2_${math.abs(d.hashCode)}"
+    val base = s"/tmp/graft_stream_scd2_${fixtureKey(d)}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     var gen = 0 // driver-side: foreachBatch bodies run on the driver
@@ -1121,7 +1139,7 @@ object Streaming {
   def stVectorIndex(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Ann
     val fixture = vecFixtureDir(s, d)
-    val base = s"/tmp/graft_stream_vecidx_${math.abs(d.hashCode)}"
+    val base = s"/tmp/graft_stream_vecidx_${graft.Stage.sourceFingerprint(d, "embeddings")}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     val corpus = Ann.corpus(s, d)
     val centroids = Ann.ensureCentroids(corpus, d, "ivf",
@@ -1172,7 +1190,7 @@ object Streaming {
   def stMvMaintain(s: SparkSession, d: String): DataFrame = {
     import graft.queries.QueryDef.dec
     val dir = lateFixtureDir(s, d)
-    val base = s"/tmp/graft_stream_mv_${math.abs(d.hashCode)}"
+    val base = s"/tmp/graft_stream_mv_${fixtureKey(d)}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     var gen = 0
@@ -1264,7 +1282,7 @@ object Streaming {
     */
   def stExactlyOnce(s: SparkSession, d: String): DataFrame = {
     val dir = lateFixtureDir(s, d)
-    val base = s"/tmp/graft_stream_eo_${math.abs(d.hashCode)}"
+    val base = s"/tmp/graft_stream_eo_${fixtureKey(d)}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     var lastId = -1L
@@ -1372,7 +1390,7 @@ object Streaming {
     */
   def stIngest(s: SparkSession, d: String): DataFrame = {
     val fixture = ingestFixtureDir(s, d)
-    val base = s"/tmp/graft_stream_ingest_out_${math.abs(d.hashCode)}"
+    val base = s"/tmp/graft_stream_ingest_out_${graft.Stage.sourceFingerprint(d, "documents")}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val q = s.readStream
@@ -1584,7 +1602,7 @@ object Streaming {
       s: SparkSession, d: String, filesPerTrigger: Int): DataFrame = {
     import graft.operators.Dedup
     val fixture = incFixtureDir(s, d)
-    val base = s"/tmp/graft_stream_incdedup_${math.abs(d.hashCode)}_$filesPerTrigger"
+    val base = s"/tmp/graft_stream_incdedup_${graft.Stage.sourceFingerprint(d, "documents")}_$filesPerTrigger"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     Dedup.ensureDedupIndex(s, d).write.parquet(s"$base/state")

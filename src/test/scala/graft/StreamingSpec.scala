@@ -600,6 +600,61 @@ class StreamingSpec extends SparkSpec {
     assert(stream.values.sum > 0)
   }
 
+  test("st_funnel under RocksDBStateStoreProvider: identical output to the default store") {
+    // the 100 TB story: flatMapGroupsWithState keyed by every user does
+    // not fit an executor heap under the HDFS-backed in-memory store;
+    // RocksDB spills state to local disk with the same exactly-once
+    // semantics. Provider is captured at query start (fresh temp
+    // checkpoint per run, so no provider-mismatch against a prior one).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = Streaming.stFunnel(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.queries.Behavior.qFunnel(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rocks === batch)
+      assert(rocks.values.sum > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("upsert merge plan: partial max_by below one exchange, no Window") {
+    import spark.implicits._
+    val merged = Seq((1L, 10L, 100L, 1), (1L, 11L, 200L, 1), (2L, 12L, 150L, 2))
+      .toDF("user_id", "event_id", "us", "bucket")
+    val out = Streaming.upsertMergePlan(merged)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 11L), (2L, 12L)))
+    // The scale contract vs the row_number window this replaced: the
+    // window shuffled EVERY touched-state row then sorted; max_by
+    // PARTIAL-aggregates map-side, so at most one candidate per key
+    // crosses the (single) exchange. Struct-buffered max_by planes as
+    // SortAggregate (hash agg needs fixed-width buffers), so local
+    // per-partition key sorts remain — but they sort the already
+    // per-task data, never a full shuffle of state.
+    // AQE prints Final + Initial sections; assert on the final one only
+    val full = out.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(plan.contains("partial_max_by"),
+      s"expected a map-side partial max_by in:\n$plan")
+    assert(!plan.contains("Window"), s"window survived in the merge plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n$plan")
+    // the partial aggregate must sit BELOW the exchange (map-side)
+    val partialIdx = plan.indexOf("partial_max_by")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > exchangeIdx,
+      "partial aggregate should appear under the exchange in the plan tree")
+  }
+
   test("st_vector_index: streamed postings answer queries identically to the batch-built index") {
     val got = Streaming.stVectorIndex(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
@@ -609,7 +664,7 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     // append-only accumulation: at least one data file per microbatch
     // survives under the cell dirs (batch 2 never rewrote batch 0's)
-    val base = new java.io.File(s"/tmp/graft_stream_vecidx_${math.abs(sfDir.hashCode)}")
+    val base = new java.io.File(s"/tmp/graft_stream_vecidx_${graft.Stage.sourceFingerprint(sfDir, "embeddings")}")
     def parquets(f: java.io.File): Array[java.io.File] = {
       val kids = Option(f.listFiles()).getOrElse(Array.empty)
       kids.filter(_.isDirectory).flatMap(parquets) ++
@@ -629,7 +684,7 @@ class StreamingSpec extends SparkSpec {
     assert(result === full)
     // incremental invariant: generation k = aggregate of the first k
     // backlog slices (the merge is prefix-exact, not just final-exact)
-    val base = s"/tmp/graft_stream_mv_${math.abs(sfDir.hashCode)}"
+    val base = s"/tmp/graft_stream_mv_${graft.Stage.sourceFingerprint(sfDir, "events")}"
     val fixture = Streaming.lateFixtureDir(spark, sfDir)
     val files = new java.io.File(fixture).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -729,7 +784,7 @@ class StreamingSpec extends SparkSpec {
     // the stream ran 3 microbatches; EVERY one quarantined its own
     // malformed lines and kept draining — the quarantine-and-continue
     // contract, exercised mid-stream rather than only at start-up
-    val base = s"/tmp/graft_stream_ingest_out_${math.abs(sfDir.hashCode)}"
+    val base = s"/tmp/graft_stream_ingest_out_${graft.Stage.sourceFingerprint(sfDir, "documents")}"
     val deadBatches = new java.io.File(s"$base/dead").listFiles()
       .filter(_.isDirectory).sortBy(_.getName)
     assert(deadBatches.length === 3)
