@@ -110,10 +110,12 @@ object Stage {
     ()
   }
 
-  /** Hard-link every parquet of `from` into `to` (copying non-parquet
-    * markers) — the zero-copy tree walk shared by shallow clone and
-    * restore. Bytes exist once; the destination is a new name graph
-    * over the same inodes.
+  /** Carry every parquet of `from` into `to` (copying non-parquet
+    * markers) — the zero-rewrite tree walk shared by shallow clone and
+    * restore. Under [[graft.fs.PosixFsOps]] data files are hard links
+    * (bytes exist once, new name graph over the same inodes); under
+    * [[graft.fs.ObjectStoreFsOps]] they are object copies (each
+    * generation owns its objects — no inode refcounting on S3).
     */
   def linkTree(from: java.io.File, to: java.io.File): Unit = {
     // Fail fast on a missing source: defaulting to "empty" would let a
@@ -124,22 +126,38 @@ object Stage {
     Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))
       else if (f.getName.endsWith(".parquet"))
-        java.nio.file.Files.createLink(to.toPath.resolve(f.getName), f.toPath)
+        graft.fs.FsOps.current.carryFile(f, new java.io.File(to, f.getName))
       else java.nio.file.Files.copy(f.toPath, to.toPath.resolve(f.getName))
     }
   }
 
-  /** Rename-publish `tmp` as `target` where the DONE MARKER was already
-    * written INSIDE tmp (true atomic publish — there is no window where
-    * a published directory lacks its marker). If the rename loses to a
-    * concurrent publisher whose marker is visible, the staging tree is
-    * cleaned up; any other rename failure throws.
+  /** Atomically publish `tmp` as `target` where the DONE MARKER was
+    * already written INSIDE tmp (no window where a published directory
+    * lacks its marker). POSIX = dir rename; object store = pointer-
+    * object commit (see [[graft.fs.FsOps]]). A publish lost to a
+    * concurrent publisher cleans up its staging tree; any other
+    * failure throws.
     */
-  def publishDir(tmp: java.io.File, target: java.io.File, marker: String): Unit = {
-    if (!tmp.renameTo(target)) {
-      if (new java.io.File(target, marker).exists()) deleteRecursively(tmp)
-      else throw new IllegalStateException(
-        s"cannot publish ${tmp.getName} as $target")
-    }
-  }
+  def publishDir(tmp: java.io.File, target: java.io.File, marker: String): Unit =
+    graft.fs.FsOps.current.publishDir(tmp, target, marker)
+
+  /** The physical directory Spark should read for published name
+    * `target` (identity under POSIX; pointer-dereference under the
+    * object-store seam). Every reader of a publishDir-published
+    * artifact must resolve through this.
+    */
+  def resolved(target: java.io.File): java.io.File =
+    graft.fs.FsOps.current.resolveDir(target)
+
+  /** Is `target` published (its physical dir carries `marker`)? The
+    * gate check every ensure* builder runs before rebuilding.
+    */
+  def published(target: java.io.File, marker: String): Boolean =
+    new java.io.File(resolved(target), marker).exists()
+
+  /** Remove a published artifact through the seam: commit record
+    * first, then the physical tree (see FsOps.deletePublished).
+    */
+  def deletePublished(target: java.io.File): Unit =
+    graft.fs.FsOps.current.deletePublished(target)
 }

@@ -62,7 +62,7 @@ object BloomIndex {
     */
   def ensureIndex(s: SparkSession, d: String): (String, DataFrame) = {
     val base = indexDir(d)
-    if (!new java.io.File(base, "_DONE").exists()) {
+    if (!Stage.published(base, "_DONE")) {
       val tmp = new java.io.File(base.getPath + ".build")
       Stage.deleteRecursively(tmp)
       tmp.mkdirs()
@@ -88,11 +88,12 @@ object BloomIndex {
       // only pre-marker debris (a crashed earlier build) is cleared; a
       // CONCURRENTLY published index carries its marker and is kept —
       // publishDir detects the lost race and cleans this staging tree
-      if (!new java.io.File(base, "_DONE").exists()) Stage.deleteRecursively(base)
+      if (!Stage.published(base, "_DONE")) Stage.deleteRecursively(base)
       Stage.publishDir(tmp, base, "_DONE")
-      Stage.refreshArtifact(s, base)
+      Stage.refreshArtifact(s, Stage.resolved(base))
     }
-    (s"$base/data", s.read.parquet(s"$base/manifest"))
+    val phys = Stage.resolved(base)
+    (s"$phys/data", s.read.parquet(s"$phys/manifest"))
   }
 
   /** The deterministic probe batch: for the 8 smallest orderkeys

@@ -186,16 +186,20 @@ object Layout {
     */
   def ensureZorderLayout(s: SparkSession, d: String): (String, DataFrame) = {
     val base = layoutDir(d)
-    if (!new java.io.File(base, "_MANIFEST_DONE").exists()) {
-      graft.Stage.deleteRecursively(base)
-      val tmp = new java.io.File(base.getPath + ".build")
-      graft.Stage.deleteRecursively(tmp)
+    if (!graft.Stage.published(base, "_MANIFEST_DONE")) {
+      graft.Stage.deletePublished(base) // unmarked partial only
+      val tmp = graft.fs.FsOps.current.stagingDir(base, "build")
       val current = sourceEntries(d)
-      val prev = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(familyPrefix(d))
-          && !f.getName.endsWith(".build")
-          && f.getPath != base.getPath
-          && new java.io.File(f, "_MANIFEST_DONE").exists()
+      // prior layouts of this source FAMILY (older fingerprints) are
+      // the incremental-build ancestors; discovery runs over LOGICAL
+      // names (a pointer-published layout is found by its commit, not
+      // its physical home) and marker checks on the resolved tree
+      val famRe = ("^" + java.util.regex.Pattern.quote(familyPrefix(d))
+        + "[0-9a-f]{16}$").r
+      val prev = graft.fs.FsOps.current.logicalNames(new java.io.File("/tmp"))
+        .filter(n => famRe.findFirstIn(n).isDefined && n != base.getName)
+        .map(n => graft.Stage.resolved(new java.io.File("/tmp", n)))
+        .filter(f => new java.io.File(f, "_MANIFEST_DONE").exists()
           && new java.io.File(f, "_SOURCES").exists()
           && new java.io.File(f, "_BOUNDS").exists())
         .sortBy(-_.lastModified()).headOption
@@ -207,11 +211,18 @@ object Layout {
         case Some(p) => incrementalBuild(s, d, p, tmp, current)
         case None => fullBuild(s, d, tmp, current)
       }
-      if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
-      new java.io.File(base, "_MANIFEST_DONE").createNewFile()
-      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
+      // marker INSIDE tmp: publish (rename or pointer commit) makes
+      // data+marker visible in one atomic step
+      new java.io.File(tmp, "_MANIFEST_DONE").createNewFile()
+      graft.Stage.publishDir(tmp, base, "_MANIFEST_DONE")
+      graft.Stage.refreshArtifact(s, graft.Stage.resolved(base))
+      // a same-path rebuild (wiped artifact, unchanged fingerprint)
+      // must also drop memoized table resolutions — their snapshotted
+      // file lists name the pre-wipe part files
+      tableCache.keySet.removeIf(_._2.startsWith(base.getPath))
     }
-    (s"$base/data", s.read.parquet(s"$base/manifest"))
+    val phys = graft.Stage.resolved(base)
+    (s"$phys/data", s.read.parquet(s"$phys/manifest"))
   }
 
   private def fullBuild(s: SparkSession, d: String, tmp: java.io.File,
@@ -259,8 +270,7 @@ object Layout {
           val target = new java.io.File(s"$tmp/data/${bdir.getName}")
           target.mkdirs()
           bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
-            java.nio.file.Files.createLink(
-              target.toPath.resolve(pf.getName), pf.toPath)
+            graft.fs.FsOps.current.carryFile(pf, new java.io.File(target, pf.getName))
           }
         }
       s.read.parquet(s"$prev/manifest").write.parquet(s"$tmp/manifest")
@@ -312,8 +322,7 @@ object Layout {
         val target = new java.io.File(s"$tmp/data/${bdir.getName}")
         target.mkdirs()
         bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
-          java.nio.file.Files.createLink(
-            target.toPath.resolve(pf.getName), pf.toPath)
+          graft.fs.FsOps.current.carryFile(pf, new java.io.File(target, pf.getName))
         }
       }
     // manifest: fresh-file rows ∪ ALL carried rows (prior files are
@@ -341,9 +350,11 @@ object Layout {
   def compactLayout(s: SparkSession, d: String,
       targetBytes: Long = 128L << 20): (String, DataFrame) = {
     val (dataPath, _) = ensureZorderLayout(s, d)
+    // base = the PHYSICAL tree being compacted; the swap targets the
+    // LOGICAL fingerprint-addressed name (identity survives republish)
     val base = new java.io.File(dataPath).getParentFile
-    val tmp = new java.io.File(base.getPath + ".compacting")
-    graft.Stage.deleteRecursively(tmp)
+    val logical = layoutDir(d)
+    val tmp = graft.fs.FsOps.current.stagingDir(logical, "compacting")
     new java.io.File(tmp, "data").mkdirs()
     val buckets = Option(new java.io.File(base, "data").listFiles())
       .getOrElse(Array.empty)
@@ -360,7 +371,7 @@ object Layout {
       val target = new java.io.File(s"$tmp/data/${bdir.getName}")
       target.mkdirs()
       carry.foreach { pf =>
-        java.nio.file.Files.createLink(target.toPath.resolve(pf.getName), pf.toPath)
+        graft.fs.FsOps.current.carryFile(pf, new java.io.File(target, pf.getName))
         linkedRels ::= s"${bdir.getName}/${pf.getName}"
       }
       mergeFiles :::= merge.toList
@@ -405,23 +416,19 @@ object Layout {
     }
     new java.io.File(tmp, "_COMPACTED").createNewFile()
     new java.io.File(tmp, "_MANIFEST_DONE").createNewFile()
-    // atomic swap: the fingerprint-addressed path must keep its name
-    // (it IS the layout's identity); hard links keep carried bytes
-    // alive through the old dir's deletion
-    val pre = new java.io.File(base.getPath + ".pre_compact")
-    graft.Stage.deleteRecursively(pre)
-    if (!base.renameTo(pre))
-      throw new IllegalStateException(s"cannot stage out $base for compaction swap")
-    if (!tmp.renameTo(base)) {
-      pre.renameTo(base)
-      throw new IllegalStateException(s"compaction swap failed for $base")
-    }
-    graft.Stage.deleteRecursively(pre)
-    graft.Stage.refreshArtifact(s, base)
+    // atomic swap through the seam: the fingerprint-addressed name
+    // must survive (it IS the layout's identity). POSIX = stage-out
+    // double rename, carried bytes stay alive through the old dir's
+    // deletion because carry = hard link; object store = one atomic
+    // pointer replace, carried bytes were copied into the new tree.
+    graft.fs.FsOps.current.republishDir(tmp, logical, "_MANIFEST_DONE")
+    val phys = graft.Stage.resolved(logical)
+    graft.Stage.refreshArtifact(s, phys)
     // drop memoized table resolutions for the swapped path (same string
-    // key, new files underneath)
-    tableCache.keySet.removeIf(_._2 == s"$base/data")
-    (s"$base/data", s.read.parquet(s"$base/manifest"))
+    // key possible, new files underneath)
+    tableCache.keySet.removeIf(k =>
+      k._2 == s"$base/data" || k._2 == s"$phys/data")
+    (s"$phys/data", s.read.parquet(s"$phys/manifest"))
   }
 
   /** B16: the layout's locality contract as a query — per-z-bucket row
@@ -575,10 +582,11 @@ object Layout {
   def ensureClone(s: SparkSession, d: String): String = {
     val (dataPath, _) = ensureZorderLayout(s, d)
     val src = new java.io.File(dataPath).getParentFile
-    val clone = new java.io.File(src.getPath + "_clone")
-    if (!new java.io.File(clone, "_CLONED").exists()) {
-      val tmp = new java.io.File(clone.getPath + ".build")
-      graft.Stage.deleteRecursively(tmp)
+    // clone identity = the LOGICAL layout name + _clone (a clone of a
+    // pointer-published layout must not inherit the physical suffix)
+    val clone = new java.io.File(layoutDir(d).getPath + "_clone")
+    if (!graft.Stage.published(clone, "_CLONED")) {
+      val tmp = graft.fs.FsOps.current.stagingDir(clone, "build")
       graft.Stage.linkTree(new java.io.File(src, "data"), new java.io.File(tmp, "data"))
       graft.Stage.linkTree(new java.io.File(src, "manifest"), new java.io.File(tmp, "manifest"))
       Seq("_BOUNDS", "_SOURCES").foreach { n =>
@@ -586,15 +594,15 @@ object Layout {
         if (f.exists())
           java.nio.file.Files.copy(f.toPath, new java.io.File(tmp, n).toPath)
       }
-      // marker INSIDE tmp: the rename IS the publish — no window where
-      // a visible clone lacks its marker
+      // marker INSIDE tmp: the publish (rename or pointer commit) is
+      // atomic — no window where a visible clone lacks its marker
       new java.io.File(tmp, "_CLONED").createNewFile()
-      if (!new java.io.File(clone, "_CLONED").exists())
-        graft.Stage.deleteRecursively(clone) // unmarked partial only
+      if (!graft.Stage.published(clone, "_CLONED"))
+        graft.Stage.deletePublished(clone) // unmarked partial only
       graft.Stage.publishDir(tmp, clone, "_CLONED")
-      graft.Stage.refreshArtifact(s, clone)
+      graft.Stage.refreshArtifact(s, graft.Stage.resolved(clone))
     }
-    clone.getPath
+    graft.Stage.resolved(clone).getPath
   }
 
   def pClone(s: SparkSession, d: String): DataFrame = {

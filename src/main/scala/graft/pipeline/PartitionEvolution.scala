@@ -54,15 +54,16 @@ object PartitionEvolution {
     // the cutoff is a pure function of the fingerprinted source; an
     // already-published layout serves it from its _CUTOFF file rather
     // than re-scanning events for min/max on every invocation
-    val cutoffFile = new java.io.File(base, "_CUTOFF")
-    if (new java.io.File(base, "_DONE").exists() && cutoffFile.exists())
-      return (base.getPath,
+    val cutoffFile = new java.io.File(Stage.resolved(base), "_CUTOFF")
+    if (Stage.published(base, "_DONE") && cutoffFile.exists())
+      return (Stage.resolved(base).getPath,
         scala.io.Source.fromFile(cutoffFile, "UTF-8").mkString.trim.toLong)
-    // pre-_CUTOFF layouts (or a missing marker) rebuild cleanly
-    if (new java.io.File(base, "_DONE").exists() && !cutoffFile.exists())
-      Stage.deleteRecursively(base)
+    // pre-_CUTOFF layouts (or a missing marker) rebuild cleanly —
+    // deletePublished drops the commit record before the bytes
+    if (Stage.published(base, "_DONE") && !cutoffFile.exists())
+      Stage.deletePublished(base)
     val cd = cutoffDay(s, d)
-    if (!new java.io.File(base, "_DONE").exists()) {
+    if (!Stage.published(base, "_DONE")) {
       val tmp = new java.io.File(base.getPath + ".build")
       Stage.deleteRecursively(tmp)
       tmp.mkdirs()
@@ -83,11 +84,11 @@ object PartitionEvolution {
       // lost-race branch in publishDir deletes this staging tree
       // instead of leaking a fully built gen1+gen2 copy in tmpdir
       new java.io.File(tmp, "_DONE").createNewFile()
-      if (!new java.io.File(base, "_DONE").exists()) Stage.deleteRecursively(base)
+      if (!Stage.published(base, "_DONE")) Stage.deleteRecursively(base)
       Stage.publishDir(tmp, base, "_DONE")
-      Stage.refreshArtifact(s, base)
+      Stage.refreshArtifact(s, Stage.resolved(base))
     }
-    (base.getPath, cd)
+    (Stage.resolved(base).getPath, cd)
   }
 
   /** The two generation scans with the SAME time predicate ([cutoff−2d,

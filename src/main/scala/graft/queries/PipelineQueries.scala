@@ -545,11 +545,15 @@ object PipelineQueries {
     // restore target = NEWEST generation + 1 — never a hardcoded slot
     // (a grown backlog would otherwise see its real newest generation
     // silently replaced with v1 links)
-    val gens = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("gen\\d+"))
-      .map(_.getName.stripPrefix("gen").toInt)
+    // generation discovery and marker checks go through the
+    // filesystem seam: a pointer-published restore commit is listed
+    // by its logical name and resolved to its physical tree
+    val gens = graft.fs.FsOps.current.logicalNames(new java.io.File(base))
+      .filter(_.matches("gen\\d+"))
+      .map(_.stripPrefix("gen").toInt)
     val restoredGen = gens.filter(g =>
-      new java.io.File(s"$base/gen$g", "_RESTORED").exists()).sorted.lastOption
+      graft.Stage.published(new java.io.File(s"$base/gen$g"), "_RESTORED"))
+      .sorted.lastOption
     val restored = restoredGen match {
       case Some(g) => new java.io.File(s"$base/gen$g")
       case None =>
@@ -557,13 +561,14 @@ object PipelineQueries {
         val tmp = new java.io.File(next.getPath + ".build")
         graft.Stage.deleteRecursively(tmp)
         graft.Stage.linkTree(new java.io.File(s"$base/gen1"), tmp)
-        // marker inside tmp: rename IS the publish
+        // marker inside tmp: the publish (rename or pointer commit)
+        // makes data+marker visible in one atomic step
         new java.io.File(tmp, "_RESTORED").createNewFile()
         graft.Stage.publishDir(tmp, next, "_RESTORED")
-        graft.Stage.refreshArtifact(s, next)
+        graft.Stage.refreshArtifact(s, graft.Stage.resolved(next))
         next
     }
-    s.read.parquet(restored.getPath)
+    s.read.parquet(graft.Stage.resolved(restored).getPath)
       .select(col("user_id"), col("event_id"), col("us"))
       .orderBy("user_id")
   }

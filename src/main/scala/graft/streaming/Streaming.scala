@@ -980,13 +980,15 @@ object Streaming {
       rebuild(batch, prior)
         .write.partitionBy("bucket").mode("overwrite").parquet(next.getPath)
     else next.mkdirs() // empty batch: pure carry-over generation
-    // hard-link untouched buckets across: same inode, zero IO
+    // carry untouched buckets across through the filesystem seam:
+    // POSIX = hard link (same inode, zero IO); object store =
+    // server-side object copy (no client bytes; each generation owns
+    // its objects, so vacuum needs no refcounting)
     untouchedDirs.foreach { bdir =>
       val target = new java.io.File(next, bdir.getName)
       target.mkdirs()
       bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
-        java.nio.file.Files.createLink(
-          target.toPath.resolve(pf.getName), pf.toPath)
+        graft.fs.FsOps.current.carryFile(pf, new java.io.File(target, pf.getName))
       }
     }
   }
@@ -1008,13 +1010,15 @@ object Streaming {
     * generations.
     */
   private[graft] def vacuumGenerations(base: String, keep: Int): Seq[String] = {
-    val gens = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("gen"))
-      .sortBy(_.getName.stripPrefix("gen").toLong)
+    // generation discovery + delete go through the filesystem seam:
+    // a pointer-published generation (p_restore's commit) is listed by
+    // its logical name and vacuumed commit-record-first
+    val gens = graft.fs.FsOps.current.logicalNames(new java.io.File(base))
+      .filter(_.matches("gen\\d+")) // staging debris is not a generation
+      .sortBy(_.stripPrefix("gen").toLong)
     val doomed = gens.dropRight(keep)
-    doomed.foreach(graft.Stage.deleteRecursively)
-    doomed.map(_.getName).toSeq
+    doomed.foreach(g => graft.Stage.deletePublished(new java.io.File(base, g)))
+    doomed
   }
 
   /** G18: streaming SCD2 maintenance — the warehouse dimension-history

@@ -1,0 +1,129 @@
+package graft
+
+import graft.fs.{FsOps, ObjectStoreFsOps, PosixFsOps}
+
+/** The filesystem seam (graft.fs.FsOps): every Delta-parity verb must
+  * produce IDENTICAL answers whether the publish layer is POSIX hard
+  * links + renames or the object-store model (copies + pointer-object
+  * commits) — because the production target (the reference's S3
+  * buckets) has no links and no atomic rename.
+  *
+  * Protocol: run each operator under the default POSIX seam, wipe the
+  * derived artifacts, rerun under ObjectStoreFsOps, compare collected
+  * rows exactly, and assert the object-store discipline held (pointer
+  * commits present, no hard links created). Artifacts are wiped again
+  * afterwards so later suites rebuild under POSIX (several pin
+  * shared-inode behavior that copies deliberately do not have).
+  */
+class FsOpsSpec extends SparkSpec {
+
+  private def fileKey(f: java.io.File) =
+    java.nio.file.Files.readAttributes(f.toPath,
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+
+  private def parquets(f: java.io.File): Seq[java.io.File] = {
+    val kids = Option(f.listFiles()).getOrElse(Array.empty)
+    kids.filter(_.isDirectory).toSeq.flatMap(parquets) ++
+      kids.filter(_.getName.endsWith(".parquet")).toSeq
+  }
+
+  /** Wipe every artifact family the seam-covered machinery derives, so
+    * the next run rebuilds from scratch under the active seam.
+    */
+  private def wipeArtifacts(): Unit = {
+    val prefixes = Seq("graft_zorder_", "graft_bloomidx_", "graft_partevo_",
+      "graft_time_travel_")
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => prefixes.exists(f.getName.startsWith))
+      .foreach { f =>
+        if (f.isDirectory) Stage.deleteRecursively(f) else f.delete()
+      }
+  }
+
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+
+  // every operator whose artifact lifecycle crosses the seam
+  private val covered = Seq("st_upsert", "p_time_travel", "p_restore",
+    "p_vacuum", "p_zorder", "q_zorder_prune", "p_clone",
+    "p_bloom_index", "p_partition_evolve")
+
+  test("seam parity: identical answers under POSIX and object-store publish layers") {
+    assert(FsOps.current eq PosixFsOps)
+    val posix = covered.map(n => n -> rows(n)).toMap
+    wipeArtifacts()
+    try {
+      val objst = FsOps.withFs(ObjectStoreFsOps) {
+        covered.map(n => n -> rows(n)).toMap
+      }
+      covered.foreach { n =>
+        assert(objst(n) === posix(n), s"$n diverged across publish layers")
+        assert(objst(n).nonEmpty, s"$n returned nothing")
+      }
+    } finally wipeArtifacts()
+  }
+
+  test("object-store discipline: pointer commits, copies not links, vacuum safe") {
+    wipeArtifacts()
+    try {
+      FsOps.withFs(ObjectStoreFsOps) {
+        // restore publishes a NEW generation via pointer commit
+        val restored = rows("p_restore")
+        assert(restored.nonEmpty)
+        val ttBase = new java.io.File(
+          s"/tmp/graft_time_travel_${Stage.sourceFingerprint(sfDir, "events")}")
+        val ptrs = Option(ttBase.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".ptr"))
+        assert(ptrs.length === 1, "expected exactly one pointer-published generation")
+        val logical = new java.io.File(ttBase, ptrs.head.getName.stripSuffix(".ptr"))
+        assert(!logical.isDirectory,
+          "the logical name must exist only as a commit record, never a renamed dir")
+        val phys = ObjectStoreFsOps.resolveDir(logical)
+        assert(phys.isDirectory && new java.io.File(phys, "_RESTORED").exists())
+        // carried files are COPIES: no inode shared with gen1 (the
+        // exact opposite of the POSIX clone contract — object stores
+        // have no links, each generation owns its bytes)
+        val g1Keys = parquets(new java.io.File(ttBase, "gen1")).map(fileKey).toSet
+        val restoredKeys = parquets(phys).map(fileKey).toSet
+        assert(g1Keys.nonEmpty && restoredKeys.nonEmpty)
+        assert(g1Keys.intersect(restoredKeys).isEmpty,
+          "object-store carry must copy, never hard-link")
+        // vacuum under copies: drop everything but the restored commit;
+        // the survivor still serves its rows (no inode refcounting to
+        // lean on — each generation owns its objects)
+        val removed = graft.streaming.Streaming.vacuumGenerations(ttBase.getPath, keep = 1)
+        assert(removed.contains("gen1") && removed.contains("gen3"))
+        Stage.refreshArtifact(spark, phys)
+        val after = spark.read.parquet(phys.getPath).count()
+        assert(after > 0, "vacuum deleted bytes a kept generation owned")
+        // the z-layout family publishes by pointer too (q_zorder_prune
+        // forces the layout build; p_zorder computes values only)
+        rows("q_zorder_prune")
+        val layoutPtrs = Option(new java.io.File("/tmp").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("graft_zorder_")
+            && f.getName.endsWith(".ptr"))
+        assert(layoutPtrs.nonEmpty, "z-layout publish left no pointer commit")
+      }
+    } finally {
+      wipeArtifacts()
+      assert(FsOps.current eq PosixFsOps)
+    }
+  }
+
+  test("OPTIMIZE republish under the object-store seam: identity survives, answers unchanged") {
+    wipeArtifacts()
+    try {
+      FsOps.withFs(ObjectStoreFsOps) {
+        val before = rows("q_zorder_prune")
+        val (dataPath, manifest) = graft.pipeline.Layout
+          .compactLayout(spark, sfDir, targetBytes = Long.MaxValue)
+        assert(new java.io.File(dataPath).isDirectory)
+        assert(manifest.count() > 0)
+        val after = rows("q_zorder_prune")
+        assert(after === before, "compaction changed pruning answers")
+      }
+    } finally wipeArtifacts()
+  }
+}
