@@ -56,7 +56,26 @@ object Bench {
   private def forked(sfDir: String, names: Seq[String]): Option[String] = {
     val chunkSize = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_CHUNK", "14").toInt).getOrElse(14).max(1)
-    val chunks = names.grouped(chunkSize).toSeq
+    // HASH-BUCKETED chunk assignment, not alphabetical grouping: a
+    // query's chunk-mates (whose JVM history it shares — the ±2-3×
+    // fixture-amortization effect SURVEY §13 documents) must not shift
+    // every time the registry grows. Bucket = stable md5 of the NAME
+    // over a power-of-two bucket count derived from the target chunk
+    // size, so adding queries only ever ADDS members to existing
+    // buckets until the count crosses the next power of two —
+    // cross-round per-row deltas stay comparable.
+    val chunks = {
+      val target = math.max(1.0, names.size.toDouble / chunkSize)
+      var buckets = 1
+      while (buckets < target) buckets *= 2
+      def bucketOf(n: String): Int = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(n.getBytes("UTF-8"))
+        math.floorMod(java.nio.ByteBuffer.wrap(md).getInt, buckets)
+      }
+      names.groupBy(bucketOf).toSeq.sortBy(_._1).map(_._2.sorted)
+        .filter(_.nonEmpty)
+    }
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getPath
     val jvmArgs = java.lang.management.ManagementFactory

@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom physical operators (SURVEY §4 path (c)): the planner
     // strategy for the native as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // nested from_json schema pruning (the one-level-only gap in
+    // Catalyst's OptimizeCsvJsonExprs) — see plans/PruneJsonPaths
+    ext.injectOptimizerRule(_ => graft.plans.PruneJsonPaths)
   }
 }
 

@@ -46,7 +46,11 @@ object Envelope {
     * the flag (Ingest.pipeline drops them; Ingest.malformedLines
     * quarantines them).
     */
-  def parse(lines: DataFrame): DataFrame =
+  def parse(lines: DataFrame): DataFrame = {
+    // sessions built without GraftExtensions still get the nested
+    // from_json pruning rule (metadata consumers must not pay a
+    // dbObject parse) — idempotent runtime install
+    graft.plans.PruneJsonPaths.ensureInstalled(lines.sparkSession)
     lines
       .withColumn("m", from_json(col("value"), schema).getField("message"))
       .select(
@@ -61,6 +65,7 @@ object Envelope {
           || col("m.encryption.encryptedEncryptionKey").isNull
           || col("m.encryption.initialisationVector").isNull).as("malformed"),
         col("value"))
+  }
 
   // ---- deterministic fixture synthesis (all SQL-reconstructible) ----
 

@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, Cast, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -181,9 +182,79 @@ object MvRewrite {
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  /** The orders⋈customer revenue view: the most common BI shape —
+    * fact measures pre-joined to a dimension and pre-aggregated to
+    * (dim attribute, fact attribute) grain.
+    */
+  val OrdersCustomerMv: MvDef = MvDef("orders.parquet",
+    Set("c_mktsegment", "o_orderpriority"),
+    Map("o_totalprice" -> "mv_sum_total"),
+    "mv_n",
+    join = Some(MvJoin("customer.parquet", "o_custkey", "c_custkey")))
+
+  def ensureJoinMv(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(
+      s"/tmp/graft_mv_ordcust_${graft.Stage.sourceFingerprint(d, "orders")}")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      graft.Stage.deleteRecursively(dir)
+      val tmp = new java.io.File(dir.getPath + ".build")
+      graft.Stage.deleteRecursively(tmp)
+      building.set(true)
+      try Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(sum(dec(col("o_totalprice"))).as("mv_sum_total"),
+          count(lit(1)).as("mv_n"))
+        .write.parquet(tmp.getPath)
+      finally building.set(false)
+      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
+      graft.Stage.refreshArtifact(s, dir)
+    }
+    dir.getPath
+  }
+
+  /** A-MV-join: SPJG subsumption — a dim-grouped aggregate over
+    * `orders ⋈ customer`, answered FROM the join-preserving MV: the
+    * plan must scan NEITHER base table. Grouping (c_mktsegment) is a
+    * subset of the MV grain, the filter touches an MV-carried fact
+    * attribute, and the aggregates are mergeable partials — all three
+    * subsumption legs, now through a join. Refusal paths (different
+    * join key, uncarried measure, non-key filter, outer join) are
+    * pinned by ExtensionsSpec: the rule falls back to the base-table
+    * plan rather than fire unsoundly.
+    */
+  def qMvJoin(s: SparkSession, d: String): DataFrame = {
+    val mvPath = ensureJoinMv(s, d)
+    ensureRule(s, mvPath, OrdersCustomerMv)
+    val df = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("c_mktsegment")
+    val planStr = df.queryExecution.executedPlan.toString
+    require(planStr.contains("graft_mv_ordcust_"),
+      s"plan does not read the join MV:\n$planStr")
+    require(!planStr.contains("orders.parquet"),
+      s"plan still scans the fact table:\n$planStr")
+    require(!planStr.contains("customer.parquet"),
+      s"plan still scans the dimension table:\n$planStr")
+    df
+  }
+
+  val qMvJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_mv_rewrite", qMvRewrite, Some(qMvRewriteSql)),
-    QueryDef("q_mv_rollup", qMvRollup, Some(qMvRollupSql)))
+    QueryDef("q_mv_rollup", qMvRollup, Some(qMvRollupSql)),
+    QueryDef("q_mv_join", qMvJoin, Some(qMvJoinSql)))
 }
 
 /** Declarative MV description — what the generic rewrite rule needs to
@@ -196,7 +267,16 @@ final case class MvDef(
     factSuffix: String,
     keys: Set[String],
     sums: Map[String, String],
-    countCol: String)
+    countCol: String,
+    join: Option[MvJoin] = None)
+
+/** Join-preserving MV: the view materializes `fact ⋈ dim` (inner
+  * equi-join on factKey = dimKey) pre-aggregated to the MvDef's keys,
+  * so a dim-grouped aggregate over the join is answered without
+  * scanning EITHER base table — the standard SPJG subsumption shape
+  * (select-project-join-group-by).
+  */
+final case class MvJoin(dimSuffix: String, factKey: String, dimKey: String)
 
 case class MvRewriteRule(spark: SparkSession, mvPath: String, mv: MvDef)
     extends Rule[LogicalPlan] {
@@ -225,17 +305,70 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String, mv: MvDef)
         rewrite(groups, aggExprs, child).getOrElse(agg)
     }
 
-  /** Peel column-pruning Projects and collect Filters down to the
-    * fact-table scan; None if the subtree is anything else.
+  /** Peel column-pruning Projects and collect Filters down to a scan
+    * matching `isScan`; None if the subtree is anything else.
     */
-  private def peel(p: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
+  private def peelTo(p: LogicalPlan, isScan: LogicalRelation => Boolean)
+      : Option[Seq[Expression]] =
     p match {
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        peel(c)
+        peelTo(c, isScan)
       case Filter(cond, c) =>
-        peel(c).map { case (cs, lr) => (cond +: cs, lr) }
-      case lr: LogicalRelation if isFactScan(lr) => Some((Nil, lr))
+        peelTo(c, isScan).map(cond +: _)
+      case lr: LogicalRelation if isScan(lr) => Some(Nil)
       case _ => None
+    }
+
+  private def peel(p: LogicalPlan): Option[Seq[Expression]] =
+    peelTo(p, isFactScan)
+
+  /** The SPJG source shape for a join-preserving MV: Projects/Filters
+    * over `Join(fact, dim, Inner, factKey = dimKey)` (either side
+    * order), each side itself peelable to its base scan. Returns every
+    * Filter condition collected on the way down (they all apply to the
+    * MV verbatim when they touch only MV keys — subsumption exactly as
+    * in the single-table path). Anything else — another join shape,
+    * extra conjuncts, an outer join — refuses: the rule never degrades
+    * correctness to fire.
+    */
+  private def peelJoin(p: LogicalPlan, j: MvJoin): Option[Seq[Expression]] =
+    p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        peelJoin(c, j)
+      case Filter(cond, c) =>
+        peelJoin(c, j).map(cond +: _)
+      case Join(l, r,
+          Inner, Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)
+          if Set(a.name, b.name) == Set(j.factKey, j.dimKey) =>
+        val straight = for {
+          lc <- peelTo(l, isFactScan); rc <- peelTo(r, isDimScan(j))
+        } yield lc ++ rc
+        straight.orElse(for {
+          lc <- peelTo(l, isDimScan(j)); rc <- peelTo(r, isFactScan)
+        } yield lc ++ rc)
+      case _ => None
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Source peel for this MV's shape: plain fact scan, or the SPJG
+    * join when the MvDef declares one. For the join shape, the
+    * optimizer's injected `isnotnull(<join key>)` conjuncts are
+    * DROPPED rather than remapped: the MV materialized the same inner
+    * join, so null-keyed rows are already absent from it — the
+    * predicate is subsumed by the view definition itself.
+    */
+  private def peelSource(p: LogicalPlan): Option[Seq[Expression]] =
+    mv.join match {
+      case None => peel(p)
+      case Some(j) => peelJoin(p, j).map(_.flatMap(conjuncts).filterNot {
+        case IsNotNull(a: AttributeReference) =>
+          a.name == j.factKey || a.name == j.dimKey
+        case _ => false
+      })
     }
 
   private def isFactScan(lr: LogicalRelation): Boolean = lr.relation match {
@@ -243,6 +376,13 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String, mv: MvDef)
       fs.location.rootPaths.exists(_.toString.endsWith(mv.factSuffix))
     case _ => false
   }
+
+  private def isDimScan(j: MvJoin)(lr: LogicalRelation): Boolean =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.exists(_.toString.endsWith(j.dimSuffix))
+      case _ => false
+    }
 
   private def onlyKeyRefs(e: Expression): Boolean =
     e.references.forall(a => mv.keys.contains(a.name))
@@ -291,7 +431,7 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String, mv: MvDef)
   private def rewriteExpand(groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], exp: Expand): Option[LogicalPlan] = {
     if (!new java.io.File(mvPath, "_SUCCESS").exists()) return None
-    val (conds, _) = peel(exp.child).getOrElse(return None)
+    val conds = peelSource(exp.child).getOrElse(return None)
     if (!conds.forall(onlyKeyRefs)) return None
     val out = exp.output
     if (!exp.projections.forall(_.size == out.size)) return None
@@ -356,8 +496,7 @@ case class MvRewriteRule(spark: SparkSession, mvPath: String, mv: MvDef)
   private def rewrite(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
     if (!new java.io.File(mvPath, "_SUCCESS").exists()) return None
-    val peeled = peel(child).getOrElse(return None)
-    val (conds, _) = peeled
+    val conds = peelSource(child).getOrElse(return None)
     // every filter between scan and aggregate must touch only MV keys
     if (!conds.forall(onlyKeyRefs)) return None
     // grouping must be plain key attributes (a subset of the MV keys)

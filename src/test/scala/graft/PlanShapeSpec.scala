@@ -315,6 +315,110 @@ class PlanShapeSpec extends SparkSpec {
     assert(ga === gb)
   }
 
+  test("join MV (SPJG) rewrite: fires on the subsumed shape only, never degrades correctness") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.QueryDef.dec
+    val mvPath = graft.plans.MvRewrite.ensureJoinMv(spark, sfDir)
+    graft.plans.MvRewrite.ensureRule(spark, mvPath,
+      graft.plans.MvRewrite.OrdersCustomerMv)
+    def readsMv(df: DataFrame) =
+      df.queryExecution.executedPlan.toString.contains("graft_mv_ordcust_")
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    def joined = orders.join(cust, col("o_custkey") === col("c_custkey"))
+
+    // the subsumed shape: dim-grouped, MV-key filter, carried measures
+    val sub = joined.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    assert(readsMv(sub), "subsumed join aggregate should read the MV")
+    // value-identical to the un-rewritable twin over the base tables
+    val raw = joined.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice")) + lit(0).cast("decimal(18,2)"))
+          .cast("double").as("total"))
+    assert(!readsMv(raw))
+    assert(sub.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      === raw.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet)
+
+    // either join-side order matches (dim written on the left)
+    val swapped = cust.join(orders, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(readsMv(swapped), "dim-on-the-left should still rewrite")
+
+    // REFUSALS — every leg of the subsumption test, independently:
+    // (1) a different join key is a different view
+    val wrongKey = orders.join(cust, col("o_custkey") === col("c_nationkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(!readsMv(wrongKey), "wrong join key must refuse")
+    // (2) an OUTER join has different semantics than the inner MV
+    val outer = orders.join(cust,
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(!readsMv(outer), "outer join must refuse")
+    // (3) a measure the MV does not carry
+    val uncarried = joined.groupBy("c_mktsegment")
+      .agg(sum(dec(col("c_acctbal"))).cast("double").as("sb"))
+    assert(!readsMv(uncarried), "uncarried measure must refuse")
+    // (4) a filter on a non-key column
+    val nonKeyFilter = joined.filter(col("o_totalprice") > 1000)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(!readsMv(nonKeyFilter), "non-key filter must refuse")
+    // (5) grouping by a non-key column
+    val nonKeyGroup = joined.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    assert(!readsMv(nonKeyGroup), "non-key grouping must refuse")
+    // and every refused query still answers correctly from base tables
+    assert(wrongKey.collect().nonEmpty && outer.collect().nonEmpty
+      && uncarried.collect().nonEmpty && nonKeyFilter.collect().nonEmpty
+      && nonKeyGroup.collect().nonEmpty)
+  }
+
+  test("from_json schemas are pruned to consumed fields (envelope parse / export shape)") {
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    import org.apache.spark.sql.functions.col
+    // the 100 TB contract: when a consumer touches only a FIELD of the
+    // parsed struct, the from_json in the plan must carry a REDUCED
+    // schema — parsing the full envelope (dbObject is the payload, the
+    // overwhelming majority of the bytes) for a metadata-only query
+    // would do the whole corpus's JSON work for nothing. This pruning
+    // is Catalyst's OptimizeJsonExprs + nested-schema pruning and is
+    // version-sensitive — pinned here so an upgrade can't silently
+    // regress it.
+    def jsonSchemas(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions }.flatten
+        .flatMap(_.collect { case j: JsonToStructs => j.schema.sql })
+
+    // p_envelope_parse consumes db/collection/crypto/lm but NOT the
+    // dbObject payload and NOT the unused key-id fields
+    val env = graft.queries.PipelineQueries.pEnvelopeParse(spark, sfDir)
+    val envSchemas = jsonSchemas(env)
+    assert(envSchemas.nonEmpty, "envelope parse lost its from_json")
+    assert(envSchemas.forall(s => !s.contains("dbObject")),
+      s"dbObject payload survived pruning: $envSchemas")
+    assert(envSchemas.forall(s => !s.contains("keyEncryptionKeyId")),
+      s"unused crypto fields survived pruning: $envSchemas")
+
+    // a single-field consumer prunes all the way down to that field
+    val one = graft.pipeline.Envelope
+      .parse(graft.pipeline.Envelope.synthesizeCached(spark, sfDir))
+      .select(col("db"))
+    val oneSchemas = jsonSchemas(one)
+    assert(oneSchemas.nonEmpty && oneSchemas.forall(s =>
+      s.contains("db") && !s.contains("encryption") && !s.contains("dbObject")),
+      s"single-field consumer should parse only that field: $oneSchemas")
+
+    // p_json_extract aggregates lang/n_chars; the text payload and
+    // source must not be materialized by its export-shape from_json
+    val jx = graft.queries.PipelineQueries.pJsonExtract(spark, sfDir)
+    val jxSchemas = jsonSchemas(jx)
+    assert(jxSchemas.nonEmpty, "json extract lost its from_json")
+    assert(jxSchemas.forall(s => !s.contains("text") && !s.contains("source")),
+      s"unconsumed payload fields survived pruning: $jxSchemas")
+  }
+
   test("aggregations keep map-side partial aggregation") {
     val q1 = graft.queries.Analytics.q1Agg(spark, sfDir)
     val aggs = executed(q1).collect {
