@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** End-to-end driver for the REFERENCE Hive DDL dialect — run in its
+  * own JVM because `spark.sql.catalogImplementation` is a per-JVM
+  * static conf (the shared test session is in-memory-catalog; the
+  * reference's EMR sessions are Hive). OrchestrationSpec forks this
+  * main and asserts its printed verdict.
+  *
+  * What it proves, against the real Hive catalog (derby metastore in a
+  * temp dir): the businessAudit chain (ingesters.py:141-266) with its
+  * ACTUAL dialect — managed `STORED AS orc TBLPROPERTIES
+  * ('orc.compress'='ZLIB')` raw table, dated `CREATE EXTERNAL TABLE …
+  * STORED AS TEXTFILE LOCATION` + `ALTER TABLE … ADD PARTITION`,
+  * dynamic-partition `INSERT OVERWRITE`, external drop, and the
+  * sec/red view-like ORC tables with static-partition overwrite
+  * (idempotent re-publication) — lands the same rows the in-memory
+  * dialect publishes, with the serde verifiably ORC.
+  */
+object HiveChainMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val wh = java.nio.file.Files.createTempDirectory("graft_hive_wh").toString
+    val ms = java.nio.file.Files.createTempDirectory("graft_hive_ms").toString
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$ms/db;create=true")
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    require(AuditPublish.hiveCatalog(spark), "expected a Hive-catalog session")
+
+    val db = "uc_dw_auditlog"
+    val date = "2021-06-15"
+    val daily = java.nio.file.Files.createTempDirectory("graft_audit_daily").toString
+    val processed = Ingest.pipeline(Envelope.synthesizeAudit(spark, sfDir))
+    val n = processed.count()
+    AuditPublish.writeAuditDaily(processed, daily)
+
+    AuditPublish.publishRaw(spark, db, daily, date)
+    def fmt(t: String): String =
+      spark.sql(s"DESCRIBE FORMATTED $db.$t").collect().map(_.toString).mkString("\n")
+    require(fmt("auditlog_raw").contains("OrcSerde"),
+      "raw table is not ORC-serde")
+    require(spark.sql(s"SHOW TBLPROPERTIES $db.auditlog_raw").collect()
+      .exists(r => r.getString(0) == "orc.compress" && r.getString(1) == "ZLIB"),
+      "raw table lacks orc.compress=ZLIB")
+    require(spark.sql(s"SHOW PARTITIONS $db.auditlog_raw").collect()
+      .exists(_.getString(0) == s"date_str=$date"), "raw partition missing")
+    require(!spark.catalog.tableExists(
+      s"$db.auditlog_raw_${date.replace("-", "_")}"),
+      "dated external table should have been dropped")
+    val raw1 = spark.table(s"$db.auditlog_raw")
+      .filter(col("date_str") === date).count()
+    require(raw1 == n, s"raw rows $raw1 != $n")
+    // idempotent re-publication (INSERT OVERWRITE, not append)
+    AuditPublish.publishRaw(spark, db, daily, date)
+    val raw2 = spark.table(s"$db.auditlog_raw")
+      .filter(col("date_str") === date).count()
+    require(raw2 == n, s"re-publication duplicated rows: $raw2 != $n")
+
+    val ddl = "AUDIT_ID STRING, AUDIT_EVENT STRING, TIME_STAMP STRING, TIME_STAMP_ORIG STRING"
+    val secCols = Seq("AUDIT_ID", "AUDIT_EVENT", "TIME_STAMP", "TIME_STAMP_ORIG")
+    val redCols = Seq("AUDIT_EVENT", "TIME_STAMP", "TIME_STAMP_ORIG")
+    AuditPublish.publishViews(spark, db, date, ddl, secCols, redCols)
+    AuditPublish.publishViews(spark, db, date, ddl, secCols, redCols) // idempotent
+    val sec = spark.table(s"$db.auditlog_sec_v")
+    val red = spark.table(s"$db.auditlog_red_v")
+    require(fmt("auditlog_sec_v").contains("OrcSerde"), "sec_v is not ORC")
+    require(fmt("auditlog_red_v").contains("OrcSerde"), "red_v is not ORC")
+    require(sec.columns.toSeq == secCols :+ "date_str", sec.columns.mkString(","))
+    require(red.columns.toSeq == redCols :+ "date_str", red.columns.mkString(","))
+    require(sec.count() == n && red.count() == n, "view row counts drifted")
+    require(sec.filter(col("AUDIT_ID").isNotNull).count() == n,
+      "sec_v lost its identifying column values")
+    println(s"HIVECHAIN OK raw=$raw2 sec=${sec.count()} red=${red.count()}")
+    spark.stop()
+  }
+}

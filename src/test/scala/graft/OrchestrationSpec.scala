@@ -201,4 +201,31 @@ class OrchestrationSpec extends SparkSpec {
       ddl, secCols, redCols)
     assert(spark.table("uc_dw_auditlog_test.auditlog_sec_v").count() === processed.count())
   }
+
+  test("reference Hive DDL dialect (STORED AS ORC + external TEXTFILE + partition DDL) in a Hive-catalog JVM") {
+    // catalogImplementation is a per-JVM STATIC conf — the shared spec
+    // session is in-memory-catalog, so the Hive dialect runs in a
+    // forked JVM against a real Hive catalog (derby metastore in a
+    // temp dir); HiveChainMain does the asserting and prints a verdict
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.forEach(a => cmd.add(a))
+    cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+    cmd.add("graft.pipeline.HiveChainMain"); cmd.add(sfDir)
+    val pb = new ProcessBuilder(cmd)
+    // derby writes derby.log into user.dir — keep it out of the repo
+    val cwd = Files.createTempDirectory("graft_hive_cwd").toFile
+    pb.directory(cwd)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor(5, java.util.concurrent.TimeUnit.MINUTES),
+      "hive chain JVM timed out")
+    assert(p.exitValue() === 0, s"hive chain failed:\n${out.takeRight(4000)}")
+    assert(out.contains("HIVECHAIN OK"), s"no verdict in:\n${out.takeRight(4000)}")
+  }
 }
