@@ -160,4 +160,25 @@ object Stage {
     */
   def deletePublished(target: java.io.File): Unit =
     graft.fs.FsOps.current.deletePublished(target)
+
+  /** Build-once artifact through the filesystem seam: if `base` is not
+    * published, clear debris, run `build` into a staging dir, and
+    * publish atomically (the marker — parquet's own _SUCCESS by
+    * default — is written inside the staging tree by the write
+    * itself, so publish makes data+marker visible in one step).
+    * Returns the PHYSICAL directory to read. The shared shape behind
+    * every fingerprinted write-once artifact (MVs, dedup indexes,
+    * components, fixture layouts).
+    */
+  def ensureArtifact(s: org.apache.spark.sql.SparkSession, base: java.io.File,
+      marker: String = "_SUCCESS")(build: java.io.File => Unit): java.io.File = {
+    if (!published(base, marker)) {
+      deletePublished(base) // unmarked partial only
+      val tmp = graft.fs.FsOps.current.stagingDir(base, "build")
+      build(tmp)
+      publishDir(tmp, base, marker)
+      refreshArtifact(s, resolved(base))
+    }
+    resolved(base)
+  }
 }

@@ -788,16 +788,10 @@ object Dedup {
     * recomputed) afterwards — including from a fresh JVM.
     */
   def ensureComponents(s: SparkSession, d: String): DataFrame = {
-    val base = componentsDir(d)
-    if (!new java.io.File(base, "_SUCCESS").exists()) {
-      graft.Stage.deleteRecursively(base) // clear any incomplete build
-      val tmp = new java.io.File(base.getPath + ".build")
-      graft.Stage.deleteRecursively(tmp)
+    val phys = graft.Stage.ensureArtifact(s, componentsDir(d)) { tmp =>
       dCluster(s, d).write.parquet(tmp.getPath)
-      if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
-      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
-    s.read.parquet(base.getPath)
+    s.read.parquet(phys.getPath)
   }
 
   /** C7b: the APPLICATION of near-dup clustering — the surviving
@@ -915,11 +909,7 @@ object Dedup {
   }
 
   def ensureNearDupEdges(s: SparkSession, d: String): DataFrame = {
-    val base = edgesDir(d)
-    if (!new java.io.File(base, "_SUCCESS").exists()) {
-      graft.Stage.deleteRecursively(base)
-      val tmp = new java.io.File(base.getPath + ".build")
-      graft.Stage.deleteRecursively(tmp)
+    val phys = graft.Stage.ensureArtifact(s, edgesDir(d)) { tmp =>
       val corpus = corpusWithExactDups(s, d)
       val exactEdges = corpus
         .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
@@ -930,10 +920,8 @@ object Dedup {
       exactEdges.union(dNgramJaccard(s, d).select(col("id_a"), col("id_b")))
         .distinct()
         .write.parquet(tmp.getPath)
-      if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
-      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
-    s.read.parquet(base.getPath)
+    s.read.parquet(phys.getPath)
   }
 
   def dCentrality(s: SparkSession, d: String): DataFrame = {
@@ -1338,11 +1326,7 @@ object Dedup {
   }
 
   def ensureDedupIndex(s: SparkSession, d: String): DataFrame = {
-    val base = dedupIndexDir(d)
-    if (!new java.io.File(base, "_SUCCESS").exists()) {
-      graft.Stage.deleteRecursively(base)
-      val tmp = new java.io.File(base.getPath + ".build")
-      graft.Stage.deleteRecursively(tmp)
+    val phys = graft.Stage.ensureArtifact(s, dedupIndexDir(d)) { tmp =>
       graft.Stage.barrier(Tables.documents(s, d)
           .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"),
             graft.functions.word_shingle_md5_hashes(col("text"), 1).as("toks")))
@@ -1350,10 +1334,8 @@ object Dedup {
           when(size(col("toks")) > 0,
             graft.functions.simhash64(col("toks"))).as("simhash"))
         .write.parquet(tmp.getPath)
-      if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
-      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
-    s.read.parquet(base.getPath)
+    s.read.parquet(phys.getPath)
   }
 
   /** C13: INCREMENTAL dedup — classify today's batch against the

@@ -122,9 +122,9 @@ object Bucketing {
     */
   def qDpp(s: SparkSession, d: String): DataFrame = {
     val base = new java.io.File(s"/tmp/graft_dpp_${graft.Stage.sourceFingerprint(d, "orders")}")
-    if (!base.exists()) {
-      val tmp = new java.io.File(base.getPath + ".build")
-      graft.Stage.deleteRecursively(tmp)
+    // marker = the LAST write's own _SUCCESS, so a crash between the
+    // two writes can never publish a half-built fixture
+    val phys = graft.Stage.ensureArtifact(s, base, "years/_SUCCESS") { tmp =>
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.partitionBy("o_year").parquet(s"${tmp.getPath}/orders_by_year")
@@ -132,15 +132,13 @@ object Bucketing {
         .select(year(col("o_orderdate")).as("o_year")).distinct()
         .withColumn("y_mod", col("o_year") % 2)
         .coalesce(1).write.parquet(s"${tmp.getPath}/years")
-      if (!tmp.renameTo(base)) graft.Stage.deleteRecursively(tmp)
-      graft.Stage.refreshArtifact(s, base) // same-path rebuild: drop stale cached plans
     }
-    val fact = s.read.parquet(s"${base.getPath}/orders_by_year")
+    val fact = s.read.parquet(s"${phys.getPath}/orders_by_year")
     // the dim filter must be a COMPARISON: PartitionPruning gates on
     // isLikelySelective(), which matches BinaryComparison/In/Like — a
     // bare boolean attribute is not on the list and silently disables
     // the whole rewrite
-    val dim = s.read.parquet(s"${base.getPath}/years").filter(col("y_mod") === 0)
+    val dim = s.read.parquet(s"${phys.getPath}/years").filter(col("y_mod") === 0)
     val joined = fact.join(broadcast(dim), Seq("o_year"))
       .groupBy("o_year")
       .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))

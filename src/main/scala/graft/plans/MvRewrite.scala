@@ -51,10 +51,7 @@ object MvRewrite {
   def ensureMv(s: SparkSession, d: String): String = {
     val dir = new java.io.File(
       s"/tmp/graft_mv_lineitem_${graft.Stage.sourceFingerprint(d, "lineitem")}")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      graft.Stage.deleteRecursively(dir)
-      val tmp = new java.io.File(dir.getPath + ".build")
-      graft.Stage.deleteRecursively(tmp)
+    graft.Stage.ensureArtifact(s, dir) { tmp =>
       building.set(true)
       try Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
@@ -64,10 +61,7 @@ object MvRewrite {
           count(lit(1)).as("mv_n"))
         .write.parquet(tmp.getPath)
       finally building.set(false)
-      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
-      graft.Stage.refreshArtifact(s, dir)
-    }
-    dir.getPath
+    }.getPath
   }
 
   /** Idempotently install the rewrite rule for `mvPath` into the
@@ -97,20 +91,14 @@ object MvRewrite {
   def ensureEventsMv(s: SparkSession, d: String): String = {
     val dir = new java.io.File(
       s"/tmp/graft_mv_events_${graft.Stage.sourceFingerprint(d, "events")}")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      graft.Stage.deleteRecursively(dir)
-      val tmp = new java.io.File(dir.getPath + ".build")
-      graft.Stage.deleteRecursively(tmp)
+    graft.Stage.ensureArtifact(s, dir) { tmp =>
       building.set(true)
       try Tables.events(s, d)
         .groupBy("event_type")
         .agg(sum(dec(col("value"))).as("mv_sum_value"), count(lit(1)).as("mv_n"))
         .write.parquet(tmp.getPath)
       finally building.set(false)
-      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
-      graft.Stage.refreshArtifact(s, dir)
-    }
-    dir.getPath
+    }.getPath
   }
 
   /** A1-MV: the flagship pricing-summary roll-up, answered FROM the MV:
@@ -195,10 +183,7 @@ object MvRewrite {
   def ensureJoinMv(s: SparkSession, d: String): String = {
     val dir = new java.io.File(
       s"/tmp/graft_mv_ordcust_${graft.Stage.sourceFingerprint(d, "orders")}")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      graft.Stage.deleteRecursively(dir)
-      val tmp = new java.io.File(dir.getPath + ".build")
-      graft.Stage.deleteRecursively(tmp)
+    graft.Stage.ensureArtifact(s, dir) { tmp =>
       building.set(true)
       try Tables.orders(s, d)
         .join(Tables.customer(s, d),
@@ -208,10 +193,7 @@ object MvRewrite {
           count(lit(1)).as("mv_n"))
         .write.parquet(tmp.getPath)
       finally building.set(false)
-      if (!tmp.renameTo(dir)) graft.Stage.deleteRecursively(tmp)
-      graft.Stage.refreshArtifact(s, dir)
-    }
-    dir.getPath
+    }.getPath
   }
 
   /** A-MV-join: SPJG subsumption — a dim-grouped aggregate over

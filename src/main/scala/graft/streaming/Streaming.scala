@@ -1307,23 +1307,39 @@ object Streaming {
     // same id (b2 is the last file the mtime-ordered source delivered)
     if (lastId >= 0) // an empty backlog has no batch to re-deliver
       idempotentSink(s.read.parquet(s"$dir/b2.parquet"), base, lastId)
-    s.read.parquet(base)
+    committedBatches(s, base)
       .groupBy(pmod(col("user_id"), lit(10)).as("cohort"))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"),
         min(col("us")).as("min_us"), max(col("us")).as("max_us"))
   }
 
-  /** The transactional-rename sink step: tmp write → atomic rename →
-    * skip-if-committed. Factored out so StreamingSpec can drive a
-    * replay with DIFFERENT payload bytes and prove the commit wins.
+  /** The transactional sink step through the filesystem seam: staging
+    * write → atomic publish (rename, or pointer commit on an object
+    * store) → skip-if-committed. First writer wins — a replayed
+    * delivery, even with different payload bytes, can never overwrite
+    * the commit (StreamingSpec drives exactly that). The marker is
+    * parquet's own _SUCCESS, written inside the staging tree by the
+    * write itself.
     */
   private[graft] def idempotentSink(batch: DataFrame, base: String, id: Long): Unit = {
     val target = new java.io.File(base, s"batch=$id")
-    if (target.exists()) return // already committed: replayed delivery is a no-op
-    val tmp = new java.io.File(base, s".batch-$id.tmp")
-    graft.Stage.deleteRecursively(tmp)
+    if (graft.Stage.published(target, "_SUCCESS"))
+      return // already committed: replayed delivery is a no-op
+    val tmp = graft.fs.FsOps.current.stagingDir(target, "tmp")
     batch.write.parquet(tmp.getPath)
-    if (!tmp.renameTo(target)) graft.Stage.deleteRecursively(tmp)
+    graft.Stage.publishDir(tmp, target, "_SUCCESS")
+  }
+
+  /** Read back every committed batch of an [[idempotentSink]] layout —
+    * commit discovery by LOGICAL name (a pointer-committed batch has
+    * no directory under its own name), each resolved to its physical
+    * tree.
+    */
+  private[graft] def committedBatches(s: SparkSession, base: String): DataFrame = {
+    val paths = graft.fs.FsOps.current.logicalNames(new java.io.File(base))
+      .filter(_.matches("batch=\\d+"))
+      .map(n => graft.Stage.resolved(new java.io.File(base, n)).getPath)
+    s.read.parquet(paths: _*)
   }
 
   val stExactlyOnceSql: String =

@@ -32,7 +32,9 @@ class FsOpsSpec extends SparkSpec {
     */
   private def wipeArtifacts(): Unit = {
     val prefixes = Seq("graft_zorder_", "graft_bloomidx_", "graft_partevo_",
-      "graft_time_travel_")
+      "graft_time_travel_", "graft_mv_lineitem_", "graft_mv_events_",
+      "graft_mv_ordcust_", "graft_dpp_", "graft_components_",
+      "graft_edges_", "graft_dedupindex_")
     Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
       .filter(f => prefixes.exists(f.getName.startsWith))
       .foreach { f =>
@@ -47,7 +49,12 @@ class FsOpsSpec extends SparkSpec {
   // every operator whose artifact lifecycle crosses the seam
   private val covered = Seq("st_upsert", "p_time_travel", "p_restore",
     "p_vacuum", "p_zorder", "q_zorder_prune", "p_clone",
-    "p_bloom_index", "p_partition_evolve")
+    "p_bloom_index", "p_partition_evolve",
+    // write-once artifacts routed through Stage.ensureArtifact
+    "q_mv_rewrite", "q_mv_join", "d_cluster_apply", "d_incremental",
+    "q_dpp",
+    // the transactional sink commit (publish-per-batch)
+    "st_exactly_once")
 
   test("seam parity: identical answers under POSIX and object-store publish layers") {
     assert(FsOps.current eq PosixFsOps)

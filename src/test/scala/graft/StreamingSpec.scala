@@ -439,9 +439,27 @@ class StreamingSpec extends SparkSpec {
       spark.sparkContext.parallelize(xs.map(Row(_)), 1), schema)
     Streaming.idempotentSink(df(Seq(1L, 2L)), base, 0L)
     Streaming.idempotentSink(df(Seq(99L)), base, 0L) // replay, doctored
-    val landed = spark.read.parquet(s"$base/batch=0").collect().map(_.getLong(0)).sorted
+    val landed = Streaming.committedBatches(spark, base)
+      .collect().map(_.getLong(0)).sorted
     assert(landed.toSeq === Seq(1L, 2L))
-    assert(!new java.io.File(base, ".batch-0.tmp").exists())
+    // the doctored replay's staging tree was cleaned up, not leaked
+    val leaks = new java.io.File(base).listFiles()
+      .filter(f => f.getName.contains(".tmp") && f.isDirectory)
+    assert(leaks.isEmpty, s"staging debris: ${leaks.mkString(",")}")
+    // and the same commit discipline holds on the object-store seam
+    graft.fs.FsOps.withFs(graft.fs.ObjectStoreFsOps) {
+      val base2 = "/tmp/graft_spec_eo_objst"
+      graft.Stage.deleteRecursively(new java.io.File(base2))
+      new java.io.File(base2).mkdirs()
+      Streaming.idempotentSink(df(Seq(3L, 4L)), base2, 7L)
+      Streaming.idempotentSink(df(Seq(99L)), base2, 7L) // replay, doctored
+      val landed2 = Streaming.committedBatches(spark, base2)
+        .collect().map(_.getLong(0)).sorted
+      assert(landed2.toSeq === Seq(3L, 4L))
+      // committed by pointer: the logical name is a commit record only
+      assert(new java.io.File(base2, "batch=7.ptr").isFile)
+      assert(!new java.io.File(base2, "batch=7").isDirectory)
+    }
   }
 
   test("m_shard_read: every sample round-trips; the verifier catches a corrupted byte") {
