@@ -693,6 +693,42 @@ object Analytics {
     * (exact) rather than AVG keeps the threshold comparison
     * float-order-independent, so the oracle hash-matches.
     */
+  /** A-REC: RECURSIVE CTE (Spark 4's WITH RECURSIVE, executed as an
+    * iterated distributed self-join per level — UnionLoop): a
+    * hierarchy walk following parent(k) = k div 7 from every customer
+    * key to the root, aggregated by walk depth. At 100 TB each
+    * recursion level is one distributed join against the prior level's
+    * frontier (never a driver loop), depth is bounded by the key
+    * domain's log, and `spark.sql.cteRecursionLevelLimit` guards
+    * runaway definitions. DuckDB runs the same recursion natively
+    * (integer division spelled `div` vs `//`), so the whole fixpoint
+    * sits under the hash gate.
+    */
+  def qRecursive(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_rec_customer")
+    s.sql(
+      """WITH RECURSIVE walk(k, root, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM graft_rec_customer
+        |  UNION ALL
+        |  SELECT k div 7, root, depth + 1 FROM walk WHERE k > 0
+        |)
+        |SELECT CAST(max_depth AS BIGINT) AS max_depth,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT root, MAX(depth) AS max_depth FROM walk GROUP BY root)
+        |GROUP BY max_depth ORDER BY max_depth""".stripMargin)
+  }
+
+  val qRecursiveSql: String =
+    """WITH RECURSIVE walk(k, root, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT k // 7, root, depth + 1 FROM walk WHERE k > 0
+      |)
+      |SELECT CAST(max_depth AS BIGINT) AS max_depth,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT root, MAX(depth) AS max_depth FROM walk GROUP BY root)
+      |GROUP BY max_depth ORDER BY max_depth""".stripMargin
+
   def qCorrelatedSubq(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_corr")
     s.sql(
@@ -860,6 +896,7 @@ object Analytics {
     QueryDef("q_full_outer", qFullOuter, Some(qFullOuterSql)),
     QueryDef("q_multi_distinct", qMultiDistinct, Some(qMultiDistinctSql)),
     QueryDef("q_correlated_subq", qCorrelatedSubq, Some(qCorrelatedSubqSql)),
+    QueryDef("q_recursive", qRecursive, Some(qRecursiveSql)),
     QueryDef("q2_filter_proj", q2FilterProj, Some(q2FilterProjSql)),
     QueryDef("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),
     QueryDef("q5_multijoin", q5Multijoin, Some(q5MultijoinSql)),

@@ -670,7 +670,50 @@ object PipelineQueries {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM j GROUP BY 1""".stripMargin
 
+  /** B28: VARIANT-typed semi-structured access (Spark 4's binary
+    * semi-structured type — the modern engine answer to repeated
+    * get_json_object calls): `parse_json` decodes each envelope line
+    * ONCE into the self-describing binary encoding, and every
+    * `variant_get` afterwards is a tree walk, not a re-parse — at
+    * 100 TB the difference between one JSON parse per row and one per
+    * EXTRACTED FIELD per row, and the layout that makes shredded
+    * columnar storage possible. The query extracts a typed id and the
+    * lm timestamp, plus the two NULL-semantics legs: a present path
+    * cast to an impossible type (`try_variant_get` → NULL, never an
+    * error) and an absent path (`variant_get` → NULL); the oracle
+    * reconstructs everything from `documents` and pins both NULL legs
+    * at count 0.
+    */
+  def qVariant(s: SparkSession, d: String): DataFrame =
+    Envelope.synthesizeCached(s, d)
+      .select(parse_json(col("value")).as("v"))
+      .select(
+        variant_get(col("v"), "$.message._id.id", "string")
+          .cast("long").as("id"),
+        variant_get(col("v"), "$.message._lastModifiedDateTime", "string")
+          .as("lm"),
+        // _id is an OBJECT — casting it to bigint must yield NULL, not
+        // an error (the try_ contract)
+        try_variant_get(col("v"), "$.message._id", "bigint").as("wrong"),
+        variant_get(col("v"), "$.message.no_such_field", "string").as("absent"))
+      .groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("id")).as("id_sum"),
+        min(col("lm")).as("lm_min"), max(col("lm")).as("lm_max"),
+        count(col("wrong")).as("n_wrong"),
+        count(col("absent")).as("n_absent"))
+      .orderBy("g")
+
+  val qVariantSql: String =
+    s"""SELECT doc_id % 7 AS g, COUNT(*) AS n,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  MIN($OracleLmIncoming) AS lm_min,
+       |  MAX($OracleLmIncoming) AS lm_max,
+       |  CAST(0 AS BIGINT) AS n_wrong, CAST(0 AS BIGINT) AS n_absent
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_variant", qVariant, Some(qVariantSql)),
     QueryDef("p_profile", pProfile, Some(pProfileSql)),
     QueryDef("p_table_diff", pTableDiff, Some(pTableDiffSql)),
     QueryDef("p_vacuum", pVacuum, Some(pVacuumSql)),
