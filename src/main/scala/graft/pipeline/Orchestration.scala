@@ -22,6 +22,25 @@ final class SqlRunner(spark: SparkSession) {
   def createDatabaseIfNotExist(db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
 
+  /** SQL-scripting execution (BEGIN … END with DECLARE/SET/WHILE/IF —
+    * Spark 4's procedural surface): the control flow the reference
+    * runs OUTSIDE the engine (ingesters.py's python loops around
+    * per-statement hive calls) expressed inside one scripted
+    * submission, so a deployment can ship orchestration logic as SQL.
+    * Returns the script's final result set. Conf-scoped enable,
+    * restored after.
+    */
+  def executeScript(script: String): DataFrame = {
+    val key = "spark.sql.scripting.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try spark.sql(script)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Interpolate `#{key}` placeholders then execute (splitting on ';'
     * when the text holds multiple statements — hive.py:33-50).
     */

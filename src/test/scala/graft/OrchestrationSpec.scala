@@ -202,6 +202,35 @@ class OrchestrationSpec extends SparkSpec {
     assert(spark.table("uc_dw_auditlog_test.auditlog_sec_v").count() === processed.count())
   }
 
+  test("SqlRunner.executeScript: procedural SQL control flow equals the set-based answer") {
+    // the reference drives per-class work with PYTHON loops around
+    // hive calls; SQL scripting moves that control flow into the
+    // engine. A WHILE loop accumulating per-priority-class counts
+    // must equal the one-shot aggregate exactly.
+    Tables.orders(spark, sfDir).createOrReplaceTempView("script_orders")
+    val confBefore = spark.conf.getOption("spark.sql.scripting.enabled")
+    val got = new SqlRunner(spark).executeScript(
+      """BEGIN
+        |  DECLARE i INT = 1;
+        |  DECLARE total BIGINT = 0;
+        |  WHILE i <= 5 DO
+        |    SET total = total + (
+        |      SELECT COUNT(*) FROM script_orders
+        |      WHERE o_orderpriority LIKE CAST(i AS STRING) || '-%');
+        |    SET i = i + 1;
+        |  END WHILE;
+        |  SELECT total AS n;
+        |END""".stripMargin).head.getLong(0)
+    val direct = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").rlike("^[1-5]-")).count()
+    assert(got === direct)
+    assert(got > 0)
+    // the conf scope was restored to whatever it was before the call
+    // (scripting defaults ON in this Spark line — the scope exists for
+    // deployments that pin it off)
+    assert(spark.conf.getOption("spark.sql.scripting.enabled") === confBefore)
+  }
+
   test("reference Hive DDL dialect (STORED AS ORC + external TEXTFILE + partition DDL) in a Hive-catalog JVM") {
     // catalogImplementation is a per-JVM STATIC conf — the shared spec
     // session is in-memory-catalog, so the Hive dialect runs in a

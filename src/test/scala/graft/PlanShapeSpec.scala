@@ -419,6 +419,28 @@ class PlanShapeSpec extends SparkSpec {
       s"unconsumed payload fields survived pruning: $jxSchemas")
   }
 
+  test("q_variant parses each line ONCE; field access walks the binary, never re-parses") {
+    val df = graft.queries.PipelineQueries.qVariant(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the VARIANT contract vs get_json_object: one parseJson per row,
+    // materialized in its own Project; every extraction references it
+    assert("parseJson".r.findAllIn(plan).length === 1,
+      s"parse_json must appear exactly once:\n$plan")
+    assert("variant_get".r.findAllIn(plan).length === 4,
+      s"expected 4 variant extractions over the single parse:\n$plan")
+    // and the STORED-variant path never parses at all — stronger: the
+    // optimizer pushes the extraction INTO the parquet scan
+    // (PushVariantIntoScan shreds the requested paths into struct
+    // fields of the relation output), so not even a variant_get
+    // expression survives above the scan
+    val stored = graft.queries.PipelineQueries.qVariantStore(spark, sfDir)
+    val storedPlan = stored.queryExecution.optimizedPlan.toString
+    assert("parseJson".r.findAllIn(storedPlan).isEmpty,
+      s"stored-variant query must not re-parse JSON:\n$storedPlan")
+    assert(!storedPlan.contains("variant_get"),
+      s"variant extraction should be pushed into the scan as shredded fields:\n$storedPlan")
+  }
+
   test("aggregations keep map-side partial aggregation") {
     val q1 = graft.queries.Analytics.q1Agg(spark, sfDir)
     val aggs = executed(q1).collect {
