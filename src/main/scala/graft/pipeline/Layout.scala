@@ -118,6 +118,17 @@ object Layout {
     new java.io.File("/tmp/" + familyPrefix(d) +
       fp(s"$LayoutSemantics;${sourceEntries(d).mkString("|")}"))
 
+  /** Remove every layout-family artifact (dirs, pointer commits,
+    * clones, staging debris) for source dir `d` — spec cleanup for
+    * tests that build layouts against temp sources.
+    */
+  private[graft] def wipeFamily(d: String): Unit =
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(familyPrefix(d)))
+      .foreach { f =>
+        if (f.isDirectory) graft.Stage.deleteRecursively(f) else f.delete()
+      }
+
   /** events restricted to `onlyFiles` (by file NAME), with layout
     * columns computed against FROZEN bounds (clamped) — the build-side
     * twin of zEvents. Frozen bounds are what make maintenance

@@ -119,6 +119,69 @@ class FsOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental z-order maintenance discovers pointer-published ancestors and carries by copy") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Layout
+    val root = java.nio.file.Files.createTempDirectory("graft_zinc_objst").toFile
+    val evDir = new java.io.File(root, "events.parquet"); evDir.mkdirs()
+    val ev = graft.Tables.events(spark, sfDir)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(root, "stage")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, new java.io.File(evDir, name).toPath)
+      Stage.deleteRecursively(stage)
+    }
+    try {
+      FsOps.withFs(ObjectStoreFsOps) {
+        land(ev.filter(col("event_id") % 2 === 0), "day1a.parquet")
+        land(ev.filter(col("event_id") % 2 === 1), "day1b.parquet")
+        val (data1, _) = Layout.ensureZorderLayout(spark, root.getPath)
+        // publish was a pointer commit: the physical home is the
+        // unique staging dir, not the logical fingerprint name
+        assert(new java.io.File(data1).getParentFile.getName.contains(".build."),
+          s"expected a pointer-committed physical home, got $data1")
+        def files(data: String) = new java.io.File(data).listFiles()
+          .filter(_.getName.startsWith("bucket=")).flatMap(b =>
+            b.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => s"${b.getName}/${f.getName}" -> f)).toMap
+        val day1Files = files(data1)
+        // append a narrow z-region (one user × time band)
+        val (uLo, uHi, tsLo, tsHi) = Layout.predicateBounds(spark, sfDir)
+        land(ev.filter(col("user_id").between(uLo, uHi)
+            && unix_micros(col("ts")).between(tsLo, tsHi))
+          .withColumn("event_id", col("event_id") + 10000000L), "day2.parquet")
+        val (data2, _) = Layout.ensureZorderLayout(spark, root.getPath)
+        assert(data2 !== data1)
+        // discovery found the POINTER-published ancestor: incremental,
+        // not a full rebuild
+        assert(new java.io.File(new java.io.File(data2).getParentFile,
+          "_INCREMENTAL").exists(),
+          "append did not take the incremental path under the object-store seam")
+        val day2Files = files(data2)
+        val shared = day2Files.keySet intersect day1Files.keySet
+        assert(shared.nonEmpty, "no bucket file carried over untouched")
+        // carried by COPY, never by link: same bytes, distinct file keys
+        shared.foreach { k =>
+          assert(day1Files(k).length === day2Files(k).length)
+          assert(fileKey(day1Files(k)) !== fileKey(day2Files(k)),
+            s"$k shares an inode — object-store carry must copy")
+        }
+        // the incremental layout holds EXACTLY day1+day2
+        val cols = Seq("event_id", "user_id", "us", "event_type", "value")
+        val got = spark.read.parquet(data2).select(cols.map(col): _*)
+        val expected = graft.Tables.events(spark, root.getPath)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+        assert(got.exceptAll(expected).count() === 0)
+        assert(expected.exceptAll(got).count() === 0)
+      }
+    } finally {
+      graft.pipeline.Layout.wipeFamily(root.getPath)
+      Stage.deleteRecursively(root)
+    }
+  }
+
   test("OPTIMIZE republish under the object-store seam: identity survives, answers unchanged") {
     wipeArtifacts()
     try {
