@@ -75,6 +75,10 @@ object Bench {
       }
       names.groupBy(bucketOf).toSeq.sortBy(_._1).map(_._2.sorted)
         .filter(_.nonEmpty)
+        // SPARK_GRAFT_CHUNK stays an upper BOUND: an unlucky bucket is
+        // split at fixed boundaries (stable within the bucket), so a
+        // child JVM never runs more queries than the limit sized for
+        .flatMap(_.grouped(chunkSize).toSeq)
     }
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getPath

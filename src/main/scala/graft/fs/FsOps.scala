@@ -42,10 +42,12 @@ import java.io.File
   *              `_delta_log/N.json`-mutual-exclusion contract);
   *  - resolve = read the pointer object.
   *
-  * The local-disk emulation below maps PUT-if-absent onto an
-  * ATOMIC_MOVE of the one-line pointer file — atomicity of a single
-  * small object write is the modeled capability; what this impl NEVER
-  * does is rename or link a data file or directory. Spark's own
+  * The local-disk emulation below maps PUT-if-absent onto a
+  * createLink of the one-line pointer file (atomic fail-if-exists —
+  * no check-then-act window) and commit REPLACE onto an ATOMIC_MOVE;
+  * atomicity of a single small object write is the modeled
+  * capability. What this impl NEVER does is rename or link a DATA
+  * file or directory. Spark's own
   * task-commit renames inside `df.write.parquet(dir)` are out of this
   * seam's scope: on a real deployment that layer is the S3A magic /
   * zero-rename committer, a solved problem orthogonal to the repo's
@@ -172,11 +174,8 @@ object PosixFsOps extends FsOps {
     f
   }
 
-  private def deleteTree(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-    f.delete(); ()
-  }
+  // one shared recursive delete for the whole codebase
+  private def deleteTree(f: File): Unit = graft.Stage.deleteRecursively(f)
 }
 
 /** The object-store implementation: copies + pointer-object commits.
@@ -198,24 +197,22 @@ object ObjectStoreFsOps extends FsOps {
     require(new File(tmp, marker).exists(),
       s"staging tree $tmp lacks its $marker marker")
     // commit = atomic put-if-absent of the pointer object; the staging
-    // tree IS the physical home and never moves
+    // tree IS the physical home and never moves. The local emulation
+    // of conditional PUT (S3 If-None-Match) is createLink, which
+    // FAILS ATOMICALLY if the pointer already exists — no
+    // check-then-act window where two publishers could both commit
+    // (a plain exists()+move would let the second REPLACE the first).
     val ptr = ptrFile(target)
     val stage = new File(ptr.getPath + s".put.${java.util.UUID.randomUUID}")
     java.nio.file.Files.write(stage.toPath,
       tmp.getName.getBytes("UTF-8"))
     try {
-      // ATOMIC_MOVE onto a fresh name emulates conditional PUT: it
-      // replaces nothing if ptr doesn't exist; if ptr already exists
-      // we treat the commit as lost (first writer wins) BEFORE moving
-      if (ptr.exists()) {
-        stage.delete()
-        deleteTree(tmp)
-      } else {
-        java.nio.file.Files.move(stage.toPath, ptr.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
+      java.nio.file.Files.createLink(ptr.toPath, stage.toPath)
+      stage.delete()
+      ()
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        // lost the conditional put: first writer wins, retire ours
         stage.delete(); deleteTree(tmp)
     }
   }
@@ -269,9 +266,5 @@ object ObjectStoreFsOps extends FsOps {
     new File(target.getPath + "." + suffix + "." +
       java.util.UUID.randomUUID.toString.take(8))
 
-  private def deleteTree(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-    f.delete(); ()
-  }
+  private def deleteTree(f: File): Unit = graft.Stage.deleteRecursively(f)
 }

@@ -63,8 +63,10 @@ object BloomIndex {
   def ensureIndex(s: SparkSession, d: String): (String, DataFrame) = {
     val base = indexDir(d)
     if (!Stage.published(base, "_DONE")) {
-      val tmp = new java.io.File(base.getPath + ".build")
-      Stage.deleteRecursively(tmp)
+      // seam-provided staging name: unique under the object-store impl
+      // (the staging tree becomes the physical home — a fixed name
+      // would let a lost publish race delete the winner's live tree)
+      val tmp = graft.fs.FsOps.current.stagingDir(base, "build")
       tmp.mkdirs()
       val li = Tables.lineitem(s, d)
         .withColumn("k", lookupKey(col("l_orderkey"), col("l_linenumber")))
@@ -88,7 +90,7 @@ object BloomIndex {
       // only pre-marker debris (a crashed earlier build) is cleared; a
       // CONCURRENTLY published index carries its marker and is kept —
       // publishDir detects the lost race and cleans this staging tree
-      if (!Stage.published(base, "_DONE")) Stage.deleteRecursively(base)
+      if (!Stage.published(base, "_DONE")) Stage.deletePublished(base)
       Stage.publishDir(tmp, base, "_DONE")
       Stage.refreshArtifact(s, Stage.resolved(base))
     }

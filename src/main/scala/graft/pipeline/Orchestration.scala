@@ -276,14 +276,23 @@ object AuditPublish {
         s"""CREATE TABLE IF NOT EXISTS $db.auditlog_raw (val STRING)
            |PARTITIONED BY (date_str STRING) STORED
            |AS orc TBLPROPERTIES ('orc.compress'='ZLIB')""".stripMargin)
-      spark.sql("SET hive.exec.dynamic.partition.mode=nonstrict")
-      sql.executeWithInterpolation(
+      // dynamic-partition mode scoped to this publish: leaking
+      // nonstrict session-wide would let a later typo'd static INSERT
+      // scatter rows strict mode exists to reject
+      val dpKey = "hive.exec.dynamic.partition.mode"
+      val dpPrev = spark.conf.getOption(dpKey)
+      spark.conf.set(dpKey, "nonstrict")
+      try sql.executeWithInterpolation(
         s"""DROP TABLE IF EXISTS $db.$ext;
            |CREATE EXTERNAL TABLE $db.$ext (val STRING) PARTITIONED BY (date_str STRING) STORED AS TEXTFILE LOCATION '#{location}';
            |ALTER TABLE $db.$ext ADD IF NOT EXISTS PARTITION(date_str='#{date}') LOCATION '#{location}';
            |INSERT OVERWRITE TABLE $db.auditlog_raw SELECT * FROM $db.$ext;
            |DROP TABLE IF EXISTS $db.$ext""".stripMargin,
         Map("#{location}" -> dailyPath, "#{date}" -> exportDate))
+      finally dpPrev match {
+        case Some(v) => spark.conf.set(dpKey, v)
+        case None => spark.conf.unset(dpKey)
+      }
     } else {
       sql.executeWithInterpolation(
         s"""CREATE TABLE IF NOT EXISTS $db.auditlog_raw (val STRING, date_str STRING)

@@ -64,8 +64,9 @@ object PartitionEvolution {
       Stage.deletePublished(base)
     val cd = cutoffDay(s, d)
     if (!Stage.published(base, "_DONE")) {
-      val tmp = new java.io.File(base.getPath + ".build")
-      Stage.deleteRecursively(tmp)
+      // seam-provided staging name (unique under the object-store
+      // impl — see BloomIndex.ensureIndex for the race this prevents)
+      val tmp = graft.fs.FsOps.current.stagingDir(base, "build")
       tmp.mkdirs()
       val ev = Tables.events(s, d)
         .withColumn("us", unix_micros(col("ts")))
@@ -84,7 +85,7 @@ object PartitionEvolution {
       // lost-race branch in publishDir deletes this staging tree
       // instead of leaking a fully built gen1+gen2 copy in tmpdir
       new java.io.File(tmp, "_DONE").createNewFile()
-      if (!Stage.published(base, "_DONE")) Stage.deleteRecursively(base)
+      if (!Stage.published(base, "_DONE")) Stage.deletePublished(base)
       Stage.publishDir(tmp, base, "_DONE")
       Stage.refreshArtifact(s, Stage.resolved(base))
     }

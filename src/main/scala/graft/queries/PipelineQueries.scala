@@ -558,8 +558,10 @@ object PipelineQueries {
       case Some(g) => new java.io.File(s"$base/gen$g")
       case None =>
         val next = new java.io.File(s"$base/gen${gens.max + 1}")
-        val tmp = new java.io.File(next.getPath + ".build")
-        graft.Stage.deleteRecursively(tmp)
+        // seam-provided staging name: unique under the object-store
+        // impl, so a raced restore can never delete the winner's
+        // pointer-committed generation
+        val tmp = graft.fs.FsOps.current.stagingDir(next, "build")
         graft.Stage.linkTree(new java.io.File(s"$base/gen1"), tmp)
         // marker inside tmp: the publish (rename or pointer commit)
         // makes data+marker visible in one atomic step

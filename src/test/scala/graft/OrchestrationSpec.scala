@@ -250,10 +250,17 @@ class OrchestrationSpec extends SparkSpec {
     val cwd = Files.createTempDirectory("graft_hive_cwd").toFile
     pb.directory(cwd)
     pb.redirectErrorStream(true)
+    // output to a FILE, not a pipe read before waitFor: a wedged child
+    // keeps its stream open forever and an inline readAllBytes would
+    // block past the timeout this guard exists to enforce
+    val outFile = new java.io.File(cwd, "hivechain.out")
+    pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    assert(p.waitFor(5, java.util.concurrent.TimeUnit.MINUTES),
-      "hive chain JVM timed out")
+    val finished = p.waitFor(5, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) p.destroyForcibly()
+    val out = if (outFile.exists())
+      new String(Files.readAllBytes(outFile.toPath), "UTF-8") else ""
+    assert(finished, s"hive chain JVM timed out:\n${out.takeRight(4000)}")
     assert(p.exitValue() === 0, s"hive chain failed:\n${out.takeRight(4000)}")
     assert(out.contains("HIVECHAIN OK"), s"no verdict in:\n${out.takeRight(4000)}")
   }
