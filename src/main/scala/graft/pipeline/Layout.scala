@@ -626,8 +626,26 @@ object Layout {
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
   }
 
+  /** B30: OPTIMIZE under the oracle gate — compaction was spec-only
+    * (BucketingSpec pins bin-packing, inode carry-over, file-count
+    * drop); this registers the full verb as a query: ensure the layout
+    * is COMPACTED (skip if this source's layout already republished —
+    * idempotent per fingerprint, so sweeps don't recompact every run)
+    * and answer the pruning aggregate FROM the compacted layout. Same
+    * full-scan oracle as q_zorder_prune: OPTIMIZE must be invisible to
+    * answers, visible only to file counts.
+    */
+  def pOptimize(s: SparkSession, d: String): DataFrame = {
+    val (dataPath0, _) = ensureZorderLayout(s, d)
+    val compacted =
+      new java.io.File(new java.io.File(dataPath0).getParentFile, "_COMPACTED")
+    if (!compacted.exists()) compactLayout(s, d)
+    qZorderPrune(s, d)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("p_zorder", pZorder, Some(pZorderSql)),
     QueryDef("q_zorder_prune", qZorderPrune, Some(qZorderPruneSql)),
-    QueryDef("p_clone", pClone, Some(qZorderPruneSql)))
+    QueryDef("p_clone", pClone, Some(qZorderPruneSql)),
+    QueryDef("p_optimize", pOptimize, Some(qZorderPruneSql)))
 }

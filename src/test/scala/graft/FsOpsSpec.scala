@@ -47,9 +47,9 @@ class FsOpsSpec extends SparkSpec {
       .map(_.toString).sorted.toSeq
 
   // every operator whose artifact lifecycle crosses the seam
-  private val covered = Seq("st_upsert", "p_time_travel", "p_restore",
-    "p_vacuum", "p_zorder", "q_zorder_prune", "p_clone",
-    "p_bloom_index", "p_partition_evolve",
+  private val covered = Seq("st_upsert", "st_scd2", "p_time_travel",
+    "p_restore", "p_vacuum", "p_zorder", "q_zorder_prune", "p_clone",
+    "p_optimize", "p_bloom_index", "p_partition_evolve",
     // write-once artifacts routed through Stage.ensureArtifact
     "q_mv_rewrite", "q_mv_join", "d_cluster_apply", "d_incremental",
     "q_dpp",
