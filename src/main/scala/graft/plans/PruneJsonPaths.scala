@@ -54,10 +54,22 @@ object PruneJsonPaths extends Rule[LogicalPlan] {
     g.name.getOrElse(
       g.child.dataType.asInstanceOf[StructType].fields(g.ordinal).name)
 
+  /** Is this parse safe to prune? Catalyst's own OptimizeCsvJsonExprs
+    * gates on `options.isEmpty` because pruning changes observable
+    * behavior under non-default options: a FAILFAST parse that would
+    * error on a malformed pruned-away field silently succeeds, and a
+    * columnNameOfCorruptRecord field must never be pruned out of the
+    * schema it reports into. Mirror that guard exactly — empty options
+    * means PERMISSIVE mode and no corrupt-record capture, where
+    * dropping unread fields is unobservable.
+    */
+  private def prunable(j: JsonToStructs): Boolean =
+    j.options.isEmpty && j.schema.isInstanceOf[StructType]
+
   /** chain(JsonToStructs) → (the parse, field path applied to it). */
   private def decompose(e: Expression): Option[(JsonToStructs, Seq[String])] =
     e match {
-      case j: JsonToStructs if j.schema.isInstanceOf[StructType] => Some((j, Nil))
+      case j: JsonToStructs if prunable(j) => Some((j, Nil))
       case g: GetStructField =>
         decompose(g.child).map { case (j, p) => (j, p :+ fieldName(g)) }
       case _ => None
@@ -148,14 +160,22 @@ object PruneJsonPaths extends Rule[LogicalPlan] {
                     changed = true
                     val newJ = j.copy(schema = pruned)
                     val newChild = extractPath(newJ, basePath)
+                    // keep the alias's identity intact: same exprId AND
+                    // same qualifier/metadata/nullability — widening a
+                    // non-null struct to nullable or dropping column
+                    // metadata would perturb downstream schema checks
+                    // even though values are unchanged
                     val newAttr = AttributeReference(name, newChild.dataType,
-                      nullable = true)(exprId = al.exprId)
+                      al.toAttribute.nullable, al.metadata)(
+                      exprId = al.exprId, qualifier = al.qualifier)
                     newOuter = newOuter.map(_.transformUp {
                       case g: GetStructField
                           if chaseTo(al.exprId)(g).isDefined =>
                         extractPath(newAttr, chaseTo(al.exprId)(g).get)
                     }.asInstanceOf[NamedExpression])
-                    Alias(newChild, name)(exprId = al.exprId)
+                    Alias(newChild, name)(exprId = al.exprId,
+                      qualifier = al.qualifier,
+                      explicitMetadata = al.explicitMetadata)
                   } else al
                 case _ => al
               }

@@ -1212,7 +1212,11 @@ object Streaming {
       .start()
     q.awaitTermination()
     graft.Stage.refreshArtifact(s, new java.io.File(base))
-    graft.plans.MvRewrite.ensureRule(s, s"$base/gen$gen", EventsByUserMv)
+    // the rule reads the PHYSICAL home of the final generation (under
+    // the object-store seam the logical gen name is only a pointer)
+    graft.plans.MvRewrite.ensureRule(s,
+      graft.Stage.resolved(new java.io.File(s"$base/gen$gen")).getPath,
+      EventsByUserMv)
     val df = Tables.events(s, d).select("user_id", "event_id")
       .groupBy("user_id")
       .agg(sum(dec(col("event_id"))).cast("double").as("sum_ids"),
@@ -1245,19 +1249,27 @@ object Streaming {
       val part = batchDf.groupBy("user_id")
         .agg(sum(dec(col("event_id"))).as("mv_sum_id"),
           count(lit(1)).as("mv_n"))
-      val prev = new java.io.File(s"$base/gen$gen")
+      // prior generation resolves through the seam: under the
+      // object-store impl gen$gen exists only as a pointer commit, so a
+      // raw File.exists would silently drop the accumulated state and
+      // restart the MV from this batch's partials
+      val prev = graft.Stage.resolved(new java.io.File(s"$base/gen$gen"))
       val merged =
-        if (prev.exists())
+        if (prev.isDirectory)
           sp.read.parquet(prev.getPath).unionByName(part)
             .groupBy("user_id")
             .agg(sum(col("mv_sum_id")).cast("decimal(28,2)").as("mv_sum_id"),
               sum(col("mv_n")).as("mv_n"))
         else part
-      val tmp = new java.io.File(base, s".gen${gen + 1}.tmp")
-      graft.Stage.deleteRecursively(tmp)
-      merged.write.parquet(tmp.getPath)
+      // stage + publish through the filesystem seam (POSIX: staging
+      // rename; object store: the staging prefix becomes the physical
+      // home, committed by one conditional pointer put) — the same
+      // protocol every other generational publish in this repo uses;
+      // the _SUCCESS marker is written inside staging by the write
       val target = new java.io.File(base, s"gen${gen + 1}")
-      if (!tmp.renameTo(target)) graft.Stage.deleteRecursively(tmp)
+      val tmp = graft.fs.FsOps.current.stagingDir(target, "tmp")
+      merged.write.parquet(tmp.getPath)
+      graft.Stage.publishDir(tmp, target, "_SUCCESS")
     } finally graft.plans.MvRewrite.building.set(false)
   }
 

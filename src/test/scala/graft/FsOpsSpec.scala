@@ -54,7 +54,10 @@ class FsOpsSpec extends SparkSpec {
     "q_mv_rewrite", "q_mv_join", "d_cluster_apply", "d_incremental",
     "q_dpp",
     // the transactional sink commit (publish-per-batch)
-    "st_exactly_once")
+    "st_exactly_once",
+    // incremental MV maintenance (generation publish per microbatch +
+    // the rewrite rule resolving the final generation's physical home)
+    "st_mv_maintain")
 
   test("seam parity: identical answers under POSIX and object-store publish layers") {
     assert(FsOps.current eq PosixFsOps)

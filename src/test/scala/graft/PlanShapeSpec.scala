@@ -419,6 +419,38 @@ class PlanShapeSpec extends SparkSpec {
       s"unconsumed payload fields survived pruning: $jxSchemas")
   }
 
+  test("from_json with non-default options is never pruned (FAILFAST observability)") {
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // Pruning a FAILFAST parse changes observable behavior: a malformed
+    // pruned-away field would stop erroring. The rule must mirror
+    // OptimizeCsvJsonExprs's options.isEmpty guard and leave the full
+    // schema in place — for both the inlined single-use chain and the
+    // aliased multi-use shape.
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    def schemas(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions }.flatten
+        .flatMap(_.collect { case j: JsonToStructs => j.schema.sql })
+    val src = spark.range(4).selectExpr(
+      """concat('{"a":"x","b":"', CAST(id AS STRING), '"}') AS v""")
+    val inlined = src
+      .withColumn("j", from_json(col("v"), schema, Map("mode" -> "FAILFAST")))
+      .select(col("j").getField("a").as("a"))
+    val aliased = src
+      .withColumn("j", from_json(col("v"), schema, Map("mode" -> "FAILFAST")))
+      .select(col("j").getField("a").as("x"), col("j").getField("a").as("y"))
+    Seq(inlined, aliased).foreach { df =>
+      val ss = schemas(df)
+      assert(ss.nonEmpty, "parse disappeared from the plan")
+      assert(ss.forall(_.contains("b")),
+        s"FAILFAST from_json was pruned — mode semantics lost: $ss")
+      assert(df.collect().length === 4)
+    }
+  }
+
   test("q_variant parses each line ONCE; field access walks the binary, never re-parses") {
     val df = graft.queries.PipelineQueries.qVariant(spark, sfDir)
     val plan = df.queryExecution.optimizedPlan.toString
