@@ -126,10 +126,26 @@ object Stage {
     Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))
       else if (f.getName.endsWith(".parquet"))
-        graft.fs.FsOps.current.carryFile(f, new java.io.File(to, f.getName))
-      else java.nio.file.Files.copy(f.toPath, to.toPath.resolve(f.getName))
+        carryFile(f, new java.io.File(to, f.getName))
+      else if (!f.getName.startsWith("."))
+        // dotfiles are FS-internal sidecars (ChecksumFileSystem's
+        // `.name.crc`), regenerated by whatever store the carry writes
+        // through — carrying them would duplicate what carryFile's own
+        // FileSystem already produced
+        java.nio.file.Files.copy(f.toPath, to.toPath.resolve(f.getName))
     }
   }
+
+  /** File↔Path adapters: the seam itself is typed over Hadoop
+    * `Path`/`FileSystem` (so the object-store impl binds `s3a://` in
+    * production), while the local /tmp artifact plumbing in this repo
+    * speaks `java.io.File`. The conversion lives HERE, once — product
+    * code never constructs seam paths by hand.
+    */
+  private def asPath(f: java.io.File): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+  private def asFile(p: org.apache.hadoop.fs.Path): java.io.File =
+    new java.io.File(p.toUri.getPath)
 
   /** Atomically publish `tmp` as `target` where the DONE MARKER was
     * already written INSIDE tmp (no window where a published directory
@@ -139,7 +155,45 @@ object Stage {
     * failure throws.
     */
   def publishDir(tmp: java.io.File, target: java.io.File, marker: String): Unit =
-    graft.fs.FsOps.current.publishDir(tmp, target, marker)
+    graft.fs.FsOps.current.publishDir(asPath(tmp), asPath(target), marker)
+
+  /** Seam-provided UNIQUE staging dir for building the next version of
+    * `target` (see [[graft.fs.FsOps.stagingDir]]).
+    */
+  def stagingDir(target: java.io.File, suffix: String): java.io.File =
+    asFile(graft.fs.FsOps.current.stagingDir(asPath(target), suffix))
+
+  /** Carry one data file into a new generation through the seam:
+    * hard link under POSIX, server-side object copy on a store.
+    */
+  def carryFile(src: java.io.File, dst: java.io.File): Unit =
+    graft.fs.FsOps.current.carryFile(asPath(src), asPath(dst))
+
+  /** Logical child names under `parent` through the seam (real dirs
+    * plus pointer-published names).
+    */
+  def logicalNames(parent: java.io.File): Seq[String] =
+    graft.fs.FsOps.current.logicalNames(asPath(parent))
+
+  /** REPLACE an already-published `target` with staging tree `tmp`
+    * (see [[graft.fs.FsOps.republishDir]]).
+    */
+  def republishDir(tmp: java.io.File, target: java.io.File, marker: String): Unit =
+    graft.fs.FsOps.current.republishDir(asPath(tmp), asPath(target), marker)
+
+  /** Sweep uncommitted staging debris under `parent` older than
+    * `cutoffMs` (crash/lost-race leftovers of the unique-staging-name
+    * discipline — never part of a published artifact). The cutoff the
+    * vacuum path uses is the newest LIVE commit's mtime: anything
+    * staged before the current commit can no longer be an in-flight
+    * build of the next one. Returns the deleted names.
+    */
+  def gcStagingDebris(parent: java.io.File, cutoffMs: Long): Seq[String] = {
+    val doomed = graft.fs.FsOps.current.stagingDebris(asPath(parent))
+      .filter { case (_, mtime) => mtime < cutoffMs }
+    doomed.foreach { case (p, _) => graft.fs.FsOps.current.deleteDebris(p) }
+    doomed.map(_._1.getName)
+  }
 
   /** The physical directory Spark should read for published name
     * `target` (identity under POSIX; pointer-dereference under the
@@ -147,7 +201,7 @@ object Stage {
     * artifact must resolve through this.
     */
   def resolved(target: java.io.File): java.io.File =
-    graft.fs.FsOps.current.resolveDir(target)
+    asFile(graft.fs.FsOps.current.resolveDir(asPath(target)))
 
   /** Is `target` published (its physical dir carries `marker`)? The
     * gate check every ensure* builder runs before rebuilding.
@@ -159,7 +213,7 @@ object Stage {
     * first, then the physical tree (see FsOps.deletePublished).
     */
   def deletePublished(target: java.io.File): Unit =
-    graft.fs.FsOps.current.deletePublished(target)
+    graft.fs.FsOps.current.deletePublished(asPath(target))
 
   /** Build-once artifact through the filesystem seam: if `base` is not
     * published, clear debris, run `build` into a staging dir, and
@@ -174,7 +228,7 @@ object Stage {
       marker: String = "_SUCCESS")(build: java.io.File => Unit): java.io.File = {
     if (!published(base, marker)) {
       deletePublished(base) // unmarked partial only
-      val tmp = graft.fs.FsOps.current.stagingDir(base, "build")
+      val tmp = stagingDir(base, "build")
       build(tmp)
       publishDir(tmp, base, marker)
       refreshArtifact(s, resolved(base))

@@ -2,6 +2,9 @@ package graft.fs
 
 import java.io.File
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path, RawLocalFileSystem}
+
 /** Filesystem seam for the generational layout/state machinery.
   *
   * Every Delta-parity verb in this repo — z-order layouts, incremental
@@ -27,31 +30,32 @@ import java.io.File
   * S3's 2024 If-None-Match support) — which is precisely the primitive
   * Delta/Iceberg commit protocols are built on.
   *
-  * [[ObjectStoreFsOps]] therefore re-expresses the three capabilities
-  * the way a transactional table format does:
+  * The seam is typed over Hadoop `Path`/`FileSystem` — the API every
+  * real store binds through (`s3a://` in production, HDFS, or the
+  * local filesystems in tests) — so [[ObjectStoreFsOps]] is one
+  * protocol over whatever `FileSystem` the deployment names:
   *
-  *  - carry   = object COPY (no data moves through the client; bytes
-  *              are duplicated service-side, so generation GC needs no
-  *              inode refcounting — each generation owns its objects);
+  *  - carry   = object COPY (`FileUtil.copy`, which S3A maps to a
+  *              server-side copy; bytes are duplicated store-side, so
+  *              generation GC needs no inode refcounting — each
+  *              generation owns its objects);
   *  - publish = the staging PREFIX becomes the physical home (nothing
-  *              is ever renamed); commit is one atomic PUT-if-absent
-  *              of a tiny pointer object `<name>.ptr` whose content
-  *              names the physical prefix. Losing the conditional PUT
-  *              = lost race: delete your staging tree, the winner's
-  *              commit stands (exactly Delta's
+  *              is ever renamed); commit is one conditional
+  *              PUT-if-absent of a tiny pointer object `<name>.ptr`
+  *              whose content names the physical prefix — in the
+  *              Hadoop API, `create(ptr, overwrite = false)`, which
+  *              S3A implements as an If-None-Match conditional PUT and
+  *              HDFS as an atomic namespace create. Losing the
+  *              conditional put = lost race: delete your staging tree,
+  *              the winner's commit stands (exactly Delta's
   *              `_delta_log/N.json`-mutual-exclusion contract);
   *  - resolve = read the pointer object.
   *
-  * The local-disk emulation below maps PUT-if-absent onto a
-  * createLink of the one-line pointer file (atomic fail-if-exists —
-  * no check-then-act window) and commit REPLACE onto an ATOMIC_MOVE;
-  * atomicity of a single small object write is the modeled
-  * capability. What this impl NEVER does is rename or link a DATA
-  * file or directory. Spark's own
-  * task-commit renames inside `df.write.parquet(dir)` are out of this
-  * seam's scope: on a real deployment that layer is the S3A magic /
-  * zero-rename committer, a solved problem orthogonal to the repo's
-  * publish machinery.
+  * What the object-store impl NEVER does is rename or link a DATA file
+  * or directory. Spark's own task-commit renames inside
+  * `df.write.parquet(dir)` are out of this seam's scope: on a real
+  * deployment that layer is the S3A magic / zero-rename committer, a
+  * solved problem orthogonal to the repo's publish machinery.
   *
   * The active implementation is a process-wide `@volatile` var (not a
   * ThreadLocal: streaming foreachBatch bodies run on the stream
@@ -65,7 +69,7 @@ trait FsOps {
     * Spark: POSIX = hard link (same inode, zero IO); object store =
     * server-side copy.
     */
-  def carryFile(src: File, dst: File): Unit
+  def carryFile(src: Path, dst: Path): Unit
 
   /** Atomically publish staging tree `tmp` as `target`; the done
     * `marker` file was already written INSIDE tmp, so no reader can
@@ -73,20 +77,20 @@ trait FsOps {
     * wins: a lost race deletes the loser's staging tree; any other
     * failure throws.
     */
-  def publishDir(tmp: File, target: File, marker: String): Unit
+  def publishDir(tmp: Path, target: Path, marker: String): Unit
 
   /** The physical directory to read for published name `target`
     * (identity when no pointer exists — generation dirs written
     * directly by Spark resolve to themselves).
     */
-  def resolveDir(target: File): File
+  def resolveDir(target: Path): Path
 
   /** Logical child names under `parent`: real directories plus
     * pointer-published names. Generation discovery (restore, vacuum)
-    * must use this, not File.listFiles, to see pointer-published
+    * must use this, not a raw listing, to see pointer-published
     * generations.
     */
-  def logicalNames(parent: File): Seq[String]
+  def logicalNames(parent: Path): Seq[String]
 
   /** Remove a published artifact entirely: the commit record first
     * (so no reader can resolve to a half-deleted tree), then the
@@ -95,7 +99,7 @@ trait FsOps {
     * paths (stale-layout upgrades, vacuum) must use this, never a
     * bare recursive delete of the logical name.
     */
-  def deletePublished(target: File): Unit
+  def deletePublished(target: Path): Unit
 
   /** REPLACE an already-published `target` with staging tree `tmp`
     * (OPTIMIZE/compaction: the fingerprint-addressed name IS the
@@ -106,17 +110,36 @@ trait FsOps {
     * is deleted (carried files were COPIED into the new tree, so the
     * old one owns nothing the new one needs).
     */
-  def republishDir(tmp: File, target: File, marker: String): Unit
+  def republishDir(tmp: Path, target: Path, marker: String): Unit
 
-  /** A staging directory for building the next version of `target`.
-    * POSIX renames staging into place, so a FIXED name (pre-cleaned
-    * crash debris) is right; an object store never moves the staging
-    * tree — it BECOMES the physical home — so the name must be UNIQUE
-    * per build or a rebuild would delete the live generation it is
-    * about to replace. Crash debris under unique names is vacuum's
-    * job, exactly as uncommitted Delta/Iceberg data files are.
+  /** A staging directory for building the next version of `target`,
+    * UNIQUE per build on every impl: on an object store the staging
+    * tree BECOMES the physical home, so a reused name would delete the
+    * live generation it is about to replace; and even under POSIX two
+    * concurrent builders of the same artifact sharing a fixed staging
+    * name could interleave writes into one tree and publish a MIXED
+    * build sealed with a valid marker — rename works from any sibling
+    * path, so uniqueness costs nothing. Crash debris under unique
+    * names is vacuum's job ([[stagingDebris]]), exactly as uncommitted
+    * Delta/Iceberg data files are.
     */
-  def stagingDir(target: File, suffix: String): File
+  def stagingDir(target: Path, suffix: String): Path
+
+  /** Staging/commit debris under `parent`: entries matching the
+    * unique-staging name pattern that are NOT the physical home of any
+    * live pointer commit, with their modification times. These are
+    * uncommitted crash/lost-race leftovers — never part of a published
+    * artifact — and are safe to delete once old enough that no
+    * in-flight build can still own them (the age gate is the
+    * caller's: compare against the newest live commit).
+    */
+  def stagingDebris(parent: Path): Seq[(Path, Long)]
+
+  /** Delete an UNCOMMITTED tree (staging debris). Published artifacts
+    * must go through [[deletePublished]] instead — this verb never
+    * touches commit records.
+    */
+  def deleteDebris(tree: Path): Unit
 }
 
 object FsOps {
@@ -131,140 +154,238 @@ object FsOps {
     current = ops
     try body finally current = prev
   }
+
+  /** `<name>.<suffix>.<uuid8>` — the unique staging name shape every
+    * impl's [[FsOps.stagingDir]] produces (plus the pointer-put
+    * `.ptr.put.<uuid>` temporaries); [[FsOps.stagingDebris]] matches
+    * against it.
+    */
+  private[fs] val StagingName = """.+\.[A-Za-z]+\.[0-9a-f]{8}""".r
+  private[fs] val PtrPutName = """.+\.ptr\.put\..+""".r
+  private[fs] def isStagingName(n: String): Boolean =
+    StagingName.matches(n) || PtrPutName.matches(n) ||
+      n.endsWith(".pre_swap") // POSIX republish stage-out debris
+  private[fs] def uniqueSuffix(suffix: String): String =
+    suffix + "." + java.util.UUID.randomUUID.toString.take(8)
 }
 
-/** The POSIX implementation: hard links + atomic dir rename. */
+/** The POSIX implementation: hard links + atomic dir rename. The ONLY
+  * impl allowed to touch `java.io.File` — everything object-store
+  * shaped goes through the Hadoop `FileSystem` API so it can bind a
+  * real store.
+  */
 object PosixFsOps extends FsOps {
   val name = "posix"
 
-  def carryFile(src: File, dst: File): Unit =
-    java.nio.file.Files.createLink(dst.toPath, src.toPath)
+  private def f(p: Path): File = new File(p.toUri.getPath)
 
-  def publishDir(tmp: File, target: File, marker: String): Unit = {
-    if (!tmp.renameTo(target)) {
-      if (new File(target, marker).exists()) deleteTree(tmp)
+  def carryFile(src: Path, dst: Path): Unit =
+    java.nio.file.Files.createLink(f(dst).toPath, f(src).toPath)
+
+  def publishDir(tmp: Path, target: Path, marker: String): Unit = {
+    if (!f(tmp).renameTo(f(target))) {
+      if (new File(f(target), marker).exists()) deleteTree(f(tmp))
       else throw new IllegalStateException(
-        s"cannot publish ${tmp.getName} as $target")
+        s"cannot publish ${f(tmp).getName} as $target")
     }
   }
 
-  def resolveDir(target: File): File = target
+  def resolveDir(target: Path): Path = target
 
-  def logicalNames(parent: File): Seq[String] =
-    Option(parent.listFiles()).getOrElse(Array.empty)
+  def logicalNames(parent: Path): Seq[String] =
+    Option(f(parent).listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).toSeq
 
-  def deletePublished(target: File): Unit = deleteTree(target)
+  def deletePublished(target: Path): Unit = deleteTree(f(target))
 
-  def republishDir(tmp: File, target: File, marker: String): Unit = {
-    val pre = new File(target.getPath + ".pre_swap")
+  def republishDir(tmp: Path, target: Path, marker: String): Unit = {
+    val t = f(target)
+    val pre = new File(t.getPath + ".pre_swap")
     deleteTree(pre)
-    if (!target.renameTo(pre))
+    if (!t.renameTo(pre))
       throw new IllegalStateException(s"cannot stage out $target for swap")
-    if (!tmp.renameTo(target)) {
-      pre.renameTo(target)
+    if (!f(tmp).renameTo(t)) {
+      pre.renameTo(t)
       throw new IllegalStateException(s"swap failed for $target")
     }
     deleteTree(pre)
   }
 
-  def stagingDir(target: File, suffix: String): File = {
-    val f = new File(target.getPath + "." + suffix)
-    deleteTree(f) // fixed name: pre-clean crash debris
-    f
-  }
+  def stagingDir(target: Path, suffix: String): Path =
+    new Path(target.getParent,
+      target.getName + "." + FsOps.uniqueSuffix(suffix))
+
+  def stagingDebris(parent: Path): Seq[(Path, Long)] =
+    Option(f(parent).listFiles()).getOrElse(Array.empty)
+      .filter(c => FsOps.isStagingName(c.getName))
+      .map(c => (new Path(parent, c.getName), c.lastModified)).toSeq
+
+  def deleteDebris(tree: Path): Unit = deleteTree(f(tree))
 
   // one shared recursive delete for the whole codebase
-  private def deleteTree(f: File): Unit = graft.Stage.deleteRecursively(f)
+  private def deleteTree(file: File): Unit = graft.Stage.deleteRecursively(file)
 }
 
-/** The object-store implementation: copies + pointer-object commits.
-  * Data files and directories are NEVER renamed or linked; the only
-  * atomic operation used is the single-object pointer put.
+/** The object-store protocol over a Hadoop [[FileSystem]]: copies +
+  * pointer-object commits. Data files and directories are NEVER
+  * renamed or linked; the only atomic operation relied on is the
+  * single-object pointer put (`create(overwrite = false)` — S3A's
+  * conditional PUT, HDFS's atomic namespace create; the local
+  * filesystems model the capability).
+  *
+  * `fsFor` names the store: tests bind [[RawLocalFileSystem]] (class
+  * companion) or the configuration-routed scheme lookup
+  * ([[HadoopFsOps]], which resolves `s3a://...` to the real S3A
+  * client in production and the checksummed `LocalFileSystem` for
+  * local paths).
   */
-object ObjectStoreFsOps extends FsOps {
-  val name = "objectstore"
+class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
+    extends FsOps {
 
-  def carryFile(src: File, dst: File): Unit = {
-    java.nio.file.Files.copy(src.toPath, dst.toPath)
-    ()
+  private def ptrFile(target: Path): Path =
+    new Path(target.getParent, target.getName + ".ptr")
+
+  def carryFile(src: Path, dst: Path): Unit = {
+    val fs = fsFor(src)
+    if (!FileUtil.copy(fs, src, fsFor(dst), dst, false, FsBindings.conf))
+      throw new IllegalStateException(s"object copy failed: $src -> $dst")
   }
 
-  private def ptrFile(target: File): File =
-    new File(target.getParentFile, target.getName + ".ptr")
+  private def writeTo(fs: FileSystem, p: Path, content: String,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
 
-  def publishDir(tmp: File, target: File, marker: String): Unit = {
-    require(new File(tmp, marker).exists(),
+  def publishDir(tmp: Path, target: Path, marker: String): Unit = {
+    val fs = fsFor(target)
+    require(fs.exists(new Path(tmp, marker)),
       s"staging tree $tmp lacks its $marker marker")
-    // commit = atomic put-if-absent of the pointer object; the staging
-    // tree IS the physical home and never moves. The local emulation
-    // of conditional PUT (S3 If-None-Match) is createLink, which
-    // FAILS ATOMICALLY if the pointer already exists — no
-    // check-then-act window where two publishers could both commit
-    // (a plain exists()+move would let the second REPLACE the first).
+    // commit = conditional put-if-absent of the pointer object; the
+    // staging tree IS the physical home and never moves. create with
+    // overwrite=false FAILS if the pointer exists (atomically on the
+    // stores that matter: S3A If-None-Match, HDFS namespace create) —
+    // no check-then-act window where two publishers could both commit.
     val ptr = ptrFile(target)
-    val stage = new File(ptr.getPath + s".put.${java.util.UUID.randomUUID}")
-    java.nio.file.Files.write(stage.toPath,
-      tmp.getName.getBytes("UTF-8"))
-    try {
-      java.nio.file.Files.createLink(ptr.toPath, stage.toPath)
-      stage.delete()
-      ()
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        // lost the conditional put: first writer wins, retire ours
-        stage.delete(); deleteTree(tmp)
+    try writeTo(fs, ptr, tmp.getName, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        // lost the conditional put: first writer wins, retire ours.
+        // (FS impls differ on the exact already-exists exception type,
+        // so adjudicate by the pointer's existence.)
+        if (fs.exists(ptr)) { fs.delete(tmp, true); () }
+        else throw e
     }
   }
 
-  def resolveDir(target: File): File = {
+  def resolveDir(target: Path): Path = {
+    val fs = fsFor(target)
     val ptr = ptrFile(target)
-    if (ptr.isFile) {
-      val phys = new String(
-        java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
-      new File(target.getParentFile, phys)
-    } else target
+    val st = try Some(fs.getFileStatus(ptr)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    st.filter(_.isFile).map { s =>
+      val buf = new Array[Byte](s.getLen.toInt)
+      val in = fs.open(ptr)
+      try in.readFully(0, buf) finally in.close()
+      new Path(target.getParent, new String(buf, "UTF-8").trim)
+    }.getOrElse(target)
   }
 
-  def logicalNames(parent: File): Seq[String] = {
-    val kids = Option(parent.listFiles()).getOrElse(Array.empty)
-    val dirs = kids.filter(_.isDirectory).map(_.getName)
-    val ptrs = kids.filter(f => f.isFile && f.getName.endsWith(".ptr"))
-      .map(_.getName.stripSuffix(".ptr"))
+  private def list(fs: FileSystem, parent: Path): Array[FileStatus] =
+    try fs.listStatus(parent) catch {
+      case _: java.io.FileNotFoundException => Array.empty
+    }
+
+  def logicalNames(parent: Path): Seq[String] = {
+    val kids = list(fsFor(parent), parent)
+    val dirs = kids.filter(_.isDirectory).map(_.getPath.getName)
+    val ptrs = kids.filter(s => s.isFile && s.getPath.getName.endsWith(".ptr"))
+      .map(_.getPath.getName.stripSuffix(".ptr"))
     // a pointer-published name shadows any same-named debris dir
     (dirs.filterNot(ptrs.contains) ++ ptrs).toSeq
   }
 
-  def deletePublished(target: File): Unit = {
+  def deletePublished(target: Path): Unit = {
+    val fs = fsFor(target)
     val phys = resolveDir(target)
     // pointer first: readers stop resolving before bytes disappear
-    ptrFile(target).delete()
-    deleteTree(phys)
-    if (phys != target) deleteTree(target) // same-named debris dir
+    fs.delete(ptrFile(target), false)
+    fs.delete(phys, true)
+    if (phys != target) fs.delete(target, true) // same-named debris dir
+    ()
   }
 
-  def republishDir(tmp: File, target: File, marker: String): Unit = {
-    require(new File(tmp, marker).exists(),
+  def republishDir(tmp: Path, target: Path, marker: String): Unit = {
+    val fs = fsFor(target)
+    require(fs.exists(new Path(tmp, marker)),
       s"staging tree $tmp lacks its $marker marker")
     val old = resolveDir(target)
     val ptr = ptrFile(target)
-    val stage = new File(ptr.getPath + s".put.${java.util.UUID.randomUUID}")
-    java.nio.file.Files.write(stage.toPath, tmp.getName.getBytes("UTF-8"))
     // atomic pointer replace = plain object PUT: readers resolve the
-    // old commit or the new one, never a torn state
-    java.nio.file.Files.move(stage.toPath, ptr.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // old commit or the new one, never a torn state. In the Hadoop API
+    // that is a sibling write + rename-over (single-object, never a
+    // data file); stores without rename-over-existing fall back to
+    // delete+rename of the one pointer object.
+    val stage = new Path(ptr.getParent,
+      ptr.getName + ".put." + java.util.UUID.randomUUID.toString.take(8))
+    writeTo(fs, stage, tmp.getName, overwrite = true)
+    if (!fs.rename(stage, ptr)) {
+      fs.delete(ptr, false)
+      if (!fs.rename(stage, ptr))
+        throw new IllegalStateException(s"pointer replace failed for $target")
+    }
     // the superseded physical tree owns nothing the new commit needs
     // (carried files were copied, not linked) — retire it
-    if (old.getCanonicalPath != tmp.getCanonicalPath) deleteTree(old)
+    if (old.toUri.getPath != tmp.toUri.getPath) { fs.delete(old, true); () }
   }
 
-  def stagingDir(target: File, suffix: String): File =
+  def stagingDir(target: Path, suffix: String): Path =
     // unique per build: the staging tree becomes the physical home and
     // must never collide with the live one it is replacing
-    new File(target.getPath + "." + suffix + "." +
-      java.util.UUID.randomUUID.toString.take(8))
+    new Path(target.getParent,
+      target.getName + "." + FsOps.uniqueSuffix(suffix))
 
-  private def deleteTree(f: File): Unit = graft.Stage.deleteRecursively(f)
+  def stagingDebris(parent: Path): Seq[(Path, Long)] = {
+    val fs = fsFor(parent)
+    val kids = list(fs, parent)
+    // a staging tree referenced by a live pointer IS a published home
+    val committed = kids
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".ptr"))
+      .map { s =>
+        val logical = new Path(parent, s.getPath.getName.stripSuffix(".ptr"))
+        resolveDir(logical).getName
+      }.toSet
+    kids.filter(s => FsOps.isStagingName(s.getPath.getName)
+        && !committed.contains(s.getPath.getName))
+      .map(s => (s.getPath, s.getModificationTime)).toSeq
+  }
+
+  def deleteDebris(tree: Path): Unit = { fsFor(tree).delete(tree, true); () }
+}
+
+/** Default object-store binding for specs: [[RawLocalFileSystem]] —
+  * pure local bytes, no checksum sidecars, same protocol the s3a://
+  * binding runs.
+  */
+object ObjectStoreFsOps
+    extends ObjectStoreFsOps(_ => FsBindings.rawLocal, "objectstore")
+
+/** The configuration-routed binding: each path's scheme names its
+  * store (`s3a://bucket/...` → the real S3A client; scheme-less local
+  * paths → the checksummed `LocalFileSystem`, a genuinely different
+  * `FileSystem` with sidecar objects, which the parity suite runs as
+  * the third implementation).
+  */
+object HadoopFsOps
+    extends ObjectStoreFsOps(_.getFileSystem(FsBindings.conf), "hadoop")
+
+/** Shared Hadoop bindings for the object-store impls. */
+private[fs] object FsBindings {
+  lazy val conf = new Configuration()
+  lazy val rawLocal: FileSystem = {
+    val fs = new RawLocalFileSystem()
+    fs.initialize(java.net.URI.create("file:///"), conf)
+    fs
+  }
 }

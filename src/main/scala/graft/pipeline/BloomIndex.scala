@@ -66,7 +66,7 @@ object BloomIndex {
       // seam-provided staging name: unique under the object-store impl
       // (the staging tree becomes the physical home — a fixed name
       // would let a lost publish race delete the winner's live tree)
-      val tmp = graft.fs.FsOps.current.stagingDir(base, "build")
+      val tmp = graft.Stage.stagingDir(base, "build")
       tmp.mkdirs()
       val li = Tables.lineitem(s, d)
         .withColumn("k", lookupKey(col("l_orderkey"), col("l_linenumber")))

@@ -199,7 +199,7 @@ object Layout {
     val base = layoutDir(d)
     if (!graft.Stage.published(base, "_MANIFEST_DONE")) {
       graft.Stage.deletePublished(base) // unmarked partial only
-      val tmp = graft.fs.FsOps.current.stagingDir(base, "build")
+      val tmp = graft.Stage.stagingDir(base, "build")
       val current = sourceEntries(d)
       // prior layouts of this source FAMILY (older fingerprints) are
       // the incremental-build ancestors; discovery runs over LOGICAL
@@ -207,7 +207,7 @@ object Layout {
       // its physical home) and marker checks on the resolved tree
       val famRe = ("^" + java.util.regex.Pattern.quote(familyPrefix(d))
         + "[0-9a-f]{16}$").r
-      val prev = graft.fs.FsOps.current.logicalNames(new java.io.File("/tmp"))
+      val prev = graft.Stage.logicalNames(new java.io.File("/tmp"))
         .filter(n => famRe.findFirstIn(n).isDefined && n != base.getName)
         .map(n => graft.Stage.resolved(new java.io.File("/tmp", n)))
         .filter(f => new java.io.File(f, "_MANIFEST_DONE").exists()
@@ -281,7 +281,7 @@ object Layout {
           val target = new java.io.File(s"$tmp/data/${bdir.getName}")
           target.mkdirs()
           bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
-            graft.fs.FsOps.current.carryFile(pf, new java.io.File(target, pf.getName))
+            graft.Stage.carryFile(pf, new java.io.File(target, pf.getName))
           }
         }
       s.read.parquet(s"$prev/manifest").write.parquet(s"$tmp/manifest")
@@ -333,7 +333,7 @@ object Layout {
         val target = new java.io.File(s"$tmp/data/${bdir.getName}")
         target.mkdirs()
         bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
-          graft.fs.FsOps.current.carryFile(pf, new java.io.File(target, pf.getName))
+          graft.Stage.carryFile(pf, new java.io.File(target, pf.getName))
         }
       }
     // manifest: fresh-file rows ∪ ALL carried rows (prior files are
@@ -365,7 +365,7 @@ object Layout {
     // LOGICAL fingerprint-addressed name (identity survives republish)
     val base = new java.io.File(dataPath).getParentFile
     val logical = layoutDir(d)
-    val tmp = graft.fs.FsOps.current.stagingDir(logical, "compacting")
+    val tmp = graft.Stage.stagingDir(logical, "compacting")
     new java.io.File(tmp, "data").mkdirs()
     val buckets = Option(new java.io.File(base, "data").listFiles())
       .getOrElse(Array.empty)
@@ -382,7 +382,7 @@ object Layout {
       val target = new java.io.File(s"$tmp/data/${bdir.getName}")
       target.mkdirs()
       carry.foreach { pf =>
-        graft.fs.FsOps.current.carryFile(pf, new java.io.File(target, pf.getName))
+        graft.Stage.carryFile(pf, new java.io.File(target, pf.getName))
         linkedRels ::= s"${bdir.getName}/${pf.getName}"
       }
       mergeFiles :::= merge.toList
@@ -432,7 +432,7 @@ object Layout {
     // double rename, carried bytes stay alive through the old dir's
     // deletion because carry = hard link; object store = one atomic
     // pointer replace, carried bytes were copied into the new tree.
-    graft.fs.FsOps.current.republishDir(tmp, logical, "_MANIFEST_DONE")
+    graft.Stage.republishDir(tmp, logical, "_MANIFEST_DONE")
     val phys = graft.Stage.resolved(logical)
     graft.Stage.refreshArtifact(s, phys)
     // drop memoized table resolutions for the swapped path (same string
@@ -597,7 +597,7 @@ object Layout {
     // pointer-published layout must not inherit the physical suffix)
     val clone = new java.io.File(layoutDir(d).getPath + "_clone")
     if (!graft.Stage.published(clone, "_CLONED")) {
-      val tmp = graft.fs.FsOps.current.stagingDir(clone, "build")
+      val tmp = graft.Stage.stagingDir(clone, "build")
       graft.Stage.linkTree(new java.io.File(src, "data"), new java.io.File(tmp, "data"))
       graft.Stage.linkTree(new java.io.File(src, "manifest"), new java.io.File(tmp, "manifest"))
       Seq("_BOUNDS", "_SOURCES").foreach { n =>

@@ -66,7 +66,7 @@ object PartitionEvolution {
     if (!Stage.published(base, "_DONE")) {
       // seam-provided staging name (unique under the object-store
       // impl — see BloomIndex.ensureIndex for the race this prevents)
-      val tmp = graft.fs.FsOps.current.stagingDir(base, "build")
+      val tmp = graft.Stage.stagingDir(base, "build")
       tmp.mkdirs()
       val ev = Tables.events(s, d)
         .withColumn("us", unix_micros(col("ts")))

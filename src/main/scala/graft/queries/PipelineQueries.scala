@@ -548,7 +548,7 @@ object PipelineQueries {
     // generation discovery and marker checks go through the
     // filesystem seam: a pointer-published restore commit is listed
     // by its logical name and resolved to its physical tree
-    val gens = graft.fs.FsOps.current.logicalNames(new java.io.File(base))
+    val gens = graft.Stage.logicalNames(new java.io.File(base))
       .filter(_.matches("gen\\d+"))
       .map(_.stripPrefix("gen").toInt)
     val restoredGen = gens.filter(g =>
@@ -561,7 +561,7 @@ object PipelineQueries {
         // seam-provided staging name: unique under the object-store
         // impl, so a raced restore can never delete the winner's
         // pointer-committed generation
-        val tmp = graft.fs.FsOps.current.stagingDir(next, "build")
+        val tmp = graft.Stage.stagingDir(next, "build")
         graft.Stage.linkTree(new java.io.File(s"$base/gen1"), tmp)
         // marker inside tmp: the publish (rename or pointer commit)
         // makes data+marker visible in one atomic step

@@ -988,7 +988,7 @@ object Streaming {
       val target = new java.io.File(next, bdir.getName)
       target.mkdirs()
       bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
-        graft.fs.FsOps.current.carryFile(pf, new java.io.File(target, pf.getName))
+        graft.Stage.carryFile(pf, new java.io.File(target, pf.getName))
       }
     }
   }
@@ -1013,7 +1013,7 @@ object Streaming {
     // generation discovery + delete go through the filesystem seam:
     // a pointer-published generation (p_restore's commit) is listed by
     // its logical name and vacuumed commit-record-first
-    val gens = graft.fs.FsOps.current.logicalNames(new java.io.File(base))
+    val gens = graft.Stage.logicalNames(new java.io.File(base))
       .filter(_.matches("gen\\d+")) // staging debris is not a generation
       .sortBy(_.stripPrefix("gen").toLong)
     val doomed = gens.dropRight(keep)
@@ -1267,7 +1267,7 @@ object Streaming {
       // protocol every other generational publish in this repo uses;
       // the _SUCCESS marker is written inside staging by the write
       val target = new java.io.File(base, s"gen${gen + 1}")
-      val tmp = graft.fs.FsOps.current.stagingDir(target, "tmp")
+      val tmp = graft.Stage.stagingDir(target, "tmp")
       merged.write.parquet(tmp.getPath)
       graft.Stage.publishDir(tmp, target, "_SUCCESS")
     } finally graft.plans.MvRewrite.building.set(false)
@@ -1337,7 +1337,7 @@ object Streaming {
     val target = new java.io.File(base, s"batch=$id")
     if (graft.Stage.published(target, "_SUCCESS"))
       return // already committed: replayed delivery is a no-op
-    val tmp = graft.fs.FsOps.current.stagingDir(target, "tmp")
+    val tmp = graft.Stage.stagingDir(target, "tmp")
     batch.write.parquet(tmp.getPath)
     graft.Stage.publishDir(tmp, target, "_SUCCESS")
   }
@@ -1348,7 +1348,7 @@ object Streaming {
     * tree.
     */
   private[graft] def committedBatches(s: SparkSession, base: String): DataFrame = {
-    val paths = graft.fs.FsOps.current.logicalNames(new java.io.File(base))
+    val paths = graft.Stage.logicalNames(new java.io.File(base))
       .filter(_.matches("batch=\\d+"))
       .map(n => graft.Stage.resolved(new java.io.File(base, n)).getPath)
     s.read.parquet(paths: _*)

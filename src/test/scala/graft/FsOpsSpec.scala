@@ -1,6 +1,6 @@
 package graft
 
-import graft.fs.{FsOps, ObjectStoreFsOps, PosixFsOps}
+import graft.fs.{FsOps, HadoopFsOps, ObjectStoreFsOps, PosixFsOps}
 
 /** The filesystem seam (graft.fs.FsOps): every Delta-parity verb must
   * produce IDENTICAL answers whether the publish layer is POSIX hard
@@ -59,17 +59,24 @@ class FsOpsSpec extends SparkSpec {
     // the rewrite rule resolving the final generation's physical home)
     "st_mv_maintain")
 
-  test("seam parity: identical answers under POSIX and object-store publish layers") {
+  test("seam parity: identical answers under POSIX, object-store, and Hadoop-FS publish layers") {
     assert(FsOps.current eq PosixFsOps)
     val posix = covered.map(n => n -> rows(n)).toMap
-    wipeArtifacts()
     try {
-      val objst = FsOps.withFs(ObjectStoreFsOps) {
-        covered.map(n => n -> rows(n)).toMap
-      }
-      covered.foreach { n =>
-        assert(objst(n) === posix(n), s"$n diverged across publish layers")
-        assert(objst(n).nonEmpty, s"$n returned nothing")
+      // two object-store bindings of the one protocol: RawLocalFileSystem
+      // (pure bytes — the S3A stand-in) and the configuration-routed
+      // Hadoop lookup (checksummed LocalFileSystem — a real FileSystem
+      // impl with sidecar objects, the s3a:// binding's code path)
+      Seq[FsOps](ObjectStoreFsOps, HadoopFsOps).foreach { impl =>
+        wipeArtifacts()
+        val got = FsOps.withFs(impl) {
+          covered.map(n => n -> rows(n)).toMap
+        }
+        covered.foreach { n =>
+          assert(got(n) === posix(n),
+            s"$n diverged between posix and ${impl.name} publish layers")
+          assert(got(n).nonEmpty, s"$n returned nothing under ${impl.name}")
+        }
       }
     } finally wipeArtifacts()
   }
@@ -89,7 +96,7 @@ class FsOpsSpec extends SparkSpec {
         val logical = new java.io.File(ttBase, ptrs.head.getName.stripSuffix(".ptr"))
         assert(!logical.isDirectory,
           "the logical name must exist only as a commit record, never a renamed dir")
-        val phys = ObjectStoreFsOps.resolveDir(logical)
+        val phys = Stage.resolved(logical)
         assert(phys.isDirectory && new java.io.File(phys, "_RESTORED").exists())
         // carried files are COPIES: no inode shared with gen1 (the
         // exact opposite of the POSIX clone contract — object stores
