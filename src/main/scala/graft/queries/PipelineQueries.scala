@@ -608,10 +608,30 @@ object PipelineQueries {
     files.zipWithIndex.foreach { case (f, i) =>
       Streaming.upsertBatch(s.read.parquet(f.getPath), base, i)
     }
+    // crash debris under the unique-staging-name discipline: a staging
+    // tree whose build never committed (the process died before
+    // publish). Vacuum's second job is sweeping these — anything
+    // staged BEFORE the newest live commit can no longer be an
+    // in-flight build of the next generation, while a newer staging
+    // tree might be one and must survive the sweep.
+    val newest = new java.io.File(s"$base/gen${files.length}")
+    val orphan = graft.Stage.stagingDir(newest, "build")
+    orphan.mkdirs()
+    orphan.setLastModified(newest.lastModified - 3600000L)
+    val inflight = graft.Stage.stagingDir(
+      new java.io.File(s"$base/gen${files.length + 1}"), "build")
+    inflight.mkdirs()
     val removed = Streaming.vacuumGenerations(base, keep = 1)
     require(removed.nonEmpty, "vacuum should have removed superseded generations")
     require(new java.io.File(s"$base/gen${files.length}").exists(),
       "vacuum must keep the newest generation")
+    val swept = graft.Stage.gcStagingDebris(
+      new java.io.File(base), newest.lastModified)
+    require(swept.contains(orphan.getName) && !orphan.exists(),
+      s"orphaned staging tree survived the sweep: $swept")
+    require(inflight.exists(),
+      "a staging tree newer than the live commit must survive (may be in-flight)")
+    graft.Stage.deleteRecursively(inflight)
     s.read.parquet(s"$base/gen${files.length}")
       .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))
   }

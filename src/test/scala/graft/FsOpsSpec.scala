@@ -81,6 +81,42 @@ class FsOpsSpec extends SparkSpec {
     } finally wipeArtifacts()
   }
 
+  test("staging-debris GC: old orphans swept, live commits and fresh stagings survive") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gc").toFile
+    try {
+      Seq[FsOps](PosixFsOps, ObjectStoreFsOps, HadoopFsOps).foreach { impl =>
+        FsOps.withFs(impl) {
+          val parent = new java.io.File(root, impl.name); parent.mkdirs()
+          // publish one artifact through the seam — under the
+          // object-store impls its PHYSICAL home is itself a
+          // staging-pattern name (referenced by the pointer), which the
+          // sweep must recognize as committed, never as debris
+          val target = new java.io.File(parent, "art")
+          val tmp = Stage.stagingDir(target, "build")
+          tmp.mkdirs()
+          new java.io.File(tmp, "_SUCCESS").createNewFile()
+          Stage.publishDir(tmp, target, "_SUCCESS")
+          assert(Stage.published(target, "_SUCCESS"))
+          // a crashed build's orphan (older than the live commit) and a
+          // possibly-in-flight fresh staging tree
+          val orphan = Stage.stagingDir(target, "build")
+          orphan.mkdirs()
+          orphan.setLastModified(System.currentTimeMillis - 7200000L)
+          val fresh = Stage.stagingDir(target, "build")
+          fresh.mkdirs()
+          val swept = Stage.gcStagingDebris(parent,
+            System.currentTimeMillis - 3600000L)
+          assert(swept === Seq(orphan.getName),
+            s"${impl.name}: expected exactly the orphan swept, got $swept")
+          assert(!orphan.exists() && fresh.exists())
+          // the published artifact still resolves to a marked tree
+          assert(Stage.published(target, "_SUCCESS"),
+            s"${impl.name}: GC damaged a committed artifact")
+        }
+      }
+    } finally Stage.deleteRecursively(root)
+  }
+
   test("object-store discipline: pointer commits, copies not links, vacuum safe") {
     wipeArtifacts()
     try {
