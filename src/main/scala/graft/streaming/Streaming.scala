@@ -902,22 +902,55 @@ object Streaming {
     val base = s"/tmp/graft_stream_upsert_${fixtureKey(d)}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
-    var gen = 0 // driver-side: foreachBatch bodies run on the driver
+    val gen = driveGenerations(s, dir, base, None, upsertBatch)
+    s.read.parquet(s"$base/gen$gen")
+      .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))
+  }
+
+  /** Drive the file backlog at `dir` through a generational-state
+    * `step` (the stUpsert / stScd2 / stMvMaintain microbatch bodies):
+    * one file per trigger, AvailableNow drain, generations numbered
+    * from the NEWEST COMMITTED generation already under `base` — so a
+    * RESTART against the same state root and checkpoint resumes where
+    * the previous run stopped instead of restarting from gen0. The
+    * restart contract on top of Spark's own checkpoint recovery:
+    * foreachBatch is at-least-once (a batch applied before a crash but
+    * not yet checkpoint-committed is RE-DELIVERED with the same id),
+    * so a CHECKPOINTED run requires a replay-idempotent `step`:
+    * re-applying a delivered batch on top of state that already
+    * absorbed it must be a no-op — upsertBatch is (latest-per-key is
+    * max-algebra), scd2Batch is (version-identity dedup). The MV
+    * sum-merge is NOT (a replayed batch would double-count into the
+    * next generation), so mvMaintainStep drives only uncheckpointed
+    * single-shot drains; exactly-once for non-idempotent merges is the
+    * batchId-keyed commit protocol (idempotentSink / st_exactly_once).
+    * `afterBatch` is the spec's fault-injection hook (kill after batch
+    * k); returns the final generation number.
+    */
+  private[graft] def driveGenerations(s: SparkSession, dir: String,
+      base: String, checkpoint: Option[String],
+      step: (DataFrame, String, Int) => Unit,
+      afterBatch: Long => Unit = _ => ()): Int = {
+    // resume point — committed generations, listed through the seam
+    var gen = graft.Stage.logicalNames(new java.io.File(base))
+      .filter(_.matches("gen\\d+")).map(_.stripPrefix("gen").toInt)
+      .sorted.lastOption.getOrElse(0)
     val schema = s.read.parquet(dir).schema
     val streamed = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-    val q = streamed.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        upsertBatch(batch.toDF(), base, gen)
+    var w = streamed.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        step(batch.toDF(), base, gen)
         gen += 1
+        afterBatch(id)
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
+    val q = w.start()
     q.awaitTermination()
-    s.read.parquet(s"$base/gen$gen")
-      .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))
+    gen
   }
 
   /** One bucket-pruned merge step: `prev = $base/gen$gen` →
@@ -1044,20 +1077,7 @@ object Streaming {
     val base = s"/tmp/graft_stream_scd2_${fixtureKey(d)}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
-    var gen = 0 // driver-side: foreachBatch bodies run on the driver
-    val schema = s.read.parquet(dir).schema
-    val streamed = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-    val q = streamed.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        scd2Batch(batch.toDF(), base, gen)
-        gen += 1
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val gen = driveGenerations(s, dir, base, None, scd2Batch)
     s.read.parquet(s"$base/gen$gen")
       .select(col("user_id"), col("event_id"), col("valid_from_us"),
         col("valid_to_us"), col("is_current"))
@@ -1197,20 +1217,7 @@ object Streaming {
     val base = s"/tmp/graft_stream_mv_${fixtureKey(d)}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
-    var gen = 0
-    val schema = s.read.parquet(dir).schema
-    val streamed = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-    val q = streamed.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        mvMaintainStep(batch.toDF(), base, gen)
-        gen += 1
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val gen = driveGenerations(s, dir, base, None, mvMaintainStep)
     graft.Stage.refreshArtifact(s, new java.io.File(base))
     // the rule reads the PHYSICAL home of the final generation (under
     // the object-store seam the logical gen name is only a pointer)

@@ -863,6 +863,59 @@ class StreamingSpec extends SparkSpec {
     graft.Stage.deleteRecursively(base)
   }
 
+  test("generational-state restart: killed mid-stream, resumed from checkpoint — identical state under both seams") {
+    import java.io.File
+    import org.apache.spark.sql.DataFrame
+    val dir = Streaming.lateFixtureDir(spark, sfDir)
+    val nFiles = new File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 3, "fixture must have enough batches to crash mid-stream")
+    val cases: Seq[(String, (DataFrame, String, Int) => Unit, (String, Int) => DataFrame)] = Seq(
+      ("upsert", Streaming.upsertBatch _,
+        (base: String, gen: Int) => spark.read.parquet(s"$base/gen$gen")
+          .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))),
+      ("scd2", Streaming.scd2Batch _,
+        (base: String, gen: Int) => spark.read.parquet(s"$base/gen$gen")
+          .select(col("user_id"), col("event_id"), col("valid_from_us"),
+            col("valid_to_us"), col("is_current"))))
+    // the uninterrupted truth, via the registered oracle-gated queries
+    val baseline = Map(
+      "upsert" -> SparkEntry.queries("st_upsert")(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq,
+      "scd2" -> SparkEntry.queries("st_scd2")(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq)
+    Seq[graft.fs.FsOps](graft.fs.PosixFsOps, graft.fs.ObjectStoreFsOps).foreach { impl =>
+      graft.fs.FsOps.withFs(impl) {
+        cases.foreach { case (name, step, read) =>
+          val base = s"/tmp/graft_restart_${name}_${impl.name}"
+          val cp = base + "_cp"
+          Seq(base, cp).foreach(p => graft.Stage.deleteRecursively(new File(p)))
+          new File(base).mkdirs()
+          // leg 1: die AFTER applying batch 1 but BEFORE its checkpoint
+          // commit — the real at-least-once crash window, driven for
+          // real through the production microbatch body
+          val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            Streaming.driveGenerations(spark, dir, base, Some(cp), step,
+              id => if (id == 1)
+                throw new RuntimeException(s"injected crash after batch $id"))
+          }
+          assert(Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+            .contains("injected crash"), s"unexpected failure: $ex")
+          // leg 2: restart against the SAME checkpoint and state root
+          val gen = Streaming.driveGenerations(spark, dir, base, Some(cp), step)
+          // batch 0 was checkpoint-committed and is NOT reprocessed;
+          // batch 1 is RE-DELIVERED (one extra, idempotent generation)
+          assert(gen === nFiles + 1,
+            s"$name/${impl.name}: expected ${nFiles + 1} generations " +
+              s"(crashed batch replayed once, committed batches never), got $gen")
+          val got = read(base, gen).collect().map(_.toString).sorted.toSeq
+          assert(got === baseline(name),
+            s"$name/${impl.name}: restarted state diverged from the uninterrupted run")
+          Seq(base, cp).foreach(p => graft.Stage.deleteRecursively(new File(p)))
+        }
+      }
+    }
+  }
+
   test("streaming queries are rerunnable within one session (memory sink name reuse)") {
     val a = Streaming.stWindowAgg(spark, sfDir).count()
     val b = Streaming.stWindowAgg(spark, sfDir).count()
