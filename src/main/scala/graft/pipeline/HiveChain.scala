@@ -80,7 +80,46 @@ object HiveChainMain {
     require(sec.count() == n && red.count() == n, "view row counts drifted")
     require(sec.filter(col("AUDIT_ID").isNotNull).count() == n,
       "sec_v lost its identifying column values")
-    println(s"HIVECHAIN OK raw=$raw2 sec=${sec.count()} red=${red.count()}")
+
+    // the openx-serde expansion step (ingesters.py:195-206): the
+    // from_json-backed shim publishes the managed expanded table with
+    // rows equal to the chain's other expansion path (idempotently);
+    // the serde DDL itself is pinned as a formal descope below.
+    AuditPublish.publishExpanded(spark, db, daily, date, ddl)
+    AuditPublish.publishExpanded(spark, db, daily, date, ddl) // idempotent
+    require(fmt("auditlog_expanded").contains("OrcSerde"),
+      "expanded table is not ORC-serde")
+    val exp = spark.table(s"$db.auditlog_expanded")
+      .filter(col("date_str") === date)
+    require(exp.count() == n, s"expanded rows ${exp.count()} != $n")
+    val expRows = exp.select(secCols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val secRows = sec.filter(col("date_str") === date)
+      .select(secCols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    require(expRows == secRows,
+      "shim-expanded rows diverge from the sec_v expansion")
+    // the formal-descope probe: Hive's metastore instantiates the
+    // serde class at CREATE TABLE (initSerDe), so the reference's
+    // openx DDL needs its third-party jar on ANY engine — the boundary
+    // is a jar deployment, not a dialect gap, and the failure must
+    // name exactly that class (a different error would mean a real
+    // dialect problem hiding behind the descope)
+    val openxErr = try {
+      spark.sql(
+        s"""CREATE EXTERNAL TABLE $db.openx_ddl_probe (AUDIT_ID STRING)
+           |ROW FORMAT SERDE 'org.openx.data.jsonserde.JsonSerDe'
+           |STORED AS TEXTFILE LOCATION '$daily'""".stripMargin)
+      spark.sql(s"DROP TABLE $db.openx_ddl_probe")
+      "registered" // jar present on this image: nothing to descope
+    } catch {
+      case e: Exception =>
+        require(e.getMessage.contains("org.openx.data.jsonserde.JsonSerDe"),
+          s"openx DDL failed for an unexpected reason: ${e.getMessage}")
+        "requires-jar"
+    }
+
+    println(s"HIVECHAIN OK raw=$raw2 sec=${sec.count()} red=${red.count()} " +
+      s"expanded=${exp.count()} openx_ddl=$openxErr")
     spark.stop()
   }
 }

@@ -263,5 +263,14 @@ class OrchestrationSpec extends SparkSpec {
     assert(finished, s"hive chain JVM timed out:\n${out.takeRight(4000)}")
     assert(p.exitValue() === 0, s"hive chain failed:\n${out.takeRight(4000)}")
     assert(out.contains("HIVECHAIN OK"), s"no verdict in:\n${out.takeRight(4000)}")
+    // openx JsonSerDe resolution (SURVEY §2B): the from_json shim
+    // published the expanded table row-equal to the chain's other
+    // expansion path, and the serde DDL's jar dependency is pinned as
+    // a formal descope (ClassNotFound naming exactly the openx class)
+    assert(out.contains("openx_ddl=requires-jar")
+        || out.contains("openx_ddl=registered"),
+      s"openx resolution missing from verdict:\n${out.takeRight(1000)}")
+    assert("expanded=(\\d+)".r.findFirstMatchIn(out).exists(_.group(1).toInt > 0),
+      s"expanded table empty or unreported:\n${out.takeRight(1000)}")
   }
 }
