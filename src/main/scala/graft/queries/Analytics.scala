@@ -705,7 +705,19 @@ object Analytics {
     * sits under the hash gate.
     */
   def qRecursive(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("graft_rec_customer")
+    val cust = Tables.customer(s, d)
+    cust.createOrReplaceTempView("graft_rec_customer")
+    // The engine's recursion ROW cap is a runaway backstop, not a
+    // semantic limit — this walk is provably log7(maxkey)-deep, so its
+    // total row count is n_customers x depth and the default 1M cap is
+    // legitimately exceeded from ~100k customers (measured at the
+    // sf1-equivalent corpus). Size the backstop to the input with
+    // headroom (32 > the 23-level depth even a full-range BIGINT key
+    // can reach under div 7): still a hard stop against true runaway
+    // recursion, never a cap a linear scale-up can hit.
+    val nCustomers = cust.count() // dim-table planning value
+    s.conf.set("spark.sql.cteRecursionRowLimit",
+      math.max(1000000L, nCustomers * 32).toString)
     s.sql(
       """WITH RECURSIVE walk(k, root, depth) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM graft_rec_customer
