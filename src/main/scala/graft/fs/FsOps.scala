@@ -163,8 +163,11 @@ object FsOps {
   private[fs] val StagingName = """.+\.[A-Za-z]+\.[0-9a-f]{8}""".r
   private[fs] val PtrPutName = """.+\.ptr\.put\..+""".r
   private[fs] def isStagingName(n: String): Boolean =
-    StagingName.matches(n) || PtrPutName.matches(n) ||
-      n.endsWith(".pre_swap") // POSIX republish stage-out debris
+    StagingName.matches(n) || PtrPutName.matches(n)
+  // NOTE: `.pre_swap` is deliberately NOT debris — during a POSIX
+  // republish it is the ONLY copy of the live data (its mtime is the
+  // old build's, so no age gate protects it); republishDir itself
+  // removes it on success and restores it on a failed swap.
   private[fs] def uniqueSuffix(suffix: String): String =
     suffix + "." + java.util.UUID.randomUUID.toString.take(8)
 }
@@ -262,24 +265,46 @@ class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
     require(fs.exists(new Path(tmp, marker)),
       s"staging tree $tmp lacks its $marker marker")
     // commit = conditional put-if-absent of the pointer object; the
-    // staging tree IS the physical home and never moves. create with
-    // overwrite=false FAILS if the pointer exists (atomically on the
-    // stores that matter: S3A If-None-Match, HDFS namespace create) —
-    // no check-then-act window where two publishers could both commit.
+    // staging tree IS the physical home and never moves. On the stores
+    // that matter the whole create+write+close is ONE atomic
+    // conditional PUT (S3A If-None-Match materializes the object only
+    // at close; HDFS creates atomically in the namenode). The LOCAL
+    // FileSystems behind the specs cannot express fail-if-exists
+    // atomically (create(overwrite=false) is check-then-act), so the
+    // commit is CAS-VERIFIED: after close, read the pointer back — a
+    // racer that overwrote us shows its own staging name, and exactly
+    // one publisher (the one whose name survives) keeps its tree.
     val ptr = ptrFile(target)
-    try writeTo(fs, ptr, tmp.getName, overwrite = false)
+    val created = try { writeTo(fs, ptr, tmp.getName, overwrite = false); true }
     catch {
       case e: java.io.IOException =>
-        // lost the conditional put: first writer wins, retire ours.
-        // (FS impls differ on the exact already-exists exception type,
-        // so adjudicate by the pointer's existence.)
-        if (fs.exists(ptr)) { fs.delete(tmp, true); () }
-        else throw e
+        val existing = readPtr(fs, target)
+        if (existing.exists(_ != tmp.getName)) false // lost the put
+        else if (existing.contains(tmp.getName)) true // our write landed
+        else {
+          // the pointer is ours-but-torn (our own write failed midway)
+          // or unreadable: remove the torn commit record and fail the
+          // publish — the staging tree is PRESERVED for retry; silently
+          // retiring it here would destroy the only copy of the build
+          if (fs.exists(ptr)) fs.delete(ptr, false)
+          throw e
+        }
     }
+    val winner = readPtr(fs, target)
+    if (created && winner.contains(tmp.getName)) ()
+    else if (winner.exists(n => n.nonEmpty && n != tmp.getName)) {
+      fs.delete(tmp, true) // first writer wins, retire ours
+      ()
+    } else throw new IllegalStateException(
+      s"pointer commit for $target is unreadable after publish (got $winner)")
   }
 
-  def resolveDir(target: Path): Path = {
-    val fs = fsFor(target)
+  /** The pointer's content (the physical prefix name), None when the
+    * pointer object does not exist. A commit in flight on a
+    * non-atomic local FS can surface as momentarily empty — callers
+    * treat empty as in-flight, never as a valid name.
+    */
+  private def readPtr(fs: FileSystem, target: Path): Option[String] = {
     val ptr = ptrFile(target)
     val st = try Some(fs.getFileStatus(ptr)) catch {
       case _: java.io.FileNotFoundException => None
@@ -288,8 +313,28 @@ class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
       val buf = new Array[Byte](s.getLen.toInt)
       val in = fs.open(ptr)
       try in.readFully(0, buf) finally in.close()
-      new Path(target.getParent, new String(buf, "UTF-8").trim)
-    }.getOrElse(target)
+      new String(buf, "UTF-8").trim
+    }
+  }
+
+  def resolveDir(target: Path): Path = {
+    val fs = fsFor(target)
+    // an EMPTY pointer is a commit in flight on a non-atomic local FS
+    // (real stores never expose one: a PUT materializes whole) —
+    // wait it out briefly rather than resolving to a garbage path
+    var attempt = 0
+    while (attempt < 40) {
+      readPtr(fs, target) match {
+        case None => return target
+        case Some(name) if name.nonEmpty =>
+          return new Path(target.getParent, name)
+        case _ =>
+          attempt += 1
+          Thread.sleep(5)
+      }
+    }
+    throw new IllegalStateException(
+      s"pointer for $target stuck empty — torn commit record")
   }
 
   private def list(fs: FileSystem, parent: Path): Array[FileStatus] =
@@ -380,12 +425,22 @@ object ObjectStoreFsOps
 object HadoopFsOps
     extends ObjectStoreFsOps(_.getFileSystem(FsBindings.conf), "hadoop")
 
-/** Shared Hadoop bindings for the object-store impls. */
+/** Shared Hadoop bindings for the object-store impls. The
+  * configuration is the ACTIVE Spark session's hadoopConfiguration
+  * when one exists — that is where `spark.hadoop.*` settings (S3A
+  * credentials, endpoints, committers) land, and a binding that
+  * ignored them could never reach the store it names. Resolved per
+  * call: the seam outlives any one session.
+  */
 private[fs] object FsBindings {
-  lazy val conf = new Configuration()
+  def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
   lazy val rawLocal: FileSystem = {
     val fs = new RawLocalFileSystem()
-    fs.initialize(java.net.URI.create("file:///"), conf)
+    fs.initialize(java.net.URI.create("file:///"), new Configuration())
     fs
   }
 }

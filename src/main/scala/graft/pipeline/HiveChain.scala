@@ -112,9 +112,13 @@ object HiveChainMain {
       spark.sql(s"DROP TABLE $db.openx_ddl_probe")
       "registered" // jar present on this image: nothing to descope
     } catch {
-      case e: Exception =>
-        require(e.getMessage.contains("org.openx.data.jsonserde.JsonSerDe"),
-          s"openx DDL failed for an unexpected reason: ${e.getMessage}")
+      case e: Throwable =>
+        // match on the whole cause chain, null-message-safe: the probe
+        // must distinguish "jar missing" from a genuine dialect break
+        val chain = Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null).take(8).map(_.toString).mkString(" <- ")
+        require(chain.contains("org.openx.data.jsonserde.JsonSerDe"),
+          s"openx DDL failed for an unexpected reason: $chain")
         "requires-jar"
     }
 

@@ -342,45 +342,34 @@ object AuditPublish {
     val u = exportDate.replace("-", "_")
     // the reference's name shape ("expended", ingesters.py:198)
     val shimExt = s"auditlog_raw_expended_$u"
-    if (hiveCatalog(spark)) {
-      sql.executeWithInterpolation(
-        s"""CREATE TABLE IF NOT EXISTS $db.auditlog_expanded ($colsDdl)
-           |PARTITIONED BY (date_str STRING) STORED
-           |AS orc TBLPROPERTIES ('orc.compress'='ZLIB')""".stripMargin)
-      // the single-column TEXTFILE shim over the landed location,
-      // expanded by from_json in the INSERT (the serde's jarless twin)
-      sql.executeWithInterpolation(s"DROP TABLE IF EXISTS $db.$shimExt")
-      sql.executeWithInterpolation(
-        s"""CREATE EXTERNAL TABLE $db.$shimExt (val STRING)
-           |STORED AS TEXTFILE LOCATION '#{location}'""".stripMargin,
-        Map("#{location}" -> dailyPath))
-      spark.table(s"$db.$shimExt")
-        .select(from_json(col("val"), schema).as("j"))
-        .select(cols.map(c => col(s"j.$c").as(c)): _*)
-        .createOrReplaceTempView("graft_audit_expanded_shim")
-      sql.executeWithInterpolation(
-        s"""INSERT OVERWRITE TABLE $db.auditlog_expanded
-           |PARTITION (date_str = '$exportDate')
-           |SELECT ${cols.mkString(", ")} FROM graft_audit_expanded_shim""".stripMargin)
-      sql.executeWithInterpolation(s"DROP TABLE IF EXISTS $db.$shimExt")
-    } else {
-      sql.executeWithInterpolation(
-        s"""CREATE TABLE IF NOT EXISTS $db.auditlog_expanded
-           |($colsDdl, date_str STRING) USING PARQUET PARTITIONED BY (date_str)""".stripMargin)
-      sql.executeWithInterpolation(s"DROP TABLE IF EXISTS $db.$shimExt")
-      sql.executeWithInterpolation(
-        s"CREATE TABLE $db.$shimExt (val STRING) USING TEXT LOCATION '#{location}'",
-        Map("#{location}" -> dailyPath))
-      spark.table(s"$db.$shimExt")
-        .select(from_json(col("val"), schema).as("j"))
-        .select(cols.map(c => col(s"j.$c").as(c)): _*)
-        .createOrReplaceTempView("graft_audit_expanded_shim")
-      sql.executeWithInterpolation(
-        s"""INSERT OVERWRITE TABLE $db.auditlog_expanded
-           |PARTITION (date_str = '$exportDate')
-           |SELECT ${cols.mkString(", ")} FROM graft_audit_expanded_shim""".stripMargin)
-      sql.executeWithInterpolation(s"DROP TABLE IF EXISTS $db.$shimExt")
-    }
+    // only the two CREATE statements are dialect-specific; the shim →
+    // expand → INSERT OVERWRITE → drop tail is shared so a future fix
+    // to the expansion can never diverge between catalogs
+    val (managedDdl, shimDdl) =
+      if (hiveCatalog(spark))
+        (s"""CREATE TABLE IF NOT EXISTS $db.auditlog_expanded ($colsDdl)
+            |PARTITIONED BY (date_str STRING) STORED
+            |AS orc TBLPROPERTIES ('orc.compress'='ZLIB')""".stripMargin,
+          s"""CREATE EXTERNAL TABLE $db.$shimExt (val STRING)
+             |STORED AS TEXTFILE LOCATION '#{location}'""".stripMargin)
+      else
+        (s"""CREATE TABLE IF NOT EXISTS $db.auditlog_expanded
+            |($colsDdl, date_str STRING) USING PARQUET PARTITIONED BY (date_str)""".stripMargin,
+          s"CREATE TABLE $db.$shimExt (val STRING) USING TEXT LOCATION '#{location}'")
+    sql.executeWithInterpolation(managedDdl)
+    // the single-column TEXTFILE shim over the landed location,
+    // expanded by from_json in the INSERT (the serde's jarless twin)
+    sql.executeWithInterpolation(s"DROP TABLE IF EXISTS $db.$shimExt")
+    sql.executeWithInterpolation(shimDdl, Map("#{location}" -> dailyPath))
+    spark.table(s"$db.$shimExt")
+      .select(from_json(col("val"), schema).as("j"))
+      .select(cols.map(c => col(s"j.$c").as(c)): _*)
+      .createOrReplaceTempView("graft_audit_expanded_shim")
+    sql.executeWithInterpolation(
+      s"""INSERT OVERWRITE TABLE $db.auditlog_expanded
+         |PARTITION (date_str = '$exportDate')
+         |SELECT ${cols.mkString(", ")} FROM graft_audit_expanded_shim""".stripMargin)
+    sql.executeWithInterpolation(s"DROP TABLE IF EXISTS $db.$shimExt")
   }
 
   /** Secured/redacted "view-like" publication (ingesters.py:209-266

@@ -711,13 +711,19 @@ object Analytics {
     // semantic limit — this walk is provably log7(maxkey)-deep, so its
     // total row count is n_customers x depth and the default 1M cap is
     // legitimately exceeded from ~100k customers (measured at the
-    // sf1-equivalent corpus). Size the backstop to the input with
-    // headroom (32 > the 23-level depth even a full-range BIGINT key
-    // can reach under div 7): still a hard stop against true runaway
-    // recursion, never a cap a linear scale-up can hit.
-    val nCustomers = cust.count() // dim-table planning value
+    // sf1-equivalent corpus). Raise the backstop MONOTONICALLY to what
+    // this input provably needs (n x 32 > n x the 23-level depth even
+    // a full-range BIGINT key reaches under div 7) — never lowering a
+    // user's own setting, and left in place deliberately: the limit
+    // must still be in force when the LAZY DataFrame executes, and a
+    // floor sized to the largest dim table seen remains a hard stop
+    // against true runaway recursion. The count() is a dim-table
+    // planning value (same pattern as the skew/bucket planners).
+    val nCustomers = cust.count()
+    val prior = scala.util.Try(
+      s.conf.get("spark.sql.cteRecursionRowLimit").toLong).getOrElse(1000000L)
     s.conf.set("spark.sql.cteRecursionRowLimit",
-      math.max(1000000L, nCustomers * 32).toString)
+      math.max(prior, nCustomers * 32).toString)
     s.sql(
       """WITH RECURSIVE walk(k, root, depth) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM graft_rec_customer

@@ -478,7 +478,10 @@ object PipelineQueries {
     import graft.streaming.Streaming
     val fixture = Streaming.lateFixtureDir(s, d)
     val base = s"/tmp/graft_time_travel_${graft.Stage.sourceFingerprint(d, "events")}"
-    if (!new java.io.File(s"$base/gen3").exists()) {
+    // build-once gate through the seam: gen3 may exist only as a
+    // pointer commit, and an unmarked dir (pre-marker build) rebuilds
+    if (!graft.Stage.published(new java.io.File(s"$base/gen3"),
+        graft.streaming.Streaming.GenMarker)) {
       graft.Stage.deleteRecursively(new java.io.File(base))
       new java.io.File(base).mkdirs()
       val files = new java.io.File(fixture).listFiles()
@@ -493,7 +496,8 @@ object PipelineQueries {
 
   def pTimeTravel(s: SparkSession, d: String): DataFrame = {
     val base = ensureTimeTravelState(s, d)
-    def version(g: Int) = s.read.parquet(s"$base/gen$g")
+    def version(g: Int) = s.read.parquet(
+        graft.Stage.resolved(new java.io.File(s"$base/gen$g")).getPath)
       .select(col("user_id"), col("event_id"), col("us"))
     val v1 = version(1).select(col("user_id"),
       col("event_id").as("event_id_v1"), col("us").as("us_v1"))
@@ -562,7 +566,8 @@ object PipelineQueries {
         // impl, so a raced restore can never delete the winner's
         // pointer-committed generation
         val tmp = graft.Stage.stagingDir(next, "build")
-        graft.Stage.linkTree(new java.io.File(s"$base/gen1"), tmp)
+        graft.Stage.linkTree(
+          graft.Stage.resolved(new java.io.File(s"$base/gen1")), tmp)
         // marker inside tmp: the publish (rename or pointer commit)
         // makes data+marker visible in one atomic step
         new java.io.File(tmp, "_RESTORED").createNewFile()
@@ -615,24 +620,27 @@ object PipelineQueries {
     // in-flight build of the next generation, while a newer staging
     // tree might be one and must survive the sweep.
     val newest = new java.io.File(s"$base/gen${files.length}")
+    // physical home (pointer-dereferenced under the object-store
+    // seams) — the logical name has no mtime there
+    val newestPhys = graft.Stage.resolved(newest)
     val orphan = graft.Stage.stagingDir(newest, "build")
     orphan.mkdirs()
-    orphan.setLastModified(newest.lastModified - 3600000L)
+    orphan.setLastModified(newestPhys.lastModified - 3600000L)
     val inflight = graft.Stage.stagingDir(
       new java.io.File(s"$base/gen${files.length + 1}"), "build")
     inflight.mkdirs()
     val removed = Streaming.vacuumGenerations(base, keep = 1)
     require(removed.nonEmpty, "vacuum should have removed superseded generations")
-    require(new java.io.File(s"$base/gen${files.length}").exists(),
+    require(graft.Stage.published(newest, Streaming.GenMarker),
       "vacuum must keep the newest generation")
     val swept = graft.Stage.gcStagingDebris(
-      new java.io.File(base), newest.lastModified)
+      new java.io.File(base), newestPhys.lastModified)
     require(swept.contains(orphan.getName) && !orphan.exists(),
       s"orphaned staging tree survived the sweep: $swept")
     require(inflight.exists(),
       "a staging tree newer than the live commit must survive (may be in-flight)")
     graft.Stage.deleteRecursively(inflight)
-    s.read.parquet(s"$base/gen${files.length}")
+    s.read.parquet(newestPhys.getPath)
       .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))
   }
 

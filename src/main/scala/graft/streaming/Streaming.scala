@@ -903,7 +903,7 @@ object Streaming {
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val gen = driveGenerations(s, dir, base, None, upsertBatch)
-    s.read.parquet(s"$base/gen$gen")
+    s.read.parquet(graft.Stage.resolved(new java.io.File(s"$base/gen$gen")).getPath)
       .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))
   }
 
@@ -931,9 +931,18 @@ object Streaming {
       base: String, checkpoint: Option[String],
       step: (DataFrame, String, Int) => Unit,
       afterBatch: Long => Unit = _ => ()): Int = {
-    // resume point — committed generations, listed through the seam
+    // resume point — COMMITTED generations only, listed through the
+    // seam: a gen name without its done marker (GenMarker for the
+    // bucket layouts, parquet's _SUCCESS for the MV generations) is
+    // torn debris from a crash mid-publish, never state to adopt
     var gen = graft.Stage.logicalNames(new java.io.File(base))
-      .filter(_.matches("gen\\d+")).map(_.stripPrefix("gen").toInt)
+      .filter(_.matches("gen\\d+"))
+      .filter { n =>
+        val dir = new java.io.File(base, n)
+        graft.Stage.published(dir, GenMarker) ||
+          graft.Stage.published(dir, "_SUCCESS")
+      }
+      .map(_.stripPrefix("gen").toInt)
       .sorted.lastOption.getOrElse(0)
     val schema = s.read.parquet(dir).schema
     val streamed = s.readStream.schema(schema)
@@ -998,8 +1007,15 @@ object Streaming {
   private[graft] def bucketGenStep(batch: DataFrame, base: String, gen: Int)(
       rebuild: (DataFrame, Seq[DataFrame]) => DataFrame): Unit = {
     val sp = batch.sparkSession
-    val prev = new java.io.File(s"$base/gen$gen")
+    // the prior generation resolves through the seam (pointer-published
+    // under the object-store impls); a generation is COMMITTED only
+    // once its staging tree — rebuilt buckets AND carried buckets — is
+    // complete, then published atomically. A crash mid-step leaves
+    // only staging debris the restart's resume scan never mistakes for
+    // state (the torn-generation window a direct write would have).
+    val prev = graft.Stage.resolved(new java.io.File(s"$base/gen$gen"))
     val next = new java.io.File(s"$base/gen${gen + 1}")
+    val tmp = graft.Stage.stagingDir(next, "gen")
     val touched = batch.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     val prevBuckets: Seq[java.io.File] =
@@ -1011,20 +1027,30 @@ object Streaming {
       sp.read.option("basePath", prev.getPath).parquet(f.getPath))
     if (touched.nonEmpty)
       rebuild(batch, prior)
-        .write.partitionBy("bucket").mode("overwrite").parquet(next.getPath)
-    else next.mkdirs() // empty batch: pure carry-over generation
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp.getPath)
+    else tmp.mkdirs() // empty batch: pure carry-over generation
     // carry untouched buckets across through the filesystem seam:
     // POSIX = hard link (same inode, zero IO); object store =
     // server-side object copy (no client bytes; each generation owns
     // its objects, so vacuum needs no refcounting)
     untouchedDirs.foreach { bdir =>
-      val target = new java.io.File(next, bdir.getName)
+      val target = new java.io.File(tmp, bdir.getName)
       target.mkdirs()
       bdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
         graft.Stage.carryFile(pf, new java.io.File(target, pf.getName))
       }
     }
+    // the generation's OWN done marker, written after the carry —
+    // parquet's _SUCCESS only covers the rebuilt buckets
+    new java.io.File(tmp, GenMarker).createNewFile()
+    graft.Stage.publishDir(tmp, next, GenMarker)
   }
+
+  /** Generation-complete marker for the bucket-state layouts: written
+    * INSIDE staging after rebuilt AND carried buckets are in place, so
+    * a published generation is complete by construction.
+    */
+  private[graft] val GenMarker = "_GEN_DONE"
 
   val stUpsertSql: String =
     """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS us
@@ -1078,7 +1104,7 @@ object Streaming {
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val gen = driveGenerations(s, dir, base, None, scd2Batch)
-    s.read.parquet(s"$base/gen$gen")
+    s.read.parquet(graft.Stage.resolved(new java.io.File(s"$base/gen$gen")).getPath)
       .select(col("user_id"), col("event_id"), col("valid_from_us"),
         col("valid_to_us"), col("is_current"))
   }

@@ -128,8 +128,14 @@ class FsOpsSpec extends SparkSpec {
           s"/tmp/graft_time_travel_${Stage.sourceFingerprint(sfDir, "events")}")
         val ptrs = Option(ttBase.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".ptr"))
-        assert(ptrs.length === 1, "expected exactly one pointer-published generation")
-        val logical = new java.io.File(ttBase, ptrs.head.getName.stripSuffix(".ptr"))
+        // EVERY generation commit is a pointer under this seam — the
+        // three upsert generations AND the restore commit
+        assert(ptrs.length === 4,
+          s"expected all four generation commits pointer-published, got ${ptrs.length}")
+        val logical = ptrs
+          .map(p => new java.io.File(ttBase, p.getName.stripSuffix(".ptr")))
+          .find(l => Stage.published(l, "_RESTORED"))
+          .getOrElse(fail("no pointer-published generation carries _RESTORED"))
         assert(!logical.isDirectory,
           "the logical name must exist only as a commit record, never a renamed dir")
         val phys = Stage.resolved(logical)
@@ -137,7 +143,8 @@ class FsOpsSpec extends SparkSpec {
         // carried files are COPIES: no inode shared with gen1 (the
         // exact opposite of the POSIX clone contract — object stores
         // have no links, each generation owns its bytes)
-        val g1Keys = parquets(new java.io.File(ttBase, "gen1")).map(fileKey).toSet
+        val g1Keys = parquets(
+          Stage.resolved(new java.io.File(ttBase, "gen1"))).map(fileKey).toSet
         val restoredKeys = parquets(phys).map(fileKey).toSet
         assert(g1Keys.nonEmpty && restoredKeys.nonEmpty)
         assert(g1Keys.intersect(restoredKeys).isEmpty,

@@ -871,10 +871,12 @@ class StreamingSpec extends SparkSpec {
     assert(nFiles >= 3, "fixture must have enough batches to crash mid-stream")
     val cases: Seq[(String, (DataFrame, String, Int) => Unit, (String, Int) => DataFrame)] = Seq(
       ("upsert", Streaming.upsertBatch _,
-        (base: String, gen: Int) => spark.read.parquet(s"$base/gen$gen")
+        (base: String, gen: Int) => spark.read.parquet(graft.Stage.resolved(
+            new File(s"$base/gen$gen")).getPath)
           .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))),
       ("scd2", Streaming.scd2Batch _,
-        (base: String, gen: Int) => spark.read.parquet(s"$base/gen$gen")
+        (base: String, gen: Int) => spark.read.parquet(graft.Stage.resolved(
+            new File(s"$base/gen$gen")).getPath)
           .select(col("user_id"), col("event_id"), col("valid_from_us"),
             col("valid_to_us"), col("is_current"))))
     // the uninterrupted truth, via the registered oracle-gated queries
@@ -900,6 +902,10 @@ class StreamingSpec extends SparkSpec {
           }
           assert(Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
             .contains("injected crash"), s"unexpected failure: $ex")
+          // torn-generation guard: a crash can leave a marker-less gen
+          // dir behind — the resume scan must never adopt it as state
+          // (if it did, numbering would jump and the assert below fires)
+          new File(base, "gen9").mkdirs()
           // leg 2: restart against the SAME checkpoint and state root
           val gen = Streaming.driveGenerations(spark, dir, base, Some(cp), step)
           // batch 0 was checkpoint-committed and is NOT reprocessed;
