@@ -275,28 +275,30 @@ class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
     // racer that overwrote us shows its own staging name, and exactly
     // one publisher (the one whose name survives) keeps its tree.
     val ptr = ptrFile(target)
-    val created = try { writeTo(fs, ptr, tmp.getName, overwrite = false); true }
+    try writeTo(fs, ptr, tmp.getName, overwrite = false)
     catch {
       case e: java.io.IOException =>
-        val existing = readPtr(fs, target)
-        if (existing.exists(_ != tmp.getName)) false // lost the put
-        else if (existing.contains(tmp.getName)) true // our write landed
-        else {
-          // the pointer is ours-but-torn (our own write failed midway)
-          // or unreadable: remove the torn commit record and fail the
-          // publish — the staging tree is PRESERVED for retry; silently
-          // retiring it here would destroy the only copy of the build
+        // create-or-write failed: either a racer's conditional put won
+        // (a readable pointer exists — the CAS-verify below
+        // adjudicates) or our own commit record is torn/absent — then
+        // remove the torn record and fail WITH the staging tree
+        // preserved for retry; silently retiring it would destroy the
+        // only copy of the build
+        val committed = try resolveDir(target) != target catch {
+          case _: IllegalStateException => false // stuck-empty = torn
+        }
+        if (!committed) {
           if (fs.exists(ptr)) fs.delete(ptr, false)
           throw e
         }
     }
-    val winner = readPtr(fs, target)
-    if (created && winner.contains(tmp.getName)) ()
-    else if (winner.exists(n => n.nonEmpty && n != tmp.getName)) {
-      fs.delete(tmp, true) // first writer wins, retire ours
-      ()
-    } else throw new IllegalStateException(
-      s"pointer commit for $target is unreadable after publish (got $winner)")
+    // CAS-verify: the local FSs' create(overwrite=false) is
+    // check-then-act, so two racers can BOTH think they created the
+    // pointer — the content that SURVIVED names the single winner, and
+    // everyone else retires their tree. On real stores the put itself
+    // is atomic and this read confirms our own commit.
+    val phys = resolveDir(target)
+    if (phys.toUri.getPath != tmp.toUri.getPath) { fs.delete(tmp, true); () }
   }
 
   /** The pointer's content (the physical prefix name), None when the
@@ -310,10 +312,16 @@ class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
       case _: java.io.FileNotFoundException => None
     }
     st.filter(_.isFile).map { s =>
-      val buf = new Array[Byte](s.getLen.toInt)
-      val in = fs.open(ptr)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, "UTF-8").trim
+      try {
+        val buf = new Array[Byte](s.getLen.toInt)
+        val in = fs.open(ptr)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, "UTF-8").trim
+      } catch {
+        // a commit racing this read on a local FS (length change,
+        // checksum mismatch): report in-flight, callers retry
+        case _: java.io.IOException => ""
+      }
     }
   }
 

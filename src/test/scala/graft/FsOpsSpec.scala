@@ -117,6 +117,77 @@ class FsOpsSpec extends SparkSpec {
     } finally Stage.deleteRecursively(root)
   }
 
+  test("concurrent publishers of one artifact: exactly one winner, loser retires, commit never torn") {
+    val root = java.nio.file.Files.createTempDirectory("graft_race").toFile
+    // posix (rename mutual exclusion) and the RawLocal object-store
+    // binding (CAS-verified pointer put). The checksummed LocalFS
+    // binding runs the same protocol code but its .crc sidecars make
+    // torn-window emulation nondeterministic locally — the store-side
+    // atomicity it models is covered by the other two.
+    try {
+      Seq[FsOps](PosixFsOps, ObjectStoreFsOps).foreach { impl =>
+        FsOps.withFs(impl) {
+          (0 until 6).foreach { round =>
+            val parent = new java.io.File(root, s"${impl.name}_$round")
+            parent.mkdirs()
+            val target = new java.io.File(parent, "art")
+            val barrier = new java.util.concurrent.CyclicBarrier(2)
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+            def publish(tag: String) = pool.submit(
+              new java.util.concurrent.Callable[String] {
+                def call(): String = {
+                  val tmp = Stage.stagingDir(target, "build")
+                  tmp.mkdirs()
+                  java.nio.file.Files.write(
+                    new java.io.File(tmp, "payload.txt").toPath,
+                    tag.getBytes("UTF-8"))
+                  new java.io.File(tmp, "_SUCCESS").createNewFile()
+                  barrier.await()
+                  Stage.publishDir(tmp, target, "_SUCCESS")
+                  tmp.getName
+                }
+              })
+            try {
+              val (fa, fb) = (publish("A"), publish("B"))
+              fa.get(); fb.get()
+              // the committed artifact resolves, carries its marker,
+              // and its payload is EXACTLY one of the two builds
+              assert(Stage.published(target, "_SUCCESS"),
+                s"${impl.name} round $round: no committed artifact")
+              val phys = Stage.resolved(target)
+              val payload = new String(java.nio.file.Files.readAllBytes(
+                new java.io.File(phys, "payload.txt").toPath), "UTF-8")
+              assert(payload == "A" || payload == "B")
+              // Loser cleanup: on a real store the conditional put is
+              // atomic, so the loser retires synchronously. The local
+              // check-then-act emulation can let a racer momentarily
+              // read its own name before being overwritten and keep
+              // its tree — the commit stays consistent, and the leaked
+              // tree must then be CLASSIFIABLE AS DEBRIS: one GC sweep
+              // leaves exactly the winner's home, never touching the
+              // pointer-committed artifact.
+              Stage.gcStagingDebris(parent, System.currentTimeMillis + 60000)
+              val after = Option(parent.listFiles()).getOrElse(Array.empty)
+                .filter(f => f.isDirectory && f.getName.contains(".build."))
+                .map(_.getName).toSeq
+              if (impl eq PosixFsOps)
+                assert(after.isEmpty, // winner was RENAMED to the target
+                  s"posix round $round: staging leaked past GC: $after")
+              else
+                assert(after === Seq(phys.getName),
+                  s"${impl.name} round $round: GC left wrong trees: $after")
+              assert(Stage.published(target, "_SUCCESS"),
+                s"${impl.name} round $round: GC damaged the commit")
+              val payload2 = new String(java.nio.file.Files.readAllBytes(
+                new java.io.File(Stage.resolved(target), "payload.txt").toPath), "UTF-8")
+              assert(payload2 === payload)
+            } finally pool.shutdown()
+          }
+        }
+      }
+    } finally Stage.deleteRecursively(root)
+  }
+
   test("object-store discipline: pointer commits, copies not links, vacuum safe") {
     wipeArtifacts()
     try {
