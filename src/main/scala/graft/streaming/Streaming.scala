@@ -916,21 +916,27 @@ object Streaming {
     * restart contract on top of Spark's own checkpoint recovery:
     * foreachBatch is at-least-once (a batch applied before a crash but
     * not yet checkpoint-committed is RE-DELIVERED with the same id),
-    * so a CHECKPOINTED run requires a replay-idempotent `step`:
-    * re-applying a delivered batch on top of state that already
-    * absorbed it must be a no-op — upsertBatch is (latest-per-key is
-    * max-algebra), scd2Batch is (version-identity dedup). The MV
-    * sum-merge is NOT (a replayed batch would double-count into the
-    * next generation), so mvMaintainStep drives only uncheckpointed
-    * single-shot drains; exactly-once for non-idempotent merges is the
-    * batchId-keyed commit protocol (idempotentSink / st_exactly_once).
+    * and a CHECKPOINTED run survives that in one of two ways:
+    *
+    *  - replay-IDEMPOTENT steps (upsertBatch: latest-per-key is
+    *    max-algebra; scd2Batch: version-identity dedup) re-apply the
+    *    delivered batch into one extra generation whose content
+    *    equals the previous — counter-keyed numbering;
+    *  - non-idempotent merges (the MV sum-merge would double-count)
+    *    run `batchKeyed`: the generation number IS batchId+1 (the
+    *    invariant gen N = state after batches 0..N-1 makes them equal
+    *    on any run sharing a checkpoint), and the step SKIPS when its
+    *    target generation is already published — the batchId-keyed
+    *    publish-once protocol of idempotentSink, giving exactly-once.
+    *
     * `afterBatch` is the spec's fault-injection hook (kill after batch
     * k); returns the final generation number.
     */
   private[graft] def driveGenerations(s: SparkSession, dir: String,
       base: String, checkpoint: Option[String],
       step: (DataFrame, String, Int) => Unit,
-      afterBatch: Long => Unit = _ => ()): Int = {
+      afterBatch: Long => Unit = _ => (),
+      batchKeyed: Boolean = false): Int = {
     // resume point — COMMITTED generations only, listed through the
     // seam: a gen name without its done marker (GenMarker for the
     // bucket layouts, parquet's _SUCCESS for the MV generations) is
@@ -950,8 +956,9 @@ object Streaming {
       .parquet(dir)
     var w = streamed.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        step(batch.toDF(), base, gen)
-        gen += 1
+        val g = if (batchKeyed) id.toInt else gen
+        step(batch.toDF(), base, g)
+        gen = g + 1
         afterBatch(id)
         ()
       }
@@ -1243,7 +1250,8 @@ object Streaming {
     val base = s"/tmp/graft_stream_mv_${fixtureKey(d)}"
     graft.Stage.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
-    val gen = driveGenerations(s, dir, base, None, mvMaintainStep)
+    val gen = driveGenerations(s, dir, base, None, mvMaintainStep,
+      batchKeyed = true)
     graft.Stage.refreshArtifact(s, new java.io.File(base))
     // the rule reads the PHYSICAL home of the final generation (under
     // the object-store seam the logical gen name is only a pointer)
@@ -1277,6 +1285,14 @@ object Streaming {
   private[graft] def mvMaintainStep(batchDf: DataFrame, base: String, gen: Int): Unit = {
     import graft.queries.QueryDef.dec
     val sp = batchDf.sparkSession
+    // batchId-keyed publish-once commit (the sum-merge is NOT
+    // replay-idempotent — re-applying a delivered batch would
+    // double-count): a replayed delivery finds its generation already
+    // published and is a no-op; a raced publish loses first-writer-wins
+    // inside publishDir. Same protocol as idempotentSink.
+    if (graft.Stage.published(
+        new java.io.File(base, s"gen${gen + 1}"), "_SUCCESS"))
+      return
     graft.plans.MvRewrite.building.set(true)
     try {
       val part = batchDf.groupBy("user_id")

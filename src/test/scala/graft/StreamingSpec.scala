@@ -869,25 +869,48 @@ class StreamingSpec extends SparkSpec {
     val dir = Streaming.lateFixtureDir(spark, sfDir)
     val nFiles = new File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(nFiles >= 3, "fixture must have enough batches to crash mid-stream")
-    val cases: Seq[(String, (DataFrame, String, Int) => Unit, (String, Int) => DataFrame)] = Seq(
+    def readGen(base: String, gen: Int): DataFrame =
+      spark.read.parquet(graft.Stage.resolved(
+        new File(s"$base/gen$gen")).getPath)
+    // (name, step, read, batchKeyed): the idempotent steps re-apply the
+    // replayed batch into ONE extra equal generation; the batchId-keyed
+    // MV merge SKIPS the replay, so its generation count stays nFiles
+    val cases: Seq[(String, (DataFrame, String, Int) => Unit,
+        (String, Int) => DataFrame, Boolean)] = Seq(
       ("upsert", Streaming.upsertBatch _,
-        (base: String, gen: Int) => spark.read.parquet(graft.Stage.resolved(
-            new File(s"$base/gen$gen")).getPath)
-          .select(col("user_id"), col("event_id").as("last_event_id"), col("us"))),
+        (base: String, gen: Int) => readGen(base, gen)
+          .select(col("user_id"), col("event_id").as("last_event_id"), col("us")),
+        false),
       ("scd2", Streaming.scd2Batch _,
-        (base: String, gen: Int) => spark.read.parquet(graft.Stage.resolved(
-            new File(s"$base/gen$gen")).getPath)
+        (base: String, gen: Int) => readGen(base, gen)
           .select(col("user_id"), col("event_id"), col("valid_from_us"),
-            col("valid_to_us"), col("is_current"))))
-    // the uninterrupted truth, via the registered oracle-gated queries
+            col("valid_to_us"), col("is_current")),
+        false),
+      ("mv", Streaming.mvMaintainStep _,
+        (base: String, gen: Int) => readGen(base, gen)
+          .select(col("user_id"), col("mv_sum_id"), col("mv_n")),
+        true))
+    // the uninterrupted truth: registered oracle-gated queries for the
+    // idempotent pair; a fresh uncheckpointed drain for the MV merge
+    val mvBaseline = {
+      val b = "/tmp/graft_restart_mv_baseline"
+      graft.Stage.deleteRecursively(new File(b)); new File(b).mkdirs()
+      val g = Streaming.driveGenerations(spark, dir, b, None,
+        Streaming.mvMaintainStep, batchKeyed = true)
+      val rows = readGen(b, g).select(col("user_id"), col("mv_sum_id"), col("mv_n"))
+        .collect().map(_.toString).sorted.toSeq
+      graft.Stage.deleteRecursively(new File(b))
+      rows
+    }
     val baseline = Map(
       "upsert" -> SparkEntry.queries("st_upsert")(spark, sfDir)
         .collect().map(_.toString).sorted.toSeq,
       "scd2" -> SparkEntry.queries("st_scd2")(spark, sfDir)
-        .collect().map(_.toString).sorted.toSeq)
+        .collect().map(_.toString).sorted.toSeq,
+      "mv" -> mvBaseline)
     Seq[graft.fs.FsOps](graft.fs.PosixFsOps, graft.fs.ObjectStoreFsOps).foreach { impl =>
       graft.fs.FsOps.withFs(impl) {
-        cases.foreach { case (name, step, read) =>
+        cases.foreach { case (name, step, read, batchKeyed) =>
           val base = s"/tmp/graft_restart_${name}_${impl.name}"
           val cp = base + "_cp"
           Seq(base, cp).foreach(p => graft.Stage.deleteRecursively(new File(p)))
@@ -898,7 +921,8 @@ class StreamingSpec extends SparkSpec {
           val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
             Streaming.driveGenerations(spark, dir, base, Some(cp), step,
               id => if (id == 1)
-                throw new RuntimeException(s"injected crash after batch $id"))
+                throw new RuntimeException(s"injected crash after batch $id"),
+              batchKeyed = batchKeyed)
           }
           assert(Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
             .contains("injected crash"), s"unexpected failure: $ex")
@@ -907,12 +931,14 @@ class StreamingSpec extends SparkSpec {
           // (if it did, numbering would jump and the assert below fires)
           new File(base, "gen9").mkdirs()
           // leg 2: restart against the SAME checkpoint and state root
-          val gen = Streaming.driveGenerations(spark, dir, base, Some(cp), step)
+          val gen = Streaming.driveGenerations(spark, dir, base, Some(cp), step,
+            batchKeyed = batchKeyed)
           // batch 0 was checkpoint-committed and is NOT reprocessed;
-          // batch 1 is RE-DELIVERED (one extra, idempotent generation)
-          assert(gen === nFiles + 1,
-            s"$name/${impl.name}: expected ${nFiles + 1} generations " +
-              s"(crashed batch replayed once, committed batches never), got $gen")
+          // batch 1 is RE-DELIVERED — one extra equal generation for
+          // the idempotent steps, a publish-once SKIP for batchKeyed
+          val expectGens = if (batchKeyed) nFiles else nFiles + 1
+          assert(gen === expectGens,
+            s"$name/${impl.name}: expected $expectGens generations, got $gen")
           val got = read(base, gen).collect().map(_.toString).sorted.toSeq
           assert(got === baseline(name),
             s"$name/${impl.name}: restarted state diverged from the uninterrupted run")
