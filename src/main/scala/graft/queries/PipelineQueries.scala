@@ -511,6 +511,41 @@ object PipelineQueries {
       .select("user_id", "change", "event_id_v1", "event_id_v3", "us_v3")
   }
 
+  /** B28b: SQL time travel through a DSv2 TableCatalog — the same two
+    * AS-OF reads as p_time_travel, but addressed with the STANDARD SQL
+    * syntax: [[graft.catalog.GenCatalog]] exposes every generational
+    * layout under `gen.<name>` and Catalyst resolves `VERSION AS OF g`
+    * through TableCatalog.loadTable(ident, version) into the builtin
+    * parquet DSv2 table — versioned scans keep every pushdown/pruning
+    * path of a plain parquet read (the plan self-check pins that the
+    * scan reads generation directories, never the fact table). The
+    * reference addresses history by constructing dated S3 prefixes in
+    * driver code; Spark-first, history is a catalog concern.
+    */
+  def pTimeTravelSqlSyntax(s: SparkSession, d: String): DataFrame = {
+    val base = ensureTimeTravelState(s, d)
+    val name = new java.io.File(base).getName
+    s.conf.set("spark.sql.catalog.gen", classOf[graft.catalog.GenCatalog].getName)
+    s.conf.set("spark.sql.catalog.gen.root", new java.io.File(base).getParent)
+    val df = s.sql(
+      s"""WITH v1 AS (SELECT user_id, event_id AS event_id_v1, us AS us_v1
+         |            FROM gen.`$name` VERSION AS OF 1),
+         |     v3 AS (SELECT user_id, event_id AS event_id_v3, us AS us_v3
+         |            FROM gen.`$name` VERSION AS OF 3)
+         |SELECT COALESCE(v1.user_id, v3.user_id) AS user_id,
+         |  CASE WHEN v1.event_id_v1 IS NULL THEN 'insert'
+         |       WHEN v1.event_id_v1 = v3.event_id_v3 THEN 'unchanged'
+         |       ELSE 'update' END AS change,
+         |  v1.event_id_v1, v3.event_id_v3, v3.us_v3
+         |FROM v1 FULL OUTER JOIN v3 ON v1.user_id = v3.user_id""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("gen1") && plan.contains("gen3"),
+      s"versioned scans missing from the plan:\n$plan")
+    require(!plan.contains("events.parquet"),
+      s"time travel fell back to the fact table:\n$plan")
+    df
+  }
+
   val pTimeTravelSql: String =
     """WITH v1 AS (
       |  SELECT user_id, event_id AS event_id_v1, us AS us_v1 FROM (
@@ -784,6 +819,7 @@ object PipelineQueries {
     QueryDef("p_table_diff", pTableDiff, Some(pTableDiffSql)),
     QueryDef("p_vacuum", pVacuum, Some(pVacuumSql)),
     QueryDef("p_time_travel", pTimeTravel, Some(pTimeTravelSql)),
+    QueryDef("p_time_travel_sql", pTimeTravelSqlSyntax, Some(pTimeTravelSql)),
     QueryDef("p_restore", pRestore, Some(pRestoreSql)),
     QueryDef("p_expectations", pExpectations, Some(pExpectationsSql)),
     QueryDef("p_cdc_apply", pCdcApply, Some(pCdcApplySql)),

@@ -57,7 +57,10 @@ class FsOpsSpec extends SparkSpec {
     "st_exactly_once",
     // incremental MV maintenance (generation publish per microbatch +
     // the rewrite rule resolving the final generation's physical home)
-    "st_mv_maintain")
+    "st_mv_maintain",
+    // the DSv2 generation catalog (VERSION AS OF over seam-listed,
+    // pointer-resolvable generations)
+    "p_time_travel_sql")
 
   test("seam parity: identical answers under POSIX, object-store, and Hadoop-FS publish layers") {
     assert(FsOps.current eq PosixFsOps)
