@@ -169,6 +169,18 @@ object Stage {
   def carryFile(src: java.io.File, dst: java.io.File): Unit =
     graft.fs.FsOps.current.carryFile(asPath(src), asPath(dst))
 
+  /** Seam-provided unique staging path for a SINGLE-FILE artifact
+    * build (see [[graft.fs.FsOps.stagingFile]]).
+    */
+  def stagingFile(target: java.io.File, suffix: String): java.io.File =
+    asFile(graft.fs.FsOps.current.stagingFile(asPath(target), suffix))
+
+  /** Atomically publish a single-file artifact through the seam
+    * (see [[graft.fs.FsOps.publishFile]]).
+    */
+  def publishFile(tmp: java.io.File, target: java.io.File): Unit =
+    graft.fs.FsOps.current.publishFile(asPath(tmp), asPath(target))
+
   /** Logical child names under `parent` through the seam (real dirs
     * plus pointer-published names).
     */

@@ -140,6 +140,27 @@ trait FsOps {
     * touches commit records.
     */
   def deleteDebris(tree: Path): Unit
+
+  /** A unique sibling staging path for building a SINGLE-FILE artifact
+    * — same name discipline as [[stagingDir]], so a crashed build's
+    * leftover is ordinary [[stagingDebris]].
+    */
+  def stagingFile(target: Path, suffix: String): Path =
+    new Path(target.getParent,
+      target.getName + "." + FsOps.uniqueSuffix(suffix))
+
+  /** Atomically publish the single file `tmp` as `target` — the
+    * small-artifact counterpart of [[publishDir]] (no pointer object:
+    * the file itself is the commit). Callers must build
+    * DETERMINISTIC bytes per target name (the artifact name
+    * fingerprints its inputs), so whichever racer's commit survives,
+    * readers see one complete, correct artifact and losers discard.
+    * POSIX = atomic rename; object store = single-object conditional
+    * PUT. Readers that can observe a non-atomic local write must
+    * carry their own torn-file guard (e.g. the codebook trailer in
+    * graft.operators.Ann) — on the real stores the PUT is atomic.
+    */
+  def publishFile(tmp: Path, target: Path): Unit
 }
 
 object FsOps {
@@ -224,6 +245,15 @@ object PosixFsOps extends FsOps {
       .map(c => (new Path(parent, c.getName), c.lastModified)).toSeq
 
   def deleteDebris(tree: Path): Unit = deleteTree(f(tree))
+
+  def publishFile(tmp: Path, target: Path): Unit =
+    try java.nio.file.Files.move(f(tmp).toPath, f(target).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // a racer's rename won (or the FS refused the move): the bytes
+      // are deterministic per name, so retire our build
+      case _: java.nio.file.FileSystemException => f(tmp).delete(); ()
+    }
 
   // one shared recursive delete for the whole codebase
   private def deleteTree(file: File): Unit = graft.Stage.deleteRecursively(file)
@@ -415,6 +445,26 @@ class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
   }
 
   def deleteDebris(tree: Path): Unit = { fsFor(tree).delete(tree, true); () }
+
+  def publishFile(tmp: Path, target: Path): Unit = {
+    val fs = fsFor(target)
+    if (!fs.exists(target)) {
+      val len = fs.getFileStatus(tmp).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = fs.open(tmp)
+      try in.readFully(0, bytes) finally in.close()
+      // conditional single-object PUT (S3A If-None-Match / HDFS atomic
+      // namespace create — the same capability the pointer commit
+      // rides); a failure means a racer's put won, and deterministic
+      // bytes per name make the race winner-agnostic
+      try {
+        val out = fs.create(target, false)
+        try out.write(bytes) finally out.close()
+      } catch { case _: java.io.IOException => () }
+    }
+    fs.delete(tmp, false)
+    ()
+  }
 }
 
 /** Default object-store binding for specs: [[RawLocalFileSystem]] —

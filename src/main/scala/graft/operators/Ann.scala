@@ -379,15 +379,14 @@ object Ann {
 
   private[operators] def writeCentroids(f: java.io.File,
       cs: Array[(Int, Seq[Double])]): Unit = {
-    // unique tmp per writer + atomic move: concurrent JVMs never share
-    // a build file, and the loser of the publish race just discards its
-    // tmp — training is deterministic, so both wrote identical bytes
-    val tmp = new java.io.File(
-      f.getPath + s".build.${ProcessHandle.current().pid}.${Thread.currentThread().getId}")
+    // unique staging file + seam publish: concurrent JVMs never share
+    // a build file, and the loser of the publish race just discards —
+    // training is deterministic (the name fingerprints its inputs), so
+    // both wrote identical bytes. Torn visibility on non-atomic local
+    // writes is the #end trailer's job (readCentroids discards).
+    val tmp = graft.Stage.stagingFile(f, "build")
     java.nio.file.Files.write(tmp.toPath, renderCentroids(cs).getBytes("UTF-8"))
-    try java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileSystemException => tmp.delete(); () }
+    graft.Stage.publishFile(tmp, f)
   }
 
   /** None for missing, torn, or malformed artifacts (which are also

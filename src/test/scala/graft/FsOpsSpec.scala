@@ -34,7 +34,7 @@ class FsOpsSpec extends SparkSpec {
     val prefixes = Seq("graft_zorder_", "graft_bloomidx_", "graft_partevo_",
       "graft_time_travel_", "graft_mv_lineitem_", "graft_mv_events_",
       "graft_mv_ordcust_", "graft_dpp_", "graft_components_",
-      "graft_edges_", "graft_dedupindex_")
+      "graft_edges_", "graft_dedupindex_", "graft_quantizer_")
     Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
       .filter(f => prefixes.exists(f.getName.startsWith))
       .foreach { f =>
@@ -60,7 +60,10 @@ class FsOpsSpec extends SparkSpec {
     "st_mv_maintain",
     // the DSv2 generation catalog (VERSION AS OF over seam-listed,
     // pointer-resolvable generations)
-    "p_time_travel_sql")
+    "p_time_travel_sql",
+    // single-file codebook artifacts (IVF centroids, PQ codebooks)
+    // published through FsOps.publishFile
+    "s_ann_ivf", "s_ann_pq")
 
   test("seam parity: identical answers under POSIX, object-store, and Hadoop-FS publish layers") {
     assert(FsOps.current eq PosixFsOps)
@@ -82,6 +85,40 @@ class FsOpsSpec extends SparkSpec {
         }
       }
     } finally wipeArtifacts()
+  }
+
+  test("publishFile: atomic single-file commit, loser retires, debris sweepable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pubfile").toFile
+    try {
+      Seq[FsOps](PosixFsOps, ObjectStoreFsOps, HadoopFsOps).foreach { impl =>
+        FsOps.withFs(impl) {
+          val parent = new java.io.File(root, impl.name); parent.mkdirs()
+          val target = new java.io.File(parent, "codebook")
+          // two deterministic builders race the same target
+          val a = Stage.stagingFile(target, "build")
+          val b = Stage.stagingFile(target, "build")
+          assert(a.getPath !== b.getPath, s"${impl.name}: staging names must be unique")
+          java.nio.file.Files.write(a.toPath, "bytes\n#end 1\n".getBytes("UTF-8"))
+          java.nio.file.Files.write(b.toPath, "bytes\n#end 1\n".getBytes("UTF-8"))
+          Stage.publishFile(a, target)
+          Stage.publishFile(b, target)
+          assert(target.isFile, s"${impl.name}: target not published")
+          assert(new String(java.nio.file.Files.readAllBytes(target.toPath),
+            "UTF-8") === "bytes\n#end 1\n", s"${impl.name}: torn or mixed publish")
+          assert(!a.exists() && !b.exists(),
+            s"${impl.name}: staging files must be consumed or retired")
+          // a crashed build's leftover is ordinary staging debris
+          val orphan = Stage.stagingFile(target, "build")
+          java.nio.file.Files.write(orphan.toPath, "half".getBytes("UTF-8"))
+          orphan.setLastModified(System.currentTimeMillis - 7200000L)
+          val swept = Stage.gcStagingDebris(parent,
+            System.currentTimeMillis - 3600000L)
+          assert(swept === Seq(orphan.getName),
+            s"${impl.name}: expected the orphan swept, got $swept")
+          assert(target.isFile, s"${impl.name}: GC damaged the published file")
+        }
+      }
+    } finally Stage.deleteRecursively(root)
   }
 
   test("staging-debris GC: old orphans swept, live commits and fresh stagings survive") {
