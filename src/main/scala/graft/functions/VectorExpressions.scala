@@ -37,6 +37,35 @@ object VectorMath {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Late-interaction MaxSim in 4th-decimal fixed point: for every
+    * query token vector in `q`, the max over `c`'s token vectors of
+    * `floor(cosine·10⁴ + 0.5)` as a BIGINT, summed over query tokens.
+    * Integer max and sum are accumulation-order-free, so a SQL oracle
+    * re-derives the score bit-for-bit (the same trick as the Lloyd
+    * fixed-point sums); the one lossy step — quantizing each PAIR's
+    * cosine — is the same 4-decimal grid the ANN family already ranks
+    * on. Single fused pass, no intermediate score arrays.
+    */
+  def maxsimFx(q: ArrayData, c: ArrayData): Long = {
+    val nq = q.numElements()
+    val nc = c.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < nq) {
+      val qv = q.getArray(i)
+      var best = Long.MinValue
+      var j = 0
+      while (j < nc) {
+        val fx = math.floor(cosine(qv, c.getArray(j)) * 10000.0 + 0.5).toLong
+        if (fx > best) best = fx
+        j += 1
+      }
+      if (nc > 0) sum += best
+      i += 1
+    }
+    sum
+  }
 }
 
 /** dot(a, b) over two array<double> columns (null-safe, codegen'd). */
@@ -62,6 +91,27 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     VectorMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MaxSim (late-interaction, ColBERT-style) fixed-point score between
+  * two multi-vector documents held as array<array<double>> columns:
+  * Σ over left's token vectors of max over right's of the 4th-decimal
+  * fixed-point cosine. The composable HOF form
+  * (`aggregate(q, 0L, (acc, qt) => acc + array_max(transform(c, ...)))`)
+  * is CodegenFallback at every level and allocates a score array per
+  * (pair, query-token); this is one allocation-free codegen'd loop.
+  */
+case class MaxSimFx(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "maxsim_fx"
+  protected override def nullSafeEval(q: Any, c: Any): Any =
+    VectorMath.maxsimFx(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, c) => s"graft.functions.VectorMath.maxsimFx($q, $c)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -61,6 +61,13 @@ package object functions {
   def vec_cosine(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
 
+  /** Fixed-point late-interaction MaxSim score between two
+    * array<array<double>> multi-vector documents (see
+    * [[MaxSimFx]] / [[VectorMath.maxsimFx]]).
+    */
+  def maxsim_fx(q: Column, c: Column): Column =
+    toCol(MaxSimFx(toExpr(q), toExpr(c)))
+
   /** The `probes` nearest centroid indices (squared L2, ties → lower
     * index) of an array<double> vector against a trained codebook held
     * as one JVM reference object (constant-size plan vs a K×dim-literal

@@ -172,6 +172,79 @@ object Ann {
     ranked(candidates.withColumn("cos", vec_cosine(col("v"), col("qv"))))
   }
 
+  // ---- MaxSim late-interaction retrieval (multi-vector documents) ----
+
+  private[graft] val DocToks = 4
+  private[graft] val MaxsimQueryDocs = 2
+  private[graft] val MaxsimK = 5
+
+  /** Embedding rows grouped into multi-vector documents: doc = `vec_id
+    * DIV 4`, token order = vec_id. The synthetic corpus carries one
+    * vector per row; the fixed 4-token grouping is the late-interaction
+    * data model (per-token/per-passage vectors under one retrievable
+    * doc id), deterministic so the oracle re-derives it.
+    */
+  private def docToks(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).withColumn("doc", expr(s"vec_id DIV $DocToks"))
+
+  /** D10: ColBERT-style late-interaction retrieval — top-$MaxsimK
+    * corpus documents per bounded query document under the MaxSim
+    * score Σ_{query token} max_{doc token} cosine, in 4th-decimal
+    * fixed point (integer max/sum → order-free, oracle-exact; one
+    * float division at emit).
+    *
+    * Scale shape: stage 1 generates candidates at TOKEN granularity
+    * with the same corpus-scaled hyperplane family as s_ann_lsh —
+    * corpus tokens post once into (table, bucket), query tokens
+    * 1-bit-multiprobe, the join shuffles on the bucket key, and
+    * token hits collapse to DISTINCT (query doc, corpus doc) pairs
+    * (any one token agreeing recalls the whole document — the
+    * late-interaction analogue of LSH banding). Stage 2 re-ranks
+    * candidates exactly: candidate docs gather their token matrices
+    * (one groupBy shuffle of candidate corpus docs only), the bounded
+    * query side broadcasts, and each pair is scored by the fused
+    * codegen'd [[graft.functions.MaxSimFx]] kernel (DocToks² dot
+    * products per pair, no per-pair allocation). A 100 TB corpus
+    * never meets the queries outside shared token buckets, and the
+    * exact scoring touches candidates only.
+    */
+  def sMaxsim(s: SparkSession, d: String): DataFrame = {
+    val n = lshCountCache.computeIfAbsent(
+      d + ":" + graft.Stage.sourceFingerprint(d, "embeddings"),
+      _ => corpus(s, d).count())
+    val hyperN = lshHyperFor(n)
+    val planesN = md5Hyperplanes(Tables_, hyperN, tag = "lsh")
+    val toks = docToks(s, d)
+    val qtoks = toks.filter(col("doc") < MaxsimQueryDocs)
+      .select(col("doc").as("qdoc"), col("vec_id").as("qvid"), col("v").as("qv"))
+    val cb = withBucketsFor(toks, col("v"), planesN)
+    val qb = withBucketsFor(qtoks, col("qv"), planesN)
+      .select(col("qdoc"), col("t"), explode(array(
+        (col("bucket") +: (0 until hyperN).map(i =>
+          col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
+    val cand = cb.select(col("doc").as("cdoc"), col("t"), col("bucket"))
+      .join(qb, Seq("t", "bucket"))
+      .filter(col("cdoc") =!= col("qdoc"))
+      .select("qdoc", "cdoc")
+      .dropDuplicates("qdoc", "cdoc")
+    def packed(df: DataFrame, docCol: String, id: Column, v: Column,
+        out: String): DataFrame =
+      df.groupBy(col(docCol)).agg(
+        transform(array_sort(collect_list(struct(id.as("i"), v.as("x")))),
+          e => e.getField("x")).as(out))
+    val cdocs = packed(toks.withColumnRenamed("doc", "cdoc"), "cdoc",
+      col("vec_id"), col("v"), "ctoks")
+    val qdocs = packed(qtoks, "qdoc", col("qvid"), col("qv"), "qtoks")
+    val w = Window.partitionBy("qdoc").orderBy(col("score_fx").desc, col("cdoc"))
+    cand.join(cdocs, "cdoc").join(broadcast(qdocs), "qdoc")
+      .withColumn("score_fx", graft.functions.maxsim_fx(col("qtoks"), col("ctoks")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MaxsimK)
+      .select(col("qdoc").as("query_doc"), col("rank"),
+        col("cdoc").as("neighbor_doc"),
+        (col("score_fx").cast("double") / 10000.0).as("maxsim"))
+  }
+
   // ---- IVF (inverted-file) ANN: coarse k-means quantizer ----
 
   private val Cells = 16
@@ -804,6 +877,74 @@ object Ann {
        |WHERE rank <= $TopK""".stripMargin
   }
 
+  /** Cosine with VectorMath.cosine's exact accumulation: three
+    * index-order left folds (dot, both squared norms — `0.0 + x₁ ≡ x₁`
+    * so the interleaved loop and list_reduce agree) and the
+    * denominator as sqrt·sqrt, NOT the engine's native cosine kernel,
+    * whose fold shape (e.g. sqrt of a product) can differ by an ulp.
+    */
+  private def cosSql(a: String, b: String, dim: Int): String = {
+    def fold(e: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $e), (x, y) -> x + y)"
+    s"(${fold(s"$a[i] * $b[i]")} / " +
+      s"(sqrt(${fold(s"$a[i] * $a[i]")}) * sqrt(${fold(s"$b[i] * $b[i]")})))"
+  }
+
+  /** s_maxsim oracle: re-derives the doc grouping, rebuilds the SAME
+    * corpus-scaled hyperplane family and token buckets as s_ann_lsh's
+    * oracle (candidate doc pairs bit-identical — no recall assumption),
+    * then re-scores candidates with integer fixed-point MaxSim: MAX
+    * per query token over fixed-point cosines, SUM over query tokens —
+    * both order-free, so DuckDB's parallel aggregation matches the
+    * fused kernel bit-for-bit.
+    */
+  val sMaxsimSql: String = {
+    def bucketCte(name: String, rel: String, doc: String, vec: String): String =
+      s"""$name AS (
+         |  SELECT r.$doc AS doc, t, CAST(SUM(CASE WHEN
+         |      list_reduce(list_transform(range(1, ${Dim + 1}), i -> r.$vec[i] * pl.p[i]), (x, y) -> x + y) > 0
+         |      THEN (1 << h) ELSE 0 END) AS INT) AS bucket
+         |  FROM $rel r, pl GROUP BY r.$doc, r.vec_id, t)""".stripMargin
+    s"""WITH c AS (SELECT vec_id, vec_id // $DocToks AS doc,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id, doc AS qdoc, v AS qv FROM c WHERE doc < $MaxsimQueryDocs),
+       |params AS (
+       |  SELECT LEAST(20, GREATEST(6,
+       |    CAST(ceil(log2(GREATEST(2, count(*)))) AS INT) - 5)) AS hyper
+       |  FROM embeddings),
+       |pl AS (
+       |  SELECT t, h, list(2 * (CAST(list_reduce(list_transform(range(1, 16),
+       |      j -> CAST(strpos('123456789abcdef',
+       |        substr(md5('lsh:' || t || ':' || h || ':' || i), j, 1)) AS BIGINT)),
+       |      (a, b) -> a * 16 + b) AS DOUBLE) / 1152921504606846976.0) - 1 ORDER BY i) AS p
+       |  FROM range(0, ${Tables_}) tt(t), range(0, 20) hh(h), range(0, $Dim) ii(i), params
+       |  WHERE h < params.hyper
+       |  GROUP BY t, h),
+       |${bucketCte("cb", "c", "doc", "v")},
+       |${bucketCte("qb0", "q", "qdoc", "qv")},
+       |qb AS (
+       |  SELECT doc AS qdoc, t,
+       |    CAST(xor(bucket, CASE WHEN p = 0 THEN 0 ELSE (1 << (p - 1)) END) AS INT) AS bucket
+       |  FROM qb0, range(0, 21) pp(p), params WHERE p <= params.hyper),
+       |cand AS (
+       |  SELECT DISTINCT qb.qdoc, cb.doc AS cdoc
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+       |  WHERE cb.doc != qb.qdoc),
+       |tokmax AS (
+       |  SELECT cand.qdoc, cand.cdoc, q.vec_id AS qvid,
+       |    MAX(CAST(FLOOR(${cosSql("q.qv", "ct.v", Dim)} * 10000 + 0.5) AS BIGINT)) AS m
+       |  FROM cand JOIN q ON q.qdoc = cand.qdoc
+       |            JOIN c ct ON ct.doc = cand.cdoc
+       |  GROUP BY 1, 2, 3),
+       |score AS (SELECT qdoc, cdoc, SUM(m) AS sfx FROM tokmax GROUP BY 1, 2)
+       |SELECT qdoc AS query_doc, rank, cdoc AS neighbor_doc,
+       |  CAST(sfx AS DOUBLE) / 10000.0 AS maxsim
+       |FROM (SELECT qdoc, cdoc, sfx,
+       |    ROW_NUMBER() OVER (PARTITION BY qdoc ORDER BY sfx DESC, cdoc) AS rank
+       |  FROM score)
+       |WHERE rank <= $MaxsimK""".stripMargin
+  }
+
   /** s_ann_ivf oracle: exact Lloyd re-derivation (lloydCtes), corpus
     * assigned probes=1, queries probe $Probes cells, cosine ranked
     * within probed cells — bit-identical to the Spark plan.
@@ -1190,6 +1331,7 @@ object Ann {
     QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
     QueryDef("s_ann_lsh", sAnnLsh, Some(sAnnLshSql)),
+    QueryDef("s_maxsim", sMaxsim, Some(sMaxsimSql)),
     QueryDef("s_ann_ivf", sAnnIvf, Some(sAnnIvfSql)),
     QueryDef("s_ann_pq", sAnnPq, Some(sAnnPqSql)),
     QueryDef("s_knn_join", sKnnJoin, Some(sKnnJoinSql)),

@@ -692,6 +692,46 @@ class OperatorsSpec extends SparkSpec {
     assert((lsh & brute).nonEmpty, "LSH shares no neighbors with brute force")
   }
 
+  test("s_maxsim: rerank scores are exhaustively exact; ranks contiguous; overlaps brute maxsim") {
+    val out = Ann.sMaxsim(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+    }
+    // exhaustive driver recount (125 docs × 4 tokens at this sf):
+    // mirrors VectorMath.cosine/maxsimFx independently
+    val toks = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val docs: Map[Long, Array[Array[Double]]] = toks.groupBy(_._1 / 4)
+      .map { case (d, ts) => (d, ts.sortBy(_._1).map(_._2)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def maxsimFx(q: Array[Array[Double]], c: Array[Array[Double]]): Long =
+      q.map(qt => c.map(ct =>
+        math.floor(cos(qt, ct) * 10000.0 + 0.5).toLong).max).sum
+    // every emitted score must equal the exhaustive fixed-point score
+    out.foreach { r =>
+      val expected = maxsimFx(docs(r.getLong(0)), docs(r.getLong(2))) / 10000.0
+      assert(r.getDouble(3) === expected,
+        s"(${r.getLong(0)}, ${r.getLong(2)}): ${r.getDouble(3)} != $expected")
+    }
+    // recall sanity: LSH-candidate top-k shares neighbors with the
+    // exhaustive top-k (probabilistic structure, deterministic seed)
+    val brute = docs.keys.filter(_ < Ann.MaxsimQueryDocs).flatMap { qd =>
+      docs.keys.filter(_ != qd).map(cd => (qd, cd, maxsimFx(docs(qd), docs(cd))))
+        .toSeq.sortBy { case (_, cd, s) => (-s, cd) }.take(Ann.MaxsimK)
+        .map { case (_, cd, _) => (qd, cd) }
+    }.toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((got & brute).nonEmpty, "MaxSim shares no docs with exhaustive top-k")
+  }
+
   test("d_incremental: verdicts come from the persisted index; history is never rescanned") {
     // first call builds the index artifact, second re-attaches
     Dedup.ensureDedupIndex(spark, sfDir).count()

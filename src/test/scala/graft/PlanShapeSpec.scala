@@ -176,6 +176,14 @@ class PlanShapeSpec extends SparkSpec {
     val hy = graft.operators.Ann.sHybrid(spark, sfDir)
     assert(countBroadcasts(hy) >= 1,
       s"s_hybrid must broadcast the query batch:\n${executed(hy)}")
+    // s_maxsim: the bounded query-doc side broadcasts into the rerank
+    // join, and the fused kernel stays inside whole-stage codegen (a
+    // CodegenFallback HOF chain would print the lambda scoring tree)
+    val ms = graft.operators.Ann.sMaxsim(spark, sfDir)
+    assert(countBroadcasts(ms) >= 1,
+      s"s_maxsim must broadcast the query docs:\n${executed(ms)}")
+    assert(!executed(ms).toString.contains("aggregate(lambda"),
+      s"s_maxsim scoring must be the fused kernel, not HOFs:\n${executed(ms)}")
   }
 
   test("behavioral/layout operators keep their scale-critical plan shapes") {
