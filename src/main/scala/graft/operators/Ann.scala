@@ -245,6 +245,51 @@ object Ann {
         (col("score_fx").cast("double") / 10000.0).as("maxsim"))
   }
 
+  // ---- Hard-negative triplet mining (contrastive-training prep) ----
+
+  private[graft] val TripletNegK = 3
+
+  /** D11: hard-negative triplet mining for contrastive training
+    * (FaceNet/CLIP prep): for each anchor of a BOUNDED batch, the
+    * top-$TripletNegK highest-cosine corpus vectors of a DIFFERENT
+    * label (the hard negatives) joined with the hardest positive
+    * (max cosine, same label), emitting the triplet margin. Scores in
+    * 4th-decimal fixed point — integer max/rank/difference, one float
+    * division at emit — so the oracle is bit-exact and rank ties are
+    * deterministic.
+    *
+    * Scale shape: the anchor batch broadcasts and the corpus streams
+    * ONCE through the fused cosine kernel into a cached score
+    * relation consumed by both the positive max (partial agg) and the
+    * negative top-K window — never two corpus scans, never a corpus
+    * self-join. For unbounded anchor sets the candidate generation
+    * composes with s_ann_lsh/s_ann_ivf exactly as the kNN family does
+    * (negatives are an ANN top-k with a label-disagreement filter).
+    */
+  def sTripletMine(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), vecCol.as("v"), col("label"))
+    val anchors = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+        col("label").as("alabel"))
+    val scored = graft.Stage.cached(base.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos_fx",
+        floor(vec_cosine(col("v"), col("av")) * 10000 + 0.5).cast("long")))
+    val pos = scored.filter(col("label") === col("alabel"))
+      .groupBy("anchor_id").agg(max(col("cos_fx")).as("pos_fx"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos_fx").desc, col("vec_id"))
+    scored.filter(col("label") =!= col("alabel"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TripletNegK)
+      .join(pos, "anchor_id")
+      .select(col("anchor_id"), col("rank"), col("vec_id").as("negative_id"),
+        (col("cos_fx").cast("double") / 10000.0).as("cos_neg"),
+        (col("pos_fx").cast("double") / 10000.0).as("cos_pos"),
+        ((col("pos_fx") - col("cos_fx")).cast("double") / 10000.0).as("margin"))
+  }
+
   // ---- IVF (inverted-file) ANN: coarse k-means quantizer ----
 
   private val Cells = 16
@@ -945,6 +990,30 @@ object Ann {
        |WHERE rank <= $MaxsimK""".stripMargin
   }
 
+  /** s_triplet_mine oracle: one scored relation (explicit-fold cosine
+    * in VectorMath's accumulation order, fixed-point BIGINT), positive
+    * max and negative top-K re-derived from it — integer ranks and
+    * margins, so ties and arithmetic match the Spark plan exactly.
+    */
+  val sTripletMineSql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, v AS av, label AS alabel FROM c
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT a.anchor_id, a.alabel, c.vec_id, c.label,
+       |    CAST(FLOOR(${cosSql("c.v", "a.av", Dim)} * 10000 + 0.5) AS BIGINT) AS cos_fx
+       |  FROM c, a WHERE c.vec_id != a.anchor_id),
+       |pos AS (SELECT anchor_id, MAX(cos_fx) AS pos_fx FROM scored
+       |        WHERE label = alabel GROUP BY 1),
+       |neg AS (SELECT anchor_id, vec_id, cos_fx,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_fx DESC, vec_id) AS rank
+       |  FROM scored WHERE label != alabel)
+       |SELECT n.anchor_id, n.rank, n.vec_id AS negative_id,
+       |  CAST(n.cos_fx AS DOUBLE) / 10000.0 AS cos_neg,
+       |  CAST(p.pos_fx AS DOUBLE) / 10000.0 AS cos_pos,
+       |  CAST(p.pos_fx - n.cos_fx AS DOUBLE) / 10000.0 AS margin
+       |FROM neg n JOIN pos p USING (anchor_id) WHERE n.rank <= $TripletNegK""".stripMargin
+
   /** s_ann_ivf oracle: exact Lloyd re-derivation (lloydCtes), corpus
     * assigned probes=1, queries probe $Probes cells, cosine ranked
     * within probed cells — bit-identical to the Spark plan.
@@ -1332,6 +1401,7 @@ object Ann {
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
     QueryDef("s_ann_lsh", sAnnLsh, Some(sAnnLshSql)),
     QueryDef("s_maxsim", sMaxsim, Some(sMaxsimSql)),
+    QueryDef("s_triplet_mine", sTripletMine, Some(sTripletMineSql)),
     QueryDef("s_ann_ivf", sAnnIvf, Some(sAnnIvfSql)),
     QueryDef("s_ann_pq", sAnnPq, Some(sAnnPqSql)),
     QueryDef("s_knn_join", sKnnJoin, Some(sKnnJoinSql)),

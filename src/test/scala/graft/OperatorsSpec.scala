@@ -732,6 +732,37 @@ class OperatorsSpec extends SparkSpec {
     assert((got & brute).nonEmpty, "MaxSim shares no docs with exhaustive top-k")
   }
 
+  test("s_triplet_mine: negatives are the label-disagreeing top-k, margins recount exactly") {
+    val rows = Ann.sTripletMine(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+    }
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cosFx(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0 + 0.5).toLong
+    }
+    val byId = all.map(t => t._1 -> t).toMap
+    rows.foreach { r =>
+      val (_, av, alabel) = byId(r.getLong(0))
+      val negs = all.filter(t => t._3 != alabel && t._1 != r.getLong(0))
+        .map(t => (cosFx(t._2, av), t._1)).sortBy { case (fx, id) => (-fx, id) }
+      val posFx = all.filter(t => t._3 == alabel && t._1 != r.getLong(0))
+        .map(t => cosFx(t._2, av)).max
+      val (negFx, negId) = negs(r.getInt(1) - 1)
+      assert(r.getLong(2) === negId, s"anchor ${r.getLong(0)} rank ${r.getInt(1)}")
+      assert(r.getDouble(3) === negFx / 10000.0)
+      assert(r.getDouble(4) === posFx / 10000.0)
+      assert(r.getDouble(5) === (posFx - negFx) / 10000.0)
+    }
+  }
+
   test("d_incremental: verdicts come from the persisted index; history is never rescanned") {
     // first call builds the index artifact, second re-attaches
     Dedup.ensureDedupIndex(spark, sfDir).count()
