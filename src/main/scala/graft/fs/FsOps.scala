@@ -449,17 +449,17 @@ class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
   def publishFile(tmp: Path, target: Path): Unit = {
     val fs = fsFor(target)
     if (!fs.exists(target)) {
-      val len = fs.getFileStatus(tmp).getLen.toInt
-      val bytes = new Array[Byte](len)
-      val in = fs.open(tmp)
-      try in.readFully(0, bytes) finally in.close()
       // conditional single-object PUT (S3A If-None-Match / HDFS atomic
       // namespace create — the same capability the pointer commit
       // rides); a failure means a racer's put won, and deterministic
-      // bytes per name make the race winner-agnostic
+      // bytes per name make the race winner-agnostic. Streamed, not
+      // buffered: the artifact is small by contract but the verb must
+      // not silently cap at Int.MaxValue bytes.
       try {
         val out = fs.create(target, false)
-        try out.write(bytes) finally out.close()
+        val in = fs.open(tmp)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536)
+        finally { in.close(); out.close() }
       } catch { case _: java.io.IOException => () }
     }
     fs.delete(tmp, false)

@@ -405,6 +405,45 @@ object Streaming {
       |  AND v.vus BETWEEN p.pus - 3600000000 AND p.pus
       |GROUP BY p.user_id""".stripMargin
 
+  /** G5c: stream-stream LEFT SEMI join — the existential member of the
+    * join family (inner multiplies a purchase by its match count;
+    * outer/full pad at watermark; SEMI emits each matched left row
+    * EXACTLY ONCE and carries only a matched flag in state, which the
+    * watermark then reclaims): "purchases confirmed by at least one
+    * view in the preceding hour". Same watermarks and time-range
+    * condition as G5, so state stays bounded; per user, the count of
+    * confirmed purchases. Oracle = the batch EXISTS.
+    */
+  def stStreamJoinSemi(s: SparkSession, d: String): DataFrame = {
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val views = eventsStream(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user")
+        && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR")
+        && col("vts") <= col("pts"),
+      "left_semi")
+      .select(col("p_user").as("user_id"))
+    runToMemory(joined, "st_stream_join_semi_mem", OutputMode.Append())
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_confirmed"))
+  }
+
+  val stStreamJoinSemiSql: String =
+    """SELECT p.user_id, COUNT(*) AS n_confirmed
+      |FROM (SELECT user_id, epoch_us(ts) AS pus FROM events
+      |      WHERE event_type = 'purchase') p
+      |WHERE EXISTS (
+      |  SELECT 1 FROM (SELECT user_id AS vuser, epoch_us(ts) AS vus FROM events
+      |                 WHERE event_type = 'view') v
+      |  WHERE v.vuser = p.user_id AND v.vus BETWEEN p.pus - 3600000000 AND p.pus)
+      |GROUP BY p.user_id""".stripMargin
+
   /** Three-file fixture for the outer stream-stream join: events
     * (event_id, user_id, event_type, epoch-µs ts) sliced by event_id
     * residue with staggered mtimes — same construction as
@@ -1814,6 +1853,7 @@ object Streaming {
     QueryDef("st_observe", stObserve, Some(stObserveSql)),
     QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),
+    QueryDef("st_stream_join_semi", stStreamJoinSemi, Some(stStreamJoinSemiSql)),
     QueryDef("st_stream_join_outer", stStreamJoinOuter, Some(stStreamJoinOuterSql)),
     QueryDef("st_stream_join_full", stStreamJoinFull, Some(stStreamJoinFullSql)),
     QueryDef("st_ingest", stIngest, Some(stIngestSql)),

@@ -134,6 +134,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("st_stream_join_semi: each matched purchase emitted exactly once (batch left-semi twin)") {
+    val streamed = Streaming.stStreamJoinSemi(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("pus"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("vus"))
+    val batch = p.join(v, col("p_user") === col("v_user")
+        && col("vus") >= col("pus") - 3600000000L && col("vus") <= col("pus"),
+      "left_semi")
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_confirmed"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(batch.count() > 0)
+    // semi never exceeds inner: confirmed purchases ≤ matched pairs
+    val both = streamed.as("s")
+      .join(Streaming.stStreamJoin(spark, sfDir).as("i"), "user_id")
+    assert(both.filter(col("s.n_confirmed") > col("i.n_pairs")).count() === 0)
+  }
+
   test("st_stream_join_outer: per-microbatch-prefix outputs match the lagged-watermark model") {
     // Scala twin of the measured timeline rules (Streaming.scala
     // scaladoc on stStreamJoinOuter): late filter in batch N uses
