@@ -96,6 +96,9 @@ object GraftFunctions {
     ("vec_cosine",
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity over array<double>"),
       arity("vec_cosine", 2) { case Seq(a, b) => CosineSimilarity(a, b) }),
+    ("maxsim_fx",
+      info("maxsim_fx", "maxsim_fx(qtoks, ctoks) - fixed-point late-interaction MaxSim over array<array<double>>"),
+      arity("maxsim_fx", 2) { case Seq(q, c) => MaxSimFx(q, c) }),
     ("sorted_intersect_count",
       info("sorted_intersect_count", "sorted_intersect_count(a, b) - |A∩B| of sorted bigint arrays"),
       arity("sorted_intersect_count", 2) { case Seq(a, b) => SortedIntersectCount(a, b) }),

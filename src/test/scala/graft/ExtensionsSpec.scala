@@ -56,6 +56,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs.getSeq[org.apache.spark.sql.Row](0).length === 1)
     assert(pairs.getSeq[Long](1) === Seq(2L))
     assert(pairs.getSeq[org.apache.spark.sql.Row](2).length === 1)
+
+    // maxsim_fx from SQL: parallel query token maxes out at the
+    // parallel doc token (fx 10⁴), orthogonal query token at 0
+    val ms = spark.sql(
+      """SELECT maxsim_fx(
+        |  array(array(1.0D, 0.0D), array(0.0D, 1.0D)),
+        |  array(array(1.0D, 0.0D), array(-1.0D, 0.0D))) AS s""".stripMargin)
+      .collect()(0)
+    assert(ms.getLong(0) === 10000L)
   }
 
   test("lsh_buckets equals the composable when(vec_dot > 0) column stack") {
