@@ -181,6 +181,15 @@ object Stage {
   def publishFile(tmp: java.io.File, target: java.io.File): Unit =
     graft.fs.FsOps.current.publishFile(asPath(tmp), asPath(target))
 
+  /** Retire a torn/malformed single-file artifact so a rebuild's
+    * [[publishFile]] (create-if-absent) can land. Only the BUILDER of
+    * the artifact may call this, and only after its own read rejected
+    * the bytes: a readable file at the same name is a racer's finished
+    * work (bytes are deterministic per name) and must stay.
+    */
+  def retireTornArtifact(f: java.io.File): Unit =
+    graft.fs.FsOps.current.deleteDebris(asPath(f))
+
   /** Logical child names under `parent` through the seam (real dirs
     * plus pointer-published names).
     */

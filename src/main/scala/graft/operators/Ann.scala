@@ -222,18 +222,26 @@ object Ann {
       .select(col("qdoc"), col("t"), explode(array(
         (col("bucket") +: (0 until hyperN).map(i =>
           col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
-    val cand = cb.select(col("doc").as("cdoc"), col("t"), col("bucket"))
-      .join(qb, Seq("t", "bucket"))
-      .filter(col("cdoc") =!= col("qdoc"))
-      .select("qdoc", "cdoc")
-      .dropDuplicates("qdoc", "cdoc")
+    // cached: the pair set feeds both the rerank join and the
+    // candidate-doc filter below (Stage.barrier re-runs per consumer)
+    val cand = graft.Stage.cached(
+      cb.select(col("doc").as("cdoc"), col("t"), col("bucket"))
+        .join(qb, Seq("t", "bucket"))
+        .filter(col("cdoc") =!= col("qdoc"))
+        .select("qdoc", "cdoc")
+        .dropDuplicates("qdoc", "cdoc"))
     def packed(df: DataFrame, docCol: String, id: Column, v: Column,
         out: String): DataFrame =
       df.groupBy(col(docCol)).agg(
         transform(array_sort(collect_list(struct(id.as("i"), v.as("x")))),
           e => e.getField("x")).as(out))
-    val cdocs = packed(toks.withColumnRenamed("doc", "cdoc"), "cdoc",
-      col("vec_id"), col("v"), "ctoks")
+    // pack token matrices for CANDIDATE docs only (semi-join against
+    // the query-volume-bounded candidate set): the pack shuffle moves
+    // candidate tokens, never the whole corpus — the second linear
+    // corpus scan it costs is the cheap side of that trade at scale
+    val cdocs = packed(toks.withColumnRenamed("doc", "cdoc")
+      .join(broadcast(cand.select("cdoc").distinct()), Seq("cdoc"), "left_semi"),
+      "cdoc", col("vec_id"), col("v"), "ctoks")
     val qdocs = packed(qtoks, "qdoc", col("qvid"), col("qv"), "qtoks")
     val w = Window.partitionBy("qdoc").orderBy(col("score_fx").desc, col("cdoc"))
     cand.join(cdocs, "cdoc").join(broadcast(qdocs), "qdoc")
@@ -259,12 +267,16 @@ object Ann {
     * deterministic.
     *
     * Scale shape: the anchor batch broadcasts and the corpus streams
-    * ONCE through the fused cosine kernel into a cached score
-    * relation consumed by both the positive max (partial agg) and the
-    * negative top-K window — never two corpus scans, never a corpus
-    * self-join. For unbounded anchor sets the candidate generation
-    * composes with s_ann_lsh/s_ann_ivf exactly as the kNN family does
-    * (negatives are an ANN top-k with a label-disagreement filter).
+    * ONCE through the fused cosine kernel straight into a single
+    * partial-aggregable groupBy — the hardest positive as a
+    * conditional max, the negatives via the k-bounded
+    * [[graft.functions.TopKRows]] heap (each map partition ships at
+    * most K rows per anchor; the window-rank form would shuffle and
+    * sort all anchors×corpus scored rows). No cached intermediate, no
+    * second pass, O(anchors·K) state. For unbounded anchor sets the
+    * candidate generation composes with s_ann_lsh/s_ann_ivf exactly
+    * as the kNN family does (negatives are an ANN top-k with a
+    * label-disagreement filter).
     */
   def sTripletMine(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
@@ -272,22 +284,27 @@ object Ann {
     val anchors = base.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("anchor_id"), col("v").as("av"),
         col("label").as("alabel"))
-    val scored = graft.Stage.cached(base.crossJoin(broadcast(anchors))
+    base.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("anchor_id"))
       .withColumn("cos_fx",
-        floor(vec_cosine(col("v"), col("av")) * 10000 + 0.5).cast("long")))
-    val pos = scored.filter(col("label") === col("alabel"))
-      .groupBy("anchor_id").agg(max(col("cos_fx")).as("pos_fx"))
-    val w = Window.partitionBy("anchor_id")
-      .orderBy(col("cos_fx").desc, col("vec_id"))
-    scored.filter(col("label") =!= col("alabel"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TripletNegK)
-      .join(pos, "anchor_id")
-      .select(col("anchor_id"), col("rank"), col("vec_id").as("negative_id"),
-        (col("cos_fx").cast("double") / 10000.0).as("cos_neg"),
+        floor(vec_cosine(col("v"), col("av")) * 10000 + 0.5).cast("long"))
+      .groupBy("anchor_id")
+      .agg(
+        max(when(col("label") === col("alabel"), col("cos_fx"))).as("pos_fx"),
+        graft.functions.topk_rows(
+          when(col("label") =!= col("alabel"),
+            struct(col("cos_fx").cast("double").as("score"),
+              col("vec_id").as("id"))),
+          TripletNegK).as("negs"))
+      .filter(col("pos_fx").isNotNull)
+      .select(col("anchor_id"), col("pos_fx"),
+        posexplode(col("negs")).as(Seq("pos", "neg")))
+      .select(col("anchor_id"), (col("pos") + 1).as("rank"),
+        col("neg.id").as("negative_id"),
+        (col("neg.score") / 10000.0).as("cos_neg"),
         (col("pos_fx").cast("double") / 10000.0).as("cos_pos"),
-        ((col("pos_fx") - col("cos_fx")).cast("double") / 10000.0).as("margin"))
+        ((col("pos_fx") - col("neg.score").cast("long")).cast("double")
+          / 10000.0).as("margin"))
   }
 
   // ---- IVF (inverted-file) ANN: coarse k-means quantizer ----
@@ -495,8 +512,15 @@ object Ann {
     sb.toString
   }
 
-  private[operators] def writeCentroids(f: java.io.File,
+  private[graft] def writeCentroids(f: java.io.File,
       cs: Array[(Int, Seq[Double])]): Unit = {
+    // a torn target (possible only where the single-object PUT is not
+    // atomic, i.e. local bindings) would block the create-if-absent
+    // publish forever while every JVM silently retrains: the builder —
+    // whose own read just rejected the bytes — retires it first. A
+    // READABLE file never reaches this path (ensure* returns it).
+    if (f.exists() && readCentroids(f).isEmpty)
+      graft.Stage.retireTornArtifact(f)
     // unique staging file + seam publish: concurrent JVMs never share
     // a build file, and the loser of the publish race just discards —
     // training is deterministic (the name fingerprints its inputs), so
@@ -510,7 +534,7 @@ object Ann {
   /** None for missing, torn, or malformed artifacts (which are also
     * deleted so the next attempt republishes).
     */
-  private[operators] def readCentroids(f: java.io.File): Option[Array[(Int, Seq[Double])]] = {
+  private[graft] def readCentroids(f: java.io.File): Option[Array[(Int, Seq[Double])]] = {
     import scala.jdk.CollectionConverters._
     if (!f.exists()) return None
     try {
@@ -518,13 +542,15 @@ object Ann {
         .filter(_.nonEmpty).toVector
       val entries = lines.takeWhile(!_.startsWith("#end "))
       if (lines.length != entries.length + 1 ||
-        lines.last != s"#end ${entries.length}") { f.delete(); return None }
+        lines.last != s"#end ${entries.length}") {
+        graft.Stage.retireTornArtifact(f); return None
+      }
       Some(entries.map { line =>
         val Array(k, vs) = line.split(" ", 2)
         (k.toInt, vs.split(",").toIndexedSeq.map(h =>
           java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16))))
       }.toArray)
-    } catch { case _: Exception => f.delete(); None }
+    } catch { case _: Exception => graft.Stage.retireTornArtifact(f); None }
   }
 
   /** The trained coarse quantizer for corpus `tag` over dir `d`:

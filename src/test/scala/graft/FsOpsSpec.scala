@@ -116,6 +116,19 @@ class FsOpsSpec extends SparkSpec {
           assert(swept === Seq(orphan.getName),
             s"${impl.name}: expected the orphan swept, got $swept")
           assert(target.isFile, s"${impl.name}: GC damaged the published file")
+          // torn-target self-heal: a trailer-less codebook (a mid-write
+          // crash on a non-atomic local binding) must not block the
+          // create-if-absent publish forever — the builder retires it
+          // and the rebuild lands readable
+          val torn = new java.io.File(parent, "centroids")
+          java.nio.file.Files.write(torn.toPath, "0 1.0\n".getBytes("UTF-8"))
+          assert(graft.operators.Ann.readCentroids(torn).isEmpty,
+            s"${impl.name}: trailer-less file must read as torn")
+          val cs = Array((0, Seq(1.0, 2.0)))
+          graft.operators.Ann.writeCentroids(torn, cs)
+          val healed = graft.operators.Ann.readCentroids(torn)
+          assert(healed.map(_.toSeq) === Some(cs.toSeq),
+            s"${impl.name}: torn artifact not healed by rebuild publish")
         }
       }
     } finally Stage.deleteRecursively(root)
