@@ -747,6 +747,37 @@ object Analytics {
       |FROM (SELECT root, MAX(depth) AS max_depth FROM walk GROUP BY root)
       |GROUP BY max_depth ORDER BY max_depth""".stripMargin
 
+  /** Correlated LATERAL derived table (SQL:2016): per-order top-2
+    * lineitems by price — the surface SQL users reach for before they
+    * know the window form. Catalyst decorrelates the per-row
+    * ORDER BY/LIMIT subquery (DecorrelateInnerQuery) into the same
+    * partitioned-rank shape as q_topk_per_group, so the lateral
+    * syntax costs nothing at scale; orders without lineitems drop
+    * (inner lateral) identically in both engines. Money under the
+    * DECIMAL contract; deterministic tie on l_linenumber.
+    */
+  def qLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lat_lineitem")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber,
+        |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM graft_lat_orders o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice
+        |         FROM graft_lat_lineitem
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l""".stripMargin)
+  }
+
+  val qLateralSql: String =
+    """SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber,
+      |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM orders o,
+      |LATERAL (SELECT l_linenumber, l_extendedprice
+      |         FROM lineitem
+      |         WHERE l_orderkey = o.o_orderkey
+      |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l""".stripMargin
+
   def qCorrelatedSubq(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_corr")
     s.sql(
@@ -915,6 +946,7 @@ object Analytics {
     QueryDef("q_multi_distinct", qMultiDistinct, Some(qMultiDistinctSql)),
     QueryDef("q_correlated_subq", qCorrelatedSubq, Some(qCorrelatedSubqSql)),
     QueryDef("q_recursive", qRecursive, Some(qRecursiveSql)),
+    QueryDef("q_lateral", qLateral, Some(qLateralSql)),
     QueryDef("q2_filter_proj", q2FilterProj, Some(q2FilterProjSql)),
     QueryDef("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),
     QueryDef("q5_multijoin", q5Multijoin, Some(q5MultijoinSql)),

@@ -184,6 +184,16 @@ class PlanShapeSpec extends SparkSpec {
       s"s_maxsim must broadcast the query docs:\n${executed(ms)}")
     assert(!executed(ms).toString.contains("aggregate(lambda"),
       s"s_maxsim scoring must be the fused kernel, not HOFs:\n${executed(ms)}")
+    // q_lateral: the correlated ORDER BY/LIMIT lateral decorrelates
+    // into a map-side-limited partitioned rank (WindowGroupLimit) —
+    // never a per-order nested-loop re-execution or a cartesian
+    val lat = graft.queries.Analytics.qLateral(spark, sfDir)
+    val latPlan = executed(lat).toString
+    assert(latPlan.contains("WindowGroupLimit"),
+      s"q_lateral must decorrelate to a group-limited rank:\n$latPlan")
+    assert(!latPlan.contains("CartesianProduct") &&
+      !latPlan.contains("BroadcastNestedLoopJoin"),
+      s"q_lateral must not plan a per-row loop join:\n$latPlan")
   }
 
   test("behavioral/layout operators keep their scale-critical plan shapes") {
