@@ -607,6 +607,41 @@ object Ann {
     ranked(candidates.withColumn("cos", vec_cosine(col("v"), col("qv"))))
   }
 
+  private[graft] val FilterProbes = Probes + 2
+
+  /** D12: filtered ANN — cosine top-k under a metadata predicate
+    * (candidates must share the query's label), the "filtered vector
+    * search" of production stores. Shape: the SAME stored IVF layout
+    * and codebook artifact as s_ann_ivf (corpus assignment is
+    * filter-agnostic — one index serves every predicate), the
+    * predicate applied INSIDE the cell-local candidate join so
+    * filtered-out vectors never reach the cosine, and the query side
+    * OVER-PROBES ($FilterProbes vs $Probes cells): a 1/|labels|
+    * predicate decimates each cell's survivors, and widening the
+    * probe ring is the standard recall treatment — candidate volume
+    * stays cell-local and predicate-proportional, strictly below the
+    * unfiltered scan of the same ring.
+    */
+  def sAnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val cl = Tables.embeddings(s, d)
+      .select(col("vec_id"), vecCol.as("v"), col("label"))
+    val c = corpus(s, d)
+    val centroids = ensureCentroids(c, d, "ivf", scaledCells(c.count()))
+    val bucketed = assignCells(cl, centroids, probes = 1)
+    val probedQueries = assignCells(
+      cl.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v"),
+          col("label").as("qlabel")),
+      centroids, FilterProbes)
+      .withColumnRenamed("v", "qv")
+    val candidates = bucketed.join(probedQueries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id")
+        && col("label") === col("qlabel"))
+      .select("query_id", "qv", "vec_id", "v")
+      .dropDuplicates("query_id", "vec_id")
+    ranked(candidates.withColumn("cos", vec_cosine(col("v"), col("qv"))))
+  }
+
   private val KnnK = 5
   // the graph build probes wider than the point-query path: recall on
   // an isotropic corpus at 3/16 cells is ~0.5; 5/16 buys ~0.65 for a
@@ -1061,6 +1096,33 @@ object Ann {
        |        FROM ca JOIN qa ON ca.cell = qa.cell WHERE ca.vec_id != qa.query_id))
        |WHERE rank <= $TopK""".stripMargin
 
+  /** s_ann_filtered oracle: same Lloyd centroids (trained on the
+    * UNfiltered corpus, as the shared artifact is), corpus stored at
+    * probes=1, queries over-probe $FilterProbes cells, label equality
+    * applied to the cell-joined candidates before ranking.
+    */
+  val sAnnFilteredSql: String =
+    s"""WITH cl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |c AS (SELECT vec_id, v FROM cl),
+       |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM cl
+       |      WHERE vec_id < $NumQueries),
+       |${lloydCtes("c")},
+       |ca AS (
+       |${assignSql("c", "vec_id", "v", probes = 1)}),
+       |qa AS (
+       |${assignSql("q", "query_id", "qv", FilterProbes)})
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos FROM (
+       |  SELECT query_id, vec_id,
+       |    round(list_cosine_similarity(v, qv), 4) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rank
+       |  FROM (SELECT DISTINCT qa.query_id, ca.vec_id, ca.v, qa.qv
+       |        FROM ca JOIN qa ON ca.cell = qa.cell
+       |             JOIN cl ON cl.vec_id = ca.vec_id
+       |             JOIN q ON q.query_id = qa.query_id
+       |        WHERE ca.vec_id != qa.query_id AND cl.label = q.qlabel))
+       |WHERE rank <= $TopK""".stripMargin
+
   /** s_knn_join oracle: same Lloyd centroids; probe side visits
     * $KnnProbes cells, neighbor side is stored in its 1 nearest cell;
     * per-vector top-$KnnK by ROUNDED cosine (the Spark window orders by
@@ -1429,6 +1491,7 @@ object Ann {
     QueryDef("s_maxsim", sMaxsim, Some(sMaxsimSql)),
     QueryDef("s_triplet_mine", sTripletMine, Some(sTripletMineSql)),
     QueryDef("s_ann_ivf", sAnnIvf, Some(sAnnIvfSql)),
+    QueryDef("s_ann_filtered", sAnnFiltered, Some(sAnnFilteredSql)),
     QueryDef("s_ann_pq", sAnnPq, Some(sAnnPqSql)),
     QueryDef("s_knn_join", sKnnJoin, Some(sKnnJoinSql)),
     QueryDef("s_knn_refine", sKnnRefine, Some(sKnnRefineSql)),

@@ -763,6 +763,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s_ann_filtered: neighbors all share the query label, overlap the filtered brute top-k") {
+    val rows = Ann.sAnnFiltered(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+    }
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    val byId = all.map(t => t._1 -> t).toMap
+    rows.foreach(r => assert(byId(r.getLong(2))._3 === byId(r.getLong(0))._3,
+      s"neighbor ${r.getLong(2)} label differs from query ${r.getLong(0)}"))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = all.filter(_._1 < Ann.NumQueries).flatMap { case (qid, qv, ql) =>
+      all.filter(t => t._1 != qid && t._3 == ql)
+        .map(t => (cos(t._2, qv), t._1)).sortBy { case (c, id) => (-c, id) }
+        .take(10).map { case (_, id) => (qid, id) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((got & brute).nonEmpty, "filtered ANN shares nothing with filtered brute")
+  }
+
   test("d_incremental: verdicts come from the persisted index; history is never rescanned") {
     // first call builds the index artifact, second re-attaches
     Dedup.ensureDedupIndex(spark, sfDir).count()
