@@ -88,6 +88,13 @@ object Bench {
         .filter(_.nonEmpty)
         .flatMap(split(_, 0).filter(_.nonEmpty))
     }
+    // machine-speed yardstick, taken once per sweep: same-code rows
+    // have drifted ~2× between certified sweeps on this VM class, and
+    // the adjudication pass must let a reader tell machine drift from
+    // code regression — normalize cross-round deltas by this number
+    val (calSingle, calParallel) = calibration()
+    System.err.println(
+      f"[bench] calibration: single=$calSingle%.3fs parallel=$calParallel%.3fs")
     // (chunk label, exit code, wall sec, child JSON line or "")
     val runs = scala.collection.mutable.ListBuffer.empty[(Seq[String], Int, Double, String)]
     for ((chunk, i) <- chunks.zipWithIndex) {
@@ -156,7 +163,39 @@ object Bench {
         .map(v => (n, colds.getOrElse(n, v), v))
         .getOrElse((n, -1.0, -1.0))),
       failed.distinct,
-      extra = s""""chunks":$chunksJson,"restandalone":$restandJson,"""))
+      extra = s""""calibration":{"single":$calSingle,"parallel":$calParallel},""" +
+        s""""chunks":$chunksJson,"restandalone":$restandJson,"""))
+  }
+
+  /** Fixed CPU-bound reference workload (md5 chain over a fixed byte
+    * set), measured single-threaded and across all cores: seconds for
+    * an identical amount of work, independent of any query or fixture.
+    * A round-over-round ratio of calibration times IS the host-speed
+    * ratio; per-query deltas beyond it are attributable to code.
+    */
+  private def calibration(): (Double, Double) = {
+    def work(): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](64)
+      var acc = 0L
+      var i = 0
+      while (i < 2000000) {
+        buf(0) = (i & 0xff).toByte
+        buf(1) = ((i >> 8) & 0xff).toByte
+        acc += md.digest(buf)(0)
+        i += 1
+      }
+      acc
+    }
+    work() // JIT warm
+    val t1 = System.nanoTime(); work()
+    val single = (System.nanoTime() - t1) / 1e9
+    val n = Runtime.getRuntime.availableProcessors()
+    val threads = (1 to n).map(_ => new Thread(() => { work(); () }))
+    val t2 = System.nanoTime()
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val parallel = (System.nanoTime() - t2) / 1e9
+    (single, parallel)
   }
 
   /** Prior-round standalone seconds per query (BENCH_PRIOR.json, a
