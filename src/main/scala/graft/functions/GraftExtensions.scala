@@ -114,6 +114,10 @@ object GraftFunctions {
     ("word_shingle_hashes",
       info("word_shingle_hashes", "word_shingle_hashes(text, n) - positional n-word-shingle hashes"),
       arity("word_shingle_hashes", 2) { case Seq(t, n) => WordShingleHashes(t, intArg("word_shingle_hashes", n)) }),
+    ("cdc_chunks",
+      info("cdc_chunks", "cdc_chunks(text, w, mod) - content-defined chunks: struct<start,len,fp> per gear-cut segment"),
+      arity("cdc_chunks", 3) { case Seq(t, w, m) =>
+        CdcChunks(t, intArg("cdc_chunks", w), intArg("cdc_chunks", m)) }),
     ("winnow_select",
       info("winnow_select", "winnow_select(hashes, window) - winnowing fingerprint selection"),
       arity("winnow_select", 2) { case Seq(h, w) => WinnowSelect(h, intArg("winnow_select", w)) }),

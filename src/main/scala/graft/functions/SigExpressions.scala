@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -260,6 +260,52 @@ object SigOps {
       i += 1
     }
     out
+  }
+
+  /** Content-defined chunking (gear-style): a cut lands AFTER every
+    * `w`-codepoint window whose md5-60 ≡ 0 (mod `mod`) — expected
+    * chunk length ≈ `mod` codepoints. Emits (start, len) in
+    * CODEPOINTS (so a SQL substr re-derives the same slices) plus the
+    * chunk's md5-hex fingerprint over its UTF-8 bytes. Boundaries
+    * depend only on local content, so an edit reshapes chunks in its
+    * neighborhood ONLY — the CDC property fixed-stride blocks lack.
+    * Strings shorter than `w` are one whole chunk; empty strings
+    * chunk to nothing.
+    */
+  def cdcChunks(s: UTF8String, w: Int, mod: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var cnt = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xC0) != 0x80) cnt += 1; i += 1 }
+    if (cnt == 0) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](cnt + 1)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(k) = i; k += 1 }
+      i += 1
+    }
+    offs(cnt) = len
+    val md = md5Local.get()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    def emit(end: Int): Unit = if (end > start) {
+      md.reset()
+      md.update(bytes, offs(start), offs(end) - offs(start))
+      rows += new GenericInternalRow(Array[Any](start, end - start,
+        UTF8String.fromBytes(md5Hex(md))))
+      start = end
+    }
+    i = 0
+    while (i + w <= cnt) {
+      if (java.lang.Long.remainderUnsigned(
+          md5Hash60(bytes, offs(i), offs(i + w) - offs(i)), mod) == 0)
+        emit(i + w)
+      i += 1
+    }
+    emit(cnt)
+    new GenericArrayData(rows.toArray)
   }
 
   /** Positional md5-60 hashes of every n-word window (same token
@@ -709,6 +755,25 @@ case class WordShingleMd5Hashes(child: Expression, n: Int) extends UnaryExpressi
     SigOps.wordShinglesMd5(a.asInstanceOf[UTF8String], n)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.wordShinglesMd5($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string → content-defined chunks array<struct<start,len,fp>> (see
+  * [[SigOps.cdcChunks]]).
+  */
+case class CdcChunks(child: Expression, w: Int, mod: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("fp", org.apache.spark.sql.types.StringType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+  protected override def nullSafeEval(a: Any): Any =
+    SigOps.cdcChunks(a.asInstanceOf[UTF8String], w, mod)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigOps.cdcChunks($c, $w, $mod)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -197,6 +197,12 @@ package object functions {
   def char_gram_md5_hashes(text: Column, n: Int): Column =
     toCol(CharGramMd5Hashes(toExpr(text), n))
 
+  /** Content-defined chunks array<struct<start,len,fp>> — gear-style
+    * cut after every w-codepoint window with md5-60 ≡ 0 (mod `mod`).
+    */
+  def cdc_chunks(text: Column, w: Int, mod: Int): Column =
+    toCol(CdcChunks(toExpr(text), w, mod))
+
   /** Order-sensitive md5-hex chain fingerprint over \s+ tokens:
     * fold(tokens, "seed") { (acc, w) => md5hex(acc + "|" + w) }.
     */

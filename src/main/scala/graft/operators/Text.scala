@@ -1317,6 +1317,75 @@ object Text {
        |  md5(array_to_string(ws[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkSize], ' ')) AS fp
        |FROM c""".stripMargin
 
+  /** E26: CONTENT-DEFINED chunking + chunk-level dedup accounting —
+    * the variable-boundary counterpart of t_chunk (FastCDC/gear
+    * family, the dedup-storage and long-document near-dup shape): a
+    * cut lands after every $CdcW-codepoint window whose md5-60 ≡ 0
+    * (mod $CdcMod), so boundaries depend only on LOCAL content and an
+    * edit reshapes chunks in its neighborhood only — byte-identical
+    * spans re-align to identical chunks at any offset, which
+    * fixed-stride blocks cannot do. Per doc: chunk count, longest
+    * chunk, and how many of its chunks also occur in another doc
+    * (fingerprint match).
+    *
+    * Scale shape: chunking is the codegen'd [[graft.functions
+    * .CdcChunks]] kernel evaluated once per doc (the kernel is the
+    * generator child — §14 lesson on Generate re-evaluation does not
+    * apply); the chunk stream shuffles ONCE on fp (the global
+    * chunk-store build — exactly the shuffle a dedup store pays), the
+    * share-count join reuses that partitioning, and one doc_id agg
+    * closes. No self-join, no all-pairs anything.
+    */
+  private val CdcW = 8
+  private val CdcMod = 64
+
+  def tChunkCdc(s: SparkSession, d: String): DataFrame = {
+    val ch = graft.Stage.cached(Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.cdc_chunks(col("text"), CdcW, CdcMod)).as("c"))
+      .select(col("doc_id"), col("c.len").cast("long").as("ln"),
+        col("c.fp").as("fp")))
+    val fps = ch.groupBy("fp").agg(countDistinct("doc_id").as("nd"))
+    ch.join(fps, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("ln")).as("max_len"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+  }
+
+  val tChunkCdcSql: String = {
+    val h60 =
+      """list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('123456789abcdef', substr(md5(substr(text, CAST(i AS INT) + 1, 8)), j, 1)) AS BIGINT)),
+        |      (a, b) -> a * 16 + b)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+       |pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, CASE WHEN L >= 8 THEN L - 7 ELSE 0 END)) AS i
+       |  FROM d),
+       |h AS (SELECT doc_id, i, $h60 AS h60 FROM pos),
+       |cuts AS (SELECT doc_id, list(i + 8 ORDER BY i) AS cs
+       |         FROM h WHERE h60 % 64 = 0 GROUP BY doc_id),
+       |b AS (
+       |  SELECT d.doc_id, d.text,
+       |    list_prepend(0, COALESCE(cs, [])) AS ss,
+       |    list_append(COALESCE(cs, []), d.L) AS es
+       |  FROM d LEFT JOIN cuts USING (doc_id) WHERE d.L > 0),
+       |ks AS (SELECT doc_id, text, ss, es,
+       |         unnest(range(1, len(ss) + 1)) AS k
+       |       FROM b),
+       |chunks AS (
+       |  SELECT doc_id, ss[k] AS start, es[k] - ss[k] AS ln,
+       |    md5(substr(text, CAST(ss[k] AS INT) + 1, CAST(es[k] - ss[k] AS INT))) AS fp
+       |  FROM ks WHERE es[k] > ss[k]),
+       |fps AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp)
+       |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(MAX(c.ln) AS BIGINT) AS max_len,
+       |  CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |FROM chunks c JOIN fps f USING (fp)
+       |GROUP BY c.doc_id""".stripMargin
+  }
+
   /** E23: word co-occurrence with association lift — the collocation
     * table (word2vec-window statistics / PMI-style association mining):
     * ordered word pairs within distance ≤ 2, counted corpus-wide, the
@@ -1614,6 +1683,7 @@ object Text {
     QueryDef("t_heavy_hitters", tHeavyHitters, Some(tHeavyHittersSql)),
     QueryDef("t_cooccur", tCooccur, Some(tCooccurSql)),
     QueryDef("t_chunk", tChunk, Some(tChunkSql)),
+    QueryDef("t_chunk_cdc", tChunkCdc, Some(tChunkCdcSql)),
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
     QueryDef("t_quality_model", tQualityModel, Some(tQualityModelSql)),
     QueryDef("t_quality_train", tQualityTrain, Some(tQualityTrainSql)),

@@ -900,6 +900,37 @@ class OperatorsSpec extends SparkSpec {
     assert(full.nonEmpty, "fixture must actually contain heavy hitters")
   }
 
+  test("t_chunk_cdc: chunks partition the doc; edits reshape only their neighborhood") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def chunksOf(text: String): Seq[(Int, Int, String)] = {
+      val arr = graft.functions.SigOps.cdcChunks(UTF8String.fromString(text), 8, 64)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3)
+        (r.getInt(0), r.getInt(1), r.getUTF8String(2).toString)
+      }
+    }
+    // partition invariant on real corpus text
+    val texts = Tables.documents(spark, sfDir).select(col("text"))
+      .limit(50).collect().map(_.getString(0))
+    texts.foreach { t =>
+      val cs = chunksOf(t)
+      val cps = t.codePointCount(0, t.length)
+      assert(cs.map(_._2).sum === cps, "chunks must cover the doc exactly")
+      assert(cs.scanLeft(0)(_ + _._2).init === cs.map(_._1),
+        "chunks must be contiguous from 0")
+    }
+    // CDC edit-locality: prepending a char must leave every chunk
+    // after the first post-edit cut identical (same fp multiset tail);
+    // a fixed-stride chunker shifts EVERY block
+    val base = texts.maxBy(_.length)
+    val edited = "X" + base
+    val a = chunksOf(base).map(_._3)
+    val b = chunksOf(edited).map(_._3)
+    val shared = a.toSet & b.toSet
+    assert(shared.size >= a.size - 2,
+      s"edit reshaped ${a.size - shared.size} of ${a.size} chunks — not content-defined")
+  }
+
   test("t_chunk: stride/coverage invariants and fingerprints match a brute recount") {
     val docs = Tables.documents(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty)).toMap
