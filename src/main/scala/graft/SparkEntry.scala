@@ -16,6 +16,7 @@ object SparkEntry {
       graft.sources.Formats.all ++ graft.pipeline.Bucketing.all ++
       graft.pipeline.Layout.all ++ graft.pipeline.BloomIndex.all ++
       graft.pipeline.PartitionEvolution.all ++
+      graft.pipeline.DeletionVectors.all ++
       graft.plans.MvRewrite.all ++
       graft.multimodal.Multimodal.all ++
       graft.streaming.Streaming.all

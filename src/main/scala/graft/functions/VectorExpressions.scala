@@ -852,3 +852,82 @@ case class PqAdc(left: Expression, right: Expression, k: Int) extends BinaryExpr
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Scalar-quantization kernels (SQ8): per-dimension affine int8 codes.
+  * Unlike PQ (a codebook per SUBSPACE), SQ trains only 2·dim numbers —
+  * a [min, max] interval per dimension — and quantizes each coordinate
+  * independently to an 8-bit level: code = ⌊(x − min)·255/(max − min)⌋
+  * clamped to [0, 255]. Scoring is asymmetric in FIXED POINT: the
+  * reconstruction x̂ = min + code·Δ is carried as exact BIGINTs
+  * (minFx + code·dFx at 2^20 scale), so the inner product
+  * Σ qFx·x̂Fx is integer arithmetic — order-free, overflow-safe at
+  * these magnitudes, and bit-reproducible by a serial SQL oracle.
+  */
+object SqOps {
+  /** v (double array) → int codes under per-dim [mins, maxs]. */
+  def encode(v: ArrayData, mins: Array[Double], maxs: Array[Double]): ArrayData = {
+    val n = mins.length
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val lo = mins(i)
+      val hi = maxs(i)
+      val c =
+        if (hi <= lo) 0
+        else {
+          val f = math.floor((v.getDouble(i) - lo) * 255.0 / (hi - lo))
+          if (f < 0.0) 0 else if (f > 255.0) 255 else f.toInt
+        }
+      out(i) = c
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ_d qFx(d) · (minFx(d) + code(d)·dFx(d)) — exact int64. */
+  def adc(qfx: ArrayData, codes: ArrayData, minFx: Array[Long], dFx: Array[Long]): Long = {
+    val n = codes.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += qfx.getLong(i) * (minFx(i) + codes.getInt(i) * dFx(i))
+      i += 1
+    }
+    acc
+  }
+}
+
+/** vec → per-dimension int8 levels under the trained [mins, maxs]. */
+case class SqEncode(child: Expression, mins: Array[Double], maxs: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_encode"
+  protected override def nullSafeEval(a: Any): Any =
+    SqOps.encode(a.asInstanceOf[ArrayData], mins, maxs)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("mins", mins, "double[]")
+    val mx = ctx.addReferenceObj("maxs", maxs, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SqOps.encode($c, $mn, $mx)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** (qFx, codes) → fixed-point asymmetric inner product (bigint). */
+case class SqAdc(left: Expression, right: Expression,
+    minFx: Array[Long], dFx: Array[Long]) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_adc"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SqOps.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], minFx, dFx)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("minFx", minFx, "long[]")
+    val dd = ctx.addReferenceObj("dFx", dFx, "long[]")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SqOps.adc($a, $b, $mn, $dd)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -106,6 +106,14 @@ package object functions {
   def pq_adc(luts: Column, codes: Column, k: Int): Column =
     toCol(PqAdc(toExpr(luts), toExpr(codes), k))
 
+  /** Scalar-quantization encode: per-dim int8 level under [mins, maxs]. */
+  def sq_encode(v: Column, mins: Array[Double], maxs: Array[Double]): Column =
+    toCol(SqEncode(toExpr(v), mins, maxs))
+
+  /** Scalar-quantization ADC: fixed-point asymmetric inner product. */
+  def sq_adc(qfx: Column, codes: Column, minFx: Array[Long], dFx: Array[Long]): Column =
+    toCol(SqAdc(toExpr(qfx), toExpr(codes), minFx, dFx))
+
   /** Membership probe of a bigint hash column against a pre-built
     * Bloom filter (scan-local, no shuffle of the probed side).
     */

@@ -1482,6 +1482,141 @@ object Ann {
        |  SELECT method, hits, (SELECT possible FROM pl) FROM hp)
        |ORDER BY method""".stripMargin
 
+  // ---- SQ (scalar quantization) MIPS: int8 codes + fixed-point ADC ----
+
+  private val SqTopK = 10
+  private val SqShortlist = 50
+  private val SqLevels = 255
+
+  /** D11: scalar-quantized maximum-inner-product search (SQ8 — the
+    * Faiss/Milvus `SQ8` index family, and the third point on the
+    * compression spectrum after LSH bits and PQ codebooks): training is
+    * just a per-dimension [min, max] — 2·Dim numbers against PQ's M·K
+    * centroids — and each vector compresses 4× to one int8 level per
+    * dimension. Scoring is ASYMMETRIC in exact fixed point: the query
+    * stays full-precision (qFx = ⌊q·2^20⌉), the candidate is
+    * reconstructed on the fly as exact BIGINTs (minFx + code·ΔFx), and
+    * Σ qFx·x̂Fx is pure int64 arithmetic — order-free, so the serial
+    * SQL oracle reproduces the distributed scan bit-for-bit. The code
+    * scan yields a top-$SqShortlist shortlist per query; only the
+    * shortlist has true vectors read for the exact inner-product
+    * re-rank (same two-stage shape as PQ).
+    *
+    * Scale: the first pass reads Dim bytes per vector instead of
+    * 4·Dim (f32) — at 100 TB of embeddings the shortlist scan touches
+    * 25 TB of codes, and the exact pass touches shortlist/N ≈ 0 of the
+    * floats. The [min,max] stats train in ONE posexplode pass with
+    * map-side partial aggregation onto Dim keys (a 64-row shuffle at
+    * any corpus size) and persist as a write-once artifact in the
+    * shared codebook format (seam-published, torn-artifact
+    * self-healing included).
+    */
+  private def ensureSqStats(c: => DataFrame, d: String): (Array[Double], Array[Double]) = {
+    val f = centroidsFile(d, "sq", 2)
+    val rows = readCentroids(f).getOrElse {
+      val stats = c.select(posexplode(col("v")))
+        .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+        .orderBy("pos").collect()
+      val out: Array[(Int, Seq[Double])] = Array(
+        (0, stats.map(_.getDouble(1)).toSeq),
+        (1, stats.map(_.getDouble(2)).toSeq))
+      writeCentroids(f, out)
+      out
+    }
+    val m = rows.toMap
+    (m(0).toArray, m(1).toArray)
+  }
+
+  def sAnnSq(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val (mins, maxs) = ensureSqStats(c, d)
+    val minFx = mins.map(fx)
+    val dFx = Array.tabulate(mins.length)(i => fx((maxs(i) - mins(i)) / SqLevels))
+
+    // the stored compressed corpus: one int8 level per dim
+    val codes = graft.Stage.barrier(
+      c.select(col("vec_id"),
+        graft.functions.sq_encode(col("v"), mins, maxs).as("codes")))
+    val q = graft.Stage.barrier(
+      queries(s, d).select(col("query_id"),
+        transform(col("qv"), x => floor(x * FxScale + lit(0.5)).cast("long"))
+          .as("qfx")))
+
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.sq_adc(col("qfx"), col("codes"), minFx, dFx)
+          .as("approx_ip"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx_ip").desc, col("vec_id"))
+    val shortlist = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= SqShortlist)
+      .select("query_id", "vec_id", "approx_ip")
+
+    // exact re-rank: true vectors read ONLY for the shortlist
+    val exact = shortlist
+      .join(c, Seq("vec_id"))
+      .join(broadcast(queries(s, d)), Seq("query_id"))
+      .withColumn("ip", round(vec_dot(col("v"), col("qv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SqTopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("ip"), col("approx_ip"))
+  }
+
+  /** The oracle re-derives stats, codes, and the fixed-point ADC scan
+    * bit-for-bit (everything after the exact double stats is integer),
+    * then re-ranks the same shortlist by the same serial-fold inner
+    * product.
+    */
+  val sAnnSqSql: String = {
+    val fxs = "1048576.0"
+    s"""WITH c AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
+       |dims AS (SELECT unnest(range(1, ${Dim + 1})) AS i),
+       |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |       FROM c CROSS JOIN dims GROUP BY i),
+       |p AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs,
+       |    list(CAST(floor(mn * $fxs + 0.5) AS BIGINT) ORDER BY i) AS minfx,
+       |    list(CAST(floor((mx - mn) / $SqLevels * $fxs + 0.5) AS BIGINT) ORDER BY i) AS dfx
+       |  FROM st),
+       |codes AS (SELECT vec_id,
+       |    list_transform(range(1, ${Dim + 1}), i ->
+       |      CASE WHEN p.maxs[i] <= p.mins[i] THEN 0
+       |        ELSE CAST(least(greatest(
+       |          floor((v[i] - p.mins[i]) * $SqLevels.0 / (p.maxs[i] - p.mins[i])),
+       |          0.0), $SqLevels.0) AS INT) END) AS cs
+       |  FROM c CROSS JOIN p),
+       |qf AS (SELECT query_id, qv,
+       |    list_transform(qv, x -> CAST(floor(x * $fxs + 0.5) AS BIGINT)) AS qfx
+       |  FROM q),
+       |scored AS (SELECT qf.query_id, codes.vec_id,
+       |    list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      i -> qf.qfx[i] * (p.minfx[i] + codes.cs[i] * p.dfx[i])),
+       |      (a, b) -> a + b) AS approx_ip
+       |  FROM codes CROSS JOIN qf CROSS JOIN p
+       |  WHERE codes.vec_id != qf.query_id),
+       |sl AS (SELECT query_id, vec_id, approx_ip,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_ip DESC, vec_id) AS arank
+       |  FROM scored),
+       |ex AS (SELECT s.query_id, s.vec_id, s.approx_ip,
+       |    round(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      i -> c.v[i] * qf.qv[i]), (a, b) -> a + b), 6) AS ip
+       |  FROM sl s JOIN c ON c.vec_id = s.vec_id
+       |  JOIN qf ON qf.query_id = s.query_id
+       |  WHERE s.arank <= $SqShortlist)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rank,
+       |  vec_id AS neighbor_id, ip, approx_ip
+       |FROM ex
+       |QUALIFY rank <= $SqTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_ann_eval", sAnnEval, Some(sAnnEvalSql)),
     QueryDef("s_hybrid", sHybrid, Some(sHybridSql)),
@@ -1493,6 +1628,7 @@ object Ann {
     QueryDef("s_ann_ivf", sAnnIvf, Some(sAnnIvfSql)),
     QueryDef("s_ann_filtered", sAnnFiltered, Some(sAnnFilteredSql)),
     QueryDef("s_ann_pq", sAnnPq, Some(sAnnPqSql)),
+    QueryDef("s_ann_sq", sAnnSq, Some(sAnnSqSql)),
     QueryDef("s_knn_join", sKnnJoin, Some(sKnnJoinSql)),
     QueryDef("s_knn_refine", sKnnRefine, Some(sKnnRefineSql)),
     QueryDef("s_knn_classify", sKnnClassify, Some(sKnnClassifySql)),

@@ -180,8 +180,68 @@ object Behavior {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MATCH_RECOGNIZE-style row-pattern matching (SQL:2016; the
+    * Flink/Trino/Oracle CEP surface) over per-user event sequences:
+    * PATTERN (V+ C P) — one or more views immediately followed by a
+    * click then a purchase, contiguous in the user's (ts, event_id)
+    * order — with AFTER MATCH SKIP PAST LAST ROW. Spark has no
+    * MATCH_RECOGNIZE clause, so the semantics are re-expressed by
+    * SYMBOLIZATION: each user's ordered events compress to a one-char-
+    * per-row symbol string ('v'iew/'c'lick/'p'urchase/'s'ignup/
+    * 'e'rror) and the row pattern becomes a plain regex scanned
+    * left-to-right — `Matcher.find` IS leftmost, non-overlapping,
+    * skip-past-last-row. Per matching user: match count, the longest
+    * V+ run inside any match, and total matched rows.
+    *
+    * Engine parity: `v+cp` contains no alternation, so leftmost-first
+    * (java.util.regex, Spark) and leftmost-longest (RE2, DuckDB) agree
+    * on every match — both take the maximal view run ending at the
+    * anchoring 'cp'. The symbol alphabet is the event types' distinct
+    * first letters.
+    *
+    * Scale shape: ONE shuffle on user_id (same as the funnel); the
+    * per-user state is one byte per event, and the regex scan is a
+    * single linear pass over it. No joins, no window re-sorts; at
+    * 100 TB of events the pattern match costs the events shuffle plus
+    * O(events-per-user) local work.
+    */
+  def qMatchRecognize(s: SparkSession, d: String): DataFrame =
+    matchRecognizeOf(events(s, d))
+
+  /** Core over any (user_id, us, event_id, event_type) frame — specs
+    * feed doctored sequences (overlap candidates, greedy-run ties).
+    */
+  def matchRecognizeOf(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("us"), col("event_id"),
+          col("event_type")))),
+        e => substring(e("event_type"), 1, 1)), "").as("sym"))
+      .select(col("user_id"),
+        expr("regexp_extract_all(sym, 'v+cp', 0)").as("ms"))
+      .filter(size(col("ms")) > 0)
+      .select(col("user_id"),
+        size(col("ms")).cast("long").as("n_matches"),
+        array_max(transform(col("ms"), x => length(x) - 2))
+          .cast("long").as("max_views"),
+        aggregate(transform(col("ms"), x => length(x)),
+          lit(0), (a, x) => a + x).cast("long").as("matched_rows"))
+      .orderBy("user_id")
+
+  val qMatchRecognizeSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+      |s AS (SELECT user_id,
+      |        array_to_string(list(substr(event_type, 1, 1) ORDER BY us, event_id), '') AS sym
+      |      FROM e GROUP BY user_id),
+      |m AS (SELECT user_id, regexp_extract_all(sym, 'v+cp') AS ms FROM s)
+      |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+      |  CAST(list_max(list_transform(ms, x -> length(x) - 2)) AS BIGINT) AS max_views,
+      |  CAST(list_sum(list_transform(ms, x -> length(x))) AS BIGINT) AS matched_rows
+      |FROM m WHERE len(ms) > 0 ORDER BY user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("q_retention", qRetention, Some(qRetentionSql)),
-    QueryDef("q_attribution", qAttribution, Some(qAttributionSql)))
+    QueryDef("q_attribution", qAttribution, Some(qAttributionSql)),
+    QueryDef("q_match_recognize", qMatchRecognize, Some(qMatchRecognizeSql)))
 }

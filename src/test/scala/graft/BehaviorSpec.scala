@@ -112,4 +112,43 @@ class BehaviorSpec extends SparkSpec {
     // retained users at any offset never exceed the cohort size
     ret.foreach { case (c, _, u) => assert(u <= cohorts(c)) }
   }
+
+  test("match_recognize doctored fixture: greedy runs, skip-past-last-row, no overlap") {
+    val d0 = 1700000000000000L
+    def seqOf(u: Long, syms: String): Seq[(Long, Long, Long, String, Double)] = {
+      val full = Map('v' -> "view", 'c' -> "click", 'p' -> "purchase",
+        's' -> "signup", 'e' -> "error")
+      syms.zipWithIndex.map { case (ch, i) =>
+        (u, d0 + i, u * 100 + i, full(ch), 0.0)
+      }
+    }
+    // u1 "vvcp": one match, the WHOLE view run is inside it (greedy V+).
+    // u2 "vcpvcp": two disjoint matches (skip past last row).
+    // u3 "vcvcp": the broken prefix vc does not anchor a match; the
+    //            trailing vcp does.
+    // u4 "vvc": no purchase -> no match -> user absent from output.
+    // u5 "vcpcp": the second cp has no view run -> exactly one match
+    //            (matches never overlap or reuse rows).
+    // u6 "svvvcpe": symbols outside the pattern are inert; 3-view run.
+    val rows = seqOf(1, "vvcp") ++ seqOf(2, "vcpvcp") ++ seqOf(3, "vcvcp") ++
+      seqOf(4, "vvc") ++ seqOf(5, "vcpcp") ++ seqOf(6, "svvvcpe")
+    val got = Behavior.matchRecognizeOf(evFrame(rows)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 2L, 4L)),
+      2L -> ((2L, 1L, 6L)),
+      3L -> ((1L, 1L, 3L)),
+      5L -> ((1L, 1L, 3L)),
+      6L -> ((1L, 3L, 5L))))
+  }
+
+  test("match_recognize at sf0.001: matched rows never exceed the user's event count") {
+    val got = Behavior.qMatchRecognize(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.nonEmpty)
+    val evCounts = Tables.events(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (u, m) => assert(m <= evCounts(u)) }
+  }
 }

@@ -471,6 +471,44 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall@10 $recall%.3f below floor")
   }
 
+  test("s_ann_sq: int8 codes recall true inner-product neighbors, rerank is exact") {
+    import graft.operators.Ann
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val rows = Ann.sAnnSq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // the re-ranked ip is the exact full-precision inner product
+    rows.take(20).foreach { r =>
+      val expected = dot(vecs(r._1), vecs(r._3))
+      val er = BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r._4 - er) < 1e-9)
+    }
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.keySet === (0L until 8L).toSet)
+    val hits = byQuery.toSeq.map { case (qid, rs) =>
+      assert(rs.sortBy(_._2).map(_._2).toSeq === (1 to rs.length))
+      // exact ips descend with rank (rerank really sorted by truth)
+      val sorted = rs.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+      val truth = (vecs.keySet - qid).toSeq
+        .map(o => (dot(vecs(qid), vecs(o)), o)).sortBy(t => (-t._1, t._2))
+        .take(10).map(_._2).toSet
+      rs.map(_._3).count(truth)
+    }
+    val recall = hits.sum.toDouble / (8 * 10)
+    info(f"s_ann_sq recall@10 = $recall%.3f")
+    // int8 per-dim quantization is far finer than PQ's 4-bit codebooks:
+    // the 50-wide shortlist should recover essentially all of the true
+    // top-10 at this corpus size
+    assert(recall >= 0.8, f"recall@10 $recall%.3f below floor")
+  }
+
   test("d_semdedup: drop flags match a brute-force within-cell recount") {
     val flags = Dedup.semdedupFlags(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3)))
