@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.Tables
 import graft.queries.QueryDef
-import graft.queries.QueryDef.dec
+import graft.queries.QueryDef.{dec, Money}
 
 /** Block G — Structured Streaming (SURVEY.md §2.G).
   *
@@ -141,6 +141,52 @@ object Streaming {
       |      (us // 1800000000) * 1800000000 - 1800000000]) AS ws_us
       |  FROM (SELECT event_type, epoch_us(ts) AS us FROM events))
       |GROUP BY 1, 2""".stripMargin
+
+  /** G1c: CHAINED stateful aggregations in ONE streaming query
+    * (SPARK-40925, 3.4+): per-(hour, user) activity counts feed a
+    * second event-time aggregation — per hour, the max single-user
+    * count and the distinct active users — with both operators sharing
+    * the watermark. Before this was native, pipelines paid an
+    * intermediate sink + a second query (double state, double
+    * checkpoint, minutes of added latency); chained, the first agg
+    * emits a finalized (hour, user) row the moment the watermark
+    * closes its window and the second agg folds it IN THE SAME
+    * microbatch. `window_time` re-derives the event-time column the
+    * second window needs from the first one's window struct. Append
+    * mode only (finalized rows are immutable downstream input), so the
+    * output is the CLOSED windows; the oracle applies the same
+    * watermark cutoff in SQL (the st_late_data convention).
+    *
+    * Scale: state is (hours × users) for agg1 — watermark-bounded,
+    * only open windows — and (hours) for agg2; the inner count
+    * partial-aggregates map-side before each shuffle like any batch
+    * groupBy. This is the streaming form of the q_topk_per_group /
+    * heavy-user report every event warehouse runs hourly.
+    */
+  def stChainedAgg(s: SparkSession, d: String): DataFrame = {
+    val hourly = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val perHour = hourly
+      .groupBy(window(window_time(col("window")), "1 hour"))
+      .agg(max("cnt").as("max_cnt"), count(lit(1)).as("n_users"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("max_cnt"), col("n_users"))
+    runToMemory(perHour, "st_chained_agg_mem", OutputMode.Append())
+      .orderBy("ws_us")
+  }
+
+  val stChainedAggSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |wm AS (SELECT max(us) // 1000 - 3600000 AS ms FROM e),
+      |h AS (SELECT (us // 3600000000) * 3600000000 AS ws_us, user_id,
+      |        count(*) AS cnt
+      |      FROM e GROUP BY 1, 2)
+      |SELECT ws_us, max(cnt) AS max_cnt, CAST(count(*) AS BIGINT) AS n_users
+      |FROM h
+      |WHERE ws_us + 3600000000 <= (SELECT ms FROM wm) * 1000
+      |GROUP BY ws_us ORDER BY ws_us""".stripMargin
 
   /** G2 batch twin: gap-based sessionization (30 min) via lag + running
     * sum of session starts — integer microsecond math on both sides so
@@ -320,6 +366,105 @@ object Streaming {
     graft.queries.Behavior.stageCounts(
       hits.groupBy("user_id").agg(max("reached").as("reached")))
   }
+
+  // ---- transformWithState (the Spark 4 arbitrary-state API) ----
+
+  final case class SpendState(n: Long, cents: Long, top: Seq[Long])
+  final case class SpendRow(user_id: Long, n_purchases: Long,
+      spend_cents: Long, top3_cents: Long)
+
+  /** Per-user purchase tracker on the transformWithState API — the
+    * typed successor to flatMapGroupsWithState (SPARK-40434): state is
+    * a NAMED handle acquired in init (composable — a processor can hold
+    * many value/list/map states, each with its own TTL), timers and
+    * TTL are first-class, and the runtime requires the RocksDB store
+    * (the disk-backed one a 100 TB keyed-state deployment needs
+    * anyway). State: running count, Money-cents spend, and the top-3
+    * purchase multiset — a bounded O(1)-per-key summary; every input
+    * batch emits the key's refreshed summary row (Update semantics).
+    */
+  final class SpendTracker extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, Long), SpendRow] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SpendState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SpendState]("spend",
+        org.apache.spark.sql.Encoders.product[SpendState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SpendRow] = {
+      val prev = Option(st.get()).getOrElse(SpendState(0L, 0L, Nil))
+      val next = spendStep(prev, rows.map(_._2))
+      st.update(next)
+      Iterator.single(SpendRow(key, next.n, next.cents, next.top.sum))
+    }
+  }
+
+  /** One state transition of the spend machine over a batch of cent
+    * values. Pure and ORDER-FREE (count/sum/top-3 multiset are all
+    * commutative), so any re-chunking of a key's rows across batches
+    * folds to the same state — the spec proves it directly.
+    */
+  private[graft] def spendStep(prev: SpendState, batch: Iterator[Long]): SpendState = {
+    var n = prev.n
+    var cents = prev.cents
+    var top = prev.top
+    batch.foreach { c =>
+      n += 1
+      cents += c
+      top = (top :+ c).sorted(Ordering[Long].reverse).take(3)
+    }
+    SpendState(n, cents, top)
+  }
+
+  /** G24: transformWithState as a registered query — drain the summary
+    * stream (RocksDB provider, scoped to this query's start), keep each
+    * user's newest summary (n_purchases is monotone per key), and hash
+    * against the batch twin: count / Money-cents sum / top-3 sum per
+    * user over purchase events. Fixed-point cents end-to-end, so the
+    * serial oracle and the keyed distributed state agree exactly.
+    */
+  def stTransformState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("value").cast(Money) * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+      val out = src.groupByKey(_._1)
+        .transformWithState(new SpendTracker,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF()
+      val drained = runToMemory(out, "st_transform_state_mem", OutputMode.Update())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_purchases").desc)
+      drained.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("user_id", "n_purchases", "spend_cents", "top3_cents")
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  val stTransformStateSql: String =
+    """WITH p AS (SELECT user_id, event_id,
+      |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |      FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, cents,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY cents DESC, event_id) AS rk
+      |      FROM p)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(cents) AS BIGINT) AS spend_cents,
+      |  CAST(sum(CASE WHEN rk <= 3 THEN cents ELSE 0 END) AS BIGINT) AS top3_cents
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** G2c: NATIVE session windows — the same 30-minute-gap session
     * definition as st_sessionize, but expressed with Spark's built-in
@@ -1850,6 +1995,8 @@ object Streaming {
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
     QueryDef("st_sessionize_stream", stSessionizeStream, Some(stSessionizeSql)),
     QueryDef("st_funnel", stFunnel, Some(graft.queries.Behavior.qFunnelSql)),
+    QueryDef("st_transform_state", stTransformState, Some(stTransformStateSql)),
+    QueryDef("st_chained_agg", stChainedAgg, Some(stChainedAggSql)),
     QueryDef("st_observe", stObserve, Some(stObserveSql)),
     QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),

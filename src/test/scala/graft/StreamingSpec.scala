@@ -639,6 +639,64 @@ class StreamingSpec extends SparkSpec {
     assert(stream.values.sum > 0)
   }
 
+  test("st_chained_agg: closed windows match the batch twin, open ones never leak") {
+    val got = Streaming.stChainedAgg(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    // all starts hour-aligned; every window closed under the watermark
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000 - 3600000L) * 1000
+    got.keys.foreach { ws =>
+      assert(ws % 3600000000L === 0L)
+      assert(ws + 3600000000L <= wmUs, s"open window $ws leaked into append output")
+    }
+    // batch twin computed in Spark (the oracle recomputes it in DuckDB)
+    val batch = Tables.events(spark, sfDir)
+      .select((unix_micros(col("ts")).cast("long") / lit(3600000000L)).cast("long")
+        .multiply(3600000000L).as("ws_us"), col("user_id"))
+      .groupBy("ws_us", "user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("ws_us").agg(max("cnt").as("max_cnt"), count(lit(1)).as("n_users"))
+      .filter(col("ws_us") + 3600000000L <= wmUs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === batch)
+  }
+
+  test("st_transform_state: spendStep is chunking-invariant and matches the batch twin") {
+    import graft.streaming.Streaming.{spendStep, SpendState}
+    // any re-chunking of the same value sequence folds to the same
+    // state (the batch-boundary-invariance transformWithState relies on)
+    val vals = Seq(500L, 100L, 900L, 900L, 50L, 300L, 700L)
+    val whole = spendStep(SpendState(0L, 0L, Nil), vals.iterator)
+    for (cut1 <- 0 to vals.length; cut2 <- cut1 to vals.length) {
+      val (a, rest) = vals.splitAt(cut1)
+      val (b, c) = rest.splitAt(cut2 - cut1)
+      val folded = Seq(a, b, c).foldLeft(SpendState(0L, 0L, Nil)) {
+        (st, chunk) => spendStep(st, chunk.iterator)
+      }
+      assert(folded === whole, s"chunking at ($cut1, $cut2) diverged")
+    }
+    assert(whole.n === 7L && whole.cents === vals.sum)
+    assert(whole.top === Seq(900L, 900L, 700L)) // multiset: dup kept
+    // the drained streaming query agrees with the batch aggregate
+    val streamed = Streaming.stTransformState(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("cents").desc, col("event_id"))
+    val batch = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast(graft.queries.QueryDef.Money) * 100).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"),
+        sum(when(col("rk") <= 3, col("cents")).otherwise(0L)).as("t3"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("st_funnel under RocksDBStateStoreProvider: identical output to the default store") {
     // the 100 TB story: flatMapGroupsWithState keyed by every user does
     // not fit an executor heap under the HDFS-backed in-memory store;
