@@ -211,6 +211,86 @@ object Multimodal {
       |  CAST(MAX((doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256) AS INTEGER) AS px_max
       |FROM px GROUP BY doc_id""".stripMargin
 
+  final case class PatchRow(doc_id: Long, pr: Int, pc: Int,
+      px_sum: Long, px_min: Int, px_max: Int)
+
+  val PatchSize = 4
+
+  /** ViT-style patchify for one decoded batch: the image splits into
+    * non-overlapping PatchSize×PatchSize tiles (remainder rows/cols
+    * dropped — the ViT convention), one output row per tile with its
+    * gray-channel stats standing in for the patch embedding a
+    * projection layer would compute. Shared per-batch reader, same
+    * amortization seam as decodeImageBatch.
+    */
+  def patchifyBatch(batch: Seq[BinaryRow]): Seq[PatchRow] =
+    withPngReader { reader =>
+      batch.flatMap { r =>
+        val img = readPng(reader, r.payload)
+        val raster = img.getRaster
+        val rows = img.getHeight / PatchSize
+        val cols = img.getWidth / PatchSize
+        for {
+          pr <- 0 until rows
+          pc <- 0 until cols
+        } yield {
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var y = pr * PatchSize
+          while (y < (pr + 1) * PatchSize) {
+            var x = pc * PatchSize
+            while (x < (pc + 1) * PatchSize) {
+              val v = raster.getSample(x, y, 0)
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          PatchRow(r.doc_id, pr, pc, sum, mn, mx)
+        }
+      }
+    }
+
+  /** F11: patch extraction (the ViT tokenizer step — image → fixed-size
+    * patch grid, the input shape every vision-transformer training
+    * pipeline materializes): real PNG decode through the batch seam,
+    * then per-tile stats. Partition-preserving mapPartitions, no
+    * shuffle, output volume = rows × (w/P)·(h/P) — at 100 TB the patch
+    * stream is a constant factor of the decoded raster volume and
+    * flows straight to the shard writer (m_shard_pack's input shape).
+    * The oracle re-derives every tile from the closed-form pixel
+    * function, so decode + tiling must be pixel-exact end-to-end.
+    */
+  def mPatchify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(pngFixturePartition)
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => patchifyBatch(g.toSeq)))
+      .toDF()
+  }
+
+  val mPatchifySql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+      |         CAST(8 + doc_id % 7 AS INTEGER) AS h
+      |  FROM documents),
+      |g AS (SELECT doc_id, w, h,
+      |        unnest(range(0, CAST((h // 4) * (w // 4) AS BIGINT))) AS t
+      |      FROM dims),
+      |tiles AS (SELECT doc_id, CAST(t // (w // 4) AS INTEGER) AS pr,
+      |            CAST(t % (w // 4) AS INTEGER) AS pc
+      |          FROM g),
+      |px AS (SELECT doc_id, pr, pc,
+      |         (doc_id * 31 + 7 * (pc * 4 + k % 4) + 13 * (pr * 4 + k // 4)) % 256 AS v
+      |       FROM (SELECT doc_id, pr, pc, unnest(range(0, 16)) AS k FROM tiles))
+      |SELECT doc_id, pr, pc, CAST(SUM(v) AS BIGINT) AS px_sum,
+      |  CAST(MIN(v) AS INTEGER) AS px_min, CAST(MAX(v) AS INTEGER) AS px_max
+      |FROM px GROUP BY doc_id, pr, pc""".stripMargin
+
   /** Route a MIXED image batch by magic bytes and decode each modality
     * through its own shared per-batch reader — m_magic_route's dispatch
     * feeding the decode seam. One reader per (format × batch), so a
@@ -886,6 +966,7 @@ object Multimodal {
     QueryDef("m_shard_pack", mShardPack, Some(mShardPackSql)),
     QueryDef("m_shard_shuffle", mShardShuffle, Some(mShardShuffleSql)),
     QueryDef("m_decode_features", mDecodeFeatures, Some(mDecodeFeaturesSql)),
+    QueryDef("m_patchify", mPatchify, Some(mPatchifySql)),
     QueryDef("m_frame_sample", mFrameSample, Some(mFrameSampleSql)),
     QueryDef("m_resize", mResize, Some(mResizeSql)),
     QueryDef("m_magic_route", mMagicRoute, Some(mMagicRouteSql)),

@@ -1294,6 +1294,34 @@ class StreamingSpec extends SparkSpec {
     assert(b.toSeq === a.map(r => (r._1, r._4)).toSeq)
   }
 
+  test("m_patchify: tile grid covers the divisible region, stats reconcile with the whole image") {
+    val patches = Multimodal.mPatchify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+      .groupBy(_._1)
+    val whole = Multimodal.mDecodeFeatures(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).map(t => t._1 -> t).toMap
+    assert(patches.keySet === whole.keySet.filter { id =>
+      val (w, h) = Multimodal.pngDims(id); w >= 4 && h >= 4
+    })
+    val P = Multimodal.PatchSize
+    patches.foreach { case (id, ps) =>
+      val (w, h) = Multimodal.pngDims(id)
+      // the grid is exactly (h/P)×(w/P), each tile once
+      assert(ps.map(t => (t._2, t._3)).toSet ===
+        (for { pr <- 0 until h / P; pc <- 0 until w / P } yield (pr, pc)).toSet)
+      val (_, _, _, imgSum, imgMin, imgMax) = whole(id)
+      // patch mins/maxes bound the image's
+      assert(ps.map(_._5).min >= imgMin && ps.map(_._6).max <= imgMax)
+      // and when the tiles COVER the image, sums reconcile exactly
+      if (w % P == 0 && h % P == 0) {
+        assert(ps.map(_._4).sum === imgSum, s"doc $id patch sums != image sum")
+        assert(ps.map(_._5).min === imgMin && ps.map(_._6).max === imgMax)
+      }
+    }
+  }
+
   test("m_frame_sample: frame counts and sampling ratio are exact") {
     val rows = Multimodal.mFrameSample(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
