@@ -1453,6 +1453,138 @@ object Dedup {
       |LEFT JOIN exacts e ON e.doc_id = i.doc_id
       |LEFT JOIN nears n ON n.doc_id = i.doc_id""".stripMargin
 
+  // ---- LSH band-parameter tuning ----
+
+  private val TunePerms = 16
+  private val TunePrime = 2305843009213693951L // 2^61 - 1
+  /** (bands, rows) splits of the 16-wide signature, precision → recall. */
+  private val TuneConfigs = Seq((2, 8), (4, 4), (8, 2))
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The permutation family's 60-bit mixing constants — generated once,
+    * and interpolated VERBATIM into the oracle SQL, so both engines use
+    * literally the same family (no cross-engine hash derivation).
+    */
+  private val TuneCs: Array[Long] =
+    Array.tabulate(TunePerms)(j => splitmix64(j.toLong + 1) >>> 4)
+
+  /** Distinct sorted 3-gram md5-60 shingle hashes per doc (the
+    * cross-engine-reproducible family — xxhash shingles cannot be
+    * re-derived in SQL, md5 nibble folds can).
+    */
+  private def tuneShingles(s: SparkSession, d: String): DataFrame =
+    graft.Stage.cached(Tables.documents(s, d)
+      .select(col("doc_id"), array_sort(array_distinct(
+        graft.functions.word_shingle_md5_hashes(col("text"), 3))).as("th"))
+      .filter(size(col("th")) > 0))
+
+  /** C17: LSH band-parameter tuning — the measure-before-you-commit
+    * step for a dedup index (s_ann_eval's role, pointed at MinHash
+    * banding): ONE 16-wide minhash signature pass, then THREE
+    * (bands × rows) splits of the same signature post their buckets,
+    * and per config the candidate-pair count and how many candidates
+    * verify at Jaccard ≥ 1/2. 2×8 = high precision / low recall,
+    * 8×2 = the reverse; the table IS the tuning curve (collision
+    * probability 1-(1-J^r)^b made empirical on this corpus).
+    *
+    * The minhash here is h_j(t) = ((t ⊕ c_j)·3 + j) mod 2^61-1 over
+    * md5-60 shingle hashes — a genuine permutation family (xor and
+    * odd-multiply mod a prime are bijections) whose every operation is
+    * exact BIGINT in both engines, so the oracle re-derives signatures
+    * bit-for-bit from md5 nibble folds.
+    *
+    * Scale shape: the signature is computed in one doc-local pass (no
+    * shuffle); each config posts bands×1 rows per doc (constant
+    * factor); candidates come from per-(config, band, bucket) joins —
+    * never all-pairs — and verification touches candidates only. At
+    * 100 TB, tuning runs on a deterministic hash-sample of the corpus
+    * (t_sample's splitter) and the chosen config feeds d_minhash_lsh
+    * unchanged; the sweep costs ~|configs| posting passes over the
+    * sample, all reusing the one cached signature relation.
+    */
+  def dBandTune(s: SparkSession, d: String): DataFrame = {
+    val sh = tuneShingles(s, d)
+    val sig = graft.Stage.barrier(sh.select(col("doc_id"),
+      array((0 until TunePerms).map(j =>
+        array_min(transform(col("th"), t =>
+          (t.bitwiseXOR(lit(TuneCs(j))) * lit(3L) + lit(j.toLong)) % lit(TunePrime)))): _*)
+        .as("sig")))
+    val posts = TuneConfigs.map { case (b, r) =>
+      sig.select(lit(s"${b}x$r").as("config"), col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(b - 1)), bd =>
+          array_join(transform(
+            slice(col("sig"), bd * r + 1, lit(r)), v => v.cast("string")), "_"))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bkey")
+    }.reduce(_ unionAll _)
+    val cand = posts.as("x").join(posts.as("y"),
+      col("x.config") === col("y.config") && col("x.band") === col("y.band")
+        && col("x.bkey") === col("y.bkey")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.config").as("config"),
+        col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("th").as("ta")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("th").as("tb")), Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.sorted_intersect_count(col("ta"), col("tb")))
+      .withColumn("uni",
+        (size(col("ta")) + size(col("tb")) - col("inter")).cast("long"))
+      .groupBy("config")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("inter") * 2 >= col("uni"), 1L).otherwise(0L)).as("n_true"))
+      .orderBy("config")
+  }
+
+  val dBandTuneSql: String = {
+    val csLit = TuneCs.mkString("[", ", ", "]")
+    val fold =
+      """list_reduce(list_transform(range(1, 16), j ->
+        |          CAST(strpos('123456789abcdef', substr(md5(g), j, 1)) AS BIGINT)),
+        |          (a, b) -> a * 16 + b)""".stripMargin
+    val postBlock = TuneConfigs.map { case (b, r) =>
+      s"""SELECT '${b}x$r' AS config, doc_id, b AS band,
+         |    array_to_string(sig[b*$r+1 : b*$r+$r], '_') AS bkey
+         |  FROM sig, range(0, $b) t(b)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |    ELSE [] END) AS s
+       |  FROM w),
+       |ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |hs AS (SELECT doc_id, list_transform(s, g -> $fold) AS th FROM ne),
+       |cs AS (SELECT $csLit AS c),
+       |sig AS (SELECT doc_id, list_transform(range(0, $TunePerms), j ->
+       |          list_min(list_transform(th, t ->
+       |            (xor(t, cs.c[CAST(j AS INT) + 1]) * 3 + j) % $TunePrime))) AS sig
+       |        FROM hs CROSS JOIN cs),
+       |posts AS (
+       |  $postBlock),
+       |cand AS (SELECT DISTINCT x.config, x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM posts x JOIN posts y
+       |           ON x.config = y.config AND x.band = y.band AND x.bkey = y.bkey
+       |          AND x.doc_id < y.doc_id),
+       |v AS (SELECT c.config,
+       |        len(list_intersect(a.s, b.s)) AS inter,
+       |        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+       |      FROM cand c JOIN ne a ON a.doc_id = c.id_a
+       |      JOIN ne b ON b.doc_id = c.id_b)
+       |SELECT config, CAST(count(*) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+       |FROM v GROUP BY config ORDER BY config""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_bloom", dBloom, Some(dBloomSql)),
@@ -1470,5 +1602,6 @@ object Dedup {
     QueryDef("d_substring_apply", dSubstringApply, Some(dSubstringApplySql)),
     QueryDef("d_fuzzy_join", dFuzzyJoin, Some(dFuzzyJoinSql)),
     QueryDef("d_incremental", dIncremental, Some(dIncrementalSql)),
+    QueryDef("d_band_tune", dBandTune, Some(dBandTuneSql)),
   )
 }

@@ -509,6 +509,25 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall@10 $recall%.3f below floor")
   }
 
+  test("d_band_tune: configs nest — candidates and trues grow with band count") {
+    // 2x8 bands are aligned unions of 4x4 bands, which are unions of
+    // 8x2 bands: agreement on a coarse band implies agreement on every
+    // sub-band, so the candidate sets are nested supersets and both
+    // counts must be monotone down the config list
+    val rows = Dedup.dBandTune(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq("2x8", "4x4", "8x2"))
+    rows.foreach { case (c, nc, nt) =>
+      assert(nt <= nc, s"$c: trues exceed candidates") }
+    val cands = rows.map(_._2)
+    val trues = rows.map(_._3)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      s"candidate counts not monotone: ${cands.toSeq}")
+    assert(trues.zip(trues.tail).forall { case (a, b) => a <= b },
+      s"true counts not monotone: ${trues.toSeq}")
+    assert(cands.head > 0)
+  }
+
   test("d_semdedup: drop flags match a brute-force within-cell recount") {
     val flags = Dedup.semdedupFlags(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3)))
