@@ -229,8 +229,12 @@ object Dedup {
       .distinct()
   }
 
-  val dSimhashSql: String =
-    """WITH w AS (
+  /** The simhash-signature CTE chain, shared by the d_simhash oracle
+    * and every graph oracle built over the same pair relation
+    * (d_graph_dist).
+    */
+  private val simhashSigCtes: String =
+    """w AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS ws
       |  FROM documents WHERE len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) > 0),
       |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
@@ -248,11 +252,14 @@ object Dedup {
       |sig AS (
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
-      |  FROM votes GROUP BY doc_id)
-      |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-      |  CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
-      |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-      |WHERE bit_count(xor(x.sh, y.sh)) <= 7""".stripMargin
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  val dSimhashSql: String =
+    s"""WITH $simhashSigCtes
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= 7""".stripMargin
 
   // ---- n-gram jaccard ----
 
@@ -924,6 +931,25 @@ object Dedup {
     s.read.parquet(phys.getPath)
   }
 
+  /** The simhash pair relation as a write-once artifact (same
+    * fingerprint discipline as edgesDir): d_graph_dist's 6 frontier
+    * rounds re-read the edge list once per round, and a parquet-backed
+    * relation both caches cleanly across runs (canonical scan plans —
+    * the barrier'd in-flight form never cache-matches) and skips the
+    * banding join entirely after the first build.
+    */
+  private[graft] def simhashEdgesDir(d: String): java.io.File = {
+    val base = edgesDir(d)
+    new java.io.File(base.getParentFile, base.getName + "_simhash")
+  }
+
+  def ensureSimhashEdges(s: SparkSession, d: String): DataFrame = {
+    val phys = graft.Stage.ensureArtifact(s, simhashEdgesDir(d)) { tmp =>
+      dSimhash(s, d).select(col("id_a"), col("id_b")).write.parquet(tmp.getPath)
+    }
+    s.read.parquet(phys.getPath)
+  }
+
   def dCentrality(s: SparkSession, d: String): DataFrame = {
     val corpus = corpusWithExactDups(s, d)
     val und = ensureNearDupEdges(s, d)
@@ -1453,6 +1479,77 @@ object Dedup {
       |LEFT JOIN exacts e ON e.doc_id = i.doc_id
       |LEFT JOIN nears n ON n.doc_id = i.doc_id""".stripMargin
 
+  // ---- BFS distances over the near-dup graph ----
+
+  private val BfsMaxHops = 6
+  private val BfsSeedMod = 100
+
+  /** C18: multi-source BFS distances — "how far is every document from
+    * the nearest audited/seed document, measured in near-dup hops" (the
+    * contamination-radius / provenance-spread question). The graph is
+    * the SIMHASH pair relation (hamming ≤ 7 — the one near-dup family
+    * whose corpus forms a real multi-hop web here: its giant component
+    * spans 180 docs at diameter ≥ 7, where the exact/ngram artifact is
+    * all 2-node stars), persisted as a write-once edge artifact so the
+    * banding join runs once per corpus, not once per query. Seeds =
+    * doc_id ≡ 0 (mod $BfsSeedMod); output = every doc within
+    * $BfsMaxHops hops with its hop distance (first-discovery BFS layer
+    * = min distance, so the answer is join-order-free).
+    *
+    * Scale shape: classic frontier iteration — each of the ≤6 rounds
+    * joins the CURRENT FRONTIER (not the full distance table) against
+    * the parquet-backed edge artifact, anti-joins out already-visited
+    * docs, and persists the round's frontier so lineage stays flat.
+    * Work per round is O(frontier-adjacent edges); the 6-round cap
+    * bounds the sweep the way an iteration budget bounds PageRank
+    * (d_centrality), and rounds after the frontier empties
+    * short-circuit on the round count instead of planning no-op
+    * shuffles.
+    */
+  def dGraphDist(s: SparkSession, d: String): DataFrame = {
+    val und = graft.Stage.cached(ensureSimhashEdges(s, d))
+    val edges = und.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(und.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val seeds = Tables.documents(s, d)
+      .filter(col("doc_id") % BfsSeedMod === 0)
+      .select(col("doc_id"), lit(0L).as("dist"))
+    var dist = graft.Stage.cached(seeds)
+    var frontier = dist
+    var live = true
+    for (k <- 1 to BfsMaxHops; if live) {
+      val next = graft.Stage.cached(frontier
+        .join(edges, frontier("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id"))
+        .distinct()
+        .join(dist.select(col("doc_id").as("seen")),
+          col("doc_id") === col("seen"), "left_anti")
+        .select(col("doc_id"), lit(k.toLong).as("dist")))
+      live = next.count() > 0
+      if (live) {
+        frontier = next
+        dist = dist.unionAll(frontier)
+      }
+    }
+    dist.orderBy("doc_id")
+  }
+
+  val dGraphDistSql: String =
+    s"""WITH RECURSIVE $simhashSigCtes,
+       |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |      FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |      WHERE bit_count(xor(x.sh, y.sh)) <= 7),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |bfs AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS dist
+       |  FROM documents WHERE doc_id % $BfsSeedMod = 0
+       |  UNION
+       |  SELECT e.dst AS doc_id, b.dist + 1 AS dist
+       |  FROM bfs b JOIN e ON e.src = b.doc_id
+       |  WHERE b.dist < $BfsMaxHops)
+       |SELECT doc_id, MIN(dist) AS dist
+       |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- LSH band-parameter tuning ----
 
   private val TunePerms = 16
@@ -1603,5 +1700,6 @@ object Dedup {
     QueryDef("d_fuzzy_join", dFuzzyJoin, Some(dFuzzyJoinSql)),
     QueryDef("d_incremental", dIncremental, Some(dIncrementalSql)),
     QueryDef("d_band_tune", dBandTune, Some(dBandTuneSql)),
+    QueryDef("d_graph_dist", dGraphDist, Some(dGraphDistSql)),
   )
 }

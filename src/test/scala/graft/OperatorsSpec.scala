@@ -509,6 +509,31 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall@10 $recall%.3f below floor")
   }
 
+  test("d_graph_dist: BFS layers are exactly consistent with the edge relation") {
+    val dists = Dedup.dGraphDist(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists.nonEmpty)
+    val edges = Dedup.ensureSimhashEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    dists.foreach { case (doc, k) =>
+      if (k == 0L) assert(doc % 100 === 0, s"non-seed doc $doc at distance 0")
+      else {
+        // a doc at layer k must have a parent at k-1 and no closer one
+        assert(adj(doc).exists(n => dists.get(n).contains(k - 1)),
+          s"doc $doc at layer $k has no neighbor at ${k - 1}")
+        assert(adj(doc).forall(n => dists.getOrElse(n, Long.MaxValue) >= k - 1),
+          s"doc $doc at layer $k has a closer neighbor")
+      }
+    }
+    // completeness: neighbors of any doc inside the hop budget are found
+    dists.foreach { case (doc, k) =>
+      if (k < 6L) adj.getOrElse(doc, Set.empty).foreach(n =>
+        assert(dists.contains(n), s"undiscovered neighbor $n of layer-$k doc $doc"))
+    }
+  }
+
   test("d_band_tune: configs nest — candidates and trues grow with band count") {
     // 2x8 bands are aligned unions of 4x4 bands, which are unions of
     // 8x2 bands: agreement on a coarse band implies agreement on every
