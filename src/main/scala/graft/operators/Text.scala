@@ -1386,6 +1386,69 @@ object Text {
        |GROUP BY c.doc_id""".stripMargin
   }
 
+  /** E27: cross-document LINE deduplication (the CCNet / RefinedWeb
+    * paragraph-dedup pass: any line whose exact content appears in
+    * more than one document is removed from EVERY document, and the
+    * survivors are stitched back in order). Lines here are the
+    * deterministic $LineWords-word segments of the whitespace
+    * tokenization (the corpus has no literal newlines); identity is
+    * exact content, counted per DISTINCT doc so an in-doc repetition
+    * alone never kills a line. Output per doc: line count, removed
+    * count, and the reassembled kept text.
+    *
+    * Scale shape: one explode (linear in tokens), ONE shuffle keyed on
+    * the md5 line fingerprint for the distinct-doc count (map-side
+    * partial agg absorbs boilerplate-line skew), the count joined back
+    * on the same fp partitioning, then one doc_id agg that rebuilds
+    * the text via sort_array over (line_no, line) structs — no global
+    * sort, no self-join, and the fingerprint (not the line text) is
+    * the shuffle key everywhere the payload isn't needed.
+    */
+  private val LineWords = 8
+
+  def tLineDedup(s: SparkSession, d: String): DataFrame = {
+    val lines = graft.Stage.cached(Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (size(col("ws")) + (LineWords - 1)).divide(LineWords).cast("int") - 1)).as("line_no"),
+        col("ws"))
+      .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+        concat_ws(" ", slice(col("ws"), col("line_no") * LineWords + 1, lit(LineWords))).as("line"))
+      .withColumn("fp", md5(col("line"))))
+    val counts = lines.groupBy("fp").agg(countDistinct("doc_id").as("nd"))
+    lines.join(counts, "fp")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_removed"),
+        coalesce(
+          array_join(
+            transform(
+              sort_array(collect_list(when(col("nd") === 1,
+                struct(col("line_no"), col("line"))))),
+              x => x.getField("line")),
+            " "),
+          lit("")).as("kept_text"))
+  }
+
+  val tLineDedupSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |l AS (SELECT doc_id, unnest(range(0, (len(ws) + ${LineWords - 1}) // $LineWords)) AS line_no, ws FROM w),
+       |lines AS (
+       |  SELECT doc_id, CAST(line_no AS BIGINT) AS line_no,
+       |    array_to_string(ws[line_no * $LineWords + 1 : line_no * $LineWords + $LineWords], ' ') AS line
+       |  FROM l),
+       |c AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  COALESCE(string_agg(CASE WHEN c.nd = 1 THEN lines.line END, ' ' ORDER BY line_no), '') AS kept_text
+       |FROM lines JOIN c USING (line)
+       |GROUP BY doc_id""".stripMargin
+
   /** E23: word co-occurrence with association lift — the collocation
     * table (word2vec-window statistics / PMI-style association mining):
     * ordered word pairs within distance ≤ 2, counted corpus-wide, the
@@ -1684,6 +1747,7 @@ object Text {
     QueryDef("t_cooccur", tCooccur, Some(tCooccurSql)),
     QueryDef("t_chunk", tChunk, Some(tChunkSql)),
     QueryDef("t_chunk_cdc", tChunkCdc, Some(tChunkCdcSql)),
+    QueryDef("t_line_dedup", tLineDedup, Some(tLineDedupSql)),
     QueryDef("t_corpus_prep", tCorpusPrep, Some(tCorpusPrepSql)),
     QueryDef("t_quality_model", tQualityModel, Some(tQualityModelSql)),
     QueryDef("t_quality_train", tQualityTrain, Some(tQualityTrainSql)),

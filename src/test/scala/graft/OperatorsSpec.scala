@@ -982,6 +982,28 @@ class OperatorsSpec extends SparkSpec {
     assert(full.nonEmpty, "fixture must actually contain heavy hitters")
   }
 
+  test("t_line_dedup: matches a brute per-doc recount; shared lines die everywhere") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty)).toMap
+    val segs = docs.map { case (id, ws) =>
+      id -> ws.grouped(8).map(_.mkString(" ")).toVector
+    }
+    val nd = segs.toSeq.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val got = graft.operators.Text.tLineDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === docs.keySet)
+    var anyRemoved = false
+    segs.foreach { case (id, ls) =>
+      val kept = ls.filter(l => nd(l) == 1)
+      val removed = ls.size - kept.size
+      if (removed > 0) anyRemoved = true
+      assert(got(id) === ((ls.size.toLong, removed.toLong, kept.mkString(" "))),
+        s"doc $id")
+    }
+    assert(anyRemoved, "fixture must actually contain cross-doc duplicate lines")
+  }
+
   test("t_chunk_cdc: chunks partition the doc; edits reshape only their neighborhood") {
     import org.apache.spark.unsafe.types.UTF8String
     def chunksOf(text: String): Seq[(Int, Int, String)] = {
