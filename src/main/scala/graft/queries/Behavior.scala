@@ -239,9 +239,90 @@ object Behavior {
       |  CAST(list_sum(list_transform(ms, x -> length(x))) AS BIGINT) AS matched_rows
       |FROM m WHERE len(ms) > 0 ORDER BY user_id""".stripMargin
 
+  /** A-block: peak concurrency (max simultaneously-open sessions) per
+    * event_type — the classic "concurrent viewers" sweep-line. Each event
+    * opens a half-open 30-minute session [us, us+30m); peak = max running
+    * sum of +1/−1 deltas ordered by (t, delta) (the −1 first, so a session
+    * ending exactly when another starts never overlaps).
+    *
+    * Scale shape: the textbook single ORDER BY t window would serialize
+    * each key's entire history through one task — with 5 event types
+    * that is 5 tasks for 100 TB. Instead a SEGMENTED scan: deltas hash
+    * into (key, hour-bucket) groups — one well-distributed shuffle —
+    * where a sorted HOF walk yields each bucket's (delta sum, local max
+    * prefix, first time achieving it); a second, tiny window over the
+    * per-bucket rows (bounded by time span / bucket width, not by event
+    * count) turns bucket sums into running offsets, and
+    * peak = max(offset + local max). Same associative-scan decomposition
+    * Flink/kdb use for parallel interval stabbing.
+    */
+  private[graft] val SessUs = 1800000000L
+  private[graft] val BucketUs = 3600000000L
+
+  def qConcurrency(s: SparkSession, d: String): DataFrame =
+    concurrencyOf(events(s, d))
+
+  /** Core over any (event_type, us) frame — specs feed doctored
+    * fixtures (end-meets-start ties, cross-bucket plateaus).
+    */
+  def concurrencyOf(ev: DataFrame): DataFrame = {
+    val deltas = ev.select(col("event_type"),
+        explode(array(
+          struct(col("us").as("t"), lit(1).as("delta")),
+          struct((col("us") + SessUs).as("t"), lit(-1).as("delta")))).as("e"))
+      .select(col("event_type"), col("e.t").as("t"), col("e.delta").as("delta"))
+    val buckets = deltas
+      .withColumn("bucket", expr(s"t DIV ${BucketUs}L"))
+      .groupBy("event_type", "bucket")
+      .agg(sort_array(collect_list(struct(col("t"), col("delta")))).as("ds"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_open"))
+      .select(col("event_type"), col("bucket"), col("n_open"),
+        expr("""aggregate(ds,
+          |  named_struct('run', CAST(0 AS BIGINT),
+          |               'best', CAST(-4611686018427387904 AS BIGINT),
+          |               'bestT', CAST(0 AS BIGINT)),
+          |  (acc, e) -> named_struct(
+          |    'run', acc.run + e.delta,
+          |    'best', CASE WHEN acc.run + e.delta > acc.best
+          |                 THEN acc.run + e.delta ELSE acc.best END,
+          |    'bestT', CASE WHEN acc.run + e.delta > acc.best
+          |                  THEN e.t ELSE acc.bestT END))""".stripMargin).as("st"))
+      .select(col("event_type"), col("bucket"), col("n_open"),
+        col("st.run").as("dsum"), col("st.best").as("lbest"),
+        col("st.bestT").as("lbestT"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    buckets
+      .withColumn("gbest", coalesce(sum("dsum").over(w), lit(0L)) + col("lbest"))
+      .groupBy("event_type")
+      .agg(
+        max(struct(col("gbest"), (-col("bucket")).as("nb"),
+          col("lbestT"))).as("m"),
+        sum("n_open").as("n_sessions"))
+      .select(col("event_type"), col("m.gbest").as("peak"),
+        col("m.lbestT").as("peak_at_us"), col("n_sessions"))
+  }
+
+  val qConcurrencySql: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+       |d AS (
+       |  SELECT event_type, us AS t, 1 AS delta FROM e
+       |  UNION ALL
+       |  SELECT event_type, us + $SessUs, -1 FROM e),
+       |r AS (SELECT event_type, t, delta,
+       |        SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |      FROM d),
+       |r2 AS (SELECT *, MAX(run) OVER (PARTITION BY event_type) AS pk FROM r)
+       |SELECT event_type, CAST(pk AS BIGINT) AS peak,
+       |  CAST(MIN(CASE WHEN run = pk THEN t END) AS BIGINT) AS peak_at_us,
+       |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+       |FROM r2 GROUP BY event_type, pk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("q_retention", qRetention, Some(qRetentionSql)),
     QueryDef("q_attribution", qAttribution, Some(qAttributionSql)),
-    QueryDef("q_match_recognize", qMatchRecognize, Some(qMatchRecognizeSql)))
+    QueryDef("q_match_recognize", qMatchRecognize, Some(qMatchRecognizeSql)),
+    QueryDef("q_concurrency", qConcurrency, Some(qConcurrencySql)))
 }

@@ -113,6 +113,47 @@ class BehaviorSpec extends SparkSpec {
     ret.foreach { case (c, _, u) => assert(u <= cohorts(c)) }
   }
 
+  test("concurrency doctored fixture: ties, half-open ends, cross-bucket offsets") {
+    import spark.implicits._
+    val S = Behavior.SessUs
+    val B = Behavior.BucketUs
+    val d0 = 1700000000000000L
+    // a: 3 overlapping sessions -> peak 3 at the third open;
+    //    then one that starts EXACTLY when the first ends (half-open:
+    //    the -1 sorts before the +1, so the peak stays 3).
+    // b: peak is reached in a LATER hour bucket than the first open,
+    //    so the cross-bucket offset carry must be exercised.
+    // c: single session -> peak 1 at its own start.
+    val rows = Seq(
+      ("a", d0), ("a", d0 + 10), ("a", d0 + 20), ("a", d0 + S),
+      ("b", d0), ("b", d0 + 2 * B), ("b", d0 + 2 * B + 1),
+      ("c", d0))
+    val got = Behavior.concurrencyOf(rows.toDF("event_type", "us")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "a" -> ((3L, d0 + 20, 4L)),
+      "b" -> ((2L, d0 + 2 * B + 1, 3L)),
+      "c" -> ((1L, d0, 1L))))
+  }
+
+  test("concurrency matches a brute sweep-line recount at sf0.001") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val brute = ev.groupBy(_._1).map { case (k, xs) =>
+      val deltas = xs.flatMap { case (_, us) =>
+        Seq((us, 1), (us + Behavior.SessUs, -1)) }.sortBy(identity)
+      var run = 0L; var best = Long.MinValue; var bestT = 0L
+      deltas.foreach { case (t, d) =>
+        run += d; if (run > best) { best = run; bestT = t } }
+      k -> ((best, bestT, xs.length.toLong))
+    }
+    val got = Behavior.qConcurrency(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === brute)
+    assert(brute.values.exists(_._1 > 1L), "fixture must actually overlap")
+  }
+
   test("match_recognize doctored fixture: greedy runs, skip-past-last-row, no overlap") {
     val d0 = 1700000000000000L
     def seqOf(u: Long, syms: String): Seq[(Long, Long, Long, String, Double)] = {
