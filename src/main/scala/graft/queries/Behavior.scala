@@ -319,10 +319,47 @@ object Behavior {
        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
        |FROM r2 GROUP BY event_type, pk""".stripMargin
 
+  /** A-block: deterministic per-group reservoir sample — EXACTLY k
+    * events per user, uniform over the user's history, reproducible
+    * across runs and engines. Where Bernoulli `TABLESAMPLE` gives a
+    * random-sized sample and a true reservoir is stateful/sequential,
+    * ordering each group by a keyed hash (md5 of user:event) and taking
+    * row_number ≤ k IS a reservoir draw (any k-subset equally likely
+    * under the hash's uniformity) with a deterministic seed.
+    *
+    * Scale shape: the rank filter plans as WindowGroupLimit (partial
+    * below the exchange, final above — plan-pinned in BehaviorSpec), so
+    * each mapper locally top-k's its groups and at most k rows per
+    * (group, mapper) ever cross the shuffle: sampling 5 of a billion
+    * events per user shuffles ~5·mappers rows, not the billion. The
+    * full-history sort the naive window implies never happens.
+    */
+  private[graft] val ReservoirK = 5
+
+  def qReservoir(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("rk"), col("event_id"))
+    events(s, d)
+      .withColumn("rk", md5(concat_ws(":", col("user_id"), col("event_id"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ReservoirK)
+      .select(col("user_id"), col("rn").as("sample_rank"),
+        col("event_id"), col("event_type"))
+  }
+
+  val qReservoirSql: String =
+    s"""SELECT user_id, CAST(rn AS INTEGER) AS sample_rank, event_id, event_type
+       |FROM (
+       |  SELECT user_id, event_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY md5(CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)),
+       |               event_id) AS rn
+       |  FROM events) t WHERE rn <= $ReservoirK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("q_retention", qRetention, Some(qRetentionSql)),
     QueryDef("q_attribution", qAttribution, Some(qAttributionSql)),
     QueryDef("q_match_recognize", qMatchRecognize, Some(qMatchRecognizeSql)),
-    QueryDef("q_concurrency", qConcurrency, Some(qConcurrencySql)))
+    QueryDef("q_concurrency", qConcurrency, Some(qConcurrencySql)),
+    QueryDef("q_reservoir", qReservoir, Some(qReservoirSql)))
 }

@@ -154,6 +154,28 @@ class BehaviorSpec extends SparkSpec {
     assert(brute.values.exists(_._1 > 1L), "fixture must actually overlap")
   }
 
+  test("reservoir: exact-k, uniform-keyed, and the group limit is pushed below the exchange") {
+    val df = Behavior.qReservoir(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val evCounts = Tables.events(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = got.groupBy(_._1)
+    assert(byUser.keySet === evCounts.keySet)
+    byUser.foreach { case (u, xs) =>
+      assert(xs.length === math.min(5L, evCounts(u)).toInt, s"user $u")
+      assert(xs.map(_._2).sorted === (1 to xs.length), s"user $u ranks")
+    }
+    // determinism: a second run draws the identical sample
+    assert(Behavior.qReservoir(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet === got.toSet)
+    // scale contract: rank filter became a WindowGroupLimit with a
+    // partial pass below the shuffle (map-side ≤k rows per group)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(plan.contains("Partial"), "missing map-side partial group limit")
+  }
+
   test("match_recognize doctored fixture: greedy runs, skip-past-last-row, no overlap") {
     val d0 = 1700000000000000L
     def seqOf(u: Long, syms: String): Seq[(Long, Long, Long, String, Double)] = {
