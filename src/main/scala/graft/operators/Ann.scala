@@ -1617,8 +1617,109 @@ object Ann {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- graph-expansion search (the HNSW/NSG query path, batched) ----
+
+  private val GsBeam = 8
+  private val GsSeedStride = 16
+
+  /** D11: beam search over the kNN graph — the query-time half of
+    * graph-ANN (HNSW/NSG/Vamana): start from cheap entry points, follow
+    * graph edges toward the query, re-rank what was visited. Re-expressed
+    * as a BATCHED, fixed-depth beam: entry candidates are the
+    * deterministic 1/${GsSeedStride} corpus slice scored exactly, the
+    * top-$GsBeam per query form the frontier, and each of two unrolled
+    * hops expands the frontier through the SHARED kNN-graph artifact
+    * (s_knn_join's IVF-blocked build — the same edges NN-Descent
+    * refines), keeping visited = distinct(visited ∪ neighbors(frontier))
+    * and re-beaming. Final answer: exact top-$TopK of the visited set.
+    *
+    * Scale shape: per query the visited set is bounded by
+    * seeds + hops·beam·K — never a corpus scan; the seed slice is one
+    * pruned scan (modulo pushdown), each hop is a broadcast-sized
+    * frontier joined against the graph on its build key, and scoring
+    * touches only visited ids (semi-join into the corpus, not a cross).
+    * At 10⁹ vectors the per-query cost is the ~100-edge walk every
+    * graph-ANN paper banks on, while the batch form keeps it one
+    * declarative plan (no driver-side loop per hop — the depth is a
+    * compile-time unroll, matching the oracle's chained CTEs).
+    */
+  def sGraphSearch(s: SparkSession, d: String): DataFrame = {
+    val g = graft.Stage.cached(
+      sKnnJoin(s, d).select(col("vec_id"), col("neighbor_id")))
+    val c = corpus(s, d)
+    val q = queries(s, d)
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", round(vec_cosine(col("v"), col("qv")), 4))
+      .select("query_id", "vec_id", "cos")
+    def beam(v: DataFrame, b: Int): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      v.withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
+        .select("query_id", "vec_id")
+    }
+    def expand(f: DataFrame): DataFrame = f
+      .join(g, Seq("vec_id"))
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val seeds = c.filter(col("vec_id") % GsSeedStride === 0)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(vec_cosine(col("v"), col("qv")), 4))
+      .select("query_id", "vec_id", "cos")
+    val p1 = seeds.select("query_id", "vec_id")
+      .union(expand(beam(seeds, GsBeam)))
+      .filter(col("vec_id") =!= col("query_id")).distinct()
+    val v1 = graft.Stage.cached(score(p1))
+    val p2 = v1.select("query_id", "vec_id")
+      .union(expand(beam(v1, GsBeam)))
+      .filter(col("vec_id") =!= col("query_id")).distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    score(p2).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+  }
+
+  val sGraphSearchSql: String =
+    s"""WITH g AS (SELECT vec_id, neighbor_id FROM ($sKnnJoinSql)),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
+       |v0 AS (SELECT query_id, c.vec_id,
+       |         round(list_cosine_similarity(c.v, q.qv), 4) AS cos
+       |       FROM c, q
+       |       WHERE c.vec_id % $GsSeedStride = 0 AND c.vec_id != q.query_id),
+       |f0 AS (SELECT query_id, vec_id FROM (
+       |         SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, vec_id) AS rn FROM v0) WHERE rn <= $GsBeam),
+       |p1 AS (SELECT DISTINCT query_id, vec_id FROM (
+       |         SELECT query_id, vec_id FROM v0
+       |         UNION ALL
+       |         SELECT f0.query_id, g.neighbor_id AS vec_id
+       |         FROM f0 JOIN g ON f0.vec_id = g.vec_id) u
+       |       WHERE vec_id != query_id),
+       |v1 AS (SELECT query_id, p1.vec_id,
+       |         round(list_cosine_similarity(c.v, q.qv), 4) AS cos
+       |       FROM p1 JOIN c ON p1.vec_id = c.vec_id JOIN q USING (query_id)),
+       |f1 AS (SELECT query_id, vec_id FROM (
+       |         SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, vec_id) AS rn FROM v1) WHERE rn <= $GsBeam),
+       |p2 AS (SELECT DISTINCT query_id, vec_id FROM (
+       |         SELECT query_id, vec_id FROM v1
+       |         UNION ALL
+       |         SELECT f1.query_id, g.neighbor_id AS vec_id
+       |         FROM f1 JOIN g ON f1.vec_id = g.vec_id) u
+       |       WHERE vec_id != query_id),
+       |v2 AS (SELECT query_id, p2.vec_id,
+       |         round(list_cosine_similarity(c.v, q.qv), 4) AS cos
+       |       FROM p2 JOIN c ON p2.vec_id = c.vec_id JOIN q USING (query_id))
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos FROM (
+       |  SELECT query_id, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id) AS rank FROM v2)
+       |WHERE rank <= $TopK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_ann_eval", sAnnEval, Some(sAnnEvalSql)),
+    QueryDef("s_graph_search", sGraphSearch, Some(sGraphSearchSql)),
     QueryDef("s_hybrid", sHybrid, Some(sHybridSql)),
     QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),

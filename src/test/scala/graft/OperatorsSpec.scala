@@ -736,6 +736,45 @@ class OperatorsSpec extends SparkSpec {
     assert(refined >= 0.5, f"refined recall $refined%.3f collapsed")
   }
 
+  test("s_graph_search: hops beat the seed slice; recall@10 vs brute force holds") {
+    val brute = Ann.sAnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Ann.sGraphSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length))
+      assert(!rs.exists(_._3 == q), s"query $q returned itself")
+    }
+    val pairs = got.map(r => (r._1, r._3)).toSet
+    val recall = (pairs & brute).size.toDouble / brute.size
+    // seed-only baseline: what the entry slice alone would answer —
+    // the graph hops must add neighbors this baseline cannot see
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seedOnly = (0L until 8L).flatMap { q =>
+      vecs.keys.filter(v => v % 16 == 0 && v != q).toSeq
+        .map(v => (v, math.floor(cos(vecs(q), vecs(v)) * 10000.0 + 0.5) / 10000.0))
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(p => (q, p._1))
+    }.toSet
+    val seedRecall = (seedOnly & brute).size.toDouble / brute.size
+    info(f"s_graph_search recall@10 = $recall%.3f (seed-only $seedRecall%.3f)")
+    assert(recall > seedRecall,
+      f"graph hops added nothing over the seed slice ($recall%.3f vs $seedRecall%.3f)")
+    assert(recall >= 0.4, f"graph-search recall $recall%.3f collapsed")
+    // visited-set bound: every answer is seed-reachable within 2 hops
+    // of the beam — in particular the output never exceeds TopK rows
+    assert(got.groupBy(_._1).values.forall(_.length <= 10))
+  }
+
   test("s_ann_brute: ranks are 1..k per query, self excluded, cos descending") {
     val rows = Ann.sAnnBrute(spark, sfDir)
       .orderBy("query_id", "rank").collect()
