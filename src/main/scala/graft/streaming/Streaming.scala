@@ -188,6 +188,57 @@ object Streaming {
       |WHERE ws_us + 3600000000 <= (SELECT ms FROM wm) * 1000
       |GROUP BY ws_us ORDER BY ws_us""".stripMargin
 
+  /** G1d: streaming windowed approx-distinct — per (day, event_type),
+    * the distinct active users estimated by an HLL sketch (rsd 0.02,
+    * 4K registers). THE reason to sketch in a stream: exact distinct
+    * state grows with the user count per open window (unbounded on a
+    * 100 TB firehose), while the sketch is a constant ~4 KB of
+    * registers per group, merged associatively across microbatches and
+    * partitions. Like q_distinct_approx, the sketch updates on
+    * PRE-DEDUPED (window, type, user) rows — a chained agg (SPARK-40925)
+    * whose first stage dedupes under the shared watermark — which is
+    * estimate-identical (register merges are max-based, duplicates are
+    * no-ops) and lets the same query emit the exact count that
+    * CERTIFIES the estimate: the oracle-gated ratio pins the sketch
+    * inside ±5% (1 dp). Production keeps the sketch branch alone;
+    * the exact branch is the certification harness. Append mode —
+    * closed windows only; the oracle applies the same watermark cutoff
+    * (st_late_data convention).
+    */
+  def stHll(s: SparkSession, d: String): DataFrame = {
+    // DAY windows, not hours: the certification gate needs the
+    // per-group cardinality in linear counting's statistical regime
+    // (n ≈ 50 against 4K registers → collision mass n²/2m ≪ 1 estimate
+    // unit). Hour-sized groups of 3-4 users across thousands of groups
+    // make single register collisions (prob ~n²/2m each, thousands of
+    // draws) visible as a 0.75 ratio in SOME group — the estimator is
+    // fine, the 1 dp gate on a 4-element set is not.
+    val deduped = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val perWin = deduped
+      .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("exact_users"),
+        round(col("approx").cast("double") / col("exact_users"), 1)
+          .as("users_ratio"))
+    runToMemory(perWin, "st_hll_mem", OutputMode.Append())
+      .orderBy("ws_us", "event_type")
+  }
+
+  val stHllSql: String =
+    """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us FROM events),
+      |wm AS (SELECT max(us) // 1000 - 3600000 AS ms FROM e)
+      |SELECT (us // 86400000000) * 86400000000 AS ws_us, event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(1.0 AS DOUBLE) AS users_ratio
+      |FROM e
+      |WHERE (us // 86400000000) * 86400000000 + 86400000000 <= (SELECT ms FROM wm) * 1000
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** G2 batch twin: gap-based sessionization (30 min) via lag + running
     * sum of session starts — integer microsecond math on both sides so
     * the DuckDB oracle is exact.
@@ -1997,6 +2048,7 @@ object Streaming {
     QueryDef("st_funnel", stFunnel, Some(graft.queries.Behavior.qFunnelSql)),
     QueryDef("st_transform_state", stTransformState, Some(stTransformStateSql)),
     QueryDef("st_chained_agg", stChainedAgg, Some(stChainedAggSql)),
+    QueryDef("st_hll", stHll, Some(stHllSql)),
     QueryDef("st_observe", stObserve, Some(stObserveSql)),
     QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),

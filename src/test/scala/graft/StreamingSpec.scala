@@ -662,6 +662,30 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("st_hll: estimates certified against exact per closed day window") {
+    val got = Streaming.stHll(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000 - 3600000L) * 1000
+    val DayUs = 86400000000L
+    got.foreach { case (ws, _, _, ratio) =>
+      assert(ws % DayUs === 0L)
+      assert(ws + DayUs <= wmUs, s"open window $ws leaked into append output")
+      assert(ratio === 1.0, s"window $ws sketch drifted outside the 1dp gate")
+    }
+    // exact counts match the batch twin
+    val batch = Tables.events(spark, sfDir)
+      .select((unix_micros(col("ts")) / lit(DayUs)).cast("long")
+        .multiply(DayUs).as("ws_us"), col("event_type"), col("user_id"))
+      .groupBy("ws_us", "event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .filter(col("ws_us") + DayUs <= wmUs)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.map(g => (g._1, g._2) -> g._3).toMap === batch)
+  }
+
   test("st_transform_state: spendStep is chunking-invariant and matches the batch twin") {
     import graft.streaming.Streaming.{spendStep, SpendState}
     // any re-chunking of the same value sequence folds to the same
