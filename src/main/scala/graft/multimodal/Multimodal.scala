@@ -425,6 +425,94 @@ object Multimodal {
       .toDF()
   }
 
+  final case class AugImg(doc_id: Long, aug: String, width: Int, height: Int,
+      px_sum: Long, a_digest: String)
+
+  /** Augmentations over the DECODED raster — horizontal flip
+    * (out(x,y) = in(w−1−x, y)) and 1-pixel center crop
+    * (out(x,y) = in(x+1, y+1), dims (w−2)×(h−2)); both pixel-exact
+    * transforms of the lossless decode, so the oracle replays them
+    * from the closed-form pixel function without a codec.
+    */
+  def augmentImageBatch(batch: Seq[BinaryRow]): Seq[AugImg] =
+    withPngReader { reader => batch.flatMap { r =>
+      val img = readPng(reader, r.payload)
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      def render(name: String, ow: Int, oh: Int,
+          src: (Int, Int) => (Int, Int)): AugImg = {
+        val out = new Array[Byte](ow * oh)
+        var sum = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val (sx, sy) = src(x, y)
+            val v = raster.getSample(sx, sy, 0)
+            out(y * ow + x) = v.toByte
+            sum += v
+            x += 1
+          }
+          y += 1
+        }
+        AugImg(r.doc_id, name, ow, oh, sum, md5OfUpperHex(out.iterator))
+      }
+      Seq(
+        render("hflip", w, h, (x, y) => (w - 1 - x, y)),
+        render("crop", w - 2, h - 2, (x, y) => (x + 1, y + 1)))
+    } }
+
+  /** F11: deterministic augmentation fan-out — the 1→N expansion every
+    * vision training pipeline runs between storage and the data loader
+    * (RandAugment et al. with a KEYED seed, so every epoch and every
+    * re-run sees the identical augmented corpus — the reproducibility
+    * property the deterministic shard shuffle (m_shard_shuffle) gives
+    * batches, extended to pixels). Real decode → two pixel-exact
+    * variants per image (hflip + center crop) through the same batched
+    * reader seam as m_resize; output rows carry the variant's dims,
+    * pixel sum and row-major digest.
+    *
+    * Scale shape: per-partition decode+transform, partition-preserving,
+    * zero shuffle — the fan-out multiplies ROWS, not tasks, and the
+    * augmented bytes never leave the executor that decoded them (the
+    * shard-pack step downstream is where they'd be written). 100 TB of
+    * images augment at scan speed; nothing here is quadratic or keyed.
+    */
+  def mAugment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(pngFixturePartition)
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => augmentImageBatch(g.toSeq)))
+      .toDF()
+  }
+
+  val mAugmentSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+       |         CAST(8 + doc_id % 7 AS INTEGER) AS h
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, 'hflip' AS aug, w AS ow, h AS oh,
+       |         unnest(range(0, CAST(w * h AS BIGINT))) AS k
+       |  FROM dims
+       |  UNION ALL
+       |  SELECT doc_id, 'crop' AS aug, w - 2 AS ow, h - 2 AS oh,
+       |         unnest(range(0, CAST((w - 2) * (h - 2) AS BIGINT))) AS k
+       |  FROM dims),
+       |px AS (
+       |  SELECT v.doc_id, aug, ow, oh, k,
+       |    CASE WHEN aug = 'hflip'
+       |      THEN (v.doc_id * 31 + 7 * (ow - 1 - (k % ow)) + 13 * (k // ow)) % 256
+       |      ELSE (v.doc_id * 31 + 7 * ((k % ow) + 1) + 13 * ((k // ow) + 1)) % 256
+       |    END AS val
+       |  FROM v)
+       |SELECT doc_id, aug, MAX(ow) AS width, MAX(oh) AS height,
+       |  CAST(SUM(val) AS BIGINT) AS px_sum,
+       |  md5(string_agg(printf('%02X', val), '' ORDER BY k)) AS a_digest
+       |FROM px GROUP BY doc_id, aug""".stripMargin
+
   /** m_resize oracle: resampled pixel (x, y) reads source pixel
     * (2x, 2y) of the closed-form image; digest re-built with
     * printf('%02X') + ordered string_agg.
@@ -969,6 +1057,7 @@ object Multimodal {
     QueryDef("m_patchify", mPatchify, Some(mPatchifySql)),
     QueryDef("m_frame_sample", mFrameSample, Some(mFrameSampleSql)),
     QueryDef("m_resize", mResize, Some(mResizeSql)),
+    QueryDef("m_augment", mAugment, Some(mAugmentSql)),
     QueryDef("m_magic_route", mMagicRoute, Some(mMagicRouteSql)),
     QueryDef("m_audio_features", mAudioFeatures, Some(mAudioFeaturesSql)),
   )

@@ -1382,6 +1382,35 @@ class StreamingSpec extends SparkSpec {
     assert(again.toSeq === rows.map(r => (r._1, r._7)).toSeq)
   }
 
+  test("m_augment: hflip and crop are pixel-exact transforms of the decode") {
+    val rows = Multimodal.mAugment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getString(5)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length === 2 * nDocs, "fan-out must be exactly 1→2")
+    rows.groupBy(_._1).foreach { case (id, vs) =>
+      assert(vs.map(_._2).sorted.toSeq === Seq("crop", "hflip"))
+    }
+    rows.foreach { case (id, aug, w, h, sum, digest) =>
+      val (ew, eh) = Multimodal.pngDims(id)
+      val px: IndexedSeq[Int] = aug match {
+        case "hflip" =>
+          assert(w === ew && h === eh)
+          for { y <- 0 until h; x <- 0 until w }
+            yield Multimodal.pngPixel(id, ew - 1 - x, y)
+        case "crop" =>
+          assert(w === ew - 2 && h === eh - 2)
+          for { y <- 0 until h; x <- 0 until w }
+            yield Multimodal.pngPixel(id, x + 1, y + 1)
+      }
+      assert(sum === px.map(_.toLong).sum, s"doc $id $aug px_sum")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(px.map(v => f"$v%02X").mkString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(digest === md, s"doc $id $aug digest")
+    }
+  }
+
   test("m_shard_pack: manifest matches a brute-force sequential pack") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
