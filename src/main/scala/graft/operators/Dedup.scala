@@ -1682,7 +1682,124 @@ object Dedup {
        |FROM v GROUP BY config ORDER BY config""".stripMargin
   }
 
+  // ---- URL canonicalization + dedup (web-crawl ingestion) ----
+
+  /** Deterministic MESSY url per doc — the closed-form-fixture pattern
+    * (Multimodal.pngPixel): scheme/host case noise, optional www,
+    * tracking params in shuffled order, optional fragment and trailing
+    * slash, all functions of doc_id so the oracle rebuilds the same
+    * corpus. Two docs share a canonical URL iff doc_id ≡ (mod 200)
+    * (lcm of the 50/200/100 component periods), giving real dup groups
+    * at any corpus size.
+    */
+  private[graft] def urlFixture(id: Column): Column = {
+    val scheme = when(id % 3 === 0, "HTTPS").otherwise("https")
+    val www = when(id % 2 === 0, "WWW.").otherwise("")
+    val host = concat(www, lit("Site"), (id % 50).cast("string"), lit(".com"))
+    val path = concat(lit("/a/"), (id % 200).cast("string"),
+      when(id % 4 === 0, "/").otherwise(""))
+    val realParam = concat(lit("id="), (id % 100).cast("string"))
+    val query = when(id % 5 === 0,
+        when(id % 7 === 0, concat(lit("?utm_source=feed&"), realParam))
+          .otherwise(concat(lit("?"), realParam, lit("&utm_campaign=x"))))
+      .otherwise(concat(lit("?"), realParam))
+    val frag = when(id % 6 === 0, concat(lit("#sec"), (id % 3).cast("string")))
+      .otherwise("")
+    concat(scheme, lit("://"), host, path, query, frag)
+  }
+
+  /** Canonicalize ON THE STRING (no doc_id shortcuts): strip fragment,
+    * lowercase scheme+host, drop `www.`, drop `utm_*` tracking params,
+    * sort surviving params, strip the trailing path slash.
+    */
+  private[graft] def canonUrl(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = substring_index(noFrag, "://", -1)
+    val host0 = substring_index(rest, "/", 1)
+    val host = regexp_replace(lower(host0), "^www\\.", "")
+    val pathq = substring_index(rest.substr(length(host0) + 1, length(rest)), "?", 1)
+    val path = regexp_replace(pathq, "/$", "")
+    val query = when(noFrag.contains("?"), substring_index(noFrag, "?", -1))
+      .otherwise("")
+    val params = array_join(array_sort(filter(split(query, "&"),
+      p => p =!= "" && substring(p, 1, 4) =!= lit("utm_"))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params =!= "", concat(lit("?"), params)).otherwise(""))
+  }
+
+  /** C17: URL canonicalization + exact dedup — the first dedup pass of
+    * every web-crawl ingestion (CommonCrawl dedups by canonical URL
+    * before any content pass): normalize away the noise that makes one
+    * page look like many (case, www, tracking params, param order,
+    * fragments, trailing slash), then exact-dedup on the canonical
+    * form. Canonicalization is pure codegen'd per-row string work —
+    * zero shuffle until the dedup itself, which is ONE hash shuffle on
+    * the canonical key (window over canon: count + min keeper, no
+    * sort — unbounded frame). At 100 TB the canon pass rides the scan
+    * and the shuffle carries one row per URL, the same economics as
+    * d_exact on text.
+    */
+  def dUrlCanon(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canon")
+    Tables.documents(s, d)
+      .select(col("doc_id"), urlFixture(col("doc_id")).as("_u"))
+      .withColumn("canon", canonUrl(col("_u")))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .select("doc_id", "canon", "n_dups", "keep")
+  }
+
+  val dUrlCanonSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) ||
+      |    '://' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    'Site' || CAST(doc_id % 50 AS VARCHAR) || '.com' ||
+      |    '/a/' || CAST(doc_id % 200 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN
+      |       (CASE WHEN doc_id % 7 = 0
+      |          THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+      |          ELSE '?id=' || CAST(doc_id % 100 AS VARCHAR) || '&utm_campaign=x' END)
+      |     ELSE '?id=' || CAST(doc_id % 100 AS VARCHAR) END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+      |    AS raw
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    split_part(raw, '#', 1) AS nofrag
+      |  FROM u),
+      |comp AS (
+      |  SELECT doc_id,
+      |    lower(split_part(nofrag, '://', 1)) AS scheme,
+      |    regexp_replace(lower(split_part(split_part(nofrag, '://', 2), '/', 1)),
+      |      '^www\.', '') AS host,
+      |    regexp_replace(
+      |      split_part(
+      |        substr(split_part(nofrag, '://', 2),
+      |          length(split_part(split_part(nofrag, '://', 2), '/', 1)) + 1),
+      |        '?', 1),
+      |      '/$', '') AS path,
+      |    CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END AS q
+      |  FROM parts),
+      |canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host || path ||
+      |    CASE WHEN array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |           p -> p != '' AND substr(p, 1, 4) != 'utm_')), '&') != ''
+      |      THEN '?' || array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |           p -> p != '' AND substr(p, 1, 4) != 'utm_')), '&')
+      |      ELSE '' END AS canon
+      |  FROM comp)
+      |SELECT doc_id, canon,
+      |  CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS n_dups,
+      |  doc_id = MIN(doc_id) OVER (PARTITION BY canon) AS keep
+      |FROM canon""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("d_url_canon", dUrlCanon, Some(dUrlCanonSql)),
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_bloom", dBloom, Some(dBloomSql)),
     QueryDef("d_cluster_apply", dClusterApply, Some(dClusterApplySql)),

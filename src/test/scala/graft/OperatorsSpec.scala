@@ -1021,6 +1021,38 @@ class OperatorsSpec extends SparkSpec {
     assert(full.nonEmpty, "fixture must actually contain heavy hitters")
   }
 
+  test("d_url_canon: noise collapses, groups match the mod-200 law, one keeper each") {
+    val got = graft.operators.Dedup.dUrlCanon(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val n = Tables.documents(spark, sfDir).count()
+    assert(got.length === n)
+    // brute canonical form straight from the fixture law
+    def canonOf(id: Long): String =
+      s"https://site${id % 50}.com/a/${id % 200}?id=${id % 100}"
+    got.foreach { case (id, canon, _, _) =>
+      assert(canon === canonOf(id), s"doc $id canonical form")
+    }
+    // group law: docs collide iff id ≡ (mod 200); keeper = min id
+    val byCanon = got.groupBy(_._2)
+    assert(byCanon.exists(_._2.length > 1), "fixture must contain dup groups")
+    byCanon.foreach { case (c, xs) =>
+      val ids = xs.map(_._1)
+      assert(ids.map(_ % 200).distinct.length === 1, s"$c crosses the law")
+      xs.foreach { case (id, _, nd, keep) =>
+        assert(nd === xs.length.toLong)
+        assert(keep === (id == ids.min), s"doc $id keep flag")
+      }
+    }
+    // the raw urls inside a dup group genuinely differ (the noise is real)
+    val raws = Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.operators.Dedup.urlFixture(col("doc_id")).as("u")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aGroup = byCanon.values.find(_.length > 2).getOrElse(
+      byCanon.values.filter(_.length > 1).head)
+    assert(aGroup.map(x => raws(x._1)).distinct.length > 1,
+      "dup group members should disagree in raw form")
+  }
+
   test("t_line_dedup: matches a brute per-doc recount; shared lines die everywhere") {
     val docs = Tables.documents(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty)).toMap
