@@ -1717,8 +1717,135 @@ object Ann {
        |    ORDER BY cos DESC, vec_id) AS rank FROM v2)
        |WHERE rank <= $TopK""".stripMargin
 
+  // ---- MMR: diversity-aware re-ranking of a retrieval shortlist ----
+
+  private val MmrC = 12
+  private val MmrK = 5
+
+  /** D12: Maximal Marginal Relevance (Carbonell & Goldstein '98 — the
+    * standard RAG/retrieval diversifier): from each query's top-$MmrC
+    * shortlist, greedily select $MmrK results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) with λ = 0.7 — the
+    * first pick is pure relevance, every later pick is penalized by
+    * its similarity to what's already chosen, so near-duplicate hits
+    * can't fill the context window. The greedy argmax chain is
+    * inherently sequential PER QUERY but bounded (K steps over ≤C
+    * candidates), so it unrolls into one declarative plan: K−1
+    * repetitions of [anti-join out the selected, max-sim against the
+    * selected via the C²-bounded pairwise-sim table, rank-1 pick].
+    * ALL scores are integer fixed-point (floor(cos·10⁴ + 0.5); weights
+    * 7/3 = 10λ/10(1−λ)), so every comparison is exact BIGINT in both
+    * engines — no float drift across K chained argmaxes.
+    *
+    * Scale shape: the shortlist (not the corpus) is what MMR touches —
+    * C·N_queries rows, the pairwise table C²·N_queries — both
+    * broadcast-sized by construction at any corpus size; the corpus
+    * appears only in the (swappable) shortlist stage, here brute
+    * scoring, in production the IVF/LSH path feeding the same columns.
+    */
+  def sMmr(s: SparkSession, d: String): DataFrame = {
+    val wq = Window.partitionBy("query_id").orderBy(col("relFx").desc, col("vec_id"))
+    val cand = graft.Stage.cached(
+      corpus(s, d).crossJoin(broadcast(queries(s, d)))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("relFx",
+          floor(vec_cosine(col("v"), col("qv")) * 10000 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= MmrC)
+        .select("query_id", "vec_id", "relFx", "v"))
+    val a = cand.select(col("query_id").as("qa"), col("vec_id").as("ca"),
+      col("v").as("va"))
+    val b = cand.select(col("query_id").as("qb"), col("vec_id").as("cb"),
+      col("v").as("vb"))
+    val sims = graft.Stage.cached(
+      a.join(b, col("qa") === col("qb") && col("ca") =!= col("cb"))
+        .withColumn("simFx",
+          floor(vec_cosine(col("va"), col("vb")) * 10000 + 0.5).cast("long"))
+        .select(col("qa").as("query_id"), col("ca"), col("cb"), col("simFx")))
+    val base = cand.select("query_id", "vec_id", "relFx")
+    var selected = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("relFx").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), col("relFx"),
+        lit(1).as("sel_rank"))
+    for (i <- 2 to MmrK) {
+      val selKeys = selected.select(col("query_id").as("sq"), col("vec_id").as("sv"))
+      val msim = sims.join(selKeys,
+          col("query_id") === col("sq") && col("cb") === col("sv"))
+        .groupBy(col("query_id").as("mq"), col("ca"))
+        .agg(max("simFx").as("msimFx"))
+      val rem = base.join(selKeys,
+        col("query_id") === col("sq") && col("vec_id") === col("sv"), "left_anti")
+      val next = rem.join(msim,
+          col("query_id") === col("mq") && col("vec_id") === col("ca"))
+        .withColumn("mmrFx", lit(7L) * col("relFx") - lit(3L) * col("msimFx"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("mmrFx").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("relFx"),
+          lit(i).as("sel_rank"))
+      selected = selected.union(next)
+    }
+    selected.select(col("query_id"), col("sel_rank"), col("vec_id"),
+      col("relFx").as("rel_fx"))
+  }
+
+  val sMmrSql: String = {
+    val relFx = s"CAST(FLOOR(${cosSql("c.v", "q.qv", Dim)} * 10000 + 0.5) AS BIGINT)"
+    val simFx = s"CAST(FLOOR(${cosSql("a.v", "b.v", Dim)} * 10000 + 0.5) AS BIGINT)"
+    val head =
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
+         |cand AS (
+         |  SELECT query_id, vec_id, relFx, v FROM (
+         |    SELECT q.query_id, c.vec_id, $relFx AS relFx, c.v,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY $relFx DESC, c.vec_id) AS rn
+         |    FROM c, q WHERE c.vec_id != q.query_id) WHERE rn <= $MmrC),
+         |sims AS (
+         |  SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb, $simFx AS simFx
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+         |s1 AS (
+         |  SELECT query_id, vec_id, relFx, 1 AS sel_rank FROM (
+         |    SELECT query_id, vec_id, relFx,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY relFx DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |u2 AS (SELECT query_id, vec_id FROM s1)""".stripMargin
+    val steps = (2 to MmrK).map { i =>
+      val uNext = if (i < MmrK)
+        s""",
+           |u${i + 1} AS (SELECT query_id, vec_id FROM u$i
+           |  UNION ALL SELECT query_id, vec_id FROM s$i)""".stripMargin
+      else ""
+      s"""m$i AS (
+         |  SELECT s.query_id, s.ca AS vec_id, MAX(s.simFx) AS msimFx
+         |  FROM sims s JOIN u$i u
+         |    ON s.query_id = u.query_id AND s.cb = u.vec_id
+         |  GROUP BY s.query_id, s.ca),
+         |s$i AS (
+         |  SELECT query_id, vec_id, relFx, $i AS sel_rank FROM (
+         |    SELECT cd.query_id, cd.vec_id, cd.relFx,
+         |      ROW_NUMBER() OVER (PARTITION BY cd.query_id
+         |        ORDER BY 7 * cd.relFx - 3 * m.msimFx DESC, cd.vec_id) AS rn
+         |    FROM cand cd JOIN m$i m
+         |      ON cd.query_id = m.query_id AND cd.vec_id = m.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM u$i u
+         |      WHERE u.query_id = cd.query_id AND u.vec_id = cd.vec_id)
+         |  ) WHERE rn = 1)$uNext""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val unionAll = (1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""$head$steps
+       |SELECT query_id, CAST(sel_rank AS INTEGER) AS sel_rank, vec_id,
+       |  relFx AS rel_fx
+       |FROM ($unionAll)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_ann_eval", sAnnEval, Some(sAnnEvalSql)),
+    QueryDef("s_mmr", sMmr, Some(sMmrSql)),
     QueryDef("s_graph_search", sGraphSearch, Some(sGraphSearchSql)),
     QueryDef("s_hybrid", sHybrid, Some(sHybridSql)),
     QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),

@@ -775,6 +775,48 @@ class OperatorsSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.length <= 10))
   }
 
+  test("s_mmr: matches a brute greedy recount and actually diversifies") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def fx(x: Double): Long = math.floor(x * 10000.0 + 0.5).toLong
+    val brute = (0L until 8L).flatMap { q =>
+      val cand = vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, fx(cos(vecs(q), vecs(v)))))
+        .sortBy { case (v, r) => (-r, v) }.take(12)
+      var sel = Vector(cand.head)
+      var remaining = cand.tail
+      while (sel.length < 5) {
+        val pick = remaining.map { case (v, r) =>
+          val msim = sel.map(s => fx(cos(vecs(v), vecs(s._1)))).max
+          (v, r, 7L * r - 3L * msim)
+        }.sortBy { case (v, _, m) => (-m, v) }.head
+        sel :+= ((pick._1, pick._2))
+        remaining = remaining.filter(_._1 != pick._1)
+      }
+      sel.zipWithIndex.map { case ((v, r), i) => (q, i + 1, v, r) }
+    }.toSet
+    val got = graft.operators.Ann.sMmr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === brute)
+    // diversification is real: for SOME query the MMR pick order differs
+    // from pure relevance order (else λ·rel dominated everywhere)
+    val pureTop = (0L until 8L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, fx(cos(vecs(q), vecs(v)))))
+        .sortBy { case (v, r) => (-r, v) }.take(5).zipWithIndex
+        .map { case ((v, r), i) => (q, i + 1, v, r) }
+    }.toSet
+    assert(got !== pureTop, "MMR never deviated from pure relevance — λ penalty inert")
+  }
+
   test("s_ann_brute: ranks are 1..k per query, self excluded, cos descending") {
     val rows = Ann.sAnnBrute(spark, sfDir)
       .orderBy("query_id", "rank").collect()
