@@ -190,7 +190,52 @@ object Temporal {
       |    ORDER BY epoch_us(o_orderdate), o_orderkey) IS NULL AS is_current
       |FROM orders""".stripMargin
 
+  /** A-block: INTERVAL×INTERVAL overlap join — distinct from
+    * q_range_join's point-in-interval: both sides are intervals (here
+    * each user's click sessions vs purchase sessions, 30-min half-open),
+    * and a pair matches iff the intervals intersect. The naive form is
+    * a per-user theta join (quadratic in per-user density — a hot user
+    * with 10⁵ clicks × 10⁵ purchases is 10¹⁰ comparisons); instead both
+    * sides explode into the HOUR BUCKETS they cover (≤2 each at these
+    * widths) and equi-join on (user, bucket) — a hash join Catalyst can
+    * shuffle-partition, with work linear in intervals × buckets-covered.
+    * Duplicate pairs (intervals sharing several buckets) are killed
+    * WITHOUT a distinct: a pair reports only in the bucket containing
+    * the overlap's start, max(c_s, p_s) — the standard spatial-join
+    * de-dup trick, per-row arithmetic instead of a second shuffle.
+    */
+  private val IvSessUs = 1800000000L
+
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    def side(t: String, p: String) = Tables.events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id").as(s"${p}_id"),
+        unix_micros(col("ts")).as(s"${p}_s"),
+        (unix_micros(col("ts")) + IvSessUs).as(s"${p}_e"))
+      .withColumn("bkt", explode(sequence(
+        expr(s"${p}_s DIV ${BucketUs}L"),
+        expr(s"(${p}_e - 1) DIV ${BucketUs}L"))))
+    side("click", "c").join(side("purchase", "p"), Seq("user_id", "bkt"))
+      .filter(col("c_s") < col("p_e") && col("p_s") < col("c_e"))
+      .filter(col("bkt") ===
+        expr(s"greatest(c_s, p_s) DIV ${BucketUs}L"))
+      .select(col("user_id"), col("c_id"), col("p_id"),
+        (least(col("c_e"), col("p_e")) - greatest(col("c_s"), col("p_s")))
+          .as("overlap_us"))
+  }
+
+  val qIntervalJoinSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |c AS (SELECT user_id, event_id AS c_id, us AS c_s, us + $IvSessUs AS c_e
+       |      FROM e WHERE event_type = 'click'),
+       |p AS (SELECT user_id, event_id AS p_id, us AS p_s, us + $IvSessUs AS p_e
+       |      FROM e WHERE event_type = 'purchase')
+       |SELECT c.user_id, c_id, p_id,
+       |  LEAST(c_e, p_e) - GREATEST(c_s, p_s) AS overlap_us
+       |FROM c JOIN p ON c.user_id = p.user_id AND c_s < p_e AND p_s < c_e""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_asof_native", qAsofNative, Some(qAsofJoinSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),

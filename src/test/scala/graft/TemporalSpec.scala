@@ -64,6 +64,29 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_interval_join: matches brute overlap pairs exactly once; equi-join plan") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val S = 1800000000L
+    val clicks = ev.filter(_._3 == "click")
+    val purch = ev.filter(_._3 == "purchase")
+    val brute = (for {
+      (u, cid, _, cs) <- clicks
+      (u2, pid, _, ps) <- purch
+      if u == u2 && cs < ps + S && ps < cs + S
+    } yield (u, cid, pid, math.min(cs + S, ps + S) - math.max(cs, ps))).toSeq
+    val df = Temporal.qIntervalJoin(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.sorted === brute.sorted, "pairs must match exactly once (no bucket dupes)")
+    assert(got.nonEmpty, "fixture must contain overlapping sessions")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_window_range: trailing-30min counts match a brute-force recount") {
     val events = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
