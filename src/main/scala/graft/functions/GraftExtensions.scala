@@ -139,6 +139,9 @@ object GraftFunctions {
     ("topk_rows",
       info("topk_rows", "topk_rows(struct(score, id), k) - bounded-memory top-k rows per group"),
       arity("topk_rows", 2) { case Seq(s, k) => TopKRows(s, intArg("topk_rows", k)) }),
+    ("bitmap_distinct",
+      info("bitmap_distinct", "bitmap_distinct(key) - exact distinct count via mergeable container bitmaps"),
+      arity("bitmap_distinct", 1) { case Seq(k) => BitmapDistinct(k) }),
     ("block_topk",
       info("block_topk", "block_topk(qids, qflat, ids, flat, k) - per-cell all-pairs cosine top-k over primitive blocks, self pairs skipped"),
       arity("block_topk", 5) { case Seq(q, qf, i, f, k) => CellTopK(q, qf, i, f, intArg("block_topk", k)) }),

@@ -224,6 +224,14 @@ package object functions {
   def topk_rows(scoreId: Column, k: Int): Column =
     toCol(TopKRows(toExpr(scoreId), k).toAggregateExpression())
 
+  /** EXACT distinct count via mergeable container bitmaps (the
+    * Doris/ClickHouse BITMAP shape): fixed-size word-OR partials per
+    * (group, mapper) instead of count-distinct's one-shuffled-row per
+    * distinct value. Non-negative BIGINT keys.
+    */
+  def bitmap_distinct(key: Column): Column =
+    toCol(BitmapDistinct(toExpr(key)).toAggregateExpression())
+
   /** Per-cell all-pairs cosine top-k over primitive blocks (probe
     * ids/vectors vs candidate ids/vectors, dim-strided flat arrays),
     * self pairs skipped — the kNN-join inner loop as one kernel call

@@ -938,7 +938,38 @@ object Analytics {
       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact distinct counting via the mergeable container-bitmap
+    * aggregate (functions/BitmapAggregate.scala — the Doris/ClickHouse
+    * BITMAP pattern): per group, one fixed-size word-OR partial per
+    * mapper crosses the shuffle, vs count(distinct)'s one-row-per-
+    * distinct-value dedup shuffle, and unlike the HLL sketch
+    * (q_distinct_approx) the answer is EXACT. The three counts share
+    * ONE aggregation pass (multi-distinct via count(distinct) would
+    * Expand every input row 3×; three bitmaps just update three
+    * buffers). Keys here are the integer-dense TPC-H FKs — the
+    * dictionary-encoded-id regime the bitmap pattern is built for.
+    */
+  def qBitmapDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.bitmap_distinct(col("l_suppkey").cast("long"))
+          .as("nd_suppliers"),
+        graft.functions.bitmap_distinct(col("l_partkey").cast("long"))
+          .as("nd_parts"),
+        graft.functions.bitmap_distinct(col("l_orderkey").cast("long"))
+          .as("nd_orders"))
+      .orderBy("l_returnflag")
+
+  val qBitmapDistinctSql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_suppliers,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_orders
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_bitmap_distinct", qBitmapDistinct, Some(qBitmapDistinctSql)),
     QueryDef("q_runtime_filter", qRuntimeFilter, Some(qRuntimeFilterSql)),
     QueryDef("q1_agg", q1Agg, Some(q1AggSql)),
     QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),

@@ -355,7 +355,52 @@ object Behavior {
        |               event_id) AS rn
        |  FROM events) t WHERE rn <= $ReservoirK""".stripMargin
 
+  /** A-block: gaps-and-islands — per user, the maximal runs of
+    * CONSECUTIVE active days (streak detection: activity streaks,
+    * uptime islands, contiguous-coverage audits). The rn-diff trick
+    * makes it one declarative pass: within a user's sorted distinct
+    * days, `day − row_number()` is constant exactly along a consecutive
+    * run, so grouping on it materializes the islands with no iterative
+    * logic. ONE shuffle on user_id (the distinct and both windows share
+    * it); per-user state is its day list, bounded by the calendar.
+    * Longest-streak argmax is struct-max (len, −start), so ties pick
+    * the earliest streak deterministically on both engines.
+    */
+  def qIslands(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max(struct(col("len"), (-col("start_day")).as("ns"))).as("m"))
+      .select(col("user_id"), col("n_streaks"),
+        col("m.len").as("longest"), (-col("m.ns")).as("longest_start_day"))
+  }
+
+  val qIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |i AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |st AS (
+      |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+      |  FROM i GROUP BY 1, 2),
+      |st2 AS (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS ml FROM st)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(ml AS BIGINT) AS longest,
+      |  MIN(CASE WHEN len = ml THEN start_day END) AS longest_start_day
+      |FROM st2 GROUP BY user_id, ml""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_islands", qIslands, Some(qIslandsSql)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("q_retention", qRetention, Some(qRetentionSql)),
     QueryDef("q_attribution", qAttribution, Some(qAttributionSql)),

@@ -52,6 +52,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_bitmap_distinct: bitmap counts are exact; container boundaries hold; SQL-reachable") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.qBitmapDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), countDistinct("l_suppkey").as("s"),
+        countDistinct("l_partkey").as("p"), countDistinct("l_orderkey").as("o"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === exact)
+    // plan: the typed aggregate partial-aggregates below the exchange
+    val plan = Analytics.qBitmapDistinct(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(!plan.contains("Expand"), "bitmap agg must not pay the multi-distinct Expand")
+    // container-boundary fixture: keys straddling the 2^16 slice edges,
+    // duplicates, and word edges — merged across partitions
+    import spark.implicits._
+    val keys = Seq(0L, 1L, 63L, 64L, 65535L, 65536L, 65537L, 131071L, 131072L,
+      65536L, 0L, 1L << 40)
+    val n = keys.toDF("k").repartition(4)
+      .agg(graft.functions.bitmap_distinct(col("k"))).collect()(0).getLong(0)
+    assert(n === keys.distinct.length.toLong)
+    // reachable from SQL after registration
+    graft.functions.GraftFunctions.registerAll(spark)
+    keys.toDF("k").createOrReplaceTempView("bm_keys")
+    assert(spark.sql("SELECT bitmap_distinct(k) FROM bm_keys")
+      .collect()(0).getLong(0) === keys.distinct.length.toLong)
+  }
+
   test("q_runtime_filter: injection self-check holds and confs are restored") {
     val before = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",

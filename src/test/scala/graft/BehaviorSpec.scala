@@ -176,6 +176,27 @@ class BehaviorSpec extends SparkSpec {
     assert(plan.contains("Partial"), "missing map-side partial group limit")
   }
 
+  test("q_islands: streaks match a brute consecutive-run scan") {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted.toVector }
+    val brute = days.map { case (u, ds) =>
+      val runs = ds.foldLeft(Vector.empty[Vector[Long]]) { (acc, d) =>
+        if (acc.nonEmpty && acc.last.last == d - 1) acc.init :+ (acc.last :+ d)
+        else acc :+ Vector(d)
+      }
+      val best = runs.map(r => (r.length.toLong, r.head))
+        .sortBy { case (l, st) => (-l, st) }.head
+      u -> ((runs.length.toLong, best._1, best._2))
+    }
+    val got = Behavior.qIslands(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === brute)
+    assert(brute.values.exists(_._2 > 1L), "fixture must contain a multi-day streak")
+    assert(brute.values.exists(_._1 > 1L), "fixture must contain gaps")
+  }
+
   test("match_recognize doctored fixture: greedy runs, skip-past-last-row, no overlap") {
     val d0 = 1700000000000000L
     def seqOf(u: Long, syms: String): Seq[(Long, Long, Long, String, Double)] = {
