@@ -1798,7 +1798,85 @@ object Dedup {
       |  doc_id = MIN(doc_id) OVER (PARTITION BY canon) AS keep
       |FROM canon""".stripMargin
 
+  // ---- containment (asymmetric Jaccard): quote / subset detection ----
+
+  private val ContainDfMax = 20
+  // τ = 0.8 as the exact rational 4/5 — the threshold compare is
+  // integer (5·shared ≥ 4·|A|), never a float division
+  private val ContainNum = 4
+  private val ContainDen = 5
+
+  /** C18: containment detection — the ASYMMETRIC near-dup relation
+    * C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.8 (Broder's containment,
+    * vs the symmetric resemblance d_ngram_jaccard thresholds): catches
+    * a short doc quoted inside a long one, where Jaccard stays low
+    * because the union is dominated by B. The decontamination relation
+    * (benchmark item inside a training doc) is exactly this shape.
+    *
+    * Scale shape: distinct word-3-shingles per doc (md5 fingerprints
+    * as shuffle keys, computed doc-local), an inverted-index equi-join
+    * on the shingle — NEVER an all-pairs product — with DOCUMENT-
+    * FREQUENCY pruning first: shingles appearing in > $ContainDfMax
+    * docs are dropped before the join (df is one count per shingle),
+    * which caps the per-shingle join fan-out at df² and removes the
+    * boilerplate blow-up that makes naive inverted-index joins
+    * quadratic on web text. Pairs sharing k pruned shingles aggregate
+    * k→1 map-side (count partial agg). The df cut can only drop pairs
+    * whose overlap is boilerplate-dominated — the documented tradeoff,
+    * replayed identically by the oracle.
+    */
+  def dContainment(s: SparkSession, d: String): DataFrame =
+    containmentOf(Tables.documents(s, d))
+
+  /** Core over any (doc_id, text) frame — specs feed doctored fixtures
+    * (a short doc verbatim inside a long one: qualifies A→B, not B→A).
+    */
+  def containmentOf(docs: DataFrame): DataFrame = {
+    val sh = graft.Stage.cached(docs
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), w => w =!= "").as("ws"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("ws")) >= 3,
+          transform(sequence(lit(1), size(col("ws")) - 2),
+            i => md5(concat_ws(" ", slice(col("ws"), i, lit(3))))))
+          .otherwise(array()))).as("g")))
+    val kept = graft.Stage.cached(
+      sh.join(sh.groupBy("g").agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") <= ContainDfMax).select("g"),
+        Seq("g")))
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("a_size"))
+    kept.as("a").join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sz.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .filter(lit(ContainDen) * col("shared") >= lit(ContainNum) * col("a_size"))
+      .select("id_a", "id_b", "shared", "a_size")
+  }
+
+  val dContainmentSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+       |  FROM w, unnest(range(1, len(ws) - 1)) t(i)
+       |  WHERE len(ws) >= 3),
+       |df AS (SELECT g, COUNT(*) AS dfc FROM sh GROUP BY g),
+       |kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN df USING (g)
+       |         WHERE df.dfc <= $ContainDfMax),
+       |sz AS (SELECT doc_id, COUNT(*) AS a_size FROM kept GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+       |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id != b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       |  CAST(sz.a_size AS BIGINT) AS a_size
+       |FROM pairs JOIN sz ON sz.doc_id = pairs.id_a
+       |WHERE $ContainDen * shared >= $ContainNum * sz.a_size""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("d_containment", dContainment, Some(dContainmentSql)),
     QueryDef("d_url_canon", dUrlCanon, Some(dUrlCanonSql)),
     QueryDef("d_exact", dExact, Some(dExactSql)),
     QueryDef("d_bloom", dBloom, Some(dBloomSql)),

@@ -1063,6 +1063,39 @@ class OperatorsSpec extends SparkSpec {
     assert(full.nonEmpty, "fixture must actually contain heavy hitters")
   }
 
+  test("d_containment: asymmetric pairs match brute; catches what Jaccard misses") {
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty)).toMap
+    val shing = docs.map { case (id, ws) =>
+      id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val dfc = shing.toSeq.flatMap { case (id, g) => g.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    val kept = shing.map { case (id, g) => id -> g.filter(dfc(_) <= 20) }
+    val brute = (for {
+      (a, ga) <- kept.toSeq; (b, gb) <- kept.toSeq
+      if a != b
+      shared = (ga & gb).size
+      if ga.nonEmpty && 5 * shared >= 4 * ga.size
+    } yield (a, b, shared.toLong, ga.size.toLong)).toSet
+    val got = graft.operators.Dedup.dContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture must contain containment pairs")
+    // the asymmetric point, on a doctored fixture: a 12-word doc quoted
+    // verbatim inside a 62-word one qualifies A→B but NOT B→A (and
+    // symmetric Jaccard ≈ 0.17 would never flag the pair at 0.8)
+    import spark.implicits._
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (100 to 149).map(i => s"x$i").mkString(" ")
+    val other = (200 to 240).map(i => s"y$i").mkString(" ")
+    val doctored = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val dirs = graft.operators.Dedup.containmentOf(doctored).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dirs === Set((1L, 2L)),
+      s"expected only the short→long direction, got $dirs")
+  }
+
   test("d_url_canon: noise collapses, groups match the mod-200 law, one keeper each") {
     val got = graft.operators.Dedup.dUrlCanon(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
