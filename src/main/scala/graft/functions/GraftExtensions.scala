@@ -151,6 +151,9 @@ object GraftFunctions {
     ("cell_pairs",
       info("cell_pairs", "cell_pairs(ids, flat_vecs, tau) - qualifying (id_a < id_b, round(cos,4) >= tau) pairs within a primitive block"),
       arity("cell_pairs", 3) { case Seq(i, f, t) => CellPairs(i, f, doubleArg("cell_pairs", t)) }),
+    ("mmr_select",
+      info("mmr_select", "mmr_select(ids, relfx, flat_vecs, k) - greedy fixed-point MMR selection over a shortlist block"),
+      arity("mmr_select", 4) { case Seq(i, r, f, k) => MmrSelect(i, r, f, intArg("mmr_select", k)) }),
   )
 
   /** Register into an existing session's function registry. */

@@ -449,6 +449,64 @@ object CentroidOps {
     * duplicates of a pair carry identical cos, so a later
     * dropDuplicates on (id_a, id_b) is value-stable.
     */
+  /** Greedy MMR selection over one query's shortlist block: pick k ids
+    * maximizing 7·relFx − 3·max_{s∈selected} simFx(c, s) (λ = 0.7 in
+    * tenths; first pick pure relevance), ties toward the smaller id.
+    * simFx = floor(cos·10⁴ + 0.5) with the same accumulation loop as
+    * vec_cosine, so the kernel is bit-equal to the join-unrolled form
+    * and the oracle's CTE chain. O(k·n) sim evaluations per block —
+    * the whole greedy chain is ONE eval per query row.
+    */
+  def mmrSelect(idsA: ArrayData, relA: ArrayData, flatA: ArrayData, k: Int): ArrayData = {
+    val ids = idsA.toLongArray()
+    val rel = relA.toLongArray()
+    val flat = flatA.toDoubleArray()
+    val n = ids.length
+    val dim = if (n == 0) 0 else flat.length / n
+    def simFx(a: Int, b: Int): Long = {
+      val ao = a * dim; val bo = b * dim
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var x = 0
+      while (x < dim) {
+        val p = flat(ao + x); val q = flat(bo + x)
+        dot += p * q; na += p * p; nb += q * q
+        x += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0 + 0.5).toLong
+    }
+    val taken = new Array[Boolean](n)
+    // msim(c) = max sim to the selected set so far, updated incrementally
+    val msim = Array.fill(n)(Long.MinValue)
+    val out = new Array[Any](math.min(k, n))
+    var r = 0
+    while (r < out.length) {
+      var best = -1
+      var bestScore = Long.MinValue
+      var c = 0
+      while (c < n) {
+        if (!taken(c)) {
+          val score = if (r == 0) rel(c) else 7L * rel(c) - 3L * msim(c)
+          if (best == -1 || score > bestScore ||
+              (score == bestScore && ids(c) < ids(best))) {
+            best = c; bestScore = score
+          }
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = InternalRow(r + 1, ids(best), rel(best))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val sf = simFx(j, best)
+          if (sf > msim(j)) msim(j) = sf
+        }
+        j += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def cellPairs(idsA: ArrayData, flatA: ArrayData, tau: Double): ArrayData = {
     val ids = idsA.toLongArray()
     val flat = flatA.toDoubleArray()
@@ -813,6 +871,32 @@ case class CellDropped(ids: Expression, flat: Expression, tau: Double)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(ids = newChildren(0), flat = newChildren(1))
+}
+
+/** (shortlist ids, relFx, vecs flat, k) → greedy MMR selection
+  * (see [[CentroidOps.mmrSelect]]). One eval per query row →
+  * CodegenFallback costs nothing.
+  */
+case class MmrSelect(ids: Expression, rel: Expression, flat: Expression, k: Int)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(ids, rel, flat)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sel_rank", IntegerType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("relfx", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mmr_select"
+  override def eval(input: InternalRow): Any = {
+    val a = ids.eval(input)
+    val b = rel.eval(input)
+    val c = flat.eval(input)
+    if (a == null || b == null || c == null) null
+    else CentroidOps.mmrSelect(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], k)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ids = newChildren(0), rel = newChildren(1), flat = newChildren(2))
 }
 
 /** (block ids, block vecs flat) → qualifying (id_a < id_b, cos) pairs

@@ -254,6 +254,14 @@ package object functions {
   def cell_pairs(ids: Column, flat: Column, tau: Double): Column =
     toCol(CellPairs(toExpr(ids), toExpr(flat), tau))
 
+  /** Greedy MMR selection over a query's shortlist block: k picks
+    * maximizing 7·relFx − 3·(max fixed-point sim to the selected set),
+    * ties toward the smaller id — the whole selection chain in ONE
+    * kernel eval per query row.
+    */
+  def mmr_select(ids: Column, relFx: Column, flat: Column, k: Int): Column =
+    toCol(MmrSelect(toExpr(ids), toExpr(relFx), toExpr(flat), k))
+
   /** Per-table LSH bucket ids of a vector in one kernel pass over the
     * whole plane family.
     */

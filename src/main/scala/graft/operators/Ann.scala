@@ -1730,9 +1730,9 @@ object Ann {
     * its similarity to what's already chosen, so near-duplicate hits
     * can't fill the context window. The greedy argmax chain is
     * inherently sequential PER QUERY but bounded (K steps over ≤C
-    * candidates), so it unrolls into one declarative plan: K−1
-    * repetitions of [anti-join out the selected, max-sim against the
-    * selected via the C²-bounded pairwise-sim table, rank-1 pick].
+    * candidates), so it runs as ONE mmr_select kernel eval over each
+    * query's shortlist block — the oracle unrolls the identical chain
+    * as K−1 [anti-join out the selected, max-sim, rank-1] CTE stages.
     * ALL scores are integer fixed-point (floor(cos·10⁴ + 0.5); weights
     * 7/3 = 10λ/10(1−λ)), so every comparison is exact BIGINT in both
     * engines — no float drift across K chained argmaxes.
@@ -1745,50 +1745,28 @@ object Ann {
     */
   def sMmr(s: SparkSession, d: String): DataFrame = {
     val wq = Window.partitionBy("query_id").orderBy(col("relFx").desc, col("vec_id"))
-    val cand = graft.Stage.cached(
-      corpus(s, d).crossJoin(broadcast(queries(s, d)))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("relFx",
-          floor(vec_cosine(col("v"), col("qv")) * 10000 + 0.5).cast("long"))
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= MmrC)
-        .select("query_id", "vec_id", "relFx", "v"))
-    val a = cand.select(col("query_id").as("qa"), col("vec_id").as("ca"),
-      col("v").as("va"))
-    val b = cand.select(col("query_id").as("qb"), col("vec_id").as("cb"),
-      col("v").as("vb"))
-    val sims = graft.Stage.cached(
-      a.join(b, col("qa") === col("qb") && col("ca") =!= col("cb"))
-        .withColumn("simFx",
-          floor(vec_cosine(col("va"), col("vb")) * 10000 + 0.5).cast("long"))
-        .select(col("qa").as("query_id"), col("ca"), col("cb"), col("simFx")))
-    val base = cand.select("query_id", "vec_id", "relFx")
-    var selected = base
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("relFx").desc, col("vec_id"))))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("vec_id"), col("relFx"),
-        lit(1).as("sel_rank"))
-    for (i <- 2 to MmrK) {
-      val selKeys = selected.select(col("query_id").as("sq"), col("vec_id").as("sv"))
-      val msim = sims.join(selKeys,
-          col("query_id") === col("sq") && col("cb") === col("sv"))
-        .groupBy(col("query_id").as("mq"), col("ca"))
-        .agg(max("simFx").as("msimFx"))
-      val rem = base.join(selKeys,
-        col("query_id") === col("sq") && col("vec_id") === col("sv"), "left_anti")
-      val next = rem.join(msim,
-          col("query_id") === col("mq") && col("vec_id") === col("ca"))
-        .withColumn("mmrFx", lit(7L) * col("relFx") - lit(3L) * col("msimFx"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("mmrFx").desc, col("vec_id"))))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("vec_id"), col("relFx"),
-          lit(i).as("sel_rank"))
-      selected = selected.union(next)
-    }
-    selected.select(col("query_id"), col("sel_rank"), col("vec_id"),
-      col("relFx").as("rel_fx"))
+    val cand = corpus(s, d).crossJoin(broadcast(queries(s, d)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("relFx",
+        floor(vec_cosine(col("v"), col("qv")) * 10000 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= MmrC)
+      .select("query_id", "vec_id", "relFx", "v")
+    // the greedy chain runs in ONE mmr_select kernel eval per query
+    // over the shortlist block (ids + relFx + flattened vectors) — the
+    // block_topk pattern. A first cut unrolled the K−1 steps as
+    // anti-join/max-sim/rank-1 DataFrame stages: semantically identical
+    // (the spec's brute recount pinned both), but ~20 shuffle stages of
+    // K·Q-row frames cost 5.1 s steady at sf0.1 vs ~1 s for the kernel
+    // — per-query bounded work belongs in one eval, not a stage chain.
+    cand.groupBy("query_id")
+      .agg(collect_list(struct(col("vec_id"), col("relFx"), col("v"))).as("cs"))
+      .select(col("query_id"), explode(graft.functions.mmr_select(
+        transform(col("cs"), e => e.getField("vec_id")),
+        transform(col("cs"), e => e.getField("relFx")),
+        flatten(transform(col("cs"), e => e.getField("v"))), MmrK)).as("e"))
+      .select(col("query_id"), col("e.sel_rank").as("sel_rank"),
+        col("e.id").as("vec_id"), col("e.relfx").as("rel_fx"))
   }
 
   val sMmrSql: String = {
