@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** bigint hash → membership probe against a pre-built Bloom filter held
@@ -100,6 +100,34 @@ case class BloomBuildAgg(
   * collected (the manifest never needs to fit on the driver, unlike a
   * probe loop over a collected manifest).
   */
+/** Point query against a serialized Count-Min sketch (the readable half
+  * of Spark's own `count_min_sketch` aggregate, which builds the binary
+  * but ships no SQL-surface probe): estimated occurrence count of a
+  * LONG key. One deserialization per eval — callers keep the sketch on
+  * a broadcast-sized side (one row per group), never per input row.
+  */
+case class CmsEstimate(sketchBytes: Expression, key: Expression)
+    extends BinaryExpression {
+  override def left: Expression = sketchBytes
+  override def right: Expression = key
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cms_estimate"
+  protected override def nullSafeEval(b: Any, k: Any): Any =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(b.asInstanceOf[Array[Byte]]))
+      .estimateCount(k.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "org.apache.spark.util.sketch.CountMinSketch"
+    defineCodeGen(ctx, ev, (b, k) =>
+      s"$cls.readFrom(new java.io.ByteArrayInputStream($b))" +
+        s".estimateCount((Object)(Long)$k)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(sketchBytes = newLeft, key = newRight)
+}
+
 case class BloomMightContainAny(bloomBytes: Expression, hashes: Seq[Long])
     extends UnaryExpression {
   override def child: Expression = bloomBytes

@@ -127,6 +127,12 @@ package object functions {
   /** Probe a serialized-filter column with a literal hash batch: true iff
     * the filter might contain ANY of them (one deserialize per row).
     */
+  /** Estimated occurrence count of a LONG key against a serialized
+    * Count-Min sketch (probe side of Spark's `count_min_sketch` agg).
+    */
+  def cms_estimate(sketchBytes: Column, key: Column): Column =
+    toCol(CmsEstimate(toExpr(sketchBytes), toExpr(key)))
+
   def bloom_might_contain_any(bloomBytes: Column, hashes: Seq[Long]): Column =
     toCol(BloomMightContainAny(toExpr(bloomBytes), hashes))
 

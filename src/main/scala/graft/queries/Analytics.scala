@@ -968,7 +968,45 @@ object Analytics {
       |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_orders
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Frequency estimation via Count-Min sketch — the third sketch of
+    * the family (HLL = distinct, q_distinct_approx; bitmap = exact
+    * distinct, q_bitmap_distinct; CMS = FREQUENCY): one fixed-size
+    * (depth × width) counter table built by Spark's own
+    * count_min_sketch aggregate (mergeable — partials combine map-side
+    * like any agg), answering per-key occurrence counts without a
+    * groupBy per key. The CMS contract: estimate ≥ truth always,
+    * overcount ≤ ε·N w.h.p. — the heavy-hitter primitive when the key
+    * space is too wide to count exactly (t_heavy_hitters' Misra-Gries
+    * is the deterministic cousin). Spark ships the BUILD side only;
+    * the probe side is graft's cms_estimate expression (codegen'd,
+    * one deserialize per eval against the one-row broadcast sketch).
+    * Gate: per queried key, round(estimate/exact, 1) — with the sketch
+    * width ≫ active keys the estimate is oracle-exact here, and any
+    * hash-collision inflation is bounded by the CMS contract.
+    */
+  private val CmsKeys = Seq(1L, 2L, 3L, 4L, 5L)
+
+  def qCmsFreq(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val sketch = ev.agg(
+      expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+    ev.filter(col("user_id").isin(CmsKeys: _*))
+      .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(sketch))
+      .select(col("user_id"), col("exact_cnt"),
+        round(graft.functions.cms_estimate(col("cms"), col("user_id"))
+          .cast("double") / col("exact_cnt"), 1).as("est_ratio"))
+      .orderBy("user_id")
+  }
+
+  val qCmsFreqSql: String =
+    s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+       |  CAST(1.0 AS DOUBLE) AS est_ratio
+       |FROM events WHERE user_id IN (${CmsKeys.mkString(", ")})
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_cms_freq", qCmsFreq, Some(qCmsFreqSql)),
     QueryDef("q_bitmap_distinct", qBitmapDistinct, Some(qBitmapDistinctSql)),
     QueryDef("q_runtime_filter", qRuntimeFilter, Some(qRuntimeFilterSql)),
     QueryDef("q1_agg", q1Agg, Some(q1AggSql)),

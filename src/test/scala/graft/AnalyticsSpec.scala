@@ -85,6 +85,30 @@ class AnalyticsSpec extends SparkSpec {
       .collect()(0).getLong(0) === keys.distinct.length.toLong)
   }
 
+  test("q_cms_freq: estimates never undercount, exact here, codegen probe works in SQL") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.qCmsFreq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (u, exact, ratio) =>
+      assert(exact > 0L, s"user $u")
+      assert(ratio === 1.0, s"user $u CMS drifted outside the gate: $ratio")
+    }
+    // the CMS one-sided contract on EVERY key, not just the queried 5:
+    // estimate >= exact always
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    val sketch = ev.agg(
+      expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+    val all = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sketch))
+      .select(col("user_id"), col("exact"),
+        graft.functions.cms_estimate(col("cms"), col("user_id")).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    all.foreach { case (u, exact, est) =>
+      assert(est >= exact, s"CMS undercounted user $u: $est < $exact")
+    }
+  }
+
   test("q_runtime_filter: injection self-check holds and confs are restored") {
     val before = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
