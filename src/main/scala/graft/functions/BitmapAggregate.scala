@@ -3,8 +3,9 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** EXACT distinct counting via container bitmaps — the Doris/ClickHouse
@@ -28,35 +29,19 @@ import org.apache.spark.sql.types._
   * Keys must be non-negative (enforced; dictionary-encode first — the
   * same contract Doris imposes).
   */
-case class BitmapDistinct(
-    child: Expression,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.LongMap[Array[Long]]] {
+object BitmapOps {
+  val ContainerWords = 1024 // 2^16 bits
 
-  private val ContainerWords = 1024 // 2^16 bits
-
-  override def createAggregationBuffer(): mutable.LongMap[Array[Long]] =
-    mutable.LongMap.empty[Array[Long]]
-
-  override def update(
-      buffer: mutable.LongMap[Array[Long]],
-      input: InternalRow): mutable.LongMap[Array[Long]] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val key = v.asInstanceOf[Long]
-      require(key >= 0, s"bitmap_distinct needs non-negative keys, got $key")
-      val hi = key >>> 16
-      val lo = (key & 0xffffL).toInt
-      val words = buffer.getOrElseUpdate(hi, new Array[Long](ContainerWords))
-      words(lo >>> 6) |= 1L << (lo & 63)
-    }
-    buffer
+  def update(buffer: mutable.LongMap[Array[Long]], key: Long): Unit = {
+    require(key >= 0, s"bitmap aggregate needs non-negative keys, got $key")
+    val hi = key >>> 16
+    val lo = (key & 0xffffL).toInt
+    val words = buffer.getOrElseUpdate(hi, new Array[Long](ContainerWords))
+    words(lo >>> 6) |= 1L << (lo & 63)
   }
 
-  override def merge(
-      buffer: mutable.LongMap[Array[Long]],
-      other: mutable.LongMap[Array[Long]]): mutable.LongMap[Array[Long]] = {
+  def merge(buffer: mutable.LongMap[Array[Long]],
+      other: mutable.LongMap[Array[Long]]): Unit =
     other.foreach { case (hi, ow) =>
       buffer.get(hi) match {
         case Some(words) =>
@@ -65,10 +50,8 @@ case class BitmapDistinct(
         case None => buffer.update(hi, ow.clone())
       }
     }
-    buffer
-  }
 
-  override def eval(buffer: mutable.LongMap[Array[Long]]): Any = {
+  def cardinality(buffer: mutable.LongMap[Array[Long]]): Long = {
     var n = 0L
     buffer.foreach { case (_, words) =>
       var i = 0
@@ -77,11 +60,14 @@ case class BitmapDistinct(
     n
   }
 
-  override def serialize(buffer: mutable.LongMap[Array[Long]]): Array[Byte] = {
+  /** Wire form: containers in ASCENDING hi order (canonical — two
+    * equal bitmaps serialize identically regardless of insert order).
+    */
+  def serialize(buffer: mutable.LongMap[Array[Long]]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(
       4 + buffer.size * (8 + ContainerWords * 8))
     bb.putInt(buffer.size)
-    buffer.foreach { case (hi, words) =>
+    buffer.toSeq.sortBy(_._1).foreach { case (hi, words) =>
       bb.putLong(hi)
       var i = 0
       while (i < ContainerWords) { bb.putLong(words(i)); i += 1 }
@@ -89,10 +75,10 @@ case class BitmapDistinct(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Array[Long]] = {
+  def deserialize(bytes: Array[Byte]): mutable.LongMap[Array[Long]] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val m = createAggregationBuffer()
+    val m = mutable.LongMap.empty[Array[Long]]
     var c = 0
     while (c < n) {
       val hi = bb.getLong
@@ -105,18 +91,94 @@ case class BitmapDistinct(
     m
   }
 
+  /** |A ∩ B| straight off the wire forms: both container lists are
+    * hi-sorted, so intersection is one linear merge-walk ANDing only
+    * the containers PRESENT IN BOTH — disjoint key ranges cost nothing.
+    */
+  def andCardinality(a: Array[Byte], b: Array[Byte]): Long = {
+    val ba = java.nio.ByteBuffer.wrap(a)
+    val bbuf = java.nio.ByteBuffer.wrap(b)
+    val na = ba.getInt
+    val nb = bbuf.getInt
+    val stride = 8 + ContainerWords * 8
+    var ia = 0
+    var ib = 0
+    var n = 0L
+    while (ia < na && ib < nb) {
+      val ha = ba.getLong(4 + ia * stride)
+      val hb = bbuf.getLong(4 + ib * stride)
+      if (ha < hb) ia += 1
+      else if (hb < ha) ib += 1
+      else {
+        val offA = 4 + ia * stride + 8
+        val offB = 4 + ib * stride + 8
+        var i = 0
+        while (i < ContainerWords) {
+          n += java.lang.Long.bitCount(
+            ba.getLong(offA + i * 8) & bbuf.getLong(offB + i * 8))
+          i += 1
+        }
+        ia += 1
+        ib += 1
+      }
+    }
+    n
+  }
+}
+
+/** Shared TypedImperativeAggregate core for the bitmap family; the
+  * leaf classes differ only in what eval() emits (count vs wire form).
+  */
+abstract class BitmapAggBase
+  extends TypedImperativeAggregate[mutable.LongMap[Array[Long]]] {
+  def child: Expression
+
+  override def createAggregationBuffer(): mutable.LongMap[Array[Long]] =
+    mutable.LongMap.empty[Array[Long]]
+
+  override def update(
+      buffer: mutable.LongMap[Array[Long]],
+      input: InternalRow): mutable.LongMap[Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) BitmapOps.update(buffer, v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(
+      buffer: mutable.LongMap[Array[Long]],
+      other: mutable.LongMap[Array[Long]]): mutable.LongMap[Array[Long]] = {
+    BitmapOps.merge(buffer, other)
+    buffer
+  }
+
+  override def serialize(buffer: mutable.LongMap[Array[Long]]): Array[Byte] =
+    BitmapOps.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Array[Long]] =
+    BitmapOps.deserialize(bytes)
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case LongType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"bitmap_distinct expects a BIGINT key, got ${other.sql}")
+          s"$prettyName expects a BIGINT key, got ${other.sql}")
     }
 
-  override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
+}
+
+case class BitmapDistinct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BitmapAggBase {
+
+  override def eval(buffer: mutable.LongMap[Array[Long]]): Any =
+    BitmapOps.cardinality(buffer)
+
+  override def dataType: DataType = LongType
   override def prettyName: String = "bitmap_distinct"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
@@ -126,4 +188,50 @@ case class BitmapDistinct(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+/** Same aggregate, but eval emits the canonical WIRE FORM — the
+  * materialized bitmap column (Doris `bitmap_union`): store per-segment
+  * bitmaps once, answer any segment-overlap question later with pure
+  * bitmap algebra (bitmap_and_count) instead of re-scanning facts.
+  */
+case class BitmapBuild(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BitmapAggBase {
+
+  override def eval(buffer: mutable.LongMap[Array[Long]]): Any =
+    BitmapOps.serialize(buffer)
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap_build"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapBuild =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapBuild =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** |A ∩ B| over two serialized bitmaps — pure bitmap algebra on the
+  * canonical wire form (hi-sorted container merge-walk), no fact-table
+  * rescan. The codegen'd probe side of [[BitmapBuild]].
+  */
+case class BitmapAndCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bitmap_and_count"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    BitmapOps.andCardinality(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.BitmapOps.andCardinality($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -142,6 +142,12 @@ object GraftFunctions {
     ("bitmap_distinct",
       info("bitmap_distinct", "bitmap_distinct(key) - exact distinct count via mergeable container bitmaps"),
       arity("bitmap_distinct", 1) { case Seq(k) => BitmapDistinct(k) }),
+    ("bitmap_build",
+      info("bitmap_build", "bitmap_build(key) - materialize the container bitmap (canonical wire form)"),
+      arity("bitmap_build", 1) { case Seq(k) => BitmapBuild(k) }),
+    ("bitmap_and_count",
+      info("bitmap_and_count", "bitmap_and_count(a, b) - |A ∩ B| of two serialized bitmaps"),
+      arity("bitmap_and_count", 2) { case Seq(a, b) => BitmapAndCount(a, b) }),
     ("block_topk",
       info("block_topk", "block_topk(qids, qflat, ids, flat, k) - per-cell all-pairs cosine top-k over primitive blocks, self pairs skipped"),
       arity("block_topk", 5) { case Seq(q, qf, i, f, k) => CellTopK(q, qf, i, f, intArg("block_topk", k)) }),

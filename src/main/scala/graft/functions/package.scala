@@ -238,6 +238,16 @@ package object functions {
   def bitmap_distinct(key: Column): Column =
     toCol(BitmapDistinct(toExpr(key)).toAggregateExpression())
 
+  /** Materialize the bitmap itself (canonical wire form) — store per
+    * segment, combine later with bitmap algebra.
+    */
+  def bitmap_build(key: Column): Column =
+    toCol(BitmapBuild(toExpr(key)).toAggregateExpression())
+
+  /** |A ∩ B| of two serialized bitmaps — no fact-table rescan. */
+  def bitmap_and_count(a: Column, b: Column): Column =
+    toCol(BitmapAndCount(toExpr(a), toExpr(b)))
+
   /** Per-cell all-pairs cosine top-k over primitive blocks (probe
     * ids/vectors vs candidate ids/vectors, dim-strided flat arrays),
     * self pairs skipped — the kNN-join inner loop as one kernel call

@@ -1005,7 +1005,37 @@ object Analytics {
        |FROM events WHERE user_id IN (${CmsKeys.mkString(", ")})
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Segment-overlap analytics on MATERIALIZED bitmaps — why warehouses
+    * store the bitmap and not just its count (Doris bitmap_union →
+    * bitmap_and_count): build one supplier bitmap per return-flag
+    * segment in a single fact scan, then answer every pairwise overlap
+    * with pure bitmap algebra over the 3-row segment table — the fact
+    * table is NOT rescanned per question, where the plain-SQL form
+    * (distinct pairs self-join) rescans and reshuffles facts for each.
+    * At 10⁹ rows per segment the bitmaps are a few MB; the overlap
+    * matrix costs a broadcast cross of 3 rows.
+    */
+  def qBitmapIntersect(s: SparkSession, d: String): DataFrame = {
+    val seg = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(graft.functions.bitmap_build(col("l_suppkey").cast("long")).as("bm"))
+    seg.select(col("l_returnflag").as("flag_a"), col("bm").as("bma"))
+      .join(seg.select(col("l_returnflag").as("flag_b"), col("bm").as("bmb")),
+        col("flag_a") < col("flag_b"))
+      .select(col("flag_a"), col("flag_b"),
+        graft.functions.bitmap_and_count(col("bma"), col("bmb"))
+          .as("common_suppliers"))
+      .orderBy("flag_a", "flag_b")
+  }
+
+  val qBitmapIntersectSql: String =
+    """WITH fs AS (SELECT DISTINCT l_returnflag AS f, l_suppkey AS k FROM lineitem)
+      |SELECT a.f AS flag_a, b.f AS flag_b, CAST(COUNT(*) AS BIGINT) AS common_suppliers
+      |FROM fs a JOIN fs b ON a.k = b.k AND a.f < b.f
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_bitmap_intersect", qBitmapIntersect, Some(qBitmapIntersectSql)),
     QueryDef("q_cms_freq", qCmsFreq, Some(qCmsFreqSql)),
     QueryDef("q_bitmap_distinct", qBitmapDistinct, Some(qBitmapDistinctSql)),
     QueryDef("q_runtime_filter", qRuntimeFilter, Some(qRuntimeFilterSql)),

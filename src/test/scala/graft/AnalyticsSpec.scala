@@ -85,6 +85,32 @@ class AnalyticsSpec extends SparkSpec {
       .collect()(0).getLong(0) === keys.distinct.length.toLong)
   }
 
+  test("q_bitmap_intersect: bitmap algebra equals set intersection; wire form canonical") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.qBitmapIntersect(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sets = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_suppkey").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSet }
+    val flags = sets.keys.toSeq.sorted
+    val brute = (for {
+      a <- flags; b <- flags if a < b
+    } yield (a, b) -> (sets(a) & sets(b)).size.toLong).toMap
+    assert(got === brute)
+    assert(brute.values.exists(_ > 0L), "segments must actually overlap")
+    // canonical wire form: the same key set built under different
+    // partitionings serializes byte-identically
+    import spark.implicits._
+    val keys = Seq(5L, 70000L, 3L, 131073L, 5L, 70000L)
+    def wire(parts: Int): Array[Byte] = keys.toDF("k").repartition(parts)
+      .agg(graft.functions.bitmap_build(col("k"))).collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(wire(1), wire(4)))
+    // and intersection off the wire matches directly
+    val bm1 = wire(1)
+    assert(graft.functions.BitmapOps.andCardinality(bm1, bm1) === 4L)
+  }
+
   test("q_cms_freq: estimates never undercount, exact here, codegen probe works in SQL") {
     import org.apache.spark.sql.functions._
     val got = Analytics.qCmsFreq(spark, sfDir).collect()
