@@ -1449,6 +1449,44 @@ object Text {
        |FROM lines JOIN c USING (line)
        |GROUP BY doc_id""".stripMargin
 
+  /** E28: the HASHING-TRICK vectorizer (Weinberger et al. — sklearn
+    * HashingVectorizer / VW's default featurizer): each doc becomes a
+    * fixed-$HashDim-dim term-count vector with bucket = md5-60(word)
+    * mod $HashDim. THE point at corpus scale: no vocabulary build — a
+    * dictionary vectorizer needs a global term→index aggregation (a
+    * full-vocab shuffle plus a broadcast that grows with the corpus),
+    * while hashing is stateless per row: one signature-kernel pass per
+    * doc (word_shingle_md5_hashes at n=1 — the same md5-60 primitive
+    * the dedup family keys on), then a (doc, bucket) count whose
+    * map-side partials are bounded by $HashDim per doc. Output is the
+    * sparse COO form (doc_id, bucket, cnt) — the layout a downstream
+    * trainer consumes.
+    */
+  private val HashDim = 64
+
+  def tHashVectorize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(
+        graft.functions.word_shingle_md5_hashes(col("text"), 1)).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(HashDim.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  val tHashVectorizeSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+       |b AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(range(1, 16), j ->
+       |      CAST(strpos('123456789abcdef', substr(md5(tok), j, 1)) AS BIGINT)),
+       |      (a, b) -> a * 16 + b) % $HashDim AS bucket
+       |  FROM t)
+       |SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM b GROUP BY 1, 2""".stripMargin
+
   /** E23: word co-occurrence with association lift — the collocation
     * table (word2vec-window statistics / PMI-style association mining):
     * ordered word pairs within distance ≤ 2, counted corpus-wide, the
@@ -1745,6 +1783,7 @@ object Text {
     QueryDef("t_bpe_apply", tBpeApply, Some(tBpeApplySql)),
     QueryDef("t_heavy_hitters", tHeavyHitters, Some(tHeavyHittersSql)),
     QueryDef("t_cooccur", tCooccur, Some(tCooccurSql)),
+    QueryDef("t_hash_vectorize", tHashVectorize, Some(tHashVectorizeSql)),
     QueryDef("t_chunk", tChunk, Some(tChunkSql)),
     QueryDef("t_chunk_cdc", tChunkCdc, Some(tChunkCdcSql)),
     QueryDef("t_line_dedup", tLineDedup, Some(tLineDedupSql)),

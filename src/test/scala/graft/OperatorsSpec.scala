@@ -1128,6 +1128,31 @@ class OperatorsSpec extends SparkSpec {
       "dup group members should disagree in raw form")
   }
 
+  test("t_hash_vectorize: per-doc bucket counts conserve tokens; same word same bucket") {
+    val got = graft.operators.Text.tHashVectorize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty)).toMap
+    // conservation: per doc, bucket counts sum to the token count
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, xs) =>
+      assert(xs.map(_._3).sum === docs(id).length.toLong, s"doc $id")
+      assert(xs.forall(x => x._2 >= 0 && x._2 < 64))
+    }
+    // determinism across docs: a word maps to ONE bucket corpus-wide —
+    // recompute md5-60 mod 64 for a sample and compare
+    def bucketOf(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      hex.take(15).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16)) % 64
+    }
+    val someDoc = docs.head
+    val expected = someDoc._2.groupBy(bucketOf).map { case (b, ws) => b -> ws.length.toLong }
+    val gotDoc = byDoc(someDoc._1).map(x => x._2 -> x._3).toMap
+    assert(gotDoc === expected)
+  }
+
   test("t_line_dedup: matches a brute per-doc recount; shared lines die everywhere") {
     val docs = Tables.documents(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty)).toMap
