@@ -105,6 +105,58 @@ object PipelineQueries {
   val pDecryptSql: String =
     "SELECT doc_id AS id, n_chars, lang FROM documents"
 
+  /** B2b: KEK ROTATION — re-wrap every record's data key under a new
+    * key-encryption key WITHOUT touching payload ciphertext (the
+    * envelope-encryption rotation the reference's DKS/KMS posture
+    * implies: compromise or expiry of a KEK forces re-wrapping billions
+    * of edeks, and re-encrypting the payloads would be a full corpus
+    * rewrite). The rotated edek is self-contained (`wrapIV:ciphertext`
+    * — the wrap carries its own IV, the standard KMS envelope shape),
+    * so key resolution stays a pure edek→key function and the SAME
+    * bounded-distinct broadcast KeyService consumes it.
+    *
+    * Scale shape: rotation is a pure per-row column op over edeks
+    * (bytes-sized, not payload-sized) — rides the scan, zero shuffle;
+    * the proof-of-decryptability pass afterwards is p_decrypt's plan
+    * against the new service. The spec pins the operational contracts:
+    * payload ciphertext BYTE-IDENTICAL across rotation, every edek
+    * changed, old resolver now yields garbage.
+    */
+  private val Kek2: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("kek2".getBytes("UTF-8"))
+    java.util.Base64.getEncoder.encodeToString(md)
+  }
+
+  def rotateKeys(parsed: DataFrame): DataFrame = {
+    val wrapIv = base64(unhex(md5(concat(lit("rot"), col("key_enc")))))
+    parsed.withColumn("key_enc",
+      concat(wrapIv, lit(":"),
+        graft.functions.aes_ctr_encrypt(col("key_enc"), lit(Kek2), wrapIv)))
+  }
+
+  /** Unwraps `wrapIV:ct` edeks under Kek2 — the post-rotation resolver. */
+  def rotatedKeyService: KeyService = new KeyService(k => {
+    val sep = k.indexOf(':')
+    require(sep > 0, s"not a rotated edek: $k")
+    graft.functions.AesCtr.decryptB64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(k.substring(sep + 1)),
+      org.apache.spark.unsafe.types.UTF8String.fromString(Kek2),
+      org.apache.spark.unsafe.types.UTF8String.fromString(k.substring(0, sep)))
+      .toString
+  })
+
+  def pKeyRotate(s: SparkSession, d: String): DataFrame =
+    Ingest.decrypt(rotatedKeyService.withDataKeys(
+        rotateKeys(Envelope.parse(Envelope.synthesizeCached(s, d)))))
+      .select(
+        get_json_object(col("raw_id"), "$.id").cast("long").as("id"),
+        get_json_object(col("decrypted"), "$.n_chars").cast("long").as("n_chars"),
+        get_json_object(col("decrypted"), "$.lang").as("lang"))
+
+  val pKeyRotateSql: String =
+    "SELECT doc_id AS id, n_chars, lang FROM documents"
+
   /** B3: validate — last-modified reformat (wrapped as {$date: Z-form},
     * sanitised to d_date) + delete flagging.
     */
@@ -827,6 +879,7 @@ object PipelineQueries {
     QueryDef("p_dead_letter", pDeadLetter, Some(pDeadLetterSql)),
     QueryDef("p_incremental_agg", pIncrementalAgg, Some(pIncrementalAggSql)),
     QueryDef("p_decrypt", pDecrypt, Some(pDecryptSql)),
+    QueryDef("p_key_rotate", pKeyRotate, Some(pKeyRotateSql)),
     QueryDef("p_validate_wrap", pValidateWrap, Some(pValidateWrapSql)),
     QueryDef("p_sanitise", pSanitise, Some(pSanitiseSql)),
     QueryDef("p_transform_audit", pTransformAudit, Some(pTransformAuditSql)),

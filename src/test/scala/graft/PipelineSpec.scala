@@ -57,6 +57,37 @@ class PipelineSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("key rotation: payload ciphertext byte-identical, every edek changed, old resolver fails") {
+    import graft.queries.PipelineQueries
+    val parsed = Envelope.parse(Envelope.synthesize(spark, dir))
+    val rotated = PipelineQueries.rotateKeys(parsed)
+    // 1. payload ciphertext untouched — rotation re-wraps keys, never data
+    val before = parsed.select(col("raw_id"), col("db_object")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val after = rotated.select(col("raw_id"), col("db_object")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after === before, "rotation touched payload ciphertext")
+    // 2. every edek changed
+    val oldKeys = parsed.select("raw_id", "key_enc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val newKeys = rotated.select("raw_id", "key_enc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(newKeys.forall { case (id, k) => k != oldKeys(id) })
+    // 3. the new resolver round-trips to the original data key
+    val resolved = PipelineQueries.rotatedKeyService
+      .withDataKeys(rotated).select("raw_id", "data_key").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resolved === oldKeys, "rotated edeks must unwrap to the original keys")
+    // 4. the OLD (identity) resolver on rotated edeks cannot decrypt:
+    // the rotated edek isn't even a valid raw key (wrapIV:ct), so the
+    // pre-rotation path fails loudly rather than silently mis-decrypting
+    val wrong = graft.pipeline.Ingest.decrypt(
+      KeyService.identity.withDataKeys(rotated))
+      .filter(get_json_object(col("decrypted"), "$.n_chars").isNotNull)
+    val e = intercept[org.apache.spark.SparkException] { wrong.count() }
+    assert(e.getMessage != null)
+  }
+
   test("writeDaily produces dynamic-partition layout partitioned by date + id_part") {
     val tmp = Files.createTempDirectory("graft_daily").toString
     val daily = Ingest.dailyIncrement(
