@@ -1513,20 +1513,31 @@ object Dedup {
     val seeds = Tables.documents(s, d)
       .filter(col("doc_id") % BfsSeedMod === 0)
       .select(col("doc_id"), lit(0L).as("dist"))
-    var dist = graft.Stage.cached(seeds)
+    // barrier + persist per hop (the connectedComponents discipline):
+    // `frontier` is referenced TWICE per round (expansion join + the
+    // visited union), so without a LogicalRDD leaf the logical plan
+    // doubles every hop and Catalyst pays 2^k planning at hop k —
+    // measured 63 s for 6 hops over a 36k-edge graph, with hop 6 alone
+    // 22 s and the final pass 31 s, all of it analysis/optimization of
+    // exponentially-copied subtrees (execution was cache-hits
+    // throughout). Persist alone does NOT flatten the LOGICAL plan —
+    // only the leaf conversion does. Post-fix: ~10 s incl. the edge
+    // artifact read, every hop flat.
+    var dist = graft.Stage.barrier(seeds).persist()
     var frontier = dist
     var live = true
     for (k <- 1 to BfsMaxHops; if live) {
-      val next = graft.Stage.cached(frontier
+      val next = graft.Stage.barrier(frontier
         .join(edges, frontier("doc_id") === edges("src"))
         .select(col("dst").as("doc_id"))
         .distinct()
         .join(dist.select(col("doc_id").as("seen")),
           col("doc_id") === col("seen"), "left_anti")
-        .select(col("doc_id"), lit(k.toLong).as("dist")))
+        .select(col("doc_id"), lit(k.toLong).as("dist"))).persist()
       live = next.count() > 0
       if (live) {
         frontier = next
+        // union of LEAF frames only — plan stays linear in hops
         dist = dist.unionAll(frontier)
       }
     }
