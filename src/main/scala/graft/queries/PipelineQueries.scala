@@ -157,6 +157,52 @@ object PipelineQueries {
   val pKeyRotateSql: String =
     "SELECT doc_id AS id, n_chars, lang FROM documents"
 
+  /** B2c: CRYPTO-SHREDDING — the right-to-be-forgotten implementation
+    * that never rewrites data: destroying a data key makes every record
+    * encrypted under it permanently unreadable, so erasure is a
+    * KEY-LIST operation (bytes stay in place, audit trails intact, no
+    * 100 TB rewrite). Here the revocation is a broadcast anti-join of
+    * the parsed envelopes against the revoked-edek list BEFORE any
+    * decryption (the practical path: a shredded record must not even
+    * reach a decryptor), and the output reports both halves: surviving
+    * records decrypt and normalize as ever; shredded ones appear only
+    * as a count. The envelope fixture wraps doc keys as key(doc_id%5),
+    * so revoking key0 erases exactly the doc_id ≡ 0 (mod 5) slice —
+    * the oracle re-derives both populations from that law.
+    *
+    * Scale shape: the revocation list is keys (tiny, broadcast); the
+    * scan-side anti-join costs one codegen'd hash probe per record —
+    * erasure of any slice of a 100 TB corpus is O(corpus scan) once,
+    * or O(0) if enforcement happens at read time (this operator IS the
+    * read-time enforcement plan).
+    */
+  private val ShreddedKeyIdx = 0L
+
+  def pCryptoShred(s: SparkSession, d: String): DataFrame = {
+    val parsed = Envelope.parse(Envelope.synthesizeCached(s, d))
+    // the revoked data key, in the fixture's own wrapping
+    val revoked = Tables.documents(s, d).sparkSession.range(1)
+      .select(base64(unhex(md5(lit("key" + ShreddedKeyIdx)))).as("key_enc"))
+    val survivors = parsed.join(broadcast(revoked), Seq("key_enc"), "left_anti")
+    val shredded = parsed.join(broadcast(revoked), Seq("key_enc"), "left_semi")
+    val decrypted = Ingest.decrypt(KeyService.identity.withDataKeys(survivors))
+      .select(
+        get_json_object(col("raw_id"), "$.id").cast("long").as("id"),
+        get_json_object(col("decrypted"), "$.n_chars").cast("long").as("n_chars"),
+        lit("kept").as("status"))
+    decrypted.unionAll(
+      shredded.select(
+        get_json_object(col("raw_id"), "$.id").cast("long").as("id"),
+        lit(null).cast("long").as("n_chars"),
+        lit("shredded").as("status")))
+  }
+
+  val pCryptoShredSql: String =
+    s"""SELECT doc_id AS id,
+       |  CASE WHEN doc_id % 5 = $ShreddedKeyIdx THEN NULL ELSE n_chars END AS n_chars,
+       |  CASE WHEN doc_id % 5 = $ShreddedKeyIdx THEN 'shredded' ELSE 'kept' END AS status
+       |FROM documents""".stripMargin
+
   /** B3: validate — last-modified reformat (wrapped as {$date: Z-form},
     * sanitised to d_date) + delete flagging.
     */
@@ -880,6 +926,7 @@ object PipelineQueries {
     QueryDef("p_incremental_agg", pIncrementalAgg, Some(pIncrementalAggSql)),
     QueryDef("p_decrypt", pDecrypt, Some(pDecryptSql)),
     QueryDef("p_key_rotate", pKeyRotate, Some(pKeyRotateSql)),
+    QueryDef("p_crypto_shred", pCryptoShred, Some(pCryptoShredSql)),
     QueryDef("p_validate_wrap", pValidateWrap, Some(pValidateWrapSql)),
     QueryDef("p_sanitise", pSanitise, Some(pSanitiseSql)),
     QueryDef("p_transform_audit", pTransformAudit, Some(pTransformAuditSql)),

@@ -88,6 +88,23 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("crypto-shred: revoked slice never reaches a decryptor; survivors intact") {
+    import graft.queries.PipelineQueries
+    val out = PipelineQueries.pCryptoShred(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length === docs.size, "accounting must be total")
+    out.foreach { case (id, nc, status) =>
+      if (id % 5 == 0) {
+        assert(status === "shredded" && nc === -1L, s"doc $id leaked past shredding")
+      } else {
+        assert(status === "kept" && nc === docs(id), s"doc $id")
+      }
+    }
+    assert(out.exists(_._3 == "shredded") && out.exists(_._3 == "kept"))
+  }
+
   test("writeDaily produces dynamic-partition layout partitioned by date + id_part") {
     val tmp = Files.createTempDirectory("graft_daily").toString
     val daily = Ingest.dailyIncrement(
