@@ -877,6 +877,58 @@ object Ann {
       .select("query_id", "rank", "vec_id", "dist", "approx_dist")
   }
 
+  /** D13: IVF-PQ — the FAISS workhorse layout, composed from the two
+    * stored artifacts this file already trains: the IVF quantizer
+    * restricts CANDIDATES (cell-local join, query over-probes $Probes
+    * cells) and PQ compresses the SCORING (ADC over 4-byte codes, exact
+    * re-rank only for the shortlist). The two quantizers answer
+    * different costs — IVF bounds how many candidates are touched
+    * (~probes·N/√N per query), PQ bounds the bytes each touch costs
+    * (codes, not vectors, stream through the ADC) — and production
+    * engines ship them fused for exactly that reason: at 10⁹ vectors
+    * the IVF-restricted PQ scan reads ~4 B/candidate instead of 512,
+    * and the true vectors are fetched only for the top-$PqShortlist.
+    * Both codebooks are the SHARED write-once artifacts (ivf quantizer,
+    * pq books) — one training serves s_ann_ivf, s_ann_filtered,
+    * s_knn_join and this operator unchanged.
+    */
+  def sAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val centroids = ensureCentroids(c, d, "ivf", scaledCells(c.count()))
+    val books: Array[Array[Array[Double]]] = ensurePqBooks(c, d)
+    val bucketed = assignCells(c, centroids, probes = 1)
+    val probedQueries = assignCells(
+      queries(s, d).withColumnRenamed("qv", "v"), centroids, Probes)
+    val cand = bucketed.join(
+        probedQueries.select(col("cell"), col("query_id")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .dropDuplicates("query_id", "vec_id")
+    val codes = graft.Stage.barrier(
+      c.select(col("vec_id"), graft.functions.pq_encode(col("v"), books).as("codes")))
+    val q = graft.Stage.barrier(
+      queries(s, d).select(col("query_id"),
+        graft.functions.pq_luts(col("qv"), books).as("luts")))
+    val scored = cand.join(codes, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.pq_adc(col("luts"), col("codes"), PqK), 6)
+          .as("approx_dist"))
+    val wApprox = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("vec_id"))
+    val shortlist = scored.withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= PqShortlist)
+      .select("query_id", "vec_id", "approx_dist")
+    val exact = shortlist
+      .join(c, Seq("vec_id"))
+      .join(broadcast(queries(s, d)), Seq("query_id"))
+      .withColumn("dist", round(
+        aggregate(zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select("query_id", "rank", "vec_id", "dist", "approx_dist")
+  }
+
   // ---- DuckDB oracle SQL (the quantizer family is SQL-hash-checked
   // because training is bit-reproducible: see the FxScale note) ----
 
@@ -1228,6 +1280,83 @@ object Ann {
          |  FROM shortlist s JOIN c ON s.vec_id = c.vec_id JOIN q ON s.query_id = q.query_id)
          |WHERE rank <= $PqTopK""".stripMargin
     (head +: iters :+ tail).mkString(",\n")
+  }
+
+  /** s_ann_ivfpq oracle: the verified IVF CTEs (lloydCtes + probe
+    * assignment) restrict candidates; a p-prefixed replay of the
+    * verified PQ CTEs (per-subspace Lloyd, codes, LUTs) scores them by
+    * ADC; shortlist + exact re-rank mirror s_ann_pq's tail. Prefixing
+    * avoids the `train`/`a1..` CTE-name collision between the two
+    * quantizer derivations.
+    */
+  val sAnnIvfPqSql: String = {
+    val subD = sqDist("ptr.sv", "ct.cv", PqSub)
+    val pqHead =
+      s"""ptrain AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, v
+         |  FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT $TrainSample)),
+         |ptr AS (
+         |  SELECT rn, m, v[(m * $PqSub + 1):(m * $PqSub + $PqSub)] AS sv
+         |  FROM ptrain, range(0, $PqM) mm(m)),
+         |pp0 AS (SELECT m, rn - 1 AS cell, sv AS cv FROM ptr WHERE rn <= $PqK)""".stripMargin
+    val pqIters = (1 to LloydIters).map { it =>
+      val p = it - 1
+      s"""pa$it AS (
+         |  SELECT m, rn, sv, cell FROM (
+         |    SELECT ptr.m, ptr.rn, ptr.sv, ct.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY ptr.m, ptr.rn ORDER BY $subD, ct.cell) AS ar
+         |    FROM ptr JOIN pp$p ct ON ptr.m = ct.m) WHERE ar = 1),
+         |pp$it AS (
+         |  SELECT ct.m, ct.cell, COALESCE(u.cv, ct.cv) AS cv FROM pp$p ct LEFT JOIN (
+         |    SELECT m, cell, list(CAST(sfx AS DOUBLE) / (cnt * 1048576.0) ORDER BY i) AS cv FROM (
+         |      SELECT m, cell, i,
+         |        SUM(CAST(FLOOR(sv[i] * 1048576.0 + 0.5) AS BIGINT)) AS sfx, COUNT(*) AS cnt
+         |      FROM pa$it, range(1, ${PqSub + 1}) ii(i) GROUP BY m, cell, i) GROUP BY m, cell) u
+         |  ON ct.m = u.m AND ct.cell = u.cell)""".stripMargin
+    }
+    val exactD = s"round(${sqDist("c.v", "q.qv", Dim)}, 6)"
+    val head =
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
+         |${lloydCtes("c")},
+         |ca AS (
+         |${assignSql("c", "vec_id", "v", probes = 1)}),
+         |qa AS (
+         |${assignSql("q", "query_id", "qv", Probes)}),
+         |cand AS (
+         |  SELECT DISTINCT qa.query_id, ca.vec_id
+         |  FROM ca JOIN qa ON ca.cell = qa.cell WHERE ca.vec_id != qa.query_id)""".stripMargin
+    val tail =
+      s"""cs AS (
+         |  SELECT vec_id, m, v[(m * $PqSub + 1):(m * $PqSub + $PqSub)] AS sv FROM c, range(0, $PqM) mm(m)),
+         |codes AS (
+         |  SELECT vec_id, m, cell FROM (
+         |    SELECT cs.vec_id, cs.m, ct.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY cs.vec_id, cs.m ORDER BY ${sqDist("cs.sv", "ct.cv", PqSub)}, ct.cell) AS ar
+         |    FROM cs JOIN pp$LloydIters ct ON cs.m = ct.m) WHERE ar = 1),
+         |qs AS (
+         |  SELECT query_id, m, qv[(m * $PqSub + 1):(m * $PqSub + $PqSub)] AS sv FROM q, range(0, $PqM) mm(m)),
+         |luts AS (
+         |  SELECT qs.query_id, qs.m, ct.cell, ${sqDist("qs.sv", "ct.cv", PqSub)} AS lut
+         |  FROM qs JOIN pp$LloydIters ct ON qs.m = ct.m),
+         |adc AS (
+         |  SELECT l.query_id, cd.vec_id,
+         |    round(list_reduce(list(l.lut ORDER BY l.m), (x, y) -> x + y), 6) AS approx_dist
+         |  FROM cand n
+         |  JOIN codes cd ON n.vec_id = cd.vec_id
+         |  JOIN luts l ON l.query_id = n.query_id AND cd.m = l.m AND cd.cell = l.cell
+         |  GROUP BY l.query_id, cd.vec_id),
+         |shortlist AS (
+         |  SELECT query_id, vec_id, approx_dist FROM (
+         |    SELECT query_id, vec_id, approx_dist,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist, vec_id) AS arank
+         |    FROM adc) WHERE arank <= $PqShortlist)
+         |SELECT query_id, rank, vec_id, dist, approx_dist FROM (
+         |  SELECT s.query_id, s.vec_id, s.approx_dist, $exactD AS dist,
+         |    ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY $exactD, s.vec_id) AS rank
+         |  FROM shortlist s JOIN c ON s.vec_id = c.vec_id JOIN q ON s.query_id = q.query_id)
+         |WHERE rank <= $PqTopK""".stripMargin
+    (head +: pqHead +: pqIters :+ tail).mkString(",\n")
   }
 
   /** s_ann_brute oracle: DuckDB's list_cosine_similarity runs the same
@@ -1834,6 +1963,7 @@ object Ann {
     QueryDef("s_ann_ivf", sAnnIvf, Some(sAnnIvfSql)),
     QueryDef("s_ann_filtered", sAnnFiltered, Some(sAnnFilteredSql)),
     QueryDef("s_ann_pq", sAnnPq, Some(sAnnPqSql)),
+    QueryDef("s_ann_ivfpq", sAnnIvfPq, Some(sAnnIvfPqSql)),
     QueryDef("s_ann_sq", sAnnSq, Some(sAnnSqSql)),
     QueryDef("s_knn_join", sKnnJoin, Some(sKnnJoinSql)),
     QueryDef("s_knn_refine", sKnnRefine, Some(sKnnRefineSql)),

@@ -817,6 +817,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got !== pureTop, "MMR never deviated from pure relevance — λ penalty inert")
   }
 
+  test("s_ann_ivfpq: valid ranks, overlaps brute, dists exact and ADC-ordered shortlist") {
+    val got = Ann.sAnnIvfPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length), s"query $q ranks")
+      assert(!rs.exists(_._3 == q), s"query $q returned itself")
+      val ds = rs.sortBy(_._2).map(_._4)
+      assert(ds === ds.sorted, s"query $q exact dists not ascending")
+    }
+    // exact dists really are exact: recompute squared L2 from raw vectors
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    got.foreach { case (q, _, v, dist, _) =>
+      val d2 = vecs(q).zip(vecs(v)).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(dist - math.rint(d2 * 1e6) / 1e6) < 1e-9, s"($q,$v) dist")
+    }
+    // the composed index still finds real neighbors
+    val brute = Ann.sAnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = got.map(r => (r._1, r._3)).toSet
+    assert((pairs & brute).nonEmpty, "IVF-PQ shares no neighbors with brute force")
+  }
+
   test("s_ann_brute: ranks are 1..k per query, self excluded, cos descending") {
     val rows = Ann.sAnnBrute(spark, sfDir)
       .orderBy("query_id", "rank").collect()
