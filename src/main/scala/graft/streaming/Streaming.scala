@@ -239,6 +239,49 @@ object Streaming {
       |WHERE (us // 86400000000) * 86400000000 + 86400000000 <= (SELECT ms FROM wm) * 1000
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** G1e: streaming per-window TOP-K — the hourly "heavy users" board,
+    * computed with graft's own bounded-memory topk_rows aggregate
+    * INSIDE Structured Streaming: stage 1 counts (day, user) under the
+    * watermark, stage 2 (chained agg, SPARK-40925) folds each closed
+    * window's user counts through the O(k) heap — per-window state is
+    * k rows however many users the window saw, and the heap's
+    * map-side combine holds across microbatches exactly as it does
+    * across batch partitions (merge is the same TypedImperativeAggregate
+    * contract). The streaming plan never materializes a full per-window
+    * ranking; the batch/oracle twin pays the full window sort.
+    */
+  def stTopk(s: SparkSession, d: String): DataFrame = {
+    val counts = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val topk = counts
+      .groupBy(window(window_time(col("window")), "1 day"))
+      .agg(graft.functions.topk_rows(
+        struct(col("cnt").cast("double").as("score"),
+          col("user_id").as("id")), 3).as("top"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("ws_us"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("user_id"), col("e.score").cast("long").as("cnt"))
+    runToMemory(topk, "st_topk_mem", OutputMode.Append())
+      .orderBy("ws_us", "rank")
+  }
+
+  val stTopkSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |wm AS (SELECT max(us) // 1000 - 3600000 AS ms FROM e),
+      |h AS (SELECT (us // 86400000000) * 86400000000 AS ws_us, user_id,
+      |        count(*) AS cnt
+      |      FROM e GROUP BY 1, 2)
+      |SELECT ws_us, CAST(rn AS INTEGER) AS rank, user_id, CAST(cnt AS BIGINT) AS cnt
+      |FROM (
+      |  SELECT ws_us, user_id, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY ws_us ORDER BY cnt DESC, user_id) AS rn
+      |  FROM h
+      |  WHERE ws_us + 86400000000 <= (SELECT ms FROM wm) * 1000)
+      |WHERE rn <= 3 ORDER BY ws_us, rn""".stripMargin
+
   /** G2 batch twin: gap-based sessionization (30 min) via lag + running
     * sum of session starts — integer microsecond math on both sides so
     * the DuckDB oracle is exact.
@@ -2049,6 +2092,7 @@ object Streaming {
     QueryDef("st_transform_state", stTransformState, Some(stTransformStateSql)),
     QueryDef("st_chained_agg", stChainedAgg, Some(stChainedAggSql)),
     QueryDef("st_hll", stHll, Some(stHllSql)),
+    QueryDef("st_topk", stTopk, Some(stTopkSql)),
     QueryDef("st_observe", stObserve, Some(stObserveSql)),
     QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),

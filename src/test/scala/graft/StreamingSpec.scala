@@ -686,6 +686,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(g => (g._1, g._2) -> g._3).toMap === batch)
   }
 
+  test("st_topk: heap agg inside streaming matches the full-sort batch twin") {
+    val got = Streaming.stTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000 - 3600000L) * 1000
+    val DayUs = 86400000000L
+    got.groupBy(_._1).foreach { case (ws, rs) =>
+      assert(ws % DayUs === 0L && ws + DayUs <= wmUs, s"window $ws")
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length) && rs.length <= 3)
+    }
+    val batch = Tables.events(spark, sfDir)
+      .select((unix_micros(col("ts")) / lit(DayUs)).cast("long")
+        .multiply(DayUs).as("ws_us"), col("user_id"))
+      .groupBy("ws_us", "user_id").agg(count(lit(1)).as("cnt"))
+      .filter(col("ws_us") + DayUs <= wmUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (ws, xs) =>
+        xs.sortBy(x => (-x._3, x._2)).take(3).zipWithIndex
+          .map { case ((_, u, c), i) => (ws, i + 1, u, c) }
+      }.toSet
+    assert(got.toSet === batch)
+  }
+
   test("st_transform_state: spendStep is chunking-invariant and matches the batch twin") {
     import graft.streaming.Streaming.{spendStep, SpendState}
     // any re-chunking of the same value sequence folds to the same
