@@ -513,6 +513,66 @@ object Multimodal {
        |  md5(string_agg(printf('%02X', val), '' ORDER BY k)) AS a_digest
        |FROM px GROUP BY doc_id, aug""".stripMargin
 
+  final case class LossyStats(doc_id: Long, width: Int, height: Int,
+      max_err_ok: Boolean, mean_err_ok: Boolean)
+
+  private val LossyMaxErr = 64
+  private val LossyMeanErrX100 = 1600 // mean abs err ≤ 16.00 gray levels
+
+  /** Encode the closed-form raster as JPEG, decode it back, and compare
+    * pixel-by-pixel against the lossless source — per image the max and
+    * mean absolute error, gated against fixed tolerances.
+    */
+  def lossyRoundtripBatch(batch: Seq[Long]): Seq[LossyStats] =
+    withImageReader("jpeg") { reader =>
+      val encoded = withImageWriter("jpeg")(w => batch.map(id => id -> encodePng(w, id)))
+      encoded.map { case (id, payload) =>
+        val img = readPng(reader, payload)
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        var maxErr = 0
+        var sumErr = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val e = math.abs(raster.getSample(x, y, 0) - pngPixel(id, x, y))
+            if (e > maxErr) maxErr = e
+            sumErr += e
+            x += 1
+          }
+          y += 1
+        }
+        LossyStats(id, w, h, maxErr <= LossyMaxErr,
+          sumErr * 100L <= LossyMeanErrX100.toLong * (w * h))
+      }
+    }
+
+  /** F12: LOSSY-codec plumbing — the JPEG encode→decode roundtrip with
+    * quantified degradation (the ingestion-QA step before accepting a
+    * lossy transcode into a training corpus: dims must survive exactly,
+    * error must stay inside tolerance). Same batched writer/reader seam
+    * as the lossless path; dims are oracle-exact from the closed form,
+    * and the error gates ride the q_distinct_approx convention — the
+    * operator emits the measured booleans, the oracle the contract
+    * (TRUE), so any codec drift past tolerance fails the hash gate.
+    * Deterministic: fixed rasters through a fixed JDK codec.
+    */
+  def mLossyRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => lossyRoundtripBatch(g.toSeq)))
+      .toDF()
+  }
+
+  val mLossyRoundtripSql: String =
+    """SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS width,
+      |  CAST(8 + doc_id % 7 AS INTEGER) AS height,
+      |  TRUE AS max_err_ok, TRUE AS mean_err_ok
+      |FROM documents""".stripMargin
+
   /** m_resize oracle: resampled pixel (x, y) reads source pixel
     * (2x, 2y) of the closed-form image; digest re-built with
     * printf('%02X') + ordered string_agg.
@@ -1058,6 +1118,7 @@ object Multimodal {
     QueryDef("m_frame_sample", mFrameSample, Some(mFrameSampleSql)),
     QueryDef("m_resize", mResize, Some(mResizeSql)),
     QueryDef("m_augment", mAugment, Some(mAugmentSql)),
+    QueryDef("m_lossy_roundtrip", mLossyRoundtrip, Some(mLossyRoundtripSql)),
     QueryDef("m_magic_route", mMagicRoute, Some(mMagicRouteSql)),
     QueryDef("m_audio_features", mAudioFeatures, Some(mAudioFeaturesSql)),
   )

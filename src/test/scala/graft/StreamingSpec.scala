@@ -1436,6 +1436,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("m_lossy_roundtrip: degradation measured, bounded, and genuinely lossy") {
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0))
+    val stats = Multimodal.lossyRoundtripBatch(ids.toSeq)
+    assert(stats.length === ids.length)
+    stats.foreach { s0 =>
+      val (ew, eh) = Multimodal.pngDims(s0.doc_id)
+      assert(s0.width === ew && s0.height === eh, s"doc ${s0.doc_id} dims")
+      assert(s0.max_err_ok && s0.mean_err_ok, s"doc ${s0.doc_id} exceeded tolerance")
+    }
+    // the roundtrip is genuinely lossy: some pixel differs somewhere
+    // (else the tolerance gate proves nothing)
+    val anyErr = ids.take(32).exists { id =>
+      val payload = Multimodal.jpegFixture(id)
+      val feats = Multimodal.decodeImageBatch(
+        Seq(Multimodal.BinaryRow(id, payload)), "jpeg").head
+      val (w, h) = Multimodal.pngDims(id)
+      val exactSum = (for { y <- 0 until h; x <- 0 until w }
+        yield Multimodal.pngPixel(id, x, y).toLong).sum
+      feats.px_sum != exactSum
+    }
+    assert(anyErr, "JPEG roundtrip was pixel-exact — gate is vacuous")
+  }
+
   test("m_shard_pack: manifest matches a brute-force sequential pack") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
