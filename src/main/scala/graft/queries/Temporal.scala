@@ -234,7 +234,61 @@ object Temporal {
        |  LEAST(c_e, p_e) - GREATEST(c_s, p_s) AS overlap_us
        |FROM c JOIN p ON c.user_id = p.user_id AND c_s < p_e AND p_s < c_e""".stripMargin
 
+  /** A-block: POINT-IN-TIME feature join (the feature-store PIT /
+    * Feast-style training-set build): every purchase (label event) is
+    * enriched with feature values AS OF its timestamp — cumulative
+    * click count and cumulative view spend — with strictly-no-leakage
+    * semantics (a feature row at exactly the label's time counts;
+    * anything later never does; ties are pinned by (us, side,
+    * event_id) so "as of" is a total order, not a race).
+    *
+    * Scale shape: ONE union + ONE user_id window sweep computes every
+    * feature cumulatively in place — labels read the running value at
+    * their own sort position, so the whole training-set build is one
+    * shuffle and one sorted pass. The textbook form (one correlated
+    * subquery or one as-of join PER FEATURE TABLE, which is what the
+    * oracle twin replays) pays a pass per feature; this folds k
+    * features into the same sweep, which is why feature stores
+    * co-partition their event logs by entity. Spend stays
+    * DECIMAL(18,2) through the cumulative sum (Money contract), cast
+    * to DOUBLE once at the label row.
+    */
+  def qPitJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "view",
+          col("value").cast("decimal(18,2)")).as("val"))
+      .withColumn("side", when(col("event_type") === "purchase", 1).otherwise(0))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("clicks_before",
+        count(when(col("event_type") === "click", 1)).over(w))
+      .withColumn("spend_cum", sum(col("val")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("clicks_before"),
+        coalesce(col("spend_cum").cast("double"), lit(0.0)).as("spend_before"))
+  }
+
+  val qPitJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+      |v AS (SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS val
+      |      FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, p.us,
+      |  CAST((SELECT COUNT(*) FROM c
+      |        WHERE c.user_id = p.user_id AND c.us <= p.us) AS BIGINT) AS clicks_before,
+      |  COALESCE((SELECT CAST(SUM(val) AS DOUBLE) FROM v
+      |            WHERE v.user_id = p.user_id AND v.us <= p.us), 0.0) AS spend_before
+      |FROM p""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_pit_join", qPitJoin, Some(qPitJoinSql)),
     QueryDef("q_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     QueryDef("q_asof_native", qAsofNative, Some(qAsofJoinSql)),

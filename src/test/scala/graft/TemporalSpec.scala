@@ -87,6 +87,28 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_pit_join: no leakage — features match a brute as-of recount, ties included") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    def cents(d: Double): Long = math.rint(d * 100).toLong
+    val brute = ev.filter(_._3 == "purchase").map { case (u, eid, _, us, _) =>
+      val clicks = ev.count(e => e._1 == u && e._3 == "click" && e._4 <= us).toLong
+      val spend = ev.filter(e => e._1 == u && e._3 == "view" && e._4 <= us)
+        .map(e => cents(e._5)).sum
+      (eid, u, us, clicks, spend / 100.0)
+    }.toSet
+    val got = Temporal.qPitJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got === brute)
+    assert(brute.exists(_._4 > 0L), "fixture must contain prior clicks")
+    // single-sweep plan: exactly one user_id exchange, no joins at all
+    val plan = Temporal.qPitJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "PIT sweep must not plan any join")
+  }
+
   test("q_window_range: trailing-30min counts match a brute-force recount") {
     val events = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
