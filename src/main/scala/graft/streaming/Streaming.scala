@@ -461,6 +461,74 @@ object Streaming {
       hits.groupBy("user_id").agg(max("reached").as("reached")))
   }
 
+  // ---- online feature serving: the streaming PIT twin ----
+
+  final case class PitState(clicks: Long, cents: Long)
+  final case class PitRow(event_id: Long, user_id: Long, us: Long,
+      clicks_before: Long, spend_before: Double)
+
+  /** One state transition of the PIT feature machine over a user's
+    * ts-ordered events: clicks and view-spend accumulate; each purchase
+    * emits the feature vector AS OF itself. Order-sensitive by design
+    * (that IS point-in-time correctness), but invariant under any
+    * TS-ORDERED re-chunking — the property streaming needs and the
+    * spec proves. Cents via HALF_UP 2-dp (the Money cast's rounding).
+    */
+  private[graft] def pitStep(prev: PitState,
+      events: Seq[(Long, Long, String, Double)]): (PitState, Seq[PitRow]) = {
+    var clicks = prev.clicks
+    var cents = prev.cents
+    val out = Seq.newBuilder[PitRow]
+    events.foreach { case (us, eid, tpe, value) =>
+      tpe match {
+        case "click" => clicks += 1
+        case "view" =>
+          cents += new java.math.BigDecimal(value)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+        case "purchase" =>
+          out += PitRow(eid, 0L, us, clicks, cents / 100.0)
+        case _ => ()
+      }
+    }
+    (PitState(clicks, cents), out.result())
+  }
+
+  /** G12: ONLINE feature serving — the streaming twin of q_pit_join,
+    * same feature definitions (cumulative clicks, cumulative Money
+    * view-spend), same no-leakage order ((us, side, event_id): a
+    * feature event at the purchase's exact timestamp counts, anything
+    * later never does). Each user's state is two longs; every purchase
+    * flowing through the stream is enriched AS OF itself and emitted
+    * once. The point is offline/online PARITY: this query and the
+    * batch training-set build hash-match under the same oracle — the
+    * feature-store guarantee ("train on exactly what you would have
+    * served") demonstrated, not asserted.
+    */
+  def stPit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hits = eventsStream(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PitState, PitRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, events, state) =>
+          val sorted = events.toSeq
+            .map(e => (micros(e._3), e._2, e._4, e._5))
+            .sortBy(e => (e._1, if (e._3 == "purchase") 1 else 0, e._2))
+          val (st, rows) = pitStep(
+            state.getOption.getOrElse(PitState(0L, 0L)), sorted)
+          state.update(st)
+          rows.iterator.map(_.copy(user_id = user))
+      }
+    runToMemory(hits.toDF(), "st_pit_mem", OutputMode.Update())
+      .select("event_id", "user_id", "us", "clicks_before", "spend_before")
+  }
+
+  val stPitSql: String = graft.queries.Temporal.qPitJoinSql
+
   // ---- transformWithState (the Spark 4 arbitrary-state API) ----
 
   final case class SpendState(n: Long, cents: Long, top: Seq[Long])
@@ -2093,6 +2161,7 @@ object Streaming {
     QueryDef("st_chained_agg", stChainedAgg, Some(stChainedAggSql)),
     QueryDef("st_hll", stHll, Some(stHllSql)),
     QueryDef("st_topk", stTopk, Some(stTopkSql)),
+    QueryDef("st_pit", stPit, Some(stPitSql)),
     QueryDef("st_observe", stObserve, Some(stObserveSql)),
     QueryDef("st_session_window", stSessionWindow, Some(stSessionWindowSql)),
     QueryDef("st_stream_join", stStreamJoin, Some(stStreamJoinSql)),

@@ -711,6 +711,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet === batch)
   }
 
+  test("st_pit: online serving equals the offline training-set build; step is ts-chunking-invariant") {
+    import graft.streaming.Streaming.{pitStep, PitState}
+    // offline/online parity: identical rows to q_pit_join
+    val online = Streaming.stPit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val offline = graft.queries.Temporal.qPitJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(online === offline)
+    assert(online.nonEmpty)
+    // ts-ordered chunking invariance: any split of an ordered event
+    // sequence folds to the same state and the same emissions
+    val evs = Seq(
+      (10L, 1L, "click", 0.0), (10L, 2L, "view", 3.33), (10L, 3L, "purchase", 9.0),
+      (20L, 4L, "view", 1.11), (25L, 5L, "click", 0.0), (25L, 6L, "purchase", 5.0),
+      (30L, 7L, "purchase", 1.0))
+    val (wholeSt, wholeOut) = pitStep(PitState(0, 0), evs)
+    for (cut <- 0 to evs.length) {
+      val (a, b) = evs.splitAt(cut)
+      val (s1, o1) = pitStep(PitState(0, 0), a)
+      val (s2, o2) = pitStep(s1, b)
+      assert(s2 === wholeSt && (o1 ++ o2) === wholeOut, s"cut at $cut")
+    }
+    // the tie law: a view at the purchase's exact timestamp counts
+    val (_, out) = pitStep(PitState(0, 0),
+      Seq((50L, 1L, "view", 2.0), (50L, 2L, "purchase", 1.0)))
+    assert(out.head.spend_before === 2.0)
+  }
+
   test("st_transform_state: spendStep is chunking-invariant and matches the batch twin") {
     import graft.streaming.Streaming.{spendStep, SpendState}
     // any re-chunking of the same value sequence folds to the same
