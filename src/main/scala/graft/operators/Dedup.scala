@@ -1523,6 +1523,16 @@ object Dedup {
     // throughout). Persist alone does NOT flatten the LOGICAL plan —
     // only the leaf conversion does. Post-fix: ~10 s incl. the edge
     // artifact read, every hop flat.
+    //
+    // Unpersist discipline: the visited set is FOLDED into a fresh
+    // barriered frame each hop and the superseded dist + frontier are
+    // released once the new frame is materialized — a lazy union of
+    // every hop's persisted leaf would pin O(hops) RDDs for the whole
+    // walk (fine at 6 hops, an OOM on a deep graph). The fold is an
+    // extra count() per hop over two cached narrow frames (ids +
+    // dists) — noise next to the expansion join. The new dist MUST
+    // materialize before its parents unpersist, or the final pass
+    // recomputes every hop from lineage.
     var dist = graft.Stage.barrier(seeds).persist()
     var frontier = dist
     var live = true
@@ -1536,11 +1546,17 @@ object Dedup {
         .select(col("doc_id"), lit(k.toLong).as("dist"))).persist()
       live = next.count() > 0
       if (live) {
+        val folded = graft.Stage.barrier(dist.unionAll(next)).persist()
+        folded.count()
+        if (frontier ne dist) frontier.unpersist()
+        dist.unpersist()
         frontier = next
-        // union of LEAF frames only — plan stays linear in hops
-        dist = dist.unionAll(frontier)
+        dist = folded
+      } else {
+        next.unpersist()
       }
     }
+    if (frontier ne dist) frontier.unpersist()
     dist.orderBy("doc_id")
   }
 

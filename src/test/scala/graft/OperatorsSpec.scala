@@ -534,6 +534,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("iterative graph loops release superseded frames: persisted-RDD delta is O(1)") {
+    // the BFS walk and the pointer-jumping loop each persist a frame
+    // per round; the discipline under test is that round k releases
+    // round k-1 once k materializes, so a deep walk can't accumulate
+    // O(iterations) of cache. Asserted as a persisted-RDD DELTA across
+    // the full query (suites run serially in the forked JVM, so nothing
+    // else persists concurrently). The budget is the loop's steady
+    // state — current dist + frontier for BFS (its edge artifact is
+    // Stage.cached by design and counted separately below), final
+    // labels for connected components — NOT a function of hop/round
+    // count, which is the regression this spec exists to catch.
+    val sc = spark.sparkContext
+    // warm the write-once artifacts first so their Stage.cached edge
+    // frames (deliberate, O(1) per corpus) don't count against the loop
+    Dedup.ensureSimhashEdges(spark, sfDir).count()
+    val before = sc.getPersistentRDDs.size
+    Dedup.dGraphDist(spark, sfDir).collect()
+    val afterBfs = sc.getPersistentRDDs.size
+    assert(afterBfs - before <= 3,
+      s"BFS leaked persisted frames: $before -> $afterBfs (budget 3: dist + frontier + edge cache)")
+    import spark.implicits._
+    val n = 64L
+    val nodes = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val beforeCc = sc.getPersistentRDDs.size
+    Dedup.connectedComponents(nodes, chain).collect()
+    val afterCc = sc.getPersistentRDDs.size
+    // a 64-node path runs the full logarithmic round count (~6 rounds);
+    // only the returned labels frame may survive
+    assert(afterCc - beforeCc <= 1,
+      s"connectedComponents leaked persisted frames: $beforeCc -> $afterCc (budget 1: final labels)")
+  }
+
   test("d_band_tune: configs nest — candidates and trues grow with band count") {
     // 2x8 bands are aligned unions of 4x4 bands, which are unions of
     // 8x2 bands: agreement on a coarse band implies agreement on every
