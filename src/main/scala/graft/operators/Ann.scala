@@ -1881,13 +1881,52 @@ object Ann {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= MmrC)
       .select("query_id", "vec_id", "relFx", "v")
-    // the greedy chain runs in ONE mmr_select kernel eval per query
-    // over the shortlist block (ids + relFx + flattened vectors) — the
-    // block_topk pattern. A first cut unrolled the K−1 steps as
-    // anti-join/max-sim/rank-1 DataFrame stages: semantically identical
-    // (the spec's brute recount pinned both), but ~20 shuffle stages of
-    // K·Q-row frames cost 5.1 s steady at sf0.1 vs ~1 s for the kernel
-    // — per-query bounded work belongs in one eval, not a stage chain.
+    mmrSelect(cand)
+  }
+
+  /** D12b: MMR over the IVF index — the production composition. The
+    * shortlist feeding the greedy diversifier comes from the SAME
+    * stored IVF layout and codebook artifact as s_ann_ivf (cell-local
+    * candidates, $Probes probed cells per query) instead of a brute
+    * corpus × queries scan, so the diversified retrieval touches
+    * ~Probes·√N vectors per query at any corpus size — the shape a
+    * RAG pipeline runs at 100 TB. Downstream of the shortlist the
+    * greedy chain is IDENTICAL to s_mmr (same kernel, same fixed-point
+    * contracts); the oracle re-derives the Lloyd codebook + probed
+    * cells exactly (lloydCtes/assignSql, as s_ann_ivf's oracle does)
+    * and unrolls the same greedy chain over that recalled set — so
+    * composability is hash-gated, not asserted.
+    */
+  def sMmrIvf(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val centroids = ensureCentroids(c, d, "ivf", scaledCells(c.count()))
+    val bucketed = assignCells(c, centroids, probes = 1)
+    val probedQueries = assignCells(
+      queries(s, d).withColumnRenamed("qv", "v"), centroids, Probes)
+      .withColumnRenamed("v", "qv")
+    val wq = Window.partitionBy("query_id").orderBy(col("relFx").desc, col("vec_id"))
+    val cand = bucketed.join(probedQueries, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qv", "vec_id", "v")
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("relFx",
+        floor(vec_cosine(col("v"), col("qv")) * 10000 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= MmrC)
+      .select("query_id", "vec_id", "relFx", "v")
+    mmrSelect(cand)
+  }
+
+  /** The greedy selection stage shared by s_mmr and s_mmr_ivf: ONE
+    * mmr_select kernel eval per query over its shortlist block (ids +
+    * relFx + flattened vectors) — the block_topk pattern. A first cut
+    * unrolled the K−1 steps as anti-join/max-sim/rank-1 DataFrame
+    * stages: semantically identical (the spec's brute recount pinned
+    * both), but ~20 shuffle stages of K·Q-row frames cost 5.1 s steady
+    * at sf0.1 vs ~1 s for the kernel — per-query bounded work belongs
+    * in one eval, not a stage chain.
+    */
+  private def mmrSelect(cand: DataFrame): DataFrame =
     cand.groupBy("query_id")
       .agg(collect_list(struct(col("vec_id"), col("relFx"), col("v"))).as("cs"))
       .select(col("query_id"), explode(graft.functions.mmr_select(
@@ -1896,12 +1935,10 @@ object Ann {
         flatten(transform(col("cs"), e => e.getField("v"))), MmrK)).as("e"))
       .select(col("query_id"), col("e.sel_rank").as("sel_rank"),
         col("e.id").as("vec_id"), col("e.relfx").as("rel_fx"))
-  }
 
   val sMmrSql: String = {
     val relFx = s"CAST(FLOOR(${cosSql("c.v", "q.qv", Dim)} * 10000 + 0.5) AS BIGINT)"
-    val simFx = s"CAST(FLOOR(${cosSql("a.v", "b.v", Dim)} * 10000 + 0.5) AS BIGINT)"
-    val head =
+    mmrChainSql(
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
          |cand AS (
@@ -1909,8 +1946,45 @@ object Ann {
          |    SELECT q.query_id, c.vec_id, $relFx AS relFx, c.v,
          |      ROW_NUMBER() OVER (PARTITION BY q.query_id
          |        ORDER BY $relFx DESC, c.vec_id) AS rn
-         |    FROM c, q WHERE c.vec_id != q.query_id) WHERE rn <= $MmrC),
-         |sims AS (
+         |    FROM c, q WHERE c.vec_id != q.query_id) WHERE rn <= $MmrC)""".stripMargin)
+  }
+
+  /** s_mmr_ivf oracle: exact Lloyd re-derivation + probed-cell
+    * candidate set (bit-identical to the Spark IVF path, as
+    * s_ann_ivf's oracle is), fixed-point shortlist top-$MmrC, then the
+    * same unrolled greedy chain as s_mmr's oracle.
+    */
+  val sMmrIvfSql: String = {
+    val relFx = s"CAST(FLOOR(${cosSql("cd.v", "cd.qv", Dim)} * 10000 + 0.5) AS BIGINT)"
+    mmrChainSql(
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
+         |${lloydCtes("c")},
+         |ca AS (
+         |${assignSql("c", "vec_id", "v", probes = 1)}),
+         |qa AS (
+         |${assignSql("q", "query_id", "qv", Probes)}),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, vec_id, relFx, v FROM (
+         |    SELECT query_id, vec_id, relFx, v,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY relFx DESC, vec_id) AS rn
+         |    FROM (SELECT cd.query_id, cd.vec_id, $relFx AS relFx, cd.v
+         |          FROM (SELECT DISTINCT qa.query_id, ca.vec_id, ca.v, qa.qv
+         |                FROM ca JOIN qa ON ca.cell = qa.cell
+         |                WHERE ca.vec_id != qa.query_id) cd)) WHERE rn <= $MmrC)""".stripMargin)
+  }
+
+  /** Greedy MMR chain appended to a head whose final CTE is
+    * `cand(query_id, vec_id, relFx, v)`: pairwise fixed-point sims,
+    * K−1 unrolled [anti-join selected, max-sim, rank-1] stages, union
+    * of the K selection steps.
+    */
+  private def mmrChainSql(candHead: String): String = {
+    val simFx = s"CAST(FLOOR(${cosSql("a.v", "b.v", Dim)} * 10000 + 0.5) AS BIGINT)"
+    val head =
+      s"""$candHead,
+         |sims AS MATERIALIZED (
          |  SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb, $simFx AS simFx
          |  FROM cand a JOIN cand b
          |    ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
@@ -1953,6 +2027,7 @@ object Ann {
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_ann_eval", sAnnEval, Some(sAnnEvalSql)),
     QueryDef("s_mmr", sMmr, Some(sMmrSql)),
+    QueryDef("s_mmr_ivf", sMmrIvf, Some(sMmrIvfSql)),
     QueryDef("s_graph_search", sGraphSearch, Some(sGraphSearchSql)),
     QueryDef("s_hybrid", sHybrid, Some(sHybridSql)),
     QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),
