@@ -1078,6 +1078,15 @@ object Dedup {
     * semi-join back — the shuffle carries the window-hash stream, no
     * pair join anywhere. The oracle re-derives the same windows as
     * strings.
+    *
+    * Fidelity vs the suffix-array formulation (spec-pinned,
+    * "span-exactness"): windows slide at stride 1, so ANY cross-doc
+    * repeated span of ≥ SpanWords words produces a shared window at
+    * every covered position — detection (and d_substring_apply's cut)
+    * is EXACT at the threshold, alignment-free; spans below SpanWords
+    * are deliberately exempt (the paper's length floor). Remaining
+    * deltas are semantic choices: word (not BPE-token) threshold
+    * units, cross-doc scope, keeper = globally-first occurrence.
     */
   private val SpanWords = 16
 

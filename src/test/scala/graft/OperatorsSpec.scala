@@ -29,6 +29,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d_substring span-exactness: stride-1 windows detect every qualifying span, alignment-free") {
+    // The recall bound of the window formulation vs Lee et al.'s
+    // suffix-array ExactSubstr, pinned by construction: because windows
+    // slide at stride 1 (every word position), ANY cross-doc repeated
+    // span of >= SpanWords words yields a shared window at every
+    // covered position — detection and cut are EXACT for spans at or
+    // above the threshold regardless of where the span starts (there
+    // are no tile boundaries to straddle), and spans below the
+    // threshold are untouched (the deliberate length cutoff, as in the
+    // paper's 50-token floor). Planted spans at offsets 3 and 5 (not
+    // multiples of 16) prove alignment-freedom; the 15-word span proves
+    // the sharp threshold.
+    import spark.implicits._
+    val a = (0 to 39).map(i => s"a$i")
+    val docs = Seq(
+      // ids chosen so none is % 7 == 0 (no re-inserted exact copies)
+      (1L, a.mkString(" ")),                                               // source: 40 words
+      (2L, (Seq("b0", "b1", "b2") ++ a.slice(10, 26) ++ (0 to 5).map(i => s"c$i")).mkString(" ")), // 16-word span at offset 3
+      (3L, (Seq("d0", "d1") ++ a.slice(10, 25) :+ "e0").mkString(" ")),    // 15-word span: below threshold
+      (4L, ((0 to 4).map(i => s"f$i") ++ a.slice(5, 28) :+ "g0").mkString(" ")), // 23-word span at offset 5
+    ).map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_exact").toFile
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"${dir.getPath}/documents.parquet")
+    val det = Dedup.dSubstring(spark, dir.getPath).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // (n_spans, n_dup_spans): doc 1 shares windows at its positions
+    // 5..12 (the 23-word span's 8 windows; the 16-word span's single
+    // window at position 10 is among them)
+    assert(det === Map(1L -> ((25L, 8L)), 2L -> ((10L, 1L)),
+      3L -> ((3L, 0L)), 4L -> ((14L, 8L))))
+    val cut = Dedup.dSubstringApply(spark, dir.getPath).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // keeper (doc 1, globally-first occurrence) keeps everything; the
+    // non-keeper occurrences lose EXACTLY their shared span's words —
+    // 16 at offset 3, 23 at offset 5 — and the 15-word span loses none
+    assert(cut === Map(1L -> 0L, 2L -> 16L, 3L -> 0L, 4L -> 23L))
+  }
+
   test("d_substring_apply: matches brute-force cut model; no dup span survives twice") {
     // in-test model of the operator's exact semantics: dup window =
     // same 16-word text in ≥2 docs; keeper = min (doc_id, pos); cut
