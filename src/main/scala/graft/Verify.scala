@@ -14,6 +14,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional filesystem-seam binding: SPARK_GRAFT_FS=hadoop routes
+    // every artifact publish/resolve through the conf-routed Hadoop
+    // FileSystem (checksummed LocalFileSystem for scheme-less paths —
+    // the s3a:// protocol shape), proving no java.io.File assumption
+    // survives in any operator's artifact path. Default stays POSIX.
+    sys.env.get("SPARK_GRAFT_FS").foreach {
+      case "hadoop" => graft.fs.FsOps.current = graft.fs.HadoopFsOps
+      case "objectstore" => graft.fs.FsOps.current = graft.fs.ObjectStoreFsOps
+      case "posix" | "" => ()
+      case other => System.err.println(s"[verify] unknown SPARK_GRAFT_FS '$other', keeping posix")
+    }
+    System.err.println(s"[verify] fs seam: ${graft.fs.FsOps.current.name}")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter (same contract as Bench) —
     // lets scale probes dump a single operator without the full sweep

@@ -163,19 +163,22 @@ object Streaming {
     * groupBy. This is the streaming form of the q_topk_per_group /
     * heavy-user report every event warehouse runs hourly.
     */
-  def stChainedAgg(s: SparkSession, d: String): DataFrame = {
-    val hourly = eventsStream(s, d)
+  private[graft] def chainedAggTransform(events: DataFrame): DataFrame = {
+    val hourly = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
-    val perHour = hourly
+    hourly
       .groupBy(window(window_time(col("window")), "1 hour"))
       .agg(max("cnt").as("max_cnt"), count(lit(1)).as("n_users"))
       .select(unix_micros(col("window.start")).as("ws_us"),
         col("max_cnt"), col("n_users"))
-    runToMemory(perHour, "st_chained_agg_mem", OutputMode.Append())
-      .orderBy("ws_us")
   }
+
+  def stChainedAgg(s: SparkSession, d: String): DataFrame =
+    runToMemory(chainedAggTransform(eventsStream(s, d)),
+      "st_chained_agg_mem", OutputMode.Append())
+      .orderBy("ws_us")
 
   val stChainedAggSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -205,7 +208,7 @@ object Streaming {
     * closed windows only; the oracle applies the same watermark cutoff
     * (st_late_data convention).
     */
-  def stHll(s: SparkSession, d: String): DataFrame = {
+  private[graft] def hllTransform(events: DataFrame): DataFrame = {
     // DAY windows, not hours: the certification gate needs the
     // per-group cardinality in linear counting's statistical regime
     // (n ≈ 50 against 4K registers → collision mass n²/2m ≪ 1 estimate
@@ -213,11 +216,11 @@ object Streaming {
     // make single register collisions (prob ~n²/2m each, thousands of
     // draws) visible as a 0.75 ratio in SOME group — the estimator is
     // fine, the 1 dp gate on a 4-element set is not.
-    val deduped = eventsStream(s, d)
+    val deduped = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
-    val perWin = deduped
+    deduped
       .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx"))
@@ -225,9 +228,12 @@ object Streaming {
         col("exact_users"),
         round(col("approx").cast("double") / col("exact_users"), 1)
           .as("users_ratio"))
-    runToMemory(perWin, "st_hll_mem", OutputMode.Append())
-      .orderBy("ws_us", "event_type")
   }
+
+  def stHll(s: SparkSession, d: String): DataFrame =
+    runToMemory(hllTransform(eventsStream(s, d)),
+      "st_hll_mem", OutputMode.Append())
+      .orderBy("ws_us", "event_type")
 
   val stHllSql: String =
     """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us FROM events),
@@ -250,12 +256,12 @@ object Streaming {
     * contract). The streaming plan never materializes a full per-window
     * ranking; the batch/oracle twin pays the full window sort.
     */
-  def stTopk(s: SparkSession, d: String): DataFrame = {
-    val counts = eventsStream(s, d)
+  private[graft] def topkTransform(events: DataFrame): DataFrame = {
+    val counts = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
-    val topk = counts
+    counts
       .groupBy(window(window_time(col("window")), "1 day"))
       .agg(graft.functions.topk_rows(
         struct(col("cnt").cast("double").as("score"),
@@ -264,9 +270,12 @@ object Streaming {
         posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("ws_us"), (col("pos") + 1).cast("int").as("rank"),
         col("e.id").as("user_id"), col("e.score").cast("long").as("cnt"))
-    runToMemory(topk, "st_topk_mem", OutputMode.Append())
-      .orderBy("ws_us", "rank")
   }
+
+  def stTopk(s: SparkSession, d: String): DataFrame =
+    runToMemory(topkTransform(eventsStream(s, d)),
+      "st_topk_mem", OutputMode.Append())
+      .orderBy("ws_us", "rank")
 
   val stTopkSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -505,9 +514,10 @@ object Streaming {
     * feature-store guarantee ("train on exactly what you would have
     * served") demonstrated, not asserted.
     */
-  def stPit(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pitTransform(src: DataFrame): DataFrame = {
+    val s = src.sparkSession
     import s.implicits._
-    val hits = eventsStream(s, d)
+    src
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"))
       .as[(Long, Long, java.sql.Timestamp, String, Double)]
@@ -522,10 +532,13 @@ object Streaming {
             state.getOption.getOrElse(PitState(0L, 0L)), sorted)
           state.update(st)
           rows.iterator.map(_.copy(user_id = user))
-      }
-    runToMemory(hits.toDF(), "st_pit_mem", OutputMode.Update())
-      .select("event_id", "user_id", "us", "clicks_before", "spend_before")
+      }.toDF()
   }
+
+  def stPit(s: SparkSession, d: String): DataFrame =
+    runToMemory(pitTransform(eventsStream(s, d)),
+      "st_pit_mem", OutputMode.Update())
+      .select("event_id", "user_id", "us", "clicks_before", "spend_before")
 
   val stPitSql: String = graft.queries.Temporal.qPitJoinSql
 
@@ -586,34 +599,45 @@ object Streaming {
     * user over purchase events. Fixed-point cents end-to-end, so the
     * serial oracle and the keyed distributed state agree exactly.
     */
-  def stTransformState(s: SparkSession, d: String): DataFrame = {
+  private[graft] def spendTransform(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
+    events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("value").cast(Money) * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SpendTracker,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
+
+  /** Scope the RocksDB state-store provider (transformWithState's
+    * required store) around `body`, restoring the previous provider.
+    */
+  private[graft] def withRocksDb[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val src = eventsStream(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          (col("value").cast(Money) * 100).cast("long").as("cents"))
-        .as[(Long, Long)]
-      val out = src.groupByKey(_._1)
-        .transformWithState(new SpendTracker,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          OutputMode.Update())
-        .toDF()
-      val drained = runToMemory(out, "st_transform_state_mem", OutputMode.Update())
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  def stTransformState(s: SparkSession, d: String): DataFrame =
+    withRocksDb(s) {
+      val drained = runToMemory(spendTransform(eventsStream(s, d)),
+        "st_transform_state_mem", OutputMode.Update())
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("n_purchases").desc)
       drained.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select("user_id", "n_purchases", "spend_cents", "top3_cents")
         .orderBy("user_id")
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
     }
-  }
 
   val stTransformStateSql: String =
     """WITH p AS (SELECT user_id, event_id,
