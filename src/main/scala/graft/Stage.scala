@@ -228,7 +228,16 @@ object Stage {
     * gate check every ensure* builder runs before rebuilding.
     */
   def published(target: java.io.File, marker: String): Boolean =
-    new java.io.File(resolved(target), marker).exists()
+    try new java.io.File(resolved(target), marker).exists()
+    catch {
+      case _: IllegalStateException =>
+        // a crashed publisher's stuck-empty pointer (resolveDir's
+        // "torn commit record"): clear it — deterministically
+        // unpublished — so the caller's rebuild can commit fresh
+        // instead of every future resolve throwing forever
+        graft.fs.FsOps.current.clearTornCommit(asPath(target))
+        false
+    }
 
   /** Remove a published artifact through the seam: commit record
     * first, then the physical tree (see FsOps.deletePublished).

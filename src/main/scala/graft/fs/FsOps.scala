@@ -161,6 +161,16 @@ trait FsOps {
     * graft.operators.Ann) — on the real stores the PUT is atomic.
     */
   def publishFile(tmp: Path, target: Path): Unit
+
+  /** Remove a TORN commit record for `target` — the stuck-empty
+    * pointer a publisher that crashed mid-put leaves on a non-atomic
+    * local FS (resolveDir reports it by throwing). Clearing it returns
+    * the artifact to "unpublished" so a rebuild can commit fresh;
+    * without this, a torn record poisons every later resolve forever.
+    * No-op where the commit is an atomic rename (POSIX — there is no
+    * record to tear).
+    */
+  def clearTornCommit(target: Path): Unit = ()
 }
 
 object FsOps {
@@ -225,6 +235,13 @@ object PosixFsOps extends FsOps {
   def republishDir(tmp: Path, target: Path, marker: String): Unit = {
     val t = f(target)
     val pre = new File(t.getPath + ".pre_swap")
+    // heal the stage-out crash window first: a republish that died
+    // between its two renames left the live data ONLY in .pre_swap
+    // (target absent). Restore it before treating pre as stale debris —
+    // the old code's unconditional deleteTree(pre) destroyed the only
+    // copy on a post-crash retry.
+    if (!t.exists() && pre.exists() && !pre.renameTo(t))
+      throw new IllegalStateException(s"cannot restore $pre after crashed swap")
     deleteTree(pre)
     if (!t.renameTo(pre))
       throw new IllegalStateException(s"cannot stage out $target for swap")
@@ -428,6 +445,10 @@ class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
     // must never collide with the live one it is replacing
     new Path(target.getParent,
       target.getName + "." + FsOps.uniqueSuffix(suffix))
+
+  override def clearTornCommit(target: Path): Unit = {
+    fsFor(target).delete(ptrFile(target), false); ()
+  }
 
   def stagingDebris(parent: Path): Seq[(Path, Long)] = {
     val fs = fsFor(parent)
