@@ -658,6 +658,101 @@ object Text {
       .select("doc_id", "rk", "term", "tf", "df", "score")
   }
 
+  private val BmQueries = 8
+  private val BmTopK = 5
+
+  /** E14b: BM25 lexical retrieval (Robertson-Spärck Jones; k1=1.2,
+    * b=0.75) — the lexical arm of hybrid retrieval done with the real
+    * ranking function rather than s_hybrid's word-set Jaccard. Queries
+    * are the distinct terms of the $BmQueries lowest doc_ids (the
+    * bounded-query-batch convention the ANN family uses); candidates
+    * come from an INVERTED-INDEX join — only documents sharing a query
+    * term are ever scored, postings-bounded like d_containment, never
+    * a corpus × queries product. (At 100 TB the standard extras apply
+    * on top of this shape: df-capped postings or WAND-style upper-bound
+    * skipping; idf already nullifies stopword-weight.)
+    *
+    * Float discipline: each (query, term, doc) contribution
+    * idf·tf-weight is computed from SCALARS (tf, df, dl, N, Σdl) with
+    * the identical expression tree in both engines, then floored to
+    * 6-dp fixed point; the per-document SUM runs over BIGINTs, so
+    * partitioning can never change the float fold order (same contract
+    * as s_mmr's relFx). ln()'s last-ulp is libm-specific in principle;
+    * at 6-dp a mismatch needs the true value within ~1e-15 of a
+    * rounding boundary — the spec measures the minimum boundary
+    * distance on the gate corpus and pins it orders of magnitude away.
+    */
+  def tBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // cached: tf feeds the df aggregate, the dl aggregate, the query
+    // term set AND the postings side — a barrier would re-run the
+    // tokenize+count pass per consumer
+    val tf = graft.Stage.cached(
+      docs.select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum("tf").as("total_tokens")))
+    val qterms = tf.filter(col("doc_id") < BmQueries)
+      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val avgdl = col("total_tokens").cast("double") / nD
+    val idf = log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5))
+    val tfw = tfD * 2.2 / (tfD + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    val contrib = qterms.join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * tfw * 1000000 + 0.5).cast("long").as("fx"))
+    val w = Window.partitionBy("query_id").orderBy(col("sfx").desc, col("doc_id"))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(sum("fx").as("sfx"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BmTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        (col("sfx").cast("double") / 1000000.0).as("score"))
+  }
+
+  val tBm25Sql: String = {
+    val idf = "ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5))"
+    val tfw = "CAST(tfc.tf AS DOUBLE) * 2.2 / (CAST(tfc.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dlc.dl AS DOUBLE) / (CAST(n.total_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS term
+       |  FROM documents),
+       |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+       |dlc AS (SELECT doc_id, SUM(tf) AS dl FROM tfc GROUP BY 1),
+       |n AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       |             (SELECT SUM(tf) FROM tfc) AS total_tokens),
+       |q AS (SELECT DISTINCT doc_id AS query_id, term FROM tfc
+       |      WHERE doc_id < $BmQueries),
+       |contrib AS (
+       |  SELECT q.query_id, tfc.doc_id,
+       |    CAST(FLOOR($idf * $tfw * 1000000 + 0.5) AS BIGINT) AS fx
+       |  FROM q JOIN tfc USING (term)
+       |         JOIN dfc USING (term)
+       |         JOIN dlc ON dlc.doc_id = tfc.doc_id
+       |         CROSS JOIN n
+       |  WHERE tfc.doc_id != q.query_id),
+       |scored AS (
+       |  SELECT query_id, doc_id, SUM(fx) AS sfx, COUNT(*) AS n_terms
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+       |  CAST(n_terms AS BIGINT) AS n_terms,
+       |  CAST(sfx AS DOUBLE) / 1000000.0 AS score
+       |FROM (SELECT query_id, doc_id, sfx, n_terms,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY sfx DESC, doc_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= $BmTopK""".stripMargin
+  }
+
   val tTfidfSql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS term
@@ -1792,6 +1887,7 @@ object Text {
     QueryDef("t_quality_train", tQualityTrain, Some(tQualityTrainSql)),
     QueryDef("t_entropy", tEntropy, Some(tEntropySql)),
     QueryDef("t_tfidf", tTfidf, Some(tTfidfSql)),
+    QueryDef("t_bm25", tBm25, Some(tBm25Sql)),
     QueryDef("t_ngram_counts", tNgramCounts, Some(tNgramCountsSql)),
     QueryDef("t_decontaminate", tDecontaminate, Some(tDecontaminateSql)),
     QueryDef("t_repetition", tRepetition, Some(tRepetitionSql)),

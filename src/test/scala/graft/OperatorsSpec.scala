@@ -679,6 +679,53 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.values.sum === Tables.orders(spark, sfDir).count())
   }
 
+  test("t_bm25: matches a brute-force recount; floor gate far from any boundary") {
+    import graft.operators.Text
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[ \\t\\n\\x0B\\f\\r]+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val tf: Map[(Long, String), Long] = docs.toSeq
+      .flatMap { case (id, ws) => ws.map(w => (id, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df: Map[String, Long] = tf.keys.toSeq.map(_._2)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val dl: Map[Long, Long] = docs.map { case (id, ws) => id -> ws.size.toLong }
+    val nDocs = docs.size.toDouble
+    val avgdl = dl.values.sum.toDouble / nDocs
+    var minBoundary = Double.MaxValue
+    def fx(q: Long, d: Long, t: String): Long = {
+      val idf = math.log(1.0 + (nDocs - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5))
+      val tfd = tf((d, t)).toDouble
+      val tfw = tfd * 2.2 / (tfd + 1.2 * (0.25 + 0.75 * dl(d).toDouble / avgdl))
+      val x = idf * tfw * 1000000 + 0.5
+      minBoundary = math.min(minBoundary, math.abs(x - math.rint(x)))
+      math.floor(x).toLong
+    }
+    val expected: Map[Long, Seq[(Int, Long, Long, Double)]] =
+      (0L until 8L).filter(docs.contains).map { q =>
+        val qts = docs(q).distinct
+        val scored = docs.keys.filter(_ != q).toSeq.flatMap { d =>
+          val hits = qts.filter(t => tf.contains((d, t)))
+          if (hits.isEmpty) None
+          else Some((d, hits.map(t => fx(q, d, t)).sum, hits.size.toLong))
+        }
+        q -> scored.sortBy { case (d, sfx, _) => (-sfx, d) }.take(5).zipWithIndex
+          .map { case ((d, sfx, nt), i) => (i + 1, d, nt, sfx.toDouble / 1000000.0) }
+      }.toMap
+    val got = Text.tBm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1).toSeq }
+    assert(got === expected)
+    // the fixed-point gate must not be knife-edge: a last-ulp ln()
+    // difference between engines is ~1e-9 at this scale — require the
+    // nearest floor boundary to be orders of magnitude farther
+    info(f"min floor-boundary distance on gate corpus: $minBoundary%.3e")
+    assert(minBoundary > 1e-6,
+      f"floor gate within $minBoundary%.2e of a boundary — ulp-fragile")
+  }
+
   test("t_tfidf: scores and top-3 match a brute-force recount") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

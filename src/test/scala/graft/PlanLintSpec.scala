@@ -57,6 +57,7 @@ class PlanLintSpec extends SparkSpec {
     "s_mmr" -> "bounded query batch brute shortlist — the swappable baseline; s_mmr_ivf is the indexed path and must stay BNLJ-free",
     "s_range_search" -> "bounded query batch broadcast, pure scan (plan-pinned shuffle-free)",
     "s_triplet_mine" -> "bounded anchor batch broadcast over one cached corpus pass",
+    "t_bm25" -> "cross with the one-row corpus-stats aggregate (n_docs, total_tokens); candidates come from the postings join",
     "t_cooccur" -> "one-row corpus-total aggregates crossed into the PMI scoring",
     "t_heavy_hitters" -> "broadcast Misra-Gries candidate set (≤ budget rows) verify join",
     "t_langid" -> "cross with the bounded language-profile table (one row per language)",
