@@ -658,6 +658,99 @@ object Text {
       .select("doc_id", "rk", "term", "tf", "df", "score")
   }
 
+  private val DsirBuckets = 256
+
+  /** E14c: DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — score every source
+    * document by its log importance weight under hashed-bigram
+    * unigram-LM models of a TARGET distribution (here lang='en', the
+    * in-domain proxy) vs the full SOURCE corpus:
+    * logw(doc) = Σ_b cnt_doc[b]·(ln p̂_t[b] − ln p̂_s[b]), Laplace-
+    * smoothed over $DsirBuckets hash buckets. This is the importance
+    * scorer a pretraining pipeline runs corpus-wide before sampling;
+    * resampling itself is a weighted t_sample downstream.
+    *
+    * Scale shape: ONE tokenize+hash pass (cached — it feeds the
+    * per-doc counts and both model aggregates), one (doc, bucket)
+    * shuffle, and a $DsirBuckets-row model broadcast back onto the
+    * per-doc counts — corpus-linear with constant model state, which
+    * is exactly why DSIR hashes its features. Bucket ids are the
+    * 60-bit md5 prefix mod $DsirBuckets, reproduced nibble-for-nibble
+    * in the oracle (the simhash/LSH md5-fold convention). Per-bucket
+    * ln-ratio is floored to 6-dp fixed point from scalars and every
+    * per-doc sum runs over BIGINTs (the t_bm25 float discipline; the
+    * spec pins the floor-boundary distance).
+    */
+  def tDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ws = words(lower(col("text")))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val dbc = graft.Stage.cached(docs
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("g"))
+      .withColumn("bucket",
+        conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % DsirBuckets)
+      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt")))
+    val models = dbc.groupBy("bucket")
+      .agg(sum("cnt").as("cs"),
+        sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
+    val totals = models.agg(sum("cs").as("s_tot"), sum("ct").as("t_tot"))
+    val dfx = floor((
+      log((col("ct").cast("double") + 1.0) /
+        (col("t_tot").cast("double") + DsirBuckets.toDouble)) -
+      log((col("cs").cast("double") + 1.0) /
+        (col("s_tot").cast("double") + DsirBuckets.toDouble))
+      ) * 1000000 + 0.5).cast("long")
+    val delta = models.crossJoin(broadcast(totals))
+      .select(col("bucket"), dfx.as("dfx"))
+    val perDoc = dbc.join(broadcast(delta), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("dfx")).as("sfx"), sum("cnt").as("nbg"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("nbg"), lit(0L)).as("n_bigrams"),
+        (coalesce(col("sfx"), lit(0L)).cast("double") / 1000000.0).as("logw"))
+  }
+
+  val tDsirSql: String = {
+    val lnT = s"ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(t.t_tot AS DOUBLE) + $DsirBuckets.0))"
+    val lnS = s"ln((CAST(cs AS DOUBLE) + 1.0) / (CAST(t.s_tot AS DOUBLE) + $DsirBuckets.0))"
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+       |  FROM w WHERE len(ws) >= 2),
+       |hb AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(list_transform(range(1, 16),
+       |      j -> CAST(strpos('123456789abcdef', substr(md5(g), j, 1)) AS BIGINT)),
+       |      (a, c) -> a * 16 + c) % $DsirBuckets AS bucket
+       |  FROM b),
+       |dbc AS (SELECT doc_id, lang, bucket, COUNT(*) AS cnt FROM hb GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT bucket, SUM(cnt) AS cs,
+       |    SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS ct
+       |  FROM dbc GROUP BY 1),
+       |tot AS (SELECT SUM(cs) AS s_tot, SUM(ct) AS t_tot FROM bk),
+       |delta AS (
+       |  SELECT bucket,
+       |    CAST(FLOOR(($lnT - $lnS) * 1000000 + 0.5) AS BIGINT) AS dfx
+       |  FROM bk CROSS JOIN tot t),
+       |perdoc AS (
+       |  SELECT doc_id, SUM(cnt * dfx) AS sfx, SUM(cnt) AS nbg
+       |  FROM dbc JOIN delta USING (bucket) GROUP BY 1)
+       |SELECT d.doc_id, d.lang, CAST(COALESCE(p.nbg, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(p.sfx, 0) AS DOUBLE) / 1000000.0 AS logw
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
+  }
+
   private val BmQueries = 8
   private val BmTopK = 5
 
@@ -1888,6 +1981,7 @@ object Text {
     QueryDef("t_entropy", tEntropy, Some(tEntropySql)),
     QueryDef("t_tfidf", tTfidf, Some(tTfidfSql)),
     QueryDef("t_bm25", tBm25, Some(tBm25Sql)),
+    QueryDef("t_dsir", tDsir, Some(tDsirSql)),
     QueryDef("t_ngram_counts", tNgramCounts, Some(tNgramCountsSql)),
     QueryDef("t_decontaminate", tDecontaminate, Some(tDecontaminateSql)),
     QueryDef("t_repetition", tRepetition, Some(tRepetitionSql)),

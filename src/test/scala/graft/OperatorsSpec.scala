@@ -726,6 +726,49 @@ class OperatorsSpec extends SparkSpec {
       f"floor gate within $minBoundary%.2e of a boundary — ulp-fragile")
   }
 
+  test("t_dsir: importance weights match a brute-force recount; target docs score higher") {
+    import graft.operators.Text
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("[ \\t\\n\\x0B\\f\\r]+").filter(_.nonEmpty).toSeq))
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    val perDoc = docs.map { case (id, lang, ws) =>
+      (id, lang, ws.sliding(2).filter(_.size == 2).map(p => bucket(p.mkString(" "))).toSeq)
+    }
+    val cs = perDoc.flatMap(_._3).groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val ct = perDoc.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val sTot = cs.values.sum.toDouble; val tTot = ct.values.sum.toDouble
+    var minBoundary = Double.MaxValue
+    val dfx: Map[Long, Long] = cs.keys.map { b =>
+      val x = (math.log((ct.getOrElse(b, 0L) + 1.0) / (tTot + 256.0)) -
+        math.log((cs(b) + 1.0) / (sTot + 256.0))) * 1000000 + 0.5
+      minBoundary = math.min(minBoundary, math.abs(x - math.rint(x)))
+      b -> math.floor(x).toLong
+    }.toMap
+    val expected = perDoc.map { case (id, lang, bs) =>
+      id -> ((lang, bs.size.toLong, bs.map(dfx).sum.toDouble / 1000000.0))
+    }.toMap
+    val got = Text.tDsir(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+    info(f"min floor-boundary distance: $minBoundary%.3e")
+    assert(minBoundary > 1e-6, f"floor gate ulp-fragile: $minBoundary%.2e")
+    // semantic sanity: the scorer must actually separate the target —
+    // mean logw of 'en' docs above mean of the rest (that's the whole
+    // point of importance weighting toward the target distribution)
+    val (en, rest) = got.values.partition(_._1 == "en")
+    val meanEn = en.map(_._3).sum / en.size
+    val meanRest = rest.map(_._3).sum / rest.size
+    info(f"mean logw: en $meanEn%.3f vs rest $meanRest%.3f")
+    assert(meanEn > meanRest, "target docs do not outscore the rest")
+  }
+
   test("t_tfidf: scores and top-3 match a brute-force recount") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

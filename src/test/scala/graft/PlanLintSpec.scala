@@ -59,6 +59,7 @@ class PlanLintSpec extends SparkSpec {
     "s_triplet_mine" -> "bounded anchor batch broadcast over one cached corpus pass",
     "t_bm25" -> "cross with the one-row corpus-stats aggregate (n_docs, total_tokens); candidates come from the postings join",
     "t_cooccur" -> "one-row corpus-total aggregates crossed into the PMI scoring",
+    "t_dsir" -> "one-row model-totals aggregate crossed onto the 256-row bucket-model frame",
     "t_heavy_hitters" -> "broadcast Misra-Gries candidate set (≤ budget rows) verify join",
     "t_langid" -> "cross with the bounded language-profile table (one row per language)",
     "t_perplexity" -> "cross with the one-row model-normalization aggregate",
