@@ -291,6 +291,72 @@ object Streaming {
       |  WHERE ws_us + 86400000000 <= (SELECT ms FROM wm) * 1000)
       |WHERE rn <= 3 ORDER BY ws_us, rn""".stripMargin
 
+  /** G1f: streaming windowed ANOMALY SCREEN — per closed (day,
+    * event_type) window, the max z-score of the window's purchase
+    * values and an outlier flag (z > 3), the standard ops-monitoring
+    * query a stream warehouse runs continuously. All window state is
+    * order-free integers (count, Money-cent sum, cent-squared sum, max
+    * cents — partial-aggregated map-side like any batch groupBy), and
+    * the statistics derive from those scalars in DOUBLE: mean, then
+    * var = (sumsq − sum²/n)/n clamped at 0 (float cancellation),
+    * z = (max − mean)/√var. Every float op here is IEEE-exact
+    * (division, sqrt — unlike ln/exp there is no libm wobble), so the
+    * oracle matches at full double precision; round(…, 4) is display
+    * convention, not a tolerance. Append mode — closed windows only,
+    * the st_late_data watermark-cutoff oracle convention.
+    */
+  private[graft] def anomalyTransform(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast(Money) * 100).cast("long")
+    val agg = events
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", cents)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("sq"), max("cents").as("mx"))
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / nD
+    val variance = greatest(
+      (col("sq").cast("double") - col("s").cast("double") * col("s").cast("double") / nD) / nD,
+      lit(0.0))
+    val z = when(sqrt(variance) > 0.0,
+      (col("mx").cast("double") - mean) / sqrt(variance)).otherwise(lit(0.0))
+    agg.select(unix_micros(col("window.start")).as("ws_us"),
+      col("n"), col("mx").as("max_cents"),
+      round(mean, 4).as("mean_cents"), round(z, 4).as("z_max"),
+      (z > 3.0).as("anomalous"))
+  }
+
+  def stAnomaly(s: SparkSession, d: String): DataFrame =
+    runToMemory(anomalyTransform(eventsStream(s, d)),
+      "st_anomaly_mem", OutputMode.Append())
+      .orderBy("ws_us")
+
+  val stAnomalySql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS ms FROM events),
+      |w AS (
+      |  SELECT (us // 86400000000) * 86400000000 AS ws_us,
+      |    COUNT(*) AS n, SUM(cents) AS s, SUM(cents * cents) AS sq,
+      |    MAX(cents) AS mx
+      |  FROM e GROUP BY 1),
+      |st AS (
+      |  SELECT ws_us, n, mx,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    GREATEST((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0) AS variance
+      |  FROM w
+      |  WHERE ws_us + 86400000000 <= (SELECT ms FROM wm) * 1000)
+      |SELECT ws_us, CAST(n AS BIGINT) AS n, mx AS max_cents,
+      |  round(mean, 4) AS mean_cents,
+      |  round(CASE WHEN sqrt(variance) > 0.0
+      |        THEN (CAST(mx AS DOUBLE) - mean) / sqrt(variance) ELSE 0.0 END, 4) AS z_max,
+      |  (CASE WHEN sqrt(variance) > 0.0
+      |        THEN (CAST(mx AS DOUBLE) - mean) / sqrt(variance) ELSE 0.0 END) > 3.0 AS anomalous
+      |FROM st ORDER BY ws_us""".stripMargin
+
   /** G2 batch twin: gap-based sessionization (30 min) via lag + running
     * sum of session starts — integer microsecond math on both sides so
     * the DuckDB oracle is exact.
@@ -2176,6 +2242,7 @@ object Streaming {
     QueryDef("st_incremental", stIncremental, Some(stIncrementalSql)),
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_window_sliding", stWindowSliding, Some(stWindowSlidingSql)),
+    QueryDef("st_anomaly", stAnomaly, Some(stAnomalySql)),
     QueryDef("st_late_data", stLateData, Some(stLateDataSql)),
     QueryDef("st_sink", stSink, Some(stSinkSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),
