@@ -389,6 +389,72 @@ object PipelineQueries {
     * table scans and 1. Numeric min/max render via DECIMAL(18,2),
     * timestamps via epoch-µs — both engines produce identical strings.
     */
+  /** B-mon: distribution DRIFT between two corpus epochs — the
+    * Population Stability Index per event_type over the purchase-value
+    * distribution, the standard "did the feed change shape" monitor
+    * that sits next to p_profile (point-in-time stats) and
+    * p_table_diff (row-level deltas). Epochs split at a fixed
+    * boundary (2024-01-16T00:00:00Z — the fixture month's midpoint);
+    * values bucket into fixed $100-wide cent buckets (no trained
+    * breakpoints — deterministic at any scale), counts Laplace-smooth
+    * over each type's observed-bucket union, and
+    * PSI = Σ_b (p̂A − p̂B)·ln(p̂A/p̂B). One scan, one (type, bucket)
+    * aggregate, a per-type total join — corpus-linear, result rows =
+    * event types. Per-bucket terms floor to 8-dp fixed point from
+    * scalars and sum as BIGINT (the t_bm25/t_dsir float discipline).
+    */
+  def qDriftPsi(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.QueryDef.dec
+    val splitUs = 1705363200000000L
+    val e = Tables.events(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000").as("bucket"))
+    val bc = e.groupBy("event_type", "bucket").agg(
+      sum(when(col("us") < splitUs, 1L).otherwise(0L)).as("na"),
+      sum(when(col("us") >= splitUs, 1L).otherwise(0L)).as("nb"))
+    val tot = bc.groupBy("event_type")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"), count(lit(1)).as("nbk"))
+    val pa = (col("na").cast("double") + 1.0) /
+      (col("ta").cast("double") + col("nbk").cast("double"))
+    val pb = (col("nb").cast("double") + 1.0) /
+      (col("tb").cast("double") + col("nbk").cast("double"))
+    val termFx = floor((pa - pb) * log(pa / pb) * 100000000 + 0.5).cast("long")
+    bc.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("ta"), col("tb"), col("nbk"), termFx.as("fx"))
+      .groupBy("event_type")
+      .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+        max("nbk").as("n_buckets"), sum("fx").as("sfx"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("n_buckets"),
+        (col("sfx").cast("double") / 100000000.0).as("psi"))
+  }
+
+  val qDriftPsiSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS bucket
+      |  FROM events),
+      |bc AS (
+      |  SELECT event_type, bucket,
+      |    SUM(CASE WHEN us < 1705363200000000 THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN us >= 1705363200000000 THEN 1 ELSE 0 END) AS nb
+      |  FROM e GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb, COUNT(*) AS nbk
+      |  FROM bc GROUP BY 1),
+      |terms AS (
+      |  SELECT bc.event_type, tot.ta, tot.tb, tot.nbk,
+      |    CAST(FLOOR(
+      |      ((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + CAST(nbk AS DOUBLE))
+      |       - (CAST(nb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + CAST(nbk AS DOUBLE)))
+      |      * ln(((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + CAST(nbk AS DOUBLE)))
+      |           / ((CAST(nb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + CAST(nbk AS DOUBLE))))
+      |      * 100000000 + 0.5) AS BIGINT) AS fx
+      |  FROM bc JOIN tot USING (event_type))
+      |SELECT event_type, CAST(MAX(ta) AS BIGINT) AS n_a,
+      |  CAST(MAX(tb) AS BIGINT) AS n_b, CAST(MAX(nbk) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(fx) AS DOUBLE) / 100000000.0 AS psi
+      |FROM terms GROUP BY event_type""".stripMargin
+
   def pProfile(s: SparkSession, d: String): DataFrame = {
     import graft.queries.QueryDef.dec
     def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
@@ -914,6 +980,7 @@ object PipelineQueries {
     QueryDef("q_variant", qVariant, Some(qVariantSql)),
     QueryDef("q_variant_store", qVariantStore, Some(qVariantStoreSql)),
     QueryDef("p_profile", pProfile, Some(pProfileSql)),
+    QueryDef("q_drift_psi", qDriftPsi, Some(qDriftPsiSql)),
     QueryDef("p_table_diff", pTableDiff, Some(pTableDiffSql)),
     QueryDef("p_vacuum", pVacuum, Some(pVacuumSql)),
     QueryDef("p_time_travel", pTimeTravel, Some(pTimeTravelSql)),

@@ -769,6 +769,22 @@ class OperatorsSpec extends SparkSpec {
     assert(meanEn > meanRest, "target docs do not outscore the rest")
   }
 
+  test("q_drift_psi: PSI non-negative per type, epoch counts partition the stream") {
+    // each (p̂A−p̂B)·ln(p̂A/p̂B) term is ≥ 0 (same-sign factors), so PSI
+    // is ≥ 0 by construction — a negative value means the two sides'
+    // probabilities got swapped somewhere. Epoch counts must partition
+    // the full event count exactly.
+    val rows = graft.queries.PipelineQueries.qDriftPsi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, na, nb, psi) =>
+      assert(psi >= 0.0, s"$t: negative PSI $psi")
+      assert(na > 0 && nb > 0, s"$t: an epoch is empty — split boundary wrong")
+    }
+    assert(rows.map(r => r._2 + r._3).sum ===
+      Tables.events(spark, sfDir).count())
+  }
+
   test("t_tfidf: scores and top-3 match a brute-force recount") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
