@@ -455,6 +455,99 @@ object PipelineQueries {
       |  CAST(SUM(fx) AS DOUBLE) / 100000000.0 AS psi
       |FROM terms GROUP BY event_type""".stripMargin
 
+  /** B-gov: SUBJECT ACCESS export (GDPR/DSAR — squarely the reference
+    * domain's obligation): collect every record linked to a bounded
+    * subject set across the relational estate — profile rows, their
+    * orders, and the orders' line items (the transitive hop a real
+    * DSAR must follow) — into one entity-attribute-value stream
+    * (subject, source_table, record_key, field, value_s). EAV keeps
+    * the export hashable and schema-stable however many tables join
+    * the estate; values stringify through the established contracts
+    * (Money via DECIMAL(18,2), timestamps as epoch-µs — never raw).
+    *
+    * Scale shape: the subject set is bounded and BROADCAST; each
+    * table contributes one semi-join + projection (no shuffle beyond
+    * its scan), the lineitem hop rides the subject orders' keys.
+    * 100 TB story: per-table scans with a broadcast probe — the same
+    * plan a point-lookup export service would run, p_bloom_index /
+    * z-order handle the file-skipping layer underneath.
+    */
+  def pSubjectExport(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.QueryDef.dec
+    val subjects = Tables.customer(s, d)
+      .filter(col("c_custkey") % SubjectMod === 0)
+      .select(col("c_custkey").as("subject_id"))
+    def eav(df: DataFrame, table: String, key: org.apache.spark.sql.Column,
+        fields: (String, org.apache.spark.sql.Column)*): DataFrame = {
+      val stackArgs = fields.map { case (n, c) => s"'$n', $n" }.mkString(", ")
+      df.select((col("subject_id") +: lit(table).as("source_table") +:
+        key.cast("string").as("record_key") +:
+        fields.map { case (n, c) => c.cast("string").as(n) }): _*)
+        .select(col("subject_id"), col("source_table"), col("record_key"),
+          expr(s"stack(${fields.size}, $stackArgs) AS (field, value_s)"))
+    }
+    val cust = eav(
+      Tables.customer(s, d).join(broadcast(subjects),
+        col("c_custkey") === col("subject_id")),
+      "customer", col("c_custkey"),
+      "c_name" -> col("c_name"),
+      "c_mktsegment" -> col("c_mktsegment"),
+      "c_acctbal" -> dec(col("c_acctbal")))
+    val subjOrders = Tables.orders(s, d).join(broadcast(subjects),
+      col("o_custkey") === col("subject_id"))
+    val ord = eav(subjOrders, "orders", col("o_orderkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_totalprice" -> dec(col("o_totalprice")),
+      "o_orderdate_us" -> unix_micros(col("o_orderdate").cast("timestamp")))
+    val li = eav(
+      Tables.lineitem(s, d).join(
+        broadcast(subjOrders.select(col("o_orderkey"), col("subject_id"))),
+        col("l_orderkey") === col("o_orderkey")),
+      "lineitem",
+      concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+      "l_quantity" -> dec(col("l_quantity")),
+      "l_extendedprice" -> dec(col("l_extendedprice")),
+      "l_returnflag" -> col("l_returnflag"))
+    cust.unionAll(ord).unionAll(li)
+  }
+
+  private val SubjectMod = 150
+
+  val pSubjectExportSql: String =
+    s"""WITH s AS (SELECT c_custkey AS subject_id FROM customer
+       |           WHERE c_custkey % $SubjectMod = 0),
+       |so AS (SELECT o.*, s.subject_id FROM orders o
+       |       JOIN s ON o.o_custkey = s.subject_id)
+       |SELECT subject_id, 'customer' AS source_table,
+       |  CAST(c_custkey AS VARCHAR) AS record_key, f.field, f.value_s
+       |FROM customer c JOIN s ON c.c_custkey = s.subject_id,
+       |  LATERAL (VALUES
+       |    ('c_name', c.c_name),
+       |    ('c_mktsegment', c.c_mktsegment),
+       |    ('c_acctbal', CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS VARCHAR))
+       |  ) AS f(field, value_s)
+       |UNION ALL
+       |SELECT subject_id, 'orders',
+       |  CAST(o_orderkey AS VARCHAR), f.field, f.value_s
+       |FROM so,
+       |  LATERAL (VALUES
+       |    ('o_orderstatus', so.o_orderstatus),
+       |    ('o_orderpriority', so.o_orderpriority),
+       |    ('o_totalprice', CAST(CAST(so.o_totalprice AS DECIMAL(18,2)) AS VARCHAR)),
+       |    ('o_orderdate_us', CAST(epoch_us(so.o_orderdate) AS VARCHAR))
+       |  ) AS f(field, value_s)
+       |UNION ALL
+       |SELECT so.subject_id, 'lineitem',
+       |  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR),
+       |  f.field, f.value_s
+       |FROM lineitem l JOIN so ON l.l_orderkey = so.o_orderkey,
+       |  LATERAL (VALUES
+       |    ('l_quantity', CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS VARCHAR)),
+       |    ('l_extendedprice', CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)),
+       |    ('l_returnflag', l.l_returnflag)
+       |  ) AS f(field, value_s)""".stripMargin
+
   def pProfile(s: SparkSession, d: String): DataFrame = {
     import graft.queries.QueryDef.dec
     def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
@@ -981,6 +1074,7 @@ object PipelineQueries {
     QueryDef("q_variant_store", qVariantStore, Some(qVariantStoreSql)),
     QueryDef("p_profile", pProfile, Some(pProfileSql)),
     QueryDef("q_drift_psi", qDriftPsi, Some(qDriftPsiSql)),
+    QueryDef("p_subject_export", pSubjectExport, Some(pSubjectExportSql)),
     QueryDef("p_table_diff", pTableDiff, Some(pTableDiffSql)),
     QueryDef("p_vacuum", pVacuum, Some(pVacuumSql)),
     QueryDef("p_time_travel", pTimeTravel, Some(pTimeTravelSql)),
