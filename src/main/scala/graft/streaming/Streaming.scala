@@ -357,6 +357,94 @@ object Streaming {
       |        THEN (CAST(mx AS DOUBLE) - mean) / sqrt(variance) ELSE 0.0 END) > 3.0 AS anomalous
       |FROM st ORDER BY ws_us""".stripMargin
 
+  /** G1g: streaming DRIFT monitor — per closed day window, the
+    * Population Stability Index of the window's purchase-value bucket
+    * distribution against a STATIC baseline model (epoch A: the
+    * fixture month's first half), i.e. q_drift_psi's live form: the
+    * model watches every arriving window for distribution shift. The
+    * baseline is a bounded table (≤ number of observed $100 cent
+    * buckets) collected once at plan build and embedded as a literal
+    * — the langid-profile pattern — so the streaming plan is ONE
+    * windowed (window, bucket) count under the watermark, a chained
+    * per-window fold (SPARK-40925), and a stateless projection that
+    * folds the baseline literal against the window's bucket map:
+    * per-window state is its observed buckets, per-row work O(1).
+    * Float discipline: baseline probabilities are doubles computed
+    * from integer counts with the same expression the oracle uses;
+    * per-bucket terms floor to 8-dp fixed point inside the fold and
+    * accumulate as longs (order-free). Append mode — closed windows
+    * only, watermark-cutoff oracle convention.
+    */
+  private[graft] val DriftSplitUs = 1705363200000000L // 2024-01-16T00:00:00Z
+  private[graft] val DriftBucketCents = 10000L
+
+  def stDrift(s: SparkSession, d: String): DataFrame = {
+    // epoch-A baseline: (bucket -> count) + total, Laplace-smoothed
+    // over its observed-bucket union (bounded driver collect)
+    val baseRows = Tables.events(s, d)
+      .filter(col("event_type") === "purchase"
+        && unix_micros(col("ts")) < DriftSplitUs)
+      .select(expr(s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div $DriftBucketCents").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val ta = baseRows.map(_._2).sum.toDouble
+    val nbk = baseRows.length.toDouble
+    val base: Seq[(Long, Double)] =
+      baseRows.map { case (b, c) => b -> (c.toDouble + 1.0) / (ta + nbk) }.toSeq
+    val baseLit = typedLit(base)
+    val counts = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("bucket",
+        expr(s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div $DriftBucketCents"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val perWin = counts
+      .groupBy(window(window_time(col("window")), "1 day"))
+      .agg(sum("cnt").as("n"),
+        map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+    val twD = col("n").cast("double")
+    val psiFx = aggregate(baseLit, lit(0L), (acc, e) => {
+      val pa = e.getField("_2")
+      val cw = coalesce(element_at(col("m"), e.getField("_1")), lit(0L))
+      val pw = (cw.cast("double") + 1.0) / (twD + lit(nbk))
+      acc + floor((pa - pw) * log(pa / pw) * 100000000 + 0.5).cast("long")
+    })
+    runToMemory(perWin, "st_drift_mem", OutputMode.Append())
+      .select(unix_micros(col("window.start")).as("ws_us"), col("n"),
+        (psiFx.cast("double") / 100000000.0).as("psi"))
+      .orderBy("ws_us")
+  }
+
+  val stDriftSql: String =
+    s"""WITH p AS (
+       |  SELECT epoch_us(ts) AS us,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // $DriftBucketCents AS bucket
+       |  FROM events WHERE event_type = 'purchase'),
+       |wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS ms FROM events),
+       |basec AS (SELECT bucket, COUNT(*) AS cnt FROM p
+       |          WHERE us < $DriftSplitUs GROUP BY 1),
+       |baset AS (SELECT SUM(cnt) AS ta, COUNT(*) AS nbk FROM basec),
+       |w AS (
+       |  SELECT (us // 86400000000) * 86400000000 AS ws_us, bucket,
+       |    COUNT(*) AS cnt
+       |  FROM p GROUP BY 1, 2),
+       |wt AS (SELECT ws_us, SUM(cnt) AS n FROM w GROUP BY 1),
+       |terms AS (
+       |  SELECT wt.ws_us, wt.n,
+       |    CAST(FLOOR((pa - pw) * ln(pa / pw) * 100000000 + 0.5) AS BIGINT) AS fx
+       |  FROM wt CROSS JOIN baset b
+       |       JOIN basec bc ON true
+       |       LEFT JOIN w ON w.ws_us = wt.ws_us AND w.bucket = bc.bucket,
+       |  LATERAL (SELECT
+       |    (CAST(bc.cnt AS DOUBLE) + 1.0) / (CAST(b.ta AS DOUBLE) + CAST(b.nbk AS DOUBLE)) AS pa,
+       |    (CAST(COALESCE(w.cnt, 0) AS DOUBLE) + 1.0) / (CAST(wt.n AS DOUBLE) + CAST(b.nbk AS DOUBLE)) AS pw) x)
+       |SELECT ws_us, CAST(MAX(n) AS BIGINT) AS n,
+       |  CAST(SUM(fx) AS DOUBLE) / 100000000.0 AS psi
+       |FROM terms
+       |WHERE ws_us + 86400000000 <= (SELECT ms FROM wm) * 1000
+       |GROUP BY ws_us ORDER BY ws_us""".stripMargin
+
   /** G2 batch twin: gap-based sessionization (30 min) via lag + running
     * sum of session starts — integer microsecond math on both sides so
     * the DuckDB oracle is exact.
@@ -2243,6 +2331,7 @@ object Streaming {
     QueryDef("st_window_agg", stWindowAgg, Some(stWindowAggSql)),
     QueryDef("st_window_sliding", stWindowSliding, Some(stWindowSlidingSql)),
     QueryDef("st_anomaly", stAnomaly, Some(stAnomalySql)),
+    QueryDef("st_drift", stDrift, Some(stDriftSql)),
     QueryDef("st_late_data", stLateData, Some(stLateDataSql)),
     QueryDef("st_sink", stSink, Some(stSinkSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),

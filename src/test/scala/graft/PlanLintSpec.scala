@@ -106,7 +106,7 @@ class PlanLintSpec extends SparkSpec {
     "pipeline/Layout.scala" -> (5, "z-order cut points (fixed quantile grid), ≤3-row clone/optimize manifests"),
     "pipeline/HiveChain.scala" -> (5, "DDL column lists and ≤3-row plan-materialization contracts"),
     "operators/Ann.scala" -> (5, "quantizer training samples capped by limit(), 64-row SQ stats, cell manifests"),
-    "streaming/Streaming.scala" -> (3, "bounded per-batch commit manifests and test-fixture builders"),
+    "streaming/Streaming.scala" -> (4, "bounded per-batch commit manifests, test-fixture builders, and st_drift's ≤bucket-count baseline model (the langid-profile pattern)"),
     "pipeline/BloomIndex.scala" -> (2, "per-file bloom summaries: one row per data file"),
     "queries/Cbo.scala" -> (1, "CBO stats row (one row per table)"),
     "queries/Analytics.scala" -> (1, "distinct-key resolution for the pivot header (bounded domain)"),
