@@ -283,13 +283,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // same optional seam binding as Verify: SPARK_GRAFT_FS=hadoop
-    // benches the artifact paths through the Hadoop FileSystem route
-    sys.env.get("SPARK_GRAFT_FS").foreach {
-      case "hadoop" => graft.fs.FsOps.current = graft.fs.HadoopFsOps
-      case "objectstore" => graft.fs.FsOps.current = graft.fs.ObjectStoreFsOps
-      case _ => ()
-    }
+    // same optional seam binding as Verify — one shared bind, so an
+    // unknown value warns here too instead of silently benching POSIX
+    graft.fs.FsOps.bindFromEnv("bench")
     // session/codegen warmup so the first measured query isn't charged
     // for JVM startup, codegen compilation, Jackson/crypto class init
     // and FS metadata priming. Warmup legs are gated on the chunk

@@ -230,11 +230,15 @@ object Stage {
   def published(target: java.io.File, marker: String): Boolean =
     try new java.io.File(resolved(target), marker).exists()
     catch {
-      case _: IllegalStateException =>
+      case _: graft.fs.TornCommitException =>
         // a crashed publisher's stuck-empty pointer (resolveDir's
         // "torn commit record"): clear it — deterministically
         // unpublished — so the caller's rebuild can commit fresh
-        // instead of every future resolve throwing forever
+        // instead of every future resolve throwing forever. The catch
+        // is narrowed to the dedicated torn-record type (never a
+        // generic ISE), and clearTornCommit itself re-checks the
+        // pointer is STILL empty before deleting, so a racing
+        // publisher's just-completed commit cannot be lost here.
         graft.fs.FsOps.current.clearTornCommit(asPath(target))
         false
     }

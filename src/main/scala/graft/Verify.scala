@@ -19,13 +19,7 @@ object Verify {
     // FileSystem (checksummed LocalFileSystem for scheme-less paths —
     // the s3a:// protocol shape), proving no java.io.File assumption
     // survives in any operator's artifact path. Default stays POSIX.
-    sys.env.get("SPARK_GRAFT_FS").foreach {
-      case "hadoop" => graft.fs.FsOps.current = graft.fs.HadoopFsOps
-      case "objectstore" => graft.fs.FsOps.current = graft.fs.ObjectStoreFsOps
-      case "posix" | "" => ()
-      case other => System.err.println(s"[verify] unknown SPARK_GRAFT_FS '$other', keeping posix")
-    }
-    System.err.println(s"[verify] fs seam: ${graft.fs.FsOps.current.name}")
+    graft.fs.FsOps.bindFromEnv("verify")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter (same contract as Bench) —
     // lets scale probes dump a single operator without the full sweep
@@ -55,6 +49,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Stamp the dump so a grader can never silently compare a stale or
+    // partial out dir against the current registry: the registry size,
+    // the git SHA the dump was built from, and the active name filter.
+    // check.py refuses to certify a full gate when dumped != registry.
+    val sha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
+    } catch { case _: Exception => "unknown" }
+    val dumped = SparkEntry.queries.keys
+      .filter(n => only.forall(_.contains(n))).toSeq.sorted
+    val meta = s"""{"registry_count": ${SparkEntry.queries.size},""" +
+      s""" "dumped_count": ${dumped.size},""" +
+      s""" "filter": ${only.map(f => q(f.toSeq.sorted.mkString(","))).getOrElse("null")},""" +
+      s""" "git_sha": ${q(sha)}, "sf_dir": ${q(sfDir)},""" +
+      s""" "fs_seam": ${q(graft.fs.FsOps.current.name)}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     spark.stop()
   }
 }

@@ -62,6 +62,14 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path, RawLocalFil
   * execution thread, which must see the same seam as the spec thread
   * that scoped it).
   */
+/** A commit pointer stuck empty past the in-flight grace window — the
+  * torn-commit-record condition (a publisher crashed mid-pointer-put on
+  * a non-atomic local FS). A dedicated type so gate checks
+  * ([[graft.Stage.published]]) repair ONLY this condition and never
+  * swallow — or act on — an unrelated IllegalStateException.
+  */
+final class TornCommitException(msg: String) extends IllegalStateException(msg)
+
 trait FsOps {
   def name: String
 
@@ -175,6 +183,23 @@ trait FsOps {
 
 object FsOps {
   @volatile var current: FsOps = PosixFsOps
+
+  /** Bind the process-wide seam from `SPARK_GRAFT_FS` — the ONE
+    * binding used by every entry point (Verify, Bench), so a typo'd
+    * value can never silently bench POSIX while claiming another
+    * route: unknown values WARN (to stderr, tagged with the caller)
+    * and keep POSIX, and the active seam is always logged.
+    */
+  def bindFromEnv(tag: String): Unit = {
+    sys.env.get("SPARK_GRAFT_FS").foreach {
+      case "hadoop"      => current = HadoopFsOps
+      case "objectstore" => current = ObjectStoreFsOps
+      case "posix" | ""  => ()
+      case other =>
+        System.err.println(s"[$tag] unknown SPARK_GRAFT_FS '$other', keeping posix")
+    }
+    System.err.println(s"[$tag] fs seam: ${current.name}")
+  }
 
   /** Scope `ops` as the process-wide seam for `body` (specs only —
     * production picks one impl at deploy time). Serialized because the
@@ -332,7 +357,7 @@ class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
         // preserved for retry; silently retiring it would destroy the
         // only copy of the build
         val committed = try resolveDir(target) != target catch {
-          case _: IllegalStateException => false // stuck-empty = torn
+          case _: TornCommitException => false // stuck-empty = torn
         }
         if (!committed) {
           if (fs.exists(ptr)) fs.delete(ptr, false)
@@ -388,7 +413,7 @@ class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
           Thread.sleep(5)
       }
     }
-    throw new IllegalStateException(
+    throw new TornCommitException(
       s"pointer for $target stuck empty — torn commit record")
   }
 
@@ -447,7 +472,18 @@ class ObjectStoreFsOps(fsFor: Path => FileSystem, val name: String)
       target.getName + "." + FsOps.uniqueSuffix(suffix))
 
   override def clearTornCommit(target: Path): Unit = {
-    fsFor(target).delete(ptrFile(target), false); ()
+    val fs = fsFor(target)
+    val ptr = ptrFile(target)
+    // Re-adjudicate at delete time: remove the record ONLY if it is
+    // still a zero-length object (the stuck-empty torn shape). A
+    // publisher completing its put between the reader's failed resolve
+    // and this repair, or a transient read/checksum error (the status
+    // fetch throwing), must NOT lose a commit record that was about to
+    // become valid.
+    val stillTorn = try fs.getFileStatus(ptr).getLen == 0 catch {
+      case _: java.io.IOException => false
+    }
+    if (stillTorn) { fs.delete(ptr, false); () }
   }
 
   def stagingDebris(parent: Path): Seq[(Path, Long)] = {

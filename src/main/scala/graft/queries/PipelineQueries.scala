@@ -408,7 +408,11 @@ object PipelineQueries {
     val splitUs = 1705363200000000L
     val e = Tables.events(s, d).select(col("event_type"),
       unix_micros(col("ts")).as("us"),
-      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000").as("bucket"))
+      // explicit FLOOR (not integer `div`) so a negative refund value
+      // buckets identically across engines: Spark div and DuckDB //
+      // both truncate toward zero, but floor is the semantics a PSI
+      // bucketing wants and removes any dependence on `//` behavior
+      expr("CAST(FLOOR(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) / 10000.0) AS BIGINT)").as("bucket"))
     val bc = e.groupBy("event_type", "bucket").agg(
       sum(when(col("us") < splitUs, 1L).otherwise(0L)).as("na"),
       sum(when(col("us") >= splitUs, 1L).otherwise(0L)).as("nb"))
@@ -431,7 +435,7 @@ object PipelineQueries {
   val qDriftPsiSql: String =
     """WITH e AS (
       |  SELECT event_type, epoch_us(ts) AS us,
-      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS bucket
+      |    CAST(FLOOR(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) / 10000.0) AS BIGINT) AS bucket
       |  FROM events),
       |bc AS (
       |  SELECT event_type, bucket,

@@ -307,10 +307,15 @@ object Streaming {
     */
   private[graft] def anomalyTransform(events: DataFrame): DataFrame = {
     val cents = (col("value").cast(Money) * 100).cast("long")
+    // watermark the UNFILTERED stream: the oracle's cutoff is
+    // max(ts) over ALL events, so Spark's watermark must advance from
+    // non-purchase rows too (else a day window closed by the oracle
+    // could be withheld here when the globally-latest events are
+    // non-purchases)
     val agg = events
+      .withWatermark("ts", "1 hour")
       .filter(col("event_type") === "purchase")
       .withColumn("cents", cents)
-      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n"), sum("cents").as("s"),
         sum(col("cents") * col("cents")).as("sq"), max("cents").as("mx"))
@@ -378,25 +383,41 @@ object Streaming {
   private[graft] val DriftSplitUs = 1705363200000000L // 2024-01-16T00:00:00Z
   private[graft] val DriftBucketCents = 10000L
 
-  def stDrift(s: SparkSession, d: String): DataFrame = {
-    // epoch-A baseline: (bucket -> count) + total, Laplace-smoothed
-    // over its observed-bucket union (bounded driver collect)
+  /** Epoch-A baseline model: (bucket -> smoothed probability), Laplace-
+    * smoothed over its observed-bucket union (bounded driver collect —
+    * ≤ number of observed $100 buckets, the langid-profile pattern).
+    */
+  private[graft] def driftBaseline(s: SparkSession, d: String): Seq[(Long, Double)] = {
     val baseRows = Tables.events(s, d)
       .filter(col("event_type") === "purchase"
         && unix_micros(col("ts")) < DriftSplitUs)
-      .select(expr(s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div $DriftBucketCents").as("bucket"))
+      .select(expr(s"CAST(FLOOR(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) / $DriftBucketCents.0) AS BIGINT)").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val ta = baseRows.map(_._2).sum.toDouble
     val nbk = baseRows.length.toDouble
-    val base: Seq[(Long, Double)] =
-      baseRows.map { case (b, c) => b -> (c.toDouble + 1.0) / (ta + nbk) }.toSeq
+    baseRows.map { case (b, c) => b -> (c.toDouble + 1.0) / (ta + nbk) }.toSeq
+  }
+
+  /** The streaming plan: one windowed (window, bucket) count under the
+    * watermark, a chained per-window fold, and a stateless projection
+    * folding the baseline literal against the window's bucket map.
+    * Factored from [[stDrift]] so the restart spec can drive it over
+    * its own file-per-trigger fixture.
+    */
+  private[graft] def driftTransform(events: DataFrame,
+      base: Seq[(Long, Double)]): DataFrame = {
+    val nbk = base.length.toDouble
     val baseLit = typedLit(base)
-    val counts = eventsStream(s, d)
+    // watermark before the purchase filter (oracle cutoff = max(ts)
+    // over ALL events — the st_chained_agg/st_hll/st_topk convention);
+    // bucket by explicit FLOOR so negative refund values bucket
+    // identically across engines (Spark `div` truncates toward zero)
+    val counts = events
+      .withWatermark("ts", "1 hour")
       .filter(col("event_type") === "purchase")
       .withColumn("bucket",
-        expr(s"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div $DriftBucketCents"))
-      .withWatermark("ts", "1 hour")
+        expr(s"CAST(FLOOR(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) / $DriftBucketCents.0) AS BIGINT)"))
       .groupBy(window(col("ts"), "1 day"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val perWin = counts
@@ -410,16 +431,22 @@ object Streaming {
       val pw = (cw.cast("double") + 1.0) / (twD + lit(nbk))
       acc + floor((pa - pw) * log(pa / pw) * 100000000 + 0.5).cast("long")
     })
-    runToMemory(perWin, "st_drift_mem", OutputMode.Append())
-      .select(unix_micros(col("window.start")).as("ws_us"), col("n"),
-        (psiFx.cast("double") / 100000000.0).as("psi"))
-      .orderBy("ws_us")
+    // project the map away INSIDE the streaming plan (stateless over
+    // the append-mode agg): the emitted rows are deterministic scalars,
+    // so a restart's foreachBatch log compares row-for-row
+    perWin.select(unix_micros(col("window.start")).as("ws_us"), col("n"),
+      (psiFx.cast("double") / 100000000.0).as("psi"))
   }
+
+  def stDrift(s: SparkSession, d: String): DataFrame =
+    runToMemory(driftTransform(eventsStream(s, d), driftBaseline(s, d)),
+      "st_drift_mem", OutputMode.Append())
+      .orderBy("ws_us")
 
   val stDriftSql: String =
     s"""WITH p AS (
        |  SELECT epoch_us(ts) AS us,
-       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // $DriftBucketCents AS bucket
+       |    CAST(FLOOR(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) / $DriftBucketCents.0) AS BIGINT) AS bucket
        |  FROM events WHERE event_type = 'purchase'),
        |wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS ms FROM events),
        |basec AS (SELECT bucket, COUNT(*) AS cnt FROM p

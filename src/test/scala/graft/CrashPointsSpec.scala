@@ -198,6 +198,36 @@ class CrashPointsSpec extends SparkSpec {
     }
   }
 
+  test("torn-record repair is narrow: only a STILL-empty pointer is cleared; a completed racing commit survives") {
+    Seq[FsOps](ObjectStoreFsOps, HadoopFsOps).foreach { impl =>
+      FsOps.withFs(impl) {
+        val parent = freshParent(s"tornguard_${impl.name}")
+        def ptr(t: File) = new File(parent, t.getName + ".ptr")
+
+        // (a) genuinely torn: a zero-length record → the published()
+        // gate repairs it (reads unpublished AND deletes the record)
+        val t1 = new File(parent, "t1")
+        write(ptr(t1), "")
+        assert(!Stage.published(t1, Marker))
+        assert(!ptr(t1).exists(), "torn (empty) record must be cleared")
+
+        // (b) the race ADVICE r12 flagged: a publisher completes its
+        // pointer-put between a reader's failed resolve and the
+        // repair. clearTornCommit re-checks emptiness at delete time,
+        // so the now-valid record must survive verbatim.
+        val t2 = new File(parent, "t2")
+        mkTree(new File(parent, "t2.build.aaaaaaaa"), "t2-live")
+        write(ptr(t2), "t2.build.aaaaaaaa")
+        FsOps.current.clearTornCommit(
+          new org.apache.hadoop.fs.Path(t2.getAbsolutePath))
+        assert(ptr(t2).exists(), "non-empty commit record lost to repair")
+        assert(readerView(t2) === Right("payload-t2-live"))
+
+        Stage.deleteRecursively(parent)
+      }
+    }
+  }
+
   test("POSIX publish/republish: rename cuts are never-torn, the pre_swap window heals") {
     assert(FsOps.current eq PosixFsOps)
     val parent = freshParent("posix")

@@ -662,6 +662,80 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("st_anomaly: closed windows match the batch twin, z math IEEE-exact") {
+    val got = Streaming.stAnomaly(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.nonEmpty)
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000 - 3600000L) * 1000
+    val DayUs = 86400000000L
+    got.keys.foreach { ws =>
+      assert(ws % DayUs === 0L)
+      assert(ws + DayUs <= wmUs, s"open window $ws leaked into append output")
+    }
+    // batch twin with the SAME column expressions (identical codegen →
+    // identical doubles; div and sqrt are IEEE-exact, no tolerance)
+    val agg = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(((unix_micros(col("ts")) / lit(DayUs)).cast("long") * DayUs).as("ws_us"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("sq"), max("cents").as("mx"))
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / nD
+    val variance = greatest(
+      (col("sq").cast("double") - col("s").cast("double") * col("s").cast("double") / nD) / nD,
+      lit(0.0))
+    val z = when(sqrt(variance) > 0.0,
+      (col("mx").cast("double") - mean) / sqrt(variance)).otherwise(lit(0.0))
+    val exp = agg
+      .filter(col("ws_us") + DayUs <= wmUs)
+      .select(col("ws_us"), col("n"), col("mx"), round(mean, 4), round(z, 4), z > 3.0)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got === exp)
+  }
+
+  test("st_drift: closed windows match the batch PSI twin, open ones never leak") {
+    val got = Streaming.stDrift(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.nonEmpty)
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000 - 3600000L) * 1000
+    val DayUs = 86400000000L
+    got.keys.foreach { ws =>
+      assert(ws % DayUs === 0L)
+      assert(ws + DayUs <= wmUs, s"open window $ws leaked into append output")
+    }
+    // batch twin: per-closed-window bucket counts folded against the
+    // SAME epoch-A baseline, fixed-point floor replicated in Scala
+    // (the fold is order-free long addition — exact on both paths)
+    val base = Streaming.driftBaseline(spark, sfDir)
+    val nbk = base.length.toDouble
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(((unix_micros(col("ts")) / lit(DayUs)).cast("long") * DayUs).as("ws_us"),
+        expr("CAST(FLOOR(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) / 10000.0) AS BIGINT)").as("bucket"))
+      .groupBy("ws_us", "bucket").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = rows.groupBy(_._1)
+      .filter { case (ws, _) => ws + DayUs <= wmUs }
+      .map { case (ws, rs) =>
+        val m = rs.map(r => r._2 -> r._3).toMap
+        val n = rs.map(_._3).sum
+        val fx = base.map { case (b, pa) =>
+          val pw = (m.getOrElse(b, 0L).toDouble + 1.0) / (n.toDouble + nbk)
+          math.floor((pa - pw) * math.log(pa / pw) * 100000000 + 0.5).toLong
+        }.sum
+        ws -> ((n, fx.toDouble / 100000000.0))
+      }
+    assert(got === exp)
+  }
+
   test("st_hll: estimates certified against exact per closed day window") {
     val got = Streaming.stHll(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
@@ -1165,10 +1239,18 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.copy(src.toPath, dst.toPath)
       dst.setLastModified(src.lastModified)
     }
+    // drift's baseline is a bounded batch-side model — computed once
+    // here exactly as stDrift computes it, then embedded in each leg's
+    // plan (the restart must preserve the windowed state UNDER a
+    // baseline-literal-bearing projection)
+    val driftBase = Streaming.driftBaseline(spark, sfDir)
     val cases: Seq[(String, DataFrame => DataFrame, OutputMode, Boolean)] = Seq(
       ("chained_agg", Streaming.chainedAggTransform _, OutputMode.Append(), false),
       ("hll", Streaming.hllTransform _, OutputMode.Append(), false),
       ("topk", Streaming.topkTransform _, OutputMode.Append(), false),
+      ("anomaly", Streaming.anomalyTransform _, OutputMode.Append(), false),
+      ("drift", (df: DataFrame) => Streaming.driftTransform(df, driftBase),
+        OutputMode.Append(), false),
       ("pit", Streaming.pitTransform _, OutputMode.Update(), false),
       ("transform_state", Streaming.spendTransform _, OutputMode.Update(), true))
     cases.foreach { case (name, tf, mode, rocks) =>

@@ -36,8 +36,33 @@ def canon(rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    # BOTH args are required: a defaulted out_dir silently grades a
+    # stale dump (a judge hit this in round 12 — got the previous
+    # fleet's 207 from /tmp/verify_out). Fail loudly instead.
+    if len(sys.argv) < 3:
+        sys.exit("usage: check.py <sf_dir> <out_dir> — out_dir must be "
+                 "the directory the graft.Verify run just wrote "
+                 "(no default: grading a stale dump is worse than an error)")
+    sf_dir = sys.argv[1]
+    out_dir = Path(sys.argv[2])
+
+    # freshness stamp: Verify records registry size + git SHA + filter;
+    # an unfiltered dump whose result-dir count disagrees with the
+    # registry is stale/partial and must not be certified as the gate
+    meta_p = out_dir / "verify_meta.json"
+    meta = json.loads(meta_p.read_text()) if meta_p.exists() else None
+    if meta:
+        print(f"meta: registry={meta['registry_count']} dumped={meta['dumped_count']} "
+              f"filter={meta['filter']} sha={meta['git_sha'][:12]} "
+              f"fs={meta.get('fs_seam', '?')} sf={meta['sf_dir']}")
+        n_dirs = sum(1 for p in out_dir.iterdir() if p.is_dir())
+        if meta["filter"] is None and n_dirs != meta["registry_count"]:
+            sys.exit(f"STALE/PARTIAL out dir: {n_dirs} result dirs but the "
+                     f"registry at dump time had {meta['registry_count']} "
+                     f"queries — rerun graft.Verify into a fresh dir")
+    else:
+        print("WARNING: no verify_meta.json — pre-stamp dump, freshness "
+              "not certifiable (rerun graft.Verify to stamp)")
 
     con = duckdb.connect()
     for t in TABLES:
