@@ -716,8 +716,21 @@ object Dedup {
         col("cluster_size"))
   }
 
-  val dClusterSql: String =
-    """WITH RECURSIVE corpus AS (
+  // Oracle candidate generation is PREFIX-FILTERED (Bayardo et al.'s
+  // AllPairs), not all-pairs-within-block: order every doc's distinct
+  // grams by ascending corpus frequency and keep the first
+  // n − ⌈0.6·n⌉ + 1; any pair with Jaccard ≥ 0.6 must share its
+  // globally-SMALLEST common gram inside BOTH prefixes (if the
+  // smallest shared gram fell outside X's prefix, all ≥ overlap ≥
+  // ⌈0.6·n⌉ shared grams would sit in X's (⌈0.6·n⌉−1)-sized suffix —
+  // impossible), so the candidate set is an EXACT superset and the
+  // verify step reproduces the all-pairs result bit-for-bit. This is
+  // what keeps the DuckDB twin gateable at sf1 (the blocked all-pairs
+  // recount went brute-quadratic: >28 CPU-min); heavy multi-referenced
+  // CTEs are MATERIALIZED (DuckDB 1.0 inlines them per reference
+  // otherwise — the s_mmr_ivf lesson).
+  private val clusterCompCtes: String =
+    """corpus AS (
       |  SELECT doc_id, text, lang, source FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, text, lang, source
@@ -728,17 +741,31 @@ object Dedup {
       |  FROM corpus
       |  QUALIFY doc_id != id_a
       |),
-      |g AS (
+      |g AS MATERIALIZED (
       |  SELECT doc_id, lang, source,
       |    list_distinct(list_transform(range(1, greatest(length(text) - 5, 0) + 2),
       |      i -> substr(text, i, 5))) AS grams
       |  FROM documents),
-      |ngram_edges AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-      |  FROM g x JOIN g y
-      |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
-      |  WHERE 5 * len(list_intersect(x.grams, y.grams)) >=
-      |        3 * (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
+      |tok AS MATERIALIZED (
+      |  SELECT doc_id, lang, source, len(grams) AS n, unnest(grams) AS gr FROM g),
+      |freq AS MATERIALIZED (SELECT gr, COUNT(*) AS df FROM tok GROUP BY 1),
+      |prefix AS MATERIALIZED (
+      |  SELECT doc_id, lang, source, n, gr FROM (
+      |    SELECT t.doc_id, t.lang, t.source, t.n, t.gr,
+      |      ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.gr) AS rk
+      |    FROM tok t JOIN freq f USING (gr))
+      |  WHERE rk <= n - CEIL(0.6 * n) + 1),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM prefix x JOIN prefix y
+      |    ON x.gr = y.gr AND x.lang = y.lang AND x.source = y.source
+      |   AND x.doc_id < y.doc_id
+      |  WHERE least(x.n, y.n) * 5 >= greatest(x.n, y.n) * 3),
+      |ngram_edges AS MATERIALIZED (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN g a ON a.doc_id = c.id_a JOIN g b ON b.doc_id = c.id_b
+      |  WHERE 5 * len(list_intersect(a.grams, b.grams)) >=
+      |        3 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
       |),
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM exact_edges
@@ -753,10 +780,13 @@ object Dedup {
       |),
       |comp AS (
       |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id
-      |)
-      |SELECT doc_id, cluster_id,
-      |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-      |FROM comp""".stripMargin
+      |)""".stripMargin
+
+  val dClusterSql: String =
+    s"""WITH RECURSIVE $clusterCompCtes
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp""".stripMargin
 
   /** Components-table artifact — cluster ONCE, apply MANY. A real
     * pipeline runs the expensive candidate-generation + connected-
@@ -822,51 +852,17 @@ object Dedup {
         count(when(col("k").isNull, 1)).as("n_removed"))
   }
 
+  // shares the prefix-filtered component CTEs with dClusterSql, so the
+  // apply-side oracle is sf1-gateable for the same reason
   val dClusterApplySql: String =
-    """WITH RECURSIVE corpus AS (
-      |  SELECT doc_id, text, lang, source FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, text, lang, source
-      |  FROM documents WHERE doc_id % 7 = 0
-      |),
-      |exact_edges AS (
-      |  SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
-      |  FROM corpus
-      |  QUALIFY doc_id != id_a
-      |),
-      |g AS (
-      |  SELECT doc_id, lang, source,
-      |    list_distinct(list_transform(range(1, greatest(length(text) - 5, 0) + 2),
-      |      i -> substr(text, i, 5))) AS grams
-      |  FROM documents),
-      |ngram_edges AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-      |  FROM g x JOIN g y
-      |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
-      |  WHERE 5 * len(list_intersect(x.grams, y.grams)) >=
-      |        3 * (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
-      |),
-      |edges AS (
-      |  SELECT id_a AS src, id_b AS dst FROM exact_edges
-      |  UNION SELECT id_b, id_a FROM exact_edges
-      |  UNION SELECT id_a, id_b FROM ngram_edges
-      |  UNION SELECT id_b, id_a FROM ngram_edges
-      |),
-      |walk(id, r) AS (
-      |  SELECT doc_id, doc_id FROM corpus
-      |  UNION
-      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
-      |),
-      |comp AS (
-      |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id
-      |),
-      |keep AS (
-      |  SELECT MIN(doc_id) AS doc_id FROM comp GROUP BY cluster_id
-      |)
-      |SELECT lang,
-      |  COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM keep)) AS n_kept,
-      |  COUNT(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM keep)) AS n_removed
-      |FROM corpus GROUP BY lang""".stripMargin
+    s"""WITH RECURSIVE $clusterCompCtes,
+       |keep AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM comp GROUP BY cluster_id
+       |)
+       |SELECT lang,
+       |  COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM keep)) AS n_kept,
+       |  COUNT(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM keep)) AS n_removed
+       |FROM corpus GROUP BY lang""".stripMargin
 
   /** C14: centrality over the near-dup GRAPH — PageRank on the same
     * edge set d_cluster components-finds, the canonical-selection
@@ -1569,11 +1565,26 @@ object Dedup {
     dist.orderBy("doc_id")
   }
 
+  // Oracle edge generation is BANDED by pigeonhole, not all-pairs:
+  // split the 60-bit simhash into 8 byte blocks — any pair at Hamming
+  // ≤ 7 differs in at most 7 blocks, so at least one block matches
+  // exactly and the per-(block, value) equi-join is an EXACT candidate
+  // superset; bit_count verifies candidates only. Keeps the DuckDB
+  // twin gateable at sf1 (the all-pairs recount was quadratic in the
+  // corpus: >28 CPU-min at 50k docs). MATERIALIZED per the DuckDB-1.0
+  // CTE-inlining lesson.
   val dGraphDistSql: String =
     s"""WITH RECURSIVE $simhashSigCtes,
-       |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
-       |      FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-       |      WHERE bit_count(xor(x.sh, y.sh)) <= 7),
+       |blk AS MATERIALIZED (
+       |  SELECT doc_id, sh, r.b AS b, (sh >> (r.b * 8)) & 255 AS v
+       |  FROM sig, range(8) r(b)),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM blk x JOIN blk y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+       |p AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 7),
        |e AS (SELECT id_a AS src, id_b AS dst FROM p
        |      UNION ALL SELECT id_b, id_a FROM p),
        |bfs AS (

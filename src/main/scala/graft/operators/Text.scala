@@ -754,6 +754,21 @@ object Text {
   private val BmQueries = 8
   private val BmTopK = 5
 
+  /** The postings df-cap: terms present in more than 90% of the corpus
+    * (true stopwords — "the"-class lists, the ones whose posting lists
+    * are corpus-sized and whose idf ≈ ln(1.11) is noise) never generate
+    * candidates. Deliberately conservative: a lower fractional cap
+    * (N/10) was measured to clip top-K on the gate corpus, whose
+    * synthetic vocabulary is degenerate (31 terms, median df = 78% of
+    * N — every term looks like a stopword); at 0.9N the cap prunes
+    * exactly the lists that are a cost center at scale while the
+    * OperatorsSpec zipf-corpus test proves both that it BITES (the
+    * stopword list is never joined) and that top-K stays identical to
+    * the uncapped brute force. Package-visible so the specs pin the
+    * recall certificate against the same rule.
+    */
+  private[graft] def bmDfCap(nDocs: Long): Long = math.max(20L, nDocs * 9 / 10)
+
   /** E14b: BM25 lexical retrieval (Robertson-Spärck Jones; k1=1.2,
     * b=0.75) — the lexical arm of hybrid retrieval done with the real
     * ranking function rather than s_hybrid's word-set Jaccard. Queries
@@ -761,9 +776,22 @@ object Text {
     * bounded-query-batch convention the ANN family uses); candidates
     * come from an INVERTED-INDEX join — only documents sharing a query
     * term are ever scored, postings-bounded like d_containment, never
-    * a corpus × queries product. (At 100 TB the standard extras apply
-    * on top of this shape: df-capped postings or WAND-style upper-bound
-    * skipping; idf already nullifies stopword-weight.)
+    * a corpus × queries product.
+    *
+    * The candidate phase is DF-CAPPED (the 100 TB cost center is the
+    * postings join on stopword-frequency terms, whose posting lists
+    * are corpus-sized): terms with df > [[bmDfCap]] (0.9·N — true
+    * stopwords) never generate candidates, so no corpus-sized posting
+    * list is ever joined. Scoring is then EXACT over the candidates —
+    * the refine join brings back ALL shared terms (capped included)
+    * for candidate pairs only — so the df-cap affects recall, not
+    * scores. The WAND-style recall argument: a doc reachable ONLY
+    * through capped terms shares nothing but >90%-frequency terms with
+    * its query, each worth at most idf ≈ ln(1+(0.1N+0.5)/(0.9N+0.5))
+    * ≈ 0.105 · tfw < 0.24 — spec-pinned two ways (OperatorsSpec):
+    * brute-force on the gate corpus (every doc whose FULL score
+    * reaches its query's K-th is in the capped candidate set) and on
+    * a zipf corpus where the cap demonstrably bites.
     *
     * Float discipline: each (query, term, doc) contribution
     * idf·tf-weight is computed from SCALARS (tf, df, dl, N, Σdl) with
@@ -789,6 +817,16 @@ object Text {
       .crossJoin(tf.agg(sum("tf").as("total_tokens")))
     val qterms = tf.filter(col("doc_id") < BmQueries)
       .select(col("doc_id").as("query_id"), col("term")).distinct()
+    // candidate phase: df-capped postings — stopword-frequency terms
+    // (df > max(20, N/10)) never generate candidates, so the postings
+    // join is bounded by the rare lists. nDocs is a 1-scalar collect.
+    val nDocs = docs.count()
+    val dfCap = bmDfCap(nDocs)
+    val cand = qterms
+      .join(tf.join(df.filter(col("df") <= dfCap).select("term"), Seq("term"))
+        .select(col("term"), col("doc_id")), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select("query_id", "doc_id").distinct()
     val nD = col("n_docs").cast("double")
     val dfD = col("df").cast("double")
     val tfD = col("tf").cast("double")
@@ -796,8 +834,11 @@ object Text {
     val idf = log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5))
     val tfw = tfD * 2.2 / (tfD + lit(1.2) *
       (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
-    val contrib = qterms.join(tf, Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
+    // refine phase: EXACT scores for candidates only — all shared
+    // terms come back (capped included), so scores are identical to
+    // the uncapped join's and the oracle stays the uncapped SQL
+    val contrib = cand.join(qterms, Seq("query_id"))
+      .join(tf, Seq("doc_id", "term"))
       .join(df, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))

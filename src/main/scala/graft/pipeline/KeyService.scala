@@ -44,6 +44,39 @@ object KeyService {
     */
   val identity: KeyService = new KeyService(k => k)
 
+  /** HTTP resolver — the reference's key-service client re-expressed
+    * over the JDK HttpClient (reference: steps/dks.py:34-96 — a
+    * requests.Session with mounted retries and cert paths; TLS/cert
+    * material is deploy-time client-builder config, not code). POSTs
+    * the encrypted key to `<endpoint>/datakey/actions/decrypt` and
+    * returns the plaintext body; non-200 and timeouts throw, so retry
+    * policy composes via [[withRetry]] exactly like any resolver.
+    *
+    * Driver-side only by construction: resolution is the bounded
+    * distinct-key pass in [[KeyService.withDataKeys]], so the client
+    * never ships to executors and per-record RPC storms are
+    * impossible regardless of data scale.
+    */
+  def http(endpoint: String, timeoutMs: Long = 2000): String => String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+    key => {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"$endpoint/datakey/actions/decrypt"))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/octet-stream")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(key))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(
+          s"key service returned ${resp.statusCode()} for decrypt")
+      resp.body()
+    }
+  }
+
   /** Retry wrapper for the resolver — the reference's RetryConfig
     * (dks.py:23-40: bounded retries with backoff on the DKS call).
     * Because resolution is a bounded driver-side pass over DISTINCT

@@ -80,6 +80,19 @@ trait StatusStore {
   def updateStatus(correlationId: String, dataProduct: String, status: String,
       exportDate: String, extra: Map[String, String] = Map.empty): Unit
 
+  /** Conditional transition — the reference's DynamoDB conditional
+    * write (dynamodb.py:42-60: a second driver must NOT flip an
+    * IN_PROGRESS row it does not own). Atomically set the status to
+    * `status` ONLY IF the current status equals `expected` (None =
+    * the row must not exist yet). Returns true iff THIS caller's
+    * write landed; a false means another updater got there first and
+    * the row was left untouched. Extras merge exactly as in
+    * [[updateStatus]] when the write lands.
+    */
+  def compareAndSetStatus(correlationId: String, dataProduct: String,
+      expected: Option[String], status: String, exportDate: String,
+      extra: Map[String, String] = Map.empty): Boolean
+
   /** Accumulated extra fields for a run — the reference scans the
     * status table for the latest export's S3 prefix/date
     * (ingesters.py:343-367); here the merged extras carry them.
@@ -118,7 +131,111 @@ final class InMemoryStatusStore extends StatusStore {
 
   override def getExtras(correlationId: String, dataProduct: String): Map[String, String] =
     synchronized { rows.get((correlationId, dataProduct)).map(_.extra).getOrElse(Map.empty) }
+
+  override def compareAndSetStatus(correlationId: String, dataProduct: String,
+      expected: Option[String], status: String, exportDate: String,
+      extra: Map[String, String] = Map.empty): Boolean = synchronized {
+    val key = (correlationId, dataProduct)
+    if (rows.get(key).map(_.status) != expected) false
+    else { updateStatus(correlationId, dataProduct, status, exportDate, extra); true }
+  }
 }
+
+/** File-backed StatusStore — the cross-DRIVER shape of the contract:
+  * two JVMs pointed at the same directory see each other's rows and
+  * their conditional writes adjudicate through an OS-level file lock
+  * (the sandbox stand-in for the KV service's conditional put; swap
+  * this class for the service-backed client at deploy time, the
+  * Runner never knows). One properties file per (correlation_id,
+  * data_product); every mutation is read-merge-write-rename under the
+  * store-wide lock file, so a torn row is impossible and CAS is
+  * linearizable across processes. Status rows are tiny and transitions
+  * are per-collection-per-date — a single lock file is nowhere near
+  * contention at any fleet size that shares one status root.
+  */
+final class FileStatusStore(dir: java.io.File) extends StatusStore {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  dir.mkdirs()
+  private val lockFile = new java.io.File(dir, ".lock")
+
+  // JVM-level monitor + OS-level FileLock: FileLock alone throws on
+  // overlap WITHIN a JVM, the monitor alone is invisible ACROSS JVMs
+  private def locked[A](body: => A): A = FileStatusStore.synchronized {
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try { val l = ch.lock(); try body finally l.release() } finally ch.close()
+  }
+
+  private def fileOf(correlationId: String, dataProduct: String): java.io.File = {
+    val safe = (correlationId + "__" + dataProduct).map {
+      case c if c.isLetterOrDigit || c == '-' || c == '_' => c
+      case _ => '+'
+    }
+    new java.io.File(dir, s"$safe.properties")
+  }
+
+  private def read(f: java.io.File): Option[java.util.Properties] =
+    if (!f.exists()) None
+    else {
+      val p = new java.util.Properties()
+      val in = Files.newInputStream(f.toPath)
+      try p.load(in) finally in.close()
+      Some(p)
+    }
+
+  private def write(f: java.io.File, p: java.util.Properties): Unit = {
+    val tmp = new java.io.File(dir, f.getName + ".tmp")
+    val out = Files.newOutputStream(tmp.toPath)
+    try p.store(out, null) finally out.close()
+    Files.move(tmp.toPath, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def merged(f: java.io.File, status: String, exportDate: String,
+      extra: Map[String, String]): java.util.Properties = {
+    val p = read(f).getOrElse {
+      val fresh = new java.util.Properties()
+      fresh.setProperty("exportDate", exportDate)
+      fresh
+    }
+    p.setProperty("status", status)
+    extra.foreach { case (k, v) => p.setProperty(s"extra.$k", v) }
+    p
+  }
+
+  override def getStatus(correlationId: String, dataProduct: String): Option[String] =
+    locked {
+      read(fileOf(correlationId, dataProduct)).flatMap(p => Option(p.getProperty("status")))
+        .filter(Set(StatusStore.InProgress, StatusStore.Completed, StatusStore.Failed))
+    }
+
+  override def updateStatus(correlationId: String, dataProduct: String, status: String,
+      exportDate: String, extra: Map[String, String] = Map.empty): Unit = locked {
+    val f = fileOf(correlationId, dataProduct)
+    write(f, merged(f, status, exportDate, extra))
+  }
+
+  override def getExtras(correlationId: String, dataProduct: String): Map[String, String] =
+    locked {
+      read(fileOf(correlationId, dataProduct)).map { p =>
+        import scala.jdk.CollectionConverters._
+        p.stringPropertyNames().asScala.filter(_.startsWith("extra."))
+          .map(k => k.stripPrefix("extra.") -> p.getProperty(k)).toMap
+      }.getOrElse(Map.empty)
+    }
+
+  override def compareAndSetStatus(correlationId: String, dataProduct: String,
+      expected: Option[String], status: String, exportDate: String,
+      extra: Map[String, String] = Map.empty): Boolean = locked {
+    val f = fileOf(correlationId, dataProduct)
+    val cur = read(f).flatMap(p => Option(p.getProperty("status")))
+    if (cur != expected) false
+    else { write(f, merged(f, status, exportDate, extra)); true }
+  }
+}
+
+object FileStatusStore
 
 /** The reference's driver loop (corporate_data_ingestion.py:80-117):
   * iterate the export-date range; per date mark IN_PROGRESS, read the
@@ -159,7 +276,21 @@ final class Runner(
     val end = java.time.LocalDate.parse(endDate)
     Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end)).foreach { d =>
       val exportDate = d.toString
-      status.updateStatus(correlationId, dataProduct, StatusStore.InProgress, exportDate)
+      // conditional ENTRY (the reference's DynamoDB conditional put,
+      // dynamodb.py:42-60): a collection already IN_PROGRESS belongs to
+      // another live driver — refuse to double-enter rather than flip
+      // its row. COMPLETED/FAILED rows are re-enterable (the reference
+      // reruns dates under the force flags); the CAS adjudicates the
+      // two-drivers-race-one-date case, where exactly one must win.
+      val cur = status.getStatus(correlationId, dataProduct)
+      val entered = cur match {
+        case Some(StatusStore.InProgress) => false
+        case other => status.compareAndSetStatus(
+          correlationId, dataProduct, other, StatusStore.InProgress, exportDate)
+      }
+      if (!entered)
+        throw new IllegalStateException(
+          s"$dataProduct is IN_PROGRESS under another driver — refusing to double-enter $exportDate")
       try {
         Ingest.writeDaily(runDate(root, exportDate, db, collection), outRoot)
         // CalculationPartsIngester.run (ingesters.py:274-281): the force

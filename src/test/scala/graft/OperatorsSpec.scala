@@ -724,6 +724,103 @@ class OperatorsSpec extends SparkSpec {
     info(f"min floor-boundary distance on gate corpus: $minBoundary%.3e")
     assert(minBoundary > 1e-6,
       f"floor gate within $minBoundary%.2e of a boundary — ulp-fragile")
+
+    // df-cap recall certificate: the candidate phase only follows
+    // posting lists with df ≤ cap, so a doc sharing ONLY
+    // stopword-frequency terms with its query is never scored. Pin
+    // (brute force, all docs) that every doc whose FULL score reaches
+    // its query's K-th shares at least one rare term — i.e. the cap
+    // clips nothing — and that the cap is non-vacuous (real stopword
+    // lists exist above it on this corpus).
+    // (on the gate corpus the 0.9N cap excludes nothing — its 31-term
+    // synthetic vocabulary has max df at 80% of N — so the certificate
+    // below is trivially satisfied here; the zipf-corpus test next
+    // proves the cap actually bites where stopwords exist)
+    val cap = Text.bmDfCap(docs.size.toLong)
+    (0L until 8L).filter(docs.contains).foreach { q =>
+      val qts = docs(q).distinct
+      val full = docs.keys.filter(_ != q).toSeq.flatMap { d =>
+        val hits = qts.filter(t => tf.contains((d, t)))
+        if (hits.isEmpty) None
+        else Some((d, hits.map(t => fx(q, d, t)).sum, hits))
+      }
+      val kth = full.map(_._2).sorted(Ordering[Long].reverse)
+        .take(5).lastOption.getOrElse(Long.MinValue)
+      full.filter(_._2 >= kth).foreach { case (d, _, hits) =>
+        assert(hits.exists(t => df(t) <= cap),
+          s"query $q: top-K doc $d is reachable only through capped terms — df-cap clips recall here")
+      }
+    }
+    info(s"df-cap=$cap, capped terms on gate corpus: ${df.values.count(_ > cap)}")
+  }
+
+  test("t_bm25 df-cap: on a zipf corpus the stopword list is pruned and top-k equals the uncapped brute force") {
+    import graft.operators.Text
+    import spark.implicits._
+    // 500 docs over a zipf-ish vocabulary with one true stopword:
+    // "the" (×2) in EVERY doc (df = N > 0.9N = cap), content words
+    // rare (df ≤ ~40). Deterministic construction, no RNG.
+    val n = 500
+    val corpus: Map[Long, Seq[String]] = (0 until n).map { i =>
+      i.toLong -> Seq("the", "the", s"w${i % 97}", s"w${(i / 7) % 31}", s"x${i % 13}")
+    }.toMap
+    val dir = new java.io.File("/tmp/graft_bm25_zipf")
+    Stage.deleteRecursively(dir)
+    corpus.toSeq.map { case (id, ws) =>
+      val t = ws.mkString(" ")
+      (id, t, "en", "synth", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(new java.io.File(dir, "documents.parquet").getPath)
+
+    // brute force, UNCAPPED (the oracle semantics)
+    val tf: Map[(Long, String), Long] = corpus.toSeq
+      .flatMap { case (id, ws) => ws.map(w => (id, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df: Map[String, Long] = tf.keys.toSeq.map(_._2)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cap = Text.bmDfCap(n.toLong)
+    assert(df("the") > cap, "the stopword must sit above the cap — otherwise this test is vacuous")
+    assert(df.values.count(_ <= cap) > 50, "content vocabulary must be rare")
+    val dl: Map[Long, Long] = corpus.map { case (id, ws) => id -> ws.size.toLong }
+    val avgdl = dl.values.sum.toDouble / n
+    def fx(d: Long, t: String): Long = {
+      val idf = math.log(1.0 + (n - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5))
+      val tfd = tf((d, t)).toDouble
+      val tfw = tfd * 2.2 / (tfd + 1.2 * (0.25 + 0.75 * dl(d).toDouble / avgdl))
+      math.floor(idf * tfw * 1000000 + 0.5).toLong
+    }
+    var uncappedCand = 0; var cappedCand = 0
+    val expected = (0L until 8L).map { q =>
+      val qts = corpus(q).distinct
+      val scored = corpus.keys.filter(_ != q).toSeq.flatMap { d =>
+        val hits = qts.filter(t => tf.contains((d, t)))
+        if (hits.nonEmpty) uncappedCand += 1
+        if (hits.exists(t => df(t) <= cap)) cappedCand += 1
+        if (hits.isEmpty) None
+        else Some((d, hits.map(t => fx(d, t)).sum, hits.size.toLong))
+      }
+      q -> scored.sortBy { case (d, s, _) => (-s, d) }.take(5).zipWithIndex
+        .map { case ((d, s, nt), i) => (i + 1, d, nt, s.toDouble / 1000000.0) }
+    }.toMap
+    // the cap genuinely prunes: every doc shares "the" with every
+    // query (uncapped candidates = all N−1 per query), the capped
+    // candidate set is the content-word joins only
+    assert(uncappedCand === 8 * (n - 1))
+    assert(cappedCand < uncappedCand / 4,
+      s"cap pruned too little: $cappedCand of $uncappedCand")
+    // recall certificate on this corpus too: top-5 all reachable via
+    // rare terms (they share content words by construction)
+    expected.foreach { case (q, rows) =>
+      val qts = corpus(q).distinct
+      rows.foreach { case (_, d, _, _) =>
+        assert(qts.exists(t => tf.contains((d, t)) && df(t) <= cap)) }
+    }
+    val got = Text.tBm25(spark, dir.getPath).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1).toSeq }
+    assert(got === expected, "df-capped top-k diverged from the uncapped brute force")
+    info(s"cap=$cap, stopword df=${df("the")}, candidates ${cappedCand} vs uncapped ${uncappedCand}")
+    Stage.deleteRecursively(dir)
   }
 
   test("t_dsir: importance weights match a brute-force recount; target docs score higher") {
