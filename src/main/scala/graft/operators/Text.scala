@@ -818,15 +818,18 @@ object Text {
     val qterms = tf.filter(col("doc_id") < BmQueries)
       .select(col("doc_id").as("query_id"), col("term")).distinct()
     // candidate phase: df-capped postings — stopword-frequency terms
-    // (df > max(20, N/10)) never generate candidates, so the postings
-    // join is bounded by the rare lists. nDocs is a 1-scalar collect.
+    // (df > bmDfCap = 0.9N) never generate candidates, so no
+    // corpus-sized posting list is ever joined. nDocs is a 1-scalar
+    // collect; the isEmpty probe is a bounded 1-row existence check
+    // over the (cached-pass-derived) df aggregate: when NO term is
+    // capped — every gate corpus, whose ciphered vocabulary tops out
+    // below 0.9N — the two-phase machinery is pure overhead (measured
+    // 2.2x on the sf1 sweep row) and the plan falls back to the direct
+    // postings join, which is then exactly the capped plan's union of
+    // rare lists anyway.
     val nDocs = docs.count()
     val dfCap = bmDfCap(nDocs)
-    val cand = qterms
-      .join(tf.join(df.filter(col("df") <= dfCap).select("term"), Seq("term"))
-        .select(col("term"), col("doc_id")), Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .select("query_id", "doc_id").distinct()
+    val cappedExists = !df.filter(col("df") > dfCap).isEmpty
     val nD = col("n_docs").cast("double")
     val dfD = col("df").cast("double")
     val tfD = col("tf").cast("double")
@@ -837,8 +840,18 @@ object Text {
     // refine phase: EXACT scores for candidates only — all shared
     // terms come back (capped included), so scores are identical to
     // the uncapped join's and the oracle stays the uncapped SQL
-    val contrib = cand.join(qterms, Seq("query_id"))
-      .join(tf, Seq("doc_id", "term"))
+    val scoredPairs =
+      if (cappedExists) {
+        val cand = qterms
+          .join(tf.join(df.filter(col("df") <= dfCap).select("term"), Seq("term"))
+            .select(col("term"), col("doc_id")), Seq("term"))
+          .filter(col("doc_id") =!= col("query_id"))
+          .select("query_id", "doc_id").distinct()
+        cand.join(qterms, Seq("query_id")).join(tf, Seq("doc_id", "term"))
+      } else {
+        qterms.join(tf, Seq("term")).filter(col("doc_id") =!= col("query_id"))
+      }
+    val contrib = scoredPairs
       .join(df, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -2007,7 +2020,104 @@ object Text {
        |  FROM docs, m1, m2, m3)""".stripMargin
   }
 
+  /** E-colloc: PMI collocation mining — per language, the top-20 word
+    * bigrams by pointwise mutual information
+    * ln(p(ab) / (p(a)·p(b))) with count floor 5, the classic
+    * collocation extractor (Church & Hanks) that complements
+    * t_ngram_counts (raw frequency) and t_cooccur (window counts) with
+    * an association SCORE. Plan shape: one tokenize pass (cached —
+    * unigram and bigram counts both consume it), two hash aggregates
+    * keyed (lang, term) / (lang, a, b), two joins back on the unigram
+    * key, per-lang totals broadcast; the top-20 uses the same
+    * salted two-phase window as t_ngram_counts so no per-lang
+    * vocabulary sort ever funnels through one partition. Float
+    * discipline: pmi derives from BIGINT-exact counts through an
+    * identical expression tree in both engines and floors to 6-dp
+    * fixed point (ranking runs on the INTEGER fx — the bm25/dsir ln
+    * discipline; the spec pins the floor-boundary distance).
+    */
+  private val PmiTopK = 20
+  private val PmiMinCount = 5
+
+  def tPmi(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.Stage.cached(Tables.documents(s, d)
+      .select(col("lang"), words(lower(col("text"))).as("w")))
+    val uni = toks.select(col("lang"), explode(col("w")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+    val tot = uni.groupBy("lang")
+      .agg(sum("c").as("tu"), count(lit(1)).as("nv"))
+    val bg = toks.select(col("lang"),
+      explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("a"),
+            element_at(col("w"), i + 1).as("b"))))
+        .otherwise(array())).as("p"))
+      .select(col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("lang", "a", "b").agg(count(lit(1)).as("cab"))
+    val tbg = bg.groupBy("lang").agg(sum("cab").as("tb"))
+    val pa = col("cab").cast("double") / col("tb").cast("double")
+    val pb = (col("ca").cast("double") / col("tu").cast("double")) *
+      (col("cb").cast("double") / col("tu").cast("double"))
+    val fx = floor(log(pa / pb) * 1000000 + 0.5).cast("long")
+    val scored = bg.filter(col("cab") >= PmiMinCount)
+      .join(uni.select(col("lang"), col("t").as("a"), col("c").as("ca")), Seq("lang", "a"))
+      .join(uni.select(col("lang"), col("t").as("b"), col("c").as("cb")), Seq("lang", "b"))
+      .join(broadcast(tot.select(col("lang"), col("tu"))), Seq("lang"))
+      .join(broadcast(tbg), Seq("lang"))
+      .select(col("lang"), concat(col("a"), lit(" "), col("b")).as("bigram"),
+        col("cab").as("cnt"), fx.as("fx"))
+    val local = scored.withColumn("rk0", row_number().over(
+      Window.partitionBy(col("lang"), pmod(xxhash64(col("bigram")), lit(64)))
+        .orderBy(col("fx").desc, col("bigram"))))
+      .filter(col("rk0") <= PmiTopK)
+    local.withColumn("rk", row_number().over(
+      Window.partitionBy("lang").orderBy(col("fx").desc, col("bigram"))))
+      .filter(col("rk") <= PmiTopK)
+      .select(col("lang"), col("rk"), col("bigram"), col("cnt"),
+        (col("fx").cast("double") / 1000000.0).as("pmi"))
+  }
+
+  val tPmiSql: String =
+    s"""WITH w AS (
+       |  SELECT lang,
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |uni AS MATERIALIZED (
+       |  SELECT lang, unnest(ws) AS t FROM w),
+       |uc AS MATERIALIZED (SELECT lang, t, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+       |tot AS (SELECT lang, SUM(c) AS tu FROM uc GROUP BY 1),
+       |bp AS (
+       |  SELECT lang, unnest(
+       |    CASE WHEN len(ws) >= 2
+       |         THEN list_transform(range(1, len(ws)), i -> {'a': ws[i], 'b': ws[i+1]})
+       |         ELSE [] END) AS p
+       |  FROM w),
+       |bc AS MATERIALIZED (
+       |  SELECT lang, p.a AS a, p.b AS b, COUNT(*) AS cab FROM bp GROUP BY 1, 2, 3),
+       |tbg AS (SELECT lang, SUM(cab) AS tb FROM bc GROUP BY 1),
+       |scored AS (
+       |  SELECT bc.lang, bc.a || ' ' || bc.b AS bigram, bc.cab AS cnt,
+       |    CAST(FLOOR(ln(
+       |      (CAST(bc.cab AS DOUBLE) / CAST(tbg.tb AS DOUBLE)) /
+       |      ((CAST(ua.c AS DOUBLE) / CAST(tot.tu AS DOUBLE)) *
+       |       (CAST(ub.c AS DOUBLE) / CAST(tot.tu AS DOUBLE)))
+       |    ) * 1000000 + 0.5) AS BIGINT) AS fx
+       |  FROM bc
+       |    JOIN uc ua ON ua.lang = bc.lang AND ua.t = bc.a
+       |    JOIN uc ub ON ub.lang = bc.lang AND ub.t = bc.b
+       |    JOIN tot ON tot.lang = bc.lang
+       |    JOIN tbg ON tbg.lang = bc.lang
+       |  WHERE bc.cab >= $PmiMinCount)
+       |SELECT lang, CAST(rk AS INTEGER) AS rk, bigram, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(fx AS DOUBLE) / 1000000.0 AS pmi
+       |FROM (
+       |  SELECT lang, bigram, cnt, fx,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fx DESC, bigram) AS rk
+       |  FROM scored)
+       |WHERE rk <= $PmiTopK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("t_pmi", tPmi, Some(tPmiSql)),
     QueryDef("t_bpe_train", tBpeTrain, Some(tBpeTrainSql)),
     QueryDef("t_bpe_apply", tBpeApply, Some(tBpeApplySql)),
     QueryDef("t_heavy_hitters", tHeavyHitters, Some(tHeavyHittersSql)),

@@ -399,7 +399,184 @@ object Behavior {
       |  MIN(CASE WHEN len = ml THEN start_day END) AS longest_start_day
       |FROM st2 GROUP BY user_id, ml""".stripMargin
 
+  /** A-mon: first-order MARKOV transition matrix over per-user event
+    * sequences — P(next event_type | current), the classic "what do
+    * users do after X" behavioral table (and the base model for
+    * next-event prediction / anomalous-path scoring). ONE shuffle on
+    * user_id for the lead() window (ties broken by event_id — total
+    * order, engine-exact), then two tiny aggregates keyed by event
+    * type; the transition matrix is |types|² rows at any corpus size.
+    * prob = cnt/total is a single IEEE-exact division of BIGINT-exact
+    * scalars — full-precision oracle match, no fixed point needed.
+    */
+  def qMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val c = pairs.groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy("prev_type").agg(sum("cnt").as("t"))
+    c.join(tot, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("cnt"),
+        col("t").cast("long").as("total"),
+        (col("cnt").cast("double") / col("t").cast("double")).as("prob"))
+  }
+
+  val qMarkovSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+      |p AS (SELECT event_type AS prev_type,
+      |        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+      |      FROM e),
+      |c AS (SELECT prev_type, next_type, COUNT(*) AS cnt
+      |      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, SUM(cnt) AS total FROM c GROUP BY 1)
+      |SELECT c.prev_type, c.next_type, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(total AS BIGINT) AS total,
+      |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS prob
+      |FROM c JOIN t USING (prev_type)""".stripMargin
+
+  /** A-seg: RFM segmentation (recency / frequency / monetary) over
+    * purchases — the classic retail user-value grid. Scores use FIXED
+    * business bins (days-since-last, order count, lifetime cents), NOT
+    * quantiles: quantile scoring needs a global NTILE — a single-task
+    * sort at 100 TB — while fixed bins are one per-user aggregate plus
+    * a broadcast of the 1-row corpus max-timestamp, fully map-side
+    * combinable and integer-exact across engines (recency uses
+    * truncating integer division on nonnegative microseconds). Output
+    * is the segment grid (≤125 cells), not per-user rows.
+    */
+  def qRfm(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val nowUs = p.agg(max("us").as("now_us"))
+    val perUser = p.groupBy("user_id")
+      .agg(max("us").as("last_us"), count(lit(1)).as("f"), sum("cents").as("m"))
+      .crossJoin(broadcast(nowUs))
+      .withColumn("rd", expr("(now_us - last_us) div 86400000000"))
+    val rScore = when(col("rd") <= 2, 5).when(col("rd") <= 5, 4)
+      .when(col("rd") <= 10, 3).when(col("rd") <= 20, 2).otherwise(1)
+    val fScore = when(col("f") >= 50, 5).when(col("f") >= 20, 4)
+      .when(col("f") >= 10, 3).when(col("f") >= 5, 2).otherwise(1)
+    val mScore = when(col("m") >= 500000, 5).when(col("m") >= 200000, 4)
+      .when(col("m") >= 50000, 3).when(col("m") >= 10000, 2).otherwise(1)
+    perUser
+      .select(rScore.as("r_score"), fScore.as("f_score"), mScore.as("m_score"),
+        col("m"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("m").cast("long").as("total_cents"))
+  }
+
+  val qRfmSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |nowt AS (SELECT MAX(us) AS now_us FROM p),
+      |u AS (
+      |  SELECT user_id, (MAX(now_us) - MAX(us)) // 86400000000 AS rd,
+      |    COUNT(*) AS f, SUM(cents) AS m
+      |  FROM p CROSS JOIN nowt GROUP BY user_id),
+      |scored AS (
+      |  SELECT
+      |    CASE WHEN rd <= 2 THEN 5 WHEN rd <= 5 THEN 4 WHEN rd <= 10 THEN 3
+      |         WHEN rd <= 20 THEN 2 ELSE 1 END AS r_score,
+      |    CASE WHEN f >= 50 THEN 5 WHEN f >= 20 THEN 4 WHEN f >= 10 THEN 3
+      |         WHEN f >= 5 THEN 2 ELSE 1 END AS f_score,
+      |    CASE WHEN m >= 500000 THEN 5 WHEN m >= 200000 THEN 4
+      |         WHEN m >= 50000 THEN 3 WHEN m >= 10000 THEN 2 ELSE 1 END AS m_score,
+      |    m
+      |  FROM u)
+      |SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(m) AS BIGINT) AS total_cents
+      |FROM scored GROUP BY 1, 2, 3""".stripMargin
+
+  /** A-ts: EWMA smoothing of the per-type daily purchase-value series
+    * (α = 0.2, 8-tap truncated kernel) — the ops-dashboard smoother
+    * next to q_gap_fill (which owns gap densification; this runs over
+    * observed days). Float discipline: the eight kernel weights
+    * α(1−α)ʲ are computed ONCE here and interpolated into BOTH plans
+    * as 17-significant-digit literals (exact double round-trip), and
+    * the dot product is written as the same left-associated expression
+    * tree in both engines over integer-exact daily cent totals — so
+    * every multiply/add pairs identically and the result is
+    * bit-identical with no fixed point and no libm exposure.
+    */
+  private[graft] val EwmaTaps = 8
+  private[graft] val EwmaWeights: Seq[Double] =
+    (0 until EwmaTaps).map(j => 0.2 * math.pow(0.8, j))
+
+  def qEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(col("event_type"), expr("us div 86400000000").as("day"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val terms = EwmaWeights.zipWithIndex.map { case (wt, j) =>
+      lit(wt) * coalesce(lag(col("cents"), j).over(w), lit(0L)).cast("double")
+    }
+    daily
+      .withColumn("ewma", terms.reduceLeft(_ + _))
+      .select(col("event_type"), (col("day") * 86400000000L).as("day_us"),
+        col("cents").cast("long").as("cents"), col("ewma"))
+  }
+
+  val qEwmaSql: String = {
+    val terms = EwmaWeights.zipWithIndex.map { case (wt, j) =>
+      // Double.toString is shortest-roundtrip; the E0 suffix makes the
+      // DuckDB lexer type it DOUBLE (a plain decimal literal would be
+      // DECIMAL and shift the arithmetic off the IEEE path — measured
+      // as a last-ulp ewma drift under %.17g formatting)
+      val lit = s"${wt}E0"
+      s"$lit * CAST(COALESCE(LAG(cents, $j) OVER (PARTITION BY event_type ORDER BY day), 0) AS DOUBLE)"
+    }.mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |daily AS (
+       |  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS cents
+       |  FROM p GROUP BY 1, 2)
+       |SELECT event_type, day * 86400000000 AS day_us, cents,
+       |  $terms AS ewma
+       |FROM daily""".stripMargin
+  }
+
+  /** A-stat: equi-DEPTH histogram of purchase values per event type —
+    * the planner/profiler statistic q_histogram (equi-width) doesn't
+    * give: decile boundaries under skew. NTILE(10) within each type
+    * over the total order (cents, event_id) — deterministic across
+    * engines; the window is partitioned by event type, so at scale the
+    * sort is per-type-distributed, and the realistic 100 TB variant
+    * (approx quantile sketches) is q_approx_percentile's row. Output:
+    * 10 rows per type with bucket count and [min, max] cents.
+    */
+  def qHistogramEqd(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    p.withColumn("tile", ntile(10).over(w))
+      .groupBy("event_type", "tile")
+      .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
+  }
+
+  val qHistogramEqdSql: String =
+    """WITH p AS (
+      |  SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |tiled AS (
+      |  SELECT event_type, cents,
+      |    NTILE(10) OVER (PARTITION BY event_type ORDER BY cents, event_id) AS tile
+      |  FROM p)
+      |SELECT event_type, CAST(tile AS INTEGER) AS tile,
+      |  CAST(COUNT(*) AS BIGINT) AS n, MIN(cents) AS lo, MAX(cents) AS hi
+      |FROM tiled GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_markov", qMarkov, Some(qMarkovSql)),
+    QueryDef("q_rfm", qRfm, Some(qRfmSql)),
+    QueryDef("q_ewma", qEwma, Some(qEwmaSql)),
+    QueryDef("q_histogram_eqd", qHistogramEqd, Some(qHistogramEqdSql)),
     QueryDef("q_islands", qIslands, Some(qIslandsSql)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelSql)),
     QueryDef("q_retention", qRetention, Some(qRetentionSql)),

@@ -47,6 +47,7 @@ class PlanLintSpec extends SparkSpec {
     "p_zorder" -> "cross with the one-row quantile cut-point frame",
     "q_bitmap_intersect" -> "non-equi self-join of per-segment bitmaps: one row per l_returnflag value, bounded by the flag domain at any SF",
     "q_cms_freq" -> "cross with the one-row CMS sketch aggregate",
+    "q_rfm" -> "cross with the one-row corpus max-timestamp aggregate (the recency anchor)",
     "q_scalar_subq" -> "scalar subquery materialized as a one-row cross (the operator under test)",
     "s_ann_brute" -> "broadcast bounded query batch — the documented plan-pinned correctness baseline",
     "s_ann_eval" -> "composes each method's brute ground truth: same bounded query batch, once per method",
@@ -113,6 +114,7 @@ class PlanLintSpec extends SparkSpec {
     "pipeline/KeyService.scala" -> (1, "key-id manifest (one row per encryption key)"),
     "operators/Text.scala" -> (1, "Misra-Gries candidate set (≤ heavy-hitter budget rows)"),
     "operators/Skew.scala" -> (1, "skewed-key sample for salting decision (bounded top-N)"),
+    "SkewBench.scala" -> (3, "skew-evidence harness: ≤7-row segment aggregates (twin-equality asserts) and the per-lang top-K table — bounded results of the timed legs, never data-scale rows"),
   )
 
   test("driver-collect lint: every product .collect() site is within its reviewed budget") {
