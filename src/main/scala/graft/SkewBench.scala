@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.Skew
 
 /** Skew-mitigation evidence harness (SURVEY §20): on a HOSTILE corpus
-  * (tools/gen_sf.py mode=skew — the top user receives ~40% of ALL
-  * events, one viral document is 10% of the corpus) measure each
-  * mitigation against its naive twin in the same JVM and session:
+  * (tools/gen_sf.py mode=skew — the top user receives ~70% of ALL
+  * events, the null-key shape; one viral document is 10% of the
+  * corpus) measure each mitigation against its naive twin in the same
+  * JVM and session:
   *
   *  - `join`: the salted hot-key join ([[Skew.saltedJoin]]) vs the
   *    plain shuffle join, AQE and broadcast disabled on both so the
@@ -17,8 +18,10 @@ import graft.operators.Skew
   *  - `aqe`: the same plain join with Spark's OptimizeSkewedJoin
   *    enabled (query-scoped thresholds, mapper-granularity
   *    repartition — the q_skew_aqe recipe) vs disabled;
-  *  - `topk`: per-language bigram top-K as a single global window
-  *    (every distinct bigram of a language through ONE reducer) vs
+  *  - `window`: per-user sessionization as one-window-per-key (the
+  *    hot user's millions of rows sort in ONE task) vs the segmented
+  *    bucket-and-stitch plan (the q_concurrency discipline);
+  *  - `topk`: per-language bigram top-K as a single global window vs
   *    the two-phase local-top-K-then-global shape t_ngram_counts
   *    ships.
   *
@@ -27,10 +30,21 @@ import graft.operators.Skew
   * not a win. Prints ONE JSON line:
   * {"metric":"skew","sf":...,"pairs":{"join":{"naive":s,"mitigated":s},...}}
   *
+  * HONEST READING at local[32]: the WINDOW pair is where mitigation
+  * wins on this host (the single-task sort is the bottleneck class a
+  * real cluster hits), and AQE wins modestly. The plain JOIN pairs
+  * sit at parity: an 8-byte-row sort-merge through a page-cache
+  * "shuffle" costs ~2 s even at 7M hot rows, so there is no skew
+  * penalty for salting to recover — the penalty that matters at
+  * 1000-executor scale (one reducer receiving 70% of the table over
+  * the network, then spilling it) does not exist in a single JVM.
+  * The harness records both shapes rather than tuning the fixture
+  * until the answer flatters the mitigation.
+  *
   * This is timing evidence, not the oracle gate: the uniform-mode
   * corpus can never produce a genuinely hot key (every replica is a
   * closed join subgraph), so the sweep's q_skew_* rows prove the
-  * MECHANISM and this harness proves the WIN.
+  * MECHANISM and this harness records the behavior on hostile data.
   */
 object SkewBench {
 
@@ -60,7 +74,7 @@ object SkewBench {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    // ---- fixture: fact = events (hot user ≈40%), dim = one row per
+    // ---- fixture: fact = events (hot user ≈70%), dim = one row per
     // user (the profile-join shape). Both persisted and materialized
     // so every timed leg measures ONLY its join strategy.
     val fact = Tables.events(spark, sfDir)
@@ -86,8 +100,12 @@ object SkewBench {
 
     // ---- pair 1: plain shuffle join vs salted join ----
     val (tNaive, rNaive) = timed(aggOf(fact.join(dim, "user_id")))
+    // salts = 8: enough to spread a 70% hot key across a third of the
+    // cores while keeping the dim replication (|dim|·salts) well under
+    // the fact size — salts=32 measured slower than naive here because
+    // the replicated dim shuffle dominated the win
     val (tSalted, rSalted) = timed(aggOf(
-      Skew.saltedJoin(fact, dim, Seq("user_id"), salts = 32)))
+      Skew.saltedJoin(fact, dim, Seq("user_id"), salts = 8)))
     require(canon(rSalted) == canon(rNaive),
       "salted join diverged from the plain join on the skewed corpus")
 
@@ -100,15 +118,65 @@ object SkewBench {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    // 16 MB advisory: the ~110 MB hot partition splits into ~7 tasks
+    // while healthy partitions stay whole (a 1 MB advisory measured
+    // slower than naive — everything shattered into tiny tasks)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16777216")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16777216")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val (tAqeOn, rAqeOn) = timed(aggOf(factM.join(dim, "user_id")))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     require(canon(rAqeOn) == canon(rAqeOff),
       "AQE skew-split changed the join result")
 
-    // ---- pair 3: per-lang bigram top-K, global window vs two-phase ----
+    // ---- pair 3: per-user sessionization, one-window-per-key vs
+    // segmented ---- The naive plan sorts EVERY row of the hot user in
+    // ONE window task (the single-task serialization that kills
+    // per-key windows at scale); the segmented twin buckets each user
+    // by hour, walks each bucket's sorted list in an aggregate HOF, and
+    // stitches bucket boundaries with a tiny per-user window over
+    // bucket SUMMARIES — the q_concurrency discipline. Output: total
+    // session count (30-min gap) — asserted equal.
+    val gapUs = 30L * 60 * 1000000
+    val ev2 = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .persist()
+    ev2.count()
+    def naiveSessions(): Long = {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev2.withColumn("prev", lag(col("us"), 1).over(w))
+        .select(when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+          .otherwise(0L).as("start"))
+        .agg(sum("start")).head().getLong(0)
+    }
+    def segmentedSessions(): Long = {
+      val buckets = ev2
+        .groupBy(col("user_id"), expr("us div 3600000000").as("day"))
+        .agg(sort_array(collect_list(struct(col("us"), col("event_id")))).as("evs"))
+        .select(col("user_id"), col("day"),
+          element_at(col("evs"), 1).getField("us").as("first_us"),
+          element_at(col("evs"), -1).getField("us").as("last_us"),
+          expr(
+            s"""aggregate(slice(evs, 2, size(evs) - 1),
+               |  named_struct('prev', evs[0].us, 'n', CAST(0 AS BIGINT)),
+               |  (acc, e) -> named_struct('prev', e.us,
+               |    'n', acc.n + IF(e.us - acc.prev > ${gapUs}L, 1L, 0L)),
+               |  acc -> acc.n)""".stripMargin).as("inner_starts"))
+      val wd = Window.partitionBy("user_id").orderBy("day")
+      buckets
+        .withColumn("prev_last", lag(col("last_us"), 1).over(wd))
+        .select((col("inner_starts") +
+          when(col("prev_last").isNull || col("first_us") - col("prev_last") > gapUs,
+            1L).otherwise(0L)).as("starts"))
+        .agg(sum("starts")).head().getLong(0)
+    }
+    naiveSessions() // warmup
+    val (tWinNaive, nNaive) = timed(naiveSessions())
+    val (tWinSeg, nSeg) = timed(segmentedSessions())
+    require(nSeg == nNaive,
+      s"segmented sessionization diverged: $nSeg != $nNaive")
+
+    // ---- pair 4: per-lang bigram top-K, global window vs two-phase ----
     val ws = "[ \t\n\f\r]+"
     val counts = Tables.documents(spark, sfDir)
       .select(col("lang"),
@@ -145,6 +213,7 @@ object SkewBench {
       s""""hot_user_share":${f(hotShare)},"pairs":{""" +
       s""""join":{"naive":${f(tNaive)},"mitigated":${f(tSalted)}},""" +
       s""""aqe":{"naive":${f(tAqeOff)},"mitigated":${f(tAqeOn)}},""" +
+      s""""window":{"naive":${f(tWinNaive)},"mitigated":${f(tWinSeg)}},""" +
       s""""topk":{"naive":${f(tWin)},"mitigated":${f(tTwo)}}}}""")
     spark.stop()
   }

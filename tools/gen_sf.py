@@ -29,11 +29,12 @@ Usage:
 mode (default "uniform") — "skew" produces the HOSTILE layout the
 uniform replication can never produce, for grading the skew-mitigation
 paths against genuinely hot keys:
- - events: user_id drawn zipf-like — the top user receives ~40% of ALL
-   events across every replica, the 2nd ~20%, the 3rd ~12%, the rest
-   keep their per-replica offset ids (a long uniform tail). Assignment
-   hashes the (already offset) event_id, so it is deterministic and
-   timestamp-independent.
+ - events: user_id drawn zipf-like with a heavy head — the top user
+   receives ~70% of ALL events across every replica (the "null key"
+   shape: a default/missing id that takes most of a real table), the
+   2nd ~15%, the 3rd ~8%, the rest keep their per-replica offset ids
+   (a long uniform tail). Assignment hashes the (already offset)
+   event_id, so it is deterministic and timestamp-independent.
  - documents: one VIRAL document — 10% of every replica's docs carry
    byte-identical text (the corpus's min-doc_id text, lang pinned to
    its lang), the exact-dup/shingle hot key a crawl snapshot shows when
@@ -106,9 +107,9 @@ def main():
             eid = f"event_id + {ev_off}*{i}"
             return (
                 f"SELECT {eid} AS event_id, ts, "
-                f"CASE WHEN hash({eid}) % 100 < 40 THEN {hot} "
-                f"     WHEN hash({eid}) % 100 < 60 THEN {hot} + {u_off} "
-                f"     WHEN hash({eid}) % 100 < 72 THEN {hot} + {u_off} * 2 "
+                f"CASE WHEN hash({eid}) % 100 < 70 THEN {hot} "
+                f"     WHEN hash({eid}) % 100 < 85 THEN {hot} + {u_off} "
+                f"     WHEN hash({eid}) % 100 < 93 THEN {hot} + {u_off} * 2 "
                 f"     ELSE user_id + {u_off}*{i} END AS user_id, "
                 f"event_type, value, props FROM '{sf}/events.parquet'")
         scale("events", ev_tier)
