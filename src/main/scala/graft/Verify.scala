@@ -31,7 +31,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // class + message + first in-graft frame: an empty INTERNAL_ERROR
+        // message is undiagnosable without at least one frame
+        val frame = e.getStackTrace.find(_.getClassName.startsWith("graft"))
+          .orElse(e.getStackTrace.headOption).map(_.toString).getOrElse("")
+        val cause = Option(e.getCause).map(c => s" caused by ${c.getClass.getSimpleName}: ${c.getMessage}").getOrElse("")
+        System.err.println(s"[verify] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}$cause @ $frame")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

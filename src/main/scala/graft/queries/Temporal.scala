@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import QueryDef.moneySum
 
 /** Block A extension — temporal joins Spark has no built-in operator for:
   * as-of join and interval (range) join. Both are re-expressed as
@@ -287,7 +288,81 @@ object Temporal {
       |            WHERE v.user_id = p.user_id AND v.us <= p.us), 0.0) AS spend_before
       |FROM p""".stripMargin
 
+  /** T-bi: BITEMPORAL as-of — the missing axis pair of the temporal
+    * family: p_time_travel answers "as recorded at T" (transaction
+    * time), q_asof answers "as valid at V" (valid time); a bitemporal
+    * query answers BOTH at once ("what did we believe on T about the
+    * state at V" — the audit/backtest question). Versions derive from
+    * orders: v1 at order date; orders ≡ 0 (mod 5) gain a retroactive
+    * correction (valid from +1 day, recorded +3 days, status 'X').
+    * Three (valid_at, tx_at) anchors probe the grid: knowledge and
+    * validity mid-corpus; past validity with full knowledge (sees
+    * corrections); current validity with early knowledge (cannot).
+    * Plan: the 3-row anchor frame broadcast non-equi-joins the version
+    * table (bounded nested loop — 3 anchor rows, never data × data),
+    * one (anchor, id) window picks the max (valid_us, tx_us) visible
+    * version, then a tiny status aggregate. All time math is integer
+    * epoch-µs on both engines; anchor literals are computed once here
+    * and interpolated into both plans.
+    */
+  private val BiDayUs = 86400000000L
+  private def biUs(date: String): Long =
+    java.time.LocalDate.parse(date).toEpochDay * BiDayUs
+  private[graft] val BiAnchors: Seq[(String, Long, Long)] = Seq(
+    ("mid_mid", biUs("1998-06-01"), biUs("1998-06-01")),
+    ("past_full", biUs("1998-06-01"), biUs("2002-01-01")),
+    ("now_early", biUs("2002-01-01"), biUs("1997-01-01")))
+
+  def qBitemporal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // o_orderdate is TIMESTAMP_NTZ in the fixture parquet; the session
+    // runs UTC so the cast is wall-clock-identity and epoch_us agrees
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("id"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+      col("o_orderstatus").as("status"), col("o_totalprice"))
+    val v1 = o.select(col("id"), col("us").as("valid_us"), col("us").as("tx_us"),
+      col("status"), col("o_totalprice"))
+    val v2 = o.filter(col("id") % 5 === 0)
+      .select(col("id"), (col("us") + BiDayUs).as("valid_us"),
+        (col("us") + 3 * BiDayUs).as("tx_us"),
+        lit("X").as("status"), col("o_totalprice"))
+    val versions = v1.unionByName(v2)
+    val anchors = BiAnchors.toDF("anchor", "v_at", "t_at")
+    val visible = versions.join(broadcast(anchors),
+      col("valid_us") <= col("v_at") && col("tx_us") <= col("t_at"))
+    val w = Window.partitionBy("anchor", "id")
+      .orderBy(col("valid_us").desc, col("tx_us").desc)
+    visible.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("anchor", "status")
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+  }
+
+  val qBitemporalSql: String = {
+    val anchors = BiAnchors
+      .map { case (a, v, t) => s"('$a', $v, $t)" }.mkString(", ")
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS id, epoch_us(o_orderdate) AS us,
+       |    o_orderstatus AS status, o_totalprice
+       |  FROM orders),
+       |versions AS (
+       |  SELECT id, us AS valid_us, us AS tx_us, status, o_totalprice FROM o
+       |  UNION ALL
+       |  SELECT id, us + $BiDayUs, us + 3 * $BiDayUs, 'X', o_totalprice
+       |  FROM o WHERE id % 5 = 0),
+       |anchors(anchor, v_at, t_at) AS (VALUES $anchors),
+       |visible AS (
+       |  SELECT a.anchor, v.*,
+       |    ROW_NUMBER() OVER (PARTITION BY a.anchor, v.id
+       |      ORDER BY v.valid_us DESC, v.tx_us DESC) AS rn
+       |  FROM versions v JOIN anchors a
+       |    ON v.valid_us <= a.v_at AND v.tx_us <= a.t_at)
+       |SELECT anchor, status, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |FROM visible WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_bitemporal", qBitemporal, Some(qBitemporalSql)),
     QueryDef("q_pit_join", qPitJoin, Some(qPitJoinSql)),
     QueryDef("q_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     QueryDef("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),

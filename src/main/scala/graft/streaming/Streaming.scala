@@ -472,6 +472,65 @@ object Streaming {
        |WHERE ws_us + 86400000000 <= (SELECT ms FROM wm) * 1000
        |GROUP BY ws_us ORDER BY ws_us""".stripMargin
 
+  final case class MarkovState(us: Long, eid: Long, tpe: String)
+  final case class MarkovPair(prev_type: String, next_type: String)
+
+  /** One transition batch for a user: sort the chunk's events by
+    * (us, event_id), bridge from the carried last-event state, emit
+    * every adjacent (prev, next) type pair, carry the new last event.
+    * Order-sensitive by design but invariant under any TS-ORDERED
+    * re-chunking — the st_pit property, proven by the restart walk.
+    */
+  private[graft] def markovTransform(src: DataFrame): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    src.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MarkovState, MarkovPair](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, events, state) =>
+          val sorted = events.toSeq
+            .map(e => (micros(e._3), e._2, e._4))
+            .sortBy(e => (e._1, e._2))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val seed = state.getOption.map(st => (st.us, st.eid, st.tpe)).toSeq
+            val walk = seed ++ sorted
+            val out = walk.sliding(2).collect {
+              case Seq(a, b) => MarkovPair(a._3, b._3)
+            }.toList
+            val last = sorted.last
+            state.update(MarkovState(last._1, last._2, last._3))
+            out.iterator
+          }
+      }.toDF()
+  }
+
+  /** G1h: the CONTINUOUS form of q_markov — the per-user event-type
+    * transition stream maintained online (the live next-event model /
+    * anomalous-path feed). Per-user state is ONE tuple (last event's
+    * us, id, type); each arriving chunk emits its transitions as they
+    * happen, bridging the chunk boundary from state — so the model
+    * table downstream is always current without re-reading history.
+    * One oracle, two build paths: the final aggregate hashes against
+    * q_markov's SQL verbatim (the st_funnel offline/online-parity
+    * convention).
+    */
+  def stMarkov(s: SparkSession, d: String): DataFrame = {
+    val pairs = runToMemory(markovTransform(eventsStream(s, d)),
+      "st_markov_mem", OutputMode.Update())
+    // per-prev totals via a window over the (tiny, |types|²) count
+    // frame rather than a self-join — a memory-sink view consumed
+    // twice trips Catalyst's conflicting-reference check
+    val c = pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("cnt"))
+    val t = sum("cnt").over(Window.partitionBy("prev_type"))
+    c.select(col("prev_type"), col("next_type"), col("cnt"),
+      t.cast("long").as("total"),
+      (col("cnt").cast("double") / t.cast("double")).as("prob"))
+  }
+
   /** G2 batch twin: gap-based sessionization (30 min) via lag + running
     * sum of session starts — integer microsecond math on both sides so
     * the DuckDB oracle is exact.
@@ -2359,6 +2418,7 @@ object Streaming {
     QueryDef("st_window_sliding", stWindowSliding, Some(stWindowSlidingSql)),
     QueryDef("st_anomaly", stAnomaly, Some(stAnomalySql)),
     QueryDef("st_drift", stDrift, Some(stDriftSql)),
+    QueryDef("st_markov", stMarkov, Some(graft.queries.Behavior.qMarkovSql)),
     QueryDef("st_late_data", stLateData, Some(stLateDataSql)),
     QueryDef("st_sink", stSink, Some(stSinkSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),

@@ -47,6 +47,7 @@ class PlanLintSpec extends SparkSpec {
     "p_zorder" -> "cross with the one-row quantile cut-point frame",
     "q_bitmap_intersect" -> "non-equi self-join of per-segment bitmaps: one row per l_returnflag value, bounded by the flag domain at any SF",
     "q_cms_freq" -> "cross with the one-row CMS sketch aggregate",
+    "q_bitemporal" -> "non-equi broadcast join against the THREE-ROW (valid_at, tx_at) anchor frame — bounded nested loop, never data x data",
     "q_rfm" -> "cross with the one-row corpus max-timestamp aggregate (the recency anchor)",
     "q_scalar_subq" -> "scalar subquery materialized as a one-row cross (the operator under test)",
     "s_ann_brute" -> "broadcast bounded query batch — the documented plan-pinned correctness baseline",

@@ -1251,6 +1251,7 @@ class StreamingSpec extends SparkSpec {
       ("anomaly", Streaming.anomalyTransform _, OutputMode.Append(), false),
       ("drift", (df: DataFrame) => Streaming.driftTransform(df, driftBase),
         OutputMode.Append(), false),
+      ("markov", Streaming.markovTransform _, OutputMode.Update(), false),
       ("pit", Streaming.pitTransform _, OutputMode.Update(), false),
       ("transform_state", Streaming.spendTransform _, OutputMode.Update(), true))
     cases.foreach { case (name, tf, mode, rocks) =>
