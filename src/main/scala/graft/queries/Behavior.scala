@@ -572,7 +572,160 @@ object Behavior {
       |  CAST(COUNT(*) AS BIGINT) AS n, MIN(cents) AS lo, MAX(cents) AS hi
       |FROM tiled GROUP BY 1, 2""".stripMargin
 
+  /** A-mon: CUSUM change-point detection over the per-type daily
+    * purchase-value series — the classic "did the level shift, and
+    * when" monitor next to q_drift_psi (distribution shift) and
+    * st_anomaly (outliers). One-sided CUSUM with slack:
+    * s_t = max(0, s_{t−1} + x_t − mean − k), k = mean/20, all in
+    * BIGINT cents (mean/k by truncating div — nonneg series), so the
+    * recursion is integer-EXACT in both engines: Spark walks each
+    * type's sorted (day, cents) list in one aggregate HOF (bounded by
+    * calendar days, the q_retention compression argument); the oracle
+    * replays it as a recursive CTE over day indexes. Output: per type
+    * the max cusum and the FIRST day achieving it (strict > keeps the
+    * first — mirrored exactly).
+    */
+  def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), expr("us div 86400000000").as("day"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
+    val g = "GREATEST(0L, acc.s + e.cents - mean - k)"
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("evs"),
+        sum("cents").as("tot"), count(lit(1)).as("n_days"))
+      .withColumn("mean", expr("tot div n_days"))
+      .withColumn("k", expr("mean div 20"))
+      .select(col("event_type"), col("n_days"),
+        expr(
+          s"""aggregate(evs,
+             |  named_struct('s', 0L, 'best', 0L, 'bd', CAST(-1 AS BIGINT)),
+             |  (acc, e) -> named_struct(
+             |    's', $g,
+             |    'best', IF($g > acc.best, $g, acc.best),
+             |    'bd', IF($g > acc.best, e.day, acc.bd)),
+             |  acc -> named_struct('max_cusum', acc.best,
+             |    'change_day_us', IF(acc.bd < 0, CAST(-1 AS BIGINT), acc.bd * 86400000000)))""".stripMargin)
+          .as("r"))
+      .select(col("event_type"), col("n_days"),
+        col("r.max_cusum").as("max_cusum"),
+        col("r.change_day_us").as("change_day_us"))
+  }
+
+  val qChangepointSql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |daily AS (
+      |  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS idx
+      |  FROM p GROUP BY 1, 2),
+      |params AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |    CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean,
+      |    CAST((SUM(cents) // COUNT(*)) // 20 AS BIGINT) AS k
+      |  FROM daily GROUP BY 1),
+      |walk AS (
+      |  SELECT event_type, 0 AS idx, CAST(0 AS BIGINT) AS s,
+      |    CAST(0 AS BIGINT) AS best, CAST(-1 AS BIGINT) AS bd
+      |  FROM params
+      |  UNION ALL
+      |  SELECT w.event_type, d.idx,
+      |    GREATEST(0, w.s + d.cents - pr.mean - pr.k),
+      |    CASE WHEN GREATEST(0, w.s + d.cents - pr.mean - pr.k) > w.best
+      |         THEN GREATEST(0, w.s + d.cents - pr.mean - pr.k) ELSE w.best END,
+      |    CASE WHEN GREATEST(0, w.s + d.cents - pr.mean - pr.k) > w.best
+      |         THEN d.day ELSE w.bd END
+      |  FROM walk w
+      |    JOIN daily d ON d.event_type = w.event_type AND d.idx = w.idx + 1
+      |    JOIN params pr ON pr.event_type = w.event_type)
+      |SELECT w.event_type, CAST(pr.n_days AS BIGINT) AS n_days,
+      |  CAST(w.best AS BIGINT) AS max_cusum,
+      |  CAST(CASE WHEN w.bd < 0 THEN -1 ELSE w.bd * 86400000000 END AS BIGINT) AS change_day_us
+      |FROM walk w JOIN params pr ON pr.event_type = w.event_type
+      |WHERE w.idx = pr.n_days""".stripMargin
+
+  /** A-path: top user paths — the length-3 event-type sequences users
+    * actually take (the Sankey/path-analysis table; q_markov gives the
+    * one-step matrix, this gives the routes). Two lead() taps on the
+    * same (us, event_id)-total-ordered user window, one path aggregate;
+    * the final top-10 window runs over ≤ |types|³ rows — bounded at
+    * any corpus size.
+    */
+  def qPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events(s, d)
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("path"))))
+      .filter(col("rk") <= 10)
+      .select(col("rk"), col("path"), col("cnt"))
+  }
+
+  val qPathsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+      |t AS (
+      |  SELECT event_type AS t1,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t2,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t3
+      |  FROM e),
+      |c AS (
+      |  SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS cnt
+      |  FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1)
+      |SELECT CAST(rk AS INTEGER) AS rk, path, CAST(cnt AS BIGINT) AS cnt FROM (
+      |  SELECT path, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, path) AS rk
+      |  FROM c)
+      |WHERE rk <= 10""".stripMargin
+
+  /** A-fraud: Benford first-digit screen over purchase amounts — the
+    * classic forensic-accounting test (organic amounts follow
+    * log10(1+1/d); fabricated ones don't). First digit via the cents
+    * string head (identical across engines, no float log); observed
+    * share is one IEEE-exact division; expected shares are nine
+    * literals computed once here and interpolated into both plans
+    * (the q_ewma literal discipline — E0 suffix so DuckDB types them
+    * DOUBLE).
+    */
+  private[graft] val BenfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(dg => dg -> math.log10(1.0 + 1.0 / dg))
+
+  def qBenford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val digits = events(s, d).filter(col("event_type") === "purchase")
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+    val expected = BenfordExpected.toDF("digit", "expected")
+    val c = digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val t = sum("cnt").over(Window.partitionBy())
+    c.select(col("digit"), col("cnt"), (col("cnt").cast("double") / t.cast("double")).as("share"))
+      .join(broadcast(expected), Seq("digit"))
+  }
+
+  val qBenfordSql: String = {
+    val exp = BenfordExpected.map { case (dg, e) => s"($dg, ${e}E0)" }.mkString(", ")
+    s"""WITH p AS (
+       |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |d AS (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM p WHERE cents > 0),
+       |c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1),
+       |ex(digit, expected) AS (VALUES $exp)
+       |SELECT c.digit, CAST(c.cnt AS BIGINT) AS cnt,
+       |  CAST(c.cnt AS DOUBLE) / CAST(SUM(c.cnt) OVER () AS DOUBLE) AS share,
+       |  ex.expected
+       |FROM c JOIN ex USING (digit)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_changepoint", qChangepoint, Some(qChangepointSql)),
+    QueryDef("q_paths", qPaths, Some(qPathsSql)),
+    QueryDef("q_benford", qBenford, Some(qBenfordSql)),
     QueryDef("q_markov", qMarkov, Some(qMarkovSql)),
     QueryDef("q_rfm", qRfm, Some(qRfmSql)),
     QueryDef("q_ewma", qEwma, Some(qEwmaSql)),
