@@ -722,7 +722,105 @@ object Behavior {
        |FROM c JOIN ex USING (digit)""".stripMargin
   }
 
+  /** A-ts: day-of-week seasonality profile — the seasonal-index table
+    * (observed day-of-week mean vs overall daily mean) every
+    * retail/ops dashboard keeps next to the smoother (q_ewma) and the
+    * level-shift monitor (q_changepoint). Two tiny aggregates over the
+    * daily series; the index is a ratio of integer-exact means —
+    * division of BIGINT-derived doubles, IEEE-identical. Day-of-week
+    * from epoch days ((day + 4) mod 7: 1970-01-01 was a Thursday) —
+    * pure integer math, no calendar functions to disagree on.
+    */
+  def qSeasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(expr("us div 86400000000").as("day"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
+    val byDow = daily
+      .groupBy(expr("(day + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum("cents").as("tot"))
+    val totC = sum("tot").over(Window.partitionBy())
+    val totD = sum("n_days").over(Window.partitionBy())
+    byDow.select(col("dow"), col("n_days"), col("tot").cast("long").as("cents"),
+      ((col("tot").cast("double") / col("n_days").cast("double")) /
+        (totC.cast("double") / totD.cast("double"))).as("seasonal_index"))
+  }
+
+  val qSeasonalitySql: String =
+    """WITH p AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |daily AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS cents FROM p GROUP BY 1),
+      |dw AS (
+      |  SELECT (day + 4) % 7 AS dow, COUNT(*) AS n_days, SUM(cents) AS tot
+      |  FROM daily GROUP BY 1)
+      |SELECT dow, CAST(n_days AS BIGINT) AS n_days, CAST(tot AS BIGINT) AS cents,
+      |  (CAST(tot AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+      |  (CAST(SUM(tot) OVER () AS DOUBLE) / CAST(SUM(n_days) OVER () AS DOUBLE))
+      |    AS seasonal_index
+      |FROM dw""".stripMargin
+
+  /** A-exp: two-proportion A/B significance test — users split into
+    * variants by a deterministic hash of user_id (the reproducible
+    * experiment-assignment convention, same family as q_reservoir's
+    * keyed sampling), conversion = "did the user purchase", and the
+    * pooled two-proportion z-score decides the experiment. Assignment
+    * is md5-based so both engines derive it nibble-for-nibble;
+    * conversions/exposures are integer-exact; z is a few IEEE-exact
+    * ops (÷, √) on those scalars — full-precision oracle match, the
+    * st_anomaly float discipline. One per-user aggregate + a 2-row
+    * variant aggregate; output is the experiment read-out table.
+    */
+  def qAbTest(s: SparkSession, d: String): DataFrame = {
+    // first md5 hex nibble of the user id, as its value 0..15 — Spark
+    // derives it with conv(hex, 16, 10), the oracle with DuckDB's
+    // strpos-over-'123456789abcdef' trick (the simhash convention);
+    // both map '0'→0 … 'f'→15, so assignment is nibble-identical
+    val perUser = events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT) % 2"))
+    val v = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+    val totN = sum("n").over(Window.partitionBy())
+    val totConv = sum("conv").over(Window.partitionBy())
+    val rate = col("conv").cast("double") / col("n").cast("double")
+    val pPool = totConv.cast("double") / totN.cast("double")
+    // degenerate experiments (pooled rate 0 or 1 — e.g. every fixture
+    // user converts) have zero pooled variance: z is defined 0 rather
+    // than dividing by zero (the st_anomaly zero-variance convention)
+    val se = sqrt(pPool * (lit(1.0) - pPool) / col("n").cast("double"))
+    v.select(col("variant"), col("n").cast("long").as("n"),
+      col("conv").cast("long").as("conv"), rate.as("rate"),
+      when(se > 0.0, (rate - pPool) / se).otherwise(lit(0.0)).as("z"))
+  }
+
+  val qAbTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT strpos('123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 AS variant,
+      |    converted
+      |  FROM u),
+      |v AS (SELECT variant, COUNT(*) AS n, SUM(converted) AS conv FROM a GROUP BY 1),
+      |withp AS (
+      |  SELECT variant, n, conv,
+      |    CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+      |    CAST(SUM(conv) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS pool
+      |  FROM v)
+      |SELECT CAST(variant AS BIGINT) AS variant, CAST(n AS BIGINT) AS n,
+      |  CAST(conv AS BIGINT) AS conv, rate,
+      |  CASE WHEN sqrt(pool * (1.0 - pool) / CAST(n AS DOUBLE)) > 0.0
+      |       THEN (rate - pool) / sqrt(pool * (1.0 - pool) / CAST(n AS DOUBLE))
+      |       ELSE 0.0 END AS z
+      |FROM withp""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_seasonality", qSeasonality, Some(qSeasonalitySql)),
+    QueryDef("q_ab_test", qAbTest, Some(qAbTestSql)),
     QueryDef("q_changepoint", qChangepoint, Some(qChangepointSql)),
     QueryDef("q_paths", qPaths, Some(qPathsSql)),
     QueryDef("q_benford", qBenford, Some(qBenfordSql)),
