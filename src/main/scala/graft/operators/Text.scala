@@ -2116,7 +2116,70 @@ object Text {
        |  FROM scored)
        |WHERE rk <= $PmiTopK""".stripMargin
 
+  /** E-diag: Zipf-law fit — the log-log regression slope of term
+    * frequency vs rank over each language's top-100 terms, the classic
+    * corpus-health diagnostic (natural language sits near −1; template
+    * spam and gibberish do not — a drifting slope flags a crawl gone
+    * wrong before any model sees it). Ranking uses the salted
+    * two-phase top-K; the regression is ENGINE-EXACT: per-term ln(rank)
+    * and ln(count) floor to 6-dp fixed point (the bm25 ln discipline),
+    * all five regression sums run in BIGINT (magnitudes ≤ ~7e17 at any
+    * corpus size: x ≤ ln(100)·10⁶, y ≤ ln(corpus tokens)·10⁶), and the
+    * slope is ONE IEEE division of two BIGINT-exact scalars.
+    */
+  private val ZipfTopK = 100
+
+  def tZipfFit(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+    val local = counts.withColumn("rk0", row_number().over(
+      Window.partitionBy(col("lang"), pmod(xxhash64(col("term")), lit(64)))
+        .orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rk0") <= ZipfTopK)
+    val ranked = local.withColumn("r", row_number().over(
+      Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))))
+      .filter(col("r") <= ZipfTopK)
+    val x = floor(log(col("r").cast("double")) * 1000000 + 0.5).cast("long")
+    val y = floor(log(col("cnt").cast("double")) * 1000000 + 0.5).cast("long")
+    ranked.select(col("lang"), x.as("x"), y.as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n").as("n_terms"),
+        when(col("n") >= 2,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .otherwise(lit(0.0)).as("slope"))
+  }
+
+  val tZipfFitSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS term
+       |  FROM documents),
+       |c AS (SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lang, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS r
+       |  FROM c QUALIFY r <= $ZipfTopK),
+       |fx AS (
+       |  SELECT lang,
+       |    CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+       |    CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+       |  FROM ranked),
+       |sums AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM fx GROUP BY 1)
+       |SELECT lang, n AS n_terms,
+       |  CASE WHEN n >= 2
+       |       THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |       ELSE 0.0 END AS slope
+       |FROM sums""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("t_zipf_fit", tZipfFit, Some(tZipfFitSql)),
     QueryDef("t_pmi", tPmi, Some(tPmiSql)),
     QueryDef("t_bpe_train", tBpeTrain, Some(tBpeTrainSql)),
     QueryDef("t_bpe_apply", tBpeApply, Some(tBpeApplySql)),

@@ -818,7 +818,65 @@ object Behavior {
       |       ELSE 0.0 END AS z
       |FROM withp""".stripMargin
 
+  /** A-ltv: cohort LTV curves — q_retention's activity matrix turned
+    * into MONEY: per (first-active-week cohort, week offset 0..3) the
+    * cohort's cumulative purchase revenue and per-user LTV. Same
+    * scale shape as retention (one user_id shuffle compressing each
+    * user to its cohort + per-offset purchase cents, bounded by
+    * calendar weeks), then a ≤4-row-per-cohort cumulative window.
+    * Cents stay BIGINT through the cumsum; ltv is one IEEE division.
+    */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).withColumn("wk", expr("us div 604800000000"))
+    val perUser = e.groupBy("user_id")
+      .agg(min("wk").as("cohort_wk"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .otherwise(0L)).as("user_cents"))
+    val sizes = perUser.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("n_users"))
+    val cells = e.filter(col("event_type") === "purchase")
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .join(perUser.select("user_id", "cohort_wk"), Seq("user_id"))
+      .withColumn("off", col("wk") - col("cohort_wk"))
+      .filter(col("off") <= 3)
+      .groupBy("cohort_wk", "off")
+      .agg(sum("cents").as("cents"))
+    val wcum = Window.partitionBy("cohort_wk").orderBy("off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum("cents").over(wcum).cast("long"))
+      .join(sizes, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("off"), col("n_users"),
+        col("cum_cents"),
+        (col("cum_cents").cast("double") / col("n_users").cast("double"))
+          .as("ltv_cents_per_user"))
+  }
+
+  val qCohortLtvSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+      |sizes AS (SELECT cohort_wk, COUNT(*) AS n_users FROM c GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cohort_wk, e.wk - c.cohort_wk AS off, SUM(e.cents) AS cents
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.wk - c.cohort_wk <= 3
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_wk, off,
+      |    CAST(SUM(cents) OVER (PARTITION BY cohort_wk ORDER BY off
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM cells)
+      |SELECT cum.cohort_wk, cum.off, CAST(s.n_users AS BIGINT) AS n_users,
+      |  cum.cum_cents,
+      |  CAST(cum.cum_cents AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS ltv_cents_per_user
+      |FROM cum JOIN sizes s USING (cohort_wk)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_cohort_ltv", qCohortLtv, Some(qCohortLtvSql)),
     QueryDef("q_seasonality", qSeasonality, Some(qSeasonalitySql)),
     QueryDef("q_ab_test", qAbTest, Some(qAbTestSql)),
     QueryDef("q_changepoint", qChangepoint, Some(qChangepointSql)),
