@@ -2042,18 +2042,21 @@ object Text {
   def tPmi(s: SparkSession, d: String): DataFrame = {
     val toks = graft.Stage.cached(Tables.documents(s, d)
       .select(col("lang"), words(lower(col("text"))).as("w")))
-    val uni = toks.select(col("lang"), explode(col("w")).as("t"))
-      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+    // uni feeds THREE consumers (per-lang totals + both join-backs) and
+    // bg two (totals + scoring) — cached so the token-stream shuffles
+    // run once each, not per consumer
+    val uni = graft.Stage.cached(toks.select(col("lang"), explode(col("w")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c")))
     val tot = uni.groupBy("lang")
       .agg(sum("c").as("tu"), count(lit(1)).as("nv"))
-    val bg = toks.select(col("lang"),
+    val bg = graft.Stage.cached(toks.select(col("lang"),
       explode(when(size(col("w")) >= 2,
         transform(sequence(lit(1), size(col("w")) - 1),
           i => struct(element_at(col("w"), i).as("a"),
             element_at(col("w"), i + 1).as("b"))))
         .otherwise(array())).as("p"))
       .select(col("lang"), col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("lang", "a", "b").agg(count(lit(1)).as("cab"))
+      .groupBy("lang", "a", "b").agg(count(lit(1)).as("cab")))
     val tbg = bg.groupBy("lang").agg(sum("cab").as("tb"))
     val pa = col("cab").cast("double") / col("tb").cast("double")
     val pb = (col("ca").cast("double") / col("tu").cast("double")) *

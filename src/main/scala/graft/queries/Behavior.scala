@@ -828,11 +828,13 @@ object Behavior {
     */
   def qCohortLtv(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).withColumn("wk", expr("us div 604800000000"))
-    val perUser = e.groupBy("user_id")
+    // cached: the per-user aggregate feeds BOTH the cohort-size table
+    // and the cells join — uncached it would re-shuffle events twice
+    val perUser = graft.Stage.cached(e.groupBy("user_id")
       .agg(min("wk").as("cohort_wk"),
         sum(when(col("event_type") === "purchase",
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-          .otherwise(0L)).as("user_cents"))
+          .otherwise(0L)).as("user_cents")))
     val sizes = perUser.groupBy("cohort_wk")
       .agg(count(lit(1)).as("n_users"))
     val cells = e.filter(col("event_type") === "purchase")
