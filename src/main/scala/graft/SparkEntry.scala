@@ -9,7 +9,7 @@ object SparkEntry {
 
   /** Query blocks, in SURVEY §2 order. */
   private def blocks: Seq[QueryDef] =
-    Analytics.all ++ Temporal.all ++ Behavior.all ++ Cbo.all ++
+    Analytics.all ++ Temporal.all ++ Behavior.all ++ Stats.all ++ Cbo.all ++
       PipelineQueries.all ++
       graft.operators.Dedup.all ++ graft.operators.Ann.all ++
       graft.operators.Text.all ++ graft.operators.Skew.all ++

@@ -2024,7 +2024,138 @@ object Ann {
        |FROM ($unionAll)""".stripMargin
   }
 
+  /** D-kmeans: one deterministic Lloyd round of k-means over the
+    * embedding corpus — assignment of every vector to its nearest of
+    * k=8 fixed seed centroids (the k lowest vec_ids, so both engines
+    * pick the identical seed set with no RNG) plus the quantized
+    * centroid accumulators the NEXT iterate would divide. A production
+    * clustering loops exactly this body to convergence (the
+    * d_centrality fixed-iteration convention); one round is the
+    * oracle-checkable unit.
+    *
+    * Float discipline: the assignment argmax uses raw cosine (the
+    * pinned-order vec_cosine fold DuckDB's list_cosine_similarity
+    * reproduces bit-for-bit — the s_ann_brute contract) with seed_id
+    * tie-break; everything SUMMED across the corpus is first floored
+    * to fixed-point BIGINT (cosine at 1e-6, per-vector component mass
+    * at 1e-6), so no cross-row float fold exists for partitioning to
+    * reorder.
+    *
+    * Scale shape: k seeds broadcast into ONE corpus scan; the 8-way
+    * candidate frame collapses via max_by-style struct max with
+    * map-side partial aggregation (no window shuffle/sort on the
+    * corpus), then a k-row hash agg. At 100 TB this is the canonical
+    * distributed k-means step: linear scan, k-bounded state.
+    */
+  private val KmeansK = 8
+
+  def sKmeans(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val seeds = c.orderBy("vec_id").limit(KmeansK)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    val assigned = c
+      .withColumn("qmass", expr(
+        "aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(FLOOR(x * 1000000.0D) AS BIGINT))"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("cos", vec_cosine(col("v"), col("sv")))
+      .withColumn("qcos", expr("CAST(FLOOR(cos * 1000000.0D) AS BIGINT)"))
+      // (cos, -seed_id) is a total order per vector (seeds are
+      // distinct), so the struct max IS the deterministic argmax —
+      // map-side combinable, unlike a per-vector window sort
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("seed_id")).as("negseed"),
+        col("seed_id"), col("qcos"), col("qmass"))).as("best"))
+    assigned
+      .groupBy(col("best.seed_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("best.qcos")).cast("long").as("sum_qcos"),
+        sum(col("best.qmass")).cast("long").as("centroid_mass"))
+      .select(col("cluster_id"), col("n"), col("sum_qcos"),
+        (col("sum_qcos").cast("double") / col("n").cast("double")).as("mean_qcos"),
+        col("centroid_mass"))
+  }
+
+  val sKmeansSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)), (a, b) -> a + b) AS qmass
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, v AS sv FROM c ORDER BY vec_id LIMIT $KmeansK),
+       |assigned AS (
+       |  SELECT vec_id, seed_id, qmass,
+       |    CAST(FLOOR(list_cosine_similarity(v, sv) * 1000000.0) AS BIGINT) AS qcos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY list_cosine_similarity(v, sv) DESC, seed_id) AS rn
+       |  FROM c CROSS JOIN seeds)
+       |SELECT seed_id AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(qcos) AS BIGINT) AS sum_qcos,
+       |  CAST(SUM(qcos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_qcos,
+       |  CAST(SUM(qmass) AS BIGINT) AS centroid_mass
+       |FROM assigned WHERE rn = 1
+       |GROUP BY 1""".stripMargin
+
+  /** D-sil: cluster assignment-margin diagnostics (the scalable
+    * silhouette proxy — true silhouette is O(N²) pairwise; the
+    * centroid margin a−b, nearest minus second-nearest centroid
+    * affinity, is the standard linear-time substitute): per cluster,
+    * how confidently its members belong. COMPOSES with s_kmeans: same
+    * seed set, same one-scan broadcast-assignment shape (the s_mmr_ivf
+    * composability convention). The per-vector top-2 comes from a
+    * sort_array over the collected k-candidate list (k-bounded rows
+    * per vector — never a corpus window), ordered by the QUANTIZED
+    * cosine (BIGINT @1e-6) so the ranking key itself is
+    * engine-portable rather than ulp-exposed; margins are BIGINT
+    * through every aggregate.
+    */
+  def sSilhouette(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val seeds = c.orderBy("vec_id").limit(KmeansK)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    val top2 = c.crossJoin(broadcast(seeds))
+      .withColumn("cos", vec_cosine(col("v"), col("sv")))
+      .withColumn("qcos", expr("CAST(FLOOR(cos * 1000000.0D) AS BIGINT)"))
+      .groupBy("vec_id")
+      .agg(slice(sort_array(collect_list(
+        struct((-col("qcos")).as("neg"), col("seed_id"), col("qcos")))), 1, 2).as("t"))
+      .select(col("vec_id"),
+        col("t")(0).getField("seed_id").as("cluster_id"),
+        (col("t")(0).getField("qcos") - col("t")(1).getField("qcos")).as("margin"))
+    top2.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        sum("margin").cast("long").as("sum_margin"),
+        min("margin").cast("long").as("min_margin"))
+      .select(col("cluster_id"), col("n"), col("sum_margin"), col("min_margin"),
+        (col("sum_margin").cast("double") / col("n").cast("double")).as("mean_margin"))
+  }
+
+  val sSilhouetteSql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, v AS sv FROM c ORDER BY vec_id LIMIT $KmeansK),
+       |scored AS (
+       |  SELECT vec_id, seed_id,
+       |    CAST(FLOOR(list_cosine_similarity(v, sv) * 1000000.0) AS BIGINT) AS qcos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+       |      CAST(FLOOR(list_cosine_similarity(v, sv) * 1000000.0) AS BIGINT) DESC,
+       |      seed_id) AS rn
+       |  FROM c CROSS JOIN seeds),
+       |top2 AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN rn = 1 THEN seed_id END) AS cluster_id,
+       |    MAX(CASE WHEN rn = 1 THEN qcos END)
+       |      - MAX(CASE WHEN rn = 2 THEN qcos END) AS margin
+       |  FROM scored WHERE rn <= 2 GROUP BY 1)
+       |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(margin) AS BIGINT) AS sum_margin,
+       |  CAST(MIN(margin) AS BIGINT) AS min_margin,
+       |  CAST(SUM(margin) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_margin
+       |FROM top2 GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
+    QueryDef("s_silhouette", sSilhouette, Some(sSilhouetteSql)),
     QueryDef("s_ann_eval", sAnnEval, Some(sAnnEvalSql)),
     QueryDef("s_mmr", sMmr, Some(sMmrSql)),
     QueryDef("s_mmr_ivf", sMmrIvf, Some(sMmrIvfSql)),

@@ -2181,7 +2181,180 @@ object Text {
        |       ELSE 0.0 END AS slope
        |FROM sums""".stripMargin
 
+  /** E-jsd: corpus drift as a PER-TERM table — Jensen-Shannon
+    * divergence contributions between two corpus shards (even vs odd
+    * doc_id, standing in for "yesterday's crawl vs today's"): for each
+    * of the top terms, its probability under each shard and its JSD
+    * term 0.5·p·ln(p/m) + 0.5·q·ln(q/m), m = (p+q)/2. Emitting the
+    * per-term drill-down instead of the scalar total is deliberate
+    * float discipline: every row is a handful of IEEE ops on exact
+    * BIGINT counts (no cross-vocabulary float sum whose order a
+    * partitioning could change — the scalar is the reader's one-line
+    * fold). Zero-count sides contribute 0 (the KL limit), CASE-guarded
+    * identically on both engines.
+    *
+    * Scale shape: one (term) hash agg with the shard split folded in
+    * as conditional counts (no join), then the t_zipf_fit two-phase
+    * top-K (hash-bucket local prune → tiny global rank) so the
+    * vocabulary sort never funnels one partition.
+    */
+  private val JsdTopK = 200
+
+  def tJsd(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select((col("doc_id") % 2).as("side"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val local = counts.withColumn("rk0", row_number().over(
+      Window.partitionBy(pmod(xxhash64(col("term")), lit(64)))
+        .orderBy((col("cnt_a") + col("cnt_b")).desc, col("term"))))
+      .filter(col("rk0") <= JsdTopK)
+    val top = local.withColumn("r", row_number().over(
+      Window.orderBy((col("cnt_a") + col("cnt_b")).desc, col("term"))))
+      .filter(col("r") <= JsdTopK)
+    val tot = counts.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    top.crossJoin(broadcast(tot))
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        round(expr(
+          """0.5D * (CASE WHEN cnt_a > 0 THEN
+               (CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE))
+               * ln((CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE))
+                    / ((CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+                        + CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) / 2.0D))
+               ELSE 0.0D END)
+             + 0.5D * (CASE WHEN cnt_b > 0 THEN
+               (CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+               * ln((CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+                    / ((CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+                        + CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) / 2.0D))
+               ELSE 0.0D END)"""), 6).as("jsd_nats"))
+  }
+
+  val tJsdSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id % 2 AS side,
+       |    unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS term
+       |  FROM documents),
+       |c AS (
+       |  SELECT term,
+       |    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+       |  FROM toks GROUP BY 1),
+       |top AS (
+       |  SELECT term, cnt_a, cnt_b,
+       |    ROW_NUMBER() OVER (ORDER BY cnt_a + cnt_b DESC, term) AS r
+       |  FROM c QUALIFY r <= $JsdTopK),
+       |tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+       |               CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM c)
+       |SELECT term, cnt_a, cnt_b,
+       |  round(
+       |    0.5 * (CASE WHEN cnt_a > 0 THEN
+       |      (CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE))
+       |      * ln((CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE))
+       |           / ((CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+       |               + CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) / 2.0))
+       |      ELSE 0.0 END)
+       |    + 0.5 * (CASE WHEN cnt_b > 0 THEN
+       |      (CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+       |      * ln((CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+       |           / ((CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+       |               + CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) / 2.0))
+       |      ELSE 0.0 END), 6) AS jsd_nats
+       |FROM top CROSS JOIN tot""".stripMargin
+
+  /** E-ttr: lexical diversity per document — type/token ratio and
+    * hapax share, the vocabulary-richness screens (template/boilerplate
+    * detectors read LOW ttr; OCR-garbage detectors read HIGH hapax).
+    * One explode + one (doc, term) hash agg + one (doc) re-agg, all
+    * integer counts; the two ratios are single divisions.
+    */
+  def tLexical(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double")).as("hapax_ratio"))
+
+  val tLexicalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')) AS term
+      |  FROM documents),
+      |c AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS ttr,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+      |FROM c GROUP BY doc_id""".stripMargin
+
+  /** E-read: readability scoring per document — Flesch reading ease
+    * and Flesch-Kincaid grade from the classic surface counts: words
+    * (the fleet's whitespace convention), sentences (runs of [.!?],
+    * floored at 1), syllables (vowel-group runs per word, floored at
+    * 1 — the standard regex approximation; both engines run the same
+    * pattern, Java and RE2 agree on this character-class subset). All
+    * three counts are integers; the two scores are a fixed handful of
+    * IEEE ops on their ratios, rounded at 4 dp.
+    *
+    * Scale shape: one scan + one explode + one (doc) hash agg — the
+    * same linear shape as every per-doc text screen.
+    */
+  def tReadability(s: SparkSession, d: String): DataFrame = {
+    val sent = Tables.documents(s, d).select(col("doc_id"),
+      greatest(lit(1),
+        expr("size(regexp_extract_all(text, '[.!?]+', 0))")).cast("long").as("n_sentences"))
+    val syl = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(greatest(lit(1),
+          expr("size(regexp_extract_all(term, '[aeiouy]+', 0))")).cast("long"))
+          .as("n_syllables"))
+    syl.join(sent, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
+          4).as("flesch"),
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+          - lit(15.59), 4).as("fk_grade"))
+  }
+
+  val tReadabilitySql: String =
+    """WITH sent AS (
+      |  SELECT doc_id,
+      |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')) AS term
+      |  FROM documents),
+      |syl AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    CAST(SUM(greatest(1, len(regexp_extract_all(term, '[aeiouy]+')))) AS BIGINT)
+      |      AS n_syllables
+      |  FROM toks GROUP BY 1)
+      |SELECT s.doc_id, y.n_words, s.n_sentences, y.n_syllables,
+      |  round(206.835
+      |    - 1.015 * (CAST(y.n_words AS DOUBLE) / CAST(s.n_sentences AS DOUBLE))
+      |    - 84.6 * (CAST(y.n_syllables AS DOUBLE) / CAST(y.n_words AS DOUBLE)), 4) AS flesch,
+      |  round(0.39 * (CAST(y.n_words AS DOUBLE) / CAST(s.n_sentences AS DOUBLE))
+      |    + 11.8 * (CAST(y.n_syllables AS DOUBLE) / CAST(y.n_words AS DOUBLE))
+      |    - 15.59, 4) AS fk_grade
+      |FROM syl y JOIN sent s USING (doc_id)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("t_jsd", tJsd, Some(tJsdSql)),
+    QueryDef("t_lexical", tLexical, Some(tLexicalSql)),
+    QueryDef("t_readability", tReadability, Some(tReadabilitySql)),
     QueryDef("t_zipf_fit", tZipfFit, Some(tZipfFitSql)),
     QueryDef("t_pmi", tPmi, Some(tPmiSql)),
     QueryDef("t_bpe_train", tBpeTrain, Some(tBpeTrainSql)),

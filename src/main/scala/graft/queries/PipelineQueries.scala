@@ -552,6 +552,87 @@ object PipelineQueries {
        |    ('l_returnflag', l.l_returnflag)
        |  ) AS f(field, value_s)""".stripMargin
 
+  /** B-gov: k-anonymity audit (the privacy check a DWP-style data
+    * owner runs BEFORE releasing a derived extract — the complement to
+    * p_subject_export's per-subject view and t_redact's value-level
+    * masking): generalize the quasi-identifiers (nation, market
+    * segment, account balance coarsened to $1000 bands), then flag
+    * every equivalence class smaller than k=5 — the rows a release
+    * would have to suppress or generalize further because the
+    * combination re-identifies. Band edges use floor() over one IEEE
+    * division of exact cents (never `div`: truncation and floor
+    * disagree on the NEGATIVE balances this table really has — the
+    * q_drift_psi lesson); counts are integers; the flag is an INT so
+    * no engine bool-rendering can differ.
+    *
+    * Scale shape: ONE hash aggregate over the generalized key — the
+    * audit costs the same as any group-count at 100 TB, and the class
+    * table it emits is bounded by the generalized-domain product, not
+    * the data.
+    */
+  def pKanon(s: SparkSession, d: String): DataFrame = {
+    val k = lit(5L)
+    Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("""CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                / 100000.0) AS BIGINT)""").as("bal_band"))
+      .groupBy("nation", "segment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+      .select(col("nation"), col("segment"), col("bal_band"), col("n"),
+        when(col("n") < k, 1).otherwise(0).cast("int").as("suppressed"))
+  }
+
+  val pKanonSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+      |  CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |       / 100000.0) AS BIGINT) AS bal_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS INTEGER) AS suppressed
+      |FROM customer
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** B-gov: retention-policy sweep (the TTL audit a data-protection
+    * owner runs before the purge job — the reference domain's other
+    * standing obligation next to p_kanon/p_subject_export): per event
+    * class, its policy TTL (behavioral telemetry 90 days, contractual
+    * events 365), how much of the table has aged past it, and the age
+    * envelope. "Now" anchors to the corpus max timestamp so the audit
+    * is deterministic and replayable; ages are nonnegative integer
+    * day counts (`div` safe — no negative operand exists).
+    *
+    * Scale shape: one scalar max-aggregate broadcast into ONE
+    * conditional-count scan — the audit costs a group-count at any
+    * corpus size, and emits the purge job's exact work manifest.
+    */
+  def pRetentionSweep(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val anchor = ev.agg(max("us").as("now_us"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age_days", expr("(now_us - us) div 86400000000"))
+      .withColumn("ttl_days",
+        when(col("event_type").isin("view", "click"), 90L).otherwise(365L))
+      .groupBy("event_type")
+      .agg(max("ttl_days").as("ttl_days"), count(lit(1)).as("n_total"),
+        sum(when(col("age_days") > col("ttl_days"), 1L).otherwise(0L)).as("n_expired"),
+        max("age_days").as("oldest_age_days"), min("age_days").as("newest_age_days"))
+  }
+
+  val pRetentionSweepSql: String =
+    """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      |anchor AS (SELECT MAX(us) AS now_us FROM ev),
+      |aged AS (
+      |  SELECT event_type, (now_us - us) // 86400000000 AS age_days,
+      |    CASE WHEN event_type IN ('view', 'click') THEN 90 ELSE 365 END AS ttl_days
+      |  FROM ev CROSS JOIN anchor)
+      |SELECT event_type, CAST(MAX(ttl_days) AS BIGINT) AS ttl_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN age_days > ttl_days THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+      |  CAST(MAX(age_days) AS BIGINT) AS oldest_age_days,
+      |  CAST(MIN(age_days) AS BIGINT) AS newest_age_days
+      |FROM aged GROUP BY 1""".stripMargin
+
   def pProfile(s: SparkSession, d: String): DataFrame = {
     import graft.queries.QueryDef.dec
     def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
@@ -1079,6 +1160,8 @@ object PipelineQueries {
     QueryDef("p_profile", pProfile, Some(pProfileSql)),
     QueryDef("q_drift_psi", qDriftPsi, Some(qDriftPsiSql)),
     QueryDef("p_subject_export", pSubjectExport, Some(pSubjectExportSql)),
+    QueryDef("p_kanon", pKanon, Some(pKanonSql)),
+    QueryDef("p_retention_sweep", pRetentionSweep, Some(pRetentionSweepSql)),
     QueryDef("p_table_diff", pTableDiff, Some(pTableDiffSql)),
     QueryDef("p_vacuum", pVacuum, Some(pVacuumSql)),
     QueryDef("p_time_travel", pTimeTravel, Some(pTimeTravelSql)),

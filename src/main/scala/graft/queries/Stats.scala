@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Block A additions — the statistics/insight layer a warehouse team
+  * runs over the landed corporate tables (the reference stops at
+  * landing the records — steps/ingesters.py:30 — these are the
+  * decision queries the landed tables exist to answer): trend
+  * regression, inequality profiling (Lorenz/Gini), robust outlier
+  * screening (median/MAD), market-basket association rules, and a
+  * seasonal-naive forecast backtest.
+  *
+  * Float discipline (the t_zipf_fit convention): every aggregate that
+  * crosses a shuffle is a BIGINT (counts, cents, quantized logs), so
+  * partitioning can never change a fold order; doubles appear only in
+  * final per-row combinations of those exact integers, written as the
+  * IDENTICAL expression tree on both engines.
+  */
+object Stats {
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("user_id"), unix_micros(col("ts")).as("us"),
+      col("event_id"), col("event_type"), col("value"))
+
+  private val DayUs = 86400000000L
+
+  /** A-reg: OLS trend per event-type — slope/intercept/r² of the daily
+    * event count on the day index. The regression sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) are all BIGINT-exact (x = day offset from the
+    * corpus's first day, y = a daily count; bounds documented below),
+    * so slope is a single BIGINT-ratio division and intercept the
+    * exact rational (Σy·den − num·Σx)/(n·den) — bit-identical on both
+    * engines. r² squares `num`, which can exceed 2^63, so it combines
+    * the same BIGINT sums in DOUBLE with an expression tree the oracle
+    * mirrors token-for-token (BIGINT→DOUBLE casts round identically;
+    * each subsequent op is one IEEE instruction).
+    *
+    * Overflow bound: y ≤ events/day (~2·10⁴ at sf1), x ≤ calendar days
+    * (~4·10²), so n·Σxy ≤ 10¹³ and the intercept numerator
+    * Σy·den ≤ 10¹⁸ — inside BIGINT with two decades of headroom.
+    *
+    * Scale shape: one (event_type, day) hash agg compresses the fact
+    * table to calendar-bounded rows; everything after is arithmetic on
+    * a per-type handful of sums. At 100 TB the only data-scale pass is
+    * the first partial-aggregated scan.
+    */
+  def qRegression(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), expr("us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min("day").as("d0"))
+    val sums = daily.crossJoin(broadcast(d0))
+      .withColumn("x", col("day") - col("d0"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    sums.select(col("event_type"), col("n").as("n_days"),
+      expr("""CASE WHEN n >= 2 AND n * sxx - sx * sx != 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+              ELSE 0.0D END""").as("slope"),
+      expr("""CASE WHEN n >= 2 AND n * sxx - sx * sx != 0
+              THEN CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+                   / CAST(n * (n * sxx - sx * sx) AS DOUBLE)
+              ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END""").as("intercept"),
+      expr("""CASE WHEN n >= 2 AND n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+              THEN (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                   / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+              ELSE 0.0D END""").as("r2"))
+  }
+
+  val qRegressionSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+      |sums AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(day - d0) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM((day - d0) * y) AS BIGINT) AS sxy,
+      |    CAST(SUM((day - d0) * (day - d0)) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM daily CROSS JOIN d0 GROUP BY 1)
+      |SELECT event_type, n AS n_days,
+      |  CASE WHEN n >= 2 AND n * sxx - sx * sx != 0
+      |       THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |       ELSE 0.0 END AS slope,
+      |  CASE WHEN n >= 2 AND n * sxx - sx * sx != 0
+      |       THEN CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+      |            / CAST(n * (n * sxx - sx * sx) AS DOUBLE)
+      |       ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END AS intercept,
+      |  CASE WHEN n >= 2 AND n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+      |       THEN (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+      |            / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |       ELSE 0.0 END AS r2
+      |FROM sums""".stripMargin
+
+  /** A-gini: Lorenz deciles + Gini coefficient of per-customer spend —
+    * the inequality profile (concentration-of-value) every revenue
+    * team keeps. Per-customer cents are BIGINT; the rank pass uses the
+    * exact closed form G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over the
+    * (cents, custkey)-total-ordered frame, so numerator and
+    * denominator are integer-exact and Gini is ONE double division.
+    * Decile boundaries via ntile(10) over the same total order (both
+    * engines: standard floor-distribution ntile); cumulative cents per
+    * decile stay BIGINT through the running window.
+    *
+    * Scale shape: the global sort ranks the per-customer AGGREGATE
+    * (|customers| rows, ~1/40 of the fact table, bounded by the entity
+    * universe, same judgment as the fleet's other compressed-aggregate
+    * sorts). At true 100 TB entity counts the rank pass swaps to the
+    * two-phase range-partitioned rank (partition histograms + per-range
+    * offsets); the closed form is rank-representation-agnostic.
+    *
+    * Overflow bound: i ≤ n (~1.5·10⁵ at sf1), xᵢ ≤ 5·10⁷ cents, so
+    * Σi·xᵢ ≤ ~10¹⁷ and n·Σx ≤ ~10¹⁸ — inside BIGINT.
+    */
+  def qGini(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val ord = Window.orderBy(col("cents"), col("o_custkey"))
+    val ranked = spend
+      .withColumn("i", row_number().over(ord))
+      .withColumn("decile", ntile(10).over(ord))
+    val g = ranked.agg(count(lit(1)).as("n"), sum("cents").as("s"),
+      sum(col("i") * col("cents")).as("w"))
+    val deciles = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("decile_cents"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_cents", sum("decile_cents").over(cum).cast("long"))
+      .crossJoin(broadcast(g))
+      .select(col("decile"), col("n_cust"), col("decile_cents"), col("cum_cents"),
+        (col("cum_cents").cast("double") / col("s").cast("double")).as("cum_share"),
+        expr("CAST(2 * w - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)").as("gini"))
+  }
+
+  val qGiniSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT cents,
+      |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+      |    NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+      |  FROM spend),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+      |    CAST(SUM(i * cents) AS BIGINT) AS w
+      |  FROM ranked),
+      |deciles AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |    CAST(SUM(cents) AS BIGINT) AS decile_cents
+      |  FROM ranked GROUP BY 1),
+      |cum AS (
+      |  SELECT decile, n_cust, decile_cents,
+      |    CAST(SUM(decile_cents) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM deciles)
+      |SELECT decile, n_cust, decile_cents, cum_cents,
+      |  CAST(cum_cents AS DOUBLE) / CAST(g.s AS DOUBLE) AS cum_share,
+      |  CAST(2 * g.w - (g.n + 1) * g.s AS DOUBLE) / CAST(g.n * g.s AS DOUBLE) AS gini
+      |FROM cum CROSS JOIN g""".stripMargin
+
+  /** A-mad: robust outlier screen per market segment — median/MAD
+    * (the outlier detector that, unlike z-scores, a single whale
+    * cannot poison). Order cents (BIGINT) cast to DOUBLE before the
+    * exact interpolated percentile so both engines run the identical
+    * quantile_cont semantics (the q_percentiles contract); midpoints
+    * of ≤2^53 integers are exact doubles, so |x − med| and the second
+    * percentile stay exact. Robust z uses the 1.4826 normal-consistency
+    * constant; a zero MAD (≥half the segment at the median) defines
+    * z = 0 rather than dividing by zero (the st_anomaly convention).
+    *
+    * Scale shape: one shuffle to (segment), two bounded percentile
+    * passes over segment-local values, a broadcast of the 5-row
+    * median/MAD tables back over the scan. Exact percentile buffers
+    * per-group values (the documented q_percentiles trade) — the
+    * sketch path (approx_percentile) is the stated 100 TB swap.
+    */
+  def qOutlierMad(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val med = base.groupBy("segment")
+      .agg(expr("percentile(CAST(cents AS DOUBLE), 0.5D)").as("med"))
+    val withAd = base.join(broadcast(med), Seq("segment"))
+      .withColumn("ad", abs(col("cents").cast("double") - col("med")))
+    val mad = withAd.groupBy("segment")
+      .agg(max("med").as("med"), expr("percentile(ad, 0.5D)").as("mad"))
+    withAd.drop("med").join(broadcast(mad), Seq("segment"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), max("med").as("median_cents"),
+        max("mad").as("mad_cents"),
+        sum(when(col("mad") > 0.0 && col("ad") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(max(when(col("mad") > 0.0, col("ad") / (lit(1.4826) * col("mad")))
+          .otherwise(lit(0.0))), 6).as("max_robust_z"))
+  }
+
+  val qOutlierMadSql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |med AS (
+      |  SELECT segment, quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+      |  FROM base GROUP BY 1),
+      |withad AS (
+      |  SELECT b.segment, ABS(CAST(b.cents AS DOUBLE) - m.med) AS ad, m.med
+      |  FROM base b JOIN med m USING (segment)),
+      |mad AS (
+      |  SELECT segment, MAX(med) AS med, quantile_cont(ad, 0.5) AS mad
+      |  FROM withad GROUP BY 1)
+      |SELECT w.segment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(m.med) AS median_cents, MAX(m.mad) AS mad_cents,
+      |  CAST(SUM(CASE WHEN m.mad > 0.0 AND w.ad > 3.0 * 1.4826 * m.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(MAX(CASE WHEN m.mad > 0.0 THEN w.ad / (1.4826 * m.mad)
+      |                 ELSE 0.0 END), 6) AS max_robust_z
+      |FROM withad w JOIN mad m USING (segment)
+      |GROUP BY 1""".stripMargin
+
+  /** A-assoc: market-basket association rules over order baskets —
+    * support/confidence/lift for brand pairs bought together (the
+    * co-purchase table recommendation and assortment teams read).
+    * Baskets = the DISTINCT (order, brand) relation; pair generation
+    * self-joins WITHIN an order key, so fan-out is bounded by the
+    * per-basket item count squared (≤ distinct-brand count, never
+    * data×data). Supports are integer counts; confidence and lift are
+    * single-division doubles over exactly-converted BIGINTs; the 1%
+    * minimum-support gate compares integers (100·supp ≥ N).
+    *
+    * Scale shape: broadcast the part dim into the lineitem scan, one
+    * distinct shuffle on (order, brand), one self-join co-partitioned
+    * on the order key, one pair hash-agg bounded by |brands|². At
+    * 100 TB the pair space stays catalog-bounded — the classic reason
+    * association mining scales where raw pair joins melt.
+    */
+  def qAssocRules(s: SparkSession, d: String): DataFrame = {
+    val baskets = graft.Stage.cached(
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+        .distinct())
+    val nOrders = baskets.agg(countDistinct("ok").as("n_orders"))
+    val isup = baskets.groupBy("item").agg(count(lit(1)).as("sup"))
+    val a = baskets.select(col("ok"), col("item").as("i1"))
+    val b = baskets.select(col("ok"), col("item").as("i2"))
+    val pairs = a.join(b, Seq("ok")).filter(col("i1") < col("i2"))
+      .groupBy("i1", "i2").agg(count(lit(1)).as("sup_ab"))
+    pairs
+      .join(broadcast(isup.select(col("item").as("i1"), col("sup").as("sup1"))), Seq("i1"))
+      .join(broadcast(isup.select(col("item").as("i2"), col("sup").as("sup2"))), Seq("i2"))
+      .crossJoin(broadcast(nOrders))
+      .filter(lit(100L) * col("sup_ab") >= col("n_orders"))
+      .select(col("i1"), col("i2"), col("sup_ab"), col("sup1"), col("sup2"),
+        (col("sup_ab").cast("double") / col("sup1").cast("double")).as("conf_12"),
+        (col("sup_ab").cast("double") / col("sup2").cast("double")).as("conf_21"),
+        ((col("sup_ab").cast("double") * col("n_orders").cast("double"))
+          / (col("sup1").cast("double") * col("sup2").cast("double"))).as("lift"))
+  }
+
+  val qAssocRulesSql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM baskets),
+      |isup AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS sup FROM baskets GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS i1, b.item AS i2, CAST(COUNT(*) AS BIGINT) AS sup_ab
+      |  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item < b.item
+      |  GROUP BY 1, 2)
+      |SELECT i1, i2, sup_ab, s1.sup AS sup1, s2.sup AS sup2,
+      |  CAST(sup_ab AS DOUBLE) / CAST(s1.sup AS DOUBLE) AS conf_12,
+      |  CAST(sup_ab AS DOUBLE) / CAST(s2.sup AS DOUBLE) AS conf_21,
+      |  (CAST(sup_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+      |    / (CAST(s1.sup AS DOUBLE) * CAST(s2.sup AS DOUBLE)) AS lift
+      |FROM pairs
+      |JOIN isup s1 ON s1.item = i1
+      |JOIN isup s2 ON s2.item = i2
+      |CROSS JOIN n
+      |WHERE 100 * sup_ab >= n.n_orders""".stripMargin
+
+  /** A-snaive: seasonal-naive forecast backtest — forecast(day) =
+    * actual(day − 7), scored by MAE per event type over the trailing
+    * 28 scoreable days (the honest baseline every fancier forecaster
+    * must beat; q_ewma/q_seasonality are its siblings). Daily counts
+    * are BIGINT; the self-join lands on (event_type, day−7) so a
+    * calendar gap simply contributes no scoreable row (inner join —
+    * both engines agree by construction); MAE is one division of a
+    * BIGINT absolute-error sum.
+    *
+    * Scale shape: the fact table compresses to calendar-bounded daily
+    * rows in one partial-aggregated scan; the lag join and trailing
+    * window are arithmetic on that tiny frame.
+    */
+  def qForecastSnaive(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Stage.cached(events(s, d)
+      .groupBy(col("event_type"), expr("us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y")))
+    val dmax = daily.agg(max("day").as("dmax"))
+    val lag7 = daily.select(col("event_type"),
+      (col("day") + 7).as("day"), col("y").as("y_hat"))
+    daily.join(lag7, Seq("event_type", "day"))
+      .crossJoin(broadcast(dmax))
+      .filter(col("day") > col("dmax") - 28)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("y") - col("y_hat"))).as("sae"))
+      .select(col("event_type"), col("n_scored"), col("sae").cast("long").as("sae"),
+        (col("sae").cast("double") / col("n_scored").cast("double")).as("mae"))
+  }
+
+  val qForecastSnaiveSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT MAX(day) AS dmax FROM daily),
+      |scored AS (
+      |  SELECT a.event_type, ABS(a.y - b.y) AS ae
+      |  FROM daily a
+      |  JOIN daily b ON a.event_type = b.event_type AND b.day = a.day - 7
+      |  CROSS JOIN m
+      |  WHERE a.day > m.dmax - 28)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |  CAST(SUM(ae) AS BIGINT) AS sae,
+      |  CAST(SUM(ae) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae
+      |FROM scored GROUP BY 1""".stripMargin
+
+  /** A-holt: Holt's linear exponential smoothing (double exponential —
+    * the level+trend forecaster between q_ewma's level-only smoother
+    * and a seasonal model) over per-type daily counts, with α=1/2 and
+    * β=1/4 as EXACT dyadic rationals in integer arithmetic: every
+    * update is adds plus a floor division by a power of two, where the
+    * floor is taken canonically (subtract the nonnegative mod, THEN
+    * divide — truncating `div` and flooring `//` agree on an exactly
+    * divisible numerator, so the engines cannot disagree on negative
+    * trends). Spark walks each type's sorted day list in one aggregate
+    * HOF (the q_changepoint pattern, state = (level, trend), bounded
+    * by calendar days); the oracle replays the identical recurrence as
+    * a recursive CTE.
+    *
+    * Scale shape: one partial-agg scan to calendar-bounded daily rows,
+    * one per-type fold over ≤|days| elements — no data-scale state.
+    */
+  def qHolt(s: SparkSession, d: String): DataFrame = {
+    // l' = (y + l + b) floordiv 2  (α = 1/2)
+    // b' = (l' − l + 3b) floordiv 4 (β = 1/4)
+    val lNext = "(e.y + acc.l + acc.b) - (((e.y + acc.l + acc.b) % 2L + 2L) % 2L)"
+    val lN = s"(($lNext) div 2L)"
+    val bNum = s"($lN - acc.l + 3L * acc.b)"
+    val bN = s"(($bNum - (($bNum % 4L + 4L) % 4L)) div 4L)"
+    events(s, d)
+      .groupBy(col("event_type"), expr("us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("evs"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_days"),
+        expr(
+          s"""aggregate(evs,
+             |  named_struct('i', 0L, 'l', 0L, 'b', 0L),
+             |  (acc, e) -> IF(acc.i = 0L,
+             |    named_struct('i', 1L, 'l', e.y, 'b', 0L),
+             |    named_struct('i', acc.i + 1L, 'l', $lN, 'b', $bN)),
+             |  acc -> named_struct('level', acc.l, 'trend', acc.b,
+             |    'forecast_7', acc.l + 7L * acc.b))""".stripMargin).as("r"))
+      .select(col("event_type"), col("n_days"), col("r.level").as("level"),
+        col("r.trend").as("trend"), col("r.forecast_7").as("forecast_7"))
+  }
+
+  val qHoltSql: String = {
+    val lNext = "(d.y + w.l + w.b) - (((d.y + w.l + w.b) % 2 + 2) % 2)"
+    val lN = s"(($lNext) // 2)"
+    val bNum = s"($lN - w.l + 3 * w.b)"
+    val bN = s"(($bNum - (($bNum % 4 + 4) % 4)) // 4)"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS y,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY epoch_us(ts) // 86400000000) AS idx
+       |  FROM events GROUP BY 1, 2),
+       |n AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1),
+       |walk AS (
+       |  SELECT d.event_type, 1 AS idx, d.y AS l, CAST(0 AS BIGINT) AS b
+       |  FROM daily d WHERE d.idx = 1
+       |  UNION ALL
+       |  SELECT w.event_type, d.idx, $lN, $bN
+       |  FROM walk w
+       |  JOIN daily d ON d.event_type = w.event_type AND d.idx = w.idx + 1)
+       |SELECT w.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+       |  CAST(w.l AS BIGINT) AS level, CAST(w.b AS BIGINT) AS trend,
+       |  CAST(w.l + 7 * w.b AS BIGINT) AS forecast_7
+       |FROM walk w JOIN n ON n.event_type = w.event_type
+       |WHERE w.idx = n.n_days""".stripMargin
+  }
+
+  /** A-dau: DAU/MAU stickiness — per day, the distinct daily actives
+    * and the trailing-28-day distinct actives, joined into the ratio
+    * product teams watch. The sliding distinct uses the explode-to-
+    * day trick: the DISTINCT (user, day) relation (entity-compressed,
+    * the retention shuffle) fans out 28 calendar offsets and re-counts
+    * distinct per target day — linear, no range join, no per-day
+    * re-scan. Counts integer; stickiness one division.
+    */
+  def qDauMau(s: SparkSession, d: String): DataFrame = {
+    val ud = graft.Stage.cached(
+      events(s, d).select(col("user_id"), expr("us div 86400000000").as("day")).distinct())
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val mau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(27))).as("off"), col("day"))
+      .select(col("user_id"), (col("day") + col("off")).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+  }
+
+  val qDauMauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      |        FROM ud GROUP BY 1),
+      |mau AS (
+      |  SELECT ud.day + o.off AS day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS mau
+      |  FROM ud CROSS JOIN (SELECT unnest(range(0, 28)) AS off) o
+      |  GROUP BY 1)
+      |SELECT d.day, d.dau, m.mau,
+      |  CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+      |FROM dau d JOIN mau m USING (day)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_holt", qHolt, Some(qHoltSql)),
+    QueryDef("q_dau_mau", qDauMau, Some(qDauMauSql)),
+    QueryDef("q_regression", qRegression, Some(qRegressionSql)),
+    QueryDef("q_gini", qGini, Some(qGiniSql)),
+    QueryDef("q_outlier_mad", qOutlierMad, Some(qOutlierMadSql)),
+    QueryDef("q_assoc_rules", qAssocRules, Some(qAssocRulesSql)),
+    QueryDef("q_forecast_snaive", qForecastSnaive, Some(qForecastSnaiveSql)))
+}

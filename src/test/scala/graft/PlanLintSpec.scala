@@ -49,6 +49,14 @@ class PlanLintSpec extends SparkSpec {
     "q_cms_freq" -> "cross with the one-row CMS sketch aggregate",
     "q_bitemporal" -> "non-equi broadcast join against the THREE-ROW (valid_at, tx_at) anchor frame — bounded nested loop, never data x data",
     "q_rfm" -> "cross with the one-row corpus max-timestamp aggregate (the recency anchor)",
+    "q_regression" -> "cross with the one-row min-day aggregate (the x-axis anchor)",
+    "q_gini" -> "cross with the one-row (n, Σx, Σi·x) closed-form aggregate",
+    "q_assoc_rules" -> "cross with the one-row basket-count aggregate (the support denominator)",
+    "q_forecast_snaive" -> "cross with the one-row max-day aggregate (the backtest horizon anchor)",
+    "t_jsd" -> "cross with the one-row shard-totals aggregate (the two probability denominators)",
+    "s_kmeans" -> "k-row seed-centroid frame broadcast into the assignment scan (bounded by k, the distributed Lloyd step)",
+    "s_silhouette" -> "the same k-row seed frame broadcast into the margin scan (composes with s_kmeans)",
+    "p_retention_sweep" -> "cross with the one-row corpus max-timestamp aggregate (the deterministic audit anchor)",
     "q_scalar_subq" -> "scalar subquery materialized as a one-row cross (the operator under test)",
     "s_ann_brute" -> "broadcast bounded query batch — the documented plan-pinned correctness baseline",
     "s_ann_eval" -> "composes each method's brute ground truth: same bounded query batch, once per method",

@@ -1,0 +1,319 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Stats
+import graft.queries.PipelineQueries
+import graft.operators.{Ann, Text}
+
+/** The round-13 statistics/insight additions: independent same-JVM
+  * recomputation of the closed forms (regression, Gini, MAD, lift,
+  * MAE), invariant checks (bounds, totals), and the specific engine
+  * disagreements each operator was written to avoid (floor-vs-truncate
+  * banding on real negative balances, fixed-point accumulators in the
+  * k-means fold).
+  */
+class StatsSpec extends SparkSpec {
+
+  test("q_regression: slope/intercept/r2 match an exact BigInt OLS recompute") {
+    val out = Stats.qRegression(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // independent daily compression straight off the raw table
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val d0 = daily.map(_._2).min
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.map(r => BigInt(r._2 - d0))
+      val ys = rows.map(r => BigInt(r._3))
+      val n = BigInt(rows.length)
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(b => b * b).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val (nDays, slope, intercept, r2) = out(et)
+      assert(nDays === rows.length.toLong)
+      assert(slope === num.toDouble / den.toDouble, s"slope($et)")
+      assert(intercept ===
+        (sy * den - num * sx).toDouble / (n * den).toDouble, s"intercept($et)")
+      val r2d = (num.toDouble * num.toDouble) / (den.toDouble * (n * syy - sy * sy).toDouble)
+      assert(r2 === r2d, s"r2($et)")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"r2 bound ($et): $r2")
+    }
+  }
+
+  test("q_gini: closed form matches a sorted-sequence recompute; deciles account for everyone") {
+    val rows = Stats.qGini(spark, sfDir).collect()
+    val spend = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(x => (x._2, x._1))
+    val n = BigInt(spend.length)
+    val s = spend.map(x => BigInt(x._2)).sum
+    val w = spend.zipWithIndex.map { case ((_, c), i) => BigInt(i + 1) * BigInt(c) }.sum
+    val expected = (2 * w - (n + 1) * s).toDouble / (n * s).toDouble
+    rows.foreach { r =>
+      assert(r.getAs[Double]("gini") === expected)
+    }
+    assert(rows.map(_.getAs[Long]("n_cust")).sum === spend.length.toLong)
+    val last = rows.maxBy(_.getAs[Int]("decile"))
+    assert(last.getAs[Long]("cum_cents") === s.toLong)
+    assert(last.getAs[Double]("cum_share") === 1.0)
+    assert(expected >= 0.0 && expected < 1.0)
+  }
+
+  test("q_outlier_mad: median/MAD match exact percentile recomputes; zero-MAD defines z=0") {
+    def medianOf(v: Array[Double]): Double = {
+      val s = v.sorted
+      val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt); val hi = s(math.ceil(h).toInt)
+      lo + (hi - lo) * (h - h.toInt)
+    }
+    val base = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    val out = Stats.qOutlierMad(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      val vals = base.filter(_._1 == seg).map(_._2)
+      val med = medianOf(vals)
+      val mad = medianOf(vals.map(v => math.abs(v - med)))
+      assert(r.getAs[Double]("median_cents") === med, s"median($seg)")
+      assert(r.getAs[Double]("mad_cents") === mad, s"mad($seg)")
+      val expectedOutliers = if (mad > 0)
+        vals.count(v => math.abs(v - med) > 3.0 * 1.4826 * mad) else 0
+      assert(r.getAs[Long]("n_outliers") === expectedOutliers.toLong, s"outliers($seg)")
+      assert(r.getAs[Long]("n") === vals.length.toLong)
+    }
+  }
+
+  test("q_assoc_rules: supports bound each other and lift recomputes; one pair brute-checked") {
+    val rules = Stats.qAssocRules(spark, sfDir).collect()
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    rules.foreach { r =>
+      val (ab, s1, s2) = (r.getAs[Long]("sup_ab"), r.getAs[Long]("sup1"), r.getAs[Long]("sup2"))
+      assert(ab <= math.min(s1, s2))
+      assert(100L * ab >= nOrders, "min-support gate")
+      assert(r.getAs[Double]("lift") ===
+        ab.toDouble * nOrders.toDouble / (s1.toDouble * s2.toDouble))
+      assert(r.getAs[Double]("conf_12") === ab.toDouble / s1.toDouble)
+    }
+    // brute-force the single highest-support pair
+    val top = rules.maxBy(_.getAs[Long]("sup_ab"))
+    val (i1, i2) = (top.getAs[String]("i1"), top.getAs[String]("i2"))
+    val byOrder = baskets.groupBy(_._1)
+    val brute = byOrder.count { case (_, items) =>
+      val set = items.map(_._2).toSet; set.contains(i1) && set.contains(i2)
+    }
+    assert(top.getAs[Long]("sup_ab") === brute.toLong)
+  }
+
+  test("q_forecast_snaive: MAE recomputes from the daily table; gaps contribute no row") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val dmax = daily.keys.map(_._2).max
+    val out = Stats.qForecastSnaive(spark, sfDir).collect()
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val scored = daily.collect {
+        case ((t, d), y) if t == et && d > dmax - 28 && daily.contains((t, d - 7)) =>
+          math.abs(y - daily((t, d - 7)))
+      }
+      assert(r.getAs[Long]("n_scored") === scored.size.toLong)
+      assert(r.getAs[Long]("sae") === scored.sum)
+      assert(r.getAs[Double]("mae") === scored.sum.toDouble / scored.size.toDouble)
+    }
+  }
+
+  test("p_kanon: classes partition the table; banding floors (not truncates) negative balances") {
+    val rows = PipelineQueries.pKanon(spark, sfDir).collect()
+    val total = Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("suppressed") === (if (r.getAs[Long]("n") < 5) 1 else 0))
+    }
+    // the real negative balances in the fixture must land in NEGATIVE
+    // bands (floor), not band 0/-0 (truncate-toward-zero would merge
+    // [-999.99, 999.99] into band 0 and weaken the audit)
+    val negBalances = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") < -0.005).count()
+    val negBandMembers = rows.filter(_.getAs[Long]("bal_band") < 0)
+      .map(_.getAs[Long]("n")).sum
+    assert(negBalances > 0, "fixture must exercise negative balances")
+    assert(negBandMembers === negBalances)
+  }
+
+  test("t_jsd: contributions bounded by the JSD term maximum; one-sided terms positive") {
+    val rows = Text.tJsd(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 200)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("jsd_nats")
+      // per-term JSD contribution is within [0, ln 2 · (p+q)/... ] —
+      // loosely bounded by ln 2 since p,q ≤ 1
+      assert(v >= -1e-9 && v <= math.log(2.0) + 1e-9, s"jsd bound: $v")
+      if (r.getAs[Long]("cnt_a") == 0 ^ r.getAs[Long]("cnt_b") == 0)
+        assert(v > 0.0, "a term on exactly one side must contribute positive divergence")
+    }
+  }
+
+  test("t_lexical: per-doc invariants and one doc recomputed") {
+    val rows = Text.tLexical(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, typ, hap) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("n_hapax"))
+      assert(typ <= tok && hap <= typ && tok > 0)
+      assert(r.getAs[Double]("ttr") === typ.toDouble / tok.toDouble)
+    }
+    val doc = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") === rows.head.getAs[Long]("doc_id"))
+      .collect().head.getString(1)
+    val words = doc.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val counts = words.groupBy(identity).map { case (_, v) => v.length }
+    val r0 = rows.head
+    assert(r0.getAs[Long]("n_tokens") === words.length.toLong)
+    assert(r0.getAs[Long]("n_types") === counts.size.toLong)
+    assert(r0.getAs[Long]("n_hapax") === counts.count(_ == 1).toLong)
+  }
+
+  test("t_readability: surface counts recompute for one doc; sentence floor holds") {
+    val rows = Text.tReadability(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sentences") >= 1L)
+      assert(r.getAs[Long]("n_syllables") >= r.getAs[Long]("n_words"))
+    }
+    val r0 = rows.head
+    val doc = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") === r0.getAs[Long]("doc_id"))
+      .collect().head.getString(1)
+    val words = doc.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val syl = words.map(w => math.max(1, "[aeiouy]+".r.findAllIn(w).length)).sum
+    val sent = math.max(1, "[.!?]+".r.findAllIn(doc).length)
+    assert(r0.getAs[Long]("n_words") === words.length.toLong)
+    assert(r0.getAs[Long]("n_syllables") === syl.toLong)
+    assert(r0.getAs[Long]("n_sentences") === sent.toLong)
+    val flesch = BigDecimal(206.835 - 1.015 * (words.length.toDouble / sent) -
+      84.6 * (syl.toDouble / words.length))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0.getAs[Double]("flesch") === flesch)
+  }
+
+  test("q_holt: level/trend replay an exact floor-division recurrence; constant series has zero trend") {
+    def fd(a: BigInt, n: Int): BigInt = {
+      val m = ((a % n) + n) % n
+      (a - m) / n
+    }
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = Stats.qHolt(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val ys = rows.sortBy(_._2).map(r => BigInt(r._3))
+      var l = ys.head; var b = BigInt(0)
+      ys.tail.foreach { y =>
+        val l2 = fd(y + l + b, 2)
+        b = fd(l2 - l + 3 * b, 4)
+        l = l2
+      }
+      val (nDays, level, trend, fc7) = out(et)
+      assert(nDays === rows.length.toLong)
+      assert(level === l.toLong, s"level($et)")
+      assert(trend === b.toLong, s"trend($et)")
+      assert(fc7 === (l + 7 * b).toLong)
+    }
+    // algebraic property: a constant series keeps level = the constant
+    // and trend = 0 through every update (fd(3c,2)... ) — replay one
+    val c = BigInt(42); var l = c; var b = BigInt(0)
+    (1 to 50).foreach { _ =>
+      val l2 = fd(c + l + b, 2); b = fd(l2 - l + 3 * b, 4); l = l2
+    }
+    assert(l === c && b === BigInt(0))
+  }
+
+  test("q_dau_mau: trailing-28 actives dominate daily actives; spot day recomputed") {
+    val rows = Stats.qDauMau(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("mau") >= r.getAs[Long]("dau")))
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dmax = ud.map(_._2).max
+    val expDau = ud.filter(_._2 == dmax).map(_._1).distinct.length
+    val expMau = ud.filter(x => x._2 > dmax - 28 && x._2 <= dmax).map(_._1).distinct.length
+    val last = rows.filter(_.getAs[Long]("day") == dmax).head
+    assert(last.getAs[Long]("dau") === expDau.toLong)
+    assert(last.getAs[Long]("mau") === expMau.toLong)
+  }
+
+  test("s_silhouette: margins nonnegative, corpus partitioned, composes with s_kmeans counts") {
+    val sil = Ann.sSilhouette(spark, sfDir).collect()
+    val corpusN = Tables.embeddings(spark, sfDir).count()
+    assert(sil.map(_.getAs[Long]("n")).sum === corpusN)
+    sil.foreach { r =>
+      assert(r.getAs[Long]("min_margin") >= 0L, "nearest minus second-nearest is nonnegative")
+      assert(r.getAs[Double]("mean_margin") ===
+        r.getAs[Long]("sum_margin").toDouble / r.getAs[Long]("n").toDouble)
+    }
+    // same seed universe as s_kmeans (quantized vs raw ranking can
+    // move individual boundary vectors, so compare cluster SETS)
+    val km = Ann.sKmeans(spark, sfDir).collect().map(_.getAs[Long]("cluster_id")).toSet
+    assert(sil.map(_.getAs[Long]("cluster_id")).toSet.subsetOf(km ++ (0L until 8L)))
+  }
+
+  test("p_retention_sweep: expiry counts recompute; TTL classes assigned per policy") {
+    val rows = PipelineQueries.pRetentionSweep(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val now = ev.map(_._2).max
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val ttl = if (et == "view" || et == "click") 90L else 365L
+      assert(r.getAs[Long]("ttl_days") === ttl)
+      val ages = ev.filter(_._1 == et).map(x => (now - x._2) / 86400000000L)
+      assert(r.getAs[Long]("n_total") === ages.length.toLong)
+      assert(r.getAs[Long]("n_expired") === ages.count(_ > ttl).toLong)
+      assert(r.getAs[Long]("oldest_age_days") === ages.max)
+      assert(r.getAs[Long]("newest_age_days") === ages.min)
+    }
+  }
+
+  test("s_kmeans: clusters partition the corpus; every seed is its own nearest centroid") {
+    val rows = Ann.sKmeans(spark, sfDir).collect()
+    val corpusN = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === corpusN)
+    assert(rows.length <= 8)
+    val seedIds = Tables.embeddings(spark, sfDir)
+      .orderBy("vec_id").limit(8).collect().map(_.getAs[Long]("vec_id")).toSet
+    // a seed has cosine exactly 1 with itself, so its cluster exists
+    // and its mean quantized cosine can reach 1e6 only if every member
+    // is a duplicate — bound, not equality
+    val clusters = rows.map(_.getAs[Long]("cluster_id")).toSet
+    assert(clusters.subsetOf(seedIds))
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_qcos")
+      assert(mean <= 1000000.0 + 1e-6 && mean >= -1000000.0)
+      assert(r.getAs[Double]("mean_qcos") ===
+        r.getAs[Long]("sum_qcos").toDouble / r.getAs[Long]("n").toDouble)
+    }
+  }
+}
