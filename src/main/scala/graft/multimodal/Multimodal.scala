@@ -1107,7 +1107,148 @@ object Multimodal {
       |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
       |FROM documents GROUP BY 1""".stripMargin
 
+  final case class HistRow(doc_id: Long, bucket: Int, cnt: Long)
+
+  /** Intensity histogram for one decoded batch: 16 buckets of the gray
+    * channel (v div 16), one row per OCCUPIED bucket. The exposure/
+    * contrast profile an image-quality gate reads (all-dark, all-blown,
+    * low-dynamic-range screens).
+    */
+  def intensityHistBatch(batch: Seq[BinaryRow]): Seq[HistRow] =
+    withPngReader { reader =>
+      batch.flatMap { r =>
+        val img = readPng(reader, r.payload)
+        val raster = img.getRaster
+        val counts = new Array[Long](16)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            counts(raster.getSample(x, y, 0) / 16) += 1
+            x += 1
+          }
+          y += 1
+        }
+        counts.zipWithIndex.collect { case (c, b) if c > 0 => HistRow(r.doc_id, b, c) }
+      }
+    }
+
+  /** F14: per-image intensity histogram off the REAL decoded raster —
+    * 16 gray buckets, integer counts, one row per occupied bucket.
+    * Same batched-decode seam and partition-preserving shape as
+    * m_decode_features; the oracle re-derives the buckets from the
+    * closed-form pixel function, so the decode stays hash-verified.
+    */
+  def mIntensityHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(pngFixturePartition)
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => intensityHistBatch(g.toSeq)))
+      .toDF()
+  }
+
+  val mIntensityHistSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+      |         CAST(8 + doc_id % 7 AS INTEGER) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, unnest(range(0, CAST(w * h AS BIGINT))) AS k
+      |  FROM dims)
+      |SELECT doc_id,
+      |  CAST(((doc_id * 31 + 7 * (k % w) + 13 * (k // w)) % 256) // 16 AS INTEGER) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM px GROUP BY 1, 2""".stripMargin
+
+  final case class SharpRow(doc_id: Long, n_interior: Long,
+      lap_sum: Long, lap_sq_sum: Long)
+
+  /** 4-neighbor Laplacian stats for one decoded batch — the classic
+    * variance-of-Laplacian blur/sharpness screen: interior pixels
+    * only, lap = 4v − left − right − up − down, integer sums.
+    */
+  def sharpnessBatch(batch: Seq[BinaryRow]): Seq[SharpRow] =
+    withPngReader { reader =>
+      batch.map { r =>
+        val img = readPng(reader, r.payload)
+        val raster = img.getRaster
+        var n = 0L
+        var s = 0L
+        var sq = 0L
+        var y = 1
+        while (y < img.getHeight - 1) {
+          var x = 1
+          while (x < img.getWidth - 1) {
+            val lap = 4L * raster.getSample(x, y, 0) -
+              raster.getSample(x - 1, y, 0) - raster.getSample(x + 1, y, 0) -
+              raster.getSample(x, y - 1, 0) - raster.getSample(x, y + 1, 0)
+            n += 1; s += lap; sq += lap * lap
+            x += 1
+          }
+          y += 1
+        }
+        SharpRow(r.doc_id, n, s, sq)
+      }
+    }
+
+  /** F15: variance-of-Laplacian sharpness (the standard blur detector
+    * an image-quality pipeline runs before training ingestion) off the
+    * REAL decoded raster. On the closed-form fixture the source is
+    * linear in (x, y), so the Laplacian is zero except at the mod-256
+    * wrap seams — giving deterministic nonzero variance the oracle
+    * re-derives arithmetically (every neighbor term re-expanded from
+    * the pixel function). Variance combines the BIGINT sums as
+    * (n·Σl² − (Σl)²)/n² in DOUBLE with an identical expression tree.
+    */
+  def mSharpness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(pngFixturePartition)
+      .mapPartitions(_.grouped(BatchSize).flatMap(g => sharpnessBatch(g.toSeq)))
+      .toDF()
+      .select(col("doc_id"), col("n_interior"), col("lap_sum"), col("lap_sq_sum"),
+        expr("""CASE WHEN n_interior > 0
+                THEN CAST(n_interior * lap_sq_sum - lap_sum * lap_sum AS DOUBLE)
+                     / CAST(n_interior * n_interior AS DOUBLE)
+                ELSE 0.0D END""").as("lap_var"))
+  }
+
+  val mSharpnessSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+      |         CAST(8 + doc_id % 7 AS INTEGER) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(0, CAST(w * h AS BIGINT))) AS k
+      |  FROM dims),
+      |ip AS (
+      |  SELECT doc_id, w, h, k % w AS x, k // w AS y FROM px
+      |  WHERE k % w BETWEEN 1 AND w - 2 AND k // w BETWEEN 1 AND h - 2),
+      |lap AS (
+      |  SELECT doc_id,
+      |    4 * ((doc_id * 31 + 7 * x + 13 * y) % 256)
+      |      - ((doc_id * 31 + 7 * (x - 1) + 13 * y) % 256)
+      |      - ((doc_id * 31 + 7 * (x + 1) + 13 * y) % 256)
+      |      - ((doc_id * 31 + 7 * x + 13 * (y - 1)) % 256)
+      |      - ((doc_id * 31 + 7 * x + 13 * (y + 1)) % 256) AS l
+      |  FROM ip),
+      |sums AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_interior,
+      |    CAST(SUM(l) AS BIGINT) AS lap_sum,
+      |    CAST(SUM(l * l) AS BIGINT) AS lap_sq_sum
+      |  FROM lap GROUP BY 1)
+      |SELECT doc_id, n_interior, lap_sum, lap_sq_sum,
+      |  CASE WHEN n_interior > 0
+      |       THEN CAST(n_interior * lap_sq_sum - lap_sum * lap_sum AS DOUBLE)
+      |            / CAST(n_interior * n_interior AS DOUBLE)
+      |       ELSE 0.0 END AS lap_var
+      |FROM sums""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("m_intensity_hist", mIntensityHist, Some(mIntensityHistSql)),
+    QueryDef("m_sharpness", mSharpness, Some(mSharpnessSql)),
     QueryDef("m_shard_read", mShardRead, Some(mShardReadSql)),
     QueryDef("m_dedup_phash", mDedupPhash, Some(mDedupPhashSql)),
     QueryDef("m_binary_meta", mBinaryMeta, Some(mBinaryMetaSql)),

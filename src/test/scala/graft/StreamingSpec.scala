@@ -1575,6 +1575,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("m_intensity_hist: buckets partition every image's pixels; closed-form recompute for one doc") {
+    val hist = Multimodal.mIntensityHist(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    hist.foreach { case (id, rows) =>
+      val (w, h) = Multimodal.pngDims(id)
+      assert(rows.map(_._3).sum === (w * h).toLong, s"doc $id pixel count")
+      rows.foreach(r => assert(r._2 >= 0 && r._2 <= 15))
+    }
+    // one doc recomputed straight off the closed-form pixel function
+    val id = hist.keys.min
+    val (w, h) = Multimodal.pngDims(id)
+    val expected = (for { y <- 0 until h; x <- 0 until w }
+      yield Multimodal.pngPixel(id, x, y) / 16)
+      .groupBy(identity).map { case (b, v) => (b, v.size.toLong) }
+    assert(hist(id).map(t => (t._2, t._3)).toMap === expected)
+  }
+
+  test("m_sharpness: decoded-raster Laplacian equals the closed-form recompute; wrap seams give nonzero variance") {
+    val rows = Multimodal.mSharpness(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, s, sq, v) =>
+      val (w, h) = Multimodal.pngDims(id)
+      assert(n === ((w - 2).toLong * (h - 2)), s"doc $id interior count")
+      assert(v >= 0.0)
+      assert(v === (if (n > 0) (n * sq - s * s).toDouble / (n * n).toDouble else 0.0))
+    }
+    // full recompute for one doc from pngPixel
+    val (id, n0, s0, sq0, _) = rows.head
+    val (w, h) = Multimodal.pngDims(id)
+    var n = 0L; var s = 0L; var sq = 0L
+    for (y <- 1 until h - 1; x <- 1 until w - 1) {
+      val lap = 4L * Multimodal.pngPixel(id, x, y) -
+        Multimodal.pngPixel(id, x - 1, y) - Multimodal.pngPixel(id, x + 1, y) -
+        Multimodal.pngPixel(id, x, y - 1) - Multimodal.pngPixel(id, x, y + 1)
+      n += 1; s += lap; sq += lap * lap
+    }
+    assert((n0, s0, sq0) === ((n, s, sq)))
+    // the mod-256 wrap seams make at least one image genuinely non-flat
+    assert(rows.exists(_._5 > 0.0), "every Laplacian variance zero — wrap seams missing")
+  }
+
   test("m_frame_sample: frame counts and sampling ratio are exact") {
     val rows = Multimodal.mFrameSample(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
