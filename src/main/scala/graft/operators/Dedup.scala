@@ -973,6 +973,45 @@ object Dedup {
         coalesce(col("deg"), lit(0L)).as("degree"), col("r").as("pr"))
   }
 
+  /** Shared oracle prelude — the near-dup graph CTEs (corpus with
+    * planted exact dups, exact + ngram edges, the symmetric edge list,
+    * per-node degrees): the ONE authoritative edge semantics
+    * (mirroring ensureNearDupEdges) that every graph consumer's oracle
+    * reuses, so centrality/k-core can never drift onto different
+    * graphs.
+    */
+  private[graft] val graphOracleCtes: String =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source
+      |  FROM documents WHERE doc_id % 7 = 0
+      |),
+      |exact_edges AS (
+      |  SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
+      |  FROM corpus
+      |  QUALIFY doc_id != id_a
+      |),
+      |g AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, greatest(length(text) - 5, 0) + 2),
+      |      i -> substr(text, i, 5))) AS grams
+      |  FROM documents),
+      |ngram_edges AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM g x JOIN g y
+      |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+      |  WHERE 5 * len(list_intersect(x.grams, y.grams)) >=
+      |        3 * (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
+      |),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM exact_edges
+      |  UNION SELECT id_b, id_a FROM exact_edges
+      |  UNION SELECT id_a, id_b FROM ngram_edges
+      |  UNION SELECT id_b, id_a FROM ngram_edges
+      |),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1)""".stripMargin
+
   val dCentralitySql: String = {
     def iter(i: Int): String =
       s"""r$i AS (
@@ -983,36 +1022,7 @@ object Dedup {
          |    SELECT e.dst AS id, CAST(SUM(r.r // deg.deg) AS BIGINT) AS cs
          |    FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN deg ON deg.src = e.src
          |    GROUP BY 1) x ON x.id = c.doc_id)""".stripMargin
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text, lang, source FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, text, lang, source
-       |  FROM documents WHERE doc_id % 7 = 0
-       |),
-       |exact_edges AS (
-       |  SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
-       |  FROM corpus
-       |  QUALIFY doc_id != id_a
-       |),
-       |g AS (
-       |  SELECT doc_id, lang, source,
-       |    list_distinct(list_transform(range(1, greatest(length(text) - 5, 0) + 2),
-       |      i -> substr(text, i, 5))) AS grams
-       |  FROM documents),
-       |ngram_edges AS (
-       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-       |  FROM g x JOIN g y
-       |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
-       |  WHERE 5 * len(list_intersect(x.grams, y.grams)) >=
-       |        3 * (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
-       |),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM exact_edges
-       |  UNION SELECT id_b, id_a FROM exact_edges
-       |  UNION SELECT id_a, id_b FROM ngram_edges
-       |  UNION SELECT id_b, id_a FROM ngram_edges
-       |),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+    s"""WITH $graphOracleCtes,
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
        |r0 AS (SELECT doc_id AS id, 1000000000000 // n AS r FROM corpus, nn),
        |${iter(1)},
@@ -1020,6 +1030,148 @@ object Dedup {
        |${iter(3)}
        |SELECT r3.id AS doc_id, COALESCE(deg.deg, 0) AS degree, r3.r AS pr
        |FROM r3 LEFT JOIN deg ON deg.src = r3.id""".stripMargin
+  }
+
+  /** C-kcore: k-core decomposition (k=2, three synchronous peel rounds
+    * — the fixed-iteration convention d_centrality set) over the
+    * TRIANGLE-BEARING dup graph d_triangles defines (triple-planted
+    * exact groups as all-pairs cliques + ngram near-dup pairs): nodes
+    * below degree k among the still-active set are peeled each round,
+    * leaving the dense template/boilerplate cores that near-dup
+    * CLUSTERS (d_cluster) can't distinguish from chains — exactly the
+    * exact-dup triangles here, which the spec pins. The star-edged
+    * artifact graph (ensureNearDupEdges) is acyclic by construction,
+    * so its 2-core is empty — the clique formulation is the one a core
+    * analysis means. Fixed rounds keep the oracle finite; production
+    * loops the body to fixpoint.
+    *
+    * Scale shape: exact cliques are per-md5-group all-pairs — bounded
+    * by dup-group size (the same bound d_triangles documents); each
+    * peel round is one semi-join of the cached edge list against the
+    * active set + one degree agg.
+    */
+  /** The TRIANGLE-graph pair relation (exact groups as all-pairs
+    * cliques over the triple-planted corpus + ngram near-dup pairs —
+    * the d_triangles edge semantics) as a write-once artifact, same
+    * fingerprint discipline as edgesDir: the clique+banding join runs
+    * once per corpus snapshot; iterative consumers (d_kcore's peel
+    * rounds) re-attach the parquet relation instead of re-deriving
+    * candidates every round-lineage evaluation.
+    */
+  private[graft] def triangleEdgesDir(d: String): java.io.File = {
+    val base = edgesDir(d)
+    new java.io.File(base.getParentFile, base.getName + "_tri")
+  }
+
+  def ensureTriangleEdges(s: SparkSession, d: String): DataFrame = {
+    val phys = graft.Stage.ensureArtifact(s, triangleEdgesDir(d)) { tmp =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select("doc_id", "text")
+        .union(docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id") + 1000000L, col("text")))
+        .union(docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id") + 2000000L, col("text")))
+        .toDF("doc_id", "text")
+      val hashed = corpus.select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      val exactPairs = hashed.as("x").join(hashed.as("y"), "h")
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      exactPairs.union(dNgramJaccard(s, d).select(col("id_a"), col("id_b")))
+        .distinct()
+        .write.parquet(tmp.getPath)
+    }
+    s.read.parquet(phys.getPath)
+  }
+
+  def dKcore(s: SparkSession, d: String): DataFrame = {
+    val K = 2
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select("doc_id")
+      .union(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id") + 1000000L))
+      .union(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id") + 2000000L))
+      .toDF("doc_id")
+    val und = ensureTriangleEdges(s, d)
+    val edges = graft.Stage.cached(
+      und.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(und.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var active = corpus.select(col("doc_id").as("id"))
+    for (_ <- 1 to 3) {
+      val degAmong = edges
+        .join(active.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(active.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      active = graft.Stage.cached(
+        degAmong.filter(col("deg") >= K).select(col("src").as("id")))
+    }
+    val coreDeg = edges
+      .join(active.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(active.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("core_deg"))
+    corpus.select(col("doc_id"))
+      .join(coreDeg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("core_deg").isNotNull, 1).otherwise(0).cast("int").as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).cast("long").as("core_deg"))
+  }
+
+  val dKcoreSql: String = {
+    def peel(i: Int): String =
+      s"""a$i AS (
+         |  SELECT e.src AS id FROM edges e
+         |  JOIN a${i - 1} x ON x.id = e.src
+         |  JOIN a${i - 1} y ON y.id = e.dst
+         |  GROUP BY 1 HAVING COUNT(*) >= 2)""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0),
+       |hashed AS (SELECT md5(text) AS h, doc_id FROM corpus),
+       |exact_pairs AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM hashed x JOIN hashed y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, lang, source,
+       |    list_distinct(list_transform(range(1, greatest(length(text) - 5, 0) + 2),
+       |      i -> substr(text, i, 5))) AS grams
+       |  FROM documents),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, len(grams) AS n, unnest(grams) AS gr FROM g),
+       |freq AS MATERIALIZED (SELECT gr, COUNT(*) AS df FROM tok GROUP BY 1),
+       |prefix AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, n, gr FROM (
+       |    SELECT t.doc_id, t.lang, t.source, t.n, t.gr,
+       |      ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.gr) AS rk
+       |    FROM tok t JOIN freq f USING (gr))
+       |  WHERE rk <= n - CEIL(0.6 * n) + 1),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM prefix x JOIN prefix y
+       |    ON x.gr = y.gr AND x.lang = y.lang AND x.source = y.source
+       |   AND x.doc_id < y.doc_id
+       |  WHERE least(x.n, y.n) * 5 >= greatest(x.n, y.n) * 3),
+       |ngram_pairs AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN g a ON a.doc_id = c.id_a JOIN g b ON b.doc_id = c.id_b
+       |  WHERE 5 * len(list_intersect(a.grams, b.grams)) >=
+       |        3 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))),
+       |und AS (SELECT * FROM exact_pairs UNION SELECT * FROM ngram_pairs),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM und
+       |  UNION ALL SELECT id_b, id_a FROM und),
+       |a0 AS (SELECT doc_id AS id FROM corpus),
+       |${peel(1)},
+       |${peel(2)},
+       |${peel(3)},
+       |cd AS (
+       |  SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |  FROM edges e
+       |  JOIN a3 x ON x.id = e.src
+       |  JOIN a3 y ON y.id = e.dst
+       |  GROUP BY 1)
+       |SELECT c.doc_id,
+       |  CAST(CASE WHEN cd.id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS in_core,
+       |  COALESCE(cd.core_deg, 0) AS core_deg
+       |FROM corpus c LEFT JOIN cd ON cd.id = c.doc_id""".stripMargin
   }
 
   /** C8: dedup against a PRIOR RELEASE via a Bloom pre-filter — the
@@ -1937,6 +2089,7 @@ object Dedup {
     QueryDef("d_bloom", dBloom, Some(dBloomSql)),
     QueryDef("d_cluster_apply", dClusterApply, Some(dClusterApplySql)),
     QueryDef("d_centrality", dCentrality, Some(dCentralitySql)),
+    QueryDef("d_kcore", dKcore, Some(dKcoreSql)),
     QueryDef("d_cluster", dCluster, Some(dClusterSql)),
     QueryDef("d_triangles", dTriangles, Some(dTrianglesSql)),
     QueryDef("d_exact_keep", dExactKeep, Some(dExactKeepSql)),

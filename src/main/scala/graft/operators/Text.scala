@@ -2263,6 +2263,58 @@ object Text {
        |      ELSE 0.0 END), 6) AS jsd_nats
        |FROM top CROSS JOIN tot""".stripMargin
 
+  /** E-fano: term burstiness — the Fano factor (variance-to-mean of
+    * per-document counts, zeros included) for the top-200 corpus
+    * terms: ≈1 means Poisson-scattered function words, ≫1 means the
+    * term CLUMPS into few documents (topical/template terms) — the
+    * signal content-word extractors and stopword-list builders read.
+    * With D docs, Σc and Σc² BIGINT-exact over occurrences, Fano =
+    * (D·Σc² − (Σc)²)/(D·Σc) — integer numerator/denominator, ONE
+    * double division. Two-phase top-K rank (the t_zipf convention).
+    */
+  private val FanoTopK = 200
+
+  def tFano(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("c").as("tot"),
+        sum(col("c") * col("c")).as("sq"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val local = stats.withColumn("rk0", row_number().over(
+      Window.partitionBy(pmod(xxhash64(col("term")), lit(64)))
+        .orderBy(col("tot").desc, col("term"))))
+      .filter(col("rk0") <= FanoTopK)
+    local.withColumn("r", row_number().over(
+      Window.orderBy(col("tot").desc, col("term"))))
+      .filter(col("r") <= FanoTopK)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("tot").cast("long").as("total_cnt"),
+        expr("""CAST(n_docs * sq - tot * tot AS DOUBLE)
+                / CAST(n_docs * tot AS DOUBLE)""").as("fano"))
+  }
+
+  val tFanoSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')) AS term
+       |  FROM documents),
+       |pd AS (SELECT term, doc_id, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       |st AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       |    CAST(SUM(c) AS BIGINT) AS tot, CAST(SUM(c * c) AS BIGINT) AS sq
+       |  FROM pd GROUP BY 1),
+       |top AS (
+       |  SELECT term, df, tot, sq,
+       |    ROW_NUMBER() OVER (ORDER BY tot DESC, term) AS r
+       |  FROM st QUALIFY r <= $FanoTopK),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT term, df, tot AS total_cnt,
+       |  CAST(n_docs * sq - tot * tot AS DOUBLE)
+       |    / CAST(n_docs * tot AS DOUBLE) AS fano
+       |FROM top CROSS JOIN n""".stripMargin
+
   /** E-ttr: lexical diversity per document — type/token ratio and
     * hapax share, the vocabulary-richness screens (template/boilerplate
     * detectors read LOW ttr; OCR-garbage detectors read HIGH hapax).
@@ -2353,6 +2405,7 @@ object Text {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_jsd", tJsd, Some(tJsdSql)),
+    QueryDef("t_fano", tFano, Some(tFanoSql)),
     QueryDef("t_lexical", tLexical, Some(tLexicalSql)),
     QueryDef("t_readability", tReadability, Some(tReadabilitySql)),
     QueryDef("t_zipf_fit", tZipfFit, Some(tZipfFitSql)),

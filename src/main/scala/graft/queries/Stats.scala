@@ -440,7 +440,74 @@ object Stats {
       |  CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
       |FROM dau d JOIN mau m USING (day)""".stripMargin
 
+  /** A-newret: daily new-vs-returning split — the acquisition/retention
+    * mix read alongside q_dau_mau's stickiness: a user is NEW on their
+    * first-ever active day, RETURNING on every later active day. One
+    * per-user min-day aggregate joined back onto the distinct
+    * (user, day) relation; all counts integer.
+    */
+  def qNewReturning(s: SparkSession, d: String): DataFrame = {
+    val ud = graft.Stage.cached(
+      events(s, d).select(col("user_id"), expr("us div 86400000000").as("day")).distinct())
+    val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+    ud.join(first, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
+      .select(col("day"), col("dau"), col("new_users"),
+        (col("dau") - col("new_users")).as("returning"))
+  }
+
+  val qNewReturningSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+      |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+      |  CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS returning
+      |FROM ud JOIN f USING (user_id)
+      |GROUP BY 1""".stripMargin
+
+  /** A-gap: inter-event-time distribution per event type — exact p50/
+    * p90/p99 of the per-user gaps between consecutive same-type events
+    * (the engagement-cadence profile; also the input a session-timeout
+    * choice is calibrated from). One (user) window per type for the
+    * lag, gaps are integer µs, exact interpolated percentiles over
+    * doubles of those integers (the q_percentiles/q_outlier_mad
+    * contract — approx_percentile is the stated 100 TB swap).
+    */
+  def qInterEvent(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    events(s, d)
+      .withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("us") - col("prev")).cast("double").as("gap"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap, 0.5D)").as("p50_us"),
+        expr("percentile(gap, 0.9D)").as("p90_us"),
+        expr("percentile(gap, 0.99D)").as("p99_us"))
+  }
+
+  val qInterEventSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |gaps AS (
+      |  SELECT event_type,
+      |    CAST(us - LAG(us, 1) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY us, event_id) AS DOUBLE) AS gap
+      |  FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  quantile_cont(gap, 0.5) AS p50_us,
+      |  quantile_cont(gap, 0.9) AS p90_us,
+      |  quantile_cont(gap, 0.99) AS p99_us
+      |FROM gaps WHERE gap IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_new_returning", qNewReturning, Some(qNewReturningSql)),
+    QueryDef("q_inter_event", qInterEvent, Some(qInterEventSql)),
     QueryDef("q_holt", qHolt, Some(qHoltSql)),
     QueryDef("q_dau_mau", qDauMau, Some(qDauMauSql)),
     QueryDef("q_regression", qRegression, Some(qRegressionSql)),

@@ -54,6 +54,7 @@ class PlanLintSpec extends SparkSpec {
     "q_assoc_rules" -> "cross with the one-row basket-count aggregate (the support denominator)",
     "q_forecast_snaive" -> "cross with the one-row max-day aggregate (the backtest horizon anchor)",
     "t_jsd" -> "cross with the one-row shard-totals aggregate (the two probability denominators)",
+    "t_fano" -> "cross with the one-row doc-count aggregate (the zero-including denominator)",
     "s_kmeans" -> "k-row seed-centroid frame broadcast into the assignment scan (bounded by k, the distributed Lloyd step)",
     "s_silhouette" -> "the same k-row seed frame broadcast into the margin scan (composes with s_kmeans)",
     "p_retention_sweep" -> "cross with the one-row corpus max-timestamp aggregate (the deterministic audit anchor)",

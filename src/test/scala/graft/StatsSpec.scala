@@ -297,6 +297,68 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_new_returning: first days are new, the rest return, and totals reconcile") {
+    val rows = Stats.qNewReturning(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (_, dau, nu, ret) => assert(dau === nu + ret) }
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === users, "every user is new exactly once")
+    val firstDay = rows.map(_._1).min
+    val f = rows.find(_._1 == firstDay).get
+    assert(f._4 === 0L, "nobody can return on the corpus's first day")
+  }
+
+  test("q_inter_event: gap counts reconcile and percentiles are ordered") {
+    val rows = Stats.qInterEvent(spark, sfDir).collect()
+    val perUserType = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val expected = perUserType.filter(_._1 == et).map(x => math.max(0L, x._2 - 1)).sum
+      assert(r.getAs[Long]("n_gaps") === expected, s"n_gaps($et)")
+      assert(r.getAs[Double]("p50_us") <= r.getAs[Double]("p90_us"))
+      assert(r.getAs[Double]("p90_us") <= r.getAs[Double]("p99_us"))
+      assert(r.getAs[Double]("p50_us") >= 0.0)
+    }
+  }
+
+  test("t_fano: nonnegative (Cauchy-Schwarz), one term recomputed exactly") {
+    val rows = graft.operators.Text.tFano(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 200)
+    rows.foreach(r => assert(r.getAs[Double]("fano") >= 0.0))
+    val top = rows.maxBy(_.getAs[Long]("total_cnt"))
+    val term = top.getAs[String]("term")
+    val perDoc = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(_.getString(1).toLowerCase.split("\\s+").count(_ == term))
+    val d = BigInt(perDoc.length)
+    val tot = perDoc.map(BigInt(_)).sum
+    val sq = perDoc.map(c => BigInt(c) * BigInt(c)).sum
+    assert(top.getAs[Long]("df") === perDoc.count(_ > 0).toLong)
+    assert(top.getAs[Long]("total_cnt") === tot.toLong)
+    assert(top.getAs[Double]("fano") === (d * sq - tot * tot).toDouble / (d * tot).toDouble)
+  }
+
+  test("d_kcore: triangles are core, rows cover the triple-planted corpus, core is nonempty") {
+    val rows = graft.operators.Dedup.dKcore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sfDir)
+    val corpusN = docs.count() + 2 * docs.filter(col("doc_id") % 7 === 0).count()
+    assert(rows.length.toLong === corpusN)
+    rows.foreach { case (_, inCore, coreDeg) =>
+      if (inCore == 1) assert(coreDeg >= 1L, "core members keep at least one core edge")
+      else assert(coreDeg === 0L)
+    }
+    // every triangle participant survives 2-core peeling (a triangle is
+    // itself a 2-core), so d_triangles' support set ⊆ the core
+    val inCore = rows.filter(_._2 == 1).map(_._1).toSet
+    val triNodes = graft.operators.Dedup.dTriangles(spark, sfDir).collect()
+      .filter(_.getLong(1) > 0).map(_.getLong(0)).toSet
+    assert(triNodes.nonEmpty, "fixture must contain triangles")
+    assert(triNodes.subsetOf(inCore),
+      s"triangle nodes peeled out of the 2-core: ${triNodes -- inCore}")
+  }
+
   test("s_kmeans: clusters partition the corpus; every seed is its own nearest centroid") {
     val rows = Ann.sKmeans(spark, sfDir).collect()
     val corpusN = Tables.embeddings(spark, sfDir).count()
