@@ -2153,8 +2153,95 @@ object Ann {
        |  CAST(SUM(margin) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_margin
        |FROM top2 GROUP BY 1""".stripMargin
 
+  /** D-lloyd2: the SECOND Lloyd round — the composability proof that
+    * s_kmeans' quantized accumulators really are the next iterate's
+    * input (the s_mmr_ivf convention: compose, then hash-gate the
+    * composition). Round 1 assigns to the fixed lowest-id seeds
+    * (identical to s_kmeans); centroids are then RECOMPUTED per
+    * (cluster, dim) as mean of 1e-6-floored components — each
+    * component one exact BIGINT sum and ONE IEEE division, so both
+    * engines rebuild bit-identical centroid vectors; round 2
+    * re-assigns the corpus against the rebuilt centroids through the
+    * same pinned-fold cosine. Emits the per-cluster migration readout
+    * (kept/arrived/size drift) a clustering job logs per iteration.
+    *
+    * Scale shape: round-1 assignment is the s_kmeans scan; the
+    * centroid rebuild explodes members × dims but aggregates to a
+    * k×dim frame immediately (map-side partials); round 2 is another
+    * k-broadcast scan. Per-iteration cost = two corpus scans — the
+    * canonical distributed Lloyd budget.
+    */
+  def sKmeansIter(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val seeds = c.orderBy("vec_id").limit(KmeansK)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    def assign(frame: DataFrame, cents: DataFrame): DataFrame =
+      frame.crossJoin(broadcast(cents))
+        .withColumn("cos", vec_cosine(col("v"), col("sv")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos"), (-col("seed_id")).as("negseed"),
+          col("seed_id"))).as("best"))
+        .select(col("vec_id"), col("best.seed_id").as("cluster_id"))
+    val a1 = graft.Stage.cached(assign(c, seeds))
+    val cents2 = c.join(a1, Seq("vec_id"))
+      .select(col("cluster_id"), posexplode(col("v")))
+      .select(col("cluster_id"), col("pos").as("dim"),
+        expr("CAST(FLOOR(col * 1000000.0D) AS BIGINT)").as("q"))
+      .groupBy("cluster_id", "dim")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .select(col("cluster_id"), col("dim"),
+        (col("sq").cast("double") / col("n").cast("double")).as("cv"))
+      .groupBy("cluster_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("sv"))
+      .select(col("cluster_id").as("seed_id"), col("sv"))
+    val a2 = assign(c, cents2)
+    a1.join(a2.withColumnRenamed("cluster_id", "cluster2"), Seq("vec_id"))
+      .groupBy(col("cluster2").as("cluster_id"))
+      .agg(count(lit(1)).as("n_round2"),
+        sum(when(col("cluster_id") === col("cluster2"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cluster_id") =!= col("cluster2"), 1L).otherwise(0L)).as("n_arrived"))
+  }
+
+  val sKmeansIterSql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, v AS sv FROM c ORDER BY vec_id LIMIT $KmeansK),
+       |a1 AS (
+       |  SELECT vec_id, seed_id AS cluster_id FROM (
+       |    SELECT c.vec_id, s.seed_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.v, s.sv) DESC, s.seed_id) AS rn
+       |    FROM c CROSS JOIN seeds s) WHERE rn = 1),
+       |px AS (
+       |  SELECT a1.cluster_id, d.dim,
+       |    CAST(FLOOR(c.v[d.dim + 1] * 1000000.0) AS BIGINT) AS q
+       |  FROM c JOIN a1 USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range(0, $Dim)) AS dim) d),
+       |cd AS (
+       |  SELECT cluster_id, dim,
+       |    CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cv
+       |  FROM px GROUP BY 1, 2),
+       |cents AS (
+       |  SELECT cluster_id AS seed_id, list(cv ORDER BY dim) AS sv
+       |  FROM cd GROUP BY 1),
+       |a2 AS (
+       |  SELECT vec_id, seed_id AS cluster2 FROM (
+       |    SELECT c.vec_id, s.seed_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.v, s.sv) DESC, s.seed_id) AS rn
+       |    FROM c CROSS JOIN cents s) WHERE rn = 1)
+       |SELECT a2.cluster2 AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_round2,
+       |  CAST(SUM(CASE WHEN a1.cluster_id = a2.cluster2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN a1.cluster_id != a2.cluster2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_arrived
+       |FROM a1 JOIN a2 USING (vec_id)
+       |GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s_kmeans", sKmeans, Some(sKmeansSql)),
+    QueryDef("s_kmeans_iter", sKmeansIter, Some(sKmeansIterSql)),
     QueryDef("s_silhouette", sSilhouette, Some(sSilhouetteSql)),
     QueryDef("s_ann_eval", sAnnEval, Some(sAnnEvalSql)),
     QueryDef("s_mmr", sMmr, Some(sMmrSql)),

@@ -592,6 +592,61 @@ object PipelineQueries {
       |FROM customer
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** B-gov: the k-anonymous RELEASE EXTRACT — p_kanon's audit applied
+    * (the composability step: the audit table drives the masking, the
+    * s_mmr_ivf convention carried into governance): every customer row
+    * re-keyed to its generalized quasi-identifiers, and rows in
+    * equivalence classes below k=5 have those identifiers masked to
+    * '*' so the published extract can't re-identify. Non-quasi payload
+    * (balance as Money-string) passes through untouched — masking
+    * withholds linkage, not the measure.
+    *
+    * Scale shape: the class table is generalized-domain-bounded and
+    * BROADCAST back onto one customer scan — release cost = one scan
+    * at any size.
+    */
+  def pKanonApply(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.QueryDef.dec
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("""CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                / 100000.0) AS BIGINT)""").as("bal_band"),
+        dec(col("c_acctbal")).cast("string").as("acctbal"))
+    val classes = pKanon(s, d).select(col("nation"), col("segment"),
+      col("bal_band"), col("suppressed"))
+    base.join(broadcast(classes), Seq("nation", "segment", "bal_band"))
+      .select(col("c_custkey"),
+        when(col("suppressed") === 1, lit("*"))
+          .otherwise(col("nation").cast("string")).as("nation_out"),
+        when(col("suppressed") === 1, lit("*"))
+          .otherwise(col("segment")).as("segment_out"),
+        when(col("suppressed") === 1, lit("*"))
+          .otherwise(col("bal_band").cast("string")).as("band_out"),
+        col("acctbal"), col("suppressed"))
+  }
+
+  val pKanonApplySql: String =
+    """WITH q AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+      |    c_mktsegment AS segment,
+      |    CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |         / 100000.0) AS BIGINT) AS bal_band,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS acctbal
+      |  FROM customer),
+      |cls AS (
+      |  SELECT nation, segment, bal_band,
+      |    CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS INTEGER) AS suppressed
+      |  FROM q GROUP BY 1, 2, 3)
+      |SELECT q.c_custkey,
+      |  CASE WHEN cls.suppressed = 1 THEN '*' ELSE CAST(q.nation AS VARCHAR) END
+      |    AS nation_out,
+      |  CASE WHEN cls.suppressed = 1 THEN '*' ELSE q.segment END AS segment_out,
+      |  CASE WHEN cls.suppressed = 1 THEN '*' ELSE CAST(q.bal_band AS VARCHAR) END
+      |    AS band_out,
+      |  q.acctbal, cls.suppressed
+      |FROM q JOIN cls USING (nation, segment, bal_band)""".stripMargin
+
   /** B-gov: retention-policy sweep (the TTL audit a data-protection
     * owner runs before the purge job — the reference domain's other
     * standing obligation next to p_kanon/p_subject_export): per event
@@ -1162,6 +1217,7 @@ object PipelineQueries {
     QueryDef("p_subject_export", pSubjectExport, Some(pSubjectExportSql)),
     QueryDef("p_kanon", pKanon, Some(pKanonSql)),
     QueryDef("p_retention_sweep", pRetentionSweep, Some(pRetentionSweepSql)),
+    QueryDef("p_kanon_apply", pKanonApply, Some(pKanonApplySql)),
     QueryDef("p_table_diff", pTableDiff, Some(pTableDiffSql)),
     QueryDef("p_vacuum", pVacuum, Some(pVacuumSql)),
     QueryDef("p_time_travel", pTimeTravel, Some(pTimeTravelSql)),

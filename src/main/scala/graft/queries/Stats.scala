@@ -406,6 +406,68 @@ object Stats {
        |WHERE w.idx = n.n_days""".stripMargin
   }
 
+  /** A-acf: autocorrelation function of the per-type daily count
+    * series at lags 1..7 — the diagnostic that tells a forecasting
+    * team WHICH model the series wants (high lag-7 → q_seasonality's
+    * weekly profile; fast decay → q_ewma; slow decay → q_holt's
+    * trend). Mean-centering is done in n-scaled INTEGER space
+    * ((n·yₜ − S) with S = Σy, so no rational mean ever materializes):
+    * numerator and denominator are BIGINT-exact sums of products, acf
+    * is ONE double division. Lag pairs come from a (type, day+k)
+    * self-join over the calendar-bounded daily frame (gap days simply
+    * contribute no pair — same convention as q_forecast_snaive).
+    *
+    * Overflow bound: |n·y − S| ≤ n·max(y) ≈ 4·10²·2·10⁴ = 8·10⁶;
+    * squared ≤ 6.4·10¹³; times ≤ 4·10² terms ≤ 2.6·10¹⁶ — BIGINT-safe.
+    */
+  def qAcf(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Stage.cached(events(s, d)
+      .groupBy(col("event_type"), expr("us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y")))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val centered = daily.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        (col("n") * col("y") - col("s")).as("cy"))
+    val den = centered.groupBy("event_type")
+      .agg(sum(col("cy") * col("cy")).as("den"))
+    val lagged = centered.select(col("event_type"),
+      explode(sequence(lit(1), lit(7))).as("k"), col("day"), col("cy"))
+      .select(col("event_type"), col("k"), (col("day") + col("k")).as("day"),
+        col("cy").as("cy_lag"))
+    centered.join(lagged, Seq("event_type", "day"))
+      .groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cy") * col("cy_lag")).as("num"))
+      .join(broadcast(den), Seq("event_type"))
+      .select(col("event_type"), col("k"), col("n_pairs"),
+        expr("""CASE WHEN den != 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                ELSE 0.0D END""").as("acf"))
+  }
+
+  val qAcfSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |               CAST(SUM(y) AS BIGINT) AS s FROM daily GROUP BY 1),
+      |centered AS (
+      |  SELECT d.event_type, d.day, t.n * d.y - t.s AS cy
+      |  FROM daily d JOIN tot t USING (event_type)),
+      |den AS (SELECT event_type, CAST(SUM(cy * cy) AS BIGINT) AS den
+      |        FROM centered GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type, o.k, a.cy AS cy, b.cy AS cy_lag
+      |  FROM centered a
+      |  CROSS JOIN (SELECT unnest(range(1, 8)) AS k) o
+      |  JOIN centered b ON b.event_type = a.event_type AND b.day = a.day - o.k)
+      |SELECT p.event_type, p.k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CASE WHEN d.den != 0
+      |       THEN CAST(CAST(SUM(p.cy * p.cy_lag) AS BIGINT) AS DOUBLE)
+      |            / CAST(d.den AS DOUBLE)
+      |       ELSE 0.0 END AS acf
+      |FROM pairs p JOIN den d USING (event_type)
+      |GROUP BY 1, 2, d.den""".stripMargin
+
   /** A-dau: DAU/MAU stickiness — per day, the distinct daily actives
     * and the trailing-28-day distinct actives, joined into the ratio
     * product teams watch. The sliding distinct uses the explode-to-
@@ -506,6 +568,7 @@ object Stats {
       |GROUP BY 1""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_acf", qAcf, Some(qAcfSql)),
     QueryDef("q_new_returning", qNewReturning, Some(qNewReturningSql)),
     QueryDef("q_inter_event", qInterEvent, Some(qInterEventSql)),
     QueryDef("q_holt", qHolt, Some(qHoltSql)),

@@ -57,6 +57,7 @@ class PlanLintSpec extends SparkSpec {
     "t_fano" -> "cross with the one-row doc-count aggregate (the zero-including denominator)",
     "s_kmeans" -> "k-row seed-centroid frame broadcast into the assignment scan (bounded by k, the distributed Lloyd step)",
     "s_silhouette" -> "the same k-row seed frame broadcast into the margin scan (composes with s_kmeans)",
+    "s_kmeans_iter" -> "k-row seed/centroid frames broadcast into the two assignment scans (the per-iteration Lloyd broadcasts)",
     "p_retention_sweep" -> "cross with the one-row corpus max-timestamp aggregate (the deterministic audit anchor)",
     "q_scalar_subq" -> "scalar subquery materialized as a one-row cross (the operator under test)",
     "s_ann_brute" -> "broadcast bounded query batch — the documented plan-pinned correctness baseline",

@@ -359,6 +359,62 @@ class StatsSpec extends SparkSpec {
       s"triangle nodes peeled out of the 2-core: ${triNodes -- inCore}")
   }
 
+  test("q_acf: bounded by 1 in magnitude (Cauchy-Schwarz); lag-1 recomputed exactly") {
+    val rows = Stats.qAcf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-12))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val et = rows.head.getAs[String]("event_type")
+    val series = daily.filter(_._1 == et)
+    val n = BigInt(series.length); val s = series.map(x => BigInt(x._3)).sum
+    val cy = series.map(x => (x._2, n * x._3 - s)).toMap
+    val den = cy.values.map(v => v * v).sum
+    val pairs = cy.collect { case (day, v) if cy.contains(day - 1) => v * cy(day - 1) }
+    val r1 = rows.find(r => r.getAs[String]("event_type") == et && r.getAs[Int]("k") == 1).get
+    assert(r1.getAs[Long]("n_pairs") === pairs.size.toLong)
+    assert(r1.getAs[Double]("acf") === pairs.sum.toDouble / den.toDouble)
+  }
+
+  test("p_kanon_apply: masking follows the audit exactly and never touches the payload") {
+    val audit = PipelineQueries.pKanon(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getInt(4)))).toMap
+    val out = PipelineQueries.pKanonApply(spark, sfDir).collect()
+    assert(out.length.toLong === Tables.customer(spark, sfDir).count())
+    val suppressedRows = out.count(_.getAs[Int]("suppressed") == 1)
+    val expectSuppressed = audit.values.collect { case (n, 1) => n }.sum
+    assert(suppressedRows.toLong === expectSuppressed)
+    out.foreach { r =>
+      if (r.getAs[Int]("suppressed") == 1) {
+        assert(r.getAs[String]("nation_out") === "*")
+        assert(r.getAs[String]("segment_out") === "*")
+        assert(r.getAs[String]("band_out") === "*")
+      } else {
+        assert(r.getAs[String]("nation_out") !== "*")
+      }
+      assert(r.getAs[String]("acctbal").nonEmpty, "payload must survive masking")
+    }
+  }
+
+  test("s_kmeans_iter: migration readout partitions the corpus and reconciles with round 1") {
+    val iter = Ann.sKmeansIter(spark, sfDir).collect()
+    val corpusN = Tables.embeddings(spark, sfDir).count()
+    assert(iter.map(_.getAs[Long]("n_round2")).sum === corpusN)
+    iter.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_arrived") ===
+        r.getAs[Long]("n_round2"))
+    }
+    // kept members were in this cluster in round 1, so kept ≤ round-1 size
+    val r1 = Ann.sKmeans(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n")).toMap
+    iter.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r1.getOrElse(r.getAs[Long]("cluster_id"), 0L))
+    }
+  }
+
   test("s_kmeans: clusters partition the corpus; every seed is its own nearest centroid") {
     val rows = Ann.sKmeans(spark, sfDir).collect()
     val corpusN = Tables.embeddings(spark, sfDir).count()
