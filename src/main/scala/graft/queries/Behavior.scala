@@ -771,14 +771,22 @@ object Behavior {
     * st_anomaly float discipline. One per-user aggregate + a 2-row
     * variant aggregate; output is the experiment read-out table.
     */
-  def qAbTest(s: SparkSession, d: String): DataFrame = {
+  def qAbTest(s: SparkSession, d: String): DataFrame =
+    abReadout(events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted")))
+
+  /** The experiment read-out over any (user_id, converted 0/1) frame —
+    * shared by the batch operator and st_ab_test's streaming
+    * conversion-state machine (offline/online parity hashes against
+    * the same oracle).
+    */
+  def abReadout(perUserConv: DataFrame): DataFrame = {
     // first md5 hex nibble of the user id, as its value 0..15 — Spark
     // derives it with conv(hex, 16, 10), the oracle with DuckDB's
     // strpos-over-'123456789abcdef' trick (the simhash convention);
     // both map '0'→0 … 'f'→15, so assignment is nibble-identical
-    val perUser = events(s, d)
-      .groupBy("user_id")
-      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    val perUser = perUserConv
       .withColumn("variant",
         expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT) % 2"))
     val v = perUser.groupBy("variant")

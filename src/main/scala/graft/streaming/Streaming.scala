@@ -475,6 +475,54 @@ object Streaming {
   final case class MarkovState(us: Long, eid: Long, tpe: String)
   final case class MarkovPair(prev_type: String, next_type: String)
 
+  final case class AbConvState(converted: Boolean)
+  final case class AbEmit(user_id: Long, converted: Long)
+
+  /** Per-user conversion-state machine for the LIVE experiment
+    * read-out: emit (user, 0) when a user is first seen, (user, 1) the
+    * first time a purchase arrives, nothing otherwise — so the
+    * downstream variant rollup always has each user's CURRENT
+    * conversion bit without re-reading history. State is one boolean
+    * per user; emissions are monotone 0→1, so the batch-side
+    * max(converted) dedupe is chunk-boundary-invariant (the restart
+    * walk proves it).
+    */
+  private[graft] def abTestTransform(src: DataFrame): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    src.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AbConvState, AbEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, events, state) =>
+          val sawPurchase = events.exists(_._2 == "purchase")
+          state.getOption match {
+            case None =>
+              state.update(AbConvState(sawPurchase))
+              Iterator.single(AbEmit(uid, if (sawPurchase) 1L else 0L))
+            case Some(AbConvState(false)) if sawPurchase =>
+              state.update(AbConvState(true))
+              Iterator.single(AbEmit(uid, 1L))
+            case _ => Iterator.empty
+          }
+      }.toDF()
+  }
+
+  /** G1i: the CONTINUOUS form of q_ab_test — the experiment dashboard
+    * maintained online: per-user conversion state streams through the
+    * state machine above, the variant z-readout recomputes per refresh
+    * over the (user-bounded) conversion table. Offline/online parity:
+    * the final frame hashes against q_ab_test's oracle verbatim (the
+    * st_markov convention).
+    */
+  def stAbTest(s: SparkSession, d: String): DataFrame = {
+    val conv = runToMemory(abTestTransform(eventsStream(s, d)),
+      "st_ab_test_mem", OutputMode.Update())
+    graft.queries.Behavior.abReadout(
+      conv.groupBy("user_id").agg(max("converted").as("converted")))
+  }
+
   /** One transition batch for a user: sort the chunk's events by
     * (us, event_id), bridge from the carried last-event state, emit
     * every adjacent (prev, next) type pair, carry the new last event.
@@ -2419,6 +2467,7 @@ object Streaming {
     QueryDef("st_anomaly", stAnomaly, Some(stAnomalySql)),
     QueryDef("st_drift", stDrift, Some(stDriftSql)),
     QueryDef("st_markov", stMarkov, Some(graft.queries.Behavior.qMarkovSql)),
+    QueryDef("st_ab_test", stAbTest, Some(graft.queries.Behavior.qAbTestSql)),
     QueryDef("st_late_data", stLateData, Some(stLateDataSql)),
     QueryDef("st_sink", stSink, Some(stSinkSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),

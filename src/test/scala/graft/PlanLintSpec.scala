@@ -50,6 +50,8 @@ class PlanLintSpec extends SparkSpec {
     "q_bitemporal" -> "non-equi broadcast join against the THREE-ROW (valid_at, tx_at) anchor frame — bounded nested loop, never data x data",
     "q_rfm" -> "cross with the one-row corpus max-timestamp aggregate (the recency anchor)",
     "q_regression" -> "cross with the one-row min-day aggregate (the x-axis anchor)",
+    "q_chisq" -> "cross with the one-row grand-total aggregate (the expected-count denominator)",
+    "q_mwu" -> "one-row × one-row cross of the two segments' rank summaries",
     "q_gini" -> "cross with the one-row (n, Σx, Σi·x) closed-form aggregate",
     "q_assoc_rules" -> "cross with the one-row basket-count aggregate (the support denominator)",
     "q_forecast_snaive" -> "cross with the one-row max-day aggregate (the backtest horizon anchor)",

@@ -415,6 +415,47 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_chisq: margins reconcile and the statistic is the sum of its cells") {
+    val rows = Stats.qChisq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("o")).sum
+    // row margins: every cell in a segment carries that segment's total
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("o")).sum === cells.head.getAs[Long]("r"))
+    }
+    rows.groupBy(_.getAs[String]("priority")).foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("o")).sum === cells.head.getAs[Long]("c"))
+    }
+    rows.foreach(r => assert(r.getAs[Double]("contrib") >= 0.0))
+    val chi2 = rows.head.getAs[Double]("chi2")
+    // fx quantization makes the statistic EXACTLY the sum of the
+    // emitted per-cell terms
+    assert(math.abs(rows.map(_.getAs[Double]("contrib")).sum - chi2) < 1e-6)
+    assert(n > 0)
+  }
+
+  test("q_mwu: doubled-rank U equals the brute pairwise count with half-credit ties") {
+    val out = Stats.qMwu(spark, sfDir).collect().head
+    val spend = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("c"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val a = spend.filter(_._1 == "AUTOMOBILE").map(_._2)
+    val b = spend.filter(_._1 == "BUILDING").map(_._2)
+    val u1Brute = (for (x <- a; y <- b) yield {
+      if (x > y) 1.0 else if (x == y) 0.5 else 0.0
+    }).sum
+    assert(out.getAs[Long]("n1") === a.length.toLong)
+    assert(out.getAs[Long]("n2") === b.length.toLong)
+    assert(out.getAs[Double]("u1") === u1Brute)
+    assert(out.getAs[Double]("u1") + out.getAs[Double]("u2") ===
+      a.length.toDouble * b.length.toDouble)
+    val eff = out.getAs[Double]("effect")
+    assert(eff >= 0.0 && eff <= 1.0)
+  }
+
   test("s_kmeans: clusters partition the corpus; every seed is its own nearest centroid") {
     val rows = Ann.sKmeans(spark, sfDir).collect()
     val corpusN = Tables.embeddings(spark, sfDir).count()

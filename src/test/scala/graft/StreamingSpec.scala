@@ -1252,6 +1252,7 @@ class StreamingSpec extends SparkSpec {
       ("drift", (df: DataFrame) => Streaming.driftTransform(df, driftBase),
         OutputMode.Append(), false),
       ("markov", Streaming.markovTransform _, OutputMode.Update(), false),
+      ("ab_test", Streaming.abTestTransform _, OutputMode.Update(), false),
       ("pit", Streaming.pitTransform _, OutputMode.Update(), false),
       ("transform_state", Streaming.spendTransform _, OutputMode.Update(), true))
     cases.foreach { case (name, tf, mode, rocks) =>
