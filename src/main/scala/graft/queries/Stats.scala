@@ -683,7 +683,201 @@ object Stats {
       |  CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / (2.0 * CAST(n1 * n2 AS DOUBLE)) AS effect
       |FROM a CROSS JOIN b""".stripMargin
 
+  /** A-surv: Kaplan-Meier churn survival over user activity lifetimes
+    * — S(t) = Π_{t'≤t}(1 − d/n), the curve a retention team reads
+    * beyond q_retention's fixed-week matrix. Lifetime = last − first
+    * active day; users still active within 7 days of the corpus end
+    * are CENSORED (they leave the risk set without a churn event —
+    * the estimator's whole point). Risk sets and event counts are
+    * integers (a descending-t running sum gives n-at-risk); the
+    * survival product is an ORDER-PINNED fold over the ≤|days|
+    * distinct-lifetime frame — Spark folds a sorted array in one
+    * aggregate HOF emitting the running product per step, the oracle
+    * replays the identical multiply chain as a recursive CTE (the
+    * q_holt convention), so the float sequence is contractual.
+    */
+  def qSurvival(s: SparkSession, d: String): DataFrame = {
+    val spans = events(s, d)
+      .groupBy("user_id")
+      .agg(min(expr("us div 86400000000")).as("f"),
+        max(expr("us div 86400000000")).as("l"))
+    val m = spans.agg(max("l").as("m"))
+    val lives = spans.crossJoin(broadcast(m))
+      .select((col("l") - col("f")).as("t"),
+        when(col("l") > col("m") - 7, 0L).otherwise(1L).as("churn"))
+    val perT = lives.groupBy("t")
+      .agg(count(lit(1)).as("c"), sum("churn").as("d"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = perT.withColumn("n", sum("c").over(wDesc).cast("long"))
+    ev.agg(sort_array(collect_list(struct(col("t"), col("d"), col("n")))).as("evs"))
+      .select(explode(expr(
+        """aggregate(evs,
+             CAST(array() AS ARRAY<STRUCT<t: BIGINT, d: BIGINT, n: BIGINT, surv: DOUBLE>>),
+             (acc, e) -> array_append(acc, named_struct(
+               't', e.t, 'd', e.d, 'n', e.n,
+               'surv', IF(size(acc) = 0, 1.0D, element_at(acc, -1).surv)
+                       * (1.0D - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)))))"""))
+        .as("r"))
+      .select(col("r.t").as("lifetime_days"), col("r.n").as("n_at_risk"),
+        col("r.d").as("churned"), round(col("r.surv"), 6).as("survival"))
+  }
+
+  val qSurvivalSql: String =
+    """WITH RECURSIVE spans AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS f,
+      |         MAX(epoch_us(ts) // 86400000000) AS l
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT MAX(l) AS m FROM spans),
+      |lives AS (
+      |  SELECT l - f AS t,
+      |    CASE WHEN l > m.m - 7 THEN 0 ELSE 1 END AS churn
+      |  FROM spans CROSS JOIN m),
+      |pert AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(churn) AS BIGINT) AS d
+      |  FROM lives GROUP BY 1),
+      |ev AS (
+      |  SELECT t, d,
+      |    CAST(SUM(c) OVER (ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+      |    ROW_NUMBER() OVER (ORDER BY t) AS idx
+      |  FROM pert),
+      |walk AS (
+      |  SELECT idx, t, d, n,
+      |    1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS surv
+      |  FROM ev WHERE idx = 1
+      |  UNION ALL
+      |  SELECT e.idx, e.t, e.d, e.n,
+      |    w.surv * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))
+      |  FROM walk w JOIN ev e ON e.idx = w.idx + 1)
+      |SELECT t AS lifetime_days, n AS n_at_risk, d AS churned,
+      |  round(surv, 6) AS survival
+      |FROM walk""".stripMargin
+
+  /** A-elast: log-log price elasticity per brand — OLS slope of
+    * ln(quantity) on ln(line price) over lineitem, the pricing team's
+    * demand-curve read. Both logs floor to 3-dp fixed point and the x
+    * axis is offset-centred (slope-invariant) so all five regression
+    * sums stay BIGINT at full-fact-table cardinality (bound: |x| ≤
+    * 2·10³ after centering, Σx² ≤ 10¹² per brand at sf1, n·Σx² ≤
+    * 2.4·10¹⁷ — the t_zipf_fit discipline at data scale, where the
+    * naive 6-dp quantization would overflow). Slope = ONE double
+    * division of exact integers.
+    */
+  def qElasticity(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("""CAST(FLOOR(ln(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                * 1000 + 0.5) AS BIGINT) - 14000""").as("x"),
+        expr("""CAST(FLOOR(ln(CAST(l_quantity AS BIGINT)) * 1000 + 0.5) AS BIGINT)""")
+          .as("y"))
+    base.groupBy("brand")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("brand"), col("n"),
+        expr("""CASE WHEN n >= 2 AND n * sxx - sx * sx != 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                ELSE 0.0D END""").as("elasticity"))
+  }
+
+  val qElasticitySql: String =
+    """WITH base AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(FLOOR(ln(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         * 1000 + 0.5) AS BIGINT) - 14000 AS x,
+      |    CAST(FLOOR(ln(CAST(l_quantity AS BIGINT)) * 1000 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |sums AS (
+      |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM base GROUP BY 1)
+      |SELECT brand, n,
+      |  CASE WHEN n >= 2 AND n * sxx - sx * sx != 0
+      |       THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |       ELSE 0.0 END AS elasticity
+      |FROM sums""".stripMargin
+
+  /** A-runs: Wald-Wolfowitz runs test on each type's daily up/down
+    * move sequence — "is the series random or trending/mean-
+    * reverting", the sanity check behind q_acf's lags. Moves are
+    * sign(yₜ − yₜ₋₁) over the day-ordered series (zero diffs dropped,
+    * the standard convention); the runs count is 1 + #sign-changes —
+    * pure integer window math — and z combines n₁, n₂, R through the
+    * closed form in one identical IEEE tree.
+    */
+  def qRuns(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val moves = events(s, d)
+      .groupBy(col("event_type"), expr("us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("prev", lag("y", 1).over(w))
+      .filter(col("prev").isNotNull && col("y") =!= col("prev"))
+      .select(col("event_type"), col("day"),
+        when(col("y") > col("prev"), 1L).otherwise(-1L).as("mv"))
+    val w2 = Window.partitionBy("event_type").orderBy("day")
+    val runs = moves
+      .withColumn("chg", when(lag("mv", 1).over(w2).isNull
+        || lag("mv", 1).over(w2) =!= col("mv"), 1L).otherwise(0L))
+      .groupBy("event_type")
+      .agg(sum(when(col("mv") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("mv") === -1L, 1L).otherwise(0L)).as("n2"),
+        sum("chg").as("runs"))
+    runs.select(col("event_type"), col("n1"), col("n2"), col("runs"),
+      expr("""CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+                (CAST(runs AS DOUBLE)
+                 - (2.0D * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE) + 1.0D))
+                / sqrt((2.0D * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * (2.0D * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           - CAST(n1 + n2 AS DOUBLE)))
+                       / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                          * (CAST(n1 + n2 AS DOUBLE) - 1.0D)))
+              ELSE 0.0D END""").as("z"))
+  }
+
+  val qRunsSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |mv AS (
+      |  SELECT event_type, day,
+      |    CASE WHEN y > prev THEN 1 ELSE -1 END AS mv
+      |  FROM (
+      |    SELECT event_type, day, y,
+      |      LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |    FROM daily)
+      |  WHERE prev IS NOT NULL AND y != prev),
+      |runs AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN mv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN mv = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN prevmv IS NULL OR prevmv != mv THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS runs
+      |  FROM (
+      |    SELECT event_type, mv,
+      |      LAG(mv, 1) OVER (PARTITION BY event_type ORDER BY day) AS prevmv
+      |    FROM mv)
+      |  GROUP BY 1)
+      |SELECT event_type, n1, n2, runs,
+      |  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+      |    (CAST(runs AS DOUBLE)
+      |     - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        / CAST(n1 + n2 AS DOUBLE) + 1.0))
+      |    / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |            * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |               - CAST(n1 + n2 AS DOUBLE)))
+      |           / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+      |              * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+      |  ELSE 0.0 END AS z
+      |FROM runs""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_survival", qSurvival, Some(qSurvivalSql)),
+    QueryDef("q_elasticity", qElasticity, Some(qElasticitySql)),
+    QueryDef("q_runs", qRuns, Some(qRunsSql)),
     QueryDef("q_chisq", qChisq, Some(qChisqSql)),
     QueryDef("q_mwu", qMwu, Some(qMwuSql)),
     QueryDef("q_acf", qAcf, Some(qAcfSql)),

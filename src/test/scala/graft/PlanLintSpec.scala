@@ -55,6 +55,7 @@ class PlanLintSpec extends SparkSpec {
     "q_gini" -> "cross with the one-row (n, Σx, Σi·x) closed-form aggregate",
     "q_assoc_rules" -> "cross with the one-row basket-count aggregate (the support denominator)",
     "q_forecast_snaive" -> "cross with the one-row max-day aggregate (the backtest horizon anchor)",
+    "q_survival" -> "cross with the one-row corpus max-day aggregate (the censoring horizon)",
     "t_jsd" -> "cross with the one-row shard-totals aggregate (the two probability denominators)",
     "t_fano" -> "cross with the one-row doc-count aggregate (the zero-including denominator)",
     "s_kmeans" -> "k-row seed-centroid frame broadcast into the assignment scan (bounded by k, the distributed Lloyd step)",

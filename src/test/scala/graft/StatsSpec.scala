@@ -456,6 +456,82 @@ class StatsSpec extends SparkSpec {
     assert(eff >= 0.0 && eff <= 1.0)
   }
 
+  test("q_survival: the KM curve replays exactly and is non-increasing") {
+    val rows = Stats.qSurvival(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // non-increasing survival; risk sets shrink as t grows
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._4 <= a._4 + 1e-12, "survival must not increase")
+        assert(b._2 <= a._2, "risk set must shrink with t")
+      case _ =>
+    }
+    // independent replay from raw spans
+    val spans = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts) div 86400000000")).as("f"),
+        max(expr("unix_micros(ts) div 86400000000")).as("l"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val m = spans.map(_._2).max
+    val lives = spans.map { case (f, l) => (l - f, if (l > m - 7) 0 else 1) }
+    val byT = lives.groupBy(_._1).map { case (t, v) =>
+      (t, v.size.toLong, v.map(_._2).sum.toLong)
+    }.toSeq.sortBy(_._1)
+    var surv = 1.0
+    val expected = byT.map { case (t, c, dd) =>
+      val n = byT.filter(_._1 >= t).map(_._2).sum
+      surv *= (1.0 - dd.toDouble / n.toDouble)
+      (t, n, dd, BigDecimal(surv).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(rows.toSeq === expected)
+  }
+
+  test("q_elasticity: one brand's quantized OLS recomputed in BigInt") {
+    val out = Stats.qElasticity(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.nonEmpty)
+    val base = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brand = out.keys.min
+    val pts = base.filter(_._1 == brand).map { case (_, cents, qty) =>
+      (BigInt(math.floor(math.log(cents.toDouble) * 1000 + 0.5).toLong) - 14000,
+        BigInt(math.floor(math.log(qty.toDouble) * 1000 + 0.5).toLong))
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val (nOut, slope) = out(brand)
+    assert(nOut === pts.length.toLong)
+    assert(slope === (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+  }
+
+  test("q_runs: runs and moves recomputed for one event type") {
+    val rows = Stats.qRuns(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val series = daily.filter(_._1 == et).sortBy(_._2).map(_._3)
+      val moves = series.sliding(2).collect {
+        case Array(a, b) if b != a => if (b > a) 1 else -1
+      }.toSeq
+      val runs = if (moves.isEmpty) 0
+        else 1 + moves.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+      assert(r.getAs[Long]("n1") === moves.count(_ == 1).toLong)
+      assert(r.getAs[Long]("n2") === moves.count(_ == -1).toLong)
+      assert(r.getAs[Long]("runs") === runs.toLong)
+    }
+  }
+
   test("s_kmeans: clusters partition the corpus; every seed is its own nearest centroid") {
     val rows = Ann.sKmeans(spark, sfDir).collect()
     val corpusN = Tables.embeddings(spark, sfDir).count()
