@@ -509,6 +509,96 @@ object Streaming {
       }.toDF()
   }
 
+  final case class StaleState(lastUs: Long, emitted: Boolean)
+  final case class StaleEmit(user_id: Long, idle_from_us: Long)
+
+  private[graft] val StaleGapMs = 86400000L
+  private[graft] val StaleGapUs = StaleGapMs * 1000L
+  private[graft] val StaleDelay = "1 hour"
+
+  /** Idle-period detector via EVENT-TIME TIMEOUT — the state-machine
+    * shape nothing else in the fleet exercises: the WATERMARK, not
+    * data, can drive an emission. Per user the state is (last event
+    * us, emitted-for-this-stretch flag). An idle stretch > 1 day is
+    * emitted exactly once, by whichever observer sees it first:
+    * the DATA path (walking each chunk's sorted events bridged from
+    * state, any adjacent gap > 1 day emits its start — the st_markov
+    * boundary-bridging shape), or the TIMEOUT path (the watermark
+    * passes last + 1 day before the next event arrives: empty-iterator
+    * invocation, emit, KEEP the state with emitted=true so the
+    * reactivating data path skips the duplicate). On TS-ORDERED input
+    * the emitted SET is therefore data-deterministic — internal gaps
+    * plus the trailing idle tail past the final watermark — no matter
+    * how the stream is chunked or where it restarts (the restart walk
+    * drives a mid-stream timeout in one leg and the pure-data path in
+    * the other and gets the identical log); WHEN each row appears is
+    * the only thing the chunking moves. State is one (long, bool) per
+    * user, never removed — bounded by the entity universe, the same
+    * budget st_pit carries.
+    */
+  private[graft] def staleTransform(src: DataFrame): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    src.withWatermark("ts", StaleDelay)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[StaleState, StaleEmit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, events, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (!st.emitted) {
+              state.update(StaleState(st.lastUs, emitted = true))
+              Iterator.single(StaleEmit(uid, st.lastUs))
+            } else Iterator.empty
+          } else {
+            val sorted = events.map(e => micros(e._2)).toSeq.sorted
+            val prior = state.getOption
+            val walk = prior.map(_.lastUs).toSeq ++ sorted
+            val out = walk.sliding(2).collect {
+              case Seq(a, b) if b - a > StaleGapUs &&
+                !(prior.exists(p => p.lastUs == a && p.emitted)) =>
+                StaleEmit(uid, a)
+            }.toList
+            val last = walk.last
+            state.update(StaleState(last, emitted = false))
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(last / 1000L + StaleGapMs, wm + 1))
+            out.iterator
+          }
+      }.toDF()
+  }
+
+  /** G-idle: the idle-period report — every >1-day quiet stretch per
+    * user (who churned-and-returned, who is quiet right now), kept
+    * current by the state machine above instead of a nightly full
+    * scan. Hashes against a pure-data batch twin: internal gaps via
+    * lag, plus the trailing tail past the corpus watermark.
+    */
+  def stStaleUsers(s: SparkSession, d: String): DataFrame =
+    runToMemory(staleTransform(eventsStream(s, d)),
+      "st_stale_users_mem", OutputMode.Append())
+      .select(col("user_id"), col("idle_from_us"))
+
+  val stStaleUsersSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |m AS (SELECT MAX(us) AS mx FROM e),
+       |gaps AS (
+       |  SELECT user_id, us AS idle_from_us
+       |  FROM (
+       |    SELECT user_id, us,
+       |      LEAD(us, 1) OVER (PARTITION BY user_id ORDER BY us) AS nxt
+       |    FROM e)
+       |  WHERE nxt IS NOT NULL AND nxt - us > ${StaleGapUs}),
+       |tail AS (
+       |  SELECT user_id, CAST(MAX(us) AS BIGINT) AS idle_from_us
+       |  FROM e CROSS JOIN m GROUP BY user_id, m.mx
+       |  HAVING MAX(us) // 1000 + ${StaleGapMs} < m.mx // 1000 - 3600000)
+       |SELECT user_id, CAST(idle_from_us AS BIGINT) AS idle_from_us FROM gaps
+       |UNION ALL
+       |SELECT user_id, idle_from_us FROM tail""".stripMargin
+
   /** G1i: the CONTINUOUS form of q_ab_test — the experiment dashboard
     * maintained online: per-user conversion state streams through the
     * state machine above, the variant z-readout recomputes per refresh
@@ -2468,6 +2558,7 @@ object Streaming {
     QueryDef("st_drift", stDrift, Some(stDriftSql)),
     QueryDef("st_markov", stMarkov, Some(graft.queries.Behavior.qMarkovSql)),
     QueryDef("st_ab_test", stAbTest, Some(graft.queries.Behavior.qAbTestSql)),
+    QueryDef("st_stale_users", stStaleUsers, Some(stStaleUsersSql)),
     QueryDef("st_late_data", stLateData, Some(stLateDataSql)),
     QueryDef("st_sink", stSink, Some(stSinkSql)),
     QueryDef("st_sessionize", stSessionize, Some(stSessionizeSql)),

@@ -1253,6 +1253,7 @@ class StreamingSpec extends SparkSpec {
         OutputMode.Append(), false),
       ("markov", Streaming.markovTransform _, OutputMode.Update(), false),
       ("ab_test", Streaming.abTestTransform _, OutputMode.Update(), false),
+      ("stale", Streaming.staleTransform _, OutputMode.Append(), false),
       ("pit", Streaming.pitTransform _, OutputMode.Update(), false),
       ("transform_state", Streaming.spendTransform _, OutputMode.Update(), true))
     cases.foreach { case (name, tf, mode, rocks) =>
