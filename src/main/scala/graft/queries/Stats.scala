@@ -874,7 +874,89 @@ object Stats {
       |  ELSE 0.0 END AS z
       |FROM runs""".stripMargin
 
+  /** A-conc: market concentration — the top-10 revenue share and the
+    * Herfindahl-Hirschman index over per-customer spend (the
+    * "how dependent are we on a few whales" read next to q_gini's full
+    * curve). Shares quantize to 1e-6 fixed point BEFORE squaring so
+    * HHI is an integer sum (Σfx² ≤ 10¹⁷ at sf1 — BIGINT-safe where
+    * squaring raw cents would overflow); top-10 via rank over the
+    * entity-bounded aggregate.
+    */
+  def qConcentration(s: SparkSession, d: String): DataFrame = {
+    val spend = graft.Stage.cached(Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("cents")))
+    val tot = spend.agg(count(lit(1)).as("n_cust"), sum("cents").as("total"))
+    val fx = spend.crossJoin(broadcast(tot))
+      .select(col("n_cust"), col("total"), col("cents"),
+        expr("(cents * 1000000L) div total").as("sfx"),
+        row_number().over(Window.orderBy(col("cents").desc, col("o_custkey"))).as("rk"))
+    fx.agg(max("n_cust").as("n_cust"),
+      max("total").cast("long").as("total_cents"),
+      sum(when(col("rk") <= 10, col("cents")).otherwise(0L)).cast("long")
+        .as("top10_cents"),
+      sum(col("sfx") * col("sfx")).as("hhi_fx"))
+      .select(col("n_cust"), col("total_cents"), col("top10_cents"),
+        (col("top10_cents").cast("double") / col("total_cents").cast("double"))
+          .as("top10_share"),
+        (col("hhi_fx").cast("double") / 1.0e12).as("hhi"))
+  }
+
+  val qConcentrationSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |               CAST(SUM(cents) AS BIGINT) AS total FROM spend),
+      |fx AS (
+      |  SELECT n_cust, total, cents,
+      |    (cents * 1000000) // total AS sfx,
+      |    ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk
+      |  FROM spend CROSS JOIN tot)
+      |SELECT MAX(n_cust) AS n_cust, CAST(MAX(total) AS BIGINT) AS total_cents,
+      |  CAST(SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END) AS BIGINT) AS top10_cents,
+      |  CAST(SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END) AS DOUBLE)
+      |    / CAST(MAX(total) AS DOUBLE) AS top10_share,
+      |  CAST(CAST(SUM(sfx * sfx) AS BIGINT) AS DOUBLE) / 1.0e12 AS hhi
+      |FROM fx""".stripMargin
+
+  /** A-sess: session-quality distribution — exact p50/p90 of events
+    * per session and session duration over the 30-min-gap batch
+    * sessionization (st_sessionize's twin reused as the base relation
+    * — one operator's output is the next one's input, the
+    * composability convention): the engagement dashboard beside
+    * q_inter_event's cadence percentiles.
+    */
+  def qSessionStats(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.streaming.Streaming.stSessionize(s, d)
+    sess.agg(count(lit(1)).as("n_sessions"),
+      countDistinct("user_id").as("n_users"),
+      expr("percentile(CAST(n_events AS DOUBLE), 0.5D)").as("p50_events"),
+      expr("percentile(CAST(n_events AS DOUBLE), 0.9D)").as("p90_events"),
+      expr("percentile(CAST(session_end_us - session_start_us AS DOUBLE), 0.5D)")
+        .as("p50_duration_us"),
+      expr("percentile(CAST(session_end_us - session_start_us AS DOUBLE), 0.9D)")
+        .as("p90_duration_us"))
+  }
+
+  val qSessionStatsSql: String =
+    s"""WITH sessions AS (${graft.streaming.Streaming.stSessionizeSql})
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS p50_events,
+       |  quantile_cont(CAST(n_events AS DOUBLE), 0.9) AS p90_events,
+       |  quantile_cont(CAST(session_end_us - session_start_us AS DOUBLE), 0.5)
+       |    AS p50_duration_us,
+       |  quantile_cont(CAST(session_end_us - session_start_us AS DOUBLE), 0.9)
+       |    AS p90_duration_us
+       |FROM sessions""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_concentration", qConcentration, Some(qConcentrationSql)),
+    QueryDef("q_session_stats", qSessionStats, Some(qSessionStatsSql)),
     QueryDef("q_survival", qSurvival, Some(qSurvivalSql)),
     QueryDef("q_elasticity", qElasticity, Some(qElasticitySql)),
     QueryDef("q_runs", qRuns, Some(qRunsSql)),

@@ -53,6 +53,7 @@ class PlanLintSpec extends SparkSpec {
     "q_chisq" -> "cross with the one-row grand-total aggregate (the expected-count denominator)",
     "q_mwu" -> "one-row × one-row cross of the two segments' rank summaries",
     "q_gini" -> "cross with the one-row (n, Σx, Σi·x) closed-form aggregate",
+    "q_concentration" -> "cross with the one-row (count, total-cents) aggregate (the share denominator)",
     "q_assoc_rules" -> "cross with the one-row basket-count aggregate (the support denominator)",
     "q_forecast_snaive" -> "cross with the one-row max-day aggregate (the backtest horizon anchor)",
     "q_survival" -> "cross with the one-row corpus max-day aggregate (the censoring horizon)",

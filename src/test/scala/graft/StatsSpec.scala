@@ -532,6 +532,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_concentration: shares bounded, HHI recomputed from quantized shares") {
+    val out = Stats.qConcentration(spark, sfDir).collect().head
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = spend.map(_._2).sum
+    val top10 = spend.sortBy(x => (-x._2, x._1)).take(10).map(_._2).sum
+    assert(out.getAs[Long]("n_cust") === spend.length.toLong)
+    assert(out.getAs[Long]("total_cents") === total)
+    assert(out.getAs[Long]("top10_cents") === top10)
+    val hhi = spend.map { case (_, c) =>
+      val fx = c * 1000000L / total; fx * fx
+    }.sum.toDouble / 1.0e12
+    assert(out.getAs[Double]("hhi") === hhi)
+    assert(out.getAs[Double]("top10_share") > 0.0 && out.getAs[Double]("top10_share") <= 1.0)
+    assert(hhi > 0.0 && hhi <= 1.0)
+  }
+
+  test("q_session_stats: percentiles ordered and session count matches the sessionizer") {
+    val out = Stats.qSessionStats(spark, sfDir).collect().head
+    val nSessions = graft.streaming.Streaming.stSessionize(spark, sfDir).count()
+    assert(out.getAs[Long]("n_sessions") === nSessions)
+    assert(out.getAs[Double]("p50_events") <= out.getAs[Double]("p90_events"))
+    assert(out.getAs[Double]("p50_duration_us") <= out.getAs[Double]("p90_duration_us"))
+    assert(out.getAs[Double]("p50_events") >= 1.0)
+  }
+
   test("s_kmeans: clusters partition the corpus; every seed is its own nearest centroid") {
     val rows = Ann.sKmeans(spark, sfDir).collect()
     val corpusN = Tables.embeddings(spark, sfDir).count()
