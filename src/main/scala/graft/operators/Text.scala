@@ -158,6 +158,42 @@ object Text {
       |        ORDER BY overlap DESC, cand_lang) AS rk FROM sc)
       |WHERE rk = 1""".stripMargin
 
+  /** E-lideval: the language-ID confusion matrix — t_langid's
+    * predictions evaluated against the corpus's own lang labels (the
+    * model-evaluation convention s_ann_eval set for vectors, applied
+    * to the text classifier): per (true, predicted) cell its count,
+    * the row total (support), the column total (prediction mass), and
+    * the row/column shares — recall and precision read off the
+    * diagonal. Composes the classifier verbatim (one operator's
+    * output is the next one's input); counts integer, shares single
+    * divisions.
+    */
+  def tLangidEval(s: SparkSession, d: String): DataFrame = {
+    val cells = tLangid(s, d)
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    val sup = Window.partitionBy("lang")
+    val pt = Window.partitionBy("predicted")
+    cells.select(col("lang"), col("predicted"), col("n"),
+      sum("n").over(sup).cast("long").as("support"),
+      sum("n").over(pt).cast("long").as("pred_total"),
+      (col("n").cast("double") / sum("n").over(sup).cast("double")).as("row_share"),
+      (col("n").cast("double") / sum("n").over(pt).cast("double")).as("col_share"))
+  }
+
+  val tLangidEvalSql: String =
+    s"""WITH pred AS ($tLangidSql),
+       |cells AS (
+       |  SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2)
+       |SELECT lang, predicted, n,
+       |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS support,
+       |  CAST(SUM(n) OVER (PARTITION BY predicted) AS BIGINT) AS pred_total,
+       |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+       |    AS row_share,
+       |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY predicted) AS DOUBLE)
+       |    AS col_share
+       |FROM cells""".stripMargin
+
   /** E4: document fingerprint — order-sensitive md5-hex chain
     * fp = fold(tokens, "seed") { (acc, w) => md5hex(acc + "|" + w) },
     * one native pass per row (no per-token HOF closure), cross-engine
@@ -2406,6 +2442,7 @@ object Text {
   val all: Seq[QueryDef] = Seq(
     QueryDef("t_jsd", tJsd, Some(tJsdSql)),
     QueryDef("t_fano", tFano, Some(tFanoSql)),
+    QueryDef("t_langid_eval", tLangidEval, Some(tLangidEvalSql)),
     QueryDef("t_lexical", tLexical, Some(tLexicalSql)),
     QueryDef("t_readability", tReadability, Some(tReadabilitySql)),
     QueryDef("t_zipf_fit", tZipfFit, Some(tZipfFitSql)),

@@ -78,6 +78,7 @@ class PlanLintSpec extends SparkSpec {
     "t_dsir" -> "one-row model-totals aggregate crossed onto the 256-row bucket-model frame",
     "t_heavy_hitters" -> "broadcast Misra-Gries candidate set (≤ budget rows) verify join",
     "t_langid" -> "cross with the bounded language-profile table (one row per language)",
+    "t_langid_eval" -> "inherits t_langid's bounded language-profile cross (composes the classifier verbatim)",
     "t_perplexity" -> "cross with the one-row model-normalization aggregate",
     "t_quality_train" -> "one-row training statistics (class priors, feature totals) crossed into scoring",
     "t_tfidf" -> "cross with the one-row document-count aggregate",

@@ -560,6 +560,27 @@ class StatsSpec extends SparkSpec {
     assert(out.getAs[Double]("p50_events") >= 1.0)
   }
 
+  test("t_langid_eval: confusion cells reconcile with the classifier's raw predictions") {
+    val cells = graft.operators.Text.tLangidEval(spark, sfDir).collect()
+    val preds = graft.operators.Text.tLangid(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(cells.map(_.getAs[Long]("n")).sum === preds.length.toLong)
+    cells.foreach { c =>
+      val (t, p) = (c.getAs[String]("lang"), c.getAs[String]("predicted"))
+      assert(c.getAs[Long]("n") === preds.count(x => x._1 == t && x._2 == p).toLong)
+      assert(c.getAs[Long]("support") === preds.count(_._1 == t).toLong)
+      assert(c.getAs[Long]("pred_total") === preds.count(_._2 == p).toLong)
+      assert(c.getAs[Double]("row_share") > 0.0 && c.getAs[Double]("row_share") <= 1.0)
+    }
+    // the classifier must beat chance on its own training corpus: the
+    // diagonal mass exceeds any single off-diagonal cell
+    val diag = cells.filter(c => c.getAs[String]("lang") == c.getAs[String]("predicted"))
+      .map(_.getAs[Long]("n")).sum
+    val offMax = cells.filter(c => c.getAs[String]("lang") != c.getAs[String]("predicted"))
+      .map(_.getAs[Long]("n")).maxOption.getOrElse(0L)
+    assert(diag > offMax, s"diagonal $diag vs worst confusion $offMax")
+  }
+
   test("s_kmeans: clusters partition the corpus; every seed is its own nearest centroid") {
     val rows = Ann.sKmeans(spark, sfDir).collect()
     val corpusN = Tables.embeddings(spark, sfDir).count()
