@@ -398,6 +398,17 @@ object Bench {
     * twice (println routes through sbt's logger under a non-forked
     * runMain and lands with an "[info] " prefix — also emit the bare
     * line straight to fd 1) and persist it to BENCH_LOCAL.json.
+    *
+    * The stdout line is SLIMMED and TAIL-LOADED (r14): the round driver
+    * stores only the last few KB of the line, and r13's artifact lost
+    * the whole front (`parsed: null`, a 73-query tail) — so per-chunk
+    * metadata and the cold map are dropped from stdout (they stay in
+    * BENCH_LOCAL.json, the full artifact), and the two maps a
+    * cross-round reader needs to self-adjudicate survive AT THE TAIL in
+    * adjudication order: `restandalone` (the re-measured truth for any
+    * flagged row) immediately before `queries` (the sweep numbers) —
+    * whatever suffix survives truncation pairs each sweep row with its
+    * adjudicated value.
     */
   private def emit(line: String): Unit = {
     sys.env.get("SPARK_GRAFT_OUT") match {
@@ -405,14 +416,33 @@ object Bench {
         val w = new java.io.PrintWriter(path)
         try w.println(line) finally w.close()
       case None =>
-        println(line)
+        val slim = slimLine(line)
+        println(slim)
         new java.io.PrintStream(
           new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
-          .println(line)
+          .println(slim)
         try {
           val w = new java.io.PrintWriter("BENCH_LOCAL.json")
           try w.println(line) finally w.close()
         } catch { case _: Throwable => () }
     }
   }
+
+  /** The stdout projection of the full bench JSON: summary fields, then
+    * `restandalone`, then `queries` last. Falls back to the full line
+    * if reshaping fails — a mangled slimmer must never lose the round.
+    */
+  private def slimLine(line: String): String =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(line)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val out = om.createObjectNode()
+      out.set("full_artifact", om.getNodeFactory.textNode("BENCH_LOCAL.json"))
+      Seq("metric", "value", "unit", "value_cold", "failed", "sf",
+          "calibration", "warmup_sec", "restandalone", "queries")
+        .foreach(f => Option(node.get(f)).foreach(out.set[
+          com.fasterxml.jackson.databind.JsonNode](f, _)))
+      om.writeValueAsString(out)
+    } catch { case _: Throwable => line }
 }

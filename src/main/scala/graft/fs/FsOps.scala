@@ -194,6 +194,7 @@ object FsOps {
     sys.env.get("SPARK_GRAFT_FS").foreach {
       case "hadoop"      => current = HadoopFsOps
       case "objectstore" => current = ObjectStoreFsOps
+      case "s3gw"        => current = S3GatewayFsOps.bound()
       case "posix" | ""  => ()
       case other =>
         System.err.println(s"[$tag] unknown SPARK_GRAFT_FS '$other', keeping posix")

@@ -1,0 +1,616 @@
+package graft.fs
+
+import java.io.{File, IOException}
+import java.net.{InetAddress, InetSocketAddress}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, FileSystem, Path, PositionedReadable, Seekable}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** An S3-protocol OBJECT-STORE GATEWAY over real HTTP — the sandbox's
+  * closest honest stand-in for the s3a:// binding the reference
+  * deploys against (corporate_bucket.tf / processed_bucket.tf;
+  * ingesters.py:468-487 reads s3:// prefixes). No hadoop-aws or AWS
+  * SDK jar exists in this environment, so instead of linking a
+  * connector the repo implements BOTH halves of the wire contract:
+  *
+  *  - [[S3GatewayServer]]: a loopback HTTP server speaking the S3 REST
+  *    verbs the seam's protocol rides — GET (with RFC-7233 Range),
+  *    HEAD, DELETE, conditional PUT (`If-None-Match: *` adjudicated
+  *    ATOMICALLY server-side via link(2), exactly S3's 2024
+  *    conditional-put), server-side COPY (`x-amz-copy-source`),
+  *    ListObjectsV2 (prefix + delimiter → Contents/CommonPrefixes,
+  *    implicit directories only — an empty prefix does not exist,
+  *    S3-true), and multipart upload (initiate / UploadPart /
+  *    CompleteMultipartUpload / abort). The object namespace is the
+  *    local filesystem (key = absolute path), so Spark's own data IO
+  *    and the gateway see one consistent store — the same layering a
+  *    MinIO-on-local-disk deployment has.
+  *
+  *  - [[GraftS3FileSystem]]: a Hadoop `FileSystem` CLIENT over that
+  *    wire — every seam verb becomes a real network round trip:
+  *    `create(overwrite=false)` is a conditional PUT (412 ⇒
+  *    FileAlreadyExists), `open` reads through ranged GETs, `rename`
+  *    is per-object COPY+DELETE (the real store's non-atomic prefix
+  *    "rename" — the exact hazard [[FsOps]]'s pointer-commit protocol
+  *    exists to avoid), uploads ≥ the part threshold go multipart.
+  *
+  * [[S3GatewayFsOps]] binds the object-store protocol over this
+  * client (`SPARK_GRAFT_FS=s3gw`), upgrading `carryFile` to a
+  * server-side COPY. What this still does NOT exercise vs production
+  * S3: TLS, IAM/signature failures, cross-region latency, and
+  * eventual-consistency windows older than list-after-write (modern
+  * S3 is strongly consistent, which the gateway matches).
+  */
+object S3Gateway {
+  /** Ops counters for specs (per-verb totals since JVM start). */
+  val ops = new ConcurrentHashMap[String, AtomicLong]()
+  private def bump(verb: String): Unit =
+    ops.computeIfAbsent(verb, _ => new AtomicLong()).incrementAndGet()
+  def opCount(verb: String): Long =
+    Option(ops.get(verb)).map(_.get()).getOrElse(0L)
+
+  @volatile private var server: HttpServer = null
+  @volatile private var port: Int = -1
+
+  /** Start (once per JVM) and return the endpoint. */
+  def ensureStarted(): String = synchronized {
+    if (server == null) {
+      val s = HttpServer.create(
+        new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+      s.createContext("/", (ex: HttpExchange) => {
+        try handle(ex)
+        catch {
+          case e: Throwable =>
+            try respond(ex, 500, e.toString.getBytes("UTF-8"))
+            catch { case _: IOException => () }
+        } finally ex.close()
+      })
+      s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+      s.start()
+      server = s
+      port = s.getAddress.getPort
+    }
+    s"http://127.0.0.1:$port"
+  }
+
+  private val uploadsRoot = new File("/tmp/.s3gw_uploads")
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte],
+      headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+    if (body.nonEmpty) {
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    }
+  }
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Seq.empty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (java.net.URLDecoder.decode(kv, "UTF-8"), "")
+        else (java.net.URLDecoder.decode(kv.take(i), "UTF-8"),
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
+      }.toMap
+
+  /** Write request body to a temp sibling of `target` (same dir ⇒
+    * same filesystem ⇒ atomic move/link possible).
+    */
+  private def bodyToTemp(ex: HttpExchange, target: File): File = {
+    target.getParentFile.mkdirs()
+    val tmp = new File(target.getParentFile,
+      "." + target.getName + ".s3gwput." + java.util.UUID.randomUUID.toString.take(8))
+    val in = ex.getRequestBody
+    Files.copy(in, tmp.toPath)
+    tmp
+  }
+
+  /** Recursive file walk for LIST — implicit-directory semantics: only
+    * real FILES are objects; a "directory" exists iff some object key
+    * extends it. The gateway's own temporaries are invisible.
+    */
+  private def walkFiles(dir: File): Seq[File] = {
+    if (!dir.isDirectory) return Seq.empty
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+      if (f.getName.startsWith(".s3gw")) Seq.empty
+      else if (f.isDirectory) walkFiles(f)
+      else Seq(f)
+    }
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def handle(ex: HttpExchange): Unit = {
+    val key = java.net.URLDecoder.decode(ex.getRequestURI.getRawPath, "UTF-8")
+    require(!key.contains(".."), "path traversal")
+    val q = query(ex)
+    val target = new File(key)
+    (ex.getRequestMethod, key) match {
+      case ("GET", "/") if q.get("list-type").contains("2") =>
+        bump("list")
+        val prefix = q.getOrElse("prefix", "/")
+        val delimited = q.get("delimiter").contains("/")
+        // deepest directory at or above the prefix
+        val scanRoot =
+          if (prefix.endsWith("/")) new File(prefix)
+          else new File(prefix).getParentFile
+        val files = walkFiles(scanRoot).filter(_.getPath.startsWith(prefix))
+        val (contents, prefixes) =
+          if (!delimited) (files, Seq.empty[String])
+          else {
+            val base = if (prefix.endsWith("/")) prefix else prefix
+            val (direct, nested) = files.partition(
+              f => !f.getPath.drop(base.length).contains('/'))
+            val ps = nested.map(f =>
+              base + f.getPath.drop(base.length).takeWhile(_ != '/') + "/")
+              .distinct.sorted
+            (direct, ps)
+          }
+        val xml = new StringBuilder("<?xml version=\"1.0\"?><ListBucketResult>")
+        contents.sortBy(_.getPath).foreach { f =>
+          xml.append("<Contents><Key>").append(xmlEscape(f.getPath))
+            .append("</Key><Size>").append(f.length())
+            .append("</Size><LastModified>")
+            .append(java.time.Instant.ofEpochMilli(f.lastModified()).toString)
+            .append("</LastModified></Contents>")
+        }
+        prefixes.foreach(p => xml.append("<CommonPrefixes><Prefix>")
+          .append(xmlEscape(p)).append("</Prefix></CommonPrefixes>"))
+        xml.append("</ListBucketResult>")
+        respond(ex, 200, xml.toString.getBytes("UTF-8"),
+          Map("Content-Type" -> "application/xml"))
+
+      case ("GET", _) =>
+        bump("get")
+        if (!target.isFile) { respond(ex, 404, Array.empty); return }
+        val len = target.length()
+        Option(ex.getRequestHeaders.getFirst("Range")) match {
+          case Some(r) if r.startsWith("bytes=") =>
+            val spec = r.stripPrefix("bytes=")
+            val dash = spec.indexOf('-')
+            val from = spec.take(dash).toLong
+            val to = if (dash == spec.length - 1) len - 1
+              else math.min(spec.drop(dash + 1).toLong, len - 1)
+            if (from >= len) { respond(ex, 416, Array.empty); return }
+            val n = (to - from + 1).toInt
+            val buf = new Array[Byte](n)
+            val ch = java.nio.channels.FileChannel.open(target.toPath,
+              java.nio.file.StandardOpenOption.READ)
+            try {
+              val bb = java.nio.ByteBuffer.wrap(buf)
+              var pos = from
+              while (bb.hasRemaining) {
+                val r2 = ch.read(bb, pos)
+                if (r2 < 0) throw new IOException(s"EOF at $pos reading $key")
+                pos += r2
+              }
+            } finally ch.close()
+            respond(ex, 206, buf,
+              Map("Content-Range" -> s"bytes $from-$to/$len"))
+          case _ =>
+            respond(ex, 200, Files.readAllBytes(target.toPath))
+        }
+
+      case ("HEAD", _) =>
+        bump("head")
+        if (target.isFile)
+          respond(ex, 200, Array.empty, Map(
+            "Content-Length-Hint" -> target.length().toString,
+            "Last-Modified-Millis" -> target.lastModified().toString))
+        else respond(ex, 404, Array.empty)
+
+      case ("PUT", _) if q.contains("partNumber") =>
+        bump("mpu_part")
+        val dir = new File(uploadsRoot, q("uploadId"))
+        if (!dir.isDirectory) { respond(ex, 404, Array.empty); return }
+        val tmp = bodyToTemp(ex, new File(dir, "part"))
+        Files.move(tmp.toPath, new File(dir, f"part${q("partNumber").toInt}%05d").toPath,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        respond(ex, 200, Array.empty)
+
+      case ("PUT", _) =>
+        Option(ex.getRequestHeaders.getFirst("x-amz-copy-source")) match {
+          case Some(src) =>
+            bump("copy")
+            val srcFile = new File(java.net.URLDecoder.decode(src, "UTF-8"))
+            if (!srcFile.isFile) { respond(ex, 404, Array.empty); return }
+            target.getParentFile.mkdirs()
+            val tmp = new File(target.getParentFile,
+              "." + target.getName + ".s3gwcopy." +
+                java.util.UUID.randomUUID.toString.take(8))
+            Files.copy(srcFile.toPath, tmp.toPath)
+            Files.move(tmp.toPath, target.toPath,
+              StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+            respond(ex, 200, "<CopyObjectResult/>".getBytes("UTF-8"))
+          case None =>
+            bump("put")
+            val conditional =
+              Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
+            val tmp = bodyToTemp(ex, target)
+            if (conditional) {
+              // link(2): atomic fail-if-exists — S3's If-None-Match PUT
+              try { Files.createLink(target.toPath, tmp.toPath); () }
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  Files.deleteIfExists(tmp.toPath)
+                  respond(ex, 412, Array.empty)
+                  return
+              } finally Files.deleteIfExists(tmp.toPath)
+            } else
+              Files.move(tmp.toPath, target.toPath,
+                StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+            respond(ex, 200, Array.empty)
+        }
+
+      case ("POST", _) if q.contains("uploads") =>
+        bump("mpu_initiate")
+        val id = java.util.UUID.randomUUID.toString
+        val dir = new File(uploadsRoot, id)
+        dir.mkdirs()
+        Files.writeString(new File(dir, ".key").toPath, key)
+        respond(ex, 200,
+          s"<InitiateMultipartUploadResult><UploadId>$id</UploadId></InitiateMultipartUploadResult>"
+            .getBytes("UTF-8"))
+
+      case ("POST", _) if q.contains("uploadId") =>
+        bump("mpu_complete")
+        val dir = new File(uploadsRoot, q("uploadId"))
+        if (!dir.isDirectory) { respond(ex, 404, Array.empty); return }
+        val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("part")).sortBy(_.getName)
+        target.getParentFile.mkdirs()
+        val tmp = new File(target.getParentFile,
+          "." + target.getName + ".s3gwmpu." +
+            java.util.UUID.randomUUID.toString.take(8))
+        val out = Files.newOutputStream(tmp.toPath)
+        try parts.foreach(p => Files.copy(p.toPath, out)) finally out.close()
+        Files.move(tmp.toPath, target.toPath,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        parts.foreach(_.delete())
+        new File(dir, ".key").delete()
+        dir.delete()
+        respond(ex, 200, "<CompleteMultipartUploadResult/>".getBytes("UTF-8"))
+
+      case ("DELETE", _) if q.contains("uploadId") =>
+        bump("mpu_abort")
+        val dir = new File(uploadsRoot, q("uploadId"))
+        Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        dir.delete()
+        respond(ex, 204, Array.empty)
+
+      case ("DELETE", _) =>
+        bump("delete")
+        Files.deleteIfExists(target.toPath) // idempotent, S3-true
+        // S3-true implicit directories: a prefix with no objects does
+        // not exist — prune the now-empty local dir skeleton upward
+        // (File.delete refuses non-empty dirs, so this can only remove
+        // genuinely empty ancestors; /tmp and / are depth-guarded)
+        var p = target.getParentFile
+        while (p != null && p.toPath.getNameCount > 1 && p.delete())
+          p = p.getParentFile
+        respond(ex, 204, Array.empty)
+
+      case _ => respond(ex, 405, Array.empty)
+    }
+  }
+}
+
+/** Hadoop `FileSystem` client over the S3 gateway wire — every verb a
+  * real HTTP round trip (see [[S3Gateway]]). `partSizeBytes` sets the
+  * multipart threshold AND part size for uploads.
+  */
+class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
+    extends FileSystem {
+
+  private val client = java.net.http.HttpClient.newHttpClient()
+  private var cwd = new Path("/")
+  setConf(new org.apache.hadoop.conf.Configuration())
+
+  override def getUri: java.net.URI = java.net.URI.create("s3gw:///")
+  override def getWorkingDirectory: Path = cwd
+  override def setWorkingDirectory(p: Path): Unit = cwd = p
+  override def getScheme: String = "s3gw"
+
+  private def keyOf(f: Path): String = f.toUri.getPath
+  private def uriOf(key: String, q: String = ""): java.net.URI = {
+    val enc = key.split("/", -1).map(
+      java.net.URLEncoder.encode(_, "UTF-8").replace("+", "%20")).mkString("/")
+    java.net.URI.create(endpoint + enc + q)
+  }
+
+  private def send(b: java.net.http.HttpRequest.Builder)
+      : java.net.http.HttpResponse[Array[Byte]] =
+    client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+
+  private def head(key: String): Option[(Long, Long)] = {
+    val resp = send(java.net.http.HttpRequest.newBuilder(uriOf(key))
+      .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()))
+    if (resp.statusCode() == 404) None
+    else if (resp.statusCode() == 200)
+      Some((resp.headers().firstValue("Content-Length-Hint").orElse("0").toLong,
+        resp.headers().firstValue("Last-Modified-Millis").orElse("0").toLong))
+    else throw new IOException(s"HEAD $key -> ${resp.statusCode()}")
+  }
+
+  /** ListObjectsV2 → (files: (key, size, mtimeMillis), commonPrefixes). */
+  private[fs] def listObjects(prefix: String, delimited: Boolean)
+      : (Seq[(String, Long, Long)], Seq[String]) = {
+    val q = "/?list-type=2&prefix=" +
+      java.net.URLEncoder.encode(prefix, "UTF-8") +
+      (if (delimited) "&delimiter=%2F" else "")
+    val resp = send(java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(endpoint + q)).GET())
+    if (resp.statusCode() != 200)
+      throw new IOException(s"LIST $prefix -> ${resp.statusCode()}")
+    val xml = new String(resp.body(), "UTF-8")
+    def unescape(s: String): String =
+      s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    val contents = "<Contents><Key>(.*?)</Key><Size>(\\d+)</Size><LastModified>(.*?)</LastModified></Contents>".r
+      .findAllMatchIn(xml).map(m => (unescape(m.group(1)), m.group(2).toLong,
+        java.time.Instant.parse(m.group(3)).toEpochMilli)).toSeq
+    val prefixes = "<Prefix>(.*?)</Prefix>".r
+      .findAllMatchIn(xml).map(m => unescape(m.group(1))).toSeq
+    (contents, prefixes)
+  }
+
+  override def getFileStatus(f: Path): FileStatus =
+    head(keyOf(f)) match {
+      case Some((len, mtime)) =>
+        new FileStatus(len, false, 1, partSizeBytes.toLong, mtime, qualify(f))
+      case None =>
+        val (files, prefixes) = listObjects(keyOf(f) + "/", delimited = true)
+        if (files.nonEmpty || prefixes.nonEmpty)
+          new FileStatus(0, true, 1, partSizeBytes.toLong, 0, qualify(f))
+        else throw new java.io.FileNotFoundException(keyOf(f))
+    }
+
+  private def qualify(f: Path): Path =
+    new Path("s3gw", "", keyOf(f))
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val key = keyOf(f)
+    if (head(key).isDefined) return Array(getFileStatus(f))
+    val (files, prefixes) = listObjects(key + "/", delimited = true)
+    if (files.isEmpty && prefixes.isEmpty)
+      throw new java.io.FileNotFoundException(key)
+    (files.map { case (k, len, mtime) =>
+      new FileStatus(len, false, 1, partSizeBytes.toLong, mtime,
+        new Path("s3gw", "", k))
+    } ++ prefixes.map(p =>
+      new FileStatus(0, true, 1, partSizeBytes.toLong, 0,
+        new Path("s3gw", "", p.stripSuffix("/"))))).toArray
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = true
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val key = keyOf(f)
+    val (len, _) = head(key).getOrElse(
+      throw new java.io.FileNotFoundException(key))
+    new FSDataInputStream(new S3GatewayInput(key, len))
+  }
+
+  /** Seekable ranged-GET input: positioned reads map 1:1 to RFC-7233
+    * Range requests — the wire shape of every parquet footer read an
+    * s3a deployment does.
+    */
+  private class S3GatewayInput(key: String, len: Long)
+      extends java.io.InputStream with Seekable with PositionedReadable {
+    private var pos = 0L
+
+    private def ranged(position: Long, n: Int): Array[Byte] = {
+      if (n == 0) return Array.empty
+      val resp = send(java.net.http.HttpRequest.newBuilder(uriOf(key))
+        .header("Range", s"bytes=$position-${position + n - 1}").GET())
+      if (resp.statusCode() == 416) return Array.empty
+      if (resp.statusCode() != 206 && resp.statusCode() != 200)
+        throw new IOException(s"GET $key range -> ${resp.statusCode()}")
+      resp.body()
+    }
+
+    override def read(): Int = {
+      if (pos >= len) return -1
+      val b = ranged(pos, 1)
+      if (b.isEmpty) -1 else { pos += 1; b(0) & 0xff }
+    }
+    override def read(buf: Array[Byte], off: Int, n: Int): Int = {
+      if (pos >= len) return -1
+      val b = ranged(pos, math.min(n.toLong, len - pos).toInt)
+      if (b.isEmpty) return -1
+      System.arraycopy(b, 0, buf, off, b.length)
+      pos += b.length
+      b.length
+    }
+    override def read(position: Long, buf: Array[Byte], off: Int, n: Int): Int = {
+      if (position >= len) return -1
+      val b = ranged(position, math.min(n.toLong, len - position).toInt)
+      if (b.isEmpty) return -1
+      System.arraycopy(b, 0, buf, off, b.length)
+      b.length
+    }
+    override def readFully(position: Long, buf: Array[Byte], off: Int, n: Int): Unit = {
+      var done = 0
+      while (done < n) {
+        val r = read(position + done, buf, off + done, n - done)
+        if (r < 0) throw new java.io.EOFException(s"$key at ${position + done}")
+        done += r
+      }
+    }
+    override def readFully(position: Long, buf: Array[Byte]): Unit =
+      readFully(position, buf, 0, buf.length)
+    override def seek(p: Long): Unit = { pos = p }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    val key = keyOf(f)
+    // disk-buffered upload (the s3a block-output shape): bytes spool to
+    // a local temp file, the PUT/multipart happens at close
+    val tmp = File.createTempFile("s3gwout", ".bin")
+    val out = Files.newOutputStream(tmp.toPath)
+    val wrapped = new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, n: Int): Unit =
+        this.out.write(b, off, n)
+      override def close(): Unit = {
+        super.close()
+        try upload(key, tmp, conditional = !overwrite)
+        finally { tmp.delete(); () }
+      }
+    }
+    new FSDataOutputStream(wrapped, null)
+  }
+
+  private def upload(key: String, src: File, conditional: Boolean): Unit = {
+    if (!conditional && src.length() > partSizeBytes) { multipart(key, src); return }
+    val b = java.net.http.HttpRequest.newBuilder(uriOf(key))
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofFile(src.toPath))
+    if (conditional) b.header("If-None-Match", "*")
+    val resp = send(b)
+    if (resp.statusCode() == 412)
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"conditional PUT lost: $key exists")
+    if (resp.statusCode() != 200)
+      throw new IOException(s"PUT $key -> ${resp.statusCode()}")
+  }
+
+  private def multipart(key: String, src: File): Unit = {
+    val init = send(java.net.http.HttpRequest.newBuilder(uriOf(key, "?uploads"))
+      .POST(java.net.http.HttpRequest.BodyPublishers.noBody()))
+    if (init.statusCode() != 200)
+      throw new IOException(s"MPU initiate $key -> ${init.statusCode()}")
+    val id = "<UploadId>(.*?)</UploadId>".r
+      .findFirstMatchIn(new String(init.body(), "UTF-8"))
+      .map(_.group(1)).getOrElse(throw new IOException("no UploadId"))
+    try {
+      val total = src.length()
+      var part = 1
+      var off = 0L
+      val in = java.nio.channels.FileChannel.open(src.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        while (off < total) {
+          val n = math.min(partSizeBytes.toLong, total - off).toInt
+          val buf = java.nio.ByteBuffer.allocate(n)
+          while (buf.hasRemaining) {
+            if (in.read(buf, off + buf.position()) < 0)
+              throw new IOException("EOF mid-part")
+          }
+          val resp = send(java.net.http.HttpRequest.newBuilder(
+            uriOf(key, s"?partNumber=$part&uploadId=$id"))
+            .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(buf.array())))
+          if (resp.statusCode() != 200)
+            throw new IOException(s"MPU part $part -> ${resp.statusCode()}")
+          off += n
+          part += 1
+        }
+      } finally in.close()
+      val done = send(java.net.http.HttpRequest.newBuilder(
+        uriOf(key, s"?uploadId=$id"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.noBody()))
+      if (done.statusCode() != 200)
+        throw new IOException(s"MPU complete -> ${done.statusCode()}")
+    } catch {
+      case e: Throwable =>
+        send(java.net.http.HttpRequest.newBuilder(uriOf(key, s"?uploadId=$id"))
+          .DELETE())
+        throw e
+    }
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("append (objects are immutable)")
+
+  private[fs] def copyObject(src: String, dst: String): Unit = {
+    val resp = send(java.net.http.HttpRequest.newBuilder(uriOf(dst))
+      .header("x-amz-copy-source", src)
+      .PUT(java.net.http.HttpRequest.BodyPublishers.noBody()))
+    if (resp.statusCode() != 200)
+      throw new IOException(s"COPY $src -> $dst: ${resp.statusCode()}")
+  }
+
+  private def deleteObject(key: String): Unit = {
+    val resp = send(java.net.http.HttpRequest.newBuilder(uriOf(key)).DELETE())
+    if (resp.statusCode() != 204 && resp.statusCode() != 200)
+      throw new IOException(s"DELETE $key -> ${resp.statusCode()}")
+  }
+
+  /** The real store's "rename": per-object COPY + DELETE — visibly
+    * non-atomic across a prefix, which is exactly why [[FsOps]] only
+    * ever renames SINGLE pointer objects through this verb.
+    */
+  override def rename(src: Path, dst: Path): Boolean = {
+    val sk = keyOf(src)
+    val dk = keyOf(dst)
+    if (head(sk).isDefined) {
+      copyObject(sk, dk); deleteObject(sk); true
+    } else {
+      val (files, _) = listObjects(sk + "/", delimited = false)
+      if (files.isEmpty) return false
+      files.foreach { case (k, _, _) =>
+        copyObject(k, dk + k.stripPrefix(sk)); deleteObject(k)
+      }
+      true
+    }
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val key = keyOf(f)
+    if (head(key).isDefined) { deleteObject(key); return true }
+    val (files, prefixes) = listObjects(key + "/", delimited = false)
+    if (files.isEmpty && prefixes.isEmpty) return false
+    if (!recursive) throw new IOException(s"$key is a non-empty prefix")
+    files.foreach { case (k, _, _) => deleteObject(k) }
+    true
+  }
+}
+
+/** The `SPARK_GRAFT_FS=s3gw` seam binding: the object-store pointer
+  * protocol over the gateway wire, with `carryFile` upgraded to a
+  * SERVER-SIDE COPY (zero data bytes over the wire — what S3A's
+  * `copyFile` does for same-bucket copies).
+  */
+class S3GatewayFsOps(fs: GraftS3FileSystem)
+    extends ObjectStoreFsOps(_ => fs, "s3gw") {
+  override def carryFile(src: Path, dst: Path): Unit =
+    fs.copyObject(src.toUri.getPath, dst.toUri.getPath)
+
+  /** Implicit directories carry NO mtime on a real store, so a staging
+    * TREE's age must derive from its objects: use the NEWEST object —
+    * an in-flight build keeps writing, so its newest object is recent
+    * and the caller's age gate spares it, while true crash debris only
+    * ever gets older. (The base impl reads directory mtimes, which the
+    * gateway's implicit dirs report as 0 — that would classify every
+    * fresh in-flight tree as ancient debris.)
+    */
+  override def stagingDebris(parent: Path): Seq[(Path, Long)] = {
+    val base = parent.toUri.getPath
+    val (all, _) = fs.listObjects(base + "/", delimited = false)
+    val byChild = all.groupBy { case (k, _, _) =>
+      k.drop(base.length + 1).takeWhile(_ != '/') }
+    val committed = byChild.keys.filter(_.endsWith(".ptr")).map { p =>
+      resolveDir(new Path(parent, p.stripSuffix(".ptr"))).getName
+    }.toSet
+    byChild.toSeq.collect {
+      case (name, objs) if FsOps.isStagingName(name) && !committed.contains(name) =>
+        (new Path(parent, name), objs.map(_._3).max)
+    }
+  }
+}
+
+object S3GatewayFsOps {
+  /** Start the gateway (once) and bind the seam over it. */
+  def bound(): S3GatewayFsOps =
+    new S3GatewayFsOps(new GraftS3FileSystem(S3Gateway.ensureStarted()))
+}

@@ -1064,6 +1064,19 @@ object Dedup {
   }
 
   def ensureTriangleEdges(s: SparkSession, d: String): DataFrame = {
+    // CORPUS INVARIANT this artifact leans on (same contract as
+    // dNgramJaccard, restated here because d_kcore's oracle recomputes
+    // the near-dup relation EXACTLY while this Spark side goes through
+    // MinHash banding): banding at the 0.6 threshold is probabilistic
+    // in the [0.6, ~0.9) similarity band, but every true pair on this
+    // corpus sits at jaccard >= 0.92 (miss probability < 1e-4), so the
+    // banded candidate set provably covers the exact relation. The
+    // invariant is ASSERTED, not assumed: OperatorsSpec's
+    // "no borderline near-dup pairs" test recomputes exact blocked
+    // all-pairs jaccard and fails if any pair lands in the
+    // banding-miss-prone band — a future fixture with borderline pairs
+    // breaks the spec before it can tear this persisted artifact away
+    // from the oracle.
     val phys = graft.Stage.ensureArtifact(s, triangleEdgesDir(d)) { tmp =>
       val docs = Tables.documents(s, d)
       val corpus = docs.select("doc_id", "text")

@@ -57,10 +57,20 @@ object KeyService {
     * never ships to executors and per-record RPC storms are
     * impossible regardless of data scale.
     */
-  def http(endpoint: String, timeoutMs: Long = 2000): String => String = {
-    val client = java.net.http.HttpClient.newBuilder()
+  def http(endpoint: String, timeoutMs: Long = 2000,
+      ssl: Option[javax.net.ssl.SSLContext] = None): String => String = {
+    val builder = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
-      .build()
+    // mutual TLS: the reference mounts client cert + private key on its
+    // requests.Session (dks.py:34-60 cert/verify paths); here the same
+    // material arrives as an SSLContext whose KeyManager holds the
+    // client identity and whose TrustManager pins the service CA. The
+    // JDK client presents the cert during the handshake when the server
+    // requests client auth — a wrong or missing cert fails the
+    // HANDSHAKE (an IOException), so it retries/fails through the same
+    // withRetry path as any transport error.
+    ssl.foreach(builder.sslContext)
+    val client = builder.build()
     key => {
       val req = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(s"$endpoint/datakey/actions/decrypt"))
@@ -75,6 +85,33 @@ object KeyService {
           s"key service returned ${resp.statusCode()} for decrypt")
       resp.body()
     }
+  }
+
+  /** Build the mutual-TLS SSLContext from deployment cert material —
+    * the reference's cert configuration (dks.py:34-60: client cert +
+    * key and a CA bundle on the session) as PKCS12 stores: `keyStore`
+    * holds THIS client's certificate + private key (presented to the
+    * service), `trustStore` holds the service CA (what this client
+    * accepts). Pure JDK — javax.net.ssl over java.security.KeyStore —
+    * so the same helper serves any deployment that can mint PKCS12.
+    */
+  def mtlsContext(keyStorePath: String, keyStorePass: Array[Char],
+      trustStorePath: String, trustStorePass: Array[Char]): javax.net.ssl.SSLContext = {
+    def load(path: String, pass: Array[Char]): java.security.KeyStore = {
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+      try ks.load(in, pass) finally in.close()
+      ks
+    }
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(load(keyStorePath, keyStorePass), keyStorePass)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(load(trustStorePath, trustStorePass))
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+    ctx
   }
 
   /** Retry wrapper for the resolver — the reference's RetryConfig

@@ -331,6 +331,36 @@ object PipelineQueries {
     """SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** B9v: the VARIANT-STORE twin of p_json_extract — same Hive-export
+    * semantics (ingesters.py:283-339's from_json → select val.*), same
+    * oracle, but the record JSON is parsed ONCE at ingest into a
+    * VariantType parquet artifact (range-laid-out on (id_part, id),
+    * the export's own clustering) and the registered query answers
+    * from the STORED binary with variant_get — zero parse_json on the
+    * read path. p_json_extract is the slowest reference-semantics row
+    * at sf1 (~9.6 s, one from_json per row per query); this is the
+    * measured 100 TB swap: the corpus's parse cost moves from
+    * every-query to once-at-ingest, and Spark 4.x shreds the stored
+    * variant's extracted paths into columnar fields at scan time.
+    */
+  def pJsonExtractVariant(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(
+      s"/tmp/graft_varexport_${graft.Stage.sourceFingerprint(d, "documents")}")
+    val phys = graft.Stage.ensureArtifact(s, base) { tmp =>
+      pipelined(s, d)
+        .select(col("id_part"), col("id"), col("val"))
+        .repartitionByRange(col("id_part"), col("id"))
+        .select(parse_json(col("val")).as("v"))
+        .write.parquet(tmp.getPath)
+    }
+    s.read.parquet(phys.getPath)
+      .select(
+        variant_get(col("v"), "$.lang", "string").as("lang"),
+        variant_get(col("v"), "$.n_chars", "bigint").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"), sum("n_chars").as("total_chars"))
+  }
+
   /** B10: INSERT/DELETE classification + delete filtering accounting. */
   def pDeleteFlag(s: SparkSession, d: String): DataFrame =
     pipelined(s, d)
@@ -1057,6 +1087,13 @@ object PipelineQueries {
     val newestPhys = graft.Stage.resolved(newest)
     val orphan = graft.Stage.stagingDir(newest, "build")
     orphan.mkdirs()
+    // a crashed build leaves PARTIAL DATA FILES, never a bare dir — and
+    // on an object store the tree IS its objects (an empty prefix does
+    // not exist, and implicit dirs have no mtime: the s3gw seam derives
+    // tree age from the newest object), so the fixture must carry one
+    val partial = new java.io.File(orphan, "part-00000.parquet")
+    java.nio.file.Files.write(partial.toPath, Array[Byte](0x50, 0x41, 0x52))
+    partial.setLastModified(newestPhys.lastModified - 3600000L)
     orphan.setLastModified(newestPhys.lastModified - 3600000L)
     val inflight = graft.Stage.stagingDir(
       new java.io.File(s"$base/gen${files.length + 1}"), "build")
@@ -1238,6 +1275,9 @@ object PipelineQueries {
     QueryDef("p_daily_increment", pDailyIncrement, Some(pDailyIncrementSql)),
     QueryDef("p_merge_snapshot", pMergeSnapshot, Some(pMergeSnapshotSql)),
     QueryDef("p_json_extract", pJsonExtract, Some(pJsonExtractSql)),
+    // identical oracle BY DESIGN: the variant store must be
+    // indistinguishable from the per-row-parse path under the hash gate
+    QueryDef("p_json_extract_variant", pJsonExtractVariant, Some(pJsonExtractSql)),
     QueryDef("p_delete_flag", pDeleteFlag, Some(pDeleteFlagSql)),
   )
 }

@@ -765,14 +765,27 @@ object Stats {
     * division of exact integers.
     */
   def qElasticity(s: SparkSession, d: String): DataFrame = {
+    // GUARD BAND on the ln() quantization (round-14 advisor fix): the
+    // two engines' libm ln() are each <=1 ulp but not identical, so a
+    // value whose ln*1000 fractional part sits ~1e-12 from the 0.5
+    // rounding boundary could FLOOR differently per engine and flip
+    // the BIGINT fixed point. Rows within 1e-9 of the boundary are
+    // excluded IDENTICALLY in both engines; a cross-engine flip now
+    // needs the frac part within ~2e-12 of the 1e-9 guard edge itself
+    // (where both engines already agree on the FLOOR) — ~400x narrower
+    // than the unguarded hazard, and the dropped rows are a ~2e-6
+    // fraction, statistically invisible to an OLS slope.
+    def guarded(lnOf: String): String =
+      s"""ABS($lnOf * 1000 - FLOOR($lnOf * 1000) - 0.5) > 1e-9"""
+    val lnPrice = "ln(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+    val lnQty = "ln(CAST(l_quantity AS BIGINT))"
     val base = Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
+      .where(expr(guarded(lnPrice)) && expr(guarded(lnQty)))
       .select(col("p_brand").as("brand"),
-        expr("""CAST(FLOOR(ln(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-                * 1000 + 0.5) AS BIGINT) - 14000""").as("x"),
-        expr("""CAST(FLOOR(ln(CAST(l_quantity AS BIGINT)) * 1000 + 0.5) AS BIGINT)""")
-          .as("y"))
+        expr(s"CAST(FLOOR($lnPrice * 1000 + 0.5) AS BIGINT) - 14000").as("x"),
+        expr(s"CAST(FLOOR($lnQty * 1000 + 0.5) AS BIGINT)").as("y"))
     base.groupBy("brand")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
@@ -788,7 +801,12 @@ object Stats {
       |    CAST(FLOOR(ln(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
       |         * 1000 + 0.5) AS BIGINT) - 14000 AS x,
       |    CAST(FLOOR(ln(CAST(l_quantity AS BIGINT)) * 1000 + 0.5) AS BIGINT) AS y
-      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE ABS(ln(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) * 1000
+      |            - FLOOR(ln(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) * 1000)
+      |            - 0.5) > 1e-9
+      |    AND ABS(ln(CAST(l_quantity AS BIGINT)) * 1000
+      |            - FLOOR(ln(CAST(l_quantity AS BIGINT)) * 1000) - 0.5) > 1e-9),
       |sums AS (
       |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,

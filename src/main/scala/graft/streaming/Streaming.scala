@@ -83,6 +83,14 @@ object Streaming {
     // scoped to planning: the streaming query captures the value at
     // start(); batch queries planned afterwards see the restored conf
     spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    // event-time timeouts fire only in a NO-DATA micro-batch after the
+    // last data batch advances the watermark; under AvailableNow that
+    // final empty batch exists only while noDataMicroBatches is enabled
+    // (default true, but deployment-overridable). The trailing-tail
+    // state machines (st_stale_users' stale emissions, session closes)
+    // silently lose their tail rows without it — pin it here, where
+    // every drained query starts, rather than trusting the default.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q =
       try {
         val q0 = streamed.writeStream

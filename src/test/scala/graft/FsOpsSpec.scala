@@ -1,6 +1,6 @@
 package graft
 
-import graft.fs.{FsOps, HadoopFsOps, ObjectStoreFsOps, PosixFsOps}
+import graft.fs.{FsOps, HadoopFsOps, ObjectStoreFsOps, PosixFsOps, S3GatewayFsOps}
 
 /** The filesystem seam (graft.fs.FsOps): every Delta-parity verb must
   * produce IDENTICAL answers whether the publish layer is POSIX hard
@@ -16,6 +16,11 @@ import graft.fs.{FsOps, HadoopFsOps, ObjectStoreFsOps, PosixFsOps}
   * shared-inode behavior that copies deliberately do not have).
   */
 class FsOpsSpec extends SparkSpec {
+
+  // the HTTP object-store gateway binding (S3 wire protocol against a
+  // loopback server; see graft.fs.S3Gateway) — started once, shared by
+  // every parity leg below
+  private lazy val s3gw: FsOps = S3GatewayFsOps.bound()
 
   private def fileKey(f: java.io.File) =
     java.nio.file.Files.readAttributes(f.toPath,
@@ -73,7 +78,7 @@ class FsOpsSpec extends SparkSpec {
       // (pure bytes — the S3A stand-in) and the configuration-routed
       // Hadoop lookup (checksummed LocalFileSystem — a real FileSystem
       // impl with sidecar objects, the s3a:// binding's code path)
-      Seq[FsOps](ObjectStoreFsOps, HadoopFsOps).foreach { impl =>
+      Seq[FsOps](ObjectStoreFsOps, HadoopFsOps, s3gw).foreach { impl =>
         wipeArtifacts()
         val got = FsOps.withFs(impl) {
           covered.map(n => n -> rows(n)).toMap
@@ -90,7 +95,7 @@ class FsOpsSpec extends SparkSpec {
   test("publishFile: atomic single-file commit, loser retires, debris sweepable") {
     val root = java.nio.file.Files.createTempDirectory("graft_pubfile").toFile
     try {
-      Seq[FsOps](PosixFsOps, ObjectStoreFsOps, HadoopFsOps).foreach { impl =>
+      Seq[FsOps](PosixFsOps, ObjectStoreFsOps, HadoopFsOps, s3gw).foreach { impl =>
         FsOps.withFs(impl) {
           val parent = new java.io.File(root, impl.name); parent.mkdirs()
           val target = new java.io.File(parent, "codebook")
@@ -137,7 +142,7 @@ class FsOpsSpec extends SparkSpec {
   test("staging-debris GC: old orphans swept, live commits and fresh stagings survive") {
     val root = java.nio.file.Files.createTempDirectory("graft_gc").toFile
     try {
-      Seq[FsOps](PosixFsOps, ObjectStoreFsOps, HadoopFsOps).foreach { impl =>
+      Seq[FsOps](PosixFsOps, ObjectStoreFsOps, HadoopFsOps, s3gw).foreach { impl =>
         FsOps.withFs(impl) {
           val parent = new java.io.File(root, impl.name); parent.mkdirs()
           // publish one artifact through the seam — under the
@@ -154,9 +159,17 @@ class FsOpsSpec extends SparkSpec {
           // possibly-in-flight fresh staging tree
           val orphan = Stage.stagingDir(target, "build")
           orphan.mkdirs()
+          // crash debris carries partial files (an empty prefix does
+          // not even exist on an object store; tree age there derives
+          // from the newest object, so age the file too)
+          val partial = new java.io.File(orphan, "part-00000.parquet")
+          java.nio.file.Files.write(partial.toPath, "partial".getBytes("UTF-8"))
+          partial.setLastModified(System.currentTimeMillis - 7200000L)
           orphan.setLastModified(System.currentTimeMillis - 7200000L)
           val fresh = Stage.stagingDir(target, "build")
           fresh.mkdirs()
+          val freshFile = new java.io.File(fresh, "part-00000.parquet")
+          java.nio.file.Files.write(freshFile.toPath, "inflight".getBytes("UTF-8"))
           val swept = Stage.gcStagingDebris(parent,
             System.currentTimeMillis - 3600000L)
           assert(swept === Seq(orphan.getName),
@@ -178,7 +191,7 @@ class FsOpsSpec extends SparkSpec {
     // torn-window emulation nondeterministic locally — the store-side
     // atomicity it models is covered by the other two.
     try {
-      Seq[FsOps](PosixFsOps, ObjectStoreFsOps).foreach { impl =>
+      Seq[FsOps](PosixFsOps, ObjectStoreFsOps, s3gw).foreach { impl =>
         FsOps.withFs(impl) {
           (0 until 6).foreach { round =>
             val parent = new java.io.File(root, s"${impl.name}_$round")

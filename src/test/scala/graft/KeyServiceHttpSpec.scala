@@ -107,6 +107,106 @@ class KeyServiceHttpSpec extends SparkSpec {
     }
   }
 
+  /** keytool-minted throwaway PKCS12 material for the mTLS legs: a
+    * server identity (SAN=ip:127.0.0.1 so JDK hostname verification
+    * passes against the loopback address), a TRUSTED client identity,
+    * and a ROGUE client identity the server has never seen. Pure JDK
+    * tooling — no cert fixtures checked in, everything minted per run.
+    */
+  private def mintMtlsMaterial(): Option[java.io.File] = {
+    val keytool = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "keytool")
+    if (!keytool.isFile) return None
+    val dir = java.nio.file.Files.createTempDirectory("graft_mtls").toFile
+    def run(args: String*): Unit = {
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(keytool.getPath)
+      args.foreach(cmd.add)
+      val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"keytool ${args.head} failed:\n$out")
+    }
+    def genpair(alias: String, san: Boolean): Unit = {
+      val base = Seq("-genkeypair", "-alias", alias, "-keyalg", "RSA",
+        "-keysize", "2048", "-dname", s"CN=$alias", "-validity", "1",
+        "-storetype", "PKCS12", "-keystore", s"$dir/$alias.p12",
+        "-storepass", "changeit")
+      run((if (san) base ++ Seq("-ext", "SAN=ip:127.0.0.1") else base): _*)
+      run("-exportcert", "-alias", alias, "-keystore", s"$dir/$alias.p12",
+        "-storepass", "changeit", "-file", s"$dir/$alias.cer")
+    }
+    genpair("server", san = true)
+    genpair("client", san = false)
+    genpair("rogue", san = false)
+    // server trusts ONLY the client cert; both clients trust the server
+    run("-importcert", "-noprompt", "-alias", "client",
+      "-file", s"$dir/client.cer", "-storetype", "PKCS12",
+      "-keystore", s"$dir/server_trust.p12", "-storepass", "changeit")
+    run("-importcert", "-noprompt", "-alias", "server",
+      "-file", s"$dir/server.cer", "-storetype", "PKCS12",
+      "-keystore", s"$dir/client_trust.p12", "-storepass", "changeit")
+    Some(dir)
+  }
+
+  test("mutual TLS: trusted client cert resolves; rogue cert fails the handshake") {
+    // the reference's DKS transport is HTTPS with client certs
+    // (dks.py:34-60: cert=(crt, key), verify=ca on the session) — this
+    // leg runs the REAL handshake: an HttpsServer requiring client
+    // auth, a client whose PKCS12 identity the server trusts, and a
+    // rogue client whose identity it does not.
+    val dir = mintMtlsMaterial().getOrElse(cancel("keytool unavailable"))
+    try {
+      val serverCtx = KeyService.mtlsContext(
+        s"$dir/server.p12", "changeit".toCharArray,
+        s"$dir/server_trust.p12", "changeit".toCharArray)
+      val server =
+        try com.sun.net.httpserver.HttpsServer.create(
+          new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+        catch {
+          case e: java.io.IOException =>
+            cancel(s"loopback bind unavailable: ${e.getMessage}")
+        }
+      server.setHttpsConfigurator(
+        new com.sun.net.httpserver.HttpsConfigurator(serverCtx) {
+          override def configure(p: com.sun.net.httpserver.HttpsParameters): Unit = {
+            val sp = serverCtx.getDefaultSSLParameters
+            sp.setNeedClientAuth(true) // mTLS: no client cert, no service
+            p.setSSLParameters(sp)
+          }
+        })
+      val hits = new AtomicInteger(0)
+      server.createContext("/datakey/actions/decrypt", (ex: HttpExchange) => {
+        hits.incrementAndGet()
+        try respond(ex, 200, readKey(ex) + "-decrypted") finally ex.close()
+      })
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+      server.start()
+      val endpoint = s"https://127.0.0.1:${server.getAddress.getPort}"
+      try {
+        // trusted identity: handshake completes, resolution lands
+        val good = KeyService.withRetry(maxRetries = 1, backoffMs = 1)(
+          KeyService.http(endpoint, ssl = Some(KeyService.mtlsContext(
+            s"$dir/client.p12", "changeit".toCharArray,
+            s"$dir/client_trust.p12", "changeit".toCharArray))))
+        assert(good("k1") === "k1-decrypted")
+        assert(hits.get() === 1)
+        // rogue identity: the server rejects the UNTRUSTED client cert
+        // during the handshake — resolution fails after retries and the
+        // handler is never reached
+        val before = hits.get()
+        val rogue = KeyService.withRetry(maxRetries = 1, backoffMs = 1)(
+          KeyService.http(endpoint, ssl = Some(KeyService.mtlsContext(
+            s"$dir/rogue.p12", "changeit".toCharArray,
+            s"$dir/client_trust.p12", "changeit".toCharArray))))
+        val e = intercept[RuntimeException](rogue("k2"))
+        assert(e.getMessage.contains("after 2 attempts"))
+        assert(e.getCause.isInstanceOf[java.io.IOException],
+          s"handshake failure must surface as transport error, got ${e.getCause}")
+        assert(hits.get() === before, "rogue request must never reach the handler")
+      } finally server.stop(0)
+    } finally Stage.deleteRecursively(dir)
+  }
+
   test("eventual failure: a dead service exhausts retries with a diagnosable error") {
     withStub((ex, _) => respond(ex, 503, "")) { (endpoint, hits) =>
       val resolve = KeyService.withRetry(maxRetries = 2, backoffMs = 1)(

@@ -1716,4 +1716,41 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
   }
+
+  test("corpus invariant: no borderline near-dup pairs in the banding-miss band") {
+    // The d_kcore triangle-edge artifact (and every consumer of
+    // dNgramJaccard's MinHash-banded candidates) relies on the corpus
+    // having NO true pair in the [0.6, 0.9) jaccard band, where 0.6-
+    // threshold banding is probabilistic. Recompute the EXACT blocked
+    // all-pairs jaccard here — no banding anywhere in this plan — and
+    // assert (a) the band is empty and (b) the exact relation equals
+    // the operator's banded+verified output, so a future fixture with
+    // borderline pairs fails THIS spec instead of silently tearing the
+    // persisted artifact away from the exact oracle.
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.char_gram_hashes(col("text"), 5).as("g"))
+      .withColumn("ng", size(col("g")))
+    val exact = grams.as("x").join(grams.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        graft.functions.sorted_intersect_count(col("x.g"), col("y.g")).as("inter"),
+        (col("x.ng") + col("y.ng")).as("sz"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sz") - col("inter")).cast("long").as("uni"))
+    val inBand = exact
+      .filter(col("inter") * 5 >= col("uni") * 3 &&
+        col("inter") * 10 < col("uni") * 9) // 0.6 <= j < 0.9
+      .count()
+    assert(inBand === 0L,
+      s"$inBand exact near-dup pairs fall in the banding-miss-prone " +
+        "[0.6, 0.9) band — dNgramJaccard/d_kcore's superset contract no " +
+        "longer holds on this corpus")
+    val exactSet = exact.filter(col("inter") * 5 >= col("uni") * 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.dNgramJaccard(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === exactSet, "banded+verified pairs must equal exact all-pairs")
+  }
 }

@@ -491,6 +491,25 @@ class PlanShapeSpec extends SparkSpec {
       s"variant extraction should be pushed into the scan as shredded fields:\n$storedPlan")
   }
 
+  test("p_json_extract_variant: read path has zero JSON parses (parse-once store)") {
+    // same contract as q_variant_store, applied to the Hive-export
+    // path: after the ingest-side artifact exists, the registered
+    // query's plan must contain no from_json/parse_json — the whole
+    // point of the variant swap for the slowest sf1 reference row
+    val df = graft.queries.PipelineQueries.pJsonExtractVariant(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert("parseJson".r.findAllIn(plan).isEmpty,
+      s"variant export read path must not re-parse JSON:\n$plan")
+    assert(!plan.contains("from_json"),
+      s"variant export read path must not carry from_json:\n$plan")
+    // and it must agree with the per-row-parse path it replaces
+    val classic = graft.queries.PipelineQueries.pJsonExtract(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val variant = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(variant === classic)
+  }
+
   test("aggregations keep map-side partial aggregation") {
     val q1 = graft.queries.Analytics.q1Agg(spark, sfDir)
     val aggs = executed(q1).collect {

@@ -1,0 +1,149 @@
+package graft
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+
+import graft.fs.{GraftS3FileSystem, S3Gateway}
+
+/** The S3 wire protocol itself (graft.fs.S3Gateway): the capabilities
+  * the seam's object-store binding rides, each exercised over REAL
+  * HTTP against the loopback gateway — conditional PUT atomicity under
+  * a 16-wide race, multipart upload, ranged GETs, per-object
+  * COPY+DELETE "rename" with list-after-rename visibility, and
+  * S3-true implicit directories. FsOpsSpec separately proves the full
+  * seam parity (every covered operator, identical answers) under the
+  * `s3gw` binding.
+  */
+class S3GatewaySpec extends SparkSpec {
+
+  private lazy val endpoint: String =
+    try S3Gateway.ensureStarted()
+    catch {
+      case e: java.io.IOException =>
+        cancel(s"loopback bind unavailable: ${e.getMessage}")
+    }
+
+  private def freshRoot(tag: String): java.io.File = {
+    val d = new java.io.File(s"/tmp/graft_s3gw_spec_$tag")
+    Stage.deleteRecursively(d)
+    d.mkdirs()
+    d
+  }
+
+  test("conditional PUT: 16 racing create(overwrite=false) admit exactly one winner") {
+    val fs = new GraftS3FileSystem(endpoint)
+    val root = freshRoot("cas")
+    try {
+      val target = new Path(new java.io.File(root, "commit.ptr").getPath)
+      val pool = Executors.newFixedThreadPool(16)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futures = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            try {
+              val out = fs.create(target, false)
+              out.write(s"writer-$i".getBytes("UTF-8"))
+              out.close() // the conditional PUT happens here
+              true
+            } catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val wins = futures.count(_.get(30, TimeUnit.SECONDS))
+      pool.shutdownNow()
+      assert(wins === 1, s"conditional PUT must admit exactly one writer, got $wins")
+      val body = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(root, "commit.ptr").toPath), "UTF-8")
+      assert(body.matches("writer-\\d+"), s"torn commit body: $body")
+    } finally Stage.deleteRecursively(root)
+  }
+
+  test("multipart upload: a large create goes initiate/parts/complete and reads back intact") {
+    // 64 KiB parts so a ~200 KiB object takes 4 parts
+    val fs = new GraftS3FileSystem(endpoint, partSizeBytes = 64 * 1024)
+    val root = freshRoot("mpu")
+    try {
+      val bytes = Array.tabulate[Byte](200 * 1024 + 17)(i => (i * 31 + 7).toByte)
+      val target = new Path(new java.io.File(root, "blob.bin").getPath)
+      val (i0, p0, c0) = (S3Gateway.opCount("mpu_initiate"),
+        S3Gateway.opCount("mpu_part"), S3Gateway.opCount("mpu_complete"))
+      val out = fs.create(target, true)
+      out.write(bytes)
+      out.close()
+      assert(S3Gateway.opCount("mpu_initiate") === i0 + 1, "must initiate one upload")
+      assert(S3Gateway.opCount("mpu_part") === p0 + 4, "200KiB+17 at 64KiB parts = 4 parts")
+      assert(S3Gateway.opCount("mpu_complete") === c0 + 1, "must complete the upload")
+      val got = java.nio.file.Files.readAllBytes(
+        new java.io.File(root, "blob.bin").toPath)
+      assert(java.util.Arrays.equals(got, bytes), "multipart reassembly corrupted bytes")
+      // and the ranged-GET read path sees the same bytes at arbitrary offsets
+      val in = fs.open(target, 4096)
+      val mid = new Array[Byte](1000)
+      in.readFully(65536 - 500, mid) // spans the part-1/part-2 seam
+      assert(java.util.Arrays.equals(mid,
+        java.util.Arrays.copyOfRange(bytes, 65536 - 500, 65536 + 500)),
+        "ranged read across a part boundary diverged")
+      in.seek(bytes.length - 3)
+      val tail = new Array[Byte](3)
+      in.readFully(bytes.length - 3L, tail)
+      assert(java.util.Arrays.equals(tail,
+        java.util.Arrays.copyOfRange(bytes, bytes.length - 3, bytes.length)))
+      in.close()
+    } finally Stage.deleteRecursively(root)
+  }
+
+  test("rename is per-object COPY+DELETE; listing immediately after sees the move complete") {
+    val fs = new GraftS3FileSystem(endpoint)
+    val root = freshRoot("rename")
+    try {
+      val src = new java.io.File(root, "src")
+      (0 until 5).foreach { i =>
+        val f = new java.io.File(src, s"part-$i.parquet")
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.write(f.toPath, s"data-$i".getBytes("UTF-8"))
+      }
+      val (cp0, del0) = (S3Gateway.opCount("copy"), S3Gateway.opCount("delete"))
+      assert(fs.rename(new Path(src.getPath),
+        new Path(new java.io.File(root, "dst").getPath)))
+      // the real store's "rename" shape: one server-side COPY and one
+      // DELETE per object — never an atomic namespace operation
+      assert(S3Gateway.opCount("copy") === cp0 + 5)
+      assert(S3Gateway.opCount("delete") === del0 + 5)
+      // list-after-rename visibility (modern S3 strong consistency):
+      // the destination lists complete, the source prefix is GONE
+      val dstList = fs.listStatus(new Path(new java.io.File(root, "dst").getPath))
+      assert(dstList.map(_.getPath.getName).sorted.toSeq ===
+        (0 until 5).map(i => s"part-$i.parquet"))
+      intercept[java.io.FileNotFoundException] {
+        fs.listStatus(new Path(src.getPath))
+      }
+      (0 until 5).foreach { i =>
+        val got = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(root, s"dst/part-$i.parquet").toPath), "UTF-8")
+        assert(got === s"data-$i")
+      }
+    } finally Stage.deleteRecursively(root)
+  }
+
+  test("implicit directories: a prefix exists iff an object extends it") {
+    val fs = new GraftS3FileSystem(endpoint)
+    val root = freshRoot("dirs")
+    try {
+      val f = new java.io.File(root, "a/b/obj")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, "x".getBytes("UTF-8"))
+      val a = new Path(new java.io.File(root, "a").getPath)
+      assert(fs.getFileStatus(a).isDirectory)
+      assert(fs.listStatus(a).map(_.getPath.getName).toSeq === Seq("b"))
+      // delete the only object: the whole implicit chain vanishes
+      assert(fs.delete(new Path(f.getPath), false))
+      intercept[java.io.FileNotFoundException](fs.getFileStatus(a))
+      assert(!fs.exists(new Path(f.getParent.toString)))
+    } finally Stage.deleteRecursively(root)
+  }
+}
