@@ -60,14 +60,49 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1_skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPILL MODE (round 14): a single 8 GB JVM absorbs a 70%-hot
+    // reducer partition in memory, so the penalty salting mitigates on
+    // a real cluster (one reducer sorting the hot key's rows THROUGH
+    // SPILL) never materializes and the join pair reads as parity. Run
+    // with SPARK_GRAFT_SKEW_SPILL=1 (and SPARK_DRIVER_MEM=1g) to
+    // spill-constrain the executors — spark.memory.fraction shrinks
+    // execution memory until the naive join's hot sort demonstrably
+    // spills (reported per leg from stage task metrics) — and record
+    // whether the mitigation wins WHEN SPILL IS REAL, either way.
+    val spillMode = sys.env.get("SPARK_GRAFT_SKEW_SPILL").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (spillMode) {
+      builder.config("spark.memory.fraction",
+        sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.1"))
+      builder.config("spark.memory.storageFraction", "0.2")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    // per-leg spill accounting off the stage task metrics (listener
+    // delivery is async — legs snapshot after a short drain pause)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null)
+          spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        ()
+      }
+    })
+    def spillOf[A](body: => A): (Double, Long, A) = {
+      Thread.sleep(300)
+      val s0 = spillBytes.get()
+      val (t, a) = timed(body)
+      Thread.sleep(300) // let straggler stage-completed events land
+      (t, spillBytes.get() - s0, a)
+    }
 
     // the naive twins must face the raw shuffle: no broadcast escape
     // hatch, no adaptive re-plan unless the pair is ABOUT adaptive
@@ -77,13 +112,19 @@ object SkewBench {
     // ---- fixture: fact = events (hot user ≈70%), dim = one row per
     // user (the profile-join shape). Both persisted and materialized
     // so every timed leg measures ONLY its join strategy.
+    // spill mode pins the inputs to DISK_ONLY: execution memory is the
+    // scarce resource under test, and cached input blocks must not
+    // compete for it (nor vary between legs)
+    val level =
+      if (spillMode) org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val fact = Tables.events(spark, sfDir)
       .select(col("user_id"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-      .persist()
+      .persist(level)
     val dim = fact.select("user_id").distinct()
       .withColumn("segment", pmod(col("user_id"), lit(7L)))
-      .persist()
+      .persist(level)
     val nFact = fact.count()
     val nDim = dim.count()
     val hotShare = fact.groupBy("user_id").count()
@@ -97,6 +138,34 @@ object SkewBench {
     // warmup: run the plain join once so codegen/shuffle machinery is
     // primed before any timed leg
     aggOf(fact.join(dim, "user_id"))
+
+    if (spillMode) {
+      // join pair only, two samples each (best-of reported), with
+      // per-leg spill bytes — the verdict is recorded whether or not
+      // the mitigation wins
+      def naive() = spillOf(aggOf(fact.join(dim, "user_id")))
+      def salted() = spillOf(aggOf(
+        Skew.saltedJoin(fact, dim, Seq("user_id"), salts = 8)))
+      val (tN1, spN1, rN) = naive()
+      val (tS1, spS1, rS) = salted()
+      require(canon(rS) == canon(rN),
+        "salted join diverged from the plain join under spill constraints")
+      val (tN2, spN2, _) = naive()
+      val (tS2, spS2, _) = salted()
+      val heap = Runtime.getRuntime.maxMemory()
+      def f(d: Double) = f"$d%.3f"
+      println(
+        s"""{"metric":"skew_spill","sf":"$sfDir","n_events":$nFact,""" +
+        s""""n_users":$nDim,"hot_user_share":${f(hotShare)},""" +
+        s""""heap_bytes":$heap,"memory_fraction":${
+          spark.conf.get("spark.memory.fraction")},"pairs":{""" +
+        s""""join_spill":{"naive":${f(math.min(tN1, tN2))},""" +
+        s""""mitigated":${f(math.min(tS1, tS2))},""" +
+        s""""naive_spill_bytes":${math.max(spN1, spN2)},""" +
+        s""""mitigated_spill_bytes":${math.max(spS1, spS2)}}}}""")
+      spark.stop()
+      return
+    }
 
     // ---- pair 1: plain shuffle join vs salted join ----
     val (tNaive, rNaive) = timed(aggOf(fact.join(dim, "user_id")))
