@@ -72,8 +72,23 @@ object S3Gateway {
             catch { case _: IOException => () }
         } finally ex.close()
       })
-      s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
-      s.start()
+      // daemon threads: the gateway must never keep a finished JVM
+      // alive (Verify hung after completing its dump without this)
+      s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
+        (r: Runnable) => {
+          val t = new Thread(r, "s3gw-worker")
+          t.setDaemon(true)
+          t
+        }))
+      // start() from a daemon thread: HttpServer's internal
+      // HTTP-Dispatcher thread inherits daemon status from its creator,
+      // and a NON-daemon dispatcher keeps a finished JVM alive forever
+      // (measured: Verify completed its dump, then hung at
+      // DestroyJavaVM behind the dispatcher)
+      val starter = new Thread(() => s.start(), "s3gw-starter")
+      starter.setDaemon(true)
+      starter.start()
+      starter.join()
       server = s
       port = s.getAddress.getPort
     }
