@@ -288,11 +288,29 @@ object S3Gateway {
             java.util.UUID.randomUUID.toString.take(8))
         val out = Files.newOutputStream(tmp.toPath)
         try parts.foreach(p => Files.copy(p.toPath, out)) finally out.close()
-        Files.move(tmp.toPath, target.toPath,
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-        parts.foreach(_.delete())
-        new File(dir, ".key").delete()
-        dir.delete()
+        def cleanup(): Unit = {
+          parts.foreach(_.delete())
+          new File(dir, ".key").delete()
+          dir.delete()
+          ()
+        }
+        // CONDITIONAL complete (S3 2024: If-None-Match on
+        // CompleteMultipartUpload) — same link(2) atomicity as the
+        // single-object conditional PUT, so large objects can commit
+        // first-writer-wins too
+        if (Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")) {
+          try { Files.createLink(target.toPath, tmp.toPath); () }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp.toPath)
+              cleanup()
+              respond(ex, 412, Array.empty)
+              return
+          } finally Files.deleteIfExists(tmp.toPath)
+        } else
+          Files.move(tmp.toPath, target.toPath,
+            StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        cleanup()
         respond(ex, 200, "<CompleteMultipartUploadResult/>".getBytes("UTF-8"))
 
       case ("DELETE", _) if q.contains("uploadId") =>
@@ -488,7 +506,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
   }
 
   private def upload(key: String, src: File, conditional: Boolean): Unit = {
-    if (!conditional && src.length() > partSizeBytes) { multipart(key, src); return }
+    if (src.length() > partSizeBytes) { multipart(key, src, conditional); return }
     val b = java.net.http.HttpRequest.newBuilder(uriOf(key))
       .PUT(java.net.http.HttpRequest.BodyPublishers.ofFile(src.toPath))
     if (conditional) b.header("If-None-Match", "*")
@@ -500,7 +518,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
       throw new IOException(s"PUT $key -> ${resp.statusCode()}")
   }
 
-  private def multipart(key: String, src: File): Unit = {
+  private def multipart(key: String, src: File, conditional: Boolean = false): Unit = {
     val init = send(java.net.http.HttpRequest.newBuilder(uriOf(key, "?uploads"))
       .POST(java.net.http.HttpRequest.BodyPublishers.noBody()))
     if (init.statusCode() != 200)
@@ -531,9 +549,14 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
           part += 1
         }
       } finally in.close()
-      val done = send(java.net.http.HttpRequest.newBuilder(
+      val doneReq = java.net.http.HttpRequest.newBuilder(
         uriOf(key, s"?uploadId=$id"))
-        .POST(java.net.http.HttpRequest.BodyPublishers.noBody()))
+        .POST(java.net.http.HttpRequest.BodyPublishers.noBody())
+      if (conditional) doneReq.header("If-None-Match", "*")
+      val done = send(doneReq)
+      if (done.statusCode() == 412)
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"conditional multipart complete lost: $key exists")
       if (done.statusCode() != 200)
         throw new IOException(s"MPU complete -> ${done.statusCode()}")
     } catch {

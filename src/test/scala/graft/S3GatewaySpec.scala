@@ -97,6 +97,43 @@ class S3GatewaySpec extends SparkSpec {
     } finally Stage.deleteRecursively(root)
   }
 
+  test("conditional MULTIPART complete: racing large creates admit exactly one winner") {
+    // S3's 2024 capability set allows If-None-Match on
+    // CompleteMultipartUpload — so first-writer-wins holds at ANY
+    // object size, not just single-PUT-sized commits
+    val fs = new GraftS3FileSystem(endpoint, partSizeBytes = 64 * 1024)
+    val root = freshRoot("mpucas")
+    try {
+      val target = new Path(new java.io.File(root, "big.bin").getPath)
+      val pool = Executors.newFixedThreadPool(4)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futures = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            try {
+              val out = fs.create(target, false)
+              // > 2 parts, writer-tagged bytes so a torn mix is detectable
+              out.write(Array.fill[Byte](150 * 1024)(i.toByte))
+              out.close()
+              true
+            } catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val wins = futures.count(_.get(30, TimeUnit.SECONDS))
+      pool.shutdownNow()
+      assert(wins === 1, s"conditional multipart must admit exactly one writer, got $wins")
+      val got = java.nio.file.Files.readAllBytes(
+        new java.io.File(root, "big.bin").toPath)
+      assert(got.length === 150 * 1024)
+      assert(got.toSet.size === 1, "winner's object mixes bytes from two writers")
+    } finally Stage.deleteRecursively(root)
+  }
+
   test("rename is per-object COPY+DELETE; listing immediately after sees the move complete") {
     val fs = new GraftS3FileSystem(endpoint)
     val root = freshRoot("rename")
