@@ -404,11 +404,11 @@ object Bench {
     * the whole front (`parsed: null`, a 73-query tail) — so per-chunk
     * metadata and the cold map are dropped from stdout (they stay in
     * BENCH_LOCAL.json, the full artifact), and the two maps a
-    * cross-round reader needs to self-adjudicate survive AT THE TAIL in
-    * adjudication order: `restandalone` (the re-measured truth for any
-    * flagged row) immediately before `queries` (the sweep numbers) —
-    * whatever suffix survives truncation pairs each sweep row with its
-    * adjudicated value.
+    * cross-round reader needs to self-adjudicate sit at the VERY END:
+    * `queries` (the sweep numbers), then `restandalone` LAST (the
+    * re-measured truth for any flagged row, ~10 entries) — the tail
+    * that survives any clip always carries the whole adjudication map
+    * plus as much of the sweep map as fits.
     */
   private def emit(line: String): Unit = {
     sys.env.get("SPARK_GRAFT_OUT") match {
@@ -440,7 +440,7 @@ object Bench {
       val out = om.createObjectNode()
       out.set("full_artifact", om.getNodeFactory.textNode("BENCH_LOCAL.json"))
       Seq("metric", "value", "unit", "value_cold", "failed", "sf",
-          "calibration", "warmup_sec", "restandalone", "queries")
+          "calibration", "warmup_sec", "queries", "restandalone")
         .foreach(f => Option(node.get(f)).foreach(out.set[
           com.fasterxml.jackson.databind.JsonNode](f, _)))
       om.writeValueAsString(out)
