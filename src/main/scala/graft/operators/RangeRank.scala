@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Two-phase distributed global rank (SURVEY §5) — the scale path for
+  * every query that needs an EXACT total-order position (row_number /
+  * rank / ntile) over an entity-scale relation, replacing the
+  * single-task `Window.orderBy(...)` sort that caps those queries at
+  * one executor's memory and one task's wall clock at 100 TB.
+  *
+  * Shape (the q_concurrency segmented-scan judgment applied to rank):
+  *
+  *   1. `approxQuantile` on the primary key → ≤buckets-1 range
+  *      boundaries (one sketch pass; any boundary set is CORRECT —
+  *      balance only affects performance, so the sketch's error bound
+  *      never touches the answer).
+  *   2. A MONOTONE bucket id per row, computed from the boundaries as
+  *      a literal-array comparison (no shuffle). Monotone-in-key means
+  *      equal keys always share a bucket, so min-rank (`rank()`) and
+  *      tie counts stay local to one bucket.
+  *   3. Per-(group, bucket) exact counts → driver prefix offsets — a
+  *      BOUNDED collect (≤ |groups|·buckets rows, the PlanLintSpec
+  *      budget discipline) — broadcast-joined back.
+  *   4. `row_number()` over a window PARTITIONED by (group, bucket)
+  *      (a distributed hash-partitioned sort of N/buckets rows per
+  *      task) + the exact offset = the global position. Rank
+  *      arithmetic is integer-exact, so results are bit-identical to
+  *      the single-sort formulation and every existing oracle holds
+  *      unchanged.
+  *
+  * At 100 TB: buckets scales with the cluster (default
+  * spark.sql.shuffle.partitions), each task sorts ~N/buckets rows,
+  * and the only driver traffic is the boundary array and the count
+  * grid. No unpartitioned WindowExec exists in the plan
+  * (PlanShapeSpec pins this for q_gini / q_histogram_eqd / q_mwu).
+  *
+  * The input is persisted (MEMORY_AND_DISK) for the three passes
+  * (sketch, counts, rank) — callers pass the already-compressed
+  * per-entity aggregate, never the raw fact table.
+  */
+object RangeRank {
+
+  /** Append `out` = exact global row_number over
+    * (key asc|desc, tiebreak... asc) within each `group`, and
+    * `nOut` = the group's total row count (for ntile arithmetic).
+    *
+    * `key` must be a non-null numeric column whose values are exact
+    * in DOUBLE (BIGINT cents ≪ 2^53 everywhere this is used).
+    */
+  def withRowNumber(
+      input: DataFrame,
+      key: String,
+      asc: Boolean,
+      tiebreak: Seq[String],
+      out: String,
+      nOut: String,
+      group: Seq[String] = Nil,
+      buckets: Int = 0): DataFrame = {
+    val spark = input.sparkSession
+    val nBuckets =
+      if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions.max(1)
+    val df = graft.Stage.cached(input)
+    // Phase 1: boundary sketch. Duplicate quantiles collapse (skew →
+    // fewer, fatter buckets — still correct, still partitioned).
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(key, probes, 0.001).distinct.sorted
+    // Phase 2: monotone bucket id. Ascending: # boundaries < key;
+    // descending: # boundaries > key (over the same sorted array) —
+    // both map equal keys to equal buckets.
+    val keyD = col(key).cast("double")
+    val bucketCol =
+      if (bounds.isEmpty) lit(0)
+      else {
+        val arr = array(bounds.map(lit(_)).toIndexedSeq: _*)
+        val cmp = if (asc) (b: Column) => b < keyD else (b: Column) => b > keyD
+        size(filter(arr, cmp))
+      }
+    val bkt = df.withColumn("_rrk_bkt", bucketCol)
+    // Phase 3: exact per-(group, bucket) counts -> prefix offsets on
+    // the driver (bounded: |groups|·buckets rows).
+    val grid = bkt.groupBy((group :+ "_rrk_bkt").map(col): _*)
+      .agg(count(lit(1L)).as("_rrk_cnt")).collect()
+    val offRows = grid.groupBy(r => group.map(r.getAs[Any]))
+      .iterator.flatMap { case (gv, rows) =>
+        val inOrder = rows.sortBy(_.getAs[Int]("_rrk_bkt"))
+        val total = inOrder.map(_.getAs[Long]("_rrk_cnt")).sum
+        var off = 0L
+        inOrder.map { r =>
+          val o = off
+          off += r.getAs[Long]("_rrk_cnt")
+          org.apache.spark.sql.Row.fromSeq(
+            gv :+ r.getAs[Int]("_rrk_bkt") :+ o :+ total)
+        }
+      }.toSeq
+    val offSchema = StructType(
+      group.map(g => input.schema(g)) ++ Seq(
+        StructField("_rrk_bkt", IntegerType, nullable = false),
+        StructField("_rrk_off", LongType, nullable = false),
+        StructField(nOut, LongType, nullable = false)))
+    val offs = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    // Phase 4: local sort per (group, bucket) + offset arithmetic.
+    val ordering =
+      (if (asc) col(key).asc else col(key).desc) +: tiebreak.map(col(_).asc)
+    val w = Window.partitionBy((group :+ "_rrk_bkt").map(col): _*)
+      .orderBy(ordering: _*)
+    bkt.join(broadcast(offs), group :+ "_rrk_bkt")
+      .withColumn(out, row_number().over(w).cast("long") + col("_rrk_off"))
+      .drop("_rrk_bkt", "_rrk_off")
+  }
+
+  /** SQL-standard NTILE(k) from an exact global row_number `i` and the
+    * total count `n` (both column NAMES): floor distribution — the
+    * first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — matching both
+    * Spark's NTile and DuckDB's, in pure BIGINT arithmetic.
+    */
+  def ntileExpr(i: String, n: String, k: Int): Column =
+    expr(
+      s"""CAST(CASE WHEN ($i - 1) < ($n % $k) * ($n div $k + 1)
+         |  THEN ($i - 1) div ($n div $k + 1) + 1
+         |  ELSE ($n % $k) + (($i - 1) - ($n % $k) * ($n div $k + 1)) div ($n div $k) + 1
+         |END AS INT)""".stripMargin)
+}

@@ -545,16 +545,25 @@ object Behavior {
     * the planner/profiler statistic q_histogram (equi-width) doesn't
     * give: decile boundaries under skew. NTILE(10) within each type
     * over the total order (cents, event_id) — deterministic across
-    * engines; the window is partitioned by event type, so at scale the
-    * sort is per-type-distributed, and the realistic 100 TB variant
-    * (approx quantile sketches) is q_approx_percentile's row. Output:
-    * 10 rows per type with bucket count and [min, max] cents.
+    * engines. The per-type "partition" is the purchase filter's ONE
+    * surviving type, i.e. corpus-linear rows through one sort task —
+    * so (round 15) the tile comes from the two-phase distributed range
+    * rank ([[graft.operators.RangeRank]], grouped by event_type):
+    * boundary sketch → monotone buckets → exact offsets → local
+    * row_number, then NTILE is pure (i, n) arithmetic. Bit-identical
+    * to the window formulation (rank math is exact), so the
+    * NTILE-based oracle holds unchanged; PlanShapeSpec pins that no
+    * unpartitioned window sort remains. Output: 10 rows per type with
+    * bucket count and [min, max] cents.
     */
   def qHistogramEqd(s: SparkSession, d: String): DataFrame = {
     val p = events(s, d).filter(col("event_type") === "purchase")
       .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-    val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    p.withColumn("tile", ntile(10).over(w))
+      .select("event_type", "event_id", "cents")
+    graft.operators.RangeRank
+      .withRowNumber(p, "cents", asc = true, tiebreak = Seq("event_id"),
+        out = "i", nOut = "n_all", group = Seq("event_type"))
+      .withColumn("tile", graft.operators.RangeRank.ntileExpr("i", "n_all", 10))
       .groupBy("event_type", "tile")
       .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
   }

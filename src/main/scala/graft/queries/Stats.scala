@@ -109,12 +109,16 @@ object Stats {
     * engines: standard floor-distribution ntile); cumulative cents per
     * decile stay BIGINT through the running window.
     *
-    * Scale shape: the global sort ranks the per-customer AGGREGATE
-    * (|customers| rows, ~1/40 of the fact table, bounded by the entity
-    * universe, same judgment as the fleet's other compressed-aggregate
-    * sorts). At true 100 TB entity counts the rank pass swaps to the
-    * two-phase range-partitioned rank (partition histograms + per-range
-    * offsets); the closed form is rank-representation-agnostic.
+    * Scale shape (round 15): the rank pass is the two-phase
+    * distributed range rank ([[graft.operators.RangeRank]]) — boundary
+    * sketch → monotone buckets → exact per-bucket offsets → local
+    * row_number per bucket — so no single task ever sorts the
+    * entity-scale aggregate, and the decile id is pure NTILE
+    * ARITHMETIC on (i, n) instead of a second window. The per-decile
+    * rollup and its cumulative sums collapse into ONE global aggregate
+    * (30 conditional BIGINT sums) unpacked by `stack` — zero windows
+    * anywhere in the plan (PlanShapeSpec pins it). Rank arithmetic is
+    * integer-exact, so the NTILE-over-total-order oracle is unchanged.
     *
     * Overflow bound: i ≤ n (~1.5·10⁵ at sf1), xᵢ ≤ 5·10⁷ cents, so
     * Σi·xᵢ ≤ ~10¹⁷ and n·Σx ≤ ~10¹⁸ — inside BIGINT.
@@ -124,19 +128,22 @@ object Stats {
       .select(col("o_custkey"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .groupBy("o_custkey").agg(sum("cents").as("cents"))
-    val ord = Window.orderBy(col("cents"), col("o_custkey"))
-    val ranked = spend
-      .withColumn("i", row_number().over(ord))
-      .withColumn("decile", ntile(10).over(ord))
-    val g = ranked.agg(count(lit(1)).as("n"), sum("cents").as("s"),
-      sum(col("i") * col("cents")).as("w"))
-    val deciles = ranked.groupBy("decile")
-      .agg(count(lit(1)).as("n_cust"), sum("cents").as("decile_cents"))
-    val cum = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deciles
-      .withColumn("cum_cents", sum("decile_cents").over(cum).cast("long"))
-      .crossJoin(broadcast(g))
+    val tiled = graft.operators.RangeRank
+      .withRowNumber(spend, "cents", asc = true, tiebreak = Seq("o_custkey"),
+        out = "i", nOut = "n_all")
+      .withColumn("decile", graft.operators.RangeRank.ntileExpr("i", "n_all", 10))
+    val perDecile = (1 to 10).flatMap { dd =>
+      Seq(count(when(col("decile") === dd, 1)).as(s"n$dd"),
+        sum(when(col("decile") === dd, col("cents")).otherwise(0L)).as(s"s$dd"),
+        sum(when(col("decile") <= dd, col("cents")).otherwise(0L)).as(s"c$dd"))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum("cents").as("s"),
+      sum(col("i") * col("cents")).as("w")) ++ perDecile
+    val g = tiled.agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to 10).map(dd => s"$dd, n$dd, s$dd, c$dd").mkString(", ")
+    g.select(expr(s"stack(10, $rows) AS (decile, n_cust, decile_cents, cum_cents)"),
+        col("n"), col("s"), col("w"))
+      .where(col("n_cust") > 0) // NTILE emits no empty buckets when n < 10
       .select(col("decile"), col("n_cust"), col("decile_cents"), col("cum_cents"),
         (col("cum_cents").cast("double") / col("s").cast("double")).as("cum_share"),
         expr("CAST(2 * w - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)").as("gini"))
@@ -629,9 +636,14 @@ object Stats {
     * in INTEGER space: the doubled average rank 2·r̄ = 2·minrank +
     * (ties−1) is always integral, so rank sums and the doubled U stay
     * BIGINT; the common-language effect size (P(A>B) + ½P(A=B)) is one
-    * division. The rank pass sorts the per-customer AGGREGATE (the
-    * q_gini judgment, entity-bounded; two-phase range rank at true
-    * scale).
+    * division. The rank pass (round 15) is the two-phase distributed
+    * range rank ([[graft.operators.RangeRank]]): exact global
+    * row_number i, then minrank = MIN(i) and ties = COUNT(*) over the
+    * hash-partitioned per-cents window (equal cents always share a
+    * range bucket — monotone bucketing — so both are one local pass);
+    * no single-task sort anywhere (PlanShapeSpec pins it), and
+    * min-rank arithmetic is exact, so the RANK()-based oracle holds
+    * unchanged.
     */
   def qMwu(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
@@ -640,10 +652,12 @@ object Stats {
       .groupBy(col("c_custkey"), col("c_mktsegment").as("segment"))
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
         .as("cents"))
-    val w = Window.orderBy("cents")
-    val ranked = spend
-      .withColumn("minrank", rank().over(w))
-      .withColumn("ties", count(lit(1)).over(Window.partitionBy("cents")))
+    val wc = Window.partitionBy("cents")
+    val ranked = graft.operators.RangeRank
+      .withRowNumber(spend, "cents", asc = true, tiebreak = Seq("c_custkey"),
+        out = "i", nOut = "n_all")
+      .withColumn("minrank", min("i").over(wc))
+      .withColumn("ties", count(lit(1)).over(wc))
       .withColumn("ar2", lit(2L) * col("minrank") + (col("ties") - 1L))
     val agg = ranked.groupBy("segment")
       .agg(count(lit(1)).as("n"), sum("ar2").as("r2"))
@@ -897,8 +911,17 @@ object Stats {
     * "how dependent are we on a few whales" read next to q_gini's full
     * curve). Shares quantize to 1e-6 fixed point BEFORE squaring so
     * HHI is an integer sum (Σfx² ≤ 10¹⁷ at sf1 — BIGINT-safe where
-    * squaring raw cents would overflow); top-10 via rank over the
-    * entity-bounded aggregate.
+    * squaring raw cents would overflow).
+    *
+    * Scale shape (round 15): the oracle's rk ≤ 10 filter over the
+    * (cents DESC, o_custkey) total order IS a top-k — so the rank
+    * window is gone entirely, replaced by orderBy(...).limit(10)
+    * (TakeOrderedAndProject: per-partition top-10 heaps merged on the
+    * driver, the textbook distributed top-k — nothing global is ever
+    * sorted). The q_gini/q_mwu family re-roots on RangeRank because
+    * every row needs its rank; here only 10 rows do, and the limit
+    * plan is strictly better than any rank plan. PlanShapeSpec pins
+    * the window-free shape.
     */
   def qConcentration(s: SparkSession, d: String): DataFrame = {
     val spend = graft.Stage.cached(Tables.orders(s, d)
@@ -906,15 +929,17 @@ object Stats {
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
         .as("cents")))
     val tot = spend.agg(count(lit(1)).as("n_cust"), sum("cents").as("total"))
-    val fx = spend.crossJoin(broadcast(tot))
-      .select(col("n_cust"), col("total"), col("cents"),
-        expr("(cents * 1000000L) div total").as("sfx"),
-        row_number().over(Window.orderBy(col("cents").desc, col("o_custkey"))).as("rk"))
-    fx.agg(max("n_cust").as("n_cust"),
-      max("total").cast("long").as("total_cents"),
-      sum(when(col("rk") <= 10, col("cents")).otherwise(0L)).cast("long")
-        .as("top10_cents"),
-      sum(col("sfx") * col("sfx")).as("hhi_fx"))
+    val top10 = spend
+      .orderBy(col("cents").desc, col("o_custkey"))
+      .limit(10)
+      .agg(sum("cents").cast("long").as("top10_cents"))
+    spend.crossJoin(broadcast(tot))
+      .select(col("n_cust"), col("total"),
+        expr("(cents * 1000000L) div total").as("sfx"))
+      .agg(max("n_cust").as("n_cust"),
+        max("total").cast("long").as("total_cents"),
+        sum(col("sfx") * col("sfx")).as("hhi_fx"))
+      .crossJoin(broadcast(top10))
       .select(col("n_cust"), col("total_cents"), col("top10_cents"),
         (col("top10_cents").cast("double") / col("total_cents").cast("double"))
           .as("top10_share"),

@@ -52,7 +52,6 @@ class PlanLintSpec extends SparkSpec {
     "q_regression" -> "cross with the one-row min-day aggregate (the x-axis anchor)",
     "q_chisq" -> "cross with the one-row grand-total aggregate (the expected-count denominator)",
     "q_mwu" -> "one-row × one-row cross of the two segments' rank summaries",
-    "q_gini" -> "cross with the one-row (n, Σx, Σi·x) closed-form aggregate",
     "q_concentration" -> "cross with the one-row (count, total-cents) aggregate (the share denominator)",
     "q_assoc_rules" -> "cross with the one-row basket-count aggregate (the support denominator)",
     "q_forecast_snaive" -> "cross with the one-row max-day aggregate (the backtest horizon anchor)",
@@ -130,6 +129,7 @@ class PlanLintSpec extends SparkSpec {
     "pipeline/KeyService.scala" -> (1, "key-id manifest (one row per encryption key)"),
     "operators/Text.scala" -> (1, "Misra-Gries candidate set (≤ heavy-hitter budget rows)"),
     "operators/Skew.scala" -> (1, "skewed-key sample for salting decision (bounded top-N)"),
+    "operators/RangeRank.scala" -> (1, "per-(group,bucket) count grid for rank prefix offsets (≤ |groups|·buckets rows)"),
     "SkewBench.scala" -> (3, "skew-evidence harness: ≤7-row segment aggregates (twin-equality asserts) and the per-lang top-K table — bounded results of the timed legs, never data-scale rows"),
   )
 

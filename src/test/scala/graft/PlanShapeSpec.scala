@@ -510,6 +510,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(variant === classic)
   }
 
+  test("global-rank family plans with NO unpartitioned window sort (two-phase range rank)") {
+    // the round-14 verdict's scale-killer: these four used to funnel an
+    // entity- or corpus-scale total order through ONE task's
+    // Window.orderBy sort. After the RangeRank re-root, every WindowExec
+    // left in any of the four plans must carry a non-empty partitionSpec
+    // (a hash-distributed per-bucket or per-key sort) — an empty one
+    // means the single-task global sort crept back.
+    val four = Seq(
+      "q_gini" -> graft.queries.Stats.qGini(spark, sfDir),
+      "q_histogram_eqd" -> graft.queries.Behavior.qHistogramEqd(spark, sfDir),
+      "q_concentration" -> graft.queries.Stats.qConcentration(spark, sfDir),
+      "q_mwu" -> graft.queries.Stats.qMwu(spark, sfDir))
+    four.foreach { case (name, df) =>
+      val bad = executed(df).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name has an unpartitioned (single-task) window sort:\n${executed(df)}")
+      // and no global-order exchange either: the only sorts allowed are
+      // per-bucket local ones under a hash partitioning (q_concentration
+      // additionally gets its top-10 via TakeOrderedAndProject)
+      val rangeEx = executed(df).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+      }
+      assert(rangeEx.isEmpty,
+        s"$name plans a global range-sort exchange:\n${executed(df)}")
+    }
+  }
+
   test("aggregations keep map-side partial aggregation") {
     val q1 = graft.queries.Analytics.q1Agg(spark, sfDir)
     val aggs = executed(q1).collect {
