@@ -839,11 +839,17 @@ object Text {
     * rounding boundary — the spec measures the minimum boundary
     * distance on the gate corpus and pins it orders of magnitude away.
     */
-  def tBm25(s: SparkSession, d: String): DataFrame = {
+  /** The shared BM25 index frames (tf cached — it feeds the df
+    * aggregate, the dl aggregate, the query term set AND the postings
+    * side; a barrier would re-run the tokenize+count pass per
+    * consumer) plus the corpus-derived df-cap facts.
+    */
+  private final case class BmIndex(
+      tf: DataFrame, df: DataFrame, dl: DataFrame, stats: DataFrame,
+      qterms: DataFrame, dfCap: Long, cappedExists: Boolean)
+
+  private def bmIndex(s: SparkSession, d: String): BmIndex = {
     val docs = Tables.documents(s, d)
-    // cached: tf feeds the df aggregate, the dl aggregate, the query
-    // term set AND the postings side — a barrier would re-run the
-    // tokenize+count pass per consumer
     val tf = graft.Stage.cached(
       docs.select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
@@ -853,19 +859,22 @@ object Text {
       .crossJoin(tf.agg(sum("tf").as("total_tokens")))
     val qterms = tf.filter(col("doc_id") < BmQueries)
       .select(col("doc_id").as("query_id"), col("term")).distinct()
-    // candidate phase: df-capped postings — stopword-frequency terms
-    // (df > bmDfCap = 0.9N) never generate candidates, so no
-    // corpus-sized posting list is ever joined. nDocs is a 1-scalar
-    // collect; the isEmpty probe is a bounded 1-row existence check
-    // over the (cached-pass-derived) df aggregate: when NO term is
-    // capped — every gate corpus, whose ciphered vocabulary tops out
-    // below 0.9N — the two-phase machinery is pure overhead (measured
-    // 2.2x on the sf1 sweep row) and the plan falls back to the direct
-    // postings join, which is then exactly the capped plan's union of
-    // rare lists anyway.
-    val nDocs = docs.count()
-    val dfCap = bmDfCap(nDocs)
-    val cappedExists = !df.filter(col("df") > dfCap).isEmpty
+    // nDocs is a 1-scalar collect; the isEmpty probe is a bounded
+    // 1-row existence check over the (cached-pass-derived) df
+    // aggregate — when NO term is capped the two-phase candidate
+    // machinery is pure overhead (measured 2.2x on the sf1 sweep row)
+    // and callers fall back to the direct postings join.
+    val dfCap = bmDfCap(docs.count())
+    BmIndex(tf, df, dl, stats, qterms, dfCap,
+      !df.filter(col("df") > dfCap).isEmpty)
+  }
+
+  /** The per-(term, doc) fixed-point BM25 contribution — a function of
+    * (tf, df, dl, n_docs, total_tokens) only, never of the query, so
+    * the same expression serves exact scoring AND the per-term WAND
+    * upper bound. Input frame must carry those five columns.
+    */
+  private def bmFx: Column = {
     val nD = col("n_docs").cast("double")
     val dfD = col("df").cast("double")
     val tfD = col("tf").cast("double")
@@ -873,33 +882,152 @@ object Text {
     val idf = log(lit(1.0) + (nD - dfD + 0.5) / (dfD + 0.5))
     val tfw = tfD * 2.2 / (tfD + lit(1.2) *
       (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
-    // refine phase: EXACT scores for candidates only — all shared
-    // terms come back (capped included), so scores are identical to
-    // the uncapped join's and the oracle stays the uncapped SQL
-    val scoredPairs =
-      if (cappedExists) {
-        val cand = qterms
-          .join(tf.join(df.filter(col("df") <= dfCap).select("term"), Seq("term"))
-            .select(col("term"), col("doc_id")), Seq("term"))
-          .filter(col("doc_id") =!= col("query_id"))
-          .select("query_id", "doc_id").distinct()
-        cand.join(qterms, Seq("query_id")).join(tf, Seq("doc_id", "term"))
-      } else {
-        qterms.join(tf, Seq("term")).filter(col("doc_id") =!= col("query_id"))
-      }
-    val contrib = scoredPairs
-      .join(df, Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
-        floor(idf * tfw * 1000000 + 0.5).cast("long").as("fx"))
-    val w = Window.partitionBy("query_id").orderBy(col("sfx").desc, col("doc_id"))
-    contrib.groupBy("query_id", "doc_id")
+    floor(idf * tfw * 1000000 + 0.5).cast("long")
+  }
+
+  /** EXACT (query, doc) scores for a restricted pair set: the refine
+    * join brings back ALL shared terms (capped included), so scores
+    * are identical to the uncapped join's regardless of how the pair
+    * set was generated.
+    */
+  private def bmExact(pairs: DataFrame, ix: BmIndex): DataFrame =
+    pairs.join(ix.qterms, Seq("query_id")).join(ix.tf, Seq("doc_id", "term"))
+      .join(ix.df, Seq("term"))
+      .join(ix.dl, Seq("doc_id"))
+      .crossJoin(broadcast(ix.stats))
+      .select(col("query_id"), col("doc_id"), bmFx.as("fx"))
+      .groupBy("query_id", "doc_id")
       .agg(sum("fx").as("sfx"), count(lit(1)).as("n_terms"))
+
+  private def bmTopK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("sfx").desc, col("doc_id"))
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= BmTopK)
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
         (col("sfx").cast("double") / 1000000.0).as("score"))
+  }
+
+  def tBm25(s: SparkSession, d: String): DataFrame = {
+    val ix = bmIndex(s, d)
+    // candidate phase: df-capped postings — stopword-frequency terms
+    // (df > bmDfCap = 0.9N) never generate candidates, so no
+    // corpus-sized posting list is ever joined; refine is then exact
+    // over candidates, so the oracle stays the uncapped SQL
+    val scoredPairs =
+      if (ix.cappedExists) {
+        val cand = ix.qterms
+          .join(ix.tf.join(ix.df.filter(col("df") <= ix.dfCap).select("term"),
+              Seq("term"))
+            .select(col("term"), col("doc_id")), Seq("term"))
+          .filter(col("doc_id") =!= col("query_id"))
+          .select("query_id", "doc_id").distinct()
+        cand.join(ix.qterms, Seq("query_id")).join(ix.tf, Seq("doc_id", "term"))
+      } else {
+        ix.qterms.join(ix.tf, Seq("term")).filter(col("doc_id") =!= col("query_id"))
+      }
+    val contrib = scoredPairs
+      .join(ix.df, Seq("term"))
+      .join(ix.dl, Seq("doc_id"))
+      .crossJoin(broadcast(ix.stats))
+      .select(col("query_id"), col("doc_id"), bmFx.as("fx"))
+    bmTopK(contrib.groupBy("query_id", "doc_id")
+      .agg(sum("fx").as("sfx"), count(lit(1)).as("n_terms")))
+  }
+
+  /** WAND seed size: seeds = the top 2K candidates by upper bound are
+    * scored exactly to fit the pruning threshold θ (the K-th exact
+    * seed score). Any value ≥ K is correct; 2K tightens θ when upper
+    * bounds order differently from exact scores.
+    */
+  private[graft] val BmWandSeeds = 2 * BmTopK
+
+  /** E14c (round 15): t_bm25 with WAND-style upper-bound pruning —
+    * the measured swap for the refine phase's cost center. The df-cap
+    * bounds which POSTING LISTS are walked; WAND additionally bounds
+    * which CANDIDATES are exactly scored:
+    *
+    *   1. max-score index: per term, the maximum fixed-point
+    *      contribution any document can yield (one linear pass over
+    *      the postings — the classic WAND term upper bound), exact in
+    *      the same 1e-6 grid as scoring.
+    *   2. per-candidate bound: Σ shared-term max-scores + (per query)
+    *      Σ max-scores of its CAPPED terms — capped terms are never
+    *      enumerated per-candidate, but any doc might contain them,
+    *      so their total rides on every bound. ub ≥ exact score, in
+    *      INTEGER arithmetic (floor-dominated term-wise).
+    *   3. threshold: the top-[[BmWandSeeds]] candidates by bound are
+    *      scored exactly; θ = the K-th exact seed score. Every
+    *      candidate with ub < θ is PROVABLY outside the top K
+    *      (score ≤ ub < θ ≤ the true K-th score — subset K-th is a
+    *      lower bound on the overall K-th), so only survivors are
+    *      re-scored. Ties at θ survive (ub ≥ score = θ keeps them).
+    *
+    * Result is bit-identical to t_bm25 — same oracle, unchanged. The
+    * spec pins equality against the brute force on the zipf corpus
+    * AND that the pruning bites (scored pairs ≪ candidates); the sf1
+    * bench row carries the measured reduction.
+    */
+  def tBm25Wand(s: SparkSession, d: String): DataFrame = {
+    val ix = bmIndex(s, d)
+    bmTopK(bmExact(bm25WandSurvivors(ix), ix))
+  }
+
+  /** The df-capped candidate (query, term, doc) enumeration both
+    * t_bm25 phases share.
+    */
+  private def bmCandTerms(ix: BmIndex): DataFrame =
+    (if (ix.cappedExists)
+      ix.qterms.join(
+        ix.tf.join(ix.df.filter(col("df") <= ix.dfCap).select("term"),
+            Seq("term"))
+          .select(col("term"), col("doc_id")), Seq("term"))
+    else ix.qterms.join(ix.tf.select("term", "doc_id"), Seq("term")))
+      .filter(col("doc_id") =!= col("query_id"))
+
+  /** The WAND survivor pair set — steps 1-3 of [[tBm25Wand]]'s
+    * Scaladoc. Package-reachable via [[bm25WandCounts]] so the spec
+    * can measure the pruning.
+    */
+  private def bm25WandSurvivors(ix: BmIndex): DataFrame = {
+    val termMax = ix.tf.join(ix.dl, Seq("doc_id")).join(ix.df, Seq("term"))
+      .crossJoin(broadcast(ix.stats))
+      .select(col("term"), bmFx.as("fx"))
+      .groupBy("term").agg(max("fx").as("ub_fx"))
+    val capQ = ix.qterms
+      .join(ix.df.filter(col("df") > ix.dfCap).select("term"), Seq("term"))
+      .join(termMax, Seq("term"))
+      .groupBy("query_id").agg(sum("ub_fx").as("cap_fx"))
+    // cached: the bound frame feeds BOTH the seed selection and the
+    // survivor filter — recomputing it would re-run the candidate join
+    val bounds = graft.Stage.cached(
+      bmCandTerms(ix).join(termMax, Seq("term"))
+        .groupBy("query_id", "doc_id").agg(sum("ub_fx").as("ub_shared"))
+        .join(broadcast(capQ), Seq("query_id"), "left")
+        .select(col("query_id"), col("doc_id"),
+          (col("ub_shared") + coalesce(col("cap_fx"), lit(0L))).as("ub"))
+        .withColumn("ubrk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("ub").desc, col("doc_id")))))
+    val seedScores = bmExact(
+      bounds.filter(col("ubrk") <= BmWandSeeds).select("query_id", "doc_id"), ix)
+    val theta = seedScores
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sfx").desc, col("doc_id"))))
+      .filter(col("rk") === BmTopK)
+      .select(col("query_id"), col("sfx").as("theta"))
+    bounds.join(broadcast(theta), Seq("query_id"), "left")
+      .filter(col("ubrk") <= BmWandSeeds || col("theta").isNull ||
+        col("ub") >= col("theta"))
+      .select("query_id", "doc_id")
+  }
+
+  /** (candidate pairs, exactly-scored survivor pairs) — the spec's
+    * pruning measurement on a corpus where WAND bites.
+    */
+  private[graft] def bm25WandCounts(s: SparkSession, d: String): (Long, Long) = {
+    val ix = bmIndex(s, d)
+    val cand = bmCandTerms(ix).select("query_id", "doc_id").distinct().count()
+    (cand, bm25WandSurvivors(ix).count())
   }
 
   val tBm25Sql: String = {
@@ -2461,6 +2589,7 @@ object Text {
     QueryDef("t_entropy", tEntropy, Some(tEntropySql)),
     QueryDef("t_tfidf", tTfidf, Some(tTfidfSql)),
     QueryDef("t_bm25", tBm25, Some(tBm25Sql)),
+    QueryDef("t_bm25_wand", tBm25Wand, Some(tBm25Sql)),
     QueryDef("t_dsir", tDsir, Some(tDsirSql)),
     QueryDef("t_ngram_counts", tNgramCounts, Some(tNgramCountsSql)),
     QueryDef("t_decontaminate", tDecontaminate, Some(tDecontaminateSql)),

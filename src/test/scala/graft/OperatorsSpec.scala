@@ -820,6 +820,23 @@ class OperatorsSpec extends SparkSpec {
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1).toSeq }
     assert(got === expected, "df-capped top-k diverged from the uncapped brute force")
     info(s"cap=$cap, stopword df=${df("the")}, candidates ${cappedCand} vs uncapped ${uncappedCand}")
+
+    // t_bm25_wand on the same corpus: identical top-k (the θ pruning
+    // is provably exact), AND the upper-bound phase demonstrably
+    // bites — the exactly-scored survivor set is a strict fraction of
+    // the candidate set (every query here has > BmWandSeeds
+    // candidates, so pruning is the only way survivors shrink).
+    val gotWand = Text.tBm25Wand(spark, dir.getPath).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1).toSeq }
+    assert(gotWand === expected, "WAND top-k diverged from the uncapped brute force")
+    val (candPairs, scoredPairs) = Text.bm25WandCounts(spark, dir.getPath)
+    assert(candPairs === cappedCand.toLong,
+      s"candidate accounting drifted: $candPairs vs brute $cappedCand")
+    assert(scoredPairs < candPairs / 2,
+      s"WAND pruned too little: scored $scoredPairs of $candPairs candidates")
+    info(s"WAND: scored $scoredPairs of $candPairs candidates " +
+      f"(${100.0 * scoredPairs / candPairs}%.1f%%)")
     Stage.deleteRecursively(dir)
   }
 
