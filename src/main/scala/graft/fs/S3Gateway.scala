@@ -43,10 +43,21 @@ import org.apache.hadoop.util.Progressable
   *
   * [[S3GatewayFsOps]] binds the object-store protocol over this
   * client (`SPARK_GRAFT_FS=s3gw`), upgrading `carryFile` to a
-  * server-side COPY. What this still does NOT exercise vs production
-  * S3: TLS, IAM/signature failures, cross-region latency, and
-  * eventual-consistency windows older than list-after-write (modern
-  * S3 is strongly consistent, which the gateway matches).
+  * server-side COPY.
+  *
+  * Round 15: the gateway now speaks production S3's AUTH surface too —
+  * HTTPS (a keytool-minted per-JVM server identity; clients trust it
+  * via [[S3Gateway.clientSslContext]]) and AWS SigV4 verification on
+  * EVERY request ([[SigV4]]): bad signature → 403
+  * SignatureDoesNotMatch, > 15-min clock skew → 403
+  * RequestTimeTooSkewed, missing auth → 403 AccessDenied — the
+  * failure modes of expired credentials mid-job, surfaced through the
+  * same FileSystem IOException path any s3a deployment sees. What
+  * this still does NOT exercise vs production S3: IAM policy
+  * evaluation, cross-region latency, and eventual-consistency windows
+  * older than list-after-write (modern S3 is strongly consistent,
+  * which the gateway matches). If keytool is unavailable the gateway
+  * falls back to plaintext HTTP (signing still enforced).
   */
 object S3Gateway {
   /** Ops counters for specs (per-verb totals since JVM start). */
@@ -58,14 +69,78 @@ object S3Gateway {
 
   @volatile private var server: HttpServer = null
   @volatile private var port: Int = -1
+  @volatile private var scheme: String = "http"
+  @volatile private var clientCtx: Option[javax.net.ssl.SSLContext] = None
+
+  /** The trust context a client needs to speak TLS to this JVM's
+    * gateway (None when the gateway fell back to plaintext).
+    */
+  def clientSslContext: Option[javax.net.ssl.SSLContext] = clientCtx
+
+  /** Mint a per-JVM server identity with keytool (SAN=ip:127.0.0.1 so
+    * JDK hostname verification passes against loopback) and build the
+    * (server, client-trust) SSLContext pair. None when keytool is
+    * absent — the caller falls back to plaintext HTTP.
+    */
+  private def mintTls(): Option[(javax.net.ssl.SSLContext, javax.net.ssl.SSLContext)] =
+    try {
+      val keytool = new File(new File(sys.props("java.home"), "bin"), "keytool")
+      if (!keytool.isFile) return None
+      val dir = Files.createTempDirectory("graft_s3gw_tls").toFile
+      val pass = "changeit"
+      def run(args: String*): Unit = {
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(keytool.getPath)
+        args.foreach(cmd.add)
+        val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() != 0) throw new IOException(s"keytool: $out")
+      }
+      run("-genkeypair", "-alias", "s3gw", "-keyalg", "RSA", "-keysize", "2048",
+        "-dname", "CN=s3gw", "-validity", "1", "-ext", "SAN=ip:127.0.0.1",
+        "-storetype", "PKCS12", "-keystore", s"$dir/server.p12", "-storepass", pass)
+      run("-exportcert", "-alias", "s3gw", "-keystore", s"$dir/server.p12",
+        "-storepass", pass, "-file", s"$dir/server.cer")
+      run("-importcert", "-noprompt", "-alias", "s3gw",
+        "-file", s"$dir/server.cer", "-storetype", "PKCS12",
+        "-keystore", s"$dir/trust.p12", "-storepass", pass)
+      def load(path: String): java.security.KeyStore = {
+        val ks = java.security.KeyStore.getInstance("PKCS12")
+        val in = Files.newInputStream(Paths.get(path))
+        try ks.load(in, pass.toCharArray) finally in.close()
+        ks
+      }
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(load(s"$dir/server.p12"), pass.toCharArray)
+      val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+      serverCtx.init(kmf.getKeyManagers, null, null)
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(load(s"$dir/trust.p12"))
+      val trustCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+      trustCtx.init(null, tmf.getTrustManagers, null)
+      Some((serverCtx, trustCtx))
+    } catch { case _: Exception => None }
 
   /** Start (once per JVM) and return the endpoint. */
   def ensureStarted(): String = synchronized {
     if (server == null) {
-      val s = HttpServer.create(
-        new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+      val addr = new InetSocketAddress(InetAddress.getLoopbackAddress, 0)
+      val s = mintTls() match {
+        case Some((serverCtx, trustCtx)) =>
+          val hs = com.sun.net.httpserver.HttpsServer.create(addr, 0)
+          hs.setHttpsConfigurator(
+            new com.sun.net.httpserver.HttpsConfigurator(serverCtx))
+          scheme = "https"
+          clientCtx = Some(trustCtx)
+          hs
+        case None =>
+          scheme = "http"
+          HttpServer.create(addr, 0)
+      }
       s.createContext("/", (ex: HttpExchange) => {
-        try handle(ex)
+        try authThenHandle(ex)
         catch {
           case e: Throwable =>
             try respond(ex, 500, e.toString.getBytes("UTF-8"))
@@ -92,8 +167,26 @@ object S3Gateway {
       server = s
       port = s.getAddress.getPort
     }
-    s"http://127.0.0.1:$port"
+    s"$scheme://127.0.0.1:$port"
   }
+
+  /** SigV4 gate in front of every verb — the production auth surface:
+    * a request that is unsigned, mis-signed, from an unknown access
+    * key, or clock-skewed past 15 minutes never reaches a handler.
+    */
+  private def authThenHandle(ex: HttpExchange): Unit =
+    SigV4.verify(ex.getRequestMethod, ex.getRequestURI.getRawPath,
+      ex.getRequestURI.getRawQuery,
+      n => Option(ex.getRequestHeaders.getFirst(n))) match {
+      case Left((code, detail)) =>
+        bump("auth_fail")
+        respond(ex, 403,
+          (s"""<?xml version="1.0"?><Error><Code>$code</Code>""" +
+            s"<Message>${xmlEscape(detail)}</Message></Error>").getBytes("UTF-8"),
+          Map("Content-Type" -> "application/xml"))
+      case Right(_) =>
+        handle(ex)
+    }
 
   private val uploadsRoot = new File("/tmp/.s3gw_uploads")
 
@@ -124,9 +217,20 @@ object S3Gateway {
     val tmp = new File(target.getParentFile,
       "." + target.getName + ".s3gwput." + java.util.UUID.randomUUID.toString.take(8))
     val in = ex.getRequestBody
-    Files.copy(in, tmp.toPath)
+    // delete the temp if the body copy dies mid-stream (client gone,
+    // disk full) — a failed upload must never leak a visible object
+    try Files.copy(in, tmp.toPath)
+    catch { case e: Throwable => Files.deleteIfExists(tmp.toPath); throw e }
     tmp
   }
+
+  /** Temp names are ".<target>.s3gw{put,copy,mpu}.<uuid>" — match the
+    * infix, not a prefix, so in-flight (or crash-leaked) temporaries
+    * stay invisible to LIST whatever the target was named.
+    */
+  private def isGatewayTemp(name: String): Boolean =
+    name.startsWith(".") && (name.contains(".s3gwput.") ||
+      name.contains(".s3gwcopy.") || name.contains(".s3gwmpu."))
 
   /** Recursive file walk for LIST — implicit-directory semantics: only
     * real FILES are objects; a "directory" exists iff some object key
@@ -135,7 +239,7 @@ object S3Gateway {
   private def walkFiles(dir: File): Seq[File] = {
     if (!dir.isDirectory) return Seq.empty
     Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-      if (f.getName.startsWith(".s3gw")) Seq.empty
+      if (f.getName.startsWith(".s3gw") || isGatewayTemp(f.getName)) Seq.empty
       else if (f.isDirectory) walkFiles(f)
       else Seq(f)
     }
@@ -192,10 +296,23 @@ object S3Gateway {
           case Some(r) if r.startsWith("bytes=") =>
             val spec = r.stripPrefix("bytes=")
             val dash = spec.indexOf('-')
-            val from = spec.take(dash).toLong
-            val to = if (dash == spec.length - 1) len - 1
-              else math.min(spec.drop(dash + 1).toLong, len - 1)
-            if (from >= len) { respond(ex, 416, Array.empty); return }
+            // RFC-7233 forms: "from-", "from-to", and the suffix
+            // "-N" (last N bytes) — a malformed spec is 416, not a 500
+            val (from, to) =
+              try {
+                if (dash == 0) {
+                  val n = spec.drop(1).toLong
+                  if (n <= 0) { respond(ex, 416, Array.empty); return }
+                  (math.max(0L, len - n), len - 1)
+                } else {
+                  val f = spec.take(dash).toLong
+                  (f, if (dash == spec.length - 1) len - 1
+                  else math.min(spec.drop(dash + 1).toLong, len - 1))
+                }
+              } catch { case _: NumberFormatException =>
+                respond(ex, 416, Array.empty); return
+              }
+            if (from >= len || from > to) { respond(ex, 416, Array.empty); return }
             val n = (to - from + 1).toInt
             val buf = new Array[Byte](n)
             val ch = java.nio.channels.FileChannel.open(target.toPath,
@@ -339,14 +456,41 @@ object S3Gateway {
 
 /** Hadoop `FileSystem` client over the S3 gateway wire — every verb a
   * real HTTP round trip (see [[S3Gateway]]). `partSizeBytes` sets the
-  * multipart threshold AND part size for uploads.
+  * multipart threshold AND part size for uploads. Every request is
+  * SigV4-signed ([[SigV4]]); `secret`/`signClock` are injectable so
+  * specs can manufacture the bad-signature and expired-credential
+  * failure paths a production job hits. An https endpoint picks up
+  * the in-JVM gateway's trust context by default.
   */
-class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
+class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024,
+    ssl: Option[javax.net.ssl.SSLContext] = None,
+    secret: String = SigV4.secretKey,
+    signClock: () => java.time.Instant = () => java.time.Instant.now())
     extends FileSystem {
 
-  private val client = java.net.http.HttpClient.newHttpClient()
+  private val client = {
+    val b = java.net.http.HttpClient.newBuilder()
+    if (endpoint.startsWith("https"))
+      ssl.orElse(S3Gateway.clientSslContext).foreach(b.sslContext)
+    b.build()
+  }
   private var cwd = new Path("/")
   setConf(new org.apache.hadoop.conf.Configuration())
+
+  /** SigV4-signed request builder: auth headers attached; extra
+    * x-amz-* headers (which AWS requires signed) ride through
+    * `amzHeaders`; unsigned standard headers (Range, If-None-Match)
+    * are added by the caller afterward.
+    */
+  private def signed(method: String, uri: java.net.URI,
+      amzHeaders: Map[String, String] = Map.empty)
+      : java.net.http.HttpRequest.Builder = {
+    val b = java.net.http.HttpRequest.newBuilder(uri)
+    SigV4.signHeaders(method, uri, amzHeaders,
+      secret = secret, clock = signClock())
+      .foreach { case (k, v) => b.header(k, v) }
+    b
+  }
 
   override def getUri: java.net.URI = java.net.URI.create("s3gw:///")
   override def getWorkingDirectory: Path = cwd
@@ -365,7 +509,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
     client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())
 
   private def head(key: String): Option[(Long, Long)] = {
-    val resp = send(java.net.http.HttpRequest.newBuilder(uriOf(key))
+    val resp = send(signed("HEAD", uriOf(key))
       .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()))
     if (resp.statusCode() == 404) None
     else if (resp.statusCode() == 200)
@@ -380,8 +524,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
     val q = "/?list-type=2&prefix=" +
       java.net.URLEncoder.encode(prefix, "UTF-8") +
       (if (delimited) "&delimiter=%2F" else "")
-    val resp = send(java.net.http.HttpRequest.newBuilder(
-      java.net.URI.create(endpoint + q)).GET())
+    val resp = send(signed("GET", java.net.URI.create(endpoint + q)).GET())
     if (resp.statusCode() != 200)
       throw new IOException(s"LIST $prefix -> ${resp.statusCode()}")
     val xml = new String(resp.body(), "UTF-8")
@@ -442,7 +585,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
 
     private def ranged(position: Long, n: Int): Array[Byte] = {
       if (n == 0) return Array.empty
-      val resp = send(java.net.http.HttpRequest.newBuilder(uriOf(key))
+      val resp = send(signed("GET", uriOf(key))
         .header("Range", s"bytes=$position-${position + n - 1}").GET())
       if (resp.statusCode() == 416) return Array.empty
       if (resp.statusCode() != 206 && resp.statusCode() != 200)
@@ -456,6 +599,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
       if (b.isEmpty) -1 else { pos += 1; b(0) & 0xff }
     }
     override def read(buf: Array[Byte], off: Int, n: Int): Int = {
+      if (n == 0) return 0 // InputStream contract: zero-length read is 0, never EOF
       if (pos >= len) return -1
       val b = ranged(pos, math.min(n.toLong, len - pos).toInt)
       if (b.isEmpty) return -1
@@ -464,6 +608,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
       b.length
     }
     override def read(position: Long, buf: Array[Byte], off: Int, n: Int): Int = {
+      if (n == 0) return 0
       if (position >= len) return -1
       val b = ranged(position, math.min(n.toLong, len - position).toInt)
       if (b.isEmpty) return -1
@@ -507,7 +652,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
 
   private def upload(key: String, src: File, conditional: Boolean): Unit = {
     if (src.length() > partSizeBytes) { multipart(key, src, conditional); return }
-    val b = java.net.http.HttpRequest.newBuilder(uriOf(key))
+    val b = signed("PUT", uriOf(key))
       .PUT(java.net.http.HttpRequest.BodyPublishers.ofFile(src.toPath))
     if (conditional) b.header("If-None-Match", "*")
     val resp = send(b)
@@ -519,7 +664,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
   }
 
   private def multipart(key: String, src: File, conditional: Boolean = false): Unit = {
-    val init = send(java.net.http.HttpRequest.newBuilder(uriOf(key, "?uploads"))
+    val init = send(signed("POST", uriOf(key, "?uploads"))
       .POST(java.net.http.HttpRequest.BodyPublishers.noBody()))
     if (init.statusCode() != 200)
       throw new IOException(s"MPU initiate $key -> ${init.statusCode()}")
@@ -540,7 +685,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
             if (in.read(buf, off + buf.position()) < 0)
               throw new IOException("EOF mid-part")
           }
-          val resp = send(java.net.http.HttpRequest.newBuilder(
+          val resp = send(signed("PUT",
             uriOf(key, s"?partNumber=$part&uploadId=$id"))
             .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(buf.array())))
           if (resp.statusCode() != 200)
@@ -549,8 +694,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
           part += 1
         }
       } finally in.close()
-      val doneReq = java.net.http.HttpRequest.newBuilder(
-        uriOf(key, s"?uploadId=$id"))
+      val doneReq = signed("POST", uriOf(key, s"?uploadId=$id"))
         .POST(java.net.http.HttpRequest.BodyPublishers.noBody())
       if (conditional) doneReq.header("If-None-Match", "*")
       val done = send(doneReq)
@@ -561,8 +705,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
         throw new IOException(s"MPU complete -> ${done.statusCode()}")
     } catch {
       case e: Throwable =>
-        send(java.net.http.HttpRequest.newBuilder(uriOf(key, s"?uploadId=$id"))
-          .DELETE())
+        send(signed("DELETE", uriOf(key, s"?uploadId=$id")).DELETE())
         throw e
     }
   }
@@ -571,15 +714,17 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024)
     throw new UnsupportedOperationException("append (objects are immutable)")
 
   private[fs] def copyObject(src: String, dst: String): Unit = {
-    val resp = send(java.net.http.HttpRequest.newBuilder(uriOf(dst))
-      .header("x-amz-copy-source", src)
+    // x-amz-copy-source is an x-amz-* header, so it rides SIGNED — a
+    // middlebox can't silently redirect the copy source
+    val resp = send(signed("PUT", uriOf(dst),
+      amzHeaders = Map("x-amz-copy-source" -> src))
       .PUT(java.net.http.HttpRequest.BodyPublishers.noBody()))
     if (resp.statusCode() != 200)
       throw new IOException(s"COPY $src -> $dst: ${resp.statusCode()}")
   }
 
   private def deleteObject(key: String): Unit = {
-    val resp = send(java.net.http.HttpRequest.newBuilder(uriOf(key)).DELETE())
+    val resp = send(signed("DELETE", uriOf(key)).DELETE())
     if (resp.statusCode() != 204 && resp.statusCode() != 200)
       throw new IOException(s"DELETE $key -> ${resp.statusCode()}")
   }

@@ -167,6 +167,94 @@ class S3GatewaySpec extends SparkSpec {
     } finally Stage.deleteRecursively(root)
   }
 
+  test("TLS + SigV4: signed requests pass; bad signature, expired date and unsigned all 403 without touching a handler") {
+    val fs = new GraftS3FileSystem(endpoint)
+    val root = freshRoot("auth")
+    try {
+      assert(endpoint.startsWith("https://"),
+        "gateway must serve TLS when keytool is present")
+      val obj = new java.io.File(root, "x.bin")
+      java.nio.file.Files.write(obj.toPath, Array.tabulate[Byte](1000)(_.toByte))
+      val target = new Path(obj.getPath)
+      // properly signed: every verb already exercised by the other
+      // tests; here just pin one read works over TLS
+      val in = fs.open(target, 4096)
+      assert(in.read() === 0)
+      // zero-length read obeys the InputStream contract (returns 0,
+      // never a spurious EOF)
+      assert(in.read(new Array[Byte](8), 0, 0) === 0)
+      in.close()
+      val fails0 = S3Gateway.opCount("auth_fail")
+      // wrong secret: the HEAD inside getFileStatus sees the 403 and
+      // surfaces it as the transport failure a production job gets on
+      // bad credentials
+      val rogue = new GraftS3FileSystem(endpoint, secret = "wrong-secret")
+      val e1 = intercept[java.io.IOException](rogue.getFileStatus(target))
+      assert(e1.getMessage.contains("403"), s"got: ${e1.getMessage}")
+      // expired signature (clock 20 min behind): RequestTimeTooSkewed
+      val stale = new GraftS3FileSystem(endpoint,
+        signClock = () => java.time.Instant.now().minusSeconds(20 * 60))
+      val e2 = intercept[java.io.IOException](stale.getFileStatus(target))
+      assert(e2.getMessage.contains("403"), s"got: ${e2.getMessage}")
+      // raw unsigned request: 403 AccessDenied on the wire
+      val client = {
+        val b = java.net.http.HttpClient.newBuilder()
+        S3Gateway.clientSslContext.foreach(b.sslContext)
+        b.build()
+      }
+      val bare = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(endpoint + obj.getPath)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(bare.statusCode() === 403)
+      assert(bare.body().contains("<Code>AccessDenied</Code>"))
+      // tampered signature: SignatureDoesNotMatch
+      val sigHdrs = graft.fs.SigV4.signHeaders(
+        "GET", java.net.URI.create(endpoint + obj.getPath))
+      val tampered = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(endpoint + obj.getPath))
+      sigHdrs.foreach { case (k, v) =>
+        tampered.header(k,
+          if (k == "Authorization") v.dropRight(4) + "dead" else v)
+      }
+      val bad = client.send(tampered.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() === 403)
+      assert(bad.body().contains("<Code>SignatureDoesNotMatch</Code>"))
+      assert(S3Gateway.opCount("auth_fail") >= fails0 + 4)
+      // RFC-7233 suffix range over a signed raw request: last 16 bytes
+      val sufUri = java.net.URI.create(endpoint + obj.getPath)
+      val suf = java.net.http.HttpRequest.newBuilder(sufUri)
+      graft.fs.SigV4.signHeaders("GET", sufUri)
+        .foreach { case (k, v) => suf.header(k, v) }
+      val sufResp = client.send(suf.header("Range", "bytes=-16").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      assert(sufResp.statusCode() === 206)
+      assert(java.util.Arrays.equals(sufResp.body(),
+        Array.tabulate[Byte](1000)(_.toByte).takeRight(16)))
+    } finally Stage.deleteRecursively(root)
+  }
+
+  test("in-flight/leaked gateway temporaries are invisible to LIST") {
+    val fs = new GraftS3FileSystem(endpoint)
+    val root = freshRoot("temps")
+    try {
+      val obj = new java.io.File(root, "data.parquet")
+      java.nio.file.Files.write(obj.toPath, "real".getBytes("UTF-8"))
+      // simulate a crash-leaked PUT temp (the names bodyToTemp mints):
+      // a client that died mid-body-copy leaves exactly this file
+      java.nio.file.Files.write(
+        new java.io.File(root, ".data.parquet.s3gwput.deadbeef").toPath,
+        "partial".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        new java.io.File(root, ".other.s3gwcopy.cafebabe").toPath,
+        "partial".getBytes("UTF-8"))
+      val names = fs.listStatus(new Path(root.getPath)).map(_.getPath.getName)
+      assert(names.toSeq === Seq("data.parquet"),
+        s"gateway temporaries leaked into LIST: ${names.mkString(",")}")
+    } finally Stage.deleteRecursively(root)
+  }
+
   test("implicit directories: a prefix exists iff an object extends it") {
     val fs = new GraftS3FileSystem(endpoint)
     val root = freshRoot("dirs")
