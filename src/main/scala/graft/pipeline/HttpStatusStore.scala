@@ -1,56 +1,90 @@
 package graft.pipeline
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 
-/** Service-backed [[StatusStore]] — the network shape of the
-  * reference's DynamoDBHelper (steps/dynamodb.py:32-60: a table client
-  * whose conditional update carries a ConditionExpression the SERVICE
-  * adjudicates). No AWS SDK exists in this sandbox, so the client
-  * speaks the same contract over plain HTTP+JSON to any
-  * conditional-put KV endpoint:
+/** Service-backed [[StatusStore]] speaking the REAL DynamoDB HTTP API
+  * — the network shape of the reference's DynamoDBHelper
+  * (steps/dynamodb.py:32-60: table `data_pipeline_metadata`, key
+  * attributes Correlation_Id + DataProduct, Status/Date item
+  * attributes). No AWS SDK exists in this sandbox, so this client
+  * encodes the wire itself — `POST /` with
+  * `X-Amz-Target: DynamoDB_20120810.<Op>`, `application/x-amz-json-1.0`
+  * bodies, `{"S": ...}` attribute values — against any
+  * DynamoDB-compatible endpoint ([[DynamoGateway]] in-sandbox,
+  * DynamoDB Local or the real service at deploy time):
   *
-  *  - `GET  <base>/status/<correlationId>/<dataProduct>` →
-  *    200 `{"status":…,"exportDate":…,"extra":{…}}` | 404
-  *  - `POST` same path, body
-  *    `{"expected":"IN_PROGRESS"|null, "conditional":bool,
-  *      "status":…, "exportDate":…, "extra":{…}}` →
-  *    200 (this caller's write landed) | 412 (condition failed —
-  *    exactly DynamoDB's ConditionalCheckFailedException, mapped to
-  *    `false` like the reference's except-branch)
+  *  - `getStatus`/`getExtras` → GetItem (ConsistentRead).
+  *  - `updateStatus` → UpdateItem
+  *    `SET #s = :s, #d = if_not_exists(#d, :d), <extras>` — existing
+  *    rows keep their original Date and merge extras, exactly the
+  *    reference's update path.
+  *  - `compareAndSetStatus(None, …)` → PutItem with
+  *    `ConditionExpression: attribute_not_exists(Correlation_Id)` —
+  *    DynamoDB's first-writer-wins row creation.
+  *  - `compareAndSetStatus(Some(s), …)` → UpdateItem with
+  *    `ConditionExpression: #s = :expected`.
   *
-  * The CONDITION IS ADJUDICATED SERVER-SIDE in one atomic step — the
-  * property the whole cross-driver guard rests on; the client never
-  * read-then-writes. Swapping in the real DynamoDB SDK at deploy time
-  * is implementing this same trait with `PutItem(ConditionExpression=
-  * attribute_not_exists)` / `UpdateItem(ConditionExpression=#s = :v)`
-  * — the Runner and every spec in StatusStoreSpec's contract harness
-  * are unchanged.
+  * A condition the SERVICE rejects arrives as HTTP 400 with
+  * `__type …#ConditionalCheckFailedException` and maps to `false` —
+  * the reference's except-branch. The condition is adjudicated
+  * server-side in one atomic step; the client never read-then-writes.
   *
   * Transient transport failures retry with linear backoff (the
-  * reference mounts urllib3 Retry on its session); a 412 is a VALID
-  * adjudication, never retried — retrying a lost CAS would turn
-  * "another driver owns this row" into a spin.
+  * reference mounts urllib3 Retry on its session). Every retry of one
+  * logical call carries the SAME `amz-sdk-invocation-id` (the real
+  * SDK's retry header), so a conditional write whose 200 was lost in
+  * transit is recognized as a replay by the service and re-answered
+  * 200 — a retried CAS can never manufacture a
+  * ConditionalCheckFailed against its own landed write.
   */
-final class HttpStatusStore(base: String, timeoutMs: Long = 2000,
-    maxRetries: Int = 2) extends StatusStore {
+final class HttpStatusStore(base: String,
+    table: String = "data_pipeline_metadata",
+    timeoutMs: Long = 2000, maxRetries: Int = 2) extends StatusStore {
 
   private val om = new ObjectMapper()
   private val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
     .build()
 
-  private def enc(s: String): String =
-    java.net.URLEncoder.encode(s, "UTF-8")
+  private val CcfMarker = "#ConditionalCheckFailedException"
 
-  private def uri(correlationId: String, dataProduct: String): java.net.URI =
-    java.net.URI.create(s"$base/status/${enc(correlationId)}/${enc(dataProduct)}")
+  private def s(n: ObjectNode, field: String, v: String): Unit = {
+    n.putObject(field).put("S", v); ()
+  }
 
-  private def send(req: java.net.http.HttpRequest): java.net.http.HttpResponse[String] = {
+  private def keyNode(body: ObjectNode, correlationId: String,
+      dataProduct: String): Unit = {
+    val k = body.putObject("Key")
+    s(k, "Correlation_Id", correlationId)
+    s(k, "DataProduct", dataProduct)
+  }
+
+  /** One DynamoDB operation: POSTs the x-amz-json-1.0 body under the
+    * op's X-Amz-Target, retrying transport failures with a constant
+    * amz-sdk-invocation-id. Returns (statusCode, parsedBody).
+    */
+  private def call(op: String, body: ObjectNode): (Int, JsonNode) = {
+    val invocationId = java.util.UUID.randomUUID.toString
+    val payload = om.writeValueAsString(body)
     var attempt = 0
     while (true) {
-      try return client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      catch {
+      try {
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(base + "/"))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .header("Content-Type", "application/x-amz-json-1.0")
+          .header("X-Amz-Target", s"DynamoDB_20120810.$op")
+          .header("amz-sdk-invocation-id", invocationId)
+          .header("amz-sdk-request", s"attempt=${attempt + 1}; max=${maxRetries + 1}")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+          .build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val node = if (resp.body() == null || resp.body().isEmpty)
+          om.createObjectNode() else om.readTree(resp.body())
+        return (resp.statusCode(), node)
+      } catch {
         case e: java.io.IOException =>
           attempt += 1
           if (attempt > maxRetries)
@@ -62,71 +96,99 @@ final class HttpStatusStore(base: String, timeoutMs: Long = 2000,
     throw new IllegalStateException("unreachable")
   }
 
-  private def get(correlationId: String, dataProduct: String): Option[ObjectNode] = {
-    val resp = send(java.net.http.HttpRequest.newBuilder()
-      .uri(uri(correlationId, dataProduct))
-      .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build())
-    resp.statusCode() match {
-      case 200 => Some(om.readTree(resp.body()).asInstanceOf[ObjectNode])
-      case 404 => None
-      case c => throw new java.io.IOException(s"status GET returned $c")
-    }
-  }
+  private def isCcf(code: Int, body: JsonNode): Boolean =
+    code == 400 && Option(body.get("__type")).exists(_.asText().endsWith(CcfMarker))
 
-  private def post(correlationId: String, dataProduct: String,
-      conditional: Boolean, expected: Option[String], status: String,
-      exportDate: String, extra: Map[String, String]): Boolean = {
+  private def getItem(correlationId: String, dataProduct: String)
+      : Option[Map[String, String]] = {
     val body = om.createObjectNode()
-    body.put("conditional", conditional)
-    expected match {
-      case Some(s) => body.put("expected", s)
-      case None => body.putNull("expected")
-    }
-    body.put("status", status)
-    body.put("exportDate", exportDate)
-    val ex = body.putObject("extra")
-    extra.foreach { case (k, v) => ex.put(k, v) }
-    val resp = send(java.net.http.HttpRequest.newBuilder()
-      .uri(uri(correlationId, dataProduct))
-      .timeout(java.time.Duration.ofMillis(timeoutMs))
-      .header("Content-Type", "application/json")
-      .POST(java.net.http.HttpRequest.BodyPublishers
-        .ofString(om.writeValueAsString(body)))
-      .build())
-    resp.statusCode() match {
-      case 200 => true
-      case 412 => false // condition failed — the other driver's row stands
-      case c => throw new java.io.IOException(s"status POST returned $c")
+    body.put("TableName", table)
+    keyNode(body, correlationId, dataProduct)
+    body.put("ConsistentRead", true)
+    val (code, resp) = call("GetItem", body)
+    if (code != 200)
+      throw new java.io.IOException(s"GetItem returned $code: $resp")
+    Option(resp.get("Item")).map { item =>
+      var m = Map.empty[String, String]
+      item.properties().forEach { e =>
+        Option(e.getValue.get("S")).foreach(v => m += e.getKey -> v.asText())
+      }
+      m
     }
   }
 
   override def getStatus(correlationId: String, dataProduct: String): Option[String] =
-    get(correlationId, dataProduct)
-      .flatMap(n => Option(n.get("status")).map(_.asText()))
+    getItem(correlationId, dataProduct)
+      .flatMap(_.get("Status"))
       .filter(Set(StatusStore.InProgress, StatusStore.Completed, StatusStore.Failed))
+
+  override def getExtras(correlationId: String, dataProduct: String): Map[String, String] =
+    getItem(correlationId, dataProduct)
+      .map(_ -- Seq("Correlation_Id", "DataProduct", "Status", "Date"))
+      .getOrElse(Map.empty)
+
+  /** UpdateItem body: SET Status, Date (if absent) and the extras;
+    * optional equality condition on the current Status.
+    */
+  private def updateItem(correlationId: String, dataProduct: String,
+      status: String, exportDate: String, extra: Map[String, String],
+      expected: Option[String]): (Int, JsonNode) = {
+    val body = om.createObjectNode()
+    body.put("TableName", table)
+    keyNode(body, correlationId, dataProduct)
+    val names = body.putObject("ExpressionAttributeNames")
+    names.put("#s", "Status")
+    names.put("#d", "Date")
+    val values = body.putObject("ExpressionAttributeValues")
+    s(values, ":s", status)
+    s(values, ":d", exportDate)
+    val sets = scala.collection.mutable.ListBuffer(
+      "#s = :s", "#d = if_not_exists(#d, :d)")
+    extra.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
+      names.put(s"#e$i", k)
+      s(values, s":e$i", v)
+      sets += s"#e$i = :e$i"
+    }
+    body.put("UpdateExpression", "SET " + sets.mkString(", "))
+    expected.foreach { exp =>
+      s(values, ":exp", exp)
+      body.put("ConditionExpression", "#s = :exp")
+    }
+    call("UpdateItem", body)
+  }
 
   override def updateStatus(correlationId: String, dataProduct: String,
       status: String, exportDate: String,
       extra: Map[String, String] = Map.empty): Unit = {
-    post(correlationId, dataProduct, conditional = false, None,
-      status, exportDate, extra)
-    ()
+    val (code, resp) = updateItem(correlationId, dataProduct,
+      status, exportDate, extra, expected = None)
+    if (code != 200)
+      throw new java.io.IOException(s"UpdateItem returned $code: $resp")
   }
-
-  override def getExtras(correlationId: String, dataProduct: String): Map[String, String] =
-    get(correlationId, dataProduct).map { n =>
-      Option(n.get("extra")) match {
-        case Some(e: ObjectNode) =>
-          var m = Map.empty[String, String]
-          e.properties().forEach(kv => m += kv.getKey -> kv.getValue.asText())
-          m
-        case _ => Map.empty[String, String]
-      }
-    }.getOrElse(Map.empty)
 
   override def compareAndSetStatus(correlationId: String, dataProduct: String,
       expected: Option[String], status: String, exportDate: String,
-      extra: Map[String, String] = Map.empty): Boolean =
-    post(correlationId, dataProduct, conditional = true, expected,
-      status, exportDate, extra)
+      extra: Map[String, String] = Map.empty): Boolean = expected match {
+    case None =>
+      // first-writer-wins row CREATION: PutItem + attribute_not_exists
+      val body = om.createObjectNode()
+      body.put("TableName", table)
+      val item = body.putObject("Item")
+      s(item, "Correlation_Id", correlationId)
+      s(item, "DataProduct", dataProduct)
+      s(item, "Status", status)
+      s(item, "Date", exportDate)
+      extra.foreach { case (k, v) => s(item, k, v) }
+      body.put("ConditionExpression", "attribute_not_exists(Correlation_Id)")
+      val (code, resp) = call("PutItem", body)
+      if (code == 200) true
+      else if (isCcf(code, resp)) false
+      else throw new java.io.IOException(s"PutItem returned $code: $resp")
+    case Some(_) =>
+      val (code, resp) = updateItem(correlationId, dataProduct,
+        status, exportDate, extra, expected)
+      if (code == 200) true
+      else if (isCcf(code, resp)) false
+      else throw new java.io.IOException(s"UpdateItem returned $code: $resp")
+  }
 }

@@ -40,82 +40,21 @@ class StatusStoreSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
-  /** Loopback conditional-put KV service — the server half of
-    * [[HttpStatusStore]]'s DynamoDB-shaped contract. The condition is
-    * adjudicated HERE, atomically under the rows monitor (DynamoDB's
-    * server-side ConditionExpression), so racing clients on separate
-    * connections serialize exactly as racing drivers on one table.
+  /** Loopback DynamoDB-wire service (graft.pipeline.DynamoGateway) —
+    * the real HTTP API shape (X-Amz-Target PutItem/UpdateItem/GetItem,
+    * ConditionExpression adjudicated atomically server-side,
+    * ConditionalCheckFailedException bodies), so the client under test
+    * is a drop-in DynamoDB wire client.
     */
   private def withStatusServer(body: String => Unit): Unit = {
-    import com.sun.net.httpserver.{HttpExchange, HttpServer}
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val server =
-      try HttpServer.create(new java.net.InetSocketAddress(
-        java.net.InetAddress.getLoopbackAddress, 0), 0)
+    val gw = new graft.pipeline.DynamoGateway()
+    val base =
+      try gw.start()
       catch {
         case e: java.io.IOException =>
           cancel(s"loopback bind unavailable: ${e.getMessage}")
       }
-    // (cid, product) -> (status, exportDate, extras)
-    val rows = scala.collection.mutable.Map.empty[(String, String),
-      (String, String, Map[String, String])]
-    def respond(ex: HttpExchange, code: Int, bodyStr: String): Unit = {
-      val bytes = bodyStr.getBytes("UTF-8")
-      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
-      if (bytes.nonEmpty) {
-        val os = ex.getResponseBody
-        try os.write(bytes) finally os.close()
-      }
-    }
-    def rowJson(r: (String, String, Map[String, String])): String = {
-      val n = om.createObjectNode()
-      n.put("status", r._1); n.put("exportDate", r._2)
-      val e = n.putObject("extra")
-      r._3.foreach { case (k, v) => e.put(k, v) }
-      om.writeValueAsString(n)
-    }
-    server.createContext("/status/", (ex: HttpExchange) => {
-      try {
-        val parts = ex.getRequestURI.getPath.stripPrefix("/status/").split("/")
-        val key = (java.net.URLDecoder.decode(parts(0), "UTF-8"),
-          java.net.URLDecoder.decode(parts(1), "UTF-8"))
-        ex.getRequestMethod match {
-          case "GET" => rows.synchronized(rows.get(key)) match {
-            case Some(r) => respond(ex, 200, rowJson(r))
-            case None => respond(ex, 404, "")
-          }
-          case "POST" =>
-            val b = om.readTree(ex.getRequestBody.readAllBytes())
-            val conditional = b.get("conditional").asBoolean()
-            val expected = Option(b.get("expected"))
-              .filter(!_.isNull).map(_.asText())
-            val status = b.get("status").asText()
-            val exportDate = b.get("exportDate").asText()
-            var extra = Map.empty[String, String]
-            b.get("extra").properties().forEach(kv =>
-              extra += kv.getKey -> kv.getValue.asText())
-            // the atomic server-side adjudication — condition check and
-            // write are ONE critical section, nothing between them
-            val landed = rows.synchronized {
-              val cur = rows.get(key)
-              if (conditional && cur.map(_._1) != expected) false
-              else {
-                rows(key) = cur match {
-                  case Some((_, ed, ex0)) => (status, ed, ex0 ++ extra)
-                  case None => (status, exportDate, extra)
-                }
-                true
-              }
-            }
-            respond(ex, if (landed) 200 else 412, "")
-          case _ => respond(ex, 405, "")
-        }
-      } finally ex.close()
-    })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
-    server.start()
-    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
-    finally server.stop(0)
+    try body(base) finally gw.stop()
   }
 
   test("CAS contract: N racing None→IN_PROGRESS entries produce exactly one winner (both impls)") {
@@ -152,6 +91,55 @@ class StatusStoreSpec extends SparkSpec {
         StatusStore.Completed, "2021-06-15", Map("S3_Prefix_CDI_Export" -> "/x")))
       assert(st.getStatus("c", "p") === Some(StatusStore.Completed))
       assert(st.getExtras("c", "p") === Map("S3_Prefix_CDI_Export" -> "/x"))
+    }
+  }
+
+  test("DynamoDB wire shape: GetItem/PutItem JSON, CCF body, and invocation-id replay never fails the winner") {
+    withStatusServer { base =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(op: String, json: String, invId: Option[String] = None)
+          : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+        val b = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(base + "/"))
+          .header("Content-Type", "application/x-amz-json-1.0")
+          .header("X-Amz-Target", s"DynamoDB_20120810.$op")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(json))
+        invId.foreach(b.header("amz-sdk-invocation-id", _))
+        val r = client.send(b.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(),
+          if (r.body().isEmpty) om.createObjectNode() else om.readTree(r.body()))
+      }
+      val key = """{"Correlation_Id":{"S":"w1"},"DataProduct":{"S":"CDI-d:c"}}"""
+      // missing row: GetItem answers 200 with NO Item member
+      val (gc, gb) = post("GetItem",
+        s"""{"TableName":"data_pipeline_metadata","Key":$key,"ConsistentRead":true}""")
+      assert(gc === 200 && gb.get("Item") == null)
+      // conditional create over the raw wire
+      val putBody =
+        s"""{"TableName":"data_pipeline_metadata",
+           |"Item":{"Correlation_Id":{"S":"w1"},"DataProduct":{"S":"CDI-d:c"},
+           |"Status":{"S":"IN_PROGRESS"},"Date":{"S":"2021-06-15"}},
+           |"ConditionExpression":"attribute_not_exists(Correlation_Id)"}""".stripMargin
+      val inv = java.util.UUID.randomUUID.toString
+      assert(post("PutItem", putBody, Some(inv))._1 === 200)
+      // the row reads back in DynamoDB attribute encoding
+      val (_, item) = post("GetItem",
+        s"""{"TableName":"data_pipeline_metadata","Key":$key}""")
+      assert(item.get("Item").get("Status").get("S").asText() === "IN_PROGRESS")
+      // a LOSING conditional put answers DynamoDB's exact error shape
+      val (lc, lb) = post("PutItem", putBody)
+      assert(lc === 400)
+      assert(lb.get("__type").asText() ===
+        "com.amazonaws.dynamodb.v20120810#ConditionalCheckFailedException")
+      // the lost-response hazard: the WINNER retries with the SAME
+      // amz-sdk-invocation-id and must be re-answered 200 (a replay),
+      // never told its own landed write failed the condition
+      assert(post("PutItem", putBody, Some(inv))._1 === 200)
+      // while a genuinely new invocation still loses
+      assert(post("PutItem", putBody,
+        Some(java.util.UUID.randomUUID.toString))._1 === 400)
     }
   }
 
