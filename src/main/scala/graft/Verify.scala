@@ -20,16 +20,38 @@ object Verify {
     // the s3a:// protocol shape), proving no java.io.File assumption
     // survives in any operator's artifact path. Default stays POSIX.
     graft.fs.FsOps.bindFromEnv("verify")
-    new java.io.File(outDir).mkdirs()
+    // optional telemetry binding (SPARK_GRAFT_METRICS=path.jsonl or an
+    // http collector URL): per-query wall timings, dump counts, DKS
+    // decrypt-call counters and S3-gateway verb counters all land in
+    // the bound sink — the reference's cloudwatch.sh surface
+    graft.pipeline.MetricsSink.bindFromEnv("verify")
     // optional comma-separated name filter (same contract as Bench) —
     // lets scale probes dump a single operator without the full sweep
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump body, callable in-process (specs drive it against their
+    * own session; `main` owns session lifecycle).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]]): Unit = {
+    val sink = graft.pipeline.MetricsSink.global
+    new java.io.File(outDir).mkdirs()
+    var dumped = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+        sink.timing("verify.query_ms", (System.nanoTime() - t0) / 1000000,
+          Map("query" -> name))
+      }
       catch { case e: Throwable =>
         // class + message + first in-graft frame: an empty INTERNAL_ERROR
         // message is undiagnosable without at least one frame
@@ -37,6 +59,7 @@ object Verify {
           .orElse(e.getStackTrace.headOption).map(_.toString).getOrElse("")
         val cause = Option(e.getCause).map(c => s" caused by ${c.getClass.getSimpleName}: ${c.getMessage}").getOrElse("")
         System.err.println(s"[verify] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}$cause @ $frame")
+        sink.counter("verify.query_failures", 1, Map("query" -> name))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -64,14 +87,19 @@ object Verify {
       val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
       if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
     } catch { case _: Exception => "unknown" }
-    val dumped = SparkEntry.queries.keys
+    val dumpedNames = SparkEntry.queries.keys
       .filter(n => only.forall(_.contains(n))).toSeq.sorted
     val meta = s"""{"registry_count": ${SparkEntry.queries.size},""" +
-      s""" "dumped_count": ${dumped.size},""" +
+      s""" "dumped_count": ${dumpedNames.size},""" +
       s""" "filter": ${only.map(f => q(f.toSeq.sorted.mkString(","))).getOrElse("null")},""" +
       s""" "git_sha": ${q(sha)}, "sf_dir": ${q(sfDir)},""" +
       s""" "fs_seam": ${q(graft.fs.FsOps.current.name)}}"""
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
-    spark.stop()
+    // telemetry epilogue: the run's own counts plus the gateway's verb
+    // counters (when the s3gw seam carried this run's IO)
+    sink.counter("verify.queries_dumped", dumped,
+      Map("fs" -> graft.fs.FsOps.current.name))
+    graft.pipeline.MetricsSink.publishS3GatewayOps(sink)
+    sink.flush()
   }
 }

@@ -33,6 +33,10 @@ final class KeyService(resolve: String => String) extends Serializable {
     val distinctKeys = parsed.select("key_enc").distinct()
       .as[String].collect().toSeq
     lastResolvedCount = distinctKeys.length
+    // the reference's dks_miss accumulator (dks.py:96-116): each
+    // distinct key is one real decrypt call; every other record is by
+    // construction a cache hit of the broadcast map
+    MetricsSink.global.counter("dks.decrypt_calls", distinctKeys.length)
     val keyMap = distinctKeys.map(k => k -> resolve(k)).toDF("key_enc", "data_key")
     parsed.join(broadcast(keyMap), Seq("key_enc"))
   }
