@@ -118,6 +118,57 @@ object KeyService {
     ctx
   }
 
+  /** A server SSLContext whose IDENTITY can be swapped under a live
+    * listener — the certificate-rotation runbook case (reference:
+    * bootstrap config_hcs.sh re-mints the HCS cert material; dks.py
+    * just points at cert paths that ops rotate). The context's
+    * KeyManager delegates through a volatile reference: calling the
+    * returned rotate function with a new PKCS12 path (same store
+    * password) makes every SUBSEQUENT handshake present the new leaf
+    * — no listener restart, no dropped service. Clients anchored on
+    * the issuing CA keep working across the swap; clients that pinned
+    * the old LEAF fail their next handshake, which is exactly the
+    * operational signal that a pin (not a CA anchor) is in use.
+    */
+  def rotatableServerContext(keyStorePath: String, pass: Array[Char])
+      : (javax.net.ssl.SSLContext, String => Unit) = {
+    import javax.net.ssl.{SSLEngine, X509ExtendedKeyManager}
+    def kmOf(path: String): X509ExtendedKeyManager = {
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+      try ks.load(in, pass) finally in.close()
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, pass)
+      kmf.getKeyManagers.collectFirst { case m: X509ExtendedKeyManager => m }
+        .getOrElse(throw new IllegalStateException(s"no key manager in $path"))
+    }
+    object rotatable extends X509ExtendedKeyManager {
+      @volatile var delegate: X509ExtendedKeyManager = kmOf(keyStorePath)
+      override def getClientAliases(k: String, i: Array[java.security.Principal]) =
+        delegate.getClientAliases(k, i)
+      override def chooseClientAlias(k: Array[String],
+          i: Array[java.security.Principal], s: java.net.Socket) =
+        delegate.chooseClientAlias(k, i, s)
+      override def getServerAliases(k: String, i: Array[java.security.Principal]) =
+        delegate.getServerAliases(k, i)
+      override def chooseServerAlias(k: String,
+          i: Array[java.security.Principal], s: java.net.Socket) =
+        delegate.chooseServerAlias(k, i, s)
+      override def getCertificateChain(a: String) = delegate.getCertificateChain(a)
+      override def getPrivateKey(a: String) = delegate.getPrivateKey(a)
+      override def chooseEngineClientAlias(k: Array[String],
+          i: Array[java.security.Principal], e: SSLEngine) =
+        delegate.chooseEngineClientAlias(k, i, e)
+      override def chooseEngineServerAlias(k: String,
+          i: Array[java.security.Principal], e: SSLEngine) =
+        delegate.chooseEngineServerAlias(k, i, e)
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(Array(rotatable), null, null)
+    (ctx, path => { rotatable.delegate = kmOf(path) })
+  }
+
   /** Retry wrapper for the resolver — the reference's RetryConfig
     * (dks.py:23-40: bounded retries with backoff on the DKS call).
     * Because resolution is a bounded driver-side pass over DISTINCT

@@ -207,6 +207,110 @@ class KeyServiceHttpSpec extends SparkSpec {
     } finally Stage.deleteRecursively(dir)
   }
 
+  test("certificate rotation: keystore swaps under the live service; CA-anchored clients continue, leaf-pinned clients fail") {
+    // the rotation runbook case (config_hcs.sh re-mints cert material;
+    // ops swap it under the running DKS): a CA signs two successive
+    // server leaves; the listener rotates from leaf1 to leaf2 WITHOUT
+    // restarting. A client trusting the CA must not notice; a client
+    // that pinned leaf1 must fail its next handshake.
+    val keytool = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "keytool")
+    if (!keytool.isFile) cancel("keytool unavailable")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rotation").toFile
+    def run(args: String*): Unit = {
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(keytool.getPath)
+      args.foreach(cmd.add)
+      val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"keytool ${args.head} failed:\n$out")
+    }
+    val store = Seq("-storetype", "PKCS12", "-storepass", "changeit")
+    try {
+      // CA
+      run(Seq("-genkeypair", "-alias", "ca", "-keyalg", "RSA", "-keysize", "2048",
+        "-dname", "CN=graft-ca", "-validity", "1", "-ext", "bc:c",
+        "-keystore", s"$dir/ca.p12") ++ store: _*)
+      run(Seq("-exportcert", "-alias", "ca", "-keystore", s"$dir/ca.p12",
+        "-file", s"$dir/ca.cer") ++ store.drop(2): _*)
+      // two successive server leaves, both signed by the SAME CA
+      def mintLeaf(alias: String): Unit = {
+        run(Seq("-genkeypair", "-alias", alias, "-keyalg", "RSA", "-keysize", "2048",
+          "-dname", s"CN=$alias", "-validity", "1",
+          "-keystore", s"$dir/$alias.p12") ++ store: _*)
+        run(Seq("-certreq", "-alias", alias, "-keystore", s"$dir/$alias.p12",
+          "-file", s"$dir/$alias.csr") ++ store.drop(2): _*)
+        run(Seq("-gencert", "-alias", "ca", "-keystore", s"$dir/ca.p12",
+          "-infile", s"$dir/$alias.csr", "-outfile", s"$dir/$alias.cer",
+          "-ext", "SAN=ip:127.0.0.1", "-validity", "1") ++ store.drop(2): _*)
+        run(Seq("-importcert", "-noprompt", "-alias", "ca",
+          "-file", s"$dir/ca.cer",
+          "-keystore", s"$dir/$alias.p12") ++ store.drop(2): _*)
+        run(Seq("-importcert", "-noprompt", "-alias", alias,
+          "-file", s"$dir/$alias.cer",
+          "-keystore", s"$dir/$alias.p12") ++ store.drop(2): _*)
+      }
+      mintLeaf("leaf1")
+      mintLeaf("leaf2")
+      // truststores: the CA anchor, and a PIN of the leaf1 cert only
+      run(Seq("-importcert", "-noprompt", "-alias", "ca",
+        "-file", s"$dir/ca.cer",
+        "-keystore", s"$dir/trust_ca.p12") ++ store: _*)
+      run(Seq("-importcert", "-noprompt", "-alias", "leaf1",
+        "-file", s"$dir/leaf1.cer",
+        "-keystore", s"$dir/trust_leaf1.p12") ++ store: _*)
+
+      val (serverCtx, rotate) = KeyService.rotatableServerContext(
+        s"$dir/leaf1.p12", "changeit".toCharArray)
+      val server =
+        try com.sun.net.httpserver.HttpsServer.create(
+          new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+        catch {
+          case e: java.io.IOException =>
+            cancel(s"loopback bind unavailable: ${e.getMessage}")
+        }
+      server.setHttpsConfigurator(
+        new com.sun.net.httpserver.HttpsConfigurator(serverCtx))
+      val hits = new AtomicInteger(0)
+      server.createContext("/datakey/actions/decrypt", (ex: HttpExchange) => {
+        hits.incrementAndGet()
+        try respond(ex, 200, readKey(ex) + "-decrypted") finally ex.close()
+      })
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+      server.start()
+      val endpoint = s"https://127.0.0.1:${server.getAddress.getPort}"
+      // trust-only contexts: mtlsContext with the truststore in both
+      // positions (no private keys -> empty KeyManager; the server
+      // doesn't request client auth on this leg)
+      def trustCtx(name: String) = KeyService.mtlsContext(
+        s"$dir/$name.p12", "changeit".toCharArray,
+        s"$dir/$name.p12", "changeit".toCharArray)
+      try {
+        // CA-anchored client works against leaf1, so does the leaf1 pin
+        assert(KeyService.http(endpoint,
+          ssl = Some(trustCtx("trust_ca")))("k1") === "k1-decrypted")
+        assert(KeyService.http(endpoint,
+          ssl = Some(trustCtx("trust_leaf1")))("k2") === "k2-decrypted")
+        assert(hits.get() === 2)
+        // ROTATE under the live listener: no restart, no new port
+        rotate(s"$dir/leaf2.p12")
+        // a FRESH CA-anchored client (new connection, new handshake)
+        // continues — rotation is invisible behind the CA anchor
+        assert(KeyService.http(endpoint,
+          ssl = Some(trustCtx("trust_ca")))("k3") === "k3-decrypted")
+        assert(hits.get() === 3)
+        // the leaf1-pinned client now FAILS THE HANDSHAKE: the pin was
+        // to the retired identity, and the handler is never reached
+        val pinned = KeyService.withRetry(maxRetries = 1, backoffMs = 1)(
+          KeyService.http(endpoint, ssl = Some(trustCtx("trust_leaf1"))))
+        val e = intercept[RuntimeException](pinned("k4"))
+        assert(e.getCause.isInstanceOf[java.io.IOException],
+          s"pin failure must surface as a transport error, got ${e.getCause}")
+        assert(hits.get() === 3, "pinned client must never reach the handler after rotation")
+      } finally server.stop(0)
+    } finally Stage.deleteRecursively(dir)
+  }
+
   test("eventual failure: a dead service exhausts retries with a diagnosable error") {
     withStub((ex, _) => respond(ex, 503, "")) { (endpoint, hits) =>
       val resolve = KeyService.withRetry(maxRetries = 2, backoffMs = 1)(
