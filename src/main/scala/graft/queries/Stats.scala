@@ -120,8 +120,13 @@ object Stats {
     * anywhere in the plan (PlanShapeSpec pins it). Rank arithmetic is
     * integer-exact, so the NTILE-over-total-order oracle is unchanged.
     *
-    * Overflow bound: i ≤ n (~1.5·10⁵ at sf1), xᵢ ≤ 5·10⁷ cents, so
-    * Σi·xᵢ ≤ ~10¹⁷ and n·Σx ≤ ~10¹⁸ — inside BIGINT.
+    * Overflow (round 15, caught by the skew100 probe): n·Σx already
+    * passes 2⁶³ at ~10× sf1 entity counts, so the closed form's big
+    * products (Σi·xᵢ, (n+1)·Σx, n·Σx) are carried in DECIMAL(38,0) —
+    * exact integer arithmetic to 38 digits (headroom past 100 TB:
+    * n·s at sf1000 ≈ 3.4·10²² ≪ 10³⁸) — on BOTH engines, with the
+    * one double conversion happening on the same exact decimal
+    * values. Decile cents sums stay BIGINT (Σx ≤ ~10¹⁷ at sf1000).
     */
   def qGini(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
@@ -138,7 +143,7 @@ object Stats {
         sum(when(col("decile") <= dd, col("cents")).otherwise(0L)).as(s"c$dd"))
     }
     val aggs = Seq(count(lit(1)).as("n"), sum("cents").as("s"),
-      sum(col("i") * col("cents")).as("w")) ++ perDecile
+      sum(expr("CAST(i AS DECIMAL(38,0)) * cents")).as("w")) ++ perDecile
     val g = tiled.agg(aggs.head, aggs.tail: _*)
     val rows = (1 to 10).map(dd => s"$dd, n$dd, s$dd, c$dd").mkString(", ")
     g.select(expr(s"stack(10, $rows) AS (decile, n_cust, decile_cents, cum_cents)"),
@@ -146,7 +151,8 @@ object Stats {
       .where(col("n_cust") > 0) // NTILE emits no empty buckets when n < 10
       .select(col("decile"), col("n_cust"), col("decile_cents"), col("cum_cents"),
         (col("cum_cents").cast("double") / col("s").cast("double")).as("cum_share"),
-        expr("CAST(2 * w - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)").as("gini"))
+        expr("""CAST(2 * w - (CAST(n AS DECIMAL(38,0)) + 1) * s AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(38,0)) * s AS DOUBLE)""").as("gini"))
   }
 
   val qGiniSql: String =
@@ -161,7 +167,7 @@ object Stats {
       |  FROM spend),
       |g AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
-      |    CAST(SUM(i * cents) AS BIGINT) AS w
+      |    CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS w
       |  FROM ranked),
       |deciles AS (
       |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
@@ -174,7 +180,8 @@ object Stats {
       |  FROM deciles)
       |SELECT decile, n_cust, decile_cents, cum_cents,
       |  CAST(cum_cents AS DOUBLE) / CAST(g.s AS DOUBLE) AS cum_share,
-      |  CAST(2 * g.w - (g.n + 1) * g.s AS DOUBLE) / CAST(g.n * g.s AS DOUBLE) AS gini
+      |  CAST(2 * g.w - (CAST(g.n AS DECIMAL(38,0)) + 1) * g.s AS DOUBLE)
+      |    / CAST(CAST(g.n AS DECIMAL(38,0)) * g.s AS DOUBLE) AS gini
       |FROM cum CROSS JOIN g""".stripMargin
 
   /** A-mad: robust outlier screen per market segment — median/MAD
