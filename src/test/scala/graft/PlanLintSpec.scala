@@ -73,6 +73,7 @@ class PlanLintSpec extends SparkSpec {
     "s_range_search" -> "bounded query batch broadcast, pure scan (plan-pinned shuffle-free)",
     "s_triplet_mine" -> "bounded anchor batch broadcast over one cached corpus pass",
     "t_bm25" -> "cross with the one-row corpus-stats aggregate (n_docs, total_tokens); candidates come from the postings join",
+    "t_bm25_wand" -> "the same one-row corpus-stats cross, appearing once per scoring pass (max-score index, seed scoring, survivor scoring)",
     "t_cooccur" -> "one-row corpus-total aggregates crossed into the PMI scoring",
     "t_dsir" -> "one-row model-totals aggregate crossed onto the 256-row bucket-model frame",
     "t_heavy_hitters" -> "broadcast Misra-Gries candidate set (≤ budget rows) verify join",
