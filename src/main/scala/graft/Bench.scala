@@ -92,12 +92,14 @@ object Bench {
     // the round-14 adjudication caught was a streaming (or sort-heavy)
     // row co-scheduled after heavy batch neighbors — state-store and
     // MicroBatchExecution pressure accumulates across a chunk in a way
-    // batch queries don't exhibit. st_* rows therefore get their OWN
-    // hash-bucketed chunks, smaller (SPARK_GRAFT_CHUNK_ST, default 4),
-    // so a streaming row shares a JVM with at most 3 other streaming
-    // rows and never with a batch query.
+    // batch queries don't exhibit. Measured this round: even an
+    // ALL-STREAMING chunk of 4 inflates its later rows 2-2.5× (st_scd2
+    // 17.7 s in a 4-chunk vs 7.2 s alone), so streaming rows run ONE
+    // PER CHILD JVM (SPARK_GRAFT_CHUNK_ST, default 1) — sweep numbers
+    // for st_* ARE standalone numbers by construction, at the price of
+    // ~25 extra JVM startups per sweep.
     val stChunkSize = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_CHUNK_ST", "4").toInt).getOrElse(4).max(1)
+      sys.env.getOrElse("SPARK_GRAFT_CHUNK_ST", "1").toInt).getOrElse(1).max(1)
     val (stNames, batchNames) = names.partition(_.startsWith("st_"))
     val chunks = bucketize(batchNames, chunkSize) ++
       bucketize(stNames, stChunkSize)
