@@ -227,8 +227,12 @@ object Bench {
     * unparsable content = no adjudication, never a failure.
     */
   private def loadPrior(sfDir: String): Map[String, Double] = {
+    // match the sf1 fixture by basename SUFFIX, not substring — a
+    // substring would also match sf10/sf100 probe dirs and adjudicate
+    // a different-scale sweep against sf1 priors (flagging every row)
     val default =
-      if (sfDir.contains("sf1") && new java.io.File("BENCH_SF1.json").isFile)
+      if (new java.io.File(sfDir).getName.endsWith("sf1") &&
+          new java.io.File("BENCH_SF1.json").isFile)
         "BENCH_SF1.json"
       else "BENCH_PRIOR.json"
     val path = sys.env.getOrElse("SPARK_GRAFT_PRIOR", default)

@@ -89,8 +89,13 @@ object Verify {
     } catch { case _: Exception => "unknown" }
     val dumpedNames = SparkEntry.queries.keys
       .filter(n => only.forall(_.contains(n))).toSeq.sorted
+    // dumped_count counts queries whose parquet actually LANDED (so it
+    // agrees with the verify.queries_dumped metric and never claims an
+    // artifact a failed query didn't write); planned_count is the
+    // filtered registry size the run attempted
     val meta = s"""{"registry_count": ${SparkEntry.queries.size},""" +
-      s""" "dumped_count": ${dumpedNames.size},""" +
+      s""" "dumped_count": $dumped,""" +
+      s""" "planned_count": ${dumpedNames.size},""" +
       s""" "filter": ${only.map(f => q(f.toSeq.sorted.mkString(","))).getOrElse("null")},""" +
       s""" "git_sha": ${q(sha)}, "sf_dir": ${q(sfDir)},""" +
       s""" "fs_seam": ${q(graft.fs.FsOps.current.name)}}"""

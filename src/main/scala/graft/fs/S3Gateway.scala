@@ -83,10 +83,15 @@ object S3Gateway {
     * absent — the caller falls back to plaintext HTTP.
     */
   private def mintTls(): Option[(javax.net.ssl.SSLContext, javax.net.ssl.SSLContext)] =
-    try {
+    {
       val keytool = new File(new File(sys.props("java.home"), "bin"), "keytool")
       if (!keytool.isFile) return None
       val dir = Files.createTempDirectory("graft_s3gw_tls").toFile
+      def scrub(): Unit = {
+        Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        dir.delete(); ()
+      }
+      try {
       val pass = "changeit"
       def run(args: String*): Unit = {
         val cmd = new java.util.ArrayList[String]()
@@ -121,7 +126,12 @@ object S3Gateway {
       val trustCtx = javax.net.ssl.SSLContext.getInstance("TLS")
       trustCtx.init(null, tmf.getTrustManagers, null)
       Some((serverCtx, trustCtx))
-    } catch { case _: Exception => None }
+      } catch { case _: Exception => None }
+      // the key material lives in the initialized contexts (or minting
+      // failed) — the on-disk PKCS12 (a PRIVATE KEY under a fixed
+      // password) must never accumulate in /tmp across JVMs
+      finally scrub()
+    }
 
   /** Start (once per JVM) and return the endpoint. */
   def ensureStarted(): String = synchronized {

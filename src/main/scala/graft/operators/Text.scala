@@ -970,7 +970,7 @@ object Text {
     */
   def tBm25Wand(s: SparkSession, d: String): DataFrame = {
     val ix = bmIndex(s, d)
-    bmTopK(bmExact(bm25WandSurvivors(ix), ix))
+    bmTopK(bm25WandScored(ix))
   }
 
   /** The df-capped candidate (query, term, doc) enumeration both
@@ -985,11 +985,14 @@ object Text {
     else ix.qterms.join(ix.tf.select("term", "doc_id"), Seq("term")))
       .filter(col("doc_id") =!= col("query_id"))
 
-  /** The WAND survivor pair set — steps 1-3 of [[tBm25Wand]]'s
-    * Scaladoc. Package-reachable via [[bm25WandCounts]] so the spec
-    * can measure the pruning.
+  /** The exactly-scored (query, doc, sfx, n_terms) set — steps 1-3 of
+    * [[tBm25Wand]]'s Scaladoc. The seed pairs are scored ONCE: their
+    * exact scores both fit θ and ride into the final set by union, so
+    * only the ub ≥ θ NON-seed survivors go through the refine join.
+    * Package-reachable via [[bm25WandCounts]] so the spec measures
+    * the pruning.
     */
-  private def bm25WandSurvivors(ix: BmIndex): DataFrame = {
+  private def bm25WandScored(ix: BmIndex): DataFrame = {
     val termMax = ix.tf.join(ix.dl, Seq("doc_id")).join(ix.df, Seq("term"))
       .crossJoin(broadcast(ix.stats))
       .select(col("term"), bmFx.as("fx"))
@@ -1008,26 +1011,28 @@ object Text {
           (col("ub_shared") + coalesce(col("cap_fx"), lit(0L))).as("ub"))
         .withColumn("ubrk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("ub").desc, col("doc_id")))))
-    val seedScores = bmExact(
-      bounds.filter(col("ubrk") <= BmWandSeeds).select("query_id", "doc_id"), ix)
+    // cached: seed scores feed θ AND the final union — never re-joined
+    val seedScores = graft.Stage.cached(bmExact(
+      bounds.filter(col("ubrk") <= BmWandSeeds).select("query_id", "doc_id"), ix))
     val theta = seedScores
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sfx").desc, col("doc_id"))))
       .filter(col("rk") === BmTopK)
       .select(col("query_id"), col("sfx").as("theta"))
-    bounds.join(broadcast(theta), Seq("query_id"), "left")
-      .filter(col("ubrk") <= BmWandSeeds || col("theta").isNull ||
-        col("ub") >= col("theta"))
+    val nonSeedSurvivors = bounds.join(broadcast(theta), Seq("query_id"), "left")
+      .filter(col("ubrk") > BmWandSeeds &&
+        (col("theta").isNull || col("ub") >= col("theta")))
       .select("query_id", "doc_id")
+    seedScores.union(bmExact(nonSeedSurvivors, ix))
   }
 
-  /** (candidate pairs, exactly-scored survivor pairs) — the spec's
-    * pruning measurement on a corpus where WAND bites.
+  /** (candidate pairs, exactly-scored pairs) — the spec's pruning
+    * measurement on a corpus where WAND bites.
     */
   private[graft] def bm25WandCounts(s: SparkSession, d: String): (Long, Long) = {
     val ix = bmIndex(s, d)
     val cand = bmCandTerms(ix).select("query_id", "doc_id").distinct().count()
-    (cand, bm25WandSurvivors(ix).count())
+    (cand, bm25WandScored(ix).count())
   }
 
   val tBm25Sql: String = {

@@ -39,8 +39,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 final class DynamoGateway {
   private val om = new ObjectMapper()
   // (Correlation_Id, DataProduct) -> attrName -> S-value
+  // (Correlation_Id, DataProduct) -> attrName -> (typeTag, value) —
+  // the type tag is PRESERVED so a {"N": ...} attribute reads back as
+  // N, not silently re-encoded as S (the drop-in wire contract)
   private val rows =
-    scala.collection.mutable.Map.empty[(String, String), Map[String, String]]
+    scala.collection.mutable.Map.empty[(String, String), Map[String, (String, String)]]
   // bounded invocation-id -> (status, body) replay cache
   private val replays =
     new java.util.LinkedHashMap[String, (Int, String)](64, 0.75f, false) {
@@ -94,27 +97,28 @@ final class DynamoGateway {
     }
   }
 
-  private def sOf(n: JsonNode): String =
-    Option(n.get("S")).map(_.asText())
-      .orElse(Option(n.get("N")).map(_.asText()))
+  /** (typeTag, value) of an attribute-value node — S and N supported. */
+  private def avOf(n: JsonNode): (String, String) =
+    Option(n.get("S")).map("S" -> _.asText())
+      .orElse(Option(n.get("N")).map("N" -> _.asText()))
       .getOrElse(throw new IllegalArgumentException("unsupported attribute type"))
 
-  private def attrMap(item: JsonNode): Map[String, String] = {
-    var m = Map.empty[String, String]
-    item.properties().forEach(e => m += e.getKey -> sOf(e.getValue))
+  private def attrMap(item: JsonNode): Map[String, (String, String)] = {
+    var m = Map.empty[String, (String, String)]
+    item.properties().forEach(e => m += e.getKey -> avOf(e.getValue))
     m
   }
 
   private def keyOf(body: JsonNode, field: String): (String, String) = {
     val k = body.get(field)
-    (sOf(k.get("Correlation_Id")), sOf(k.get("DataProduct")))
+    (avOf(k.get("Correlation_Id"))._2, avOf(k.get("DataProduct"))._2)
   }
 
-  private def itemJson(attrs: Map[String, String]): String = {
+  private def itemJson(attrs: Map[String, (String, String)]): String = {
     val n = om.createObjectNode()
     val item = n.putObject("Item")
-    attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      item.putObject(k).put("S", v)
+    attrs.toSeq.sortBy(_._1).foreach { case (k, (tag, v)) =>
+      item.putObject(k).put(tag, v)
     }
     om.writeValueAsString(n)
   }
@@ -128,16 +132,16 @@ final class DynamoGateway {
         .getOrElse(throw new IllegalArgumentException(s"unresolved name $tok"))
     else tok
 
-  private def value(tok: String, values: JsonNode): String = {
+  private def value(tok: String, values: JsonNode): (String, String) = {
     require(tok.startsWith(":"), s"expected a :value token, got $tok")
-    Option(values).flatMap(v => Option(v.get(tok))).map(sOf)
+    Option(values).flatMap(v => Option(v.get(tok))).map(avOf)
       .getOrElse(throw new IllegalArgumentException(s"unresolved value $tok"))
   }
 
   /** Evaluate the condition subset: `attribute_not_exists(attr)` or
     * `#name = :value` (conjunction not needed by the contract).
     */
-  private def condHolds(expr: String, row: Option[Map[String, String]],
+  private def condHolds(expr: String, row: Option[Map[String, (String, String)]],
       names: JsonNode, values: JsonNode): Boolean = {
     val e = expr.trim
     val fn = "attribute_not_exists\\(([^)]+)\\)".r
@@ -155,8 +159,8 @@ final class DynamoGateway {
   }
 
   /** Apply the `SET a = :v, b = if_not_exists(b, :v2)` subset. */
-  private def applySet(expr: String, row: Map[String, String],
-      names: JsonNode, values: JsonNode): Map[String, String] = {
+  private def applySet(expr: String, row: Map[String, (String, String)],
+      names: JsonNode, values: JsonNode): Map[String, (String, String)] = {
     val e = expr.trim
     require(e.toUpperCase.startsWith("SET "), s"unsupported UpdateExpression: $expr")
     // split assignments on commas at paren depth 0 only — a comma
@@ -212,7 +216,7 @@ final class DynamoGateway {
               }
             case "PutItem" =>
               val item = attrMap(body.get("Item"))
-              val key = (item("Correlation_Id"), item("DataProduct"))
+              val key = (item("Correlation_Id")._2, item("DataProduct")._2)
               val cond = Option(body.get("ConditionExpression")).map(_.asText())
               if (cond.exists(c => !condHolds(c, rows.get(key),
                   body.get("ExpressionAttributeNames"),
@@ -228,7 +232,8 @@ final class DynamoGateway {
                 (400, s"""{"__type":"$CcfType","message":"The conditional request failed"}""")
               else {
                 val base = rows.getOrElse(key, Map(
-                  "Correlation_Id" -> key._1, "DataProduct" -> key._2))
+                  "Correlation_Id" -> ("S" -> key._1),
+                  "DataProduct" -> ("S" -> key._2)))
                 rows(key) = applySet(
                   body.get("UpdateExpression").asText(), base, names, values)
                 (200, "{}")

@@ -81,9 +81,18 @@ final class HttpStatusStore(base: String,
           .build()
         val resp = client.send(req,
           java.net.http.HttpResponse.BodyHandlers.ofString())
-        val node = if (resp.body() == null || resp.body().isEmpty)
-          om.createObjectNode() else om.readTree(resp.body())
-        return (resp.statusCode(), node)
+        // 5xx is DynamoDB's RETRYABLE shape (InternalFailure /
+        // throttling) — every AWS SDK and the reference's urllib3
+        // Retry absorb it; the constant invocation-id makes the
+        // replay safe even for conditional writes
+        if (resp.statusCode() / 100 == 5 && attempt < maxRetries) {
+          attempt += 1
+          Thread.sleep(25L * attempt)
+        } else {
+          val node = if (resp.body() == null || resp.body().isEmpty)
+            om.createObjectNode() else om.readTree(resp.body())
+          return (resp.statusCode(), node)
+        }
       } catch {
         case e: java.io.IOException =>
           attempt += 1

@@ -143,30 +143,59 @@ object KeyService {
       kmf.getKeyManagers.collectFirst { case m: X509ExtendedKeyManager => m }
         .getOrElse(throw new IllegalStateException(s"no key manager in $path"))
     }
+    // GENERATION-QUALIFIED aliases: a handshake in flight when rotate()
+    // lands must complete against the keystore that CHOSE its alias —
+    // choose* returns "g<N>:<alias>" and the key/chain lookups route
+    // through generation N, so the delegate swap can never mix one
+    // store's alias with another store's keys (the race that would
+    // abort a handshake mid-rotation). The previous generation is kept
+    // alive for exactly that window; older ones are dropped.
     object rotatable extends X509ExtendedKeyManager {
-      @volatile var delegate: X509ExtendedKeyManager = kmOf(keyStorePath)
+      @volatile private var gens: List[(Int, X509ExtendedKeyManager)] =
+        List((0, kmOf(keyStorePath)))
+      def rotateTo(path: String): Unit = synchronized {
+        val next = gens.head._1 + 1
+        gens = ((next, kmOf(path)) :: gens).take(2)
+      }
+      private def cur = gens.head
+      private def qualify(gen: Int, alias: String): String =
+        if (alias == null) null else s"g$gen:$alias"
+      private def route(q: String): (X509ExtendedKeyManager, String) = {
+        val i = q.indexOf(':')
+        val gen = q.take(i).stripPrefix("g").toInt
+        val km = gens.find(_._1 == gen).map(_._2).getOrElse(cur._2)
+        (km, q.drop(i + 1))
+      }
       override def getClientAliases(k: String, i: Array[java.security.Principal]) =
-        delegate.getClientAliases(k, i)
+        cur._2.getClientAliases(k, i)
       override def chooseClientAlias(k: Array[String],
-          i: Array[java.security.Principal], s: java.net.Socket) =
-        delegate.chooseClientAlias(k, i, s)
+          i: Array[java.security.Principal], s: java.net.Socket) = {
+        val (g, km) = cur; qualify(g, km.chooseClientAlias(k, i, s))
+      }
       override def getServerAliases(k: String, i: Array[java.security.Principal]) =
-        delegate.getServerAliases(k, i)
+        cur._2.getServerAliases(k, i)
       override def chooseServerAlias(k: String,
-          i: Array[java.security.Principal], s: java.net.Socket) =
-        delegate.chooseServerAlias(k, i, s)
-      override def getCertificateChain(a: String) = delegate.getCertificateChain(a)
-      override def getPrivateKey(a: String) = delegate.getPrivateKey(a)
+          i: Array[java.security.Principal], s: java.net.Socket) = {
+        val (g, km) = cur; qualify(g, km.chooseServerAlias(k, i, s))
+      }
+      override def getCertificateChain(a: String) = {
+        val (km, alias) = route(a); km.getCertificateChain(alias)
+      }
+      override def getPrivateKey(a: String) = {
+        val (km, alias) = route(a); km.getPrivateKey(alias)
+      }
       override def chooseEngineClientAlias(k: Array[String],
-          i: Array[java.security.Principal], e: SSLEngine) =
-        delegate.chooseEngineClientAlias(k, i, e)
+          i: Array[java.security.Principal], e: SSLEngine) = {
+        val (g, km) = cur; qualify(g, km.chooseEngineClientAlias(k, i, e))
+      }
       override def chooseEngineServerAlias(k: String,
-          i: Array[java.security.Principal], e: SSLEngine) =
-        delegate.chooseEngineServerAlias(k, i, e)
+          i: Array[java.security.Principal], e: SSLEngine) = {
+        val (g, km) = cur; qualify(g, km.chooseEngineServerAlias(k, i, e))
+      }
     }
     val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
     ctx.init(Array(rotatable), null, null)
-    (ctx, path => { rotatable.delegate = kmOf(path) })
+    (ctx, path => rotatable.rotateTo(path))
   }
 
   /** Retry wrapper for the resolver — the reference's RetryConfig

@@ -73,6 +73,25 @@ object MetricsSink {
   }
 }
 
+/** The shared one-line-per-metric JSON encoding both sinks emit. */
+private[pipeline] object MetricLine {
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def apply(kind: String, name: String, value: String,
+      tags: Map[String, String]): String = {
+    val tagJson = tags.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    s"""{"ts":${System.currentTimeMillis()},"kind":"$kind","name":"${esc(name)}","value":$value,"tags":$tagJson}"""
+  }
+}
+
 /** Append-only JSONL sink: one self-describing line per metric — the
   * shape a CloudWatch agent / Vector / fluent-bit file scraper tails.
   * Writes are synchronized and flushed per line (a crash loses at
@@ -83,22 +102,6 @@ final class JsonlMetricsSink(path: String) extends MetricsSink {
   @volatile private var broken = false
   private val out = new java.io.File(path)
   Option(out.getParentFile).foreach(_.mkdirs())
-
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-
-  private[pipeline] def line(kind: String, name: String, value: String,
-      tags: Map[String, String]): String = {
-    val tagJson = tags.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-      .mkString("{", ",", "}")
-    s"""{"ts":${System.currentTimeMillis()},"kind":"$kind","name":"${esc(name)}","value":$value,"tags":$tagJson}"""
-  }
 
   private def append(s: String): Unit = synchronized {
     if (broken) return
@@ -113,11 +116,11 @@ final class JsonlMetricsSink(path: String) extends MetricsSink {
   }
 
   override def counter(n: String, v: Long, t: Map[String, String]): Unit =
-    append(line("counter", n, v.toString, t))
+    append(MetricLine("counter", n, v.toString, t))
   override def gauge(n: String, v: Double, t: Map[String, String]): Unit =
-    append(line("gauge", n, v.toString, t))
+    append(MetricLine("gauge", n, v.toString, t))
   override def timing(n: String, v: Long, t: Map[String, String]): Unit =
-    append(line("timing", n, v.toString, t))
+    append(MetricLine("timing", n, v.toString, t))
 }
 
 /** HTTP sink: metrics buffer locally and POST as a JSONL batch on
@@ -128,7 +131,6 @@ final class JsonlMetricsSink(path: String) extends MetricsSink {
 final class HttpMetricsSink(endpoint: String, timeoutMs: Long = 2000)
     extends MetricsSink {
   private val buf = scala.collection.mutable.ListBuffer.empty[String]
-  private val fmt = new JsonlMetricsSink("/dev/null")
   private val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
 
@@ -158,11 +160,11 @@ final class HttpMetricsSink(endpoint: String, timeoutMs: Long = 2000)
     }
 
   override def counter(n: String, v: Long, t: Map[String, String]): Unit =
-    add(fmt.line("counter", n, v.toString, t))
+    add(MetricLine("counter", n, v.toString, t))
   override def gauge(n: String, v: Double, t: Map[String, String]): Unit =
-    add(fmt.line("gauge", n, v.toString, t))
+    add(MetricLine("gauge", n, v.toString, t))
   override def timing(n: String, v: Long, t: Map[String, String]): Unit =
-    add(fmt.line("timing", n, v.toString, t))
+    add(MetricLine("timing", n, v.toString, t))
   override def flush(): Unit = {
     val batch = synchronized { val b = buf.toList; buf.clear(); b }
     if (batch.nonEmpty) post(batch)
