@@ -268,6 +268,17 @@ object S3Gateway {
         bump("list")
         val prefix = q.getOrElse("prefix", "/")
         val delimited = q.get("delimiter").contains("/")
+        // PAGINATION (S3-true): results are lexicographic, capped at
+        // max-keys (default 1000, keys + common prefixes combined);
+        // a truncated page carries IsTruncated + NextContinuationToken
+        // (opaque base64 of the last emitted sort key) and the client
+        // MUST loop — the wire behavior every 1000+-object prefix
+        // exercises in production. start-after is honored too.
+        val maxKeys = q.get("max-keys").flatMap(_.toIntOption)
+          .getOrElse(1000).max(1)
+        val after = q.get("continuation-token")
+          .map(t => new String(java.util.Base64.getDecoder.decode(t), "UTF-8"))
+          .orElse(q.get("start-after")).getOrElse("")
         // deepest directory at or above the prefix
         val scanRoot =
           if (prefix.endsWith("/")) new File(prefix)
@@ -284,16 +295,32 @@ object S3Gateway {
               .distinct.sorted
             (direct, ps)
           }
+        // one lexicographic stream of (sortKey, entry), paged together
+        // the way S3 counts keys and prefixes against max-keys
+        val entries: Seq[(String, Either[File, String])] =
+          (contents.map(f => (f.getPath, Left(f): Either[File, String])) ++
+            prefixes.map(p => (p, Right(p): Either[File, String])))
+            .sortBy(_._1).filter(_._1 > after)
+        val page = entries.take(maxKeys)
+        val truncated = entries.size > maxKeys
         val xml = new StringBuilder("<?xml version=\"1.0\"?><ListBucketResult>")
-        contents.sortBy(_.getPath).foreach { f =>
-          xml.append("<Contents><Key>").append(xmlEscape(f.getPath))
-            .append("</Key><Size>").append(f.length())
-            .append("</Size><LastModified>")
-            .append(java.time.Instant.ofEpochMilli(f.lastModified()).toString)
-            .append("</LastModified></Contents>")
+        page.foreach {
+          case (_, Left(f)) =>
+            xml.append("<Contents><Key>").append(xmlEscape(f.getPath))
+              .append("</Key><Size>").append(f.length())
+              .append("</Size><LastModified>")
+              .append(java.time.Instant.ofEpochMilli(f.lastModified()).toString)
+              .append("</LastModified></Contents>")
+          case (_, Right(p)) =>
+            xml.append("<CommonPrefixes><Prefix>")
+              .append(xmlEscape(p)).append("</Prefix></CommonPrefixes>")
         }
-        prefixes.foreach(p => xml.append("<CommonPrefixes><Prefix>")
-          .append(xmlEscape(p)).append("</Prefix></CommonPrefixes>"))
+        xml.append("<IsTruncated>").append(truncated).append("</IsTruncated>")
+        if (truncated)
+          xml.append("<NextContinuationToken>")
+            .append(java.util.Base64.getEncoder.encodeToString(
+              page.last._1.getBytes("UTF-8")))
+            .append("</NextContinuationToken>")
         xml.append("</ListBucketResult>")
         respond(ex, 200, xml.toString.getBytes("UTF-8"),
           Map("Content-Type" -> "application/xml"))
@@ -475,7 +502,8 @@ object S3Gateway {
 class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024,
     ssl: Option[javax.net.ssl.SSLContext] = None,
     secret: String = SigV4.secretKey,
-    signClock: () => java.time.Instant = () => java.time.Instant.now())
+    signClock: () => java.time.Instant = () => java.time.Instant.now(),
+    listMaxKeys: Int = 1000)
     extends FileSystem {
 
   private val client = {
@@ -528,24 +556,41 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024,
     else throw new IOException(s"HEAD $key -> ${resp.statusCode()}")
   }
 
-  /** ListObjectsV2 → (files: (key, size, mtimeMillis), commonPrefixes). */
-  private[fs] def listObjects(prefix: String, delimited: Boolean)
+  /** ListObjectsV2 → (files: (key, size, mtimeMillis), commonPrefixes).
+    * Follows IsTruncated/NextContinuationToken across pages — the loop
+    * every real S3 client runs once a prefix passes max-keys (1000 on
+    * the real service; `listMaxKeys` is spec-injectable to drive the
+    * pagination with small corpora).
+    */
+  private[graft] def listObjects(prefix: String, delimited: Boolean)
       : (Seq[(String, Long, Long)], Seq[String]) = {
-    val q = "/?list-type=2&prefix=" +
-      java.net.URLEncoder.encode(prefix, "UTF-8") +
-      (if (delimited) "&delimiter=%2F" else "")
-    val resp = send(signed("GET", java.net.URI.create(endpoint + q)).GET())
-    if (resp.statusCode() != 200)
-      throw new IOException(s"LIST $prefix -> ${resp.statusCode()}")
-    val xml = new String(resp.body(), "UTF-8")
     def unescape(s: String): String =
       s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
-    val contents = "<Contents><Key>(.*?)</Key><Size>(\\d+)</Size><LastModified>(.*?)</LastModified></Contents>".r
-      .findAllMatchIn(xml).map(m => (unescape(m.group(1)), m.group(2).toLong,
-        java.time.Instant.parse(m.group(3)).toEpochMilli)).toSeq
-    val prefixes = "<Prefix>(.*?)</Prefix>".r
-      .findAllMatchIn(xml).map(m => unescape(m.group(1))).toSeq
-    (contents, prefixes)
+    val contents = Seq.newBuilder[(String, Long, Long)]
+    val prefixes = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = "/?list-type=2&prefix=" +
+        java.net.URLEncoder.encode(prefix, "UTF-8") +
+        (if (delimited) "&delimiter=%2F" else "") +
+        (if (listMaxKeys != 1000) s"&max-keys=$listMaxKeys" else "") +
+        token.map(t => "&continuation-token=" +
+          java.net.URLEncoder.encode(t, "UTF-8")).getOrElse("")
+      val resp = send(signed("GET", java.net.URI.create(endpoint + q)).GET())
+      if (resp.statusCode() != 200)
+        throw new IOException(s"LIST $prefix -> ${resp.statusCode()}")
+      val xml = new String(resp.body(), "UTF-8")
+      "<Contents><Key>(.*?)</Key><Size>(\\d+)</Size><LastModified>(.*?)</LastModified></Contents>".r
+        .findAllMatchIn(xml).foreach(m => contents += ((unescape(m.group(1)),
+          m.group(2).toLong, java.time.Instant.parse(m.group(3)).toEpochMilli)))
+      "<CommonPrefixes><Prefix>(.*?)</Prefix></CommonPrefixes>".r
+        .findAllMatchIn(xml).foreach(m => prefixes += unescape(m.group(1)))
+      token = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
+        .findFirstMatchIn(xml).map(_.group(1))
+      more = xml.contains("<IsTruncated>true</IsTruncated>") && token.isDefined
+    }
+    (contents.result(), prefixes.result())
   }
 
   override def getFileStatus(f: Path): FileStatus =

@@ -255,6 +255,52 @@ class S3GatewaySpec extends SparkSpec {
     } finally Stage.deleteRecursively(root)
   }
 
+  test("ListObjectsV2 pagination: max-keys pages with IsTruncated/NextContinuationToken; the client walks every page") {
+    // real S3 truncates at 1000 keys and every client must loop; the
+    // gateway implements the same wire (keys + common prefixes counted
+    // together, lexicographic, opaque continuation token), driven here
+    // with max-keys=10 over 25 objects + 3 implicit directories
+    val fs = new GraftS3FileSystem(endpoint, listMaxKeys = 10)
+    val root = freshRoot("paging")
+    try {
+      (0 until 25).foreach { i =>
+        val f = new java.io.File(root, f"obj-$i%03d.bin")
+        java.nio.file.Files.write(f.toPath, s"v$i".getBytes("UTF-8"))
+      }
+      (0 until 3).foreach { d =>
+        val f = new java.io.File(root, s"sub$d/part.bin")
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.write(f.toPath, "x".getBytes("UTF-8"))
+      }
+      val lists0 = S3Gateway.opCount("list")
+      val (files, prefixes) = fs.listObjects(root.getPath + "/", delimited = true)
+      // 25 keys + 3 prefixes at 10 per page = 3 pages
+      assert(S3Gateway.opCount("list") === lists0 + 3,
+        "client must walk exactly ceil(28/10) pages")
+      assert(files.map(_._1).toSet ===
+        (0 until 25).map(i => f"${root.getPath}/obj-$i%03d.bin").toSet)
+      assert(prefixes.toSet === (0 until 3).map(d => s"${root.getPath}/sub$d/").toSet)
+      // non-delimited recursive walk pages too and sees every object
+      val (all, _) = fs.listObjects(root.getPath + "/", delimited = false)
+      assert(all.size === 28)
+      // the raw wire: a truncated page says so and carries the token
+      val client = {
+        val b = java.net.http.HttpClient.newBuilder()
+        S3Gateway.clientSslContext.foreach(b.sslContext)
+        b.build()
+      }
+      val uri = java.net.URI.create(endpoint + "/?list-type=2&max-keys=5&prefix=" +
+        java.net.URLEncoder.encode(root.getPath + "/", "UTF-8"))
+      val req = java.net.http.HttpRequest.newBuilder(uri)
+      graft.fs.SigV4.signHeaders("GET", uri).foreach { case (k, v) => req.header(k, v) }
+      val body = client.send(req.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(body.contains("<IsTruncated>true</IsTruncated>"))
+      assert(body.contains("<NextContinuationToken>"))
+      assert("<Contents>".r.findAllIn(body).size === 5)
+    } finally Stage.deleteRecursively(root)
+  }
+
   test("implicit directories: a prefix exists iff an object extends it") {
     val fs = new GraftS3FileSystem(endpoint)
     val root = freshRoot("dirs")
