@@ -448,10 +448,20 @@ object Bench {
         try w.println(line) finally w.close()
       case None =>
         val slim = slimLine(line)
+        // r16: the driver clips its stored line from the HEAD, so even
+        // the slim line loses its opening brace once `queries` grows
+        // past the clip. Print the slim line first (humans, full map),
+        // then a SECOND genuinely-tiny line (totals + calibration +
+        // flagged + restandalone, NO query maps — hundreds of bytes)
+        // LAST, so the tail the driver keeps always holds one complete
+        // parseable JSON object.
+        val tiny = slimLine(line, withQueries = false)
         println(slim)
-        new java.io.PrintStream(
+        val fd1 = new java.io.PrintStream(
           new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
-          .println(slim)
+        fd1.println(slim)
+        println(tiny)
+        fd1.println(tiny)
         try {
           val w = new java.io.PrintWriter("BENCH_LOCAL.json")
           try w.println(line) finally w.close()
@@ -463,17 +473,22 @@ object Bench {
     * `restandalone`, then `queries` last. Falls back to the full line
     * if reshaping fails — a mangled slimmer must never lose the round.
     */
-  private def slimLine(line: String): String =
+  private def slimLine(line: String, withQueries: Boolean = true): String =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.readTree(line)
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       val out = om.createObjectNode()
       out.set("full_artifact", om.getNodeFactory.textNode("BENCH_LOCAL.json"))
-      Seq("metric", "value", "unit", "value_cold", "failed", "sf",
-          "calibration", "warmup_sec", "flagged", "queries", "restandalone")
-        .foreach(f => Option(node.get(f)).foreach(out.set[
-          com.fasterxml.jackson.databind.JsonNode](f, _)))
+      val fields =
+        if (withQueries)
+          Seq("metric", "value", "unit", "value_cold", "failed", "sf",
+            "calibration", "warmup_sec", "flagged", "queries", "restandalone")
+        else // the clip-proof tail line: summary + adjudication only
+          Seq("metric", "value", "unit", "value_cold", "failed", "sf",
+            "calibration", "warmup_sec", "flagged", "restandalone")
+      fields.foreach(f => Option(node.get(f)).foreach(out.set[
+        com.fasterxml.jackson.databind.JsonNode](f, _)))
       om.writeValueAsString(out)
     } catch { case _: Throwable => line }
 }

@@ -187,7 +187,11 @@ object S3Gateway {
   private def authThenHandle(ex: HttpExchange): Unit =
     SigV4.verify(ex.getRequestMethod, ex.getRequestURI.getRawPath,
       ex.getRequestURI.getRawQuery,
-      n => Option(ex.getRequestHeaders.getFirst(n))) match {
+      n => Option(ex.getRequestHeaders.getFirst(n)),
+      headerNames = {
+        import scala.jdk.CollectionConverters._
+        ex.getRequestHeaders.keySet().asScala
+      }) match {
       case Left((code, detail)) =>
         bump("auth_fail")
         respond(ex, 403,
@@ -232,6 +236,34 @@ object S3Gateway {
     try Files.copy(in, tmp.toPath)
     catch { case e: Throwable => Files.deleteIfExists(tmp.toPath); throw e }
     tmp
+  }
+
+  /** Body-integrity gate (round 16): when the SIGNED
+    * x-amz-content-sha256 header carries a concrete hash (the client
+    * signs sha256(body) for every upload — bodies are disk-buffered
+    * anyway), re-compute it over the bytes actually received; a
+    * mismatch deletes the spooled temp and answers S3's
+    * 400 XAmzContentSHA256Mismatch. UNSIGNED-PAYLOAD (integrity
+    * delegated to TLS) skips the check. Returns true when the
+    * request may proceed.
+    */
+  private def payloadHashOk(ex: HttpExchange, tmp: File): Boolean = {
+    val claimed = Option(ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
+      .map(_.toLowerCase)
+      .filter(h => h.length == 64 && h.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+    claimed match {
+      case Some(h) if SigV4.sha256HexOfFile(tmp) != h =>
+        Files.deleteIfExists(tmp.toPath)
+        bump("payload_mismatch")
+        respond(ex, 400,
+          ("""<?xml version="1.0"?><Error><Code>XAmzContentSHA256Mismatch</Code>""" +
+            "<Message>The provided x-amz-content-sha256 does not match what was computed</Message></Error>")
+            .getBytes("UTF-8"),
+          Map("Content-Type" -> "application/xml"))
+        false
+      case _ => true
+    }
   }
 
   /** Temp names are ".<target>.s3gw{put,copy,mpu}.<uuid>" — match the
@@ -382,6 +414,7 @@ object S3Gateway {
         val dir = new File(uploadsRoot, q("uploadId"))
         if (!dir.isDirectory) { respond(ex, 404, Array.empty); return }
         val tmp = bodyToTemp(ex, new File(dir, "part"))
+        if (!payloadHashOk(ex, tmp)) return
         Files.move(tmp.toPath, new File(dir, f"part${q("partNumber").toInt}%05d").toPath,
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
         respond(ex, 200, Array.empty)
@@ -405,6 +438,7 @@ object S3Gateway {
             val conditional =
               Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
             val tmp = bodyToTemp(ex, target)
+            if (!payloadHashOk(ex, tmp)) return
             if (conditional) {
               // link(2): atomic fail-if-exists — S3's If-None-Match PUT
               try { Files.createLink(target.toPath, tmp.toPath); () }
@@ -518,14 +552,19 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024,
   /** SigV4-signed request builder: auth headers attached; extra
     * x-amz-* headers (which AWS requires signed) ride through
     * `amzHeaders`; unsigned standard headers (Range, If-None-Match)
-    * are added by the caller afterward.
+    * are added by the caller afterward. Bodied requests pass
+    * sha256(body) as `payloadHash` (bodies are disk-buffered, so the
+    * hash is one extra local read) — the gateway re-computes it over
+    * the received bytes, closing the body-integrity gap
+    * UNSIGNED-PAYLOAD leaves on the plaintext-HTTP fallback.
     */
   private def signed(method: String, uri: java.net.URI,
-      amzHeaders: Map[String, String] = Map.empty)
+      amzHeaders: Map[String, String] = Map.empty,
+      payloadHash: String = SigV4.UnsignedPayload)
       : java.net.http.HttpRequest.Builder = {
     val b = java.net.http.HttpRequest.newBuilder(uri)
     SigV4.signHeaders(method, uri, amzHeaders,
-      secret = secret, clock = signClock())
+      secret = secret, clock = signClock(), payloadHash = payloadHash)
       .foreach { case (k, v) => b.header(k, v) }
     b
   }
@@ -707,7 +746,7 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024,
 
   private def upload(key: String, src: File, conditional: Boolean): Unit = {
     if (src.length() > partSizeBytes) { multipart(key, src, conditional); return }
-    val b = signed("PUT", uriOf(key))
+    val b = signed("PUT", uriOf(key), payloadHash = SigV4.sha256HexOfFile(src))
       .PUT(java.net.http.HttpRequest.BodyPublishers.ofFile(src.toPath))
     if (conditional) b.header("If-None-Match", "*")
     val resp = send(b)
@@ -741,7 +780,8 @@ class GraftS3FileSystem(endpoint: String, partSizeBytes: Int = 5 * 1024 * 1024,
               throw new IOException("EOF mid-part")
           }
           val resp = send(signed("PUT",
-            uriOf(key, s"?partNumber=$part&uploadId=$id"))
+            uriOf(key, s"?partNumber=$part&uploadId=$id"),
+            payloadHash = SigV4.sha256HexOfBytes(buf.array()))
             .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(buf.array())))
           if (resp.statusCode() != 200)
             throw new IOException(s"MPU part $part -> ${resp.statusCode()}")

@@ -19,20 +19,28 @@ import javax.crypto.spec.SecretKeySpec
   *   stringToSign = "AWS4-HMAC-SHA256" \n amzDate \n scope \n
   *                  hex(sha256(canonicalRequest))
   *
-  * The payload rides as UNSIGNED-PAYLOAD (the streaming-upload mode
-  * s3a uses over TLS — bodies are not buffered twice to hash them);
-  * the header itself IS signed, so a stripped or altered payload-hash
-  * header still breaks the signature. SignedHeaders cover host,
-  * x-amz-date, x-amz-content-sha256 and every x-amz-* header present
-  * (AWS requires all x-amz-* headers signed — x-amz-copy-source
-  * can't be redirected by a middlebox without invalidating the
-  * signature).
+  * Bodied requests sign the REAL payload hash (round 16): the client
+  * buffers every PUT body to disk anyway (the s3a block-output
+  * shape), so x-amz-content-sha256 carries sha256(body) — signed, and
+  * re-computed server-side over the received bytes — giving uploads
+  * end-to-end integrity even on the plaintext-HTTP fallback.
+  * UNSIGNED-PAYLOAD (s3a's streaming mode, integrity delegated to
+  * TLS) remains accepted for bodyless verbs and external clients; the
+  * header itself is ALWAYS signed, so a stripped or altered
+  * payload-hash header still breaks the signature. SignedHeaders
+  * cover host, x-amz-date, x-amz-content-sha256 and every x-amz-*
+  * header present — and verification REJECTS a request carrying any
+  * x-amz-* header absent from SignedHeaders (AWS behavior; without
+  * this, a middlebox could splice an unsigned x-amz-copy-source onto
+  * a replayed signed PUT and redirect the copy).
   *
   * Verification failures map to S3's wire shapes: missing header →
   * 403 AccessDenied, stale clock (> 15 min skew) → 403
   * RequestTimeTooSkewed, bad MAC → 403 SignatureDoesNotMatch — the
   * exact failure modes a production job sees on expired credentials
-  * or clock drift.
+  * or clock drift. (Payload-hash mismatch over the received body is
+  * the gateway's 400 XAmzContentSHA256Mismatch, checked where the
+  * body is buffered.)
   */
 object SigV4 {
   val Region = "graft-local"
@@ -115,19 +123,44 @@ object SigV4 {
     signature(secret, date.take(8), sts)
   }
 
+  /** The x-amz-content-sha256 value for a request with no meaningful
+    * body integrity claim — s3a's streaming mode.
+    */
+  val UnsignedPayload = "UNSIGNED-PAYLOAD"
+
+  /** Hex sha256 of a local file — the payload hash a disk-buffered
+    * upload signs (one extra sequential read of bytes already local).
+    */
+  def sha256HexOfFile(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = java.nio.file.Files.newInputStream(f.toPath)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  def sha256HexOfBytes(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map(b => f"$b%02x").mkString
+
   /** Sign: returns the headers to attach (x-amz-date,
     * x-amz-content-sha256, Authorization). `amzHeaders` are extra
     * x-amz-* request headers (lowercase names) that must ride signed.
-    * `clock` is injectable so the spec can manufacture an expired
-    * signature.
+    * `payloadHash` is sha256(body) for bodied requests (the client
+    * buffers bodies locally, so hashing is one extra read) or
+    * [[UnsignedPayload]]. `clock` is injectable so the spec can
+    * manufacture an expired signature.
     */
   def signHeaders(method: String, uri: java.net.URI,
       amzHeaders: Map[String, String] = Map.empty,
       access: String = accessKey, secret: String = secretKey,
-      clock: Instant = null): Map[String, String] = {
+      clock: Instant = null,
+      payloadHash: String = UnsignedPayload): Map[String, String] = {
     val date = amzDate(if (clock == null) Instant.now() else clock)
     val host = uri.getAuthority
-    val payloadHash = "UNSIGNED-PAYLOAD"
     val signed = (Map(
       "host" -> host,
       "x-amz-content-sha256" -> payloadHash,
@@ -145,10 +178,17 @@ object SigV4 {
 
   /** Verification outcome: Right(accessKey) or Left((s3ErrorCode,
     * detail)) — the caller maps codes onto 403 XML bodies.
+    *
+    * `headerNames` is the full set of header names present on the
+    * request: every x-amz-* header present MUST appear in
+    * SignedHeaders (AWS rejects unsigned x-amz-* headers — otherwise
+    * a replayed valid request could carry an attacker-spliced
+    * unsigned x-amz-copy-source and verify clean).
     */
   def verify(method: String, rawPath: String, rawQuery: String,
       header: String => Option[String],
-      now: Instant = Instant.now()): Either[(String, String), String] = {
+      now: Instant = Instant.now(),
+      headerNames: Iterable[String] = Nil): Either[(String, String), String] = {
     val auth = header("Authorization").getOrElse("")
     if (auth.isEmpty) return Left(("AccessDenied", "missing Authorization"))
     if (!auth.startsWith(Algo + " "))
@@ -175,6 +215,14 @@ object SigV4 {
     if (!Set("host", "x-amz-date", "x-amz-content-sha256")
         .subsetOf(names.toSet))
       return Left(("AccessDenied", "host/x-amz-date/x-amz-content-sha256 must be signed"))
+    // every x-amz-* header PRESENT on the request must be signed —
+    // an unsigned one slipped in post-signature (middlebox splice /
+    // replay+extend) is a 403, exactly as AWS answers it
+    val unsignedAmz = headerNames.map(_.toLowerCase)
+      .filter(_.startsWith("x-amz-")).filterNot(names.toSet)
+    if (unsignedAmz.nonEmpty)
+      return Left(("AccessDenied",
+        s"x-amz headers present but unsigned: ${unsignedAmz.toSeq.sorted.mkString(",")}"))
     val signedHeaders = names.sorted.map { n =>
       n -> header(n).getOrElse(
         return Left(("AccessDenied", s"signed header $n absent")))

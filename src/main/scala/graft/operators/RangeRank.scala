@@ -43,12 +43,31 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object RangeRank {
 
+  /** Max single-bucket row count of the LAST withRowNumber call's
+    * exact phase-3 grid (driver-side observability for scale probes;
+    * not part of any query's semantics).
+    */
+  @volatile private[graft] var lastMaxBucketRows: Long = -1L
+
   /** Append `out` = exact global row_number over
     * (key asc|desc, tiebreak... asc) within each `group`, and
     * `nOut` = the group's total row count (for ntile arithmetic).
     *
     * `key` must be a non-null numeric column whose values are exact
     * in DOUBLE (BIGINT cents ≪ 2^53 everywhere this is used).
+    *
+    * `tieSplit` (round 16 — the heavy-tie residual): when true, the
+    * bucket boundaries are COMPOSITE (key, tiebreak...) tuples from a
+    * deterministic sample, and the bucket id counts boundary tuples
+    * lexicographically below the row's own tuple — so a degenerate
+    * key distribution (one value carrying ≥50% of all rows) still
+    * splits across buckets along the tiebreak instead of re-creating
+    * the single fat-bucket sort. ONLY for row_number-only consumers
+    * (q_gini, q_histogram_eqd): equal keys no longer share a bucket,
+    * which is exactly what q_mwu's bucket-local min-rank/ties forbids
+    * (it stays on the monotone-in-key path). Requires non-null
+    * tiebreak columns; rank output is bit-identical either way
+    * (bucketing only repartitions the work).
     */
   def withRowNumber(
       input: DataFrame,
@@ -58,34 +77,89 @@ object RangeRank {
       out: String,
       nOut: String,
       group: Seq[String] = Nil,
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0,
+      tieSplit: Boolean = false): DataFrame = {
     val spark = input.sparkSession
     val nBuckets =
       if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions.max(1)
     val df = graft.Stage.cached(input)
-    // Phase 1: boundary sketch. Duplicate quantiles collapse (skew →
-    // fewer, fatter buckets — still correct, still partitioned).
-    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(key, probes, 0.001).distinct.sorted
-    // Phase 2: monotone bucket id. Ascending: # boundaries < key;
-    // descending: # boundaries > key (over the same sorted array) —
-    // both map equal keys to equal buckets.
-    val keyD = col(key).cast("double")
-    val bucketCol =
+    // key in bucket space: negated for desc so every comparison below
+    // is ascending (struct comparison can't mix directions per field)
+    val keyD =
+      if (asc) col(key).cast("double")
+      else col(key).cast("double") * lit(-1.0)
+    val bucketCol = if (!tieSplit) {
+      // Phase 1: boundary sketch. Duplicate quantiles collapse (skew →
+      // fewer, fatter buckets — still correct, still partitioned).
+      val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val bounds =
+        if (probes.isEmpty) Array.empty[Double]
+        else df.stat.approxQuantile(key, probes, 0.001).distinct.sorted
+      // Phase 2: monotone bucket id. Ascending: # boundaries < key;
+      // descending: # boundaries > key — expressed uniformly as
+      // # (signed boundaries) < (signed key) over the signed array.
       if (bounds.isEmpty) lit(0)
       else {
-        val arr = array(bounds.map(lit(_)).toIndexedSeq: _*)
-        val cmp = if (asc) (b: Column) => b < keyD else (b: Column) => b > keyD
-        size(filter(arr, cmp))
+        val signed = if (asc) bounds else bounds.map(-_)
+        val arr = array(signed.sorted.map(lit(_)).toIndexedSeq: _*)
+        size(filter(arr, b => b < keyD))
       }
+    } else {
+      // Phase 1': composite boundary sample. A bounded deterministic
+      // sample of (key, tiebreak...) tuples (~64 per target bucket),
+      // sorted lexicographically, yields ≤nBuckets-1 boundary TUPLES;
+      // any boundary set is CORRECT (balance only affects
+      // performance), so sampling error never touches the answer.
+      val n = df.count()
+      val sampleCols = keyD.as("_rrk_k") +: tiebreak.map(col)
+      val frac = math.min(1.0,
+        (nBuckets * 64L).toDouble / math.max(1L, n))
+      val sampled = df.select(sampleCols: _*)
+        .sample(withReplacement = false, frac, seed = 7L).collect()
+      val ord = new Ordering[org.apache.spark.sql.Row] {
+        override def compare(a: org.apache.spark.sql.Row,
+            b: org.apache.spark.sql.Row): Int = {
+          var j = 0
+          var c = 0
+          while (c == 0 && j < a.length) {
+            c = a.get(j).asInstanceOf[Comparable[Any]].compareTo(b.get(j))
+            j += 1
+          }
+          c
+        }
+      }
+      val sorted = sampled.sorted(ord)
+      val step = math.max(1, sorted.length / nBuckets)
+      val bounds = sorted.indices
+        .collect { case i if i > 0 && i % step == 0 => sorted(i) }
+        .distinct
+      // Phase 2': bucket id = # boundary tuples strictly below the
+      // row's (key, tiebreak...) tuple — monotone in the TOTAL order,
+      // so offsets + per-bucket row_number still compose exactly.
+      // Struct fields are NAMED identically on both comparison sides
+      // (struct type equality includes field names).
+      val fieldNames = "_rrk_k" +: tiebreak
+      if (bounds.isEmpty) lit(0)
+      else {
+        val rowTuple = struct(sampleCols.zip(fieldNames)
+          .map { case (c0, n0) => c0.as(n0) }: _*)
+        val arr = array(bounds.map(r =>
+          struct(r.toSeq.zip(fieldNames)
+            .map { case (v, n0) => lit(v).as(n0) }: _*)).toIndexedSeq: _*)
+        size(filter(arr, b => b < rowTuple))
+      }
+    }
     val bkt = df.withColumn("_rrk_bkt", bucketCol)
     // Phase 3: exact per-(group, bucket) counts -> prefix offsets on
     // the driver (bounded: |groups|·buckets rows).
     val grid = bkt.groupBy((group :+ "_rrk_bkt").map(col): _*)
       .agg(count(lit(1L)).as("_rrk_cnt")).collect()
+    // probe observability: the grid is already on the driver; its max
+    // is the fattest per-bucket sort this call will run (RankTieProbe
+    // reads it to SHOW the heavy-tie sort distributing)
+    lastMaxBucketRows =
+      if (grid.isEmpty) 0L else grid.map(_.getAs[Long]("_rrk_cnt")).max
     val offRows = grid.groupBy(r => group.map(r.getAs[Any]))
       .iterator.flatMap { case (gv, rows) =>
         val inOrder = rows.sortBy(_.getAs[Int]("_rrk_bkt"))

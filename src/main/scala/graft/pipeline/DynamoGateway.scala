@@ -8,7 +8,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * half of the reference's status table (steps/dynamodb.py:32-60,
   * table `data_pipeline_metadata`), so [[HttpStatusStore]] is a
   * drop-in wire client: `POST /` with
-  * `X-Amz-Target: DynamoDB_20120810.{GetItem,PutItem,UpdateItem}` and
+  * `X-Amz-Target: DynamoDB_20120810.{GetItem,PutItem,UpdateItem,Scan}` and
   * `application/x-amz-json-1.0` bodies, attribute values in the
   * `{"S": "..."}` encoding, `ConditionExpression` adjudicated
   * ATOMICALLY under the row monitor (DynamoDB's server-side
@@ -238,6 +238,29 @@ final class DynamoGateway {
                   body.get("UpdateExpression").asText(), base, names, values)
                 (200, "{}")
               }
+            case "Scan" =>
+              // the relauncher's sweep: full-table scan with the
+              // documented FilterExpression subset (same grammar as
+              // ConditionExpression — filters evaluate per item,
+              // server-side, after the read)
+              val filterExpr = Option(body.get("FilterExpression")).map(_.asText())
+              val names = body.get("ExpressionAttributeNames")
+              val values = body.get("ExpressionAttributeValues")
+              val matched = rows.toSeq.sortBy(_._1)
+                .map(_._2)
+                .filter(attrs => filterExpr.forall(
+                  f => condHolds(f, Some(attrs), names, values)))
+              val n = om.createObjectNode()
+              val items = n.putArray("Items")
+              matched.foreach { attrs =>
+                val it = items.addObject()
+                attrs.toSeq.sortBy(_._1).foreach { case (k, (tag, v)) =>
+                  it.putObject(k).put(tag, v)
+                }
+              }
+              n.put("Count", matched.size)
+              n.put("ScannedCount", rows.size)
+              (200, om.writeValueAsString(n))
             case other =>
               (400, s"""{"__type":"UnknownOperationException","message":"$other"}""")
           }

@@ -33,10 +33,19 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   * Transient transport failures retry with linear backoff (the
   * reference mounts urllib3 Retry on its session). Every retry of one
   * logical call carries the SAME `amz-sdk-invocation-id` (the real
-  * SDK's retry header), so a conditional write whose 200 was lost in
-  * transit is recognized as a replay by the service and re-answered
-  * 200 — a retried CAS can never manufacture a
-  * ConditionalCheckFailed against its own landed write.
+  * SDK's retry header). Against [[DynamoGateway]] — and ONLY there —
+  * that id is also a replay key: the gateway caches each invocation's
+  * response inside the write's critical section, so a conditional
+  * write whose 200 was lost in transit is re-answered 200. The REAL
+  * service treats the header as telemetry and does NOT deduplicate,
+  * so a CAS retried after a lost 200 can see
+  * ConditionalCheckFailedException for its own landed write; this
+  * client disambiguates that case (round 16): a CCF received on a
+  * RETRY attempt triggers a consistent read-back, and if the row now
+  * carries exactly this caller's Status + extras the CAS reports
+  * true — the write landed, the 200 was lost. A CCF on the FIRST
+  * attempt is always a genuine lost race (no prior send exists whose
+  * response could have been dropped).
   */
 final class HttpStatusStore(base: String,
     table: String = "data_pipeline_metadata",
@@ -62,9 +71,13 @@ final class HttpStatusStore(base: String,
 
   /** One DynamoDB operation: POSTs the x-amz-json-1.0 body under the
     * op's X-Amz-Target, retrying transport failures with a constant
-    * amz-sdk-invocation-id. Returns (statusCode, parsedBody).
+    * amz-sdk-invocation-id. Returns (statusCode, parsedBody,
+    * attemptsUsed) — attemptsUsed > 0 means the answer arrived on a
+    * RETRY, which conditional-write callers must treat specially (a
+    * CCF there can be the echo of this caller's own landed write
+    * whose 200 was lost; see the class doc).
     */
-  private def call(op: String, body: ObjectNode): (Int, JsonNode) = {
+  private def call(op: String, body: ObjectNode): (Int, JsonNode, Int) = {
     val invocationId = java.util.UUID.randomUUID.toString
     val payload = om.writeValueAsString(body)
     var attempt = 0
@@ -91,7 +104,7 @@ final class HttpStatusStore(base: String,
         } else {
           val node = if (resp.body() == null || resp.body().isEmpty)
             om.createObjectNode() else om.readTree(resp.body())
-          return (resp.statusCode(), node)
+          return (resp.statusCode(), node, attempt)
         }
       } catch {
         case e: java.io.IOException =>
@@ -114,7 +127,7 @@ final class HttpStatusStore(base: String,
     body.put("TableName", table)
     keyNode(body, correlationId, dataProduct)
     body.put("ConsistentRead", true)
-    val (code, resp) = call("GetItem", body)
+    val (code, resp, _) = call("GetItem", body)
     if (code != 200)
       throw new java.io.IOException(s"GetItem returned $code: $resp")
     Option(resp.get("Item")).map { item =>
@@ -141,7 +154,7 @@ final class HttpStatusStore(base: String,
     */
   private def updateItem(correlationId: String, dataProduct: String,
       status: String, exportDate: String, extra: Map[String, String],
-      expected: Option[String]): (Int, JsonNode) = {
+      expected: Option[String]): (Int, JsonNode, Int) = {
     val body = om.createObjectNode()
     body.put("TableName", table)
     keyNode(body, correlationId, dataProduct)
@@ -169,11 +182,31 @@ final class HttpStatusStore(base: String,
   override def updateStatus(correlationId: String, dataProduct: String,
       status: String, exportDate: String,
       extra: Map[String, String] = Map.empty): Unit = {
-    val (code, resp) = updateItem(correlationId, dataProduct,
+    val (code, resp, _) = updateItem(correlationId, dataProduct,
       status, exportDate, extra, expected = None)
     if (code != 200)
       throw new java.io.IOException(s"UpdateItem returned $code: $resp")
   }
+
+  /** A CCF that arrived on a RETRY can be the service rejecting the
+    * re-send of a conditional write that already LANDED (the real
+    * service does not deduplicate on amz-sdk-invocation-id — the 200
+    * was lost, the row changed, the condition no longer holds).
+    * Disambiguate by consistent read-back: the CAS succeeded iff the
+    * row now carries exactly this caller's Status and extras. A
+    * same-valued write by a RACING caller is indistinguishable here —
+    * and equivalent: the row holds the value this caller was
+    * installing, so reporting true preserves the CAS contract
+    * (callers key ownership on value transitions, and both the
+    * Runner's and Relauncher's transitions are value-distinct per
+    * owner: the retry-count extra differs per sweep).
+    */
+  private def ccfWasOwnWrite(correlationId: String, dataProduct: String,
+      status: String, extra: Map[String, String]): Boolean =
+    getItem(correlationId, dataProduct).exists { row =>
+      row.get("Status").contains(status) &&
+        extra.forall { case (k, v) => row.get(k).contains(v) }
+    }
 
   override def compareAndSetStatus(correlationId: String, dataProduct: String,
       expected: Option[String], status: String, exportDate: String,
@@ -189,15 +222,46 @@ final class HttpStatusStore(base: String,
       s(item, "Date", exportDate)
       extra.foreach { case (k, v) => s(item, k, v) }
       body.put("ConditionExpression", "attribute_not_exists(Correlation_Id)")
-      val (code, resp) = call("PutItem", body)
+      val (code, resp, attempts) = call("PutItem", body)
       if (code == 200) true
-      else if (isCcf(code, resp)) false
+      else if (isCcf(code, resp))
+        attempts > 0 && ccfWasOwnWrite(correlationId, dataProduct, status, extra)
       else throw new java.io.IOException(s"PutItem returned $code: $resp")
     case Some(_) =>
-      val (code, resp) = updateItem(correlationId, dataProduct,
+      val (code, resp, attempts) = updateItem(correlationId, dataProduct,
         status, exportDate, extra, expected)
       if (code == 200) true
-      else if (isCcf(code, resp)) false
+      else if (isCcf(code, resp))
+        attempts > 0 && ccfWasOwnWrite(correlationId, dataProduct, status, extra)
       else throw new java.io.IOException(s"UpdateItem returned $code: $resp")
+  }
+
+  /** Relauncher scan: DynamoDB `Scan` with a server-side
+    * `FilterExpression #s = :s` (the documented grammar subset the
+    * status contract emits — filters evaluate after the read, so the
+    * wire cost is the table, which is metadata-sized here).
+    */
+  override def scanByStatus(status: String): Seq[StatusStore.ScanRow] = {
+    val body = om.createObjectNode()
+    body.put("TableName", table)
+    body.put("ConsistentRead", true)
+    body.put("FilterExpression", "#s = :s")
+    body.putObject("ExpressionAttributeNames").put("#s", "Status")
+    s(body.putObject("ExpressionAttributeValues"), ":s", status)
+    val (code, resp, _) = call("Scan", body)
+    if (code != 200)
+      throw new java.io.IOException(s"Scan returned $code: $resp")
+    val items = Option(resp.get("Items")).toSeq.flatMap { arr =>
+      (0 until arr.size()).map(arr.get)
+    }
+    items.flatMap { item =>
+      var m = Map.empty[String, String]
+      item.properties().forEach { e =>
+        Option(e.getValue.get("S")).foreach(v => m += e.getKey -> v.asText())
+      }
+      for (cid <- m.get("Correlation_Id"); dp <- m.get("DataProduct"))
+        yield StatusStore.ScanRow(cid, dp, status, m.getOrElse("Date", ""),
+          m -- Seq("Correlation_Id", "DataProduct", "Status", "Date"))
+    }
   }
 }

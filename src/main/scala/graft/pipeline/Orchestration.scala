@@ -73,6 +73,12 @@ object StatusStore {
   val InProgress = "IN_PROGRESS"
   val Completed = "COMPLETED"
   val Failed = "FAILED"
+
+  /** One scanned row — the relauncher's working unit (the reference's
+    * DynamoDB table scan shape: key attributes + Status/Date + extras).
+    */
+  final case class ScanRow(correlationId: String, dataProduct: String,
+      status: String, exportDate: String, extra: Map[String, String])
 }
 
 trait StatusStore {
@@ -98,6 +104,14 @@ trait StatusStore {
     * (ingesters.py:343-367); here the merged extras carry them.
     */
   def getExtras(correlationId: String, dataProduct: String): Map[String, String] = Map.empty
+
+  /** All rows whose status equals `status` — the relauncher's scan
+    * (the reference's emr-relauncher scans the status table for FAILED
+    * runs). Bounded: status rows are per-(collection, correlation),
+    * not per-record, so a full scan is metadata-sized at any fleet
+    * scale.
+    */
+  def scanByStatus(status: String): Seq[StatusStore.ScanRow]
 }
 
 object InMemoryStatusStore {
@@ -138,6 +152,12 @@ final class InMemoryStatusStore extends StatusStore {
     val key = (correlationId, dataProduct)
     if (rows.get(key).map(_.status) != expected) false
     else { updateStatus(correlationId, dataProduct, status, exportDate, extra); true }
+  }
+
+  override def scanByStatus(status: String): Seq[StatusStore.ScanRow] = synchronized {
+    rows.iterator.collect { case ((cid, dp), e) if e.status == status =>
+      StatusStore.ScanRow(cid, dp, e.status, e.exportDate, e.extra)
+    }.toSeq
   }
 }
 
@@ -192,13 +212,18 @@ final class FileStatusStore(dir: java.io.File) extends StatusStore {
     ()
   }
 
-  private def merged(f: java.io.File, status: String, exportDate: String,
+  private def merged(f: java.io.File, correlationId: String, dataProduct: String,
+      status: String, exportDate: String,
       extra: Map[String, String]): java.util.Properties = {
     val p = read(f).getOrElse {
       val fresh = new java.util.Properties()
       fresh.setProperty("exportDate", exportDate)
       fresh
     }
+    // the UNsanitized key rides inside the row (file names are lossy),
+    // so scanByStatus can recover it exactly
+    p.setProperty("correlationId", correlationId)
+    p.setProperty("dataProduct", dataProduct)
     p.setProperty("status", status)
     extra.foreach { case (k, v) => p.setProperty(s"extra.$k", v) }
     p
@@ -213,7 +238,7 @@ final class FileStatusStore(dir: java.io.File) extends StatusStore {
   override def updateStatus(correlationId: String, dataProduct: String, status: String,
       exportDate: String, extra: Map[String, String] = Map.empty): Unit = locked {
     val f = fileOf(correlationId, dataProduct)
-    write(f, merged(f, status, exportDate, extra))
+    write(f, merged(f, correlationId, dataProduct, status, exportDate, extra))
   }
 
   override def getExtras(correlationId: String, dataProduct: String): Map[String, String] =
@@ -231,7 +256,27 @@ final class FileStatusStore(dir: java.io.File) extends StatusStore {
     val f = fileOf(correlationId, dataProduct)
     val cur = read(f).flatMap(p => Option(p.getProperty("status")))
     if (cur != expected) false
-    else { write(f, merged(f, status, exportDate, extra)); true }
+    else { write(f, merged(f, correlationId, dataProduct, status, exportDate, extra)); true }
+  }
+
+  override def scanByStatus(status: String): Seq[StatusStore.ScanRow] = locked {
+    import scala.jdk.CollectionConverters._
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".properties")).sortBy(_.getName)
+      .flatMap(read)
+      .filter(p => p.getProperty("status") == status)
+      .flatMap { p =>
+        // rows written before the key attributes rode inside the file
+        // are unscannable (file names are lossy) — skip, don't guess
+        (Option(p.getProperty("correlationId")), Option(p.getProperty("dataProduct"))) match {
+          case (Some(cid), Some(dp)) =>
+            Some(StatusStore.ScanRow(cid, dp, status,
+              Option(p.getProperty("exportDate")).getOrElse(""),
+              p.stringPropertyNames().asScala.filter(_.startsWith("extra."))
+                .map(k => k.stripPrefix("extra.") -> p.getProperty(k)).toMap))
+          case _ => None
+        }
+      }
   }
 }
 
@@ -368,6 +413,103 @@ final class Runner(
     // the staging table is ORC like the export it publishes — the
     // reference's Hive staging format (ingesters.py:283-339)
     spark.read.orc(prefix).write.format("orc").saveAsTable(table)
+  }
+}
+
+object Relauncher {
+  /** Attribute carrying the per-row retry count (the reference's
+    * relauncher reads/writes a retry counter against
+    * MAX_RETRY_COUNT before re-submitting a cluster).
+    */
+  val RetryCountAttr = "Retry_Count"
+
+  /** One sweep's accounting, per (correlationId, dataProduct). */
+  final case class Report(
+      relaunched: Seq[(String, String)],
+      recovered: Seq[(String, String)],
+      failedAgain: Seq[(String, String)],
+      lostRace: Seq[(String, String)],
+      exhausted: Seq[(String, String)])
+}
+
+/** Failure-retry relauncher — the reference's emr-relauncher
+  * (emr-relauncher.tf:26-33 + its lambda's dynamodb status scan):
+  * sweep the status store for FAILED rows and re-enter each with
+  * bounded retries. Safe to run from many schedulers at once: the
+  * re-entry is the SAME conditional write the Runner uses
+  * (FAILED → IN_PROGRESS CAS), adjudicated server-side, so two racing
+  * relaunchers elect exactly one winner per row — the loser sees the
+  * row already flipped and walks away. The winner's CAS also carries
+  * the incremented retry count, so the counter moves exactly once per
+  * re-entry no matter how many sweepers race.
+  *
+  * A row whose retry count has reached `maxRetryCount` is TERMINAL:
+  * it stays FAILED, the action is never invoked, and a
+  * `relauncher.terminal` counter goes to the [[MetricsSink]] (the
+  * reference's SNS alarm topic stand-in — [[AlertRules.standard]]
+  * turns it into a deduplicated alert). Each successful re-entry
+  * emits `relauncher.relaunch`; an action that fails again emits
+  * `relauncher.failed` and re-marks FAILED for the next sweep.
+  */
+final class Relauncher(
+    status: StatusStore,
+    maxRetryCount: Int = 3,
+    metrics: () => MetricsSink = () => MetricsSink.global) {
+  import Relauncher._
+
+  private def tags(row: StatusStore.ScanRow): Map[String, String] =
+    Map("correlation_id" -> row.correlationId, "data_product" -> row.dataProduct)
+
+  /** One sweep. `run` is the re-submission (re-running the Runner's
+    * date, re-launching the cluster); it executes only for rows this
+    * sweeper's CAS won.
+    */
+  def relaunch(run: StatusStore.ScanRow => Unit): Report = {
+    val relaunched = Seq.newBuilder[(String, String)]
+    val recovered = Seq.newBuilder[(String, String)]
+    val failedAgain = Seq.newBuilder[(String, String)]
+    val lostRace = Seq.newBuilder[(String, String)]
+    val exhausted = Seq.newBuilder[(String, String)]
+    status.scanByStatus(StatusStore.Failed).foreach { row =>
+      val key = (row.correlationId, row.dataProduct)
+      val retries = row.extra.get(RetryCountAttr)
+        .flatMap(_.toIntOption).getOrElse(0)
+      if (retries >= maxRetryCount) {
+        metrics().counter("relauncher.terminal", 1,
+          tags(row) + ("retries" -> retries.toString))
+        exhausted += key
+      } else {
+        val entered = status.compareAndSetStatus(
+          row.correlationId, row.dataProduct,
+          Some(StatusStore.Failed), StatusStore.InProgress, row.exportDate,
+          Map(RetryCountAttr -> (retries + 1).toString))
+        if (!entered) lostRace += key
+        else {
+          metrics().counter("relauncher.relaunch", 1,
+            tags(row) + ("attempt" -> (retries + 1).toString))
+          relaunched += key
+          try {
+            run(row.copy(status = StatusStore.InProgress,
+              extra = row.extra + (RetryCountAttr -> (retries + 1).toString)))
+            status.updateStatus(row.correlationId, row.dataProduct,
+              StatusStore.Completed, row.exportDate)
+            recovered += key
+          } catch {
+            case e: Exception =>
+              // FAILED again — the NEXT sweep retries (or exhausts);
+              // the sweep itself never dies to one bad row
+              metrics().counter("relauncher.failed", 1, tags(row))
+              System.err.println(
+                s"[relauncher] ${row.dataProduct} failed again: ${e.getMessage}")
+              status.updateStatus(row.correlationId, row.dataProduct,
+                StatusStore.Failed, row.exportDate)
+              failedAgain += key
+          }
+        }
+      }
+    }
+    Report(relaunched.result(), recovered.result(), failedAgain.result(),
+      lostRace.result(), exhausted.result())
   }
 }
 

@@ -550,7 +550,11 @@ object Behavior {
     * so (round 15) the tile comes from the two-phase distributed range
     * rank ([[graft.operators.RangeRank]], grouped by event_type):
     * boundary sketch → monotone buckets → exact offsets → local
-    * row_number, then NTILE is pure (i, n) arithmetic. Bit-identical
+    * row_number, then NTILE is pure (i, n) arithmetic. Round 16:
+    * tieSplit=true (row_number-only consumer) — composite
+    * (cents, event_id) boundaries keep a degenerate price point (one
+    * value at half the purchases) from re-creating a single-task
+    * sort. Bit-identical
     * to the window formulation (rank math is exact), so the
     * NTILE-based oracle holds unchanged; PlanShapeSpec pins that no
     * unpartitioned window sort remains. Output: 10 rows per type with
@@ -562,7 +566,7 @@ object Behavior {
       .select("event_type", "event_id", "cents")
     graft.operators.RangeRank
       .withRowNumber(p, "cents", asc = true, tiebreak = Seq("event_id"),
-        out = "i", nOut = "n_all", group = Seq("event_type"))
+        out = "i", nOut = "n_all", group = Seq("event_type"), tieSplit = true)
       .withColumn("tile", graft.operators.RangeRank.ntileExpr("i", "n_all", 10))
       .groupBy("event_type", "tile")
       .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))

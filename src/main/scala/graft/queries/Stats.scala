@@ -114,7 +114,12 @@ object Stats {
     * sketch → monotone buckets → exact per-bucket offsets → local
     * row_number per bucket — so no single task ever sorts the
     * entity-scale aggregate, and the decile id is pure NTILE
-    * ARITHMETIC on (i, n) instead of a second window. The per-decile
+    * ARITHMETIC on (i, n) instead of a second window. Round 16:
+    * tieSplit=true — this consumer needs only row_number, so buckets
+    * split on COMPOSITE (cents, custkey) boundaries and a degenerate
+    * spend distribution (half the entities on one flat value) can
+    * never re-create a single fat-bucket sort (RankTieProbe measures
+    * it distributing). The per-decile
     * rollup and its cumulative sums collapse into ONE global aggregate
     * (30 conditional BIGINT sums) unpacked by `stack` — zero windows
     * anywhere in the plan (PlanShapeSpec pins it). Rank arithmetic is
@@ -135,7 +140,7 @@ object Stats {
       .groupBy("o_custkey").agg(sum("cents").as("cents"))
     val tiled = graft.operators.RangeRank
       .withRowNumber(spend, "cents", asc = true, tiebreak = Seq("o_custkey"),
-        out = "i", nOut = "n_all")
+        out = "i", nOut = "n_all", tieSplit = true)
       .withColumn("decile", graft.operators.RangeRank.ntileExpr("i", "n_all", 10))
     val perDecile = (1 to 10).flatMap { dd =>
       Seq(count(when(col("decile") === dd, 1)).as(s"n$dd"),

@@ -114,4 +114,72 @@ class MetricsSpec extends SparkSpec {
       assert(nodes.map(_.get("name").asText()).toSet === Set("s3gw.ops", "query_ms"))
     } finally server.stop(0)
   }
+
+  // ---- Alert rules over the metrics stream (slack-alerts.tf / sns.tf) ----
+
+  test("threshold rule: exactly one alert per breach episode — counters latch, gauges re-arm on recovery") {
+    import graft.pipeline.{AlertingSink, AlertRule}
+    val sink = new AlertingSink(Seq(
+      AlertRule.Threshold("verify-failure", "verify.query_failures", 1.0),
+      AlertRule.Threshold("lag", "stream.lag", 3.0)))
+    // monotone counter: three breaching events, ONE alert (no flapping)
+    sink.counter("verify.query_failures", 1, Map("query" -> "q1"))
+    sink.counter("verify.query_failures", 1, Map("query" -> "q2"))
+    sink.counter("verify.query_failures", 1, Map("query" -> "q3"))
+    assert(sink.fired.count(_.rule == "verify-failure") === 1)
+    assert(sink.fired.head.metric === "verify.query_failures")
+    // gauge hysteresis: breach → one alert; flapping above stays the
+    // SAME episode; recovery re-arms; a NEW breach is a new episode
+    sink.gauge("stream.lag", 5.0)
+    sink.gauge("stream.lag", 9.0)
+    assert(sink.fired.count(_.rule == "lag") === 1)
+    sink.gauge("stream.lag", 1.0) // recovered: episode closed
+    sink.gauge("stream.lag", 7.0) // new episode
+    assert(sink.fired.count(_.rule == "lag") === 2)
+    // unrelated metrics never trip a rule
+    sink.counter("s3gw.ops", 100)
+    assert(sink.fired.size === 3)
+  }
+
+  test("missing-heartbeat rule: fires once per silent window, re-arms when the heartbeat returns") {
+    import graft.pipeline.{AlertingSink, AlertRule}
+    var now = 1000L
+    val sink = new AlertingSink(
+      Seq(AlertRule.MissingHeartbeat("hb", "pipeline.heartbeat", 60000L)),
+      clock = () => now)
+    sink.counter("pipeline.heartbeat", 1)
+    now += 59000L
+    assert(sink.evaluateNow().isEmpty, "inside the window: silent but alive")
+    now += 2000L
+    assert(sink.evaluateNow().map(_.rule) === Seq("hb"), "window passed: fire")
+    now += 60000L
+    assert(sink.evaluateNow().isEmpty, "latched: the SAME silence never re-fires")
+    sink.counter("pipeline.heartbeat", 1) // heartbeat returns: re-arm
+    now += 61000L
+    assert(sink.evaluateNow().map(_.rule) === Seq("hb"), "new silent episode fires")
+    assert(sink.fired.count(_.rule == "hb") === 2)
+  }
+
+  test("alert chain end-to-end: relauncher exhaustion → standard rules → one deduped alert riding the downstream sink") {
+    import graft.pipeline._
+    val f = java.io.File.createTempFile("graft_alerts", ".jsonl")
+    f.delete()
+    val downstream = new JsonlMetricsSink(f.getPath)
+    val alerting = new AlertingSink(AlertRules.standard(), downstream)
+    val store = new InMemoryStatusStore
+    store.updateStatus("c1", "CDI-db:coll", StatusStore.Failed, "2021-06-15",
+      Map(Relauncher.RetryCountAttr -> "3"))
+    val rl = new Relauncher(store, maxRetryCount = 3, metrics = () => alerting)
+    rl.relaunch(_ => fail("exhausted row must never re-run"))
+    rl.relaunch(_ => fail("exhausted row must never re-run"))
+    // two sweeps emitted two terminal counters — ONE alert episode
+    assert(alerting.fired.map(_.rule) === Seq("relauncher-terminal"))
+    val lines = readLines(f)
+    assert(lines.count(_.get("name").asText() == "relauncher.terminal") === 2,
+      "raw counters pass through unchanged")
+    val fired = lines.filter(_.get("name").asText() == "alert.fired")
+    assert(fired.size === 1)
+    assert(fired.head.get("tags").get("rule").asText() === "relauncher-terminal")
+    f.delete()
+  }
 }

@@ -130,7 +130,7 @@ class PlanLintSpec extends SparkSpec {
     "pipeline/KeyService.scala" -> (1, "key-id manifest (one row per encryption key)"),
     "operators/Text.scala" -> (1, "Misra-Gries candidate set (≤ heavy-hitter budget rows)"),
     "operators/Skew.scala" -> (1, "skewed-key sample for salting decision (bounded top-N)"),
-    "operators/RangeRank.scala" -> (1, "per-(group,bucket) count grid for rank prefix offsets (≤ |groups|·buckets rows)"),
+    "operators/RangeRank.scala" -> (2, "per-(group,bucket) count grid for rank prefix offsets (≤ |groups|·buckets rows); tieSplit composite-boundary sample (≤ 64·buckets rows by sampling fraction)"),
     "SkewBench.scala" -> (3, "skew-evidence harness: ≤7-row segment aggregates (twin-equality asserts) and the per-lang top-K table — bounded results of the timed legs, never data-scale rows"),
   )
 

@@ -235,6 +235,61 @@ class S3GatewaySpec extends SparkSpec {
     } finally Stage.deleteRecursively(root)
   }
 
+  test("unsigned x-amz-* splice is 403 AccessDenied; tampered PUT body is 400 XAmzContentSHA256Mismatch") {
+    import graft.fs.SigV4
+    val fs = new GraftS3FileSystem(endpoint)
+    val root = freshRoot("integrity")
+    try {
+      val attacker = new java.io.File(root, "attacker.bin")
+      java.nio.file.Files.write(attacker.toPath, "attacker-chosen".getBytes("UTF-8"))
+      val victim = new java.io.File(root, "victim.bin")
+      val client = {
+        val b = java.net.http.HttpClient.newBuilder()
+        S3Gateway.clientSslContext.foreach(b.sslContext)
+        b.build()
+      }
+      val uri = java.net.URI.create(endpoint + victim.getPath)
+      // a VALID signed PUT (copy-source NOT in SignedHeaders), then an
+      // attacker splices an unsigned x-amz-copy-source onto the replay
+      // — the middlebox redirect ADVICE r15 called out. Must 403, and
+      // the server-side COPY must never happen.
+      val body = "legit".getBytes("UTF-8")
+      val spliced = java.net.http.HttpRequest.newBuilder(uri)
+      SigV4.signHeaders("PUT", uri,
+          payloadHash = SigV4.sha256HexOfBytes(body))
+        .foreach { case (k, v) => spliced.header(k, v) }
+      spliced.header("x-amz-copy-source", attacker.getPath)
+      val r1 = client.send(
+        spliced.PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r1.statusCode() === 403, s"got ${r1.statusCode()}: ${r1.body()}")
+      assert(r1.body().contains("<Code>AccessDenied</Code>"))
+      assert(r1.body().contains("x-amz-copy-source"))
+      assert(!victim.exists(), "the spliced COPY must never execute")
+      // signed concrete payload hash + tampered body: the gateway
+      // recomputes sha256 over the received bytes and refuses — body
+      // integrity holds even without TLS
+      val tampered = java.net.http.HttpRequest.newBuilder(uri)
+      SigV4.signHeaders("PUT", uri,
+          payloadHash = SigV4.sha256HexOfBytes("original-bytes".getBytes("UTF-8")))
+        .foreach { case (k, v) => tampered.header(k, v) }
+      val r2 = client.send(
+        tampered.PUT(java.net.http.HttpRequest.BodyPublishers
+          .ofByteArray("tampered-bytes".getBytes("UTF-8"))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r2.statusCode() === 400, s"got ${r2.statusCode()}: ${r2.body()}")
+      assert(r2.body().contains("<Code>XAmzContentSHA256Mismatch</Code>"))
+      assert(!victim.exists(), "a tampered upload must never become visible")
+      assert(S3Gateway.opCount("payload_mismatch") >= 1)
+      // the honest client path signs real body hashes and round-trips
+      val out = fs.create(new Path(victim.getPath), true)
+      out.write("legit".getBytes("UTF-8"))
+      out.close()
+      assert(new String(
+        java.nio.file.Files.readAllBytes(victim.toPath), "UTF-8") === "legit")
+    } finally Stage.deleteRecursively(root)
+  }
+
   test("in-flight/leaked gateway temporaries are invisible to LIST") {
     val fs = new GraftS3FileSystem(endpoint)
     val root = freshRoot("temps")

@@ -600,4 +600,62 @@ class StatsSpec extends SparkSpec {
         r.getAs[Long]("sum_qcos").toDouble / r.getAs[Long]("n").toDouble)
     }
   }
+
+  test("RangeRank tieSplit: exact row_number under a degenerate key (70% one value), ties split across buckets") {
+    import spark.implicits._
+    // 70% of the mass on key=500 — the round-15 heavy-tie residual:
+    // the monotone-in-key path would funnel all of it into ONE bucket
+    val n = 20000
+    val df = (0 until n).map { i =>
+      val key = if (i % 10 < 7) 500L else (i % 1000).toLong
+      (key, i.toLong)
+    }.toDF("k", "id")
+    for (tieSplit <- Seq(false, true)) {
+      val out = graft.operators.RangeRank.withRowNumber(
+        df, "k", asc = true, tiebreak = Seq("id"),
+        out = "i", nOut = "n_all", buckets = 16, tieSplit = tieSplit)
+      val rows = out.select("k", "id", "i", "n_all").collect()
+      assert(rows.length === n)
+      assert(rows.forall(_.getLong(3) === n.toLong))
+      // exact: rank i must equal the position in the (k, id) total order
+      val expected = rows.map(r => (r.getLong(0), r.getLong(1))).sorted
+        .zipWithIndex.map { case (kid, idx) => kid -> (idx + 1).toLong }.toMap
+      rows.foreach { r =>
+        assert(r.getLong(2) === expected((r.getLong(0), r.getLong(1))),
+          s"tieSplit=$tieSplit rank mismatch at (${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
+    // the degenerate extreme — EVERY row one key value — still ranks
+    // exactly under tieSplit (boundaries come entirely from tiebreaks)
+    val allTied = (0 until 5000).map(i => (42L, i.toLong)).toDF("k", "id")
+    val tied = graft.operators.RangeRank.withRowNumber(
+        allTied, "k", asc = true, tiebreak = Seq("id"),
+        out = "i", nOut = "n_all", buckets = 16, tieSplit = true)
+      .select("id", "i").collect()
+    tied.foreach(r => assert(r.getLong(1) === r.getLong(0) + 1))
+    // bucket-spread is measured (not just asserted): the distribution
+    // evidence lives in RANK_PROBE.json's heavy-tie fixture
+  }
+
+  test("s_ann_lsh_tune: nested candidate sets, monotone recall, and the L=8 production point") {
+    val rows = Ann.sAnnLshTune(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("tables") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("hits"),
+          r.getAs[Long]("possible"), r.getAs[Long]("recall_pct")))
+    val byL = rows.toMap
+    assert(byL.keySet === Set(1, 2, 4, 8))
+    // candidate sets are nested by construction → counts and hits are
+    // monotone non-decreasing in L; recall_pct = hits*100 div possible
+    val ls = Seq(1, 2, 4, 8)
+    ls.sliding(2).foreach { case Seq(a, b) =>
+      assert(byL(a)._1 <= byL(b)._1, s"candidates must grow with L ($a→$b)")
+      assert(byL(a)._2 <= byL(b)._2, s"hits must grow with L ($a→$b)")
+    }
+    rows.foreach { case (_, (_, hits, possible, pct)) =>
+      assert(pct === hits * 100 / possible)
+      assert(hits <= possible)
+    }
+    // the lever is real on this corpus: L=8 strictly beats L=1
+    assert(byL(8)._2 > byL(1)._2)
+  }
 }

@@ -220,4 +220,124 @@ class StatusStoreSpec extends SparkSpec {
       !e.getMessage.contains("refusing to double-enter"))
     assert(store.getStatus("local", "CDI-db:coll") === Some(StatusStore.Failed))
   }
+
+  // ---- Relauncher (reference: emr-relauncher MAX_RETRY_COUNT sweep) ----
+
+  /** Metrics recorder for the relauncher's alarm surface. */
+  private final class RecordingSink extends graft.pipeline.MetricsSink {
+    val counters = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, String])]
+    override def counter(n: String, v: Long, t: Map[String, String]): Unit =
+      synchronized { counters += ((n, v, t)); () }
+    override def gauge(n: String, v: Double, t: Map[String, String]): Unit = ()
+    override def timing(n: String, v: Long, t: Map[String, String]): Unit = ()
+  }
+
+  test("scanByStatus returns FAILED rows with exact keys and extras (all three impls)") {
+    withStatusServer { base =>
+      val impls: Seq[StatusStore] = Seq(
+        new InMemoryStatusStore,
+        new FileStatusStore(freshDir("scan")),
+        new HttpStatusStore(base))
+      impls.foreach { store =>
+        store.updateStatus("corr-1", "CDI-db:collA", StatusStore.Failed,
+          "2021-06-15", Map("S3_Prefix_CDI_Export" -> "/exports/a"))
+        store.updateStatus("corr-1", "CDI-db:collB", StatusStore.Completed, "2021-06-15")
+        store.updateStatus("corr-2", "CDI-db:collA", StatusStore.Failed, "2021-06-16")
+        val failed = store.scanByStatus(StatusStore.Failed)
+        assert(failed.map(r => (r.correlationId, r.dataProduct)).toSet ===
+          Set(("corr-1", "CDI-db:collA"), ("corr-2", "CDI-db:collA")),
+          s"impl ${store.getClass.getSimpleName}")
+        val a = failed.find(_.correlationId == "corr-1").get
+        assert(a.exportDate === "2021-06-15")
+        assert(a.extra.get("S3_Prefix_CDI_Export") === Some("/exports/a"))
+        assert(store.scanByStatus(StatusStore.InProgress).isEmpty)
+      }
+    }
+  }
+
+  test("relauncher race: two sweeps over one FAILED row elect exactly one winner; retry count moves once") {
+    withStatusServer { base =>
+      val seed = new HttpStatusStore(base)
+      seed.updateStatus("c1", "CDI-db:coll", StatusStore.Failed, "2021-06-15")
+      val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val sink = new RecordingSink
+      // two independent wire clients, raced from the same scan state
+      val reports = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val futs = (1 to 2).map { _ =>
+            pool.submit(new java.util.concurrent.Callable[graft.pipeline.Relauncher.Report] {
+              override def call() = {
+                val r = new graft.pipeline.Relauncher(
+                  new HttpStatusStore(base), maxRetryCount = 3, metrics = () => sink)
+                gate.await()
+                r.relaunch { _ => ran.incrementAndGet(); () }
+              }
+            })
+          }
+          gate.countDown()
+          futs.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+        } finally pool.shutdownNow()
+      }
+      assert(ran.get() === 1, "exactly one sweep runs the re-submission")
+      assert(reports.map(_.relaunched.size).sum === 1)
+      assert(seed.getStatus("c1", "CDI-db:coll") === Some(StatusStore.Completed))
+      // the CAS carried the increment exactly once
+      assert(seed.getExtras("c1", "CDI-db:coll")
+        .get(graft.pipeline.Relauncher.RetryCountAttr) === Some("1"))
+      assert(sink.counters.count(_._1 == "relauncher.relaunch") === 1)
+    }
+  }
+
+  test("relauncher exhaustion: a MAX_RETRY row stays FAILED, action never runs, terminal alert metric emitted") {
+    withStatusServer { base =>
+      val store = new HttpStatusStore(base)
+      store.updateStatus("c1", "CDI-db:coll", StatusStore.Failed, "2021-06-15",
+        Map(graft.pipeline.Relauncher.RetryCountAttr -> "2"))
+      val sink = new RecordingSink
+      val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+      val report = new graft.pipeline.Relauncher(store, maxRetryCount = 2,
+        metrics = () => sink).relaunch(_ => { ran.incrementAndGet(); () })
+      assert(ran.get() === 0)
+      assert(report.exhausted === Seq(("c1", "CDI-db:coll")))
+      assert(store.getStatus("c1", "CDI-db:coll") === Some(StatusStore.Failed))
+      assert(store.getExtras("c1", "CDI-db:coll")
+        .get(graft.pipeline.Relauncher.RetryCountAttr) === Some("2"),
+        "an exhausted row's counter must not move")
+      val terminal = sink.counters.filter(_._1 == "relauncher.terminal")
+      assert(terminal.size === 1)
+      assert(terminal.head._3.get("data_product") === Some("CDI-db:coll"))
+    }
+  }
+
+  test("relauncher retry ladder: a persistently failing run walks FAILED→…→exhausted with exact counts") {
+    val store = new InMemoryStatusStore
+    store.updateStatus("c1", "CDI-db:coll", StatusStore.Failed, "2021-06-15")
+    val sink = new RecordingSink
+    val rl = new graft.pipeline.Relauncher(store, maxRetryCount = 2,
+      metrics = () => sink)
+    val boom: StatusStore.ScanRow => Unit =
+      _ => throw new RuntimeException("still broken")
+    val r1 = rl.relaunch(boom)
+    assert(r1.relaunched.size === 1 && r1.failedAgain.size === 1)
+    assert(store.getExtras("c1", "CDI-db:coll")
+      .get(graft.pipeline.Relauncher.RetryCountAttr) === Some("1"))
+    val r2 = rl.relaunch(boom)
+    assert(r2.relaunched.size === 1)
+    assert(store.getExtras("c1", "CDI-db:coll")
+      .get(graft.pipeline.Relauncher.RetryCountAttr) === Some("2"))
+    val r3 = rl.relaunch(boom)
+    assert(r3.relaunched.isEmpty && r3.exhausted.size === 1)
+    assert(store.getStatus("c1", "CDI-db:coll") === Some(StatusStore.Failed))
+    assert(sink.counters.count(_._1 == "relauncher.failed") === 2)
+    assert(sink.counters.count(_._1 == "relauncher.terminal") === 1)
+    // a recovered sibling in the same sweep is untouched by the bad row
+    store.updateStatus("c1", "CDI-db:other", StatusStore.Failed, "2021-06-15")
+    val r4 = rl.relaunch(_ => ())
+    assert(r4.recovered === Seq(("c1", "CDI-db:other")))
+    assert(r4.exhausted === Seq(("c1", "CDI-db:coll")))
+    assert(store.getStatus("c1", "CDI-db:other") === Some(StatusStore.Completed))
+  }
 }
