@@ -65,6 +65,7 @@ class PlanLintSpec extends SparkSpec {
     "q_scalar_subq" -> "scalar subquery materialized as a one-row cross (the operator under test)",
     "s_ann_brute" -> "broadcast bounded query batch — the documented plan-pinned correctness baseline",
     "s_ann_eval" -> "composes each method's brute ground truth: same bounded query batch, once per method",
+    "s_ann_lsh_tune" -> "one-row possible-count aggregate crossed onto the 4-row per-L readout, plus the brute truth's bounded query-batch cross",
     "s_ann_pq" -> "bounded query batch crossed with the code scan for ADC lookup",
     "s_ann_sq" -> "bounded query batch crossed with the int8 code scan",
     "s_hybrid" -> "bounded query batch broadcast-crossed for the lexical+vector rankings",
@@ -132,6 +133,7 @@ class PlanLintSpec extends SparkSpec {
     "operators/Skew.scala" -> (1, "skewed-key sample for salting decision (bounded top-N)"),
     "operators/RangeRank.scala" -> (2, "per-(group,bucket) count grid for rank prefix offsets (≤ |groups|·buckets rows); tieSplit composite-boundary sample (≤ 64·buckets rows by sampling fraction)"),
     "SkewBench.scala" -> (3, "skew-evidence harness: ≤7-row segment aggregates (twin-equality asserts) and the per-lang top-K table — bounded results of the timed legs, never data-scale rows"),
+    "RankTieProbe.scala" -> (1, "heavy-tie probe harness: one-row rank-checksum aggregate per timed leg"),
   )
 
   test("driver-collect lint: every product .collect() site is within its reviewed budget") {
