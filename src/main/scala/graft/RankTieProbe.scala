@@ -38,11 +38,18 @@ object RankTieProbe {
 
     // 50% of all rows share key 500000; the rest spread over ~1M keys
     // (the shape of a spend aggregate where half the entities share one
-    // flat fee). Tiebreak = unique id.
-    val df = spark.range(n).select(
-      when(col("id") % 2 === 0, lit(500000L))
-        .otherwise(col("id") % 1000000L).as("k"),
-      col("id"))
+    // flat fee). Tiebreak = unique id. Materialized to parquet first —
+    // the probe must model the real callers (entity aggregates off
+    // storage), and a file-backed scan is what both legs re-read.
+    val fixture = s"/tmp/graft_rank_tie_$n"
+    if (!new java.io.File(fixture, "_SUCCESS").exists()) {
+      spark.range(n).select(
+          when(col("id") % 2 === 0, lit(500000L))
+            .otherwise(col("id") % 1000000L).as("k"),
+          col("id"))
+        .write.mode("overwrite").parquet(fixture)
+    }
+    val df = spark.read.parquet(fixture)
 
     def leg(tieSplit: Boolean): (Double, Long, Long) = {
       val t0 = System.nanoTime()
@@ -58,8 +65,11 @@ object RankTieProbe {
 
     // warm the input once so neither leg pays first-touch parquet/JIT
     df.count()
-    val (wMono, fatMono, csMono) = leg(tieSplit = false)
-    val (wSplit, fatSplit, csSplit) = leg(tieSplit = true)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "both")
+    val (wMono, fatMono, csMono) =
+      if (mode != "split") leg(tieSplit = false) else (0.0, 0L, 0L)
+    val (wSplit, fatSplit, csSplit) =
+      if (mode != "mono") leg(tieSplit = true) else (0.0, 0L, 0L)
     def j(w: Double, fat: Long): String =
       f"""{"wall_sec":$w%.2f,"max_bucket_rows":$fat}"""
     println(
