@@ -456,37 +456,48 @@ object Text {
   /** E10: repetition stats (Gopher-style quality signals) — duplicate
     * word fraction and the most-frequent word-bigram's share, per doc.
     * The repetitive flag is exact integer arithmetic (max·5 ≥ total ⇔
-    * top bigram covers ≥ 20%), so the oracle compares exactly. Shape:
-    * explode bigrams → two hash aggs keyed on doc_id — the per-doc
-    * group is bounded by document length, so the shuffle volume is the
-    * token stream itself (the same contract as q_explode) and no group
-    * can skew beyond one document.
+    * top bigram covers ≥ 20%), so the oracle compares exactly. Shape
+    * (r16, guide §2.4 — remove shuffles outright): the top bigram count
+    * is a PER-DOC statistic, so it never needs a shuffle at all — sort
+    * the doc's bigram array and take the longest equal run with one
+    * fold, making the whole operator a pure scan→project (was: explode
+    * → two hash aggs shuffling the full bigram stream + a re-join
+    * against the stats branch; 3 exchanges for a doc-local quantity).
+    * Per-doc work is O(L log L) and embarrassingly parallel — at 100 TB
+    * this runs at scan bandwidth with zero network.
     */
   def tRepetition(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Stage.barrier(Tables.documents(s, d)
-      .select(col("doc_id"), words(lower(col("text"))).as("w")))
-    val stats = docs.select(col("doc_id"),
-      size(col("w")).as("n_words"),
-      size(array_distinct(col("w"))).as("n_distinct"))
     // sequence(1, n) REQUIRES n ≥ 1 (start > stop flips the step sign);
     // guard short docs to an empty bigram list
-    val bigrams = docs.select(col("doc_id"),
-      explode(when(size(col("w")) >= 2,
-        transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat(element_at(col("w"), i), lit(" "),
-            element_at(col("w"), i + 1))))
-        .otherwise(array())).as("bg"))
-    val perDoc = bigrams
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(max(col("cnt")).as("max_bigram_cnt"), sum(col("cnt")).as("n_bigrams"))
-    stats.join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("max_bigram_cnt"), lit(0L)).as("max_bigram_cnt"),
-        (coalesce(col("max_bigram_cnt"), lit(0L)) * 5 >=
-          coalesce(col("n_bigrams"), lit(0L))
-          && coalesce(col("n_bigrams"), lit(0L)) > 0).as("repetitive"))
+    val w = col("w")
+    val bgs = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // longest equal run over the SORTED bigram array == the max
+    // per-bigram count the old hash agg computed; fold state is
+    // (prev, current run, best run), seeded with "" which no real
+    // bigram equals (bigrams always contain a space between two
+    // non-empty words)
+    def maxRun(sorted: Column): Column = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"),
+          st.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(lower(col("text"))).as("w"))
+      .select(col("doc_id"),
+        size(w).as("n_words"),
+        size(array_distinct(w)).as("n_distinct"),
+        size(bgs).cast("long").as("n_bigrams"),
+        maxRun(array_sort(bgs)).as("max_bigram_cnt"))
+      .withColumn("repetitive",
+        col("max_bigram_cnt") * 5 >= col("n_bigrams") && col("n_bigrams") > 0)
   }
 
   val tRepetitionSql: String =
@@ -2042,13 +2053,16 @@ object Text {
     */
   private[operators] def bpeTrainMerges(
       s: SparkSession, d: String): (List[(Long, String, String, Long)], DataFrame) = {
+    // `w` is carried through the folds (not just syms/freq): the final
+    // state then doubles as the word-type → token-count table t_bpe_apply
+    // joins against, so application never re-runs a merge fold
     val words0 = Tables.documents(s, d)
       .select(explode(words(lower(col("text")))).as("w"))
       .filter(!col("w").contains(BpeDelim))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("syms",
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-      .select("syms", "freq")
+      .select("w", "syms", "freq")
 
     def pairCounts(st: DataFrame): DataFrame = st.select(col("freq"),
         explode(when(size(col("syms")) >= 2,
@@ -2072,7 +2086,7 @@ object Text {
       merges = merges :+ ((it.toLong, ma, mb, mc))
       state = graft.Stage.cached(state
         .withColumn("syms", bpeFold(col("syms"), ma, mb))
-        .select("syms", "freq"))
+        .select("w", "syms", "freq"))
     }
     (merges, state)
   }
@@ -2143,27 +2157,47 @@ object Text {
   /** E25: BPE APPLY — tokenize the corpus with the merges t_bpe_train
     * learned (the cluster → cluster_apply precedent for tokenizers).
     * Training is the 3 bounded argmax jobs over the word-type table;
-    * APPLICATION is then a pure scan: per word, the char stream folds
-    * through the 3 learned merges as driver-literal HOF expressions —
-    * zero shuffle, no UDF, so 100 TB tokenizes at scan bandwidth with
-    * the tokenizer shipped inside the plan. Output per doc: word
-    * count, symbol count before merging, token count after, and the
-    * compression ratio (one IEEE division). The oracle re-learns the
-    * merges through the SAME training CTEs and re-folds every word.
+    * APPLICATION attaches the training state's per-TYPE token counts
+    * (|syms| of the final fold — a training byproduct) to the exploded
+    * corpus with a broadcast-sized vocabulary join, then partially
+    * aggregates per doc — so 100 TB tokenizes at scan bandwidth with
+    * the only exchange carrying one (doc_id, 3 longs) row per doc per
+    * task, and the merge folds run once per word type, never per
+    * occurrence. Output per doc: word count, symbol count before
+    * merging, token count after, and the compression ratio (one IEEE
+    * division). The oracle re-learns the merges through the SAME
+    * training CTEs and re-folds every word.
     */
   def tBpeApply(s: SparkSession, d: String): DataFrame = {
-    val (merges, _) = bpeTrainMerges(s, d)
-    val ms = merges.map(m => (m._2, m._3))
-    def toks(w: Column): Column = {
-      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
-      size(ms.foldLeft(chars) { case (acc, (ma, mb)) => bpeFold(acc, ma, mb) })
-    }
-    val base = graft.Stage.barrier(Tables.documents(s, d).select(col("doc_id"),
-      filter(words(lower(col("text"))), w => !w.contains(BpeDelim)).as("ws")))
-    base.select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
-        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("n_syms"),
-        aggregate(col("ws"), lit(0L), (a, w) => a + toks(w)).as("n_tokens"))
+    // r16 OPTIMIZATION (guide §8's proxy principle / §2.3 aggregate
+    // early): training's final word-type state ALREADY holds every
+    // word's post-merge tokenization — |syms| is the word's token
+    // count. Tokenize per TYPE (free — it's a training byproduct) and
+    // attach counts to occurrences with an equi-join on the word,
+    // instead of re-running the 3 merge folds on every word OCCURRENCE
+    // (the old shape: ~30 non-codegen HOF evaluations per occurrence,
+    // 6.0× sf0.1→sf1 growth because fold cost scales with occurrences
+    // while the type count grows sub-linearly). The vocabulary side is
+    // small (word types), so the planner broadcasts it; the shuffle
+    // that remains carries one partially-aggregated (doc_id, 3 longs)
+    // row per doc per task — guide §2.3's "shuffle keys and metadata,
+    // not payloads". Result identical: same merges, same per-word
+    // greedy fold, factored type-wise.
+    val (_, state) = bpeTrainMerges(s, d)
+    val wordTok = state.select(col("w"),
+      size(col("syms")).cast("long").as("n_tok"))
+    // explode_OUTER + LEFT join: an empty word list still yields its
+    // doc row (w = null, counted by nothing), so the zero rows the old
+    // per-doc fold produced survive without a second documents scan
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(filter(words(lower(col("text"))),
+          w => !w.contains(BpeDelim))).as("w"))
+      .join(wordTok, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("w")).as("n_words"),
+        coalesce(sum(length(col("w")).cast("long")), lit(0L)).as("n_syms"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
       .withColumn("ratio",
         when(col("n_syms") > 0, col("n_tokens").cast("double") / col("n_syms")))
   }

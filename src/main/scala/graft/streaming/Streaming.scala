@@ -102,8 +102,21 @@ object Streaming {
         q0.awaitTermination()
         q0
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    dumpProgress(q, name)
     (spark.table(name), q)
   }
+
+  /** Diagnostic seam (SPARK_GRAFT_STREAM_PROGRESS=1): per-microbatch
+    * StreamingQueryProgress JSON to stderr — durationMs breakdown
+    * (addBatch/getBatch/latestOffset/queryPlanning/walCommit/
+    * commitOffsets) and state-operator commit metrics, the numbers a
+    * deployment needs to size trigger intervals and state partitions.
+    */
+  private[graft] def dumpProgress(
+      q: org.apache.spark.sql.streaming.StreamingQuery, name: String): Unit =
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
+      q.recentProgress.foreach(p =>
+        System.err.println(s"[stprog] $name ${p.json}"))
 
   /** Tumbling-window transform shared by the stream and its batch twin. */
   def windowAggTransform(events: DataFrame): DataFrame =
@@ -1722,6 +1735,7 @@ object Streaming {
     checkpoint.foreach(cp => w = w.option("checkpointLocation", cp))
     val q = w.start()
     q.awaitTermination()
+    dumpProgress(q, s"gen:$base")
     gen
   }
 
