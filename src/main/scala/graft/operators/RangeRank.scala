@@ -57,12 +57,16 @@ object RangeRank {
     * in DOUBLE (BIGINT cents ≪ 2^53 everywhere this is used).
     *
     * `tieSplit` (round 16 — the heavy-tie residual): when true, the
-    * bucket boundaries are COMPOSITE (key, tiebreak...) tuples from a
-    * deterministic sample, and the bucket id counts boundary tuples
-    * lexicographically below the row's own tuple — so a degenerate
-    * key distribution (one value carrying ≥50% of all rows) still
-    * splits across buckets along the tiebreak instead of re-creating
-    * the single fat-bucket sort. ONLY for row_number-only consumers
+    * call is ALLOWED to split ties — if (and only if) the quantile
+    * sketch detects a heavy tie (duplicate boundaries ⇔ one key value
+    * carrying ≥ ~1/buckets of the mass), the bucket boundaries become
+    * COMPOSITE (key, tiebreak...) tuples from a deterministic sample,
+    * and the bucket id counts boundary tuples lexicographically below
+    * the row's own tuple — so a degenerate key distribution (one value
+    * carrying ≥50% of all rows) still splits across buckets along the
+    * tiebreak instead of re-creating the single fat-bucket sort. On
+    * ordinary key distributions the detector keeps the cheap monotone
+    * path (no extra count/sample jobs). ONLY for row_number-only consumers
     * (q_gini, q_histogram_eqd): equal keys no longer share a bucket,
     * which is exactly what q_mwu's bucket-local min-rank/ties forbids
     * (it stays on the monotone-in-key path). Requires non-null
@@ -89,16 +93,28 @@ object RangeRank {
     val keyD =
       if (asc) col(key).cast("double")
       else col(key).cast("double") * lit(-1.0)
-    val bucketCol = if (!tieSplit) {
-      // Phase 1: boundary sketch. Duplicate quantiles collapse (skew →
-      // fewer, fatter buckets — still correct, still partitioned).
-      val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-      val bounds =
-        if (probes.isEmpty) Array.empty[Double]
-        else df.stat.approxQuantile(key, probes, 0.001).distinct.sorted
-      // Phase 2: monotone bucket id. Ascending: # boundaries < key;
-      // descending: # boundaries > key — expressed uniformly as
+    // Phase 1: boundary sketch — run for BOTH paths. For the monotone
+    // path it is the bucketing; for tieSplit callers it is the
+    // heavy-tie DETECTOR (r16): a duplicate quantile boundary means one
+    // key value carries ≥ ~1/nBuckets of the mass — only then is the
+    // composite (key, tiebreak) sampling pass (an extra count + sample
+    // collect + per-row struct-array comparison) worth paying. The
+    // r16-before bench measured always-on tieSplit costing q_gini /
+    // q_histogram_eqd 1.5-3× on their perfectly ordinary key
+    // distributions; ranks are bit-identical on every path, so the
+    // detector only ever re-routes work, never changes an answer.
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val rawBounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(key, probes, 0.001)
+    val heavyTie = tieSplit && rawBounds.length != rawBounds.distinct.length
+    val bucketCol = if (!heavyTie) {
+      // Phase 2: monotone bucket id. Duplicate quantiles collapse
+      // (skew → fewer, fatter buckets — still correct, still
+      // partitioned). Ascending: # boundaries < key; descending:
+      // # boundaries > key — expressed uniformly as
       // # (signed boundaries) < (signed key) over the signed array.
+      val bounds = rawBounds.distinct.sorted
       if (bounds.isEmpty) lit(0)
       else {
         val signed = if (asc) bounds else bounds.map(-_)

@@ -724,7 +724,17 @@ object PipelineQueries {
     def mmBig(c: String) = (min(col(c)).cast("string"), max(col(c)).cast("string"))
     def mmStr(c: String) = (min(col(c)), max(col(c)))
     val o = Tables.orders(s, d)
-    val agg = o.agg(
+    // r16: STRING min/max (o_orderstatus / o_orderpriority) carry
+    // immutable agg buffers, and ONE such function in an Aggregate
+    // demotes the WHOLE node to SortAggregate — here that meant
+    // sorting the 7× Expand of the multi-distinct rewrite twice
+    // (measured: the whole query was sort time). Split them into a
+    // second, Expand-free agg over a 2-column pruned scan (no
+    // grouping keys ⇒ no sort anywhere) and cross-join the two
+    // 1-row results: every Expand-phase aggregate is now
+    // hash-based. One extra 2-column scan is the documented cost —
+    // cheap at any scale next to sorting 7× the table.
+    val aggMain = o.agg(
       count(lit(1)).as("n_rows"),
       nulls("o_orderkey").as("nn1"), countDistinct(col("o_orderkey")).as("nd1"),
       nulls("o_custkey").as("nn2"), countDistinct(col("o_custkey")).as("nd2"),
@@ -734,12 +744,14 @@ object PipelineQueries {
       nulls("o_orderpriority").as("nn6"), countDistinct(col("o_orderpriority")).as("nd6"),
       mmBig("o_orderkey")._1.as("mn1"), mmBig("o_orderkey")._2.as("mx1"),
       mmBig("o_custkey")._1.as("mn2"), mmBig("o_custkey")._2.as("mx2"),
-      mmStr("o_orderstatus")._1.as("mn3"), mmStr("o_orderstatus")._2.as("mx3"),
       min(dec(col("o_totalprice"))).cast("string").as("mn4"),
       max(dec(col("o_totalprice"))).cast("string").as("mx4"),
       unix_micros(min(col("o_orderdate")).cast("timestamp")).cast("string").as("mn5"),
-      unix_micros(max(col("o_orderdate")).cast("timestamp")).cast("string").as("mx5"),
+      unix_micros(max(col("o_orderdate")).cast("timestamp")).cast("string").as("mx5"))
+    val aggStr = o.agg(
+      mmStr("o_orderstatus")._1.as("mn3"), mmStr("o_orderstatus")._2.as("mx3"),
       mmStr("o_orderpriority")._1.as("mn6"), mmStr("o_orderpriority")._2.as("mx6"))
+    val agg = aggMain.crossJoin(aggStr)
     agg.select(col("n_rows"), expr(
       """stack(6,
         |  'o_orderkey',      nn1, nd1, mn1, mx1,

@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkSpec {
     "d_centrality" -> "fixed-point PageRank constants: one-row aggregates (node count, dangling mass) crossed into each unrolled iteration",
     "p_crypto_shred" -> "anti/semi join against the broadcast ONE-ROW revoked-key frame",
     "p_expectations" -> "cross with the one-row expectation-thresholds aggregate",
+    "p_profile" -> "cross of the two one-row profile aggregates (hash-based multi-distinct stats × the Expand-free string min/max agg — the r16 SortAggregate split)",
     "p_zorder" -> "cross with the one-row quantile cut-point frame",
     "q_bitmap_intersect" -> "non-equi self-join of per-segment bitmaps: one row per l_returnflag value, bounded by the flag domain at any SF",
     "q_cms_freq" -> "cross with the one-row CMS sketch aggregate",
