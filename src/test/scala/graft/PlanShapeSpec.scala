@@ -159,14 +159,29 @@ class PlanShapeSpec extends SparkSpec {
     val hh = graft.operators.Text.tHeavyHitters(spark, sfDir)
     assert(countBroadcasts(hh) >= 2,
       s"t_heavy_hitters must broadcast candidates + total:\n${executed(hh)}")
-    // p_profile: ONE scan of orders (the whole point of the one-pass
-    // ANALYZE) — the Expand multi-distinct must not re-scan per column
+    // p_profile (r16 shape): TWO scans — the Expand multi-distinct pass
+    // (hash-aggregated: the r16 split moved every immutable-buffer
+    // string min/max out, so the 7×-expanded rows are never sorted) and
+    // a second scan COLUMN-PRUNED to exactly the two string columns for
+    // the Expand-free string min/max agg. The Expand side must carry NO
+    // SortAggregate (the r15 shape sorted the whole Expand twice), and
+    // no scan may read more than once per purpose — still never
+    // per-column rescans.
     val prof = graft.queries.PipelineQueries.pProfile(spark, sfDir)
     val profScans = executed(prof).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
-    assert(profScans.size === 1,
-      s"p_profile must scan orders exactly once:\n${executed(prof)}")
+    assert(profScans.size === 2,
+      s"p_profile: one Expand pass + one pruned string pass:\n${executed(prof)}")
+    assert(profScans.count(_.schema.fieldNames.toSet ==
+        Set("o_orderstatus", "o_orderpriority")) === 1,
+      s"p_profile's second scan must be pruned to the string columns:\n${executed(prof)}")
+    val profSortAggsOverExpand = executed(prof).collect {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if a.find(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]).isDefined => a
+    }
+    assert(profSortAggsOverExpand.isEmpty,
+      s"p_profile's Expand pass must stay hash-aggregated:\n${executed(prof)}")
     // p_cdc_apply: one partial agg pair, max two shuffles (union + agg)
     val cdc = graft.queries.PipelineQueries.pCdcApply(spark, sfDir)
     assert(countShuffles(cdc) <= 2,
