@@ -76,12 +76,26 @@ object Ingest {
     * first bad line.
     */
   def pipeline(lines: DataFrame, keys: KeyService = KeyService.identity): DataFrame =
-    process(decrypt(keys.withDataKeys(
-      Envelope.parse(lines).filter(!col("malformed")).drop("malformed", "value"))))
+    pipelineFromParsed(Envelope.parse(lines), keys)
 
   /** The quarantine side: raw lines that failed envelope parsing. */
   def malformedLines(lines: DataFrame): DataFrame =
-    Envelope.parse(lines).filter(col("malformed")).select("value")
+    malformedFromParsed(Envelope.parse(lines))
+
+  /** [[pipeline]] split at the parse seam: a caller that needs BOTH the
+    * processed records and the malformed quarantine from one input (the
+    * streaming ingester, per microbatch) can parse once — persist the
+    * `Envelope.parse` frame and feed it to both — instead of running
+    * Jackson over every raw line once per branch. Row-identical to
+    * pipeline/malformedLines by construction (same subtree).
+    */
+  def pipelineFromParsed(parsed: DataFrame, keys: KeyService = KeyService.identity): DataFrame =
+    process(decrypt(keys.withDataKeys(
+      parsed.filter(!col("malformed")).drop("malformed", "value"))))
+
+  /** Quarantine side of [[pipelineFromParsed]]'s shared parse. */
+  def malformedFromParsed(parsed: DataFrame): DataFrame =
+    parsed.filter(col("malformed")).select("value")
 
   /** Pipeline with ingest metrics attached via `observe` — the
     * Spark-first replacement for the reference's driver accumulators

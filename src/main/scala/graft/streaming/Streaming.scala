@@ -2249,8 +2249,24 @@ object Streaming {
       .text(fixture)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // each trigger is ONE gzip file = ONE scan task (gzip is
+        // unsplittable), and Ingest.pipeline's internal barrier
+        // PRESERVES partitioning — without an explicit spread the whole
+        // AES+Jackson chain for the batch runs on a single core
+        // (measured: 84.4 s at sf10, ~linear in batch bytes, vs the
+        // idle other 31 cores). Round-robin the raw lines across the
+        // session's parallelism first: one cheap text shuffle, then
+        // decrypt/validate run partition-parallel. Scale-adaptive (no
+        // local[32] constant), deterministic under retry (Spark's
+        // sort-before-repartition contract). The parsed frame is
+        // persisted so the landed chain and the dead-letter branch
+        // share ONE Jackson pass over the batch (they used to re-parse
+        // independently — and O(batch) cache is the microbatch bound).
+        val spread = batch.toDF().repartition(
+          batch.sparkSession.sparkContext.defaultParallelism)
+        val parsed = graft.pipeline.Envelope.parse(spread).persist()
         val landed = graft.pipeline.Ingest.dailyIncrement(
-          graft.pipeline.Ingest.pipeline(batch.toDF()), "2021-06-15")
+          graft.pipeline.Ingest.pipelineFromParsed(parsed), "2021-06-15")
         // the writeDaily layout discipline, append-mode: range-cluster
         // on (id_part, id) so each task writes a contiguous slice of
         // partition dirs — without it every task touches every id_part
@@ -2269,9 +2285,9 @@ object Streaming {
             .write.mode("append")
             .partitionBy("export_year", "export_month", "export_day", "id_part")
             .parquet(s"$base/data")
-        } finally landed.unpersist()
-        graft.pipeline.Ingest.malformedLines(batch.toDF())
-          .write.mode("overwrite").text(s"$base/dead/batch$batchId")
+          graft.pipeline.Ingest.malformedFromParsed(parsed)
+            .write.mode("overwrite").text(s"$base/dead/batch$batchId")
+        } finally { landed.unpersist(); parsed.unpersist() }
         ()
       }
       .trigger(Trigger.AvailableNow())
