@@ -451,11 +451,19 @@ object Bench {
         // r16: the driver clips its stored line from the HEAD, so even
         // the slim line loses its opening brace once `queries` grows
         // past the clip. Print the slim line first (humans, full map),
-        // then a SECOND genuinely-tiny line (totals + calibration +
-        // flagged + restandalone, NO query maps — hundreds of bytes)
-        // LAST, so the tail the driver keeps always holds one complete
-        // parseable JSON object.
-        val tiny = slimLine(line, withQueries = false)
+        // then a SECOND genuinely-tiny line LAST, so the tail the
+        // driver keeps always holds one complete parseable JSON object.
+        // r17: the r16 tiny line dropped `queries` entirely, which left
+        // the driver's per-query round-over-round comparison EMPTY
+        // (PERF_r16 n_common=0). It now carries a COMPACT queries map —
+        // 2-decimal values, no spaces, and when the full map would push
+        // the line past the driver's ~2 KB tail, only the rows above an
+        // adaptive seconds threshold plus `queries_rest_total` (the sum
+        // of the elided rows, so the map still reconciles to `value`).
+        // The redundant `flagged` array (always == restandalone's keys)
+        // stays on the slim line and in BENCH_LOCAL.json but is dropped
+        // here to buy ~0.4 KB of query rows.
+        val tiny = tinyLine(line)
         println(slim)
         val fd1 = new java.io.PrintStream(
           new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
@@ -473,7 +481,7 @@ object Bench {
     * `restandalone`, then `queries` last. Falls back to the full line
     * if reshaping fails — a mangled slimmer must never lose the round.
     */
-  private def slimLine(line: String, withQueries: Boolean = true): String =
+  private def slimLine(line: String): String =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.readTree(line)
@@ -481,14 +489,74 @@ object Bench {
       val out = om.createObjectNode()
       out.set("full_artifact", om.getNodeFactory.textNode("BENCH_LOCAL.json"))
       val fields =
-        if (withQueries)
-          Seq("metric", "value", "unit", "value_cold", "failed", "sf",
-            "calibration", "warmup_sec", "flagged", "queries", "restandalone")
-        else // the clip-proof tail line: summary + adjudication only
-          Seq("metric", "value", "unit", "value_cold", "failed", "sf",
-            "calibration", "warmup_sec", "flagged", "restandalone")
+        Seq("metric", "value", "unit", "value_cold", "failed", "sf",
+          "calibration", "warmup_sec", "flagged", "queries", "restandalone")
       fields.foreach(f => Option(node.get(f)).foreach(out.set[
         com.fasterxml.jackson.databind.JsonNode](f, _)))
       om.writeValueAsString(out)
+    } catch { case _: Throwable => line }
+
+  /** The clip-proof final stdout line (r17): summary + adjudication +
+    * a compact per-query steady map that must fit — WHOLE — inside the
+    * driver's ~2 KB stored tail, because a head-clipped JSON object
+    * loses its opening brace and parses as nothing (the r13/r15
+    * failure mode). Values are rounded to 2 decimals; if the full map
+    * overflows [[TinyLineBudget]] bytes, rows below an adaptive
+    * threshold (0.25/0.5/1/2/4 s) are elided and their sum reported as
+    * `queries_rest_total`. Failed rows (-1) are never elided into the
+    * rest-total — they stay visible in `failed`. Falls back to the
+    * full line if reshaping fails.
+    */
+  private[graft] val TinyLineBudget = 1800
+  private[graft] def tinyLine(line: String): String =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(line)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      def round2(v: Double): java.math.BigDecimal =
+        java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+      def compactMap(name: String, minSec: Double):
+          Option[(com.fasterxml.jackson.databind.node.ObjectNode, Double, Int)] =
+        Option(node.get(name)).collect {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+            val out = om.createObjectNode()
+            var rest = 0.0
+            var elided = 0
+            o.properties().forEach { e =>
+              val v = e.getValue.asDouble()
+              if (v >= minSec || v < 0)
+                out.set[com.fasterxml.jackson.databind.JsonNode](
+                  e.getKey, om.getNodeFactory.numberNode(round2(v)))
+              else { rest += v; elided += 1 }
+            }
+            (out, rest, elided)
+        }
+      def build(minSec: Double): String = {
+        val out = om.createObjectNode()
+        out.set("full_artifact", om.getNodeFactory.textNode("BENCH_LOCAL.json"))
+        Seq("metric", "value", "unit", "value_cold", "failed", "sf",
+          "calibration", "warmup_sec").foreach(f =>
+          Option(node.get(f)).foreach(out.set[
+            com.fasterxml.jackson.databind.JsonNode](f, _)))
+        compactMap("queries", minSec).foreach { case (m, rest, elided) =>
+          out.set[com.fasterxml.jackson.databind.JsonNode]("queries", m)
+          if (elided > 0) {
+            out.put("queries_elided", elided)
+            out.set[com.fasterxml.jackson.databind.JsonNode](
+              "queries_rest_total", om.getNodeFactory.numberNode(round2(rest)))
+          }
+        }
+        compactMap("restandalone", 0.0).foreach { case (m, _, _) =>
+          if (m.size() > 0)
+            out.set[com.fasterxml.jackson.databind.JsonNode]("restandalone", m)
+        }
+        om.writeValueAsString(out)
+      }
+      // threshold ladder doubles until the line fits — every elision
+      // level still reconciles via queries_rest_total, and the last
+      // rung (2048 s) cannot realistically hold >40 rows of real data
+      (Seq(0.0, 0.25) ++ Seq.iterate(0.5, 13)(_ * 2)).view.map(build)
+        .find(_.length <= TinyLineBudget)
+        .getOrElse(build(2048.0)) // best effort: emit the top rows anyway
     } catch { case _: Throwable => line }
 }
