@@ -21,8 +21,16 @@ import org.apache.spark.sql.DataFrame
   * signatures).
   */
 object Stage {
+  /** r17: the fence is built at the InternalRow level
+    * ([[org.apache.spark.sql.GraftPlanFence]]) — the old
+    * `createDataFrame(df.rdd, df.schema)` form paid an interpreted
+    * UnsafeRow→Row→InternalRow double conversion per row PER CONSUMING
+    * STAGE for the same LogicalRDD plan fence. Semantics unchanged:
+    * same `Scan ExistingRDD` leaf, same recompute-per-consumer
+    * behavior, same optimizer opacity.
+    */
   def barrier(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    org.apache.spark.sql.GraftPlanFence.internalRowBarrier(df)
 
   /** Barrier + MATERIALIZE-ONCE: `barrier` pins expressions but its RDD
     * is still recomputed by every consuming stage — a subtree shared by
