@@ -2188,16 +2188,30 @@ object Text {
       size(col("syms")).cast("long").as("n_tok"))
     // explode_OUTER + LEFT join: an empty word list still yields its
     // doc row (w = null, counted by nothing), so the zero rows the old
-    // per-doc fold produced survive without a second documents scan
-    Tables.documents(s, d)
+    // per-doc fold produced survive without a second documents scan.
+    //
+    // r17 SCALE CONTRACT (guide §2.5 hot keys): occurrences are
+    // aggregated to (doc_id, w, occ) BEFORE the vocabulary join. At
+    // bench scale the vocabulary broadcasts and this costs one extra
+    // small exchange of (doc_id, word-type, count) rows; at 100 TB
+    // web-scale text the type table is GBs, the join falls back to a
+    // shuffle keyed on `w` — a Zipf-skewed key — and what this shape
+    // buys is that the shuffled side then carries TYPES-PER-DOC, not
+    // occurrences: the hottest key ("the") is bounded by the document
+    // count, not the token count, which is the regime AQE's skew-split
+    // can actually handle. The remaining doc_id exchange still carries
+    // one partially-aggregated (doc_id, 3 longs) row per doc per task.
+    val occ = Tables.documents(s, d)
       .select(col("doc_id"),
         explode_outer(filter(words(lower(col("text"))),
           w => !w.contains(BpeDelim))).as("w"))
-      .join(wordTok, Seq("w"), "left")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))
+    occ.join(wordTok, Seq("w"), "left")
       .groupBy("doc_id")
-      .agg(count(col("w")).as("n_words"),
-        coalesce(sum(length(col("w")).cast("long")), lit(0L)).as("n_syms"),
-        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+      .agg(coalesce(sum(when(col("w").isNotNull, col("occ")).otherwise(0L)),
+          lit(0L)).as("n_words"),
+        coalesce(sum(col("occ") * length(col("w")).cast("long")), lit(0L)).as("n_syms"),
+        coalesce(sum(col("occ") * col("n_tok")), lit(0L)).as("n_tokens"))
       .withColumn("ratio",
         when(col("n_syms") > 0, col("n_tokens").cast("double") / col("n_syms")))
   }
