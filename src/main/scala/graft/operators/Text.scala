@@ -2190,28 +2190,31 @@ object Text {
     // doc row (w = null, counted by nothing), so the zero rows the old
     // per-doc fold produced survive without a second documents scan.
     //
-    // r17 SCALE CONTRACT (guide §2.5 hot keys): occurrences are
-    // aggregated to (doc_id, w, occ) BEFORE the vocabulary join. At
-    // bench scale the vocabulary broadcasts and this costs one extra
-    // small exchange of (doc_id, word-type, count) rows; at 100 TB
-    // web-scale text the type table is GBs, the join falls back to a
-    // shuffle keyed on `w` — a Zipf-skewed key — and what this shape
-    // buys is that the shuffled side then carries TYPES-PER-DOC, not
-    // occurrences: the hottest key ("the") is bounded by the document
-    // count, not the token count, which is the regime AQE's skew-split
-    // can actually handle. The remaining doc_id exchange still carries
-    // one partially-aggregated (doc_id, 3 longs) row per doc per task.
-    val occ = Tables.documents(s, d)
+    // r17 SCALE CONTRACT (guide §2.5 hot keys, VERDICT r16 ask #7) —
+    // the vocabulary join is INTENDED to broadcast (PlanShapeSpec pins
+    // BroadcastHashJoin at bench scale; no hint, so an over-cap
+    // vocabulary degrades instead of OOMing the driver). If at corpus
+    // scale the type table ever outgrows the broadcast cap, the
+    // fallback is a shuffle keyed on `w` — Zipf-skewed — for which two
+    // mitigations exist, in order: AQE skew-join splitting (on by
+    // default; the hot partitions are join inputs, exactly its case),
+    // and pre-aggregating occurrences to (doc_id, w, occ) before the
+    // join so the shuffled side carries types-per-doc. The pre-agg is
+    // NOT applied here because it was A/B-measured this round as a
+    // net loss while the broadcast fires — +6% at sf0.1 and +15-40% at
+    // sf1 (words are mostly unique within a doc, so the extra
+    // (doc_id, w) exchange carries nearly the whole occurrence stream
+    // and buys nothing until the fallback actually engages); see
+    // OPTIMIZATION_r17.md §3 and plans/r17/ab_r17_checkpoint1.md.
+    Tables.documents(s, d)
       .select(col("doc_id"),
         explode_outer(filter(words(lower(col("text"))),
           w => !w.contains(BpeDelim))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))
-    occ.join(wordTok, Seq("w"), "left")
+      .join(wordTok, Seq("w"), "left")
       .groupBy("doc_id")
-      .agg(coalesce(sum(when(col("w").isNotNull, col("occ")).otherwise(0L)),
-          lit(0L)).as("n_words"),
-        coalesce(sum(col("occ") * length(col("w")).cast("long")), lit(0L)).as("n_syms"),
-        coalesce(sum(col("occ") * col("n_tok")), lit(0L)).as("n_tokens"))
+      .agg(count(col("w")).as("n_words"),
+        coalesce(sum(length(col("w")).cast("long")), lit(0L)).as("n_syms"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
       .withColumn("ratio",
         when(col("n_syms") > 0, col("n_tokens").cast("double") / col("n_syms")))
   }

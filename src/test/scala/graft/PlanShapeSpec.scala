@@ -57,6 +57,14 @@ class PlanShapeSpec extends SparkSpec {
     val q5 = graft.queries.Analytics.q5Multijoin(spark, sfDir)
     assert(countBroadcasts(q5) >= 2,
       s"q5_multijoin should broadcast its dim tables:\n${executed(q5)}")
+    // t_bpe_apply's scale contract (r17): the vocabulary join must
+    // arrive by broadcast — the occurrence stream is never shuffled on
+    // the Zipf-skewed word key while the type table fits the cap. The
+    // fallback story (AQE skew-split; types-per-doc pre-agg if that
+    // ever dominates) is pinned at the operator's doc comment.
+    val bpe = graft.operators.Text.tBpeApply(spark, sfDir)
+    assert(executed(bpe).toString.contains("BroadcastHashJoin"),
+      s"t_bpe_apply's vocabulary join must broadcast:\n${executed(bpe)}")
   }
 
   test("filter pushdown reaches the parquet scan") {
