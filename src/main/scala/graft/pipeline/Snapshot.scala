@@ -22,6 +22,21 @@ object Snapshot {
 
   /** One latest row per key group, production shape (max_by partial agg).
     * Highest `order` wins; ties broken by the struct's later fields.
+    *
+    * r17 NOTE — max_by is KEPT, with a two-scale measurement behind it:
+    * the ObjectHashAggregate alternative
+    * ([[graft.functions.latest_row]], implemented + spec'd this round)
+    * A/B-measured SLOWER standalone (sf10 p_latest_by_key 0.99→2.27 s,
+    * p_cdc_apply 1.64→2.48 s): ObjectHashAggregateExec falls back to
+    * sort-based aggregation once a partition's hash map passes
+    * spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    * (default 128 keys), so with thousands of keys per partition it
+    * pays max_by's sort PLUS per-row object churn. The SortAggregate
+    * this plans is a LOCAL sort of already-collapsed partials-per-task;
+    * measured decade shape standalone: sf1 0.67 s → sf10 0.99 s
+    * (≈1.5× per 10× data). The r16 sweep number that suggested a
+    * steepening (3.4 s) was chunk-attribution noise — restandalone
+    * before believing a sweep row.
     */
   def latestByKey(df: DataFrame, keys: Seq[String], order: Column): DataFrame = {
     val payload = df.columns.filterNot(keys.contains).map(col).toSeq

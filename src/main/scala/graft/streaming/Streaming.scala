@@ -1780,7 +1780,11 @@ object Streaming {
   /** latest-per-key over the merged (state ∪ batch) frame — the single
     * merge plan upsertBatch runs per microbatch, exposed for the
     * plan-shape spec: must show partial aggregation (partial max_by
-    * map-side before the exchange) and NO Sort/Window anywhere.
+    * map-side before the exchange) and NO Window anywhere. r17: the
+    * ObjectHashAggregate alternative (graft.functions.latest_row) was
+    * implemented and A/B-measured slower at sf1/sf10 (its 128-key
+    * sort-fallback pays the sort plus object churn — see
+    * Snapshot.latestByKey); max_by stays on the measurement.
     */
   private[graft] def upsertMergePlan(merged: DataFrame): DataFrame = {
     val all = merged.columns.map(col)

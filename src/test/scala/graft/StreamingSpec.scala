@@ -884,7 +884,9 @@ class StreamingSpec extends SparkSpec {
     // crosses the (single) exchange. Struct-buffered max_by planes as
     // SortAggregate (hash agg needs fixed-width buffers), so local
     // per-partition key sorts remain — but they sort the already
-    // per-task data, never a full shuffle of state.
+    // per-task data, never a full shuffle of state. (r17: the
+    // ObjectHashAggregate alternative was implemented and measured
+    // slower — its 128-key sort fallback; see Snapshot.latestByKey.)
     // AQE prints Final + Initial sections; assert on the final one only
     val full = out.queryExecution.executedPlan.toString
     val plan = full.indexOf("== Initial Plan ==") match {
