@@ -552,10 +552,14 @@ object Bench {
         }
         om.writeValueAsString(out)
       }
-      // threshold ladder doubles until the line fits — every elision
-      // level still reconciles via queries_rest_total, and the last
-      // rung (2048 s) cannot realistically hold >40 rows of real data
-      (Seq(0.0, 0.25) ++ Seq.iterate(0.5, 13)(_ * 2)).view.map(build)
+      // threshold ladder rises until the line fits — every elision
+      // level still reconciles via queries_rest_total. Dense sub-2s
+      // rungs matter: the r17 sf0.1 sweep fit 37 rows at the 2.0 rung
+      // with 600B of budget unused because the next rung down (1.0,
+      // ~84 rows) overflowed — quarter-steps in the 0-2s band keep the
+      // emitted map as large as the clip allows. The last rung (2048s)
+      // cannot realistically hold >40 rows of real data.
+      ((0 to 8).map(_ * 0.25) ++ Seq.iterate(4.0, 10)(_ * 2)).view.map(build)
         .find(_.length <= TinyLineBudget)
         .getOrElse(build(2048.0)) // best effort: emit the top rows anyway
     } catch { case _: Throwable => line }
