@@ -559,7 +559,8 @@ object Bench {
       // ~84 rows) overflowed — quarter-steps in the 0-2s band keep the
       // emitted map as large as the clip allows. The last rung (2048s)
       // cannot realistically hold >40 rows of real data.
-      ((0 to 8).map(_ * 0.25) ++ Seq.iterate(4.0, 10)(_ * 2)).view.map(build)
+      ((0 to 8).map(_ * 0.25) ++ Seq(2.5, 3.0, 3.5) ++
+        Seq.iterate(4.0, 10)(_ * 2)).view.map(build)
         .find(_.length <= TinyLineBudget)
         .getOrElse(build(2048.0)) // best effort: emit the top rows anyway
     } catch { case _: Throwable => line }
